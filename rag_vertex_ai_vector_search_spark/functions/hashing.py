@@ -1,0 +1,148 @@
+"""Deterministic hashing: pseudo-embeddings, MinHash, SimHash.
+
+The reference's embedder is a remote model RPC
+(common/utils/embeddings.py:120-130, text-multilingual-embedding-002).
+For a hermetic engine we keep the same interface -- text column in,
+unit-normalized float vector out -- behind a deterministic hash
+pseudo-embedder (FIXTURES.md): ``vec(text)[i] = f(sha256(text || i))``,
+L2-normalized. A real model plugs into the same pandas-UDF seam (swap
+``_embed_batch``); batching, retry, and alignment semantics are
+identical either way.
+
+All UDFs here are Arrow-batched pandas UDFs (the reference's
+EMBEDDING_BATCH_SIZE=10 / ThreadPoolExecutor fan-out,
+embeddings.py:164-192, becomes Arrow batching + task parallelism).
+Rows keep their embeddings on the same row by construction, fixing the
+reference's completion-order misalignment bug (embeddings.py:180-188,
+SURVEY.md O6).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_DIM = 64
+
+# MinHash parameters: k independent permutations via (a*x + b) mod p.
+MINHASH_PRIME = (1 << 61) - 1  # Mersenne prime, standard choice
+MINHASH_MAX = np.uint64(1 << 62)
+
+
+def _stable_hash64(s: str) -> int:
+    """Stable 64-bit hash (blake2b) -- Python's hash() is salted per run."""
+    return struct.unpack("<Q", hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest())[0]
+
+
+def hash_embedding_numpy(text: str, dim: int = DEFAULT_DIM) -> np.ndarray:
+    """Deterministic pseudo-embedding of one string (float32, unit norm)."""
+    raw = np.empty(dim, dtype=np.float64)
+    for i in range(dim):
+        digest = hashlib.sha256(f"{text}||{i}".encode("utf-8")).digest()
+        # First 8 bytes -> uint64 -> [-1, 1)
+        val = struct.unpack("<Q", digest[:8])[0]
+        raw[i] = (val / float(1 << 63)) - 1.0
+    norm = np.linalg.norm(raw)
+    if norm > 0:
+        raw /= norm
+    return raw.astype(np.float32)
+
+
+def hash_embedding_udf(dim: int = DEFAULT_DIM, max_retries: int = 3):
+    """pandas_udf: text column -> array<float> pseudo-embedding.
+
+    ``max_retries`` mirrors the reference's per-call retry
+    (embeddings.py:100-118, RETRY_ATTEMPTS=3) and applies uniformly to
+    the batch path (the reference forgot to, SURVEY.md §2.4).
+    """
+
+    def _embed_batch(texts: pd.Series) -> list:
+        out = []
+        for t in texts:
+            last_err = None
+            for _ in range(max_retries):
+                try:
+                    out.append(hash_embedding_numpy("" if t is None else t, dim))
+                    break
+                except Exception as e:  # pragma: no cover - hash never fails
+                    last_err = e
+            else:
+                raise RuntimeError("embedding failed after retries") from last_err
+        return out
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        return pd.Series(_embed_batch(texts))
+
+    return _udf
+
+
+def _minhash_coeffs(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MINHASH_PRIME, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, MINHASH_PRIME, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature_udf(num_hashes: int = 64, seed: int = 42):
+    """pandas_udf: array<string> shingles -> array<bigint> MinHash signature.
+
+    Vectorized per row: one (k, n_shingles) broadcasted multiply-min.
+    Empty shingle sets get the max sentinel so they never collide.
+    """
+    a, b = _minhash_coeffs(num_hashes, seed)
+
+    def _sig(shingles) -> np.ndarray:
+        if shingles is None or len(shingles) == 0:
+            return np.full(num_hashes, np.int64(np.iinfo(np.int64).max))
+        x = np.array([_stable_hash64(s) for s in shingles], dtype=np.uint64)
+        # (a * x + b) mod p, elementwise over k x n; uint64 wrap-around is
+        # fine for uniformity but we mod by the Mersenne prime for the
+        # standard guarantee.
+        vals = (np.outer(a, x) + b[:, None]) % np.uint64(MINHASH_PRIME)
+        return vals.min(axis=1).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(col: pd.Series) -> pd.Series:
+        return col.map(_sig)
+
+    return _udf
+
+
+def simhash_udf():
+    """pandas_udf: array<string> tokens -> bigint 64-bit SimHash."""
+
+    def _simhash(tokens) -> int:
+        if tokens is None or len(tokens) == 0:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in tokens:
+            h = _stable_hash64(tok)
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        out = np.uint64(0)
+        for i in range(64):
+            if acc[i] > 0:
+                out |= np.uint64(1) << np.uint64(i)
+        return int(out.astype(np.int64))
+
+    @F.pandas_udf(T.LongType())
+    def _udf(col: pd.Series) -> pd.Series:
+        return col.map(_simhash)
+
+    return _udf
+
+
+def hamming_distance64(a, b):
+    """Column expr: Hamming distance between two 64-bit SimHash columns.
+
+    bit_count(a XOR b) -- pure JVM, codegen-friendly.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,153 @@
+"""Text-analysis scalar functions, all JVM-side Column expressions.
+
+The reference's only text ops are tiktoken counting + a max-token gate
+(common/utils/embeddings.py:62-90) and length/suffix checks
+(setup_vector_search.py:61,195). This module carries those plus the
+LLM-pipeline extensions (language-ID heuristic, quality scoring,
+fingerprinting) -- every one expressed with built-in functions so it
+stays inside whole-stage codegen and scales linearly with no Python.
+
+Each function has an exact ANSI-SQL mirror in ``__spark_entry__.py``'s
+oracles; the arithmetic is structured (fixed operation order, double
+precision) so Spark and DuckDB produce bit-identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# A BPE-ish token: a letter run, a digit run, or one non-alnum symbol.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny multilingual stopword marker sets for the language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es": ("el", "la", "de", "que", "los", "las", "una", "por"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr": ("le", "les", "des", "est", "une", "dans", "pour", "que"),
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ("a", "for", "on", "with", "as")
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    """Number of whitespace-separated tokens; 0 for blank text."""
+    c = _c(col)
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """BPE-ish token count: letter runs + digit runs + symbols.
+
+    Stands in for the reference's tiktoken cl100k_base count
+    (embeddings.py:62-68) -- same role (an ingest-gate statistic),
+    deterministic, and pure SQL.
+    """
+    return F.size(F.regexp_extract_all(_c(col), F.lit(TOKEN_PATTERN), 0))
+
+
+def alpha_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are ASCII letters."""
+    c = _c(col)
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]"), 0)).cast("double")
+        / F.length(c).cast("double")
+    )
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    """Fraction of whitespace tokens that are (English) stopwords."""
+    c = _c(col)
+    pattern = r"\b(" + "|".join(stopwords) + r")\b"
+    n_tokens = whitespace_token_count(c)
+    return F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        F.size(F.regexp_extract_all(F.lower(c), F.lit(pattern), 0)).cast("double")
+        / n_tokens.cast("double")
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0, 1].
+
+    0.5 * alpha_ratio + 0.3 * length term + 0.2 * stopword presence.
+    Fixed operation order so the oracle SQL reproduces it exactly.
+    """
+    c = _c(col)
+    length_term = F.least(F.length(c).cast("double") / F.lit(500.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(c) * F.lit(4.0), F.lit(1.0))
+    return (
+        F.lit(0.5) * alpha_ratio(c)
+        + F.lit(0.3) * length_term
+        + F.lit(0.2) * stop_term
+    )
+
+
+def language_id(col: Column | str) -> Column:
+    """n-gram/marker-word language heuristic over LANG_MARKERS.
+
+    Scores each language by marker-word hits; returns the argmax,
+    ``und`` (undetermined) when no marker hits at all. Ties break by
+    language code order (en < es < de < fr evaluation order).
+    """
+    lowered = F.lower(_c(col))
+    scores = {
+        lang: F.size(
+            F.regexp_extract_all(
+                lowered, F.lit(r"\b(" + "|".join(words) + r")\b"), 0
+            )
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    # Reverse order so earlier languages win ties via later .when override.
+    for lang in reversed(list(LANG_MARKERS)):
+        result = F.when(scores[lang] == best, F.lit(lang)).otherwise(result)
+    return F.when(best == 0, F.lit("und")).otherwise(result)
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """SHA-256 hex fingerprint of the normalized text (lowercase hex)."""
+    return F.sha2(normalized_text(_c(col)), 256)
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles of the normalized text."""
+    words = F.split(normalized_text(_c(col)), " ")
+    k = F.size(words) - F.lit(n - 1)
+    return F.when(k <= 0, F.array(F.concat_ws(" ", words))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            )
+        )
+    )
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams of the normalized text."""
+    text = normalized_text(_c(col))
+    k = F.length(text) - F.lit(n - 1)
+    return F.when(k <= 0, F.array(text)).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.substring(text, i, n),
+            )
+        )
+    )

@@ -1,0 +1,288 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Five strategies over a document table, each picked for a different
+cost/recall point at 100 TB:
+
+- exact            -- sha256 fingerprint group-by; one shuffle on the
+                      hash, map-side combine does most of the work.
+- minhash + LSH    -- shingle -> MinHash signature -> band buckets ->
+                      equi-join on (band, hash). The pair generation is
+                      an equi-join, NOT a cross join, so cost tracks the
+                      number of colliding pairs; candidates are verified
+                      with exact Jaccard on the shingle sets.
+- simhash          -- 64-bit signature; near-dup = Hamming <= t. Banding
+                      the 64 bits into 4 x 16-bit chunks guarantees any
+                      pair with Hamming <= 3 shares a chunk (pigeonhole),
+                      again turning search into an equi-join.
+- n-gram Jaccard   -- exact Jaccard over distinct-word sets within
+                      cheap blocking keys (language + length bucket);
+                      fully SQL-expressible, the oracle-checkable variant.
+- embedding cosine -- near-dup by semantic similarity over the
+                      embedding column, blocked to keep the join sparse.
+
+All emit pairs as (id_a, id_b) with id_a < id_b, plus the evidence
+column (jaccard / hamming / cosine), so downstream "keep one per
+cluster" is a connected-components or min-id group-by away.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_fingerprint, normalized_text, word_shingles
+from ..functions.hashing import (
+    hamming_distance64,
+    minhash_signature_udf,
+    simhash_udf,
+)
+from ..functions.vector import dot_product, l2_norm
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one row per exact (normalized) text: min id wins.
+
+    Returns (fingerprint, keep_id, n_dups). Group-by on the hash gets a
+    map-side partial aggregate, so the shuffle carries one row per
+    distinct fingerprint per partition -- at 100 TB this is the cheapest
+    possible exact dedup.
+    """
+    return (
+        df.select(doc_fingerprint(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def duplicate_clusters(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Only the fingerprints that actually collide (n_dups >= 2)."""
+    return dedup_exact(df, id_col, text_col).filter(F.col("n_dups") >= 2)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_words: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+
+    rows/bands tuned so the LSH S-curve threshold (1/bands)^(bands/num_hashes)
+    sits near ``jaccard_threshold``. Self-join is on (band_id, band_hash)
+    -- an equi-join Catalyst executes as a shuffled hash join on the
+    bucket key; the cross product never materializes.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows_per_band = num_hashes // bands
+    sig_udf = minhash_signature_udf(num_hashes)
+
+    with_sig = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(text_col, shingle_words).alias("_shingles"),
+    ).withColumn("_sig", sig_udf("_shingles"))
+
+    banded = with_sig.select(
+        "_id",
+        "_shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.hash(
+                            F.slice("_sig", b * rows_per_band + 1, rows_per_band)
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select("_id", "_shingles", "_band.band_id", "_band.band_hash")
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._shingles").alias("_sh_a"),
+            F.col("b._shingles").alias("_sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    if not verify:
+        return pairs.select("id_a", "id_b")
+
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+    union = F.size(F.array_union("_sh_a", "_sh_b")).cast("double")
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: Hamming(sig_a, sig_b) <= max_hamming.
+
+    With ``chunks`` 16-bit bands over the 64-bit signature, any pair
+    within Hamming <= chunks-1 must agree on at least one band
+    (pigeonhole), so banding is lossless for max_hamming <= chunks-1.
+    """
+    assert max_hamming <= chunks - 1, "banding would miss pairs"
+    bits_per_chunk = 64 // chunks
+    sim = simhash_udf()
+
+    words = F.split(normalized_text(text_col), " ")
+    with_sig = df.select(
+        F.col(id_col).alias("_id"), sim(words).alias("_sig")
+    )
+
+    mask = F.lit((1 << bits_per_chunk) - 1)
+    banded = with_sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright("_sig", c * bits_per_chunk)
+                        .bitwiseAND(mask)
+                        .alias("chunk_val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("_c"),
+    ).select("_id", "_sig", "_c.chunk_id", "_c.chunk_val")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk_id") == F.col("b.chunk_id"),
+                F.col("a.chunk_val") == F.col("b.chunk_val"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming_distance64(F.col("a._sig"), F.col("b._sig")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    block_cols: tuple[str, ...] = ("lang",),
+    length_col: str | None = "n_chars",
+    length_bucket: int = 64,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-set Jaccard within blocking keys -- SQL-expressible.
+
+    Blocking = equality on ``block_cols`` + same length bucket (near
+    dups have near-equal lengths). Inside a block the join is quadratic,
+    so blocks must stay small; this is the oracle-checkable baseline the
+    LSH variants are validated against.
+    """
+    prepared = df.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in block_cols],
+        *(
+            [(F.col(length_col) / length_bucket).cast("bigint").alias("_lb")]
+            if length_col
+            else []
+        ),
+        F.array_distinct(F.split(normalized_text(text_col), " ")).alias("_words"),
+    )
+    a, b = prepared.alias("a"), prepared.alias("b")
+    conds = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    if length_col:
+        conds.append(F.col("a._lb") == F.col("b._lb"))
+    conds.append(F.col("a._id") < F.col("b._id"))
+
+    inter = F.size(F.array_intersect(F.col("a._words"), F.col("b._words"))).cast("double")
+    union = F.size(F.array_union(F.col("a._words"), F.col("b._words"))).cast("double")
+    return (
+        a.join(b, on=conds)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def embedding_cosine_pairs(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    Blocked self-join (equi-join on ``block_col``) keeps the pair count
+    linear in block sizes; for unblocked corpora use the IVF layout
+    (operators/ivf.py) to bucket by coarse centroid first.
+    """
+    prepared = emb_df.select(
+        F.col(id_col).alias("_id"),
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(vec_col).alias("_v"),
+        l2_norm(vec_col).alias("_n"),
+    )
+    a, b = prepared.alias("a"), prepared.alias("b")
+    conds = [F.col("a._id") < F.col("b._id")]
+    if block_col:
+        conds.insert(0, F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+
+    cos = dot_product(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
+    return (
+        a.join(b, on=conds)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

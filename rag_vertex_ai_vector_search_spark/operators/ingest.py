@@ -1,0 +1,147 @@
+"""Batch ingestion pipeline: the reference's main() as ONE DataFrame lineage.
+
+Reference flow (setup_vector_search.py:234-254 -> :108-186):
+scan dir -> suffix filter -> tokenize + max-token gate -> embed in
+batches -> uuid ids -> datapoint construction (restricts, numeric
+restricts, crowding tag, :43-77) -> metadata construction (:80-94) ->
+two sinks (vector index upsert :147-153, Firestore batch put
+firestore_ops.py:60-88).
+
+Spark-first: every stage is a column on the same row, so the
+embedding<->text alignment bug the reference has (completion-order
+reassembly, embeddings.py:180-188) cannot occur, and Catalyst prunes /
+pushes across the whole lineage. One pass, two writes.
+
+Keys are deterministic (sha256 of the natural key) instead of uuid4
+(setup_vector_search.py:39) so ingestion is idempotent and re-runs
+upsert cleanly -- at 100 TB you WILL re-run partitions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import DEFAULT_DIM, hash_embedding_udf
+from ..functions.text import token_count
+
+
+class TokenLimitExceeded(ValueError):
+    """A document exceeds the max-token gate.
+
+    The reference fails the whole job on first violation
+    (embeddings.py:70-90 raising via validate_and_prepare_texts).
+    """
+
+
+MAX_TOKENS_PER_TEXT = 2042  # common/config.py:57
+
+
+@dataclass
+class IngestResult:
+    datapoints: DataFrame  # the vector-index side (D2)
+    metadata: DataFrame    # the metadata-store side (D3)
+    rejected: DataFrame    # rows failing the token gate
+    total_tokens_expr: Column  # SUM aggregate the reference logs (embeddings.py:151)
+
+
+def ingest_documents(
+    docs: DataFrame,
+    *,
+    id_source_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = DEFAULT_DIM,
+    max_tokens: int = MAX_TOKENS_PER_TEXT,
+    fail_fast: bool = False,
+    file_type: str = "markdown",
+    content_type: str = "documentation",
+    extra_restrict_cols: tuple[str, ...] = (),
+    crowding_col: str | None = None,
+) -> IngestResult:
+    """Build the datapoints + metadata tables from a document table.
+
+    ``fail_fast=True`` reproduces the reference's whole-job abort on the
+    first over-limit text; the default routes rejects to a side output
+    instead (the scale-sane choice -- one bad row must not kill a
+    100 TB job).
+    """
+    embed = hash_embedding_udf(dim)
+
+    with_stats = docs.withColumn("token_count", token_count(text_col))
+
+    rejected = with_stats.filter(F.col("token_count") > max_tokens)
+    if fail_fast and not rejected.isEmpty():
+        bad = rejected.select(id_source_col, "token_count").first()
+        raise TokenLimitExceeded(
+            f"document {bad[0]} has {bad[1]} tokens > {max_tokens}"
+        )
+    accepted = with_stats.filter(F.col("token_count") <= max_tokens)
+
+    base = accepted.select(
+        F.sha2(F.concat_ws("||", F.col(id_source_col).cast("string")), 256)
+        .alias("data_point_id"),
+        F.col(id_source_col),
+        F.col(text_col).alias("content"),
+        F.col("token_count"),
+        F.length(text_col).alias("content_length"),
+        *[F.col(c) for c in extra_restrict_cols],
+        *( [F.col(crowding_col).alias("_crowd")] if crowding_col else [] ),
+    ).withColumn("feature_vector", embed(F.col("content")))
+
+    restricts = F.create_map(
+        F.lit("file_type"), F.array(F.lit(file_type)),
+        F.lit("content_type"), F.array(F.lit(content_type)),
+        *[
+            x
+            for c in extra_restrict_cols
+            for x in (F.lit(c), F.array(F.col(c).cast("string")))
+        ],
+    )
+    numeric_restricts = F.create_map(
+        F.lit("embedding_dimension"), F.lit(dim).cast("bigint"),
+        F.lit("content_length"), F.col("content_length").cast("bigint"),
+        F.lit("token_count"), F.col("token_count").cast("bigint"),
+    )
+
+    datapoints = base.select(
+        "data_point_id",
+        "feature_vector",
+        restricts.alias("restricts"),
+        numeric_restricts.alias("numeric_restricts"),
+        (F.col("_crowd") if crowding_col else F.col(id_source_col).cast("string"))
+        .alias("crowding_attribute"),
+    )
+
+    metadata = base.select(
+        "data_point_id",
+        F.col(id_source_col),
+        "content",
+        F.lit(dim).alias("embedding_dimension"),
+        "content_length",
+        "token_count",
+        F.lit(file_type).alias("file_type"),
+        F.lit(content_type).alias("content_type"),
+        *[F.col(c) for c in extra_restrict_cols],
+        F.current_timestamp().alias("created_at"),
+        F.current_timestamp().alias("updated_at"),
+    )
+
+    return IngestResult(
+        datapoints=datapoints,
+        metadata=metadata,
+        rejected=rejected,
+        total_tokens_expr=F.sum("token_count"),
+    )
+
+
+def write_ingest(result: IngestResult, out_dir: str, mode: str = "overwrite") -> None:
+    """Dual sink: index table + metadata table (O10 + O16).
+
+    Parquet writes are atomic per job via the Hadoop commit protocol --
+    the analog of the reference's firestore batch.commit()
+    (firestore_ops.py:83).
+    """
+    result.datapoints.write.mode(mode).parquet(f"{out_dir}/datapoints")
+    result.metadata.write.mode(mode).parquet(f"{out_dir}/metadata")

@@ -1,0 +1,10 @@
+from .tables import TABLE_NAMES, load_table, load_tables, register_views
+from .documents import scan_document_dir
+
+__all__ = [
+    "TABLE_NAMES",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "scan_document_dir",
+]

@@ -1,0 +1,51 @@
+"""Parquet table loaders for the driver fixture tables (TESTDATA.md).
+
+Parquet scans get predicate pushdown + column pruning from Catalyst for
+free; loaders deliberately add nothing on top so filters written by
+operators reach the scan (check with ``df.explain`` -> PushedFilters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The fixture `events` table stores TIMESTAMP(NANOS) parquet, which
+    # Spark only reads via the nanos-as-long escape hatch (runtime-
+    # settable); restore a usable timestamp column (microsecond floor).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if name == "events" and field.name == "ts" and isinstance(
+            field.dataType, T.LongType
+        ):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL API."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

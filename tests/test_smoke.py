@@ -1,0 +1,54 @@
+"""Import + minimal end-to-end smoke for every module."""
+
+from pyspark.sql import functions as F
+
+from rag_vertex_ai_vector_search_spark.sources import load_table, load_tables
+from rag_vertex_ai_vector_search_spark.functions import (
+    dot_product,
+    hash_embedding_numpy,
+    token_count,
+)
+from rag_vertex_ai_vector_search_spark.operators import knn_search
+
+
+def test_tables_load(spark, sf_smoke):
+    tables = load_tables(spark, sf_smoke)
+    assert set(tables) >= {"lineitem", "documents", "embeddings"}
+    assert tables["lineitem"].count() > 0
+
+
+def test_hash_embedding_deterministic():
+    a = hash_embedding_numpy("hello", 16)
+    b = hash_embedding_numpy("hello", 16)
+    assert (a == b).all()
+    assert abs(float((a.astype("float64") ** 2).sum()) - 1.0) < 1e-5
+
+
+def test_knn_fold_smoke(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    out = knn_search(emb, queries, k=5, method="fold").collect()
+    assert len(out) == 15
+    # self-similarity must rank first for unit-ish vectors
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_query.items():
+        rows.sort(key=lambda r: r.rank)
+        assert rows[0].neighbor_id == qid
+
+
+def test_knn_gemm_matches_fold(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    fold = knn_search(emb, queries, k=10, method="fold").select(
+        "query_id", "rank", "neighbor_id"
+    ).collect()
+    gemm = knn_search(emb, queries, k=10, method="gemm").select(
+        "query_id", "rank", "neighbor_id"
+    ).collect()
+    assert sorted(map(tuple, fold)) == sorted(map(tuple, gemm))
