@@ -1,38 +1,811 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry maps to SURVEY.md §2 operators (reference file:line cited
+next to each). Column names and value arithmetic are engineered to be
+bit-identical between the Spark implementation and the DuckDB oracle:
+dot products use a sequential double fold (== list_dot_product on
+DOUBLE[]), money aggregates go through DECIMAL(18,2) (exact, order-
+independent) before a final cast to double, and ranks are cast to
+bigint on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from rag_vertex_ai_vector_search_spark.sources import load_table
+from rag_vertex_ai_vector_search_spark.functions.text import (
+    TOKEN_PATTERN,
+    alpha_ratio,
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from rag_vertex_ai_vector_search_spark.operators import (
+    dedup_exact,
+    embedding_cosine_pairs,
+    ingest_documents,
+    knn_search,
+    merge_by_key,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    point_lookup,
+    simhash_near_dup_pairs,
+)
+from rag_vertex_ai_vector_search_spark.operators.ivf import (
+    build_ivf_index,
+    ivf_search,
+)
+
+DEC = "decimal(18,2)"
+
+# SQL fragments shared by several oracles (mirror functions/text.py).
+_SQL_TOKENS = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
+_SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_STOP_PAT = r"\b(the|and|of|to|is|in|that|it|a|for|on|with|as)\b"
+
+
+def _queries_from_embeddings(emb: DataFrame, n: int) -> DataFrame:
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Vector search surface (SURVEY §2.2: Q1-Q7)
+# --------------------------------------------------------------------------
+
+def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1/Q2: exact top-k by dot product (config.py:32-33)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_search(emb, _queries_from_embeddings(emb, 8), k=10, method="fold")
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "score"
+    )
+
+
+_SQL_KNN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, e.embedding::DOUBLE[]) AS score
+  FROM q CROSS JOIN embeddings e
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 10
+"""
+
+
+def q_knn_restrict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3/Q4: categorical + numeric restrict pre-filters
+    (setup_vector_search.py:45-62)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_search(
+        emb,
+        _queries_from_embeddings(emb, 5),
+        k=5,
+        restrict=F.col("label").isin(1, 2, 3) & (F.col("vec_id") >= 100),
+        method="fold",
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "score"
+    )
+
+
+_SQL_KNN_RESTRICT = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, e.embedding::DOUBLE[]) AS score
+  FROM q CROSS JOIN embeddings e
+  WHERE e.label IN (1, 2, 3) AND e.vec_id >= 100
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
+"""
+
+
+def q_knn_crowding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: per-attribute crowding (setup_vector_search.py:65-67) --
+    at most 2 results per label in each top-10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_search(
+        emb,
+        _queries_from_embeddings(emb, 5),
+        k=10,
+        per_crowding_k=2,
+        crowding_col="label",
+        method="fold",
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "neighbor_id",
+        "score",
+        "label",
+    )
+
+
+_SQL_KNN_CROWDING = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+         list_dot_product(q.qv, e.embedding::DOUBLE[]) AS score
+  FROM q CROSS JOIN embeddings e
+), crowded AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id, label ORDER BY score DESC, neighbor_id ASC) AS crn
+  FROM scored
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM crowded WHERE crn <= 2
+)
+SELECT query_id, rank, neighbor_id, score, label FROM ranked WHERE rank <= 10
+"""
+
+
+def q_knn_hydrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: id -> metadata hydration join (firestore_ops.py:90-107);
+    neighbors join the documents table on doc_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    out = knn_search(emb, _queries_from_embeddings(emb, 8), k=5, method="fold")
+    return (
+        out.join(docs, out.neighbor_id == docs.doc_id, "left")
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            "score",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+
+
+_SQL_KNN_HYDRATED = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, e.embedding::DOUBLE[]) AS score
+  FROM q CROSS JOIN embeddings e
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT r.query_id, r.rank, r.neighbor_id, r.score, d.lang, d.source, d.n_chars
+FROM ranked r LEFT JOIN documents d ON r.neighbor_id = d.doc_id
+WHERE r.rank <= 5
+"""
+
+
+def q_knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: approximate search via k-means leaf pruning (tree-AH analog,
+    config.py:34-39). Non-SQL (iterative k-means) -> rows-only check;
+    recall vs the exact path is asserted in tests/test_ivf.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = build_ivf_index(emb, n_clusters=16)
+    out = ivf_search(index, _queries_from_embeddings(emb, 8), k=10, probe_percent=25.0)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "score"
+    )
+
+
+# --------------------------------------------------------------------------
+# Ingestion pipeline (SURVEY §2.1: O1-O8, O16)
+# --------------------------------------------------------------------------
+
+def q_ingest_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/O4/O7/O8: tokenize, token-gate, surrogate key, projection
+    (embeddings.py:62-90, setup_vector_search.py:39,80-94). Deterministic
+    columns only (created_at is wall-clock, excluded from the hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    result = ingest_documents(
+        docs, max_tokens=420, extra_restrict_cols=("lang", "source")
+    )
+    return result.metadata.select(
+        "data_point_id",
+        "doc_id",
+        F.col("token_count").cast("long").alias("token_count"),
+        F.col("content_length").cast("long").alias("content_length"),
+        "file_type",
+        "content_type",
+        "lang",
+        "source",
+    )
+
+
+_SQL_INGEST_METADATA = f"""
+SELECT sha256(CAST(doc_id AS VARCHAR)) AS data_point_id,
+       doc_id,
+       CAST({_SQL_TOKENS} AS BIGINT) AS token_count,
+       CAST(length(text) AS BIGINT) AS content_length,
+       'markdown' AS file_type,
+       'documentation' AS content_type,
+       lang,
+       source
+FROM documents
+WHERE {_SQL_TOKENS} <= 420
+"""
+
+
+def q_ingest_datapoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5-O8: the full datapoint build including the embedding column
+    (setup_vector_search.py:43-77). The pseudo-embedding is a pandas
+    UDF, not SQL-expressible -> rows-only check; value correctness is
+    tests/test_ingest.py vs the numpy reference implementation."""
+    docs = load_table(spark, sf_dir, "documents")
+    result = ingest_documents(
+        docs, max_tokens=420, extra_restrict_cols=("lang",), crowding_col="source"
+    )
+    return result.datapoints
+
+
+# --------------------------------------------------------------------------
+# Dedup suite (LLM-pipeline extensions; BASELINE.json north star)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs)
+
+
+_SQL_DEDUP_EXACT = f"""
+SELECT sha256({_SQL_NORM}) AS fingerprint,
+       min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, block_cols=("lang",), length_col="n_chars",
+        length_bucket=64, jaccard_threshold=0.5,
+    )
+
+
+_SQL_DEDUP_NGRAM = f"""
+WITH w AS (
+  SELECT doc_id, lang, CAST(floor(n_chars / 64) AS BIGINT) AS lb,
+         list_distinct(string_split({_SQL_NORM}, ' ')) AS words
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE)
+         AS jaccard
+FROM w a JOIN w b
+  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.5
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs; hash permutations are not SQL ->
+    rows-only check, recall vs exact Jaccard in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(
+        docs, shingle_words=3, num_hashes=64, bands=16, jaccard_threshold=0.5
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3); rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=3, chunks=4)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, block_col="label", threshold=0.8)
+
+
+_SQL_DEDUP_COSINE = """
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS ve,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) AS cosine
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) >= 0.8
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis (LLM-pipeline extensions)
+# --------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).alias("sum_tokens"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.min("n_chars").alias("min_chars"),
+        )
+    )
+
+
+_SQL_TEXT_STATS = f"""
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum({_SQL_TOKENS}) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       max(n_chars) AS max_chars,
+       min(n_chars) AS min_chars
+FROM documents GROUP BY lang, source
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("tagged_lang"),
+        token_count("text").cast("long").alias("token_count"),
+        alpha_ratio("text").alias("alpha_ratio"),
+        quality_score("text").alias("quality"),
+        language_id("text").alias("lang_id"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+_SQL_TEXT_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok,
+         len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in|that|it|a|for|on|with|as)\\b')) AS nstop,
+         len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in|that|it)\\b')) AS s_en,
+         len(regexp_extract_all(lower(text), '\\b(el|la|de|que|los|las|una|por)\\b')) AS s_es,
+         len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein|mit)\\b')) AS s_de,
+         len(regexp_extract_all(lower(text), '\\b(le|les|des|est|une|dans|pour|que)\\b')) AS s_fr,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) END AS aratio
+  FROM documents
+)
+SELECT doc_id, lang AS tagged_lang,
+       CAST({_SQL_TOKENS} AS BIGINT) AS token_count,
+       aratio AS alpha_ratio,
+       0.5 * aratio
+         + 0.3 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+         + 0.2 * least((CASE WHEN ntok = 0 THEN 0.0
+                             ELSE CAST(nstop AS DOUBLE) / CAST(ntok AS DOUBLE) END) * 4.0,
+                       1.0) AS quality,
+       CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+            WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+            WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+            ELSE 'fr' END AS lang_id,
+       sha256({_SQL_NORM}) AS fingerprint
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# Relational surface (filters, joins, aggregates, windows, top-k, set ops)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped aggregate; money math in DECIMAL(18,2) so sums are
+    exact and order-independent, final cast to double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    tax = F.col("l_tax").cast(DEC)
+    one = F.lit(1).cast(DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-06-30").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            F.sum(ep * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(ep * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(ep).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+         AS sum_charge,
+       sum(l_quantity) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-06-30 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + deterministic top-k. customer/nation are small
+    dims -> broadcast; lineitem never shuffles for the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"),
+             F.countDistinct("o_orderkey").alias("n_orders"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+_SQL_TOP_REVENUE = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+def q_supplier_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: running sum + rank per supplier over a
+    deterministic (shipdate, orderkey, linenumber) order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.sum("l_quantity").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("running_qty"),
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.lag("l_quantity", 1).over(w).alias("prev_qty"),
+    )
+
+
+_SQL_SUPPLIER_WINDOW = """
+SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+       sum(l_quantity) OVER w AS running_qty,
+       row_number() OVER w AS seq,
+       lag(l_quantity, 1) OVER w AS prev_qty
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O17: key-equality point get (firestore_ops.py:90-107); the filter
+    pushes into the parquet scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    return point_lookup(orders, 42, key="o_orderkey")
+
+
+_SQL_POINT_LOOKUP = "SELECT * FROM orders WHERE o_orderkey = 42 LIMIT 1"
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O14/O18: insert-or-replace by key (setup_vector_search.py:147-153).
+    Updates = every 10th order with adjusted price + one synthetic new
+    key; update rows must win, all other rows pass through."""
+    orders = load_table(spark, sf_dir, "orders")
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    new_row = (
+        orders.orderBy("o_orderkey").limit(1)
+        .withColumn("o_orderkey", F.lit(999999999))
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    merged = merge_by_key(orders, updates.unionByName(new_row), key="o_orderkey")
+    return merged.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+_SQL_MERGE_UPSERT = """
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT 999999999, o_custkey, 'N', o_totalprice, o_orderdate, o_orderpriority
+  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 1)
+)
+SELECT * FROM updates
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM orders
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate over the event stream table (batch view
+    of the Structured Streaming ingest in streaming/ingest.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap splits sessions per user
+    (lag + cumulative sum of gap flags)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    with_gap = ev.withColumn(
+        "new_session",
+        F.when(
+            micros - F.lag(micros, 1, 0).over(w) > 1800 * 1_000_000,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        with_gap.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+_SQL_EVENTS_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1, 0)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+def q_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: nations with customers but without suppliers."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    return cust.subtract(supp)
+
+
+_SQL_NATION_SET_OPS = """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_string_date_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String + date scalar functions (O2/O8 analogs:
+    endswith setup_vector_search.py:195, length :61, now/strftime
+    firestore_ops.py:64)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.col("o_orderpriority")).alias("prio_upper"),
+        F.substring(F.col("o_orderpriority"), 1, 3).alias("prio_prefix"),
+        F.col("o_orderpriority").endswith("URGENT").cast("int").alias("is_urgent"),
+        F.length(F.col("o_orderpriority")).alias("prio_len"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+    )
+
+
+_SQL_STRING_DATE = """
+SELECT o_orderkey,
+       upper(o_orderpriority) AS prio_upper,
+       substring(o_orderpriority, 1, 3) AS prio_prefix,
+       CAST(o_orderpriority LIKE '%URGENT' AS INTEGER) AS is_urgent,
+       length(o_orderpriority) AS prio_len,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date_str
+FROM orders
+"""
+
+
+def q_rollup_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP over (returnflag, linestatus); quantities are
+    integral doubles so sums are exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty, count(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate + semi-join shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+_SQL_DISTINCT_PARTS = """
+SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_orderkey) AS n_orders,
+       sum(l_quantity) AS sum_qty
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Contract functions
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: filtered + hydrated top-k vector search on sf0.001."""
+    return q_knn_hydrated(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "knn_topk": q_knn_topk,
+        "knn_restrict": q_knn_restrict,
+        "knn_crowding": q_knn_crowding,
+        "knn_hydrated": q_knn_hydrated,
+        "knn_ivf_pruned": q_knn_ivf_pruned,
+        "ingest_metadata": q_ingest_metadata,
+        "ingest_datapoints": q_ingest_datapoints,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_customers": q_top_revenue_customers,
+        "supplier_running_window": q_supplier_running_window,
+        "point_lookup": q_point_lookup,
+        "merge_upsert": q_merge_upsert,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "nation_set_ops": q_nation_set_ops,
+        "string_date_projection": q_string_date_projection,
+        "rollup_quantities": q_rollup_quantities,
+        "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "knn_topk": _SQL_KNN_TOPK,
+        "knn_restrict": _SQL_KNN_RESTRICT,
+        "knn_crowding": _SQL_KNN_CROWDING,
+        "knn_hydrated": _SQL_KNN_HYDRATED,
+        # knn_ivf_pruned: approximate + iterative -> rows-only check
+        "ingest_metadata": _SQL_INGEST_METADATA,
+        # ingest_datapoints: embedding UDF -> rows-only check
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
+        # dedup_minhash_lsh / dedup_simhash: hash perms -> rows-only
+        "dedup_embedding_cosine": _SQL_DEDUP_COSINE,
+        "text_stats": _SQL_TEXT_STATS,
+        "text_quality": _SQL_TEXT_QUALITY,
+        "pricing_summary": _SQL_PRICING_SUMMARY,
+        "top_revenue_customers": _SQL_TOP_REVENUE,
+        "supplier_running_window": _SQL_SUPPLIER_WINDOW,
+        "point_lookup": _SQL_POINT_LOOKUP,
+        "merge_upsert": _SQL_MERGE_UPSERT,
+        "events_hourly": _SQL_EVENTS_HOURLY,
+        "events_sessionize": _SQL_EVENTS_SESSIONIZE,
+        "nation_set_ops": _SQL_NATION_SET_OPS,
+        "string_date_projection": _SQL_STRING_DATE,
+        "rollup_quantities": _SQL_ROLLUP,
+        "distinct_parts_per_supplier": _SQL_DISTINCT_PARTS,
+    }

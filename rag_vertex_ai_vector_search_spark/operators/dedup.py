@@ -88,6 +88,12 @@ def minhash_candidate_pairs(
     rows_per_band = num_hashes // bands
     sig_udf = minhash_signature_udf(num_hashes)
 
+    # A single parquet file arrives as one input partition; fan the
+    # CPU-heavy signature UDF out to all cores before computing it.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+
     with_sig = df.select(
         F.col(id_col).alias("_id"),
         word_shingles(text_col, shingle_words).alias("_shingles"),
@@ -161,6 +167,10 @@ def simhash_near_dup_pairs(
     bits_per_chunk = 64 // chunks
     sim = simhash_udf()
 
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+
     words = F.split(normalized_text(text_col), " ")
     with_sig = df.select(
         F.col(id_col).alias("_id"), sim(words).alias("_sig")
@@ -226,7 +236,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         *[F.col(c) for c in block_cols],
         *(
-            [(F.col(length_col) / length_bucket).cast("bigint").alias("_lb")]
+            [F.floor(F.col(length_col) / length_bucket).cast("bigint").alias("_lb")]
             if length_col
             else []
         ),

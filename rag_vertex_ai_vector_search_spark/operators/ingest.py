@@ -79,6 +79,12 @@ def ingest_documents(
         )
     accepted = with_stats.filter(F.col("token_count") <= max_tokens)
 
+    # One input file = one partition; spread the embedding UDF (the
+    # expensive stage -- a model call in production) across all cores.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if accepted.rdd.getNumPartitions() < par:
+        accepted = accepted.repartition(par)
+
     base = accepted.select(
         F.sha2(F.concat_ws("||", F.col(id_source_col).cast("string")), 256)
         .alias("data_point_id"),

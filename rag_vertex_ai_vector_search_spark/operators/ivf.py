@@ -67,7 +67,7 @@ def build_ivf_index(
         predictionCol="cluster_id",
     ).fit(feat)
     assigned = model.transform(feat).drop("_features")
-    centroids = np.asarray([c.toArray() for c in model.clusterCenters()], dtype=np.float64)
+    centroids = np.asarray(model.clusterCenters(), dtype=np.float64)
     return IVFIndex(assigned=assigned, centroids=centroids, id_col=id_col, vec_col=vec_col)
 
 

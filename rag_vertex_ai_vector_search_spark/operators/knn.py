@@ -170,6 +170,11 @@ def _gemm_score_local_topk(
     has_crowd = per_crowding_k is not None and crowding_col is not None
     cols = [id_col, vec_col] + ([crowding_col] if crowding_col else [])
 
+    # Spread the GEMM across cores when the index arrived as few files.
+    par = index_df.sparkSession.sparkContext.defaultParallelism
+    if index_df.rdd.getNumPartitions() < par:
+        index_df = index_df.repartition(par)
+
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         nq = len(qids)
         for pdf in batches:

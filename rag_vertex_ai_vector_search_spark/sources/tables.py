@@ -35,9 +35,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if name == "events" and field.name == "ts" and isinstance(
             field.dataType, T.LongType
         ):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # integer division: float division of ~1e18 nanos loses
+            # microseconds to double rounding (and DuckDB truncates).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -1,0 +1,88 @@
+"""Local replica of the driver's correctness gate.
+
+For every queries() entry with an oracle_sql() entry: run the Spark
+query and the DuckDB SQL on the same parquet tables and require EXACT
+equality of the multiset of rows (columns sorted by name, values
+compared bit-for-bit -- floats included). If this passes, the driver's
+order-insensitive value-hash must match too.
+"""
+
+import datetime
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from rag_vertex_ai_vector_search_spark.sources import TABLE_NAMES  # noqa: E402
+
+ORACLED = sorted(entrymod.oracle_sql().keys())
+
+
+def _duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * "
+            f"FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        # exact float identity; nan canonicalized
+        return ("f", math.isnan(v), v if not math.isnan(v) else 0.0)
+    if isinstance(v, datetime.datetime):
+        return ("t", v.replace(tzinfo=None).isoformat())
+    return (type(v).__name__, v)
+
+
+def _rows_to_multiset(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, sf_smoke, name):
+    qfn = entrymod.queries()[name]
+    sdf = qfn(spark, sf_smoke)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck_con(sf_smoke)
+    res = con.execute(entrymod.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column names differ: {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row counts differ: {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    ms_spark = _rows_to_multiset(spark_cols, spark_rows)
+    ms_duck = _rows_to_multiset(duck_cols, duck_rows)
+    if ms_spark != ms_duck:
+        diffs = [
+            (a, b) for a, b in zip(ms_spark, ms_duck) if a != b
+        ][:3]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_all_queries_run_and_nonempty(spark, sf_smoke):
+    """Every declared query (oracled or not) runs and has a stable schema."""
+    for name, qfn in entrymod.queries().items():
+        df = qfn(spark, sf_smoke)
+        n = df.count()
+        assert n >= 0, name
+        assert df.columns, name
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
