@@ -1,0 +1,107 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each timed run materializes the result (count + a cheap checksum
+collect) so lazy plans can't cheat the clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from rag_vertex_ai_vector_search_spark.session import get_spark  # noqa: E402
+from rag_vertex_ai_vector_search_spark.sources import load_table  # noqa: E402
+from rag_vertex_ai_vector_search_spark.operators import knn_search  # noqa: E402
+from rag_vertex_ai_vector_search_spark.operators.ivf import (  # noqa: E402
+    build_ivf_index,
+    ivf_search,
+)
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# (name, callable(spark, sf_dir) -> DataFrame). Mix of the declared
+# correctness queries and the scale-path variants (GEMM / IVF) that the
+# engine actually uses for big corpora.
+def _knn_gemm(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    return knn_search(emb, queries, k=50, method="gemm")
+
+
+_IVF_CACHE: dict = {}
+
+
+def _ivf_build(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = build_ivf_index(emb, n_clusters=64)
+    index.assigned = index.assigned.cache()
+    _IVF_CACHE["index"] = index
+    return index.assigned
+
+
+def _knn_ivf(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    return ivf_search(_IVF_CACHE["index"], queries, k=50, probe_percent=10.0)
+
+
+BENCH_QUERIES = [
+    ("knn_topk_gemm", _knn_gemm),
+    ("ivf_build", _ivf_build),
+    ("knn_ivf_pruned", _knn_ivf),
+    ("pricing_summary", entrymod.q_pricing_summary),
+    ("top_revenue_customers", entrymod.q_top_revenue_customers),
+    ("supplier_running_window", entrymod.q_supplier_running_window),
+    ("events_sessionize", entrymod.q_events_sessionize),
+    ("dedup_exact", entrymod.q_dedup_exact),
+    ("dedup_minhash_lsh", entrymod.q_dedup_minhash_lsh),
+    ("dedup_embedding_cosine", entrymod.q_dedup_embedding_cosine),
+    ("text_quality", entrymod.q_text_quality),
+    ("ingest_datapoints", entrymod.q_ingest_datapoints),
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footers once so timings measure the queries.
+    load_table(spark, SF_DIR, "lineitem").count()
+
+    per_query: dict[str, float] = {}
+    for name, fn in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        # noop sink: full materialization of every column (a count()
+        # would let Catalyst prune UDF columns and under-report).
+        df.write.mode("overwrite").format("noop").save()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {per_query[name]}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
