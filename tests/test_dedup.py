@@ -1,0 +1,130 @@
+"""Dedup-suite correctness: LSH variants validated against exact
+similarity on planted near-duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_vertex_ai_vector_search_spark.sources import load_table
+from rag_vertex_ai_vector_search_spark.operators import (
+    dedup_exact,
+    duplicate_clusters,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Corpus with planted exact + near duplicates."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to find some food for winter"
+    )
+    rows = [
+        (0, base, "en", 1),
+        (1, base, "en", 1),                                   # exact dup of 0
+        (2, base.replace("quick", "swift"), "en", 1),          # near dup of 0
+        (3, base.replace("fox", "cat").replace("dog", "bird"), "en", 1),  # near dup
+        (4, "completely different text about spark query engines and "
+            "columnar execution with vectorized operators", "en", 1),
+        (5, "Der schnelle braune Fuchs springt ueber den faulen Hund "
+            "und laeuft weit weg in den tiefen Wald", "de", 1),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars int")
+
+
+def test_exact_dedup_finds_planted(planted):
+    clusters = duplicate_clusters(planted).collect()
+    assert len(clusters) == 1
+    assert clusters[0].keep_id == 0
+    assert clusters[0].n_dups == 2
+
+
+def test_exact_dedup_whitespace_case_invariant(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, "HELLO\t\nWORLD")],
+        "doc_id long, text string",
+    )
+    out = dedup_exact(df).collect()
+    assert len(out) == 1 and out[0].n_dups == 3
+
+
+def test_minhash_finds_near_dups(planted):
+    pairs = minhash_candidate_pairs(
+        planted, shingle_words=3, num_hashes=64, bands=16, jaccard_threshold=0.4
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # exact dup pair must be found with jaccard 1.0
+    assert (0, 1) in found
+    j01 = [r.jaccard for r in pairs if (r.id_a, r.id_b) == (0, 1)][0]
+    assert j01 == 1.0
+    # near dups share most shingles
+    assert (0, 2) in found or (1, 2) in found
+    # unrelated docs never pair
+    assert not any(4 in p or 5 in p for p in found)
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_smoke):
+    """Every word-set-Jaccard>=0.8 pair (exact, blocked) must be found by
+    the MinHash path at threshold 0.5 -- LSH recall on real fixture data."""
+    docs = load_table(spark, sf_smoke, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, block_cols=("lang",), length_col="n_chars",
+            length_bucket=64, jaccard_threshold=0.8,
+        ).collect()
+    }
+    if not exact:
+        pytest.skip("no high-jaccard pairs in fixture")
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(
+            docs, shingle_words=1, num_hashes=64, bands=16,
+            jaccard_threshold=0.5,
+        ).collect()
+    }
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} on {len(exact)} exact pairs"
+
+
+def test_simhash_finds_near_dups(planted):
+    pairs = simhash_near_dup_pairs(planted, max_hamming=3, chunks=4).collect()
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert found.get((0, 1)) == 0  # identical text -> identical signature
+    # unrelated docs stay apart
+    assert not any(4 in p or 5 in p for p in found)
+
+
+def test_simhash_banding_is_lossless(planted):
+    """Banding must find every pair with hamming <= chunks-1: compare the
+    banded join against the quadratic scan."""
+    from rag_vertex_ai_vector_search_spark.functions.hashing import (
+        hamming_distance64,
+        simhash_udf,
+    )
+    from rag_vertex_ai_vector_search_spark.functions.text import normalized_text
+
+    sim = simhash_udf()
+    sigs = planted.select(
+        F.col("doc_id").alias("_id"),
+        sim(F.split(normalized_text("text"), " ")).alias("_sig"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming_distance64(F.col("a._sig"), F.col("b._sig")).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    banded = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dup_pairs(planted, max_hamming=3, chunks=4).collect()
+    }
+    assert banded == brute

@@ -1,0 +1,83 @@
+"""IVF pruned search quality: recall@k vs the exact path.
+
+Mirrors the reference's leaf_nodes_to_search_percent semantics
+(common/config.py:38): scanning a fraction of leaves must retain most
+of the true top-k.
+"""
+
+from pyspark.sql import functions as F
+
+from rag_vertex_ai_vector_search_spark.sources import load_table
+from rag_vertex_ai_vector_search_spark.operators import knn_search
+from rag_vertex_ai_vector_search_spark.operators.ivf import build_ivf_index, ivf_search
+
+
+def _topk_sets(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_ivf_full_probe_is_exact(spark, sf_smoke):
+    """probe=100% must reproduce the exact path even on structureless
+    (uniform random) vectors -- pruning-off is a correctness identity."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    k = 10
+    exact = _topk_sets(knn_search(emb, queries, k=k, method="fold").collect())
+    index = build_ivf_index(emb, n_clusters=16)
+    full = _topk_sets(ivf_search(index, queries, k=k, probe_percent=100.0).collect())
+    assert full == exact
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """recall@10 >= 0.95 at 25% probe on data with cluster structure
+    (real embedding corpora are clustered; the driver fixture vectors are
+    uniform random, where no IVF layout can prune -- verified: intra-label
+    cosine == 0.0 -- so the recall gate runs on planted clusters,
+    mirroring leaf_nodes_to_search_percent semantics, config.py:38)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    n_centers, per_center, dim = 20, 25, 32
+    centers = rng.randn(n_centers, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per_center):
+            v = c + 0.15 * rng.randn(dim)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    queries = emb.filter(F.col("vec_id") % 25 == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    k = 10
+    exact = _topk_sets(knn_search(emb, queries, k=k, method="fold").collect())
+    index = build_ivf_index(emb, n_clusters=n_centers)
+    pruned = _topk_sets(ivf_search(index, queries, k=k, probe_percent=25.0).collect())
+    recalls = [len(pruned.get(q, set()) & exact[q]) / len(exact[q]) for q in exact]
+    avg_recall = sum(recalls) / len(recalls)
+    assert avg_recall >= 0.95, f"recall@{k} = {avg_recall:.3f}"
+
+
+def test_ivf_partitioned_layout(spark, sf_smoke, tmp_path):
+    """Saving the index produces one parquet partition per cluster, and
+    reading it back prunes partitions on a cluster filter."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    index = build_ivf_index(emb, n_clusters=8)
+    path = str(tmp_path / "ivf")
+    index.save(path)
+
+    back = spark.read.parquet(path)
+    assert back.count() == emb.count()
+    plan = back.filter(F.col("cluster_id").isin(1, 2))._jdf.queryExecution().executedPlan().toString()
+    # partition filter must appear as a partition-pruning predicate, not a data filter
+    assert "cluster_id" in plan
+    assert back.filter(F.col("cluster_id").isin(1, 2)).select("cluster_id").distinct().count() <= 2

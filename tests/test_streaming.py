@@ -1,0 +1,59 @@
+"""STREAM_UPDATE analog: streaming micro-batches merge into the index
+(index_manager.py:53; upsert setup_vector_search.py:147-153)."""
+
+import time
+
+from pyspark.sql import functions as F
+
+
+def test_stream_merge_into_index(spark, tmp_path):
+    from rag_vertex_ai_vector_search_spark.streaming import stream_merge_into_index
+
+    src = str(tmp_path / "incoming")
+    index_path = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    schema = "doc_id long, text string"
+    # batch 1: 5 docs
+    spark.createDataFrame(
+        [(i, f"first version of doc {i}") for i in range(5)], schema
+    ).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_merge_into_index(
+        stream, index_path, checkpoint_dir=ckpt, dim=8
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.read.parquet(index_path).collect()
+        assert len(first) == 5
+
+        # batch 2: 3 updated docs (same ids -> same sha256 keys) + 2 new
+        spark.createDataFrame(
+            [(i, f"updated doc {i}") for i in range(3)]
+            + [(i, f"new doc {i}") for i in (10, 11)],
+            schema,
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = spark.read.parquet(index_path)
+    assert final.count() == 7  # 5 + 2 new; 3 replaced in place
+    assert final.select("data_point_id").distinct().count() == 7
+
+    # replaced rows carry the new content's embedding: compare against a
+    # fresh batch ingest of the same final corpus (streaming == batch).
+    from rag_vertex_ai_vector_search_spark.operators import ingest_documents
+
+    batch_docs = spark.createDataFrame(
+        [(i, f"updated doc {i}") for i in range(3)]
+        + [(i, f"first version of doc {i}") for i in (3, 4)]
+        + [(i, f"new doc {i}") for i in (10, 11)],
+        schema,
+    )
+    expected = ingest_documents(batch_docs, dim=8).datapoints
+    diff_a = final.select("data_point_id", "feature_vector").exceptAll(
+        expected.select("data_point_id", "feature_vector")
+    )
+    assert diff_a.isEmpty()
