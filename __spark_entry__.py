@@ -26,6 +26,7 @@ from rag_vertex_ai_vector_search_spark.functions.text import (
     token_count,
 )
 from rag_vertex_ai_vector_search_spark.operators import (
+    asof_join,
     dedup_exact,
     embedding_cosine_pairs,
     ingest_documents,
@@ -225,7 +226,7 @@ def q_ingest_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns only (created_at is wall-clock, excluded from the hash)."""
     docs = load_table(spark, sf_dir, "documents")
     result = ingest_documents(
-        docs, max_tokens=420, extra_restrict_cols=("lang", "source")
+        docs, max_tokens=80, extra_restrict_cols=("lang", "source")
     )
     return result.metadata.select(
         "data_point_id",
@@ -249,7 +250,7 @@ SELECT sha256(CAST(doc_id AS VARCHAR)) AS data_point_id,
        lang,
        source
 FROM documents
-WHERE {_SQL_TOKENS} <= 420
+WHERE {_SQL_TOKENS} <= 80
 """
 
 
@@ -260,7 +261,7 @@ def q_ingest_datapoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ingest.py vs the numpy reference implementation."""
     docs = load_table(spark, sf_dir, "documents")
     result = ingest_documents(
-        docs, max_tokens=420, extra_restrict_cols=("lang",), crowding_col="source"
+        docs, max_tokens=80, extra_restrict_cols=("lang",), crowding_col="source"
     )
     return result.datapoints
 
@@ -743,6 +744,117 @@ FROM lineitem GROUP BY l_suppkey
 """
 
 
+def q_asof_latest_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (point-in-time): each error event picks the latest
+    signup of the same user at-or-before it. Implemented as a single
+    shuffle (union + running window), not a range join."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", F.col("ts").alias("sig_ts"))
+        .agg(F.max("event_id").alias("signup_id"))
+    )
+    return asof_join(
+        errors, signups, key="user_id", left_ts="ts", right_ts="sig_ts",
+        right_value_cols=["signup_id"], right_prefix="",
+    )
+
+
+_SQL_ASOF_SIGNUP = """
+WITH err AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+), sig AS (
+  SELECT user_id, ts AS sig_ts, max(event_id) AS signup_id
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, e.ts, s.sig_ts, s.signup_id
+FROM err e ASOF LEFT JOIN sig s
+  ON e.user_id = s.user_id AND e.ts >= s.sig_ts
+"""
+
+
+def q_parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: parts with no lineitem at all."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_name", "p_brand")
+    )
+
+
+_SQL_PARTS_NEVER_SHIPPED = """
+SELECT p_partkey, p_name, p_brand FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+def q_pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: quantity matrix returnflag x linestatus."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_returnflag").pivot("l_linestatus", ["F", "O"]).agg(
+        F.sum("l_quantity")
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F").alias("qty_f"),
+        F.col("O").alias("qty_o"),
+    )
+
+
+_SQL_PIVOT_QTY = """
+SELECT l_returnflag,
+       sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+       sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (bit-identical to DuckDB
+    quantile_cont -- verified empirically)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("median_price"),
+        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+_SQL_PERCENTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS median_price,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_token_gate_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 explicitly: the reject side of the max-token gate
+    (embeddings.py:70-90; the engine routes rejects to a side output
+    instead of aborting the job)."""
+    docs = load_table(spark, sf_dir, "documents")
+    result = ingest_documents(docs, max_tokens=80)
+    return result.rejected.select(
+        "doc_id",
+        F.col("token_count").cast("long").alias("token_count"),
+        "lang",
+        "source",
+    )
+
+
+_SQL_TOKEN_GATE = f"""
+SELECT doc_id, CAST({_SQL_TOKENS} AS BIGINT) AS token_count, lang, source
+FROM documents WHERE {_SQL_TOKENS} > 80
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -779,6 +891,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_date_projection": q_string_date_projection,
         "rollup_quantities": q_rollup_quantities,
         "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
+        "asof_latest_signup": q_asof_latest_signup,
+        "parts_never_shipped": q_parts_never_shipped,
+        "pivot_qty_by_status": q_pivot_qty_by_status,
+        "price_percentiles": q_price_percentiles,
+        "token_gate_violations": q_token_gate_violations,
     }
 
 
@@ -808,4 +925,9 @@ def oracle_sql() -> dict[str, str]:
         "string_date_projection": _SQL_STRING_DATE,
         "rollup_quantities": _SQL_ROLLUP,
         "distinct_parts_per_supplier": _SQL_DISTINCT_PARTS,
+        "asof_latest_signup": _SQL_ASOF_SIGNUP,
+        "parts_never_shipped": _SQL_PARTS_NEVER_SHIPPED,
+        "pivot_qty_by_status": _SQL_PIVOT_QTY,
+        "price_percentiles": _SQL_PERCENTILES,
+        "token_gate_violations": _SQL_TOKEN_GATE,
     }

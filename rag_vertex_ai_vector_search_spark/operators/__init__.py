@@ -10,6 +10,7 @@ from .dedup import (
     embedding_cosine_pairs,
 )
 from .ingest import ingest_documents, IngestResult, TokenLimitExceeded
+from .asof import asof_join
 
 __all__ = [
     "knn_search",
@@ -29,4 +30,5 @@ __all__ = [
     "ingest_documents",
     "IngestResult",
     "TokenLimitExceeded",
+    "asof_join",
 ]
