@@ -15,6 +15,7 @@ from .text import (
     normalized_text,
     word_shingles,
     char_ngrams,
+    winnowing_fingerprints,
 )
 from .hashing import (
     hash_embedding_udf,
@@ -39,6 +40,7 @@ __all__ = [
     "normalized_text",
     "word_shingles",
     "char_ngrams",
+    "winnowing_fingerprints",
     "hash_embedding_udf",
     "hash_embedding_numpy",
     "minhash_signature_udf",

@@ -139,6 +139,30 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def winnowing_fingerprints(col: Column | str, k: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    hash every k-gram (rolling window), then keep the minimum hash of
+    each w-window of consecutive k-gram hashes. Guarantees any shared
+    substring of length >= k + w - 1 yields a shared fingerprint.
+
+    Entirely built-in expressions (substring/hash/slice/array_min) --
+    codegen'd, no Python. Returns the distinct fingerprint set.
+    """
+    text = normalized_text(_c(col))
+    n_grams = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.xxhash64(F.substring(text, i, k)),
+    )
+    n_windows = F.greatest(F.size(gram_hashes) - F.lit(w - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(gram_hashes, i, w)),
+        )
+    )
+
+
 def char_ngrams(col: Column | str, n: int = 5) -> Column:
     """Distinct character n-grams of the normalized text."""
     text = normalized_text(_c(col))

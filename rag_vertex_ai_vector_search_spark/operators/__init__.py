@@ -11,6 +11,8 @@ from .dedup import (
 )
 from .ingest import ingest_documents, IngestResult, TokenLimitExceeded
 from .asof import asof_join
+from .restricts import restrict_predicate
+from .ann_lsh import lsh_topk
 
 __all__ = [
     "knn_search",
@@ -31,4 +33,6 @@ __all__ = [
     "IngestResult",
     "TokenLimitExceeded",
     "asof_join",
+    "restrict_predicate",
+    "lsh_topk",
 ]
