@@ -97,10 +97,17 @@ def minhash_signature_udf(num_hashes: int = 64, seed: int = 42):
     """
     a, b = _minhash_coeffs(num_hashes, seed)
 
+    from zlib import crc32
+
     def _sig(shingles) -> np.ndarray:
         if shingles is None or len(shingles) == 0:
             return np.full(num_hashes, np.int64(np.iinfo(np.int64).max))
-        x = np.array([_stable_hash64(s) for s in shingles], dtype=np.uint64)
+        # crc32 is a C call (~10x blake2b for short strings); 32-bit base
+        # values are standard for MinHash -- the (a*x+b) mod p spread
+        # re-expands them over the 61-bit space.
+        x = np.array(
+            [crc32(s.encode("utf-8")) for s in shingles], dtype=np.uint64
+        )
         # (a * x + b) mod p, elementwise over k x n; uint64 wrap-around is
         # fine for uniformity but we mod by the Mersenne prime for the
         # standard guarantee.

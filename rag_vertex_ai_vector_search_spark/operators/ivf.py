@@ -112,6 +112,19 @@ def ivf_search(
     )
     probe_lists = np.argsort(d2, axis=1)[:, :nprobe]
 
+    # Restrict the scan to the union of probed clusters -- partition
+    # pruning on the saved layout means pruned leaves are pruned BYTES.
+    all_probed = sorted({int(c) for lst in probe_lists for c in lst})
+    candidates = index.assigned.filter(F.col("cluster_id").isin(all_probed))
+
+    if method == "gemm":
+        return _gemm_masked_topk(
+            candidates, rows, probe_lists, n_clusters, k,
+            id_col=index.id_col, vec_col=index.vec_col,
+            qid_type=queries_df.schema[query_id_col].dataType,
+        )
+
+    # Declarative fallback: per-pair probe filter + fold scoring.
     probes = spark.createDataFrame(
         [
             (rows[i][0], [int(c) for c in probe_lists[i]])
@@ -121,44 +134,94 @@ def ivf_search(
         " _probe array<int>",
     )
     pruned_queries = queries_df.join(probes, query_id_col)
+    q = pruned_queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("_qvec"),
+        F.col("_probe"),
+    )
+    from .knn import _ranked
+    from ..functions.vector import dot_product
 
-    # Restrict the scan to the union of probed clusters (partition
-    # pruning on the saved layout), then let knn_search score only rows
-    # whose cluster is in THAT query's probe list via the per-pair
-    # filter below.
-    all_probed = sorted({int(c) for lst in probe_lists for c in lst})
-    candidates = index.assigned.filter(F.col("cluster_id").isin(all_probed))
-
-    if method == "gemm" and len(all_probed) < n_clusters and len(rows) > 1:
-        # Per-query cluster masks diverge; fall back to fold scoring with
-        # an explicit pair-level probe filter (still pruned at scan).
-        method = "fold_probe"
-
-    if method == "fold_probe":
-        q = pruned_queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(query_vec_col).alias("_qvec"),
-            F.col("_probe"),
+    scored = (
+        candidates.crossJoin(F.broadcast(q))
+        .filter(F.array_contains(F.col("_probe"), F.col("cluster_id")))
+        .select(
+            "query_id",
+            F.col(index.id_col).alias("neighbor_id"),
+            dot_product(F.col("_qvec"), F.col(index.vec_col)).alias("score"),
         )
-        from .knn import _ranked
-        from ..functions.vector import dot_product
+    )
+    return _ranked(scored, k, None, None).select(
+        "query_id", "rank", "neighbor_id", "score"
+    )
 
-        scored = (
-            candidates.crossJoin(F.broadcast(q))
-            .filter(F.array_contains(F.col("_probe"), F.col("cluster_id")))
-            .select(
-                "query_id",
-                F.col(index.id_col).alias("neighbor_id"),
-                dot_product(F.col("_qvec"), F.col(index.vec_col)).alias("score"),
-            )
-        )
-        return _ranked(scored, k, None, None).select(
-            "query_id", "rank", "neighbor_id", "score"
-        )
 
-    return knn_search(
-        candidates, pruned_queries.drop("_probe"), k,
-        id_col=index.id_col, vec_col=index.vec_col,
-        query_id_col=query_id_col, query_vec_col=query_vec_col,
-        method="gemm" if method == "gemm" else "fold", **knn_kwargs,
+def _gemm_masked_topk(
+    candidates: DataFrame,
+    rows,
+    probe_lists: np.ndarray,
+    n_clusters: int,
+    k: int,
+    *,
+    id_col: str,
+    vec_col: str,
+    qid_type,
+) -> DataFrame:
+    """One BLAS GEMM per Arrow batch + per-query probe MASK, then exact
+    local top-k; global window finishes. Each query only keeps scores
+    from ITS probed clusters, so multi-query batches share the GEMM
+    without over-scanning."""
+    from pyspark.sql import types as T
+
+    qids = [r[0] for r in rows]
+    qmat = np.asarray([r[1] for r in rows], dtype=np.float64)
+    probe_mask = np.zeros((len(qids), n_clusters), dtype=bool)  # (nq, nc)
+    for i, lst in enumerate(probe_lists):
+        probe_mask[i, lst] = True
+
+    out_schema = T.StructType([
+        T.StructField("query_id", qid_type),
+        T.StructField("neighbor_id", candidates.schema[id_col].dataType),
+        T.StructField("score", T.DoubleType()),
+    ])
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vmat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            clusters = pdf["cluster_id"].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            scores = qmat @ vmat.T  # (nq, nv)
+            allowed = probe_mask[:, clusters]  # (nq, nv)
+            scores = np.where(allowed, scores, -np.inf)
+            frames = []
+            nv = scores.shape[1]
+            for qi in range(len(qids)):
+                s = scores[qi]
+                valid = s > -np.inf
+                if not valid.any():
+                    continue
+                top = min(k, int(valid.sum()))
+                threshold = np.partition(s, nv - top)[nv - top]
+                cand = np.nonzero(s >= threshold)[0]
+                order = np.lexsort((ids[cand], -s[cand]))[:top]
+                idx = cand[order]
+                frames.append(pd.DataFrame({
+                    "query_id": qids[qi],
+                    "neighbor_id": ids[idx],
+                    "score": s[idx],
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    from .knn import _ranked
+
+    scored = candidates.select(id_col, vec_col, "cluster_id").mapInPandas(
+        score, out_schema
+    )
+    return _ranked(scored, k, None, None).select(
+        "query_id", "rank", "neighbor_id", "score"
     )
