@@ -855,6 +855,37 @@ FROM documents WHERE {_SQL_TOKENS} > 80
 """
 
 
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON/map functions: extract a typed field from the JSON props
+    column and aggregate on it (schemaless -> typed, the
+    additional_metadata flattening analog, firestore_ops.py:78-79)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            F.col("value").cast(DEC).alias("_v"),
+        )
+        .groupBy("event_type", (F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_v").cast("double").alias("sum_value"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_SQL_EVENTS_JSON = """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -896,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_qty_by_status": q_pivot_qty_by_status,
         "price_percentiles": q_price_percentiles,
         "token_gate_violations": q_token_gate_violations,
+        "events_json_props": q_events_json_props,
     }
 
 
@@ -930,4 +962,5 @@ def oracle_sql() -> dict[str, str]:
         "pivot_qty_by_status": _SQL_PIVOT_QTY,
         "price_percentiles": _SQL_PERCENTILES,
         "token_gate_violations": _SQL_TOKEN_GATE,
+        "events_json_props": _SQL_EVENTS_JSON,
     }

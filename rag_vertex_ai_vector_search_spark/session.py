@@ -7,6 +7,7 @@ Local mode is a single JVM; on a real cluster the same configs hold
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -26,6 +27,11 @@ _BASE_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
+    # saveAsTable target for bucketed layouts (static conf; keep out of
+    # the repo tree)
+    "spark.sql.warehouse.dir": os.path.join(
+        tempfile.gettempdir(), "spark_graft_warehouse"
+    ),
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
 }
 

@@ -1,4 +1,10 @@
-from .tables import TABLE_NAMES, load_table, load_tables, register_views
+from .tables import (
+    TABLE_NAMES,
+    load_table,
+    load_tables,
+    register_views,
+    write_bucketed,
+)
 from .documents import scan_document_dir
 
 __all__ = [
@@ -6,5 +12,6 @@ __all__ = [
     "load_table",
     "load_tables",
     "register_views",
+    "write_bucketed",
     "scan_document_dir",
 ]
