@@ -220,6 +220,20 @@ def q_knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Ingestion pipeline (SURVEY §2.1: O1-O8, O16)
 # --------------------------------------------------------------------------
 
+def q_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate ANN (training-free equi-join path,
+    operators/ann_lsh.py). Random hyperplanes -> rows-only check;
+    subset-of-exact-scores property is tests/test_restricts_lsh_winnow.py."""
+    from rag_vertex_ai_vector_search_spark.operators import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb, _queries_from_embeddings(emb, 8), k=10, n_planes=16, bands=8
+    ).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "score"
+    )
+
+
 def q_ingest_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3/O4/O7/O8: tokenize, token-gate, surrogate key, projection
     (embeddings.py:62-90, setup_vector_search.py:39,80-94). Deterministic
@@ -902,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_crowding": q_knn_crowding,
         "knn_hydrated": q_knn_hydrated,
         "knn_ivf_pruned": q_knn_ivf_pruned,
+        "knn_lsh_bucketed": q_knn_lsh_bucketed,
         "ingest_metadata": q_ingest_metadata,
         "ingest_datapoints": q_ingest_datapoints,
         "dedup_exact": q_dedup_exact,

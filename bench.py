@@ -79,8 +79,13 @@ BENCH_QUERIES = [
 
 def main() -> None:
     spark = get_spark("bench")
-    # Warm the JVM + parquet footers once so timings measure the queries.
+    # Warm the JVM + parquet footers + Python UDF workers once so
+    # timings measure the queries, not process spin-up.
     load_table(spark, SF_DIR, "lineitem").count()
+    warm = spark.range(64).toDF("x")
+    warm.mapInPandas(lambda it: it, "x long").write.mode("overwrite").format(
+        "noop"
+    ).save()
 
     per_query: dict[str, float] = {}
     for name, fn in BENCH_QUERIES:

@@ -121,12 +121,14 @@ def knn_search(
     if metadata_df is not None:
         # Hydration join (Q7): the top-k result is tiny -- broadcast it,
         # not the metadata table, so the big side streams.
+        meta_cols = [c for c in metadata_df.columns if c != metadata_key]
+        keep_extra = [c for c in extra_cols if c not in meta_cols]
         out = out.join(
             metadata_df.withColumnRenamed(metadata_key, "neighbor_id"),
             "neighbor_id",
             "left",
-        ).select("query_id", "rank", "neighbor_id", "score", *
-                 [c for c in metadata_df.columns if c != metadata_key])
+        ).select("query_id", "rank", "neighbor_id", "score",
+                 *keep_extra, *meta_cols)
     return out
 
 

@@ -1,0 +1,84 @@
+"""End-to-end RAG flow: the reference's whole main()
+(setup_vector_search.py:234-254) plus the intended search path
+(rag/search.py stub) as one test: ingest -> dual sinks -> IVF layout ->
+restricted + crowded search -> metadata hydration."""
+
+from pyspark.sql import functions as F
+
+from rag_vertex_ai_vector_search_spark.sources import load_table
+from rag_vertex_ai_vector_search_spark.operators import (
+    ingest_documents,
+    knn_search,
+    restrict_predicate,
+)
+from rag_vertex_ai_vector_search_spark.operators.ingest import write_ingest
+from rag_vertex_ai_vector_search_spark.operators.ivf import (
+    build_ivf_index,
+    ivf_search,
+)
+from rag_vertex_ai_vector_search_spark.plans import (
+    IndexManifest,
+    load_manifest,
+    save_manifest,
+)
+from rag_vertex_ai_vector_search_spark.plans.manifest import deployment_state
+
+
+def test_full_rag_pipeline(spark, sf_smoke, tmp_path):
+    docs = load_table(spark, sf_smoke, "documents")
+
+    # 1. ingest (scan->gate->embed->project) + dual sinks
+    result = ingest_documents(
+        docs, dim=16, extra_restrict_cols=("lang",), crowding_col="source"
+    )
+    out = str(tmp_path / "store")
+    write_ingest(result, out)
+    dp = spark.read.parquet(f"{out}/datapoints")
+    md = spark.read.parquet(f"{out}/metadata")
+    assert dp.count() == md.count() > 0
+
+    # 2. "create index + deploy" == clustered layout + manifest
+    index = build_ivf_index(dp, id_col="data_point_id",
+                            vec_col="feature_vector", n_clusters=8)
+    index_path = str(tmp_path / "index")
+    index.save(index_path)
+    save_manifest(IndexManifest(dimensions=16, n_clusters=8), index_path)
+    assert deployment_state(index_path) == "DEPLOYED"
+    assert load_manifest(index_path).distance_measure == "DOT_PRODUCT_DISTANCE"
+
+    # 3. search: embed 3 query docs (same embedder), restrict to a lang,
+    #    crowd by source, hydrate with metadata
+    queries = result.datapoints.limit(3).select(
+        F.col("data_point_id").alias("query_id"),
+        F.col("feature_vector").alias("query_vector"),
+    )
+    hits = knn_search(
+        dp,
+        queries,
+        k=5,
+        id_col="data_point_id",
+        vec_col="feature_vector",
+        restrict=restrict_predicate(allow={"lang": ["de", "es", "zh"]}),
+        per_crowding_k=2,
+        crowding_col="crowding_attribute",
+        metadata_df=md,
+        metadata_key="data_point_id",
+    ).collect()
+
+    assert hits
+    per_query = {}
+    for h in hits:
+        per_query.setdefault(h.query_id, []).append(h)
+    for qid, rows in per_query.items():
+        assert len(rows) <= 5
+        # crowding invariant: at most 2 per crowding attribute
+        crowd_counts = {}
+        for r in rows:
+            crowd_counts[r.crowding_attribute] = crowd_counts.get(r.crowding_attribute, 0) + 1
+        assert max(crowd_counts.values()) <= 2
+        # hydration delivered the content column
+        assert all(r.content is not None for r in rows)
+
+    # 4. approximate path answers from the saved layout
+    approx = ivf_search(index, queries, k=5, probe_percent=50.0)
+    assert approx.count() > 0

@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) for engine invariants (SURVEY §5)."""
+
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from rag_vertex_ai_vector_search_spark.functions import winnowing_fingerprints
+from rag_vertex_ai_vector_search_spark.operators import knn_search, merge_by_key
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8)
+
+
+@SETTINGS
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 1000)),
+        min_size=1, max_size=25, unique_by=lambda t: t[0],
+    ),
+    updates=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 1000)),
+        min_size=1, max_size=15, unique_by=lambda t: t[0],
+    ),
+)
+def test_merge_properties(spark, base, updates):
+    b = spark.createDataFrame(base, "k long, v long")
+    u = spark.createDataFrame(updates, "k long, v long")
+    merged = merge_by_key(b, u, key="k")
+    got = {r.k: r.v for r in merged.collect()}
+    expected = dict(base)
+    expected.update(dict(updates))
+    assert got == expected  # update wins, insert appears, others pass through
+    twice = {r.k: r.v for r in merge_by_key(merged, u, key="k").collect()}
+    assert twice == got  # idempotent
+
+
+@SETTINGS
+@given(
+    scores=st.lists(
+        st.tuples(st.integers(0, 999), st.integers(0, 4)),
+        min_size=5, max_size=60, unique_by=lambda t: t[0],
+    ),
+    k=st.integers(1, 8),
+    per_crowd=st.integers(1, 3),
+)
+def test_crowding_invariant(spark, scores, k, per_crowd):
+    """At most per_crowding_k results share a crowding attribute in any
+    top-k (FIXTURES.md invariant; setup_vector_search.py:65-67)."""
+    index = spark.createDataFrame(
+        [(i, [float(i % 7), float(g)], str(g)) for i, g in scores],
+        "vec_id long, embedding array<double>, grp string",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.5])], "query_id long, query_vector array<double>"
+    )
+    out = knn_search(
+        index, queries, k=k, per_crowding_k=per_crowd, crowding_col="grp",
+        method="fold",
+    ).collect()
+    assert len(out) <= k
+    counts = {}
+    for r in out:
+        counts[r.grp] = counts.get(r.grp, 0) + 1
+    assert not counts or max(counts.values()) <= per_crowd
+    assert sorted(r.rank for r in out) == list(range(1, len(out) + 1))
+
+
+@SETTINGS
+@given(
+    prefix=st.lists(words, min_size=0, max_size=6),
+    shared=st.lists(words, min_size=4, max_size=10),
+    suffix=st.lists(words, min_size=0, max_size=6),
+)
+def test_winnowing_guarantee(spark, prefix, shared, suffix):
+    """Docs sharing a substring of length >= k + w - 1 (k=5, w=4 -> 8
+    chars) must share at least one fingerprint."""
+    shared_text = " ".join(shared)
+    if len(shared_text) < 8:
+        return
+    a = (" ".join(prefix) + " " + shared_text).strip()
+    b = (shared_text + " " + " ".join(suffix)).strip()
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    fps = {
+        r.doc_id: set(r.fp)
+        for r in df.select(
+            "doc_id", winnowing_fingerprints("text", k=5, w=4).alias("fp")
+        ).collect()
+    }
+    assert fps[0] & fps[1]
