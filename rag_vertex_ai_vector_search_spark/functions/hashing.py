@@ -40,16 +40,20 @@ def _stable_hash64(s: str) -> int:
 
 
 def hash_embedding_numpy(text: str, dim: int = DEFAULT_DIM) -> np.ndarray:
-    """Deterministic pseudo-embedding of one string (float32, unit norm)."""
-    raw = np.empty(dim, dtype=np.float64)
-    for i in range(dim):
-        digest = hashlib.sha256(f"{text}||{i}".encode("utf-8")).digest()
-        # First 8 bytes -> uint64 -> [-1, 1)
-        val = struct.unpack("<Q", digest[:8])[0]
-        raw[i] = (val / float(1 << 63)) - 1.0
+    """Deterministic pseudo-embedding of one string (float32, unit norm).
+
+    Each sha256 digest yields FOUR components (32 bytes -> 4 uint64 ->
+    [-1,1)), so a 64-dim vector costs 16 hashes, not 64."""
+    n_blocks = (dim + 3) // 4
+    buf = b"".join(
+        hashlib.sha256(f"{text}||{i}".encode("utf-8")).digest()
+        for i in range(n_blocks)
+    )
+    vals = np.frombuffer(buf, dtype="<u8")[:dim].astype(np.float64)
+    raw = vals / float(1 << 63) - 1.0
     norm = np.linalg.norm(raw)
     if norm > 0:
-        raw /= norm
+        raw = raw / norm
     return raw.astype(np.float32)
 
 

@@ -239,3 +239,56 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact-scan baseline (alias of knn_search with the fold strategy)."""
     return knn_search(index_df, queries_df, k, method="fold", **kwargs)
+
+
+def knn_search_blocked(
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    k: int,
+    *,
+    query_id_col: str = "query_id",
+    max_queries_per_block: int = 4096,
+    **kwargs,
+) -> DataFrame:
+    """Exact GEMM kNN for query sets too large to ship in one closure.
+
+    The gemm strategy holds the whole query matrix per task; past ~1e5
+    x 768-dim queries (~600 MB) that stops scaling. This splits the
+    query set into blocks of ``max_queries_per_block``, runs the gemm
+    search per block, and unions the plans -- Spark schedules the block
+    jobs back-to-back over the same cached index scan, so peak task
+    memory is bounded by one block while total work stays one GEMM per
+    (block x batch). Deterministic block assignment = hash(query_id) so
+    re-runs are stable.
+    """
+    from pyspark.sql import functions as F
+
+    n_blocks_row = queries_df.select(
+        (F.count(F.lit(1)) / max_queries_per_block).alias("b")
+    ).first()
+    import math
+
+    n_blocks = max(1, math.ceil(n_blocks_row.b))
+    if n_blocks == 1:
+        return knn_search(
+            index_df, queries_df, k, query_id_col=query_id_col,
+            method="gemm", **kwargs,
+        )
+    blocked = queries_df.withColumn(
+        "_qblock", F.pmod(F.hash(F.col(query_id_col)), F.lit(n_blocks))
+    )
+    parts = [
+        knn_search(
+            index_df,
+            blocked.filter(F.col("_qblock") == b).drop("_qblock"),
+            k,
+            query_id_col=query_id_col,
+            method="gemm",
+            **kwargs,
+        )
+        for b in range(n_blocks)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

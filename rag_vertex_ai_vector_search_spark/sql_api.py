@@ -1,0 +1,108 @@
+"""Pure-SQL interface: fixture views + engine functions callable from
+``spark.sql`` -- the engine's query-language front end (Catalyst plans
+SQL and DataFrame identically, so this adds surface, not a new engine).
+
+Scalar text/vector functions register as Spark 4 SQL scalar UDFs
+(``CREATE TEMPORARY FUNCTION ... RETURN <expr>``): Catalyst inlines the
+expression -- NO Python at run time, same codegen as the DataFrame
+builders in ``functions/``. Only the embedder is a pandas UDF (it is
+one in the DataFrame API too).
+
+Example::
+
+    register_sql_api(spark, "/root/testdata/sf0.01")
+    spark.sql('''
+        SELECT doc_id, engine_token_count(text) AS tokens
+        FROM documents
+        WHERE engine_lang_id(text) = 'en'
+          AND engine_quality(text) > 0.5
+        ORDER BY tokens DESC LIMIT 10
+    ''')
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .functions.hashing import DEFAULT_DIM, hash_embedding_udf
+from .functions.text import LANG_MARKERS, STOPWORDS_EN, TOKEN_PATTERN
+from .sources.tables import register_views
+
+# SQL bodies mirror functions/text.py exactly (same expressions the
+# DataFrame builders emit), so SQL and DataFrame results are identical.
+_TOK = TOKEN_PATTERN.replace("\\", "\\\\")
+_STOP = r"\\b(" + "|".join(STOPWORDS_EN) + r")\\b"
+_NTOK = (
+    "CASE WHEN length(trim(t)) = 0 THEN 0 "
+    "ELSE size(split(trim(t), '\\\\s+')) END"
+)
+
+_SQL_FUNCTIONS = {
+    "engine_token_count": f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION engine_token_count(t STRING)
+        RETURNS INT RETURN size(regexp_extract_all(t, '{_TOK}', 0))
+    """,
+    "engine_fingerprint": """
+        CREATE OR REPLACE TEMPORARY FUNCTION engine_fingerprint(t STRING)
+        RETURNS STRING
+        RETURN sha2(trim(regexp_replace(lower(t), '\\\\s+', ' ')), 256)
+    """,
+    "engine_alpha_ratio": """
+        CREATE OR REPLACE TEMPORARY FUNCTION engine_alpha_ratio(t STRING)
+        RETURNS DOUBLE
+        RETURN CASE WHEN length(t) = 0 THEN 0.0D
+               ELSE CAST(size(regexp_extract_all(t, '[A-Za-z]', 0)) AS DOUBLE)
+                    / CAST(length(t) AS DOUBLE) END
+    """,
+    "engine_quality": f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION engine_quality(t STRING)
+        RETURNS DOUBLE
+        RETURN 0.5D * (CASE WHEN length(t) = 0 THEN 0.0D
+                 ELSE CAST(size(regexp_extract_all(t, '[A-Za-z]', 0)) AS DOUBLE)
+                      / CAST(length(t) AS DOUBLE) END)
+             + 0.3D * least(CAST(length(t) AS DOUBLE) / 500.0D, 1.0D)
+             + 0.2D * least((CASE WHEN ({_NTOK}) = 0 THEN 0.0D
+                 ELSE CAST(size(regexp_extract_all(lower(t), '{_STOP}', 0)) AS DOUBLE)
+                      / CAST(({_NTOK}) AS DOUBLE) END) * 4.0D, 1.0D)
+    """,
+    "engine_dot": """
+        CREATE OR REPLACE TEMPORARY FUNCTION engine_dot(
+            a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
+        RETURNS DOUBLE
+        RETURN aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D,
+                         (acc, x) -> acc + x)
+    """,
+}
+
+_LANG_SCORE = (
+    "size(regexp_extract_all(lower(t), '\\\\b({words})\\\\b', 0))"
+)
+
+
+def _lang_id_sql() -> str:
+    scores = {
+        lang: _LANG_SCORE.format(words="|".join(words))
+        for lang, words in LANG_MARKERS.items()
+    }
+    greatest = "greatest(" + ", ".join(scores.values()) + ")"
+    cases = " ".join(
+        f"WHEN {scores[lang]} = {greatest} THEN '{lang}'"
+        for lang in LANG_MARKERS
+    )
+    return f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION engine_lang_id(t STRING)
+        RETURNS STRING
+        RETURN CASE WHEN {greatest} = 0 THEN 'und' {cases} ELSE 'und' END
+    """
+
+
+def register_sql_api(
+    spark: SparkSession, sf_dir: str | None = None, dim: int = DEFAULT_DIM
+) -> None:
+    """Register fixture views (when ``sf_dir`` given) + engine functions."""
+    if sf_dir is not None:
+        register_views(spark, sf_dir)
+    for ddl in _SQL_FUNCTIONS.values():
+        spark.sql(ddl)
+    spark.sql(_lang_id_sql())
+    spark.udf.register("engine_embed", hash_embedding_udf(dim))
