@@ -27,6 +27,9 @@ from rag_vertex_ai_vector_search_spark.operators.ivf import (  # noqa: E402
     build_ivf_index,
     ivf_search,
 )
+from rag_vertex_ai_vector_search_spark.operators.dedup import (  # noqa: E402
+    embedding_cosine_pairs_gemm,
+)
 import __spark_entry__ as entrymod  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -71,7 +74,12 @@ BENCH_QUERIES = [
     ("events_sessionize", entrymod.q_events_sessionize),
     ("dedup_exact", entrymod.q_dedup_exact),
     ("dedup_minhash_lsh", entrymod.q_dedup_minhash_lsh),
-    ("dedup_embedding_cosine", entrymod.q_dedup_embedding_cosine),
+    (
+        "dedup_embedding_cosine",
+        lambda spark, sf: embedding_cosine_pairs_gemm(
+            load_table(spark, sf, "embeddings"), block_col="label", threshold=0.8
+        ),
+    ),
     ("text_quality", entrymod.q_text_quality),
     ("ingest_datapoints", entrymod.q_ingest_datapoints),
 ]
