@@ -869,6 +869,36 @@ FROM documents WHERE {_SQL_TOKENS} > 80
 """
 
 
+def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (each order vs its customer's average),
+    decorrelated into a window -- the scalable plan Spark and modern
+    optimizers both produce."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg_price = (
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        orders.withColumn("cust_avg", avg_price)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
+_SQL_ORDERS_ABOVE_AVG = """
+WITH w AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey) AS DOUBLE)
+           / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+FROM w WHERE o_totalprice > cust_avg
+"""
+
+
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON/map functions: extract a typed field from the JSON props
     column and aggregate on it (schemaless -> typed, the
@@ -943,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_percentiles": q_price_percentiles,
         "token_gate_violations": q_token_gate_violations,
         "events_json_props": q_events_json_props,
+        "orders_above_customer_avg": q_orders_above_customer_avg,
     }
 
 
@@ -978,4 +1009,5 @@ def oracle_sql() -> dict[str, str]:
         "price_percentiles": _SQL_PERCENTILES,
         "token_gate_violations": _SQL_TOKEN_GATE,
         "events_json_props": _SQL_EVENTS_JSON,
+        "orders_above_customer_avg": _SQL_ORDERS_ABOVE_AVG,
     }

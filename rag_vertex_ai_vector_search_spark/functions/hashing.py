@@ -94,27 +94,22 @@ def _minhash_coeffs(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.nda
 
 
 def minhash_signature_udf(num_hashes: int = 64, seed: int = 42):
-    """pandas_udf: array<string> shingles -> array<bigint> MinHash signature.
+    """pandas_udf: array<bigint> PRE-HASHED shingles -> array<bigint>
+    MinHash signature.
 
-    Vectorized per row: one (k, n_shingles) broadcasted multiply-min.
-    Empty shingle sets get the max sentinel so they never collide.
+    The base shingle hash happens JVM-side (``xxhash64`` inside a
+    ``transform``) so Arrow ships compact int64 arrays, not strings, and
+    Python does only the vectorized (k x n) multiply-min. Empty shingle
+    sets get the max sentinel so they never collide.
     """
     a, b = _minhash_coeffs(num_hashes, seed)
 
-    from zlib import crc32
-
-    def _sig(shingles) -> np.ndarray:
-        if shingles is None or len(shingles) == 0:
+    def _sig(hashes) -> np.ndarray:
+        if hashes is None or len(hashes) == 0:
             return np.full(num_hashes, np.int64(np.iinfo(np.int64).max))
-        # crc32 is a C call (~10x blake2b for short strings); 32-bit base
-        # values are standard for MinHash -- the (a*x+b) mod p spread
-        # re-expands them over the 61-bit space.
-        x = np.array(
-            [crc32(s.encode("utf-8")) for s in shingles], dtype=np.uint64
-        )
-        # (a * x + b) mod p, elementwise over k x n; uint64 wrap-around is
-        # fine for uniformity but we mod by the Mersenne prime for the
-        # standard guarantee.
+        x = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+        # (a * x + b) mod p over k x n; mod by the Mersenne prime for the
+        # standard min-wise independence guarantee.
         vals = (np.outer(a, x) + b[:, None]) % np.uint64(MINHASH_PRIME)
         return vals.min(axis=1).astype(np.int64)
 

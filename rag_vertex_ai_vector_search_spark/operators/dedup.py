@@ -96,12 +96,20 @@ def minhash_candidate_pairs(
 
     with_sig = df.select(
         F.col(id_col).alias("_id"),
-        word_shingles(text_col, shingle_words).alias("_shingles"),
-    ).withColumn("_sig", sig_udf("_shingles"))
+        # base hash JVM-side (xxhash64): Arrow ships int64 arrays, not
+        # shingle strings; Jaccard over distinct hashes == Jaccard over
+        # shingles up to 64-bit collisions.
+        F.array_distinct(
+            F.transform(
+                word_shingles(text_col, shingle_words),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("_hashes"),
+    ).withColumn("_sig", sig_udf("_hashes"))
 
     banded = with_sig.select(
         "_id",
-        "_shingles",
+        "_hashes",
         F.explode(
             F.array(
                 *[
@@ -115,7 +123,7 @@ def minhash_candidate_pairs(
                 ]
             )
         ).alias("_band"),
-    ).select("_id", "_shingles", "_band.band_id", "_band.band_hash")
+    ).select("_id", "_hashes", "_band.band_id", "_band.band_hash")
 
     left = banded.alias("a")
     right = banded.alias("b")
@@ -131,8 +139,8 @@ def minhash_candidate_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.col("a._shingles").alias("_sh_a"),
-            F.col("b._shingles").alias("_sh_b"),
+            F.col("a._hashes").alias("_sh_a"),
+            F.col("b._hashes").alias("_sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -1,0 +1,51 @@
+"""Physical-plan assertions: the optimizations SCALE.md claims must be
+visible in the executed plan, not just intended."""
+
+from pyspark.sql import functions as F
+
+from rag_vertex_ai_vector_search_spark.operators import knn_search
+from rag_vertex_ai_vector_search_spark.sources import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_restrict_filter_pushed_to_scan(spark, sf_smoke):
+    """knn restrict predicates must reach the parquet scan as
+    PushedFilters (reference filters inside ANN traversal for the same
+    economics, setup_vector_search.py:45-62)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    out = knn_search(
+        emb, queries, k=3,
+        restrict=F.col("label").isin(1, 2) & (F.col("vec_id") >= 10),
+        method="fold",
+    )
+    plan = _plan(out)
+    assert "PushedFilters:" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("label" in l and "vec_id" in l for l in pushed), pushed
+
+
+def test_date_filter_pushed(spark, sf_smoke):
+    import __spark_entry__ as m
+
+    plan = _plan(m.q_pricing_summary(spark, sf_smoke))
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_dim_joins_broadcast(spark, sf_smoke):
+    import __spark_entry__ as m
+
+    plan = _plan(m.q_top_revenue_customers(spark, sf_smoke))
+    assert plan.count("BroadcastHashJoin") >= 3  # orders, customer, nation
+
+
+def test_topk_is_take_ordered(spark, sf_smoke):
+    import __spark_entry__ as m
+
+    plan = _plan(m.q_top_revenue_customers(spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan  # limit+orderBy, not full sort
