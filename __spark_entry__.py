@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 
 from rag_vertex_ai_vector_search_spark.sources import load_table
 from rag_vertex_ai_vector_search_spark.functions.text import (
-    TOKEN_PATTERN,
     alpha_ratio,
     doc_fingerprint,
     language_id,

@@ -15,7 +15,6 @@ ride Arrow buffers -- no base64, no row-at-a-time pickling.
 from __future__ import annotations
 
 import hashlib
-import struct
 from typing import Iterator
 
 import numpy as np

@@ -51,21 +51,33 @@ def build_ivf_index(
     n_clusters: int = 16,
     seed: int = 42,
     max_iter: int = 20,
+    max_train_rows: int = 200_000,
 ) -> IVFIndex:
     """KMeans-cluster the corpus into ``n_clusters`` leaves.
 
     Sizing rule at scale: n_clusters ~ n_rows / leaf_node_embedding_count
     (500 in the reference) and never below sqrt(n_rows); centroids stay
     driver-side (n_clusters x dim doubles -- tiny even at 1e5 clusters).
+
+    Training runs on a bounded SAMPLE (``max_train_rows``): k-means
+    centroid quality converges long before the full corpus is seen, so
+    at 100 TB the iterative phase touches ~1e5 rows while the single
+    assignment pass (transform) streams everything once.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feat = df.withColumn("_features", array_to_vector(F.col(vec_col)))
+    train = feat
+    n_rows = feat.count()
+    if n_rows > max_train_rows:
+        train = feat.sample(
+            fraction=min(1.0, max_train_rows / n_rows), seed=seed
+        )
     model = KMeans(
         k=n_clusters, seed=seed, maxIter=max_iter, featuresCol="_features",
         predictionCol="cluster_id",
-    ).fit(feat)
+    ).fit(train)
     assigned = model.transform(feat).drop("_features")
     centroids = np.asarray(model.clusterCenters(), dtype=np.float64)
     return IVFIndex(assigned=assigned, centroids=centroids, id_col=id_col, vec_col=vec_col)
