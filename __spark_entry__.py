@@ -337,6 +337,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(docs, max_hamming=3, chunks=4)
 
 
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup via shared winnowing fingerprints (catches
+    copied passages that set-level Jaccard misses). xxhash64-based ->
+    rows-only check; guarantee property is tests/test_properties.py."""
+    from rag_vertex_ai_vector_search_spark.operators.dedup import (
+        winnow_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_candidate_pairs(docs, min_shared=5)
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_cosine_pairs(emb, block_col="label", threshold=0.8)
@@ -953,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_winnow_containment": q_dedup_winnow,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "pricing_summary": q_pricing_summary,

@@ -139,6 +139,34 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def gram_hashes(col: Column | str, k: int = 5) -> Column:
+    """xxhash64 of every k-char gram of the normalized text (in order)."""
+    text = normalized_text(_c(col))
+    n_grams = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.xxhash64(F.substring(text, i, k)),
+    )
+
+
+def winnow_from_hashes(hashes: Column | str, w: int = 4) -> Column:
+    """Winnowing min-hash selection over a MATERIALIZED gram-hash column.
+
+    IMPORTANT: pass a real column (withColumn/select the gram_hashes()
+    result first). Inlining the gram-hash expression here makes Catalyst
+    re-evaluate the whole k-gram transform once PER WINDOW -- quadratic
+    per document (observed: a 3000-char doc never finishes).
+    """
+    h = _c(hashes)
+    n_windows = F.greatest(F.size(h) - F.lit(w - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(h, i, w)),
+        )
+    )
+
+
 def winnowing_fingerprints(col: Column | str, k: int = 5, w: int = 4) -> Column:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
     hash every k-gram (rolling window), then keep the minimum hash of
@@ -146,21 +174,12 @@ def winnowing_fingerprints(col: Column | str, k: int = 5, w: int = 4) -> Column:
     substring of length >= k + w - 1 yields a shared fingerprint.
 
     Entirely built-in expressions (substring/hash/slice/array_min) --
-    codegen'd, no Python. Returns the distinct fingerprint set.
+    codegen'd, no Python. NOTE: as a single inline expression this is
+    quadratic in document length (see winnow_from_hashes); fine for
+    short texts, but pipelines over real documents must materialize
+    gram_hashes() into a column first (winnow_candidate_pairs does).
     """
-    text = normalized_text(_c(col))
-    n_grams = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
-    gram_hashes = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.xxhash64(F.substring(text, i, k)),
-    )
-    n_windows = F.greatest(F.size(gram_hashes) - F.lit(w - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda i: F.array_min(F.slice(gram_hashes, i, w)),
-        )
-    )
+    return winnow_from_hashes(gram_hashes(_c(col), k), w)
 
 
 def char_ngrams(col: Column | str, n: int = 5) -> Column:

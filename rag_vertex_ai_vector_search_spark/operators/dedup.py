@@ -269,6 +269,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnow_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 20,
+) -> DataFrame:
+    """Containment-style near-dup pairs via shared winnowing fingerprints.
+
+    Winnowing guarantees any shared substring of length >= k+w-1 yields
+    a shared fingerprint, so this catches COPIED PASSAGES even when the
+    documents differ globally (where set-level Jaccard/MinHash scores
+    low). Pair generation = explode fingerprints + equi-join -- the same
+    scalable shape as MinHash banding.
+
+    ``max_df`` drops fingerprints occurring in more than that many
+    documents before the join ("stop-fingerprints") -- boilerplate
+    phrases shared by thousands of documents would otherwise make the
+    join quadratic in the hottest key. Identical to the df-cap every
+    production shingle pipeline applies; join cost is then bounded by
+    n_fingerprints x max_df^2.
+    """
+    from ..functions.text import gram_hashes, winnow_from_hashes
+
+    # Two-step select: gram hashes MUST be a materialized column before
+    # the window pass, else Catalyst inlines the transform once per
+    # window (quadratic per document -- hangs on 3000-char docs).
+    fp = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            gram_hashes(text_col, k=k).alias("_gh"),
+        )
+        .select("_id", F.explode(winnow_from_hashes("_gh", w=w)).alias("_fp"))
+    )
+    rare = fp.groupBy("_fp").agg(F.count(F.lit(1)).alias("_df")).filter(
+        F.col("_df") <= max_df
+    )
+    fp = fp.join(rare.select("_fp"), "_fp", "left_semi")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, on=[F.col("a._fp") == F.col("b._fp"),
+                      F.col("a._id") < F.col("b._id")])
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )
+
+
 def embedding_cosine_pairs_gemm(
     emb_df: DataFrame,
     id_col: str = "vec_id",
