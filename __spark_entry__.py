@@ -499,13 +499,18 @@ def q_top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast(DEC)
         * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
     )
+    # Pre-aggregate the fact table per order BEFORE joining dims: the
+    # per-customer count of distinct orders becomes a plain count(*)
+    # (one row per order), avoiding the expand/two-phase distinct over
+    # the full joined fact table. Values identical, plan much lighter.
+    per_order = li.groupBy("l_orderkey").agg(F.sum(revenue).alias("_rev"))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        per_order.join(F.broadcast(orders), per_order.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"),
-             F.countDistinct("o_orderkey").alias("n_orders"))
+        .agg(F.sum("_rev").cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(10)
     )
