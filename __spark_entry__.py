@@ -269,14 +269,54 @@ WHERE {_SQL_TOKENS} <= 80
 
 def q_ingest_datapoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5-O8: the full datapoint build including the embedding column
-    (setup_vector_search.py:43-77). The pseudo-embedding is a pandas
-    UDF, not SQL-expressible -> rows-only check; value correctness is
-    tests/test_ingest.py vs the numpy reference implementation."""
+    (setup_vector_search.py:43-77), projected to driver-hashable scalars.
+
+    The raw array/map columns are not canonicalizer-hashable, and the
+    embedding VALUES are not SQL-expressible (pandas UDF; checked vs the
+    numpy reference in tests/test_ingest.py). What IS oracle-checkable:
+    - ``dim`` = size(feature_vector): the embed UDF ran and produced a
+      64-float array on every accepted row (O5/O6 execute under the gate);
+    - ``norm_sq`` = round(sequential-fold sum of squares, 6): the output
+      is unit-normalized (== 1.0 exactly after rounding; float32 storage
+      error is ~1e-7, three orders below the rounding threshold);
+    - every restrict / numeric-restrict / crowding scalar (O7/O8).
+    """
     docs = load_table(spark, sf_dir, "documents")
     result = ingest_documents(
         docs, max_tokens=80, extra_restrict_cols=("lang",), crowding_col="source"
     )
-    return result.datapoints
+    dp = result.datapoints
+    vec = F.col("feature_vector").cast("array<double>")
+    return dp.select(
+        "data_point_id",
+        F.size("feature_vector").cast("long").alias("dim"),
+        F.round(
+            F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x), 6
+        ).alias("norm_sq"),
+        F.element_at(F.col("restricts")["file_type"], 1).alias("file_type"),
+        F.element_at(F.col("restricts")["content_type"], 1).alias("content_type"),
+        F.element_at(F.col("restricts")["lang"], 1).alias("lang"),
+        F.col("numeric_restricts")["embedding_dimension"].alias("embedding_dimension"),
+        F.col("numeric_restricts")["content_length"].alias("content_length"),
+        F.col("numeric_restricts")["token_count"].alias("token_count"),
+        "crowding_attribute",
+    )
+
+
+_SQL_INGEST_DATAPOINTS = f"""
+SELECT sha256(CAST(doc_id AS VARCHAR)) AS data_point_id,
+       CAST(64 AS BIGINT) AS dim,
+       CAST(1.0 AS DOUBLE) AS norm_sq,
+       'markdown' AS file_type,
+       'documentation' AS content_type,
+       lang,
+       CAST(64 AS BIGINT) AS embedding_dimension,
+       CAST(length(text) AS BIGINT) AS content_length,
+       CAST({_SQL_TOKENS} AS BIGINT) AS token_count,
+       source AS crowding_attribute
+FROM documents
+WHERE {_SQL_TOKENS} <= 80
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1002,7 +1042,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_hydrated": _SQL_KNN_HYDRATED,
         # knn_ivf_pruned: approximate + iterative -> rows-only check
         "ingest_metadata": _SQL_INGEST_METADATA,
-        # ingest_datapoints: embedding UDF -> rows-only check
+        "ingest_datapoints": _SQL_INGEST_DATAPOINTS,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
         # dedup_minhash_lsh / dedup_simhash: hash perms -> rows-only
