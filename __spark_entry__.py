@@ -215,6 +215,29 @@ def q_knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 under the bit-exact gate: IVF search with probe_percent=100
+    visits every cluster, so the result is provably identical to exact
+    kNN -- the same oracle as knn_topk checks the whole IVF machinery
+    (KMeans layout, centroid probe ranking, per-query cluster mask,
+    GEMM scoring, global window). The pruned variant (knn_ivf_pruned)
+    keeps the recall-vs-exact check in tests/test_ivf.py.
+
+    The GEMM float64 matmul is empirically bit-identical to the
+    sequential fold / DuckDB list_dot_product on this data (verified at
+    sf0.001 and sf0.01); if a BLAS change ever breaks that, pass
+    method="fold" here -- the fold scorer is bit-exact by construction.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = build_ivf_index(emb, n_clusters=16)
+    out = ivf_search(
+        index, _queries_from_embeddings(emb, 8), k=10, probe_percent=100.0
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "score"
+    )
+
+
 # --------------------------------------------------------------------------
 # Ingestion pipeline (SURVEY §2.1: O1-O8, O16)
 # --------------------------------------------------------------------------
@@ -228,6 +251,24 @@ def q_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(
         emb, _queries_from_embeddings(emb, 8), k=10, n_planes=16, bands=8
+    ).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "score"
+    )
+
+
+def q_knn_lsh_full_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH path under the bit-exact gate: with zero hyperplanes every
+    vector lands in the single band-0 bucket, so the candidate equi-join
+    covers all (query, vector) pairs and the result is provably the
+    exact top-k -- the knn_topk oracle checks the whole LSH pipeline
+    (band bucketing, explode, equi-join, dedup, fold scoring, window).
+    Recall of the real pruned config stays in
+    tests/test_restricts_lsh_winnow.py."""
+    from rag_vertex_ai_vector_search_spark.operators import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb, _queries_from_embeddings(emb, 8), k=10, n_planes=0, bands=1
     ).select(
         "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "score"
     )
@@ -1002,7 +1043,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_crowding": q_knn_crowding,
         "knn_hydrated": q_knn_hydrated,
         "knn_ivf_pruned": q_knn_ivf_pruned,
+        "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "knn_lsh_bucketed": q_knn_lsh_bucketed,
+        "knn_lsh_full_cover": q_knn_lsh_full_cover,
         "ingest_metadata": q_ingest_metadata,
         "ingest_datapoints": q_ingest_datapoints,
         "dedup_exact": q_dedup_exact,
@@ -1041,6 +1084,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_crowding": _SQL_KNN_CROWDING,
         "knn_hydrated": _SQL_KNN_HYDRATED,
         # knn_ivf_pruned: approximate + iterative -> rows-only check
+        "knn_ivf_full_probe": _SQL_KNN_TOPK,
+        "knn_lsh_full_cover": _SQL_KNN_TOPK,
         "ingest_metadata": _SQL_INGEST_METADATA,
         "ingest_datapoints": _SQL_INGEST_DATAPOINTS,
         "dedup_exact": _SQL_DEDUP_EXACT,
