@@ -1,5 +1,5 @@
-from .knn import knn_search, brute_force_topk
-from .ivf import IVFIndex, build_ivf_index, ivf_search
+from .knn import knn_search, knn_search_blocked, brute_force_topk, gemm_topk_cogroup
+from .ivf import IVFIndex, build_ivf_index, ivf_search, ivf_search_blocked
 from .upsert import merge_by_key, point_lookup, point_update
 from .dedup import (
     dedup_exact,
@@ -16,10 +16,13 @@ from .ann_lsh import lsh_topk
 
 __all__ = [
     "knn_search",
+    "knn_search_blocked",
+    "gemm_topk_cogroup",
     "brute_force_topk",
     "IVFIndex",
     "build_ivf_index",
     "ivf_search",
+    "ivf_search_blocked",
     "merge_by_key",
     "point_lookup",
     "point_update",

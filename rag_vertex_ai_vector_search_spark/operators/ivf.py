@@ -24,6 +24,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -83,6 +84,28 @@ def build_ivf_index(
     return IVFIndex(assigned=assigned, centroids=centroids, id_col=id_col, vec_col=vec_col)
 
 
+def _probe_assign_udf(centroids: np.ndarray, nprobe: int):
+    """pandas_udf: query vector -> array<int> of its ``nprobe`` nearest
+    centroids (euclidean, KMeans geometry; for unit-norm vectors the
+    dot-product ranking matches). The centroid matrix is tiny
+    (n_clusters x dim doubles) and ships in the UDF closure, so probe
+    assignment runs ON EXECUTORS -- the query set never touches the
+    driver for the fold / gemm_join paths."""
+    from pyspark.sql import types as T
+
+    def _assign(vecs: pd.Series) -> pd.Series:
+        qmat = np.asarray(list(vecs), dtype=np.float64)
+        d2 = (
+            (qmat ** 2).sum(axis=1, keepdims=True)
+            - 2.0 * qmat @ centroids.T
+            + (centroids ** 2).sum(axis=1)
+        )
+        probes = np.argsort(d2, axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in probes])
+
+    return F.pandas_udf(_assign, T.ArrayType(T.IntegerType()))
+
+
 def ivf_search(
     index: IVFIndex,
     queries_df: DataFrame,
@@ -99,63 +122,67 @@ def ivf_search(
 
     ``probe_percent`` defaults to the reference's
     leaf_nodes_to_search_percent=10 (common/config.py:38).
+
+    Probe assignment is a pandas UDF over the query DataFrame (the
+    centroid matrix is the only driver-side state). The one collect is
+    of DISTINCT PROBED CLUSTER IDS -- bounded by n_clusters ints, never
+    by query count or data size -- which feeds a static ``isin`` filter
+    so pruning on a saved ``partitionBy("cluster_id")`` layout is
+    partition pruning of BYTES. Methods: "gemm" (mapInPandas, query
+    matrix via SparkContext.broadcast), "gemm_join" (cogroup block
+    GEMM, no driver materialization of queries at all), "fold"
+    (declarative broadcast join + fold scoring, bit-exact vs DuckDB).
     """
+    from .knn import _ranked, gemm_topk_cogroup
+
     n_clusters = index.centroids.shape[0]
     if nprobe is None:
         nprobe = max(1, int(round(n_clusters * probe_percent / 100.0)))
 
-    rows = queries_df.select(query_id_col, query_vec_col).collect()
-    if not rows:
+    pruned_q = queries_df.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("_qvec"),
+    ).withColumn(
+        "_probe", _probe_assign_udf(index.centroids, nprobe)(F.col("_qvec"))
+    )
+
+    # Union of probed clusters: <= n_clusters ints regardless of scale.
+    all_probed = sorted(
+        r[0] for r in
+        pruned_q.select(F.explode("_probe").alias("c")).distinct().collect()
+    )
+    if not all_probed:
         return knn_search(
             index.assigned.limit(0), queries_df, k,
             id_col=index.id_col, vec_col=index.vec_col,
             query_id_col=query_id_col, query_vec_col=query_vec_col,
             method="fold", **knn_kwargs,
         )
-
-    spark = queries_df.sparkSession
-    qmat = np.asarray([r[1] for r in rows], dtype=np.float64)
-    # Nearest centroids by euclidean distance (KMeans geometry); for
-    # unit-norm vectors the dot-product ranking matches.
-    d2 = (
-        (qmat ** 2).sum(axis=1, keepdims=True)
-        - 2.0 * qmat @ index.centroids.T
-        + (index.centroids ** 2).sum(axis=1)
-    )
-    probe_lists = np.argsort(d2, axis=1)[:, :nprobe]
-
-    # Restrict the scan to the union of probed clusters -- partition
-    # pruning on the saved layout means pruned leaves are pruned BYTES.
-    all_probed = sorted({int(c) for lst in probe_lists for c in lst})
     candidates = index.assigned.filter(F.col("cluster_id").isin(all_probed))
 
     if method == "gemm":
         return _gemm_masked_topk(
-            candidates, rows, probe_lists, n_clusters, k,
+            candidates, pruned_q, n_clusters, k,
             id_col=index.id_col, vec_col=index.vec_col,
-            qid_type=queries_df.schema[query_id_col].dataType,
+        )
+
+    if method == "gemm_join":
+        scored = gemm_topk_cogroup(
+            candidates, pruned_q, k,
+            id_col=index.id_col, vec_col=index.vec_col,
+            query_id_col="query_id", query_vec_col="_qvec",
+            probe_col="_probe", cluster_col="cluster_id",
+            n_clusters=n_clusters,
+        )
+        return _ranked(scored, k, None, None).select(
+            "query_id", "rank", "neighbor_id", "score"
         )
 
     # Declarative fallback: per-pair probe filter + fold scoring.
-    probes = spark.createDataFrame(
-        [
-            (rows[i][0], [int(c) for c in probe_lists[i]])
-            for i in range(len(rows))
-        ],
-        f"{query_id_col} {queries_df.schema[query_id_col].dataType.simpleString()},"
-        " _probe array<int>",
-    )
-    pruned_queries = queries_df.join(probes, query_id_col)
-    q = pruned_queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("_qvec"),
-        F.col("_probe"),
-    )
-    from .knn import _ranked
     from ..functions.vector import dot_product
 
     scored = (
-        candidates.crossJoin(F.broadcast(q))
+        candidates.crossJoin(F.broadcast(pruned_q))
         .filter(F.array_contains(F.col("_probe"), F.col("cluster_id")))
         .select(
             "query_id",
@@ -168,68 +195,103 @@ def ivf_search(
     )
 
 
+def ivf_search_blocked(
+    index: IVFIndex,
+    queries_df: DataFrame,
+    k: int,
+    *,
+    query_id_col: str = "query_id",
+    max_queries_per_block: int = 4096,
+    **kwargs,
+) -> DataFrame:
+    """IVF search for query sets too large for one broadcast matrix.
+
+    Mirrors knn_search_blocked: hash queries into blocks of
+    ``max_queries_per_block``, run ivf_search per block, union the
+    plans -- peak per-task memory is bounded by one block's query
+    matrix. (For query sets that should never touch the driver at all,
+    call ivf_search(method="gemm_join") instead.)
+    """
+    import math
+
+    n_rows = queries_df.count()
+    n_blocks = max(1, math.ceil(n_rows / max_queries_per_block))
+    if n_blocks == 1:
+        return ivf_search(
+            index, queries_df, k, query_id_col=query_id_col, **kwargs
+        )
+    blocked = queries_df.withColumn(
+        "_qblock", F.pmod(F.hash(F.col(query_id_col)), F.lit(n_blocks))
+    )
+    parts = [
+        ivf_search(
+            index,
+            blocked.filter(F.col("_qblock") == b).drop("_qblock"),
+            k,
+            query_id_col=query_id_col,
+            **kwargs,
+        )
+        for b in range(n_blocks)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _gemm_masked_topk(
     candidates: DataFrame,
-    rows,
-    probe_lists: np.ndarray,
+    pruned_q: DataFrame,
     n_clusters: int,
     k: int,
     *,
     id_col: str,
     vec_col: str,
-    qid_type,
 ) -> DataFrame:
     """One BLAS GEMM per Arrow batch + per-query probe MASK, then exact
     local top-k; global window finishes. Each query only keeps scores
     from ITS probed clusters, so multi-query batches share the GEMM
-    without over-scanning."""
+    without over-scanning. Query matrix + mask ship via
+    SparkContext.broadcast (one fetch per executor, not per task)."""
     from pyspark.sql import types as T
 
-    qids = [r[0] for r in rows]
-    qmat = np.asarray([r[1] for r in rows], dtype=np.float64)
-    probe_mask = np.zeros((len(qids), n_clusters), dtype=bool)  # (nq, nc)
-    for i, lst in enumerate(probe_lists):
-        probe_mask[i, lst] = True
+    from .knn import _ranked, _score_block
 
     out_schema = T.StructType([
-        T.StructField("query_id", qid_type),
+        T.StructField("query_id", pruned_q.schema["query_id"].dataType),
         T.StructField("neighbor_id", candidates.schema[id_col].dataType),
         T.StructField("score", T.DoubleType()),
     ])
 
-    def score(batches):
-        import pandas as pd
+    rows = pruned_q.select("query_id", "_qvec", "_probe").collect()
+    if not rows:
+        return candidates.sparkSession.createDataFrame([], out_schema).select(
+            "query_id", F.lit(0).alias("rank"), "neighbor_id", "score"
+        ).limit(0)
+    qids = [r[0] for r in rows]
+    qmat = np.asarray([r[1] for r in rows], dtype=np.float64)
+    probe_mask = np.zeros((len(qids), n_clusters), dtype=bool)  # (nq, nc)
+    for i, r in enumerate(rows):
+        probe_mask[i, np.asarray(r[2], dtype=np.int64)] = True
+    bc = candidates.sparkSession.sparkContext.broadcast(
+        (qids, qmat, probe_mask)
+    )
 
+    def score(batches):
+        b_qids, b_qmat, b_mask = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
-            vmat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            clusters = pdf["cluster_id"].to_numpy()
-            ids = pdf[id_col].to_numpy()
-            scores = qmat @ vmat.T  # (nq, nv)
-            allowed = probe_mask[:, clusters]  # (nq, nv)
-            scores = np.where(allowed, scores, -np.inf)
-            frames = []
-            nv = scores.shape[1]
-            for qi in range(len(qids)):
-                s = scores[qi]
-                valid = s > -np.inf
-                if not valid.any():
-                    continue
-                top = min(k, int(valid.sum()))
-                threshold = np.partition(s, nv - top)[nv - top]
-                cand = np.nonzero(s >= threshold)[0]
-                order = np.lexsort((ids[cand], -s[cand]))[:top]
-                idx = cand[order]
-                frames.append(pd.DataFrame({
-                    "query_id": qids[qi],
-                    "neighbor_id": ids[idx],
-                    "score": s[idx],
-                }))
+            frames = _score_block(
+                b_qids, b_qmat,
+                pdf[id_col].to_numpy(),
+                np.asarray(list(pdf[vec_col]), dtype=np.float64),
+                k,
+                probe_mask=b_mask,
+                clusters=pdf["cluster_id"].to_numpy(),
+            )
             if frames:
                 yield pd.concat(frames, ignore_index=True)
-
-    from .knn import _ranked
 
     scored = candidates.select(id_col, vec_col, "cluster_id").mapInPandas(
         score, out_schema

@@ -21,7 +21,22 @@ Two physical strategies, same results:
   when crowding is on) before the global window. This is the
   100 TB path: the shuffle after local pruning carries at most
   ``n_queries * k`` rows per partition instead of the full cross
-  product, so per-query skew in the window stage is bounded.
+  product, so per-query skew in the window stage is bounded. The
+  query matrix ships via ``SparkContext.broadcast`` (driver
+  materialization + torrent broadcast -- the exact mechanism of
+  Spark's own BroadcastExchange), NOT via task closure, so executors
+  fetch it once instead of once per task and the task-serialization
+  ceiling disappears.
+
+- ``method="gemm_join"``: two-sided block-partitioned GEMM via
+  ``cogroup().applyInPandas`` -- NO driver collect anywhere. The
+  index hashes into ``n_index_blocks``, queries replicate across the
+  blocks (and optionally split into query blocks, replicating the
+  index instead), each cogroup runs one GEMM + exact local top-k.
+  Costs one shuffle of the index; use it when the query set is too
+  big to materialize on the driver at all, i.e. when BOTH sides are
+  data-scale. For request-scale query sets prefer "gemm", which
+  streams the index in place with no shuffle.
 
 Local crowding prune is exact for the two-window crowding semantics:
 any row in the global capped top-k is within the top
@@ -44,6 +59,84 @@ from pyspark.sql import functions as F
 from ..functions.vector import dot_product
 
 RESULT_COLUMNS = ("query_id", "rank", "neighbor_id", "score")
+
+
+def _score_block(
+    qids,
+    qmat: np.ndarray,
+    ids,
+    vmat: np.ndarray,
+    k: int,
+    *,
+    crowd=None,
+    per_crowding_k: int | None = None,
+    crowding_col: str | None = None,
+    probe_mask: np.ndarray | None = None,
+    clusters=None,
+) -> list[pd.DataFrame]:
+    """One float64 GEMM over (query set x vector block); emit only local
+    winners per query. Shared by every gemm strategy (mapInPandas,
+    cogroup, IVF-masked) so their scores are computed identically.
+
+    ``probe_mask`` (nq x n_clusters bool) + ``clusters`` (per-vector
+    cluster id) restrict each query to its probed clusters (IVF).
+    """
+    scores = qmat @ vmat.T  # (nq, nv)
+    if probe_mask is not None:
+        allowed = probe_mask[:, clusters]  # (nq, nv)
+        scores = np.where(allowed, scores, -np.inf)
+    nv = scores.shape[1]
+    has_crowd = per_crowding_k is not None and crowding_col is not None
+    frames: list[pd.DataFrame] = []
+    for qi in range(len(qids)):
+        s = scores[qi]
+        if probe_mask is not None:
+            valid = s > -np.inf
+            if not valid.any():
+                continue
+            n_valid = int(valid.sum())
+        else:
+            n_valid = nv
+        if has_crowd:
+            # Exact local prune: cap per crowd group, then top-k.
+            df_local = pd.DataFrame(
+                {"neighbor_id": ids, "score": s, "crowd": crowd}
+            )
+            if probe_mask is not None:
+                df_local = df_local[valid]
+            df_local = df_local.sort_values(
+                ["score", "neighbor_id"], ascending=[False, True]
+            )
+            df_local = df_local.groupby("crowd", sort=False).head(
+                per_crowding_k
+            ).head(k)
+            frames.append(pd.DataFrame({
+                "query_id": qids[qi],
+                "neighbor_id": df_local["neighbor_id"],
+                "score": df_local["score"],
+                crowding_col: df_local["crowd"],
+            }))
+        else:
+            top = min(k, n_valid)
+            if top < nv:
+                # Everything at-or-above the top-th score stays a
+                # candidate, so the (score desc, id asc) tie-break
+                # below matches the global window exactly.
+                threshold = np.partition(s, nv - top)[nv - top]
+                cand = np.nonzero(s >= threshold)[0]
+            else:
+                cand = np.arange(nv)
+            order = np.lexsort((ids[cand], -s[cand]))[:top]
+            idx = cand[order]
+            out = pd.DataFrame({
+                "query_id": qids[qi],
+                "neighbor_id": ids[idx],
+                "score": s[idx],
+            })
+            if crowding_col:
+                out[crowding_col] = crowd[idx]
+            frames.append(out)
+    return frames
 
 
 def _ranked(scored: DataFrame, k: int, per_crowding_k: int | None,
@@ -99,6 +192,13 @@ def knn_search(
             query_id_col=query_id_col, query_vec_col=query_vec_col,
             per_crowding_k=per_crowding_k, crowding_col=crowding_col,
         )
+    elif method == "gemm_join":
+        scored = gemm_topk_cogroup(
+            index_df, queries_df, k,
+            id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+            per_crowding_k=per_crowding_k, crowding_col=crowding_col,
+        )
     else:
         q = queries_df.select(
             F.col(query_id_col).alias("query_id"),
@@ -146,10 +246,12 @@ def _gemm_score_local_topk(
 ) -> DataFrame:
     """Score with one float64 GEMM per Arrow batch; emit only local winners.
 
-    The query set is collected to the driver (it is the small side by
-    contract -- the reference serves one query vector per request) and
-    shipped to tasks via closure; at ~100k queries x 768 dims that is
-    ~600 MB and should move to a broadcast-join strategy instead.
+    The query matrix is materialized on the driver and shipped with
+    ``SparkContext.broadcast`` -- the same mechanism (driver collect +
+    torrent broadcast, one copy per executor) Spark's BroadcastExchange
+    uses for the build side of a broadcast join. Query sets too large
+    to materialize on the driver at all should use ``gemm_topk_cogroup``
+    (no driver collect, costs an index shuffle) or knn_search_blocked.
     """
     from pyspark.sql import types as T
 
@@ -166,10 +268,11 @@ def _gemm_score_local_topk(
     rows = queries_df.select(query_id_col, query_vec_col).collect()
     if not rows:
         return index_df.sparkSession.createDataFrame([], out_schema)
-    qids = [r[0] for r in rows]
-    qmat = np.asarray([r[1] for r in rows], dtype=np.float64)  # (nq, dim)
+    bc = index_df.sparkSession.sparkContext.broadcast(
+        ([r[0] for r in rows],
+         np.asarray([r[1] for r in rows], dtype=np.float64))  # (nq, dim)
+    )
 
-    has_crowd = per_crowding_k is not None and crowding_col is not None
     cols = [id_col, vec_col] + ([crowding_col] if crowding_col else [])
 
     # Spread the GEMM across cores when the index arrived as few files.
@@ -178,57 +281,136 @@ def _gemm_score_local_topk(
         index_df = index_df.repartition(par)
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        nq = len(qids)
+        qids, qmat = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
-            vmat = np.asarray(list(pdf[vec_col]), dtype=np.float64)  # (nv, dim)
-            scores = qmat @ vmat.T  # (nq, nv)
-            nv = scores.shape[1]
-            ids = pdf[id_col].to_numpy()
-            crowd = pdf[crowding_col].to_numpy() if crowding_col else None
-            frames = []
-            for qi in range(nq):
-                s = scores[qi]
-                if has_crowd:
-                    # Exact local prune: cap per crowd group, then top-k.
-                    df_local = pd.DataFrame(
-                        {"neighbor_id": ids, "score": s, "crowd": crowd}
-                    ).sort_values(
-                        ["score", "neighbor_id"], ascending=[False, True]
-                    )
-                    df_local = df_local.groupby("crowd", sort=False).head(
-                        per_crowding_k
-                    ).head(k)
-                    frames.append(pd.DataFrame({
-                        "query_id": qids[qi],
-                        "neighbor_id": df_local["neighbor_id"],
-                        "score": df_local["score"],
-                        crowding_col: df_local["crowd"],
-                    }))
-                else:
-                    top = min(k, nv)
-                    if top < nv:
-                        # Everything at-or-above the top-th score stays a
-                        # candidate, so the (score desc, id asc) tie-break
-                        # below matches the global window exactly.
-                        threshold = np.partition(s, nv - top)[nv - top]
-                        cand = np.nonzero(s >= threshold)[0]
-                    else:
-                        cand = np.arange(nv)
-                    order = np.lexsort((ids[cand], -s[cand]))[:top]
-                    idx = cand[order]
-                    out = pd.DataFrame({
-                        "query_id": qids[qi],
-                        "neighbor_id": ids[idx],
-                        "score": s[idx],
-                    })
-                    if crowding_col:
-                        out[crowding_col] = crowd[idx]
-                    frames.append(out)
-            yield pd.concat(frames, ignore_index=True)
+            frames = _score_block(
+                qids, qmat,
+                pdf[id_col].to_numpy(),
+                np.asarray(list(pdf[vec_col]), dtype=np.float64),
+                k,
+                crowd=pdf[crowding_col].to_numpy() if crowding_col else None,
+                per_crowding_k=per_crowding_k, crowding_col=crowding_col,
+            )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     return index_df.select(*cols).mapInPandas(score_batches, out_schema)
+
+
+def gemm_topk_cogroup(
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+    per_crowding_k: int | None = None,
+    crowding_col: str | None = None,
+    n_index_blocks: int | None = None,
+    n_query_blocks: int = 1,
+    probe_col: str | None = None,
+    cluster_col: str | None = None,
+    n_clusters: int | None = None,
+) -> DataFrame:
+    """Fully-distributed block GEMM scoring: NO driver collect anywhere.
+
+    Both sides stay DataFrames end-to-end: the index hashes into
+    ``n_index_blocks``, each query row replicates across those blocks
+    (``explode`` through the shuffle -- queries are the small side, so
+    replicating them is the cheap direction), and every
+    ``cogroup().applyInPandas`` group runs one GEMM + exact local
+    top-k via ``_score_block``. ``n_query_blocks > 1`` additionally
+    splits queries (replicating the index per query block) to bound
+    per-task memory for data-scale query sets.
+
+    Each (query, vector) pair lands in exactly one cogroup, so the
+    union of local winners needs no dedup before the global window
+    (applied by the caller via ``_ranked``).
+
+    IVF masking: pass ``probe_col`` (array<int> probed clusters per
+    query), ``cluster_col`` and ``n_clusters`` -- the mask is rebuilt
+    per group from the probe column, still with no driver state.
+
+    Returns the scored-candidates DataFrame (query_id, neighbor_id,
+    score[, crowding_col]).
+    """
+    from pyspark.sql import types as T
+
+    spark = index_df.sparkSession
+    if n_index_blocks is None:
+        n_index_blocks = spark.sparkContext.defaultParallelism
+    if probe_col is not None and (cluster_col is None or n_clusters is None):
+        raise ValueError("probe_col requires cluster_col and n_clusters")
+
+    icols = [id_col, vec_col]
+    if crowding_col:
+        icols.append(crowding_col)
+    if cluster_col:
+        icols.append(cluster_col)
+    idx = index_df.select(*icols).withColumn(
+        "_ib", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_index_blocks))
+    )
+    if n_query_blocks > 1:
+        idx = idx.withColumn(
+            "_qb",
+            F.explode(F.array(*[F.lit(i) for i in range(n_query_blocks)])),
+        )
+        qb_expr = F.pmod(F.xxhash64(F.col(query_id_col)), F.lit(n_query_blocks))
+    else:
+        idx = idx.withColumn("_qb", F.lit(0))
+        qb_expr = F.lit(0).cast("bigint")
+
+    qcols = [query_id_col, query_vec_col]
+    if probe_col:
+        qcols.append(probe_col)
+    qry = queries_df.select(*qcols).withColumn("_qb", qb_expr).withColumn(
+        "_ib", F.explode(F.array(*[F.lit(i).cast("bigint")
+                                   for i in range(n_index_blocks)]))
+    )
+
+    out_schema = T.StructType([
+        T.StructField("query_id", queries_df.schema[query_id_col].dataType),
+        T.StructField("neighbor_id", index_df.schema[id_col].dataType),
+        T.StructField("score", T.DoubleType()),
+    ])
+    if crowding_col:
+        out_schema.add(crowding_col, index_df.schema[crowding_col].dataType)
+    empty = pd.DataFrame({f.name: pd.Series(dtype=object) for f in out_schema})
+
+    def score_group(ipdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if ipdf.empty or qpdf.empty:
+            return empty
+        qids = qpdf[query_id_col].to_numpy()
+        qmat = np.asarray(list(qpdf[query_vec_col]), dtype=np.float64)
+        probe_mask = None
+        clusters = None
+        if probe_col:
+            probe_mask = np.zeros((len(qids), n_clusters), dtype=bool)
+            for i, lst in enumerate(qpdf[probe_col]):
+                probe_mask[i, np.asarray(lst, dtype=np.int64)] = True
+            clusters = ipdf[cluster_col].to_numpy()
+        frames = _score_block(
+            qids, qmat,
+            ipdf[id_col].to_numpy(),
+            np.asarray(list(ipdf[vec_col]), dtype=np.float64),
+            k,
+            crowd=ipdf[crowding_col].to_numpy() if crowding_col else None,
+            per_crowding_k=per_crowding_k, crowding_col=crowding_col,
+            probe_mask=probe_mask, clusters=clusters,
+        )
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
+
+    return (
+        idx.groupby("_ib", "_qb")
+        .cogroup(qry.groupby("_ib", "_qb"))
+        .applyInPandas(score_group, out_schema)
+    )
 
 
 def brute_force_topk(

@@ -81,3 +81,57 @@ def test_ivf_partitioned_layout(spark, sf_smoke, tmp_path):
     # partition filter must appear as a partition-pruning predicate, not a data filter
     assert "cluster_id" in plan
     assert back.filter(F.col("cluster_id").isin(1, 2)).select("cluster_id").distinct().count() <= 2
+
+
+def _ranks(df):
+    return sorted(
+        (r[0], r[1], r[2])
+        for r in df.select("query_id", "rank", "neighbor_id").collect()
+    )
+
+
+def test_ivf_methods_agree(spark, sf_smoke):
+    """gemm / fold / gemm_join and the blocked wrapper produce identical
+    rankings at the same probe setting."""
+    from rag_vertex_ai_vector_search_spark.operators.ivf import ivf_search_blocked
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    index = build_ivf_index(emb, n_clusters=16)
+    kw = dict(k=7, probe_percent=25.0)
+    base = _ranks(ivf_search(index, queries, method="gemm", **kw))
+    assert _ranks(ivf_search(index, queries, method="fold", **kw)) == base
+    assert _ranks(ivf_search(index, queries, method="gemm_join", **kw)) == base
+    assert _ranks(
+        ivf_search_blocked(index, queries, max_queries_per_block=5, **kw)
+    ) == base
+
+
+def test_ivf_gemm_join_never_collects_queries(spark, sf_smoke, monkeypatch):
+    """ivf_search(method='gemm_join') may collect only the distinct
+    probed CLUSTER IDS (bounded by n_clusters), never query rows."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    index = build_ivf_index(emb, n_clusters=8)
+
+    real_collect = DataFrame.collect
+    seen = []
+
+    def guarded(self, *a, **kw):
+        rows = real_collect(self, *a, **kw)
+        seen.append((len(self.columns), len(rows)))
+        assert len(self.columns) == 1, "collected more than cluster ids"
+        assert len(rows) <= 8, "collected more rows than n_clusters"
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", guarded)
+    out = ivf_search(index, queries, k=5, probe_percent=50.0, method="gemm_join")
+    monkeypatch.setattr(DataFrame, "collect", real_collect)
+    assert seen, "probe-union collect expected"
+    assert len(out.collect()) > 0
