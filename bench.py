@@ -80,6 +80,16 @@ BENCH_QUERIES = [
             load_table(spark, sf, "embeddings"), block_col="label", threshold=0.8
         ),
     ),
+    # The 100 TB blocking: data-driven cluster_id blocks (reuses the
+    # ivf_build layout) instead of low-cardinality label blocks.
+    (
+        "dedup_cosine_ivf_blocked",
+        lambda spark, sf: embedding_cosine_pairs_gemm(
+            _IVF_CACHE["index"].assigned,
+            block_col="cluster_id",
+            threshold=0.8,
+        ),
+    ),
     ("text_quality", entrymod.q_text_quality),
     ("ingest_datapoints", entrymod.q_ingest_datapoints),
 ]

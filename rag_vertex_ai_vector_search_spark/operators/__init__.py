@@ -8,6 +8,7 @@ from .dedup import (
     simhash_near_dup_pairs,
     ngram_jaccard_pairs,
     embedding_cosine_pairs,
+    embedding_cosine_pairs_ivf,
 )
 from .ingest import ingest_documents, IngestResult, TokenLimitExceeded
 from .asof import asof_join
@@ -32,6 +33,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
     "embedding_cosine_pairs",
+    "embedding_cosine_pairs_ivf",
     "ingest_documents",
     "IngestResult",
     "TokenLimitExceeded",

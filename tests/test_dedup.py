@@ -128,3 +128,52 @@ def test_simhash_banding_is_lossless(planted):
         for r in simhash_near_dup_pairs(planted, max_hamming=3, chunks=4).collect()
     }
     assert banded == brute
+
+
+def test_cosine_ivf_blocking_recall_vs_exact(spark):
+    """The cluster_id-blocked cosine dedup (the 100 TB path) must find
+    >= 95% of the pairs the unblocked exact scan finds on clustered
+    data, with every reported pair a true pair (cosine verified inside
+    the block)."""
+    import numpy as np
+
+    from rag_vertex_ai_vector_search_spark.operators import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_ivf,
+    )
+
+    rng = np.random.RandomState(7)
+    n_centers, per_center, dim = 12, 20, 16
+    centers = rng.randn(n_centers, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for c in centers:
+        base = None
+        for j in range(per_center):
+            if j % 4 == 0 or base is None:
+                v = c + 0.2 * rng.randn(dim)       # fresh member
+            else:
+                v = base + 0.02 * rng.randn(dim)   # near-dup of it
+            v = v / np.linalg.norm(v)
+            if j % 4 == 0:
+                base = v
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(
+            emb, block_col=None, threshold=0.95
+        ).collect()
+    }
+    assert exact, "fixture planted no near-dup pairs"
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs_ivf(
+            emb, n_clusters=n_centers, threshold=0.95
+        ).collect()
+    }
+    assert blocked <= exact          # precision 1.0: no false pairs
+    recall = len(blocked & exact) / len(exact)
+    assert recall >= 0.95, f"recall = {recall:.3f} ({len(exact)} true pairs)"
