@@ -76,6 +76,7 @@ def minhash_candidate_pairs(
     bands: int = 16,
     jaccard_threshold: float = 0.5,
     verify: bool = True,
+    max_bucket_df: int | None = 64,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -83,6 +84,17 @@ def minhash_candidate_pairs(
     sits near ``jaccard_threshold``. Self-join is on (band_id, band_hash)
     -- an equi-join Catalyst executes as a shuffled hash join on the
     bucket key; the cross product never materializes.
+
+    ``max_bucket_df`` guards the hot-bucket blowup: a boilerplate phrase
+    shared by 100k documents puts them all in one (band_id, band_hash)
+    bucket, and the self-join inside it is quadratic. Buckets over the
+    cap are STAR-CAPPED instead of dropped: every member pairs only with
+    the bucket's min-id hub, so the clique's O(n^2) candidates become
+    O(n) while connectivity survives -- a downstream connected-components
+    "keep one per cluster" still sees the whole duplicate cluster through
+    the hub. (Dropping hot buckets, the winnowing-style df-cap, would
+    silently lose exactly the mega-clusters dedup exists to catch.)
+    ``None`` disables the cap.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
@@ -125,8 +137,41 @@ def minhash_candidate_pairs(
         ).alias("_band"),
     ).select("_id", "_hashes", "_band.band_id", "_band.band_hash")
 
-    left = banded.alias("a")
-    right = banded.alias("b")
+    if max_bucket_df is not None:
+        from pyspark.sql import Window
+
+        bucket_w = Window.partitionBy("band_id", "band_hash")
+        banded = banded.withColumn("_df", F.count(F.lit(1)).over(bucket_w))
+        small = banded.filter(F.col("_df") <= max_bucket_df)
+        hot = banded.filter(F.col("_df") > max_bucket_df)
+        # Hub = the bucket's min-id row (carries its shingle hashes for
+        # the verify stage); every other member pairs with the hub only.
+        hub_rn = F.row_number().over(bucket_w.orderBy("_id"))
+        hubs = (
+            hot.withColumn("_rn", hub_rn)
+            .filter(F.col("_rn") == 1)
+            .select(
+                "band_id", "band_hash",
+                F.col("_id").alias("_hub_id"),
+                F.col("_hashes").alias("_hub_hashes"),
+            )
+        )
+        star = (
+            hot.join(hubs, ["band_id", "band_hash"])
+            .filter(F.col("_id") > F.col("_hub_id"))
+            .select(
+                F.col("_hub_id").alias("id_a"),
+                F.col("_id").alias("id_b"),
+                F.col("_hub_hashes").alias("_sh_a"),
+                F.col("_hashes").alias("_sh_b"),
+            )
+        )
+    else:
+        small = banded
+        star = None
+
+    left = small.alias("a")
+    right = small.alias("b")
     pairs = (
         left.join(
             right,
@@ -142,8 +187,10 @@ def minhash_candidate_pairs(
             F.col("a._hashes").alias("_sh_a"),
             F.col("b._hashes").alias("_sh_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
 
     if not verify:
         return pairs.select("id_a", "id_b")

@@ -78,11 +78,16 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_smoke):
     }
     if not exact:
         pytest.skip("no high-jaccard pairs in fixture")
+    # max_bucket_df=None: unigram shingles are high-df, so nearly every
+    # band bucket exceeds a production cap and the star-cap would rewire
+    # non-hub pairs away -- recall is measured on the uncapped join (the
+    # cap is a deliberate recall/cost dial for hot buckets, tested
+    # separately in test_minhash_hot_bucket_star_cap).
     lsh = {
         (r.id_a, r.id_b)
         for r in minhash_candidate_pairs(
             docs, shingle_words=1, num_hashes=64, bands=16,
-            jaccard_threshold=0.5,
+            jaccard_threshold=0.5, max_bucket_df=None,
         ).collect()
     }
     recall = len(exact & lsh) / len(exact)
@@ -177,3 +182,43 @@ def test_cosine_ivf_blocking_recall_vs_exact(spark):
     assert blocked <= exact          # precision 1.0: no false pairs
     recall = len(blocked & exact) / len(exact)
     assert recall >= 0.95, f"recall = {recall:.3f} ({len(exact)} true pairs)"
+
+
+def test_minhash_hot_bucket_star_cap(spark):
+    """A 600-doc boilerplate cluster must NOT produce ~180k quadratic
+    candidates: over-cap band buckets are star-capped to the min-id hub,
+    so candidates stay O(n) and the whole cluster remains connected for
+    downstream component assembly."""
+    n_dups = 600
+    docs = [(i, "the same boilerplate legal disclaimer text repeated verbatim")
+            for i in range(n_dups)]
+    docs += [(1000 + i, f"unique document number {i} with its own words {i*7}")
+             for i in range(50)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    pairs = minhash_candidate_pairs(
+        df, shingle_words=3, num_hashes=64, bands=16,
+        jaccard_threshold=0.5, max_bucket_df=64,
+    ).collect()
+    dup_pairs = [(r.id_a, r.id_b) for r in pairs if r.id_a < n_dups]
+    # linear, not quadratic: the 600-clique collapses to a 599-edge star
+    assert len(dup_pairs) == n_dups - 1, len(dup_pairs)
+    assert all(a == 0 for a, _ in dup_pairs)  # hub = min id
+    assert {b for _, b in dup_pairs} == set(range(1, n_dups))
+    assert all(abs(r.jaccard - 1.0) < 1e-12 for r in pairs if r.id_a < n_dups)
+
+
+def test_minhash_star_cap_preserves_small_bucket_pairs(spark, sf_smoke):
+    """With the cap far above every fixture bucket size, results are
+    identical to the uncapped join (the cap only rewires hot buckets)."""
+    docs = load_table(spark, sf_smoke, "documents")
+    kw = dict(shingle_words=3, num_hashes=64, bands=16, jaccard_threshold=0.5)
+    capped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_candidate_pairs(docs, max_bucket_df=10_000, **kw).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_candidate_pairs(docs, max_bucket_df=None, **kw).collect()
+    }
+    assert capped == uncapped
