@@ -57,27 +57,70 @@ def hash_embedding_numpy(text: str, dim: int = DEFAULT_DIM) -> np.ndarray:
     return raw.astype(np.float32)
 
 
-def hash_embedding_udf(dim: int = DEFAULT_DIM, max_retries: int = 3):
-    """pandas_udf: text column -> array<float> pseudo-embedding.
+# Reference retry policy: 3 attempts, 1 s fixed delay between them
+# (common/config.py:60-61; per-call loop embeddings.py:100-118).
+RETRY_ATTEMPTS = 3
+RETRY_DELAY_S = 1.0
 
-    ``max_retries`` mirrors the reference's per-call retry
-    (embeddings.py:100-118, RETRY_ATTEMPTS=3) and applies uniformly to
-    the batch path (the reference forgot to, SURVEY.md §2.4).
+
+def make_embed_batch(
+    embed_fn,
+    max_retries: int = RETRY_ATTEMPTS,
+    retry_delay_s: float = RETRY_DELAY_S,
+    sleep=None,
+):
+    """Batch embed with uniform per-text retry + fixed delay.
+
+    The reference retries only its single-text path and retries with a
+    1 s sleep (embeddings.py:100-118); its batch path never retries
+    (SURVEY.md §2.4). Here BOTH paths go through this loop. ``sleep``
+    is injectable so tests run without wall-clock waits; no delay after
+    the final attempt (fail fast, like the reference's raise at
+    embeddings.py:115-118).
     """
+    import time as _time
 
-    def _embed_batch(texts: pd.Series) -> list:
+    do_sleep = _time.sleep if sleep is None else sleep
+
+    def _embed_batch(texts) -> list:
         out = []
         for t in texts:
             last_err = None
-            for _ in range(max_retries):
+            for attempt in range(max_retries):
                 try:
-                    out.append(hash_embedding_numpy("" if t is None else t, dim))
+                    out.append(embed_fn("" if t is None else t))
                     break
-                except Exception as e:  # pragma: no cover - hash never fails
+                except Exception as e:
                     last_err = e
+                    if attempt + 1 < max_retries:
+                        do_sleep(retry_delay_s)
             else:
-                raise RuntimeError("embedding failed after retries") from last_err
+                raise RuntimeError(
+                    f"embedding failed after {max_retries} attempts"
+                ) from last_err
         return out
+
+    return _embed_batch
+
+
+def hash_embedding_udf(
+    dim: int = DEFAULT_DIM,
+    max_retries: int = RETRY_ATTEMPTS,
+    retry_delay_s: float = RETRY_DELAY_S,
+    embed_fn=None,
+):
+    """pandas_udf: text column -> array<float> pseudo-embedding.
+
+    ``embed_fn`` (str -> vector) is the real-model seam: swap the hash
+    pseudo-embedder for a model client without touching batching, retry,
+    or alignment semantics. Retry follows the reference policy
+    (RETRY_ATTEMPTS=3 / 1 s delay, config.py:60-61) uniformly on the
+    batch path (the reference forgot to, SURVEY.md §2.4).
+    """
+    fn = embed_fn if embed_fn is not None else (
+        lambda t: hash_embedding_numpy(t, dim)
+    )
+    _embed_batch = make_embed_batch(fn, max_retries, retry_delay_s)
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def _udf(texts: pd.Series) -> pd.Series:

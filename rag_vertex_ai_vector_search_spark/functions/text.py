@@ -55,6 +55,53 @@ def token_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(_c(col), F.lit(TOKEN_PATTERN), 0))
 
 
+def exact_token_count_udf(
+    encoding_name: str = "cl100k_base", encoder_factory=None
+):
+    """EXACT tokenizer counts as a vectorized pandas UDF -- the
+    reference's tiktoken cl100k_base count (embeddings.py:62-68,
+    encodings enum :32-35), for users porting real corpora whose
+    MAX_TOKENS_PER_TEXT=2042 gate decisions (config.py:57) must match
+    the reference bit-for-bit.
+
+    Import-gated: tiktoken is a public package but not in this image, so
+    the import happens lazily on the executor and raises a clear error
+    if absent. ``encoder_factory`` injects any object with
+    ``.encode(str) -> list`` (how tests exercise the seam hermetically).
+
+    The ingest gate default stays on the SQL-expressible regex
+    ``token_count`` so the DuckDB oracle can mirror it; swap this UDF in
+    via ``ingest_documents(token_counter=...)`` when exactness beats
+    oracle-checkability.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def _make_encoder():
+        if encoder_factory is not None:
+            return encoder_factory()
+        try:
+            import tiktoken
+        except ImportError as e:  # pragma: no cover - tiktoken not in image
+            raise ImportError(
+                "exact token counting needs the public 'tiktoken' package "
+                "(pip install tiktoken); the regex token_count() is the "
+                "hermetic fallback"
+            ) from e
+        return tiktoken.get_encoding(encoding_name)
+
+    holder: list = []  # one encoder per python worker, built on first batch
+
+    def _count(texts):
+        if not holder:
+            holder.append(_make_encoder())
+        enc = holder[0]
+        return texts.fillna("").map(lambda t: len(enc.encode(t))).astype("int32")
+
+    return F.pandas_udf(_count, T.IntegerType())
+
+
 def alpha_ratio(col: Column | str) -> Column:
     """Fraction of characters that are ASCII letters."""
     c = _c(col)

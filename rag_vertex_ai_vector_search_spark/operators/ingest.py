@@ -59,6 +59,7 @@ def ingest_documents(
     content_type: str = "documentation",
     extra_restrict_cols: tuple[str, ...] = (),
     crowding_col: str | None = None,
+    token_counter=None,
 ) -> IngestResult:
     """Build the datapoints + metadata tables from a document table.
 
@@ -66,10 +67,17 @@ def ingest_documents(
     first over-limit text; the default routes rejects to a side output
     instead (the scale-sane choice -- one bad row must not kill a
     100 TB job).
+
+    ``token_counter`` (text column -> int Column) defaults to the
+    SQL-expressible regex count; pass
+    ``functions.text.exact_token_count_udf()`` for tiktoken-exact gate
+    decisions matching the reference (embeddings.py:62-68) when oracle
+    parity is not required.
     """
     embed = hash_embedding_udf(dim)
+    counter = token_counter if token_counter is not None else token_count
 
-    with_stats = docs.withColumn("token_count", token_count(text_col))
+    with_stats = docs.withColumn("token_count", counter(text_col))
 
     rejected = with_stats.filter(F.col("token_count") > max_tokens)
     if fail_fast and not rejected.isEmpty():

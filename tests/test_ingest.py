@@ -80,3 +80,108 @@ def test_dual_sink_roundtrip(spark, tmp_path):
     assert dp.count() == md.count() == 10
     joined = dp.join(md, "data_point_id")
     assert joined.count() == 10  # key join is total (Q7 contract)
+
+
+# The fake encoder must unpickle inside python workers, which cannot
+# import this test module -- build it purely from stdlib picklables:
+# a SimpleNamespace whose .encode is str.split (one token per word).
+import functools
+from types import SimpleNamespace
+
+_fake_encoder_factory = functools.partial(SimpleNamespace, encode=str.split)
+
+
+def test_exact_token_counter_seam(spark):
+    """The tiktoken seam: an injected encoder drives gate decisions end
+    to end through ingest_documents(token_counter=...), and decisions
+    match an independent python-side count. (With tiktoken installed the
+    same factory-less UDF gives reference-exact cl100k_base decisions --
+    covered by test_exact_token_counter_real_tiktoken when available.)"""
+    from rag_vertex_ai_vector_search_spark.functions.text import (
+        exact_token_count_udf,
+    )
+
+    texts = [
+        (1, "one two three"),
+        (2, "a b c d e f g h i j"),          # 10 words
+        (3, "short"),
+        (4, " ".join(f"w{i}" for i in range(25))),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    counter = exact_token_count_udf(encoder_factory=_fake_encoder_factory)
+    result = ingest_documents(docs, max_tokens=9, token_counter=counter)
+
+    accepted = {r.doc_id for r in result.metadata.select("doc_id").collect()}
+    rejected = {r.doc_id for r in result.rejected.select("doc_id").collect()}
+    expect_accept = {i for i, t in texts if len(t.split()) <= 9}
+    assert accepted == expect_accept
+    assert rejected == {i for i, _ in texts} - expect_accept
+
+    counts = {
+        r.doc_id: r.token_count
+        for r in result.metadata.select("doc_id", "token_count").collect()
+    }
+    assert counts == {i: len(t.split()) for i, t in texts if i in expect_accept}
+
+
+def test_exact_token_counter_real_tiktoken(spark):
+    """When the public tiktoken package is present, the exact counter's
+    cl100k_base numbers match a driver-side tiktoken count."""
+    import pytest
+
+    tiktoken = pytest.importorskip("tiktoken")
+    from rag_vertex_ai_vector_search_spark.functions.text import (
+        exact_token_count_udf,
+    )
+
+    enc = tiktoken.get_encoding("cl100k_base")
+    texts = [(1, "Hello, world!"), (2, "def f(x): return x*2"), (3, "")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", exact_token_count_udf()(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert got == {i: len(enc.encode(t)) for i, t in texts}
+
+
+def test_embed_retry_policy():
+    """Reference retry semantics (config.py:60-61): 3 attempts, fixed
+    delay between them, no delay after the final failure; success on a
+    later attempt returns the value."""
+    from rag_vertex_ai_vector_search_spark.functions.hashing import (
+        make_embed_batch,
+    )
+
+    calls = {"n": 0}
+    sleeps = []
+
+    def flaky(text):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise IOError("transient")
+        return [1.0, 2.0]
+
+    batch = make_embed_batch(flaky, max_retries=3, retry_delay_s=1.0,
+                             sleep=sleeps.append)
+    out = batch(["only text"])
+    assert out == [[1.0, 2.0]]
+    assert calls["n"] == 3
+    assert sleeps == [1.0, 1.0]  # delay between attempts, not after success
+
+    def always_fails(text):
+        sleeps2.append("call")
+        raise IOError("permanent")
+
+    sleeps2 = []
+    batch2 = make_embed_batch(always_fails, max_retries=3, retry_delay_s=1.0,
+                              sleep=lambda s: sleeps2.append(s))
+    try:
+        batch2(["doomed"])
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as e:
+        assert "3 attempts" in str(e)
+        assert isinstance(e.__cause__, IOError)
+    # 3 calls interleaved with exactly 2 delays: no sleep after the last
+    assert sleeps2 == ["call", 1.0, "call", 1.0, "call"]
