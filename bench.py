@@ -45,6 +45,22 @@ def _knn_gemm(spark, sf_dir):
     return knn_search(emb, queries, k=50, method="gemm")
 
 
+def _knn_gemm_768(spark, sf_dir):
+    """GEMM cost in the reference's regime: 768 dims (config.py:20,
+    README.md:67). The fixture's 64-dim vectors are tiled x12 JVM-side
+    (flatten/array_repeat -- no Python, no refit), so the measured cost
+    is exactly the 768-dim BLAS + Arrow transfer the production path
+    pays."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.flatten(F.array_repeat(F.col("embedding"), 12)).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    return knn_search(emb, queries, k=50, method="gemm")
+
+
 _IVF_CACHE: dict = {}
 
 
@@ -66,6 +82,7 @@ def _knn_ivf(spark, sf_dir):
 
 BENCH_QUERIES = [
     ("knn_topk_gemm", _knn_gemm),
+    ("knn_topk_gemm_768d", _knn_gemm_768),
     ("ivf_build", _ivf_build),
     ("knn_ivf_pruned", _knn_ivf),
     ("pricing_summary", entrymod.q_pricing_summary),

@@ -1,5 +1,6 @@
 from .binary_ops import (
     attach_media_metadata,
+    decode_image,
     decode_image_stub,
     extract_image_features,
     sample_video_frames,
@@ -7,6 +8,7 @@ from .binary_ops import (
 
 __all__ = [
     "attach_media_metadata",
+    "decode_image",
     "decode_image_stub",
     "extract_image_features",
     "sample_video_frames",

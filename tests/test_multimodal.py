@@ -47,3 +47,84 @@ def test_video_frame_sampling_fanout(media):
     assert len(frames) == 10
     assert sorted(r.frame_index for r in frames) == list(range(0, 100, 10))
     assert all(":" in r.frame_ref for r in frames)
+
+
+def _ppm_bytes(w, h):
+    """Deterministic P6 gradient image with a header comment."""
+    header = f"P6\n# test gradient\n{w} {h}\n255\n".encode()
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes([(x * 37) % 256, (y * 53) % 256, (x * y) % 256])
+    return header + bytes(px), [
+        [[(x * 37) % 256, (y * 53) % 256, (x * y) % 256] for x in range(w)]
+        for y in range(h)
+    ]
+
+
+def _bmp24_bytes(w, h):
+    """Deterministic bottom-up 24-bit BMP with row padding."""
+    import struct
+
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    px = bytearray()
+    rgb = [[[(x * 11) % 256, (y * 7) % 256, (x + y) % 256] for x in range(w)]
+           for y in range(h)]
+    for y in reversed(range(h)):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            r, g, b = rgb[y][x]
+            row += bytes([b, g, r])  # BGR on disk
+        row += b"\0" * (row_size - len(row))
+        px += row
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 0, 0, 0, 0)
+    return header + info + bytes(px), rgb
+
+
+def test_real_codec_ppm_and_bmp_roundtrip():
+    """decode_image is a REAL codec: parsed pixels must equal the pixels
+    the encoder wrote, for both netpbm P6 and 24-bit BMP."""
+    import numpy as np
+
+    from rag_vertex_ai_vector_search_spark.multimodal import decode_image
+
+    ppm, rgb = _ppm_bytes(5, 4)
+    assert np.array_equal(decode_image(ppm), np.asarray(rgb, dtype=np.uint8))
+
+    bmp, rgb2 = _bmp24_bytes(6, 3)
+    assert np.array_equal(decode_image(bmp), np.asarray(rgb2, dtype=np.uint8))
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n")  # honest gap: PNG needs PIL
+
+
+def test_image_features_on_real_decoded_image(spark):
+    """Feature extraction end to end through the REAL codec: Spark-side
+    features equal the numpy-side pooled computation on decoded pixels."""
+    import numpy as np
+
+    from rag_vertex_ai_vector_search_spark.multimodal import (
+        decode_image,
+        extract_image_features,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        _pooled_features,
+    )
+
+    ppm, _ = _ppm_bytes(8, 8)
+    bmp, _ = _bmp24_bytes(10, 6)
+    df = spark.createDataFrame(
+        [("img1", "image/ppm", bytearray(ppm)),
+         ("img2", "image/bmp", bytearray(bmp))],
+        "media_id string, media_type string, content binary",
+    )
+    out = extract_image_features(df, feature_dim=8, decoder=decode_image)
+    got = {r.media_id: np.asarray(r.features, dtype=np.float32)
+           for r in out.collect()}
+    for name, raw in (("img1", ppm), ("img2", bmp)):
+        expected = _pooled_features(decode_image(raw), 8)
+        assert np.array_equal(got[name], expected), name
