@@ -30,8 +30,10 @@ from pyspark.sql import types as T
 DEFAULT_DIM = 64
 
 # MinHash parameters: k independent permutations via (a*x + b) mod p.
-MINHASH_PRIME = (1 << 61) - 1  # Mersenne prime, standard choice
-MINHASH_MAX = np.uint64(1 << 62)
+# p = 2^61 - 1 (Mersenne) so modular products reduce with shifts:
+# 2^61 === 1 (mod p) lets a 91-bit intermediate fold into 64 bits.
+MINHASH_PRIME = (1 << 61) - 1
+_MINHASH_COEFF_BITS = 30  # a, b < 2^30 keeps every intermediate in uint64
 
 
 def _stable_hash64(s: str) -> int:
@@ -130,10 +132,39 @@ def hash_embedding_udf(
 
 
 def _minhash_coeffs(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    hi = 1 << _MINHASH_COEFF_BITS
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, MINHASH_PRIME, size=num_hashes, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, MINHASH_PRIME, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    a = rng.randint(1, hi, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, hi, size=num_hashes, dtype=np.int64).astype(np.uint64)
     return a, b
+
+
+def _affine_mod_mersenne(a: np.ndarray, b: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """EXACT (a*x + b) mod p over uint64, p = 2^61 - 1, a,b < 2^30.
+
+    Naive ``(a*x + b) % p`` in uint64 silently computes
+    ((a*x mod 2^64) + b) mod p -- a different (still deterministic, but
+    not affine) map. Exactness here comes from splitting x and using
+    2^61 === 1 (mod p):
+
+      x = x_hi*2^30 + x_lo           (x reduced mod p first, so < 2^61)
+      a*x = (a*x_hi)*2^30 + a*x_lo   (a*x_hi < 2^60, fits)
+      t*2^30 mod p = t_hi + t_lo*2^30 where t = t_hi*2^31 + t_lo
+                                     (because 2^31*2^30 = 2^61 === 1)
+
+    Every intermediate stays < 2^63, so uint64 arithmetic is exact and
+    the standard min-wise-independence-style guarantee of the affine
+    family over F_p actually holds.
+    """
+    p = np.uint64(MINHASH_PRIME)
+    x = x % p
+    x_hi = x >> np.uint64(30)                      # < 2^31
+    x_lo = x & np.uint64((1 << 30) - 1)            # < 2^30
+    t = (a[:, None] * x_hi[None, :]) % p           # a*x_hi < 2^61, exact
+    t_hi = t >> np.uint64(31)
+    t_lo = t & np.uint64((1 << 31) - 1)
+    shifted = (t_hi + (t_lo << np.uint64(30))) % p  # == t*2^30 mod p
+    return (shifted + a[:, None] * x_lo[None, :] + b[:, None]) % p
 
 
 def minhash_signature_udf(num_hashes: int = 64, seed: int = 42):
@@ -151,9 +182,8 @@ def minhash_signature_udf(num_hashes: int = 64, seed: int = 42):
         if hashes is None or len(hashes) == 0:
             return np.full(num_hashes, np.int64(np.iinfo(np.int64).max))
         x = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
-        # (a * x + b) mod p over k x n; mod by the Mersenne prime for the
-        # standard min-wise independence guarantee.
-        vals = (np.outer(a, x) + b[:, None]) % np.uint64(MINHASH_PRIME)
+        # exact (a * x + b) mod p over k x n (see _affine_mod_mersenne)
+        vals = _affine_mod_mersenne(a, b, x)
         return vals.min(axis=1).astype(np.int64)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))

@@ -48,11 +48,19 @@ def interval_join(
     on = [l_tagged["_bucket"] == r_tagged["_bucket"]]
     if extra_key is not None:
         on.append(l_tagged[extra_key] == r_tagged[extra_key])
+    # The exact range predicate is part of the JOIN CONDITION, not a
+    # post-join filter: for outer joins a post-filter would drop the
+    # null-extended unmatched rows (point >= NULL is never true),
+    # silently degrading every non-inner mode to inner.
+    on.append(l_tagged[left_point] >= r_tagged[right_start])
+    on.append(l_tagged[left_point] <= r_tagged[right_end])
 
-    joined = l_tagged.join(r_tagged, on, how).filter(
-        (F.col(left_point) >= F.col(right_start))
-        & (F.col(left_point) <= F.col(right_end))
-    )
+    # Outer modes are sound because each LEFT row has exactly ONE bucket
+    # (points bucketize to one value; only intervals explode), so a left
+    # row either matches via its single bucket or null-extends once --
+    # no per-bucket duplicate null rows, and a given (point, interval)
+    # pair can only meet in one bucket, so no duplicate matches either.
+    joined = l_tagged.join(r_tagged, on, how)
     drop_cols = [l_tagged["_bucket"], r_tagged["_bucket"]]
     out = joined.drop(*drop_cols)
     if extra_key is not None:

@@ -59,3 +59,47 @@ def test_cosine_gemm_matches_fold(spark, sf_smoke):
     }
     assert set(fold) == set(gemm)
     assert all(abs(fold[p] - gemm[p]) < 1e-9 for p in fold)
+
+
+def test_interval_join_left_outer_keeps_unmatched(spark):
+    """how='left' must surface unmatched points as null-extended rows
+    (the range predicate lives in the join condition, not a post-filter
+    that would drop every null-extended row)."""
+    from rag_vertex_ai_vector_search_spark.operators.range_join import (
+        interval_join,
+    )
+
+    points = spark.createDataFrame(
+        [(1, 5), (2, 15), (3, 99)], "pid long, point long"
+    )
+    intervals = spark.createDataFrame(
+        [(100, 0, 9), (200, 10, 19)], "iid long, istart long, iend long"
+    )
+    out = interval_join(
+        points, intervals, "point", "istart", "iend",
+        bucket_width=10, how="left",
+    ).select("pid", "point", "iid").collect()
+    got = {(r.pid, r.iid) for r in out}
+    assert got == {(1, 100), (2, 200), (3, None)}
+    assert len(out) == 3  # unmatched point exactly once, no bucket dupes
+
+
+def test_interval_join_inner_unchanged(spark):
+    from rag_vertex_ai_vector_search_spark.operators.range_join import (
+        interval_join,
+    )
+
+    points = spark.createDataFrame(
+        [(1, 5), (2, 15), (3, 99)], "pid long, point long"
+    )
+    intervals = spark.createDataFrame(
+        [(100, 0, 9), (200, 10, 19), (300, 4, 16)],
+        "iid long, istart long, iend long",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, intervals, "point", "istart", "iend", bucket_width=10
+        ).select("pid", "iid").collect()
+    }
+    assert got == {(1, 100), (1, 300), (2, 200), (2, 300)}
