@@ -52,3 +52,27 @@ def test_knn_gemm_matches_fold(spark, sf_smoke):
         "query_id", "rank", "neighbor_id"
     ).collect()
     assert sorted(map(tuple, fold)) == sorted(map(tuple, gemm))
+
+
+def test_run_log_sink(tmp_path):
+    """Reference setup_logging analog (setup_vector_search.py:218-232):
+    timestamped file under the log dir, reference record format."""
+    import logging
+    import os
+
+    from rag_vertex_ai_vector_search_spark.plans.run_log import setup_run_logging
+
+    log_dir = str(tmp_path / "log")
+    path = setup_run_logging(log_dir, prefix="t", stream=False)
+    try:
+        assert os.path.dirname(path) == log_dir
+        logging.getLogger("engine.test").info("index build started")
+        for h in logging.getLogger().handlers:
+            h.flush()
+        content = open(path).read()
+        assert "INFO - engine.test - index build started" in content
+    finally:
+        root = logging.getLogger()
+        for h in list(root.handlers):
+            root.removeHandler(h)
+            h.close()
