@@ -404,30 +404,181 @@ WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs; hash permutations are not SQL ->
-    rows-only check, recall vs exact Jaccard in tests/test_dedup.py."""
+    """MinHash+LSH near-dup pairs, FULLY oracle-checked: sha60 base hash
+    + exact affine family mod 2^61-1 + slice-valued band keys make every
+    stage (signatures, banding, star-cap, Jaccard verify) bit-exactly
+    reproducible in DuckDB SQL (_sql_minhash_lsh below). Recall vs exact
+    Jaccard is additionally property-tested in tests/test_dedup.py."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_candidate_pairs(
         docs, shingle_words=3, num_hashes=64, bands=16, jaccard_threshold=0.5
     )
 
 
+# DuckDB sha60: first 15 hex chars of sha256 as a 60-bit integer --
+# bit-identical to Spark conv(substring(sha2(s,256),1,15),16,10)::long
+# (functions/text.py::sha60_hash).
+def _sql_sha60(expr: str) -> str:
+    return f"('0x' || substr(sha256({expr}), 1, 15))::BIGINT"
+
+
+def _sql_minhash_lsh() -> str:
+    """DuckDB mirror of minhash_candidate_pairs(shingle_words=3,
+    num_hashes=64, bands=16, jaccard_threshold=0.5, max_bucket_df=64,
+    base_hash='sha60'). Coefficients embedded from the same seeded
+    family the Spark UDF uses; (a*h+b) mod p is computed in HUGEINT so
+    it is the same EXACT affine map as _affine_mod_mersenne."""
+    from rag_vertex_ai_vector_search_spark.functions.hashing import (
+        MINHASH_PRIME,
+        _minhash_coeffs,
+    )
+
+    a, b = _minhash_coeffs(64)
+    a_list = "[" + ",".join(str(int(v)) for v in a) + "]"
+    b_list = "[" + ",".join(str(int(v)) for v in b) + "]"
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+           END,
+           s -> {_sql_sha60('s')}
+         )) AS hashes
+  FROM (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS w FROM documents)
+),
+sig AS (
+  SELECT doc_id, hashes,
+         list_transform(range(0, 64),
+           j -> CAST(list_min(list_transform(hashes,
+                  h -> (({a_list})[j+1]::HUGEINT * h + ({b_list})[j+1])
+                       % {MINHASH_PRIME}))
+                AS BIGINT)) AS sig
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, t.range AS band_id,
+         array_to_string(sig[t.range*4 + 1 : t.range*4 + 4], ',') AS band_key
+  FROM sig, range(16) t
+),
+sized AS (
+  SELECT doc_id, band_id, band_key,
+         COUNT(*) OVER (PARTITION BY band_id, band_key) AS df,
+         MIN(doc_id) OVER (PARTITION BY band_id, band_key) AS hub
+  FROM banded
+),
+cand AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sized a JOIN sized b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id AND a.df <= 64
+    UNION ALL
+    SELECT hub AS id_a, doc_id AS id_b FROM sized
+    WHERE df > 64 AND doc_id > hub
+  )
+)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(x.hashes, y.hashes))) AS DOUBLE)
+         AS jaccard
+FROM cand c
+JOIN sh x ON x.doc_id = c.id_a
+JOIN sh y ON y.doc_id = c.id_b
+WHERE CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(x.hashes, y.hashes))) AS DOUBLE)
+      >= 0.5
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming <= 3); rows-only check."""
+    """SimHash near-dup pairs (Hamming <= 3), FULLY oracle-checked: the
+    sha60 token hash makes signature bit-votes, 16-bit chunk banding,
+    and bit_count(xor) Hamming verify bit-exact in DuckDB SQL."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs, max_hamming=3, chunks=4)
 
 
+# sha60 hashes are < 2^60, so signature bits 60-63 are always 0 (votes
+# are all -1): range(0,60) below is exactly the UDF's 64-bit loop.
+_SQL_DEDUP_SIMHASH = f"""
+WITH hs AS (
+  SELECT doc_id,
+         list_transform(string_split({_SQL_NORM}, ' '),
+           t -> {_sql_sha60('t')}) AS hashes
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 60),
+           j -> CASE WHEN list_sum(list_transform(hashes,
+                        h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END))
+                     > 0
+                     THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT)
+           AS sig
+  FROM hs
+),
+banded AS (
+  SELECT doc_id, sig, t.range AS chunk_id,
+         (sig >> (t.range * 16)::INT) & 65535 AS chunk_val
+  FROM sig, range(4) t
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a JOIN banded b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM pairs
+WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+
+
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dup via shared winnowing fingerprints (catches
-    copied passages that set-level Jaccard misses). xxhash64-based ->
-    rows-only check; guarantee property is tests/test_properties.py."""
+    copied passages that set-level Jaccard misses). FULLY oracle-checked
+    with the sha60 gram hash: gram hashing, window-min selection,
+    df-cap, and pair counting all mirror in DuckDB SQL."""
     from rag_vertex_ai_vector_search_spark.operators.dedup import (
         winnow_candidate_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     return winnow_candidate_pairs(docs, min_shared=5)
+
+
+# Mirror of winnow_candidate_pairs(k=8, w=4, min_shared=5, max_df=20):
+# sha60 over every 8-char gram, min of every 4-window of consecutive
+# gram hashes (clamped slices, like Spark's slice()), per-doc distinct,
+# df-cap at 20, pairs sharing >= 5 fingerprints.
+_SQL_DEDUP_WINNOW = f"""
+WITH gh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+           i -> {_sql_sha60('substr(t, i, 8)')}) AS gh
+  FROM (SELECT doc_id, {_SQL_NORM} AS t FROM documents)
+),
+fps AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(gh) - 3, 1) + 1),
+           i -> list_min(gh[i : i + 3])))) AS fp
+  FROM gh
+),
+rare AS (
+  SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM fps GROUP BY fp)
+  WHERE df <= 20
+),
+kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       COUNT(*) AS shared_fingerprints
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 5
+"""
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1090,7 +1241,9 @@ def oracle_sql() -> dict[str, str]:
         "ingest_datapoints": _SQL_INGEST_DATAPOINTS,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
-        # dedup_minhash_lsh / dedup_simhash: hash perms -> rows-only
+        "dedup_minhash_lsh": _sql_minhash_lsh(),
+        "dedup_simhash": _SQL_DEDUP_SIMHASH,
+        "dedup_winnow_containment": _SQL_DEDUP_WINNOW,
         "dedup_embedding_cosine": _SQL_DEDUP_COSINE,
         "text_stats": _SQL_TEXT_STATS,
         "text_quality": _SQL_TEXT_QUALITY,

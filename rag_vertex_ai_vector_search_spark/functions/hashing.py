@@ -217,6 +217,38 @@ def simhash_udf():
     return _udf
 
 
+def simhash_from_hashes_udf():
+    """pandas_udf: array<bigint> PRE-HASHED tokens -> bigint SimHash.
+
+    Like ``simhash_udf`` but the base token hash happens JVM-side (e.g.
+    ``sha60_hash`` inside a transform), so (a) Arrow ships compact int64
+    arrays instead of token strings and (b) with sha60 the whole
+    signature is mirrorable in DuckDB SQL for the driver's bit-exact
+    oracle. Tokens keep their multiplicity (duplicate tokens vote
+    twice). With a 60-bit base hash, bits 60-63 are always 0, so the
+    signature is a positive int64 -- no sign-extension cases anywhere
+    downstream (shifts, banding, XOR).
+    """
+
+    def _simhash(hashes) -> int:
+        if hashes is None or len(hashes) == 0:
+            return 0
+        x = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+        bits = (x[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        acc = np.where(bits.astype(bool), 1, -1).sum(axis=0)
+        out = np.uint64(0)
+        for i in range(64):
+            if acc[i] > 0:
+                out |= np.uint64(1) << np.uint64(i)
+        return int(out.astype(np.int64))
+
+    @F.pandas_udf(T.LongType())
+    def _udf(col: pd.Series) -> pd.Series:
+        return col.map(_simhash)
+
+    return _udf
+
+
 def hamming_distance64(a, b):
     """Column expr: Hamming distance between two 64-bit SimHash columns.
 

@@ -172,6 +172,33 @@ def doc_fingerprint(col: Column | str) -> Column:
     return F.sha2(normalized_text(_c(col)), 256)
 
 
+def sha60_hash(col: Column | str) -> Column:
+    """60-bit base hash computable bit-identically in Spark AND plain SQL
+    (DuckDB): the first 15 hex chars of sha256, parsed as an integer.
+
+    Spark:  conv(substring(sha2(s, 256), 1, 15), 16, 10)::long
+    DuckDB: ('0x' || substr(sha256(s), 1, 15))::BIGINT
+
+    Used as the base hash under MinHash / SimHash / winnowing so those
+    pipelines admit a bit-exact DuckDB oracle in the driver gate.
+    ``xxhash64`` stays available as the cheaper non-oracle option
+    (pass base_hash="xxhash64" to the dedup operators) -- same plan
+    shape, ~2-4x less per-row hash cost, no SQL mirror. Values are
+    < 2^60, so they are positive in int64 and already reduced modulo
+    the MinHash Mersenne prime 2^61 - 1.
+    """
+    return F.conv(F.substring(F.sha2(_c(col), 256), 1, 15), 16, 10).cast("long")
+
+
+def base_hash_fn(name: str):
+    """Resolve a base-hash name ('sha60' | 'xxhash64') to a Column fn."""
+    if name == "sha60":
+        return sha60_hash
+    if name == "xxhash64":
+        return F.xxhash64
+    raise ValueError(f"unknown base_hash {name!r} (want 'sha60'|'xxhash64')")
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct n-word shingles of the normalized text."""
     words = F.split(normalized_text(_c(col)), " ")
@@ -186,13 +213,18 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
-def gram_hashes(col: Column | str, k: int = 5) -> Column:
-    """xxhash64 of every k-char gram of the normalized text (in order)."""
+def gram_hashes(col: Column | str, k: int = 5, base_hash: str = "sha60") -> Column:
+    """Base hash of every k-char gram of the normalized text (in order).
+
+    Default base hash is sha60 (oracle-mirrorable, see ``sha60_hash``);
+    pass base_hash="xxhash64" for the cheaper non-oracle variant.
+    """
+    hash_fn = base_hash_fn(base_hash)
     text = normalized_text(_c(col))
     n_grams = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
     return F.transform(
         F.sequence(F.lit(1), n_grams),
-        lambda i: F.xxhash64(F.substring(text, i, k)),
+        lambda i: hash_fn(F.substring(text, i, k)),
     )
 
 

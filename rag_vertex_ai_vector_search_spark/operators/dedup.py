@@ -30,10 +30,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import doc_fingerprint, normalized_text, word_shingles
+from ..functions.text import (
+    base_hash_fn,
+    doc_fingerprint,
+    normalized_text,
+    word_shingles,
+)
 from ..functions.hashing import (
     hamming_distance64,
     minhash_signature_udf,
+    simhash_from_hashes_udf,
     simhash_udf,
 )
 from ..functions.vector import dot_product, l2_norm
@@ -77,6 +83,7 @@ def minhash_candidate_pairs(
     jaccard_threshold: float = 0.5,
     verify: bool = True,
     max_bucket_df: int | None = 64,
+    base_hash: str = "sha60",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -95,6 +102,14 @@ def minhash_candidate_pairs(
     the hub. (Dropping hot buckets, the winnowing-style df-cap, would
     silently lose exactly the mega-clusters dedup exists to catch.)
     ``None`` disables the cap.
+
+    ``base_hash="sha60"`` (default) makes the whole pipeline -- shingle
+    hash, exact affine permutations mod 2^61-1, band keys, star-cap,
+    Jaccard verify -- bit-exactly mirrorable in DuckDB SQL, which is how
+    the driver gate oracle-checks it. "xxhash64" is the cheaper
+    non-oracle option (same plan shape). The band key is the signature
+    slice itself rendered as a CSV string (not a hash of it), so band
+    collisions are EXACTLY slice equality in both engines.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
@@ -106,18 +121,30 @@ def minhash_candidate_pairs(
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
 
+    hash_fn = base_hash_fn(base_hash)
     with_sig = df.select(
         F.col(id_col).alias("_id"),
-        # base hash JVM-side (xxhash64): Arrow ships int64 arrays, not
-        # shingle strings; Jaccard over distinct hashes == Jaccard over
-        # shingles up to 64-bit collisions.
+        # base hash JVM-side: Arrow ships int64 arrays, not shingle
+        # strings; Jaccard over distinct hashes == Jaccard over
+        # shingles up to 60/64-bit collisions.
         F.array_distinct(
             F.transform(
                 word_shingles(text_col, shingle_words),
-                lambda s: F.xxhash64(s),
+                lambda s: hash_fn(s),
             )
         ).alias("_hashes"),
     ).withColumn("_sig", sig_udf("_hashes"))
+
+    def _band_key(b: int):
+        # The slice itself as a CSV string: exact (no hash collisions)
+        # and reproducible in any SQL engine (array_to_string).
+        return F.array_join(
+            F.transform(
+                F.slice("_sig", b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        )
 
     banded = with_sig.select(
         "_id",
@@ -127,9 +154,7 @@ def minhash_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.hash(
-                            F.slice("_sig", b * rows_per_band + 1, rows_per_band)
-                        ).alias("band_hash"),
+                        _band_key(b).alias("band_hash"),
                     )
                     for b in range(bands)
                 ]
@@ -211,25 +236,40 @@ def simhash_near_dup_pairs(
     *,
     max_hamming: int = 3,
     chunks: int = 4,
+    base_hash: str = "sha60",
 ) -> DataFrame:
     """SimHash near-dup pairs: Hamming(sig_a, sig_b) <= max_hamming.
 
     With ``chunks`` 16-bit bands over the 64-bit signature, any pair
     within Hamming <= chunks-1 must agree on at least one band
     (pigeonhole), so banding is lossless for max_hamming <= chunks-1.
+
+    ``base_hash="sha60"`` (default) hashes tokens JVM-side with the
+    SQL-mirrorable 60-bit sha256 prefix, making the signature, banding,
+    and Hamming verify bit-exactly reproducible in DuckDB (the driver
+    oracle). Bits 60-63 of the signature are then always 0 (still
+    lossless banding; the top chunk just has 12 informative bits).
+    "blake2b" keeps the legacy Python-side string hashing.
     """
     assert max_hamming <= chunks - 1, "banding would miss pairs"
     bits_per_chunk = 64 // chunks
-    sim = simhash_udf()
 
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
 
     words = F.split(normalized_text(text_col), " ")
-    with_sig = df.select(
-        F.col(id_col).alias("_id"), sim(words).alias("_sig")
-    )
+    if base_hash == "blake2b":
+        with_sig = df.select(
+            F.col(id_col).alias("_id"), simhash_udf()(words).alias("_sig")
+        )
+    else:
+        hash_fn = base_hash_fn(base_hash)
+        sim = simhash_from_hashes_udf()
+        with_sig = df.select(
+            F.col(id_col).alias("_id"),
+            sim(F.transform(words, lambda w: hash_fn(w))).alias("_sig"),
+        )
 
     mask = F.lit((1 << bits_per_chunk) - 1)
     banded = with_sig.select(
@@ -263,7 +303,9 @@ def simhash_near_dup_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            hamming_distance64(F.col("a._sig"), F.col("b._sig")).alias("hamming"),
+            hamming_distance64(F.col("a._sig"), F.col("b._sig"))
+            .cast("long")
+            .alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
@@ -325,6 +367,7 @@ def winnow_candidate_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_df: int = 20,
+    base_hash: str = "sha60",
 ) -> DataFrame:
     """Containment-style near-dup pairs via shared winnowing fingerprints.
 
@@ -349,7 +392,7 @@ def winnow_candidate_pairs(
     fp = (
         df.select(
             F.col(id_col).alias("_id"),
-            gram_hashes(text_col, k=k).alias("_gh"),
+            gram_hashes(text_col, k=k, base_hash=base_hash).alias("_gh"),
         )
         .select("_id", F.explode(winnow_from_hashes("_gh", w=w)).alias("_fp"))
     )

@@ -107,14 +107,18 @@ def test_simhash_banding_is_lossless(planted):
     banded join against the quadratic scan."""
     from rag_vertex_ai_vector_search_spark.functions.hashing import (
         hamming_distance64,
-        simhash_udf,
+        simhash_from_hashes_udf,
     )
-    from rag_vertex_ai_vector_search_spark.functions.text import normalized_text
+    from rag_vertex_ai_vector_search_spark.functions.text import (
+        normalized_text,
+        sha60_hash,
+    )
 
-    sim = simhash_udf()
+    sim = simhash_from_hashes_udf()
+    words = F.split(normalized_text("text"), " ")
     sigs = planted.select(
         F.col("doc_id").alias("_id"),
-        sim(F.split(normalized_text("text"), " ")).alias("_sig"),
+        sim(F.transform(words, lambda w: sha60_hash(w))).alias("_sig"),
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     brute = {
