@@ -244,8 +244,12 @@ def q_knn_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate ANN (training-free equi-join path,
-    operators/ann_lsh.py). Random hyperplanes -> rows-only check;
-    subset-of-exact-scores property is tests/test_restricts_lsh_winnow.py."""
+    operators/ann_lsh.py), FULLY oracle-checked: the hyperplanes are a
+    seeded Gaussian family, so the oracle embeds the exact same plane
+    vectors as double literals and reproduces sign-bit bucketing,
+    band-collision candidacy, and fold scoring bit-for-bit
+    (_sql_knn_lsh_bucketed below). Subset-of-exact-scores property stays
+    in tests/test_restricts_lsh_winnow.py."""
     from rag_vertex_ai_vector_search_spark.operators import lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -254,6 +258,62 @@ def q_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "score"
     )
+
+
+def _sql_knn_lsh_bucketed() -> str:
+    """DuckDB mirror of q_knn_lsh_bucketed (n_planes=16, bands=8, seed=42,
+    dim=64, k=10). Plane literals are repr()-round-tripped doubles, so
+    DuckDB parses the bit-identical float64; sign bits come from the
+    same list_dot_product == Spark sequential-fold identity the exact
+    kNN oracle relies on. A pair is a candidate iff SOME band bucket
+    matches -- list_filter over the 8 per-row buckets."""
+    import numpy as np
+
+    from rag_vertex_ai_vector_search_spark.operators.ann_lsh import _hyperplanes
+
+    planes = _hyperplanes(dim=64, n_planes=16, seed=42)
+
+    def plane_lit(p):
+        return "[" + ",".join(repr(float(x)) for x in p) + "]"
+
+    def bit(p):
+        return (
+            "(CASE WHEN list_dot_product(ve, "
+            + plane_lit(p)
+            + ") >= 0 THEN 1 ELSE 0 END)"
+        )
+
+    buckets = ",\n    ".join(
+        f"({bit(planes[2 * b])} * 2 + {bit(planes[2 * b + 1])})"
+        for b in range(8)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+),
+bk AS (
+  SELECT vec_id, ve,
+  [{buckets}] AS bks
+  FROM v
+),
+q AS (
+  SELECT vec_id AS query_id, ve AS qv, bks AS qbks FROM bk WHERE vec_id < 8
+),
+cand AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id, q.qv, b.ve
+  FROM q JOIN bk b
+    ON len(list_filter(range(1, 9), i -> q.qbks[i] = b.bks[i])) > 0
+),
+scored AS (
+  SELECT query_id, neighbor_id, list_dot_product(qv, ve) AS score FROM cand
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 10
+"""
 
 
 def q_knn_lsh_full_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1236,6 +1296,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_hydrated": _SQL_KNN_HYDRATED,
         # knn_ivf_pruned: approximate + iterative -> rows-only check
         "knn_ivf_full_probe": _SQL_KNN_TOPK,
+        "knn_lsh_bucketed": _sql_knn_lsh_bucketed(),
         "knn_lsh_full_cover": _SQL_KNN_TOPK,
         "ingest_metadata": _SQL_INGEST_METADATA,
         "ingest_datapoints": _SQL_INGEST_DATAPOINTS,
