@@ -641,6 +641,61 @@ HAVING COUNT(*) >= 5
 """
 
 
+def q_dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the (oracled) ngram-Jaccard pair edges:
+    the transitive "keep one per cluster" decision every pair generator
+    feeds (operators/cluster.py, iterative min-label propagation).
+    Oracle: DuckDB recursive CTE computing reachability closure + min
+    per node over the same edge set."""
+    from rag_vertex_ai_vector_search_spark.operators import (
+        dedup_keep_one,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, block_cols=("lang",), length_col="n_chars",
+        length_bucket=64, jaccard_threshold=0.5,
+    )
+    return dedup_keep_one(pairs).select(
+        F.col("node_id").alias("doc_id"),
+        F.col("component_id").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+_SQL_DEDUP_CLUSTERS_CC = f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, lang, CAST(floor(n_chars / 64) AS BIGINT) AS lb,
+         list_distinct(string_split({_SQL_NORM}, ' ')) AS words
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM w a JOIN w b
+    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE)
+        >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.id
+),
+comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+SELECT c.doc_id, c.cluster_id, s.cluster_size
+FROM comp c
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+      FROM comp GROUP BY cluster_id) s USING (cluster_id)
+"""
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_cosine_pairs(emb, block_col="label", threshold=0.8)
@@ -1265,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_winnow_containment": q_dedup_winnow,
+        "dedup_clusters_cc": q_dedup_clusters_cc,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "pricing_summary": q_pricing_summary,
@@ -1305,6 +1361,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _sql_minhash_lsh(),
         "dedup_simhash": _SQL_DEDUP_SIMHASH,
         "dedup_winnow_containment": _SQL_DEDUP_WINNOW,
+        "dedup_clusters_cc": _SQL_DEDUP_CLUSTERS_CC,
         "dedup_embedding_cosine": _SQL_DEDUP_COSINE,
         "text_stats": _SQL_TEXT_STATS,
         "text_quality": _SQL_TEXT_QUALITY,

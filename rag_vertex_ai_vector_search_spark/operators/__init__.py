@@ -14,6 +14,7 @@ from .ingest import ingest_documents, IngestResult, TokenLimitExceeded
 from .asof import asof_join
 from .restricts import restrict_predicate
 from .ann_lsh import lsh_topk
+from .cluster import connected_components, dedup_keep_one
 
 __all__ = [
     "knn_search",
@@ -40,4 +41,6 @@ __all__ = [
     "asof_join",
     "restrict_predicate",
     "lsh_topk",
+    "connected_components",
+    "dedup_keep_one",
 ]
