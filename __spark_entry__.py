@@ -696,6 +696,38 @@ JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/chunk.py) -- the
+    embed-ingest step for documents over the reference's 2042-token gate
+    (embeddings.py:70-90): 64-token windows, 16-token overlap, narrow
+    (shuffle-free) explode."""
+    from rag_vertex_ai_vector_search_spark.operators import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+# starts = 1, 49, 97, ... <= max(n_words-16, 1)  (step 48), mirroring
+# sequence(1, greatest(size(words)-16, 1), 48); chunk i slices 64 words.
+_SQL_CHUNK_DOCUMENTS = f"""
+WITH w AS (
+  SELECT doc_id, string_split({_SQL_NORM}, ' ') AS w,
+         (greatest(len(string_split({_SQL_NORM}, ' ')) - 16, 1) - 1) // 48 + 1
+           AS n_chunks
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, w, unnest(range(1, n_chunks + 1)) AS i FROM w
+)
+SELECT doc_id,
+       i - 1 AS chunk_index,
+       array_to_string(w[(1 + (i-1)*48) : (1 + (i-1)*48) + 63], ' ')
+         AS chunk_text,
+       len(w[(1 + (i-1)*48) : (1 + (i-1)*48) + 63]) AS n_tokens
+FROM ex
+"""
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_cosine_pairs(emb, block_col="label", threshold=0.8)
@@ -1321,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_winnow_containment": q_dedup_winnow,
         "dedup_clusters_cc": q_dedup_clusters_cc,
+        "chunk_documents": q_chunk_documents,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "pricing_summary": q_pricing_summary,
@@ -1362,6 +1395,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SQL_DEDUP_SIMHASH,
         "dedup_winnow_containment": _SQL_DEDUP_WINNOW,
         "dedup_clusters_cc": _SQL_DEDUP_CLUSTERS_CC,
+        "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "dedup_embedding_cosine": _SQL_DEDUP_COSINE,
         "text_stats": _SQL_TEXT_STATS,
         "text_quality": _SQL_TEXT_QUALITY,

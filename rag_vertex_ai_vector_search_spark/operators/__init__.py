@@ -15,6 +15,7 @@ from .asof import asof_join
 from .restricts import restrict_predicate
 from .ann_lsh import lsh_topk
 from .cluster import connected_components, dedup_keep_one
+from .chunk import chunk_documents
 
 __all__ = [
     "knn_search",
@@ -43,4 +44,5 @@ __all__ = [
     "lsh_topk",
     "connected_components",
     "dedup_keep_one",
+    "chunk_documents",
 ]
