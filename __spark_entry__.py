@@ -728,6 +728,74 @@ FROM ex
 """
 
 
+_BM25_TERMS = ("vector", "join", "spark", "slow")
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword ranking (operators/ranking.py): the lexical half of
+    hybrid retrieval next to knn_topk. No per-term shuffle -- narrow tf
+    map + one broadcast stats aggregate + TakeOrdered top-n. Oracle
+    reproduces scores bit-for-bit (ln() is bit-identical JVM/DuckDB)."""
+    from rag_vertex_ai_vector_search_spark.operators import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k1=1.2, b=0.75, top_n=20)
+
+
+def _sql_bm25_rank() -> str:
+    """DuckDB mirror of q_bm25_rank; float literals are repr()'d from
+    the same Python doubles the Spark expressions embed, and the term
+    sum is the same left fold."""
+    k1, b = 1.2, 0.75
+    terms = _BM25_TERMS
+    tf_defs = ",\n         ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_defs = ",\n         ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+
+    def weight(i: int) -> str:
+        return (
+            f"ln(((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE)) + 0.5)"
+            f" / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0)"
+            f" * ((CAST(tf{i} AS DOUBLE) * {k1 + 1.0!r})"
+            f" / (CAST(tf{i} AS DOUBLE) + {k1!r} * (({1.0 - b!r})"
+            f" + {b!r} * (CAST(dl AS DOUBLE)"
+            f" / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))"
+        )
+
+    score = weight(0)
+    for i in range(1, len(terms)):
+        score = f"({score} + {weight(i)})"
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split({_SQL_NORM}, ' ') AS w FROM documents
+),
+base AS (
+  SELECT doc_id, len(w) AS dl,
+         {tf_defs}
+  FROM w
+),
+stats AS (
+  SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+         {df_defs}
+  FROM base
+),
+scored AS (
+  SELECT doc_id, {score} AS score FROM base, stats
+),
+ranked AS (
+  SELECT doc_id, score, row_number() OVER (
+    ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, score, rank FROM ranked WHERE rank <= 20
+"""
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_cosine_pairs(emb, block_col="label", threshold=0.8)
@@ -1354,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow_containment": q_dedup_winnow,
         "dedup_clusters_cc": q_dedup_clusters_cc,
         "chunk_documents": q_chunk_documents,
+        "bm25_rank": q_bm25_rank,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "pricing_summary": q_pricing_summary,
@@ -1396,6 +1465,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_winnow_containment": _SQL_DEDUP_WINNOW,
         "dedup_clusters_cc": _SQL_DEDUP_CLUSTERS_CC,
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
+        "bm25_rank": _sql_bm25_rank(),
         "dedup_embedding_cosine": _SQL_DEDUP_COSINE,
         "text_stats": _SQL_TEXT_STATS,
         "text_quality": _SQL_TEXT_QUALITY,

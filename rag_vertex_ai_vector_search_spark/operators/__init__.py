@@ -16,6 +16,7 @@ from .restricts import restrict_predicate
 from .ann_lsh import lsh_topk
 from .cluster import connected_components, dedup_keep_one
 from .chunk import chunk_documents
+from .ranking import bm25_topk
 
 __all__ = [
     "knn_search",
@@ -45,4 +46,5 @@ __all__ = [
     "connected_components",
     "dedup_keep_one",
     "chunk_documents",
+    "bm25_topk",
 ]
