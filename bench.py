@@ -109,6 +109,9 @@ BENCH_QUERIES = [
     ),
     ("text_quality", entrymod.q_text_quality),
     ("ingest_datapoints", entrymod.q_ingest_datapoints),
+    ("bm25_rank", entrymod.q_bm25_rank),
+    ("chunk_documents", entrymod.q_chunk_documents),
+    ("dedup_clusters_cc", entrymod.q_dedup_clusters_cc),
 ]
 
 
