@@ -105,9 +105,14 @@ def bm25_topk(
         score = score + term_weight(i)
 
     ranked = base.select("doc_id", score.alias("score"))
+    # Distributed top-n FIRST (orderBy+limit compiles to
+    # TakeOrderedAndProject: per-partition partial top-n, tiny driver
+    # merge) -- a global row_number() window here would instead funnel
+    # every scored row through one partition. The rank window then runs
+    # over only top_n rows.
+    top = ranked.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(top_n)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (
-        ranked.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= top_n)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("doc_id", "score", "rank")
     )

@@ -49,3 +49,19 @@ def test_topk_is_take_ordered(spark, sf_smoke):
 
     plan = _plan(m.q_top_revenue_customers(spark, sf_smoke))
     assert "TakeOrderedAndProject" in plan  # limit+orderBy, not full sort
+
+
+def test_bm25_topn_is_take_ordered(spark, sf_smoke):
+    """The global top-n must be a distributed TakeOrderedAndProject,
+    never a single-partition row_number window over every scored row."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.q_bm25_rank(spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_chunking_is_narrow(spark, sf_smoke):
+    import __spark_entry__ as m
+
+    plan = _plan(m.q_chunk_documents(spark, sf_smoke))
+    assert "Exchange" not in plan
