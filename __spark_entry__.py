@@ -642,20 +642,17 @@ HAVING COUNT(*) >= 5
 
 
 def q_dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the (oracled) ngram-Jaccard pair edges:
-    the transitive "keep one per cluster" decision every pair generator
-    feeds (operators/cluster.py, iterative min-label propagation).
-    Oracle: DuckDB recursive CTE computing reachability closure + min
-    per node over the same edge set."""
-    from rag_vertex_ai_vector_search_spark.operators import (
-        dedup_keep_one,
-        ngram_jaccard_pairs,
-    )
+    """Connected components over the (oracled) MinHash-LSH pair edges --
+    the scale-path composition: banded candidate generation feeds the
+    transitive "keep one per cluster" decision (operators/cluster.py,
+    min-label propagation with pointer jumping). Oracle: DuckDB
+    recursive CTE computing the reachability closure + min per node
+    over the exact same (bit-oracled) edge set."""
+    from rag_vertex_ai_vector_search_spark.operators import dedup_keep_one
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        docs, block_cols=("lang",), length_col="n_chars",
-        length_bucket=64, jaccard_threshold=0.5,
+    pairs = minhash_candidate_pairs(
+        docs, shingle_words=3, num_hashes=64, bands=16, jaccard_threshold=0.5
     )
     return dedup_keep_one(pairs).select(
         F.col("node_id").alias("doc_id"),
@@ -664,24 +661,14 @@ def q_dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_DEDUP_CLUSTERS_CC = f"""
-WITH RECURSIVE w AS (
-  SELECT doc_id, lang, CAST(floor(n_chars / 64) AS BIGINT) AS lb,
-         list_distinct(string_split({_SQL_NORM}, ' ')) AS words
-  FROM documents
-),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM w a JOIN w b
-    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
-        / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE)
-        >= 0.5
-),
+def _sql_dedup_clusters_cc() -> str:
+    # the full minhash oracle (itself a WITH query) nests as a CTE body
+    return f"""
+WITH RECURSIVE mh AS ({_sql_minhash_lsh()}),
 edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
+  SELECT id_a AS src, id_b AS dst FROM mh
   UNION
-  SELECT id_b AS src, id_a AS dst FROM pairs
+  SELECT id_b AS src, id_a AS dst FROM mh
 ),
 reach(id, r) AS (
   SELECT src, src FROM edges
@@ -1463,7 +1450,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _sql_minhash_lsh(),
         "dedup_simhash": _SQL_DEDUP_SIMHASH,
         "dedup_winnow_containment": _SQL_DEDUP_WINNOW,
-        "dedup_clusters_cc": _SQL_DEDUP_CLUSTERS_CC,
+        "dedup_clusters_cc": _sql_dedup_clusters_cc(),
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "bm25_rank": _sql_bm25_rank(),
         "dedup_embedding_cosine": _SQL_DEDUP_COSINE,

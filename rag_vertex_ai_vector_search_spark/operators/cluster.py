@@ -7,21 +7,30 @@ cluster even though (A, C) was never emitted (star-capped hot buckets
 rely on this). This operator labels every node with the minimum id
 reachable from it.
 
-Algorithm: iterative min-label propagation (the simplest member of the
-Afrati/Sarma MapReduce connected-components family). Each round every
-node takes the min of its own label and its neighbors' labels -- one
-shuffle (edge join) + one aggregation per round; rounds needed = graph
-diameter. Near-dup graphs are short-diameter by construction (cliques
-from banding; stars from the hot-bucket cap), so this converges in a
-handful of rounds; `max_iter` bounds the worst case and the loop stops
-early on a converged round (checked with a cheap count action).
-`localCheckpoint` truncates the plan lineage each round so the job
-doesn't recompile an ever-growing DAG -- the standard iterative-
-algorithm pattern on Spark (same shape MLlib uses).
+Algorithm: min-label propagation with POINTER JUMPING. Each round every
+node takes the min of its own label and its neighbors' labels (one edge
+join + one min aggregation), then labels are contracted one hop --
+label(v) := label(label(v)) -- so the distance a minimum travels per
+round roughly doubles and convergence needs O(log diameter) rounds, not
+O(diameter) (the Shiloach-Vishkin contraction idea, same reason
+large-star/small-star converges logarithmically). Near-dup graphs are
+short-diameter anyway (cliques from banding; stars from the hot-bucket
+cap), so 2-4 rounds in practice.
 
-At 100 TB: each round shuffles |E| + |V| rows of two bigints -- no
-per-round growth, no driver-side state, skew bounded by the hottest
-node degree (already star-capped upstream).
+Convergence detection is JOIN-FREE: labels only ever decrease, so the
+sum of all labels is strictly monotone decreasing until the fixpoint;
+one tiny aggregate per round (summed in DECIMAL(38,0) -- at 1e10 nodes
+a bigint sum of ids would overflow) replaces an old-vs-new join. At the
+fixpoint every edge has equal labels on both ends and each component is
+labeled by its minimum node id.
+
+`localCheckpoint` truncates the plan lineage each round so round N's
+job doesn't replay rounds 1..N-1 -- the standard iterative-algorithm
+pattern on Spark (same shape MLlib uses).
+
+At 100 TB: each round shuffles |E| + 2|V| rows of two bigints -- no
+per-round growth, no driver-side graph state, skew bounded by the
+hottest node degree (already star-capped upstream).
 """
 
 from __future__ import annotations
@@ -61,31 +70,55 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    def _label_sum(lab: DataFrame):
+        return lab.agg(
+            F.sum(F.col("component_id").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
-        # neighbor labels: for edge (src, dst), dst hears src's label
-        msgs = (
+        # neighbor labels: for edge (src, dst), dst hears src's label;
+        # least(own, min over neighbors) via a left join (a union +
+        # groupBy would shuffle |V| extra rows and trips a Catalyst
+        # constraint-rewrite bug when unioning a plan with its own
+        # derivative)
+        nbr = (
             edges.join(labels, edges.src == labels.node_id)
-            .select(F.col("dst").alias("node_id"), F.col("component_id"))
+            .groupBy("dst")
+            .agg(F.min("component_id").alias("_nbr_min"))
         )
-        new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("node_id")
-            .agg(F.min("component_id").alias("component_id"))
+        # materialize before the self-join below: both sides read it (a
+        # lazy plan would execute the join+groupBy twice)
+        hop = (
+            labels.join(nbr, labels.node_id == nbr.dst, "left")
+            .select(
+                "node_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("_nbr_min"), F.col("component_id")),
+                ).alias("component_id"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
+        # pointer jump: component ids are themselves node ids, so
+        # contracting one hop (label of label) doubles propagation reach
+        new_labels = (
+            hop.alias("a")
             .join(
-                labels.alias("o"),
-                F.col("n.node_id") == F.col("o.node_id"),
+                hop.alias("b"),
+                F.col("a.component_id") == F.col("b.node_id"),
             )
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .limit(1)
-            .count()
+            .select(
+                F.col("a.node_id").alias("node_id"),
+                F.col("b.component_id").alias("component_id"),
+            )
+            .localCheckpoint(eager=True)
         )
         labels = new_labels
-        if changed == 0:
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:  # labels only decrease: equal sum == fixpoint
             return labels
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
