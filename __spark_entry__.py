@@ -16,7 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from rag_vertex_ai_vector_search_spark.sources import load_table
+from rag_vertex_ai_vector_search_spark.sources import fan_out, load_table
 from rag_vertex_ai_vector_search_spark.functions.text import (
     alpha_ratio,
     doc_fingerprint,
@@ -425,6 +425,8 @@ WHERE {_SQL_TOKENS} <= 80
 # --------------------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No fan_out: the map-side sha256+partial agg is cheap relative to
+    # the full-text shuffle a round-robin repartition would add.
     docs = load_table(spark, sf_dir, "documents")
     return dedup_exact(docs)
 
@@ -830,7 +832,9 @@ FROM documents GROUP BY lang, source
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # ~7 regex passes per document: fan the scan out so the codegen'd
+    # expressions use every core (no-op when the source is multi-split).
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.col("lang").alias("tagged_lang"),

@@ -43,6 +43,7 @@ from ..functions.hashing import (
     simhash_udf,
 )
 from ..functions.vector import dot_product, l2_norm
+from ..sources.tables import fan_out
 
 
 def dedup_exact(
@@ -117,9 +118,7 @@ def minhash_candidate_pairs(
 
     # A single parquet file arrives as one input partition; fan the
     # CPU-heavy signature UDF out to all cores before computing it.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    df = fan_out(df)
 
     hash_fn = base_hash_fn(base_hash)
     with_sig = df.select(
@@ -254,9 +253,7 @@ def simhash_near_dup_pairs(
     assert max_hamming <= chunks - 1, "banding would miss pairs"
     bits_per_chunk = 64 // chunks
 
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    df = fan_out(df)
 
     words = F.split(normalized_text(text_col), " ")
     if base_hash == "blake2b":

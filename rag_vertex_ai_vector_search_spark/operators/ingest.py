@@ -89,9 +89,9 @@ def ingest_documents(
 
     # One input file = one partition; spread the embedding UDF (the
     # expensive stage -- a model call in production) across all cores.
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if accepted.rdd.getNumPartitions() < par:
-        accepted = accepted.repartition(par)
+    from ..sources.tables import fan_out
+
+    accepted = fan_out(accepted)
 
     base = accepted.select(
         F.sha2(F.concat_ws("||", F.col(id_source_col).cast("string")), 256)

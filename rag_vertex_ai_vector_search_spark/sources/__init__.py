@@ -1,5 +1,6 @@
 from .tables import (
     TABLE_NAMES,
+    fan_out,
     load_table,
     load_tables,
     register_views,
@@ -9,6 +10,7 @@ from .documents import scan_document_dir
 
 __all__ = [
     "TABLE_NAMES",
+    "fan_out",
     "load_table",
     "load_tables",
     "register_views",

@@ -45,6 +45,21 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition when the source delivered fewer partitions than cores.
+
+    A single local parquet file arrives as ONE input split, which
+    serializes every downstream CPU-heavy expression (regex passes,
+    sha256, pandas UDFs) onto one core. At warehouse scale the input is
+    hundreds of splits and this is a no-op -- the guard keeps the extra
+    round-robin shuffle out of plans that don't need it, so the helper
+    is safe to put on any compute-bound scan."""
+    par = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for the SQL API."""
     for name in TABLE_NAMES:
