@@ -879,6 +879,181 @@ FROM t
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (functions/text.py): the cheap
+    within-document statistics that flag boilerplate / spam / generation
+    loops before any model-based scoring. All codegen'd array
+    expressions; fan_out parallelizes the single-split fixture scan."""
+    from rag_vertex_ai_vector_search_spark.functions import (
+        dup_bigram_fraction,
+        dup_word_fraction,
+        mean_word_length,
+        top_word_fraction,
+    )
+    from rag_vertex_ai_vector_search_spark.functions.text import normalized_text
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    words = F.split(normalized_text("text"), " ")
+    empty = F.length(normalized_text("text")) == 0
+    return docs.select(
+        "doc_id",
+        F.when(empty, F.lit(0)).otherwise(F.size(words)).cast("long").alias("n_words"),
+        F.when(empty, F.lit(0))
+        .otherwise(F.size(F.array_distinct(words)))
+        .cast("long")
+        .alias("n_distinct_words"),
+        dup_word_fraction("text").alias("dup_word_frac"),
+        dup_bigram_fraction("text").alias("dup_bigram_frac"),
+        top_word_fraction("text").alias("top_word_frac"),
+        mean_word_length("text").alias("mean_word_len"),
+    )
+
+
+_SQL_TEXT_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_NORM} AS norm,
+         string_split({_SQL_NORM}, ' ') AS words
+  FROM documents
+), s AS (
+  SELECT doc_id, norm, words,
+         CASE WHEN length(norm) = 0 THEN 0 ELSE len(words) END AS nw,
+         CASE WHEN length(norm) = 0 THEN 0 ELSE len(list_distinct(words)) END AS ndw,
+         CASE WHEN len(words) < 2 THEN NULL
+              ELSE list_transform(range(1, len(words)),
+                                  i -> words[i] || ' ' || words[i + 1]) END AS bigrams
+  FROM t
+)
+SELECT doc_id,
+       CAST(nw AS BIGINT) AS n_words,
+       CAST(ndw AS BIGINT) AS n_distinct_words,
+       CASE WHEN nw = 0 THEN 0.0
+            ELSE (CAST(nw AS DOUBLE) - CAST(ndw AS DOUBLE)) / CAST(nw AS DOUBLE)
+       END AS dup_word_frac,
+       CASE WHEN bigrams IS NULL THEN 0.0
+            ELSE (CAST(len(bigrams) AS DOUBLE)
+                  - CAST(len(list_distinct(bigrams)) AS DOUBLE))
+                 / CAST(len(bigrams) AS DOUBLE)
+       END AS dup_bigram_frac,
+       CASE WHEN nw = 0 THEN 0.0
+            ELSE CAST(list_max(list_transform(list_distinct(words),
+                      w -> len(list_filter(words, x -> x = w)))) AS DOUBLE)
+                 / CAST(nw AS DOUBLE)
+       END AS top_word_frac,
+       CASE WHEN length(norm) = 0 THEN 0.0
+            ELSE CAST(length(norm) - (len(words) - 1) AS DOUBLE)
+                 / CAST(len(words) AS DOUBLE)
+       END AS mean_word_len
+FROM s
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (functions/text.py::redact_pii). The fixture
+    corpus carries no PII, so the query plants deterministic synthetic
+    PII derived from doc_id (an email, an IPv4, an SSN) and then scrubs
+    it -- the detector/redactor machinery runs with nonzero counts and
+    the oracle reproduces the redacted output byte-for-byte. Patterns
+    are RE2-safe so the same strings run on the JVM and in DuckDB."""
+    from rag_vertex_ai_vector_search_spark.functions import pii_count, redact_pii
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    d = F.col("doc_id")
+    ip = F.concat_ws(
+        ".",
+        (F.pmod(d, F.lit(223)) + 1).cast("string"),
+        F.pmod(d * 7, F.lit(256)).cast("string"),
+        F.pmod(d * 13, F.lit(256)).cast("string"),
+        (F.pmod(d * 29, F.lit(254)) + 1).cast("string"),
+    )
+    ssn = F.concat_ws(
+        "-",
+        F.lpad(F.pmod(d, F.lit(1000)).cast("string"), 3, "0"),
+        F.lpad(F.pmod(d, F.lit(100)).cast("string"), 2, "0"),
+        F.lpad(F.pmod(d, F.lit(10000)).cast("string"), 4, "0"),
+    )
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@example.com from "),
+        ip,
+        F.lit(" ssn "),
+        ssn,
+    )
+    tagged = docs.select("doc_id", synth.alias("contact_text"))
+    return tagged.select(
+        "doc_id",
+        pii_count("contact_text", "email").cast("long").alias("n_email"),
+        pii_count("contact_text", "ipv4").cast("long").alias("n_ipv4"),
+        pii_count("contact_text", "ssn").cast("long").alias("n_ssn"),
+        F.length(redact_pii("contact_text")).cast("long").alias("n_redacted_chars"),
+        F.sha2(redact_pii("contact_text"), 256).alias("redacted_fingerprint"),
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+_SQL_PII_SCRUB = f"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from '
+              || CAST(doc_id % 223 + 1 AS VARCHAR) || '.'
+              || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+              || CAST((doc_id * 13) % 256 AS VARCHAR) || '.'
+              || CAST((doc_id * 29) % 254 + 1 AS VARCHAR)
+              || ' ssn '
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS contact_text
+  FROM documents
+), r AS (
+  SELECT doc_id, contact_text,
+         regexp_replace(regexp_replace(regexp_replace(contact_text,
+             '{_PII_EMAIL}', '[PII]', 'g'),
+             '{_PII_IPV4}', '[PII]', 'g'),
+             '{_PII_SSN}', '[PII]', 'g') AS redacted
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(contact_text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(contact_text, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(contact_text, '{_PII_SSN}')) AS BIGINT) AS n_ssn,
+       CAST(length(redacted) AS BIGINT) AS n_redacted_chars,
+       sha256(redacted) AS redacted_fingerprint
+FROM r
+"""
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/splits.py):
+    bucket = sha60('v1|' || doc_id) mod 10000, carved 90/5/5. Pure
+    narrow projection -- the same document lands in the same split on
+    any cluster size, any partitioning, any re-run."""
+    from rag_vertex_ai_vector_search_spark.operators import assign_splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    return assign_splits(docs, "doc_id", salt="v1").select(
+        "doc_id", "lang", "split_bucket", "split"
+    )
+
+
+_SQL_DATASET_SPLIT = """
+WITH t AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(sha256('v1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 10000 AS split_bucket
+  FROM documents
+)
+SELECT doc_id, lang, split_bucket,
+       CASE WHEN split_bucket < 9000 THEN 'train'
+            WHEN split_bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM t
+"""
+
+
 # --------------------------------------------------------------------------
 # Relational surface (filters, joins, aggregates, windows, top-k, set ops)
 # --------------------------------------------------------------------------
@@ -1416,6 +1591,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": q_bm25_rank,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
+        "text_repetition": q_text_repetition,
+        "pii_scrub": q_pii_scrub,
+        "dataset_split": q_dataset_split,
         "pricing_summary": q_pricing_summary,
         "top_revenue_customers": q_top_revenue_customers,
         "supplier_running_window": q_supplier_running_window,
@@ -1460,6 +1638,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _SQL_DEDUP_COSINE,
         "text_stats": _SQL_TEXT_STATS,
         "text_quality": _SQL_TEXT_QUALITY,
+        "text_repetition": _SQL_TEXT_REPETITION,
+        "pii_scrub": _SQL_PII_SCRUB,
+        "dataset_split": _SQL_DATASET_SPLIT,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "top_revenue_customers": _SQL_TOP_REVENUE,
         "supplier_running_window": _SQL_SUPPLIER_WINDOW,

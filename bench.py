@@ -108,6 +108,8 @@ BENCH_QUERIES = [
         ),
     ),
     ("text_quality", entrymod.q_text_quality),
+    ("text_repetition", entrymod.q_text_repetition),
+    ("pii_scrub", entrymod.q_pii_scrub),
     ("ingest_datapoints", entrymod.q_ingest_datapoints),
     ("bm25_rank", entrymod.q_bm25_rank),
     ("chunk_documents", entrymod.q_chunk_documents),

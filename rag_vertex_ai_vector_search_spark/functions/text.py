@@ -273,3 +273,104 @@ def char_ngrams(col: Column | str, n: int = 5) -> Column:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality heuristics, Rae et al. 2021
+# §A1.1): excessive within-document repetition is the strongest cheap
+# predictor of boilerplate / spam / generation loops in web corpora.
+# All pure Column expressions over the normalized word array -- linear
+# per document except top_word_fraction (distinct x words per doc, see
+# its docstring) -- with exact DuckDB list-function mirrors.
+# ---------------------------------------------------------------------------
+
+
+def _words(col: Column | str) -> Column:
+    """Word array of the normalized text (no empties by construction)."""
+    return F.split(normalized_text(_c(col)), " ")
+
+
+def dup_word_fraction(col: Column | str) -> Column:
+    """Fraction of word occurrences that repeat an earlier word:
+    1 - distinct/total. 0.0 for empty text."""
+    words = _words(col)
+    n = F.size(words).cast("double")
+    d = F.size(F.array_distinct(words)).cast("double")
+    return F.when(F.length(F.trim(_c(col))) == 0, F.lit(0.0)).otherwise(
+        (n - d) / n
+    )
+
+
+def dup_bigram_fraction(col: Column | str) -> Column:
+    """Fraction of word-bigram occurrences that are repeats. Catches the
+    'looping n-gram' failure mode single-word stats miss. 0.0 when the
+    text has fewer than two words."""
+    words = _words(col)
+    n = F.size(words)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+    )
+    nb = F.size(bigrams).cast("double")
+    db = F.size(F.array_distinct(bigrams)).cast("double")
+    return F.when(n < 2, F.lit(0.0)).otherwise((nb - db) / nb)
+
+
+def top_word_fraction(col: Column | str) -> Column:
+    """Occurrence share of the most frequent word. ~0.01 for natural
+    prose; >0.2 flags degenerate repetition.
+
+    Cost is O(distinct * words) per document (a filter scan per distinct
+    word). Bounded-vocabulary short documents (chunked corpora -- the
+    shape this engine feeds embedders) keep that cheap; for long-tail
+    huge documents use an explode + groupBy word-count instead (same
+    shape as the BM25 tf stage)."""
+    words = _words(col)
+    n = F.size(words).cast("double")
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda w: F.size(F.filter(words, lambda x: x == w)),
+        )
+    ).cast("double")
+    return F.when(F.length(F.trim(_c(col))) == 0, F.lit(0.0)).otherwise(top / n)
+
+
+def mean_word_length(col: Column | str) -> Column:
+    """Mean characters per word over the normalized text, computed
+    without lambdas: total chars = length(norm) - (n-1) separators."""
+    norm = normalized_text(_c(col))
+    n = F.size(_words(col)).cast("double")
+    chars = (F.length(norm) - (F.size(_words(col)) - F.lit(1))).cast("double")
+    return F.when(F.length(norm) == 0, F.lit(0.0)).otherwise(chars / n)
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction. Patterns are deliberately RE2-safe (no
+# backreferences, no lookaround) so the exact same pattern string runs
+# on the JVM (java.util.regex) and in DuckDB (RE2) with identical
+# matches -- which is what makes the scrub oracle-checkable.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, str] = {
+    # order matters for redaction: emails contain dot-runs an ipv4
+    # pattern could bite into, so email is replaced first.
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Number of matches of one PII pattern ('email'|'ipv4'|'ssn')."""
+    return F.regexp_count(_c(col), F.lit(PII_PATTERNS[kind]))
+
+
+def redact_pii(col: Column | str, replacement: str = "[PII]") -> Column:
+    """Replace every PII match with ``replacement``, applying patterns
+    in the fixed PII_PATTERNS order (email -> ipv4 -> ssn) so Spark and
+    any SQL mirror produce byte-identical output."""
+    out = _c(col)
+    for pattern in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pattern, replacement)
+    return out

@@ -17,6 +17,7 @@ from .ann_lsh import lsh_topk
 from .cluster import connected_components, dedup_keep_one
 from .chunk import chunk_documents
 from .ranking import bm25_topk
+from .splits import assign_splits, split_assignment, split_bounds
 
 __all__ = [
     "knn_search",
@@ -47,4 +48,7 @@ __all__ = [
     "dedup_keep_one",
     "chunk_documents",
     "bm25_topk",
+    "assign_splits",
+    "split_assignment",
+    "split_bounds",
 ]

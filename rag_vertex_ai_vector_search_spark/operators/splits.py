@@ -1,0 +1,89 @@
+"""Deterministic train/validation/test splits.
+
+A training-data pipeline must split a corpus REPRODUCIBLY: the same
+document lands in the same split on every run, on any cluster size, and
+after any upsert -- `df.randomSplit` gives none of that (it reshuffles
+whenever partitioning changes). The standard fix is hash-bucketing the
+stable document key: bucket = H(salt || id) mod B, then carve [0, B)
+into contiguous split ranges.
+
+Spark-first shape: one narrow projection -- no shuffle, no state, no
+sampling pass. At 100 TB the split column is computed inline during the
+scan and is itself a fine partition column for writing split-separated
+outputs. Changing ``salt`` re-rolls the assignment wholesale (a new
+epoch); growing ``weights`` ranges keeps earlier members stable (the
+train range only widens).
+
+The default hash is the engine's sha60 (functions/text.py::sha60_hash)
+so the assignment is bit-reproducible in any SQL engine for auditing:
+DuckDB mirror is ('0x' || substr(sha256(salt || '|' || id), 1, 15))
+::BIGINT % B. xxhash64 is the cheaper non-auditable option.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import base_hash_fn
+
+DEFAULT_WEIGHTS: dict[str, float] = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def split_bounds(
+    weights: dict[str, float] | None = None, buckets: int = 10_000
+) -> list[tuple[str, int]]:
+    """[(split_name, exclusive_upper_bucket)] with the last bound forced
+    to ``buckets`` so rounding never orphans a bucket."""
+    weights = weights or DEFAULT_WEIGHTS
+    total = sum(weights.values())
+    bounds: list[tuple[str, int]] = []
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w / total
+        bounds.append((name, int(round(acc * buckets))))
+    bounds[-1] = (bounds[-1][0], buckets)
+    return bounds
+
+
+def split_assignment(
+    id_col: Column | str,
+    *,
+    weights: dict[str, float] | None = None,
+    salt: str = "v1",
+    buckets: int = 10_000,
+    base_hash: str = "sha60",
+) -> tuple[Column, Column]:
+    """(bucket, split) columns for a stable id column.
+
+    bucket = H(salt || '|' || id) mod buckets  (H >= 0, so % == pmod);
+    split  = first range of ``weights`` (insertion order) containing it.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    hash_fn = base_hash_fn(base_hash)
+    raw = hash_fn(F.concat_ws("|", F.lit(salt), c.cast("string")))
+    bucket = F.pmod(raw, F.lit(buckets))
+    split: Column | None = None
+    expr = F.lit(None).cast("string")
+    for name, upper in reversed(split_bounds(weights, buckets)):
+        expr = F.when(bucket < upper, F.lit(name)).otherwise(expr)
+    split = expr
+    return bucket.cast("long"), split
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    weights: dict[str, float] | None = None,
+    salt: str = "v1",
+    buckets: int = 10_000,
+    base_hash: str = "sha60",
+    bucket_col: str = "split_bucket",
+    split_col: str = "split",
+) -> DataFrame:
+    """Append deterministic ``split_bucket`` and ``split`` columns."""
+    bucket, split = split_assignment(
+        id_col, weights=weights, salt=salt, buckets=buckets, base_hash=base_hash
+    )
+    return df.withColumn(bucket_col, bucket).withColumn(split_col, split)

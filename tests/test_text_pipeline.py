@@ -1,0 +1,156 @@
+"""Value tests for the training-data pipeline text operators:
+repetition signals, PII scrub, deterministic splits.
+
+The oracle-parity suite checks these against DuckDB on the fixture
+tables; here the checks are against hand-computed values and the
+operators' own invariants on crafted inputs.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_vertex_ai_vector_search_spark.functions import (
+    dup_bigram_fraction,
+    dup_word_fraction,
+    mean_word_length,
+    pii_count,
+    redact_pii,
+    top_word_fraction,
+)
+from rag_vertex_ai_vector_search_spark.operators import (
+    assign_splits,
+    split_bounds,
+)
+
+
+def _signals(spark, text):
+    row = (
+        spark.createDataFrame([(text,)], ["text"])
+        .select(
+            dup_word_fraction("text").alias("dupw"),
+            dup_bigram_fraction("text").alias("dupb"),
+            top_word_fraction("text").alias("topw"),
+            mean_word_length("text").alias("meanw"),
+        )
+        .collect()[0]
+    )
+    return row
+
+
+def test_repetition_signals_hand_computed(spark):
+    # "a a b c" -> words 4, distinct 3; bigrams [a a, a b, b c] distinct 3
+    r = _signals(spark, "a a b c")
+    assert r.dupw == pytest.approx(1.0 / 4.0)
+    assert r.dupb == 0.0
+    assert r.topw == pytest.approx(2.0 / 4.0)
+    assert r.meanw == pytest.approx(1.0)
+
+    # pure loop: "x y x y x y" -> 6 words, 2 distinct; 5 bigrams, 2 distinct
+    r = _signals(spark, "x y x y x y")
+    assert r.dupw == pytest.approx(4.0 / 6.0)
+    assert r.dupb == pytest.approx(3.0 / 5.0)
+    assert r.topw == pytest.approx(3.0 / 6.0)
+
+
+def test_repetition_signals_edge_cases(spark):
+    for text in ["", "   ", "word"]:
+        r = _signals(spark, text)
+        assert r.dupw == 0.0 and r.dupb == 0.0
+    # single word: top fraction is 1, mean length is its length
+    r = _signals(spark, "hello")
+    assert r.topw == 1.0 and r.meanw == 5.0
+    # normalization folds case and whitespace before counting
+    r = _signals(spark, "The   THE the")
+    assert r.dupw == pytest.approx(2.0 / 3.0)
+
+
+def test_pii_counts_and_redaction(spark):
+    text = (
+        "mail a.user+tag@sub.example.org or bob@x.io, "
+        "server 10.0.255.1 port 80, ssn 123-45-6789 end"
+    )
+    df = spark.createDataFrame([(text,)], ["text"])
+    row = df.select(
+        pii_count("text", "email").alias("e"),
+        pii_count("text", "ipv4").alias("i"),
+        pii_count("text", "ssn").alias("s"),
+        redact_pii("text").alias("red"),
+    ).collect()[0]
+    assert (row.e, row.i, row.s) == (2, 1, 1)
+    assert row.red == (
+        "mail [PII] or [PII], server [PII] port 80, ssn [PII] end"
+    )
+
+
+def test_pii_clean_text_untouched(spark):
+    text = "no pii here, just words and 42 numbers."
+    row = (
+        spark.createDataFrame([(text,)], ["text"])
+        .select(redact_pii("text").alias("red"))
+        .collect()[0]
+    )
+    assert row.red == text
+
+
+def test_split_bounds_cover_and_order():
+    bounds = split_bounds({"train": 0.9, "val": 0.05, "test": 0.05}, 10_000)
+    assert bounds == [("train", 9000), ("val", 9500), ("test", 10_000)]
+    # weird weights still cover every bucket
+    bounds = split_bounds({"a": 1, "b": 2}, 7)
+    assert bounds[-1][1] == 7
+
+
+def test_split_deterministic_and_partition_invariant(spark):
+    ids = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = assign_splits(ids, "doc_id").select("doc_id", "split")
+    b = assign_splits(ids.repartition(7), "doc_id").select("doc_id", "split")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    counts = dict(
+        (r["split"], r["count"])
+        for r in a.groupBy("split").count().collect()
+    )
+    # 90/5/5 within sampling noise on 2000 ids
+    assert abs(counts["train"] / 2000 - 0.9) < 0.03
+    assert abs(counts.get("val", 0) / 2000 - 0.05) < 0.02
+    assert abs(counts.get("test", 0) / 2000 - 0.05) < 0.02
+
+
+def test_split_stable_under_growth(spark):
+    """Adding documents never moves an existing one between splits."""
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 1500).withColumnRenamed("id", "doc_id")
+    s = assign_splits(small, "doc_id").select("doc_id", "split")
+    b = assign_splits(big, "doc_id").select("doc_id", "split")
+    joined = s.alias("s").join(b.alias("b"), "doc_id").filter(
+        F.col("s.split") != F.col("b.split")
+    )
+    assert joined.isEmpty()
+
+
+def test_split_salt_rerolls(spark):
+    ids = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    v1 = assign_splits(ids, "doc_id", salt="v1").select("doc_id", "split")
+    v2 = assign_splits(ids, "doc_id", salt="v2").select("doc_id", "split")
+    moved = (
+        v1.alias("a")
+        .join(v2.alias("b"), "doc_id")
+        .filter(F.col("a.split") != F.col("b.split"))
+        .count()
+    )
+    # a re-salt moves roughly 1 - (0.9^2 + 0.05^2 + 0.05^2) ~ 18.5% of ids
+    assert 80 < moved < 300
+
+
+def test_split_is_narrow_plan(spark):
+    """No Exchange: the assignment must stay a scan-side projection."""
+    ids = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    plan = (
+        assign_splits(ids, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
