@@ -7,6 +7,7 @@ from .tables import (
     write_bucketed,
 )
 from .documents import scan_document_dir
+from .compact import compact_parquet, table_file_stats
 
 __all__ = [
     "TABLE_NAMES",
@@ -16,4 +17,6 @@ __all__ = [
     "register_views",
     "write_bucketed",
     "scan_document_dir",
+    "compact_parquet",
+    "table_file_stats",
 ]
