@@ -334,6 +334,50 @@ def q_knn_lsh_full_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization + exact rerank (operators/pq.py): the "AH"
+    (asymmetric hashing) half of the reference's tree-AH index
+    (common/config.py:30-41). Realistic cascade config -- ADC shortlist
+    of 4k from 8-bit codes, exact fold rescoring. Non-SQL (iterative
+    codebook training) -> rows-only check; recall and the exactness of
+    rerank scores are asserted in tests/test_pq.py."""
+    from rag_vertex_ai_vector_search_spark.operators.pq import (
+        encode_pq, pq_search_rerank, train_pq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq(emb, m=16, ksub=64, iters=8, sample_rows=4096)
+    index = encode_pq(emb, books)
+    out = pq_search_rerank(index, emb, _queries_from_embeddings(emb, 8), k=10)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "score"
+    )
+
+
+def q_knn_pq_full_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ cascade under the bit-exact gate: with
+    rerank_candidates = corpus size the ADC shortlist keeps every
+    vector, so exact fold rescoring provably reproduces exact kNN
+    regardless of codebook quality -- the knn_topk oracle then checks
+    the whole PQ pipeline (training determinism, binary encoding, LUT
+    gather scoring, local top-k, broadcast rerank join, fold scoring,
+    window). The lossy realistic config stays rows-only above."""
+    from rag_vertex_ai_vector_search_spark.operators.pq import (
+        encode_pq, pq_search_rerank, train_pq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq(emb, m=8, ksub=32, iters=4, sample_rows=2048)
+    index = encode_pq(emb, books)
+    n = emb.count()
+    out = pq_search_rerank(
+        index, emb, _queries_from_embeddings(emb, 8), k=10, rerank_candidates=n
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "score"
+    )
+
+
 def q_ingest_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3/O4/O7/O8: tokenize, token-gate, surrogate key, projection
     (embeddings.py:62-90, setup_vector_search.py:39,80-94). Deterministic
@@ -1578,6 +1622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "knn_lsh_bucketed": q_knn_lsh_bucketed,
         "knn_lsh_full_cover": q_knn_lsh_full_cover,
+        "knn_pq_rerank": q_knn_pq_rerank,
+        "knn_pq_full_rerank": q_knn_pq_full_rerank,
         "ingest_metadata": q_ingest_metadata,
         "ingest_datapoints": q_ingest_datapoints,
         "dedup_exact": q_dedup_exact,
@@ -1625,6 +1671,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_full_probe": _SQL_KNN_TOPK,
         "knn_lsh_bucketed": _sql_knn_lsh_bucketed(),
         "knn_lsh_full_cover": _SQL_KNN_TOPK,
+        # knn_pq_rerank: lossy ADC shortlist -> rows-only check
+        "knn_pq_full_rerank": _SQL_KNN_TOPK,
         "ingest_metadata": _SQL_INGEST_METADATA,
         "ingest_datapoints": _SQL_INGEST_DATAPOINTS,
         "dedup_exact": _SQL_DEDUP_EXACT,

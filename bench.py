@@ -107,6 +107,8 @@ BENCH_QUERIES = [
             threshold=0.8,
         ),
     ),
+    # tree-AH's "AH" half: PQ train + encode + ADC search + exact rerank.
+    ("knn_pq_rerank", entrymod.q_knn_pq_rerank),
     ("text_quality", entrymod.q_text_quality),
     ("text_repetition", entrymod.q_text_repetition),
     ("pii_scrub", entrymod.q_pii_scrub),
