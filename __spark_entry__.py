@@ -1098,6 +1098,51 @@ FROM t
 """
 
 
+def q_dataset_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): GPT-3
+    Appendix-C-style n-gram overlap between a train split and an eval
+    split of the corpus. n=5 on the synthetic small-vocab fixture (the
+    paper's 13 on real text); eval side broadcasts; hot eval grams
+    df-capped. sha60 gram hashes make the whole pipeline bit-exact
+    against the DuckDB oracle."""
+    from rag_vertex_ai_vector_search_spark.operators.decontaminate import (
+        contamination_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    return contamination_pairs(
+        train, ev, n=5, min_shared=1, max_gram_df=64
+    ).select("train_id", "eval_id", "shared_grams")
+
+
+_SQL_DECONTAMINATE = f"""
+WITH w AS (
+  SELECT doc_id, string_split({_SQL_NORM}, ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(range(1, len(w) - 3),
+                             i -> array_to_string(w[i:i+4], ' '))
+    END)) AS gram
+  FROM w
+),
+h AS (SELECT doc_id, ('0x' || substr(sha256(gram), 1, 15))::BIGINT AS gh FROM g),
+tr AS (SELECT doc_id AS train_id, gh FROM h WHERE doc_id % 10 != 0),
+ev0 AS (SELECT doc_id AS eval_id, gh FROM h WHERE doc_id % 10 = 0),
+ev AS (
+  SELECT * FROM ev0 WHERE gh NOT IN (
+    SELECT gh FROM ev0 GROUP BY gh HAVING count(*) > 64)
+)
+SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS shared_grams
+FROM tr JOIN ev USING (gh)
+GROUP BY train_id, eval_id
+HAVING count(*) >= 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Relational surface (filters, joins, aggregates, windows, top-k, set ops)
 # --------------------------------------------------------------------------
@@ -1640,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "pii_scrub": q_pii_scrub,
         "dataset_split": q_dataset_split,
+        "dataset_decontaminate": q_dataset_decontaminate,
         "pricing_summary": q_pricing_summary,
         "top_revenue_customers": q_top_revenue_customers,
         "supplier_running_window": q_supplier_running_window,
@@ -1689,6 +1735,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _SQL_TEXT_REPETITION,
         "pii_scrub": _SQL_PII_SCRUB,
         "dataset_split": _SQL_DATASET_SPLIT,
+        "dataset_decontaminate": _SQL_DECONTAMINATE,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "top_revenue_customers": _SQL_TOP_REVENUE,
         "supplier_running_window": _SQL_SUPPLIER_WINDOW,

@@ -1,0 +1,104 @@
+"""Benchmark decontamination: n-gram overlap between a training corpus
+and an evaluation/benchmark set.
+
+The standard LLM-training-data hygiene step (public method: GPT-3 paper
+Appendix C — 13-gram overlap; also used by PaLM / Llama reports): a
+training document is "contaminated" if it shares at least
+``min_shared`` distinct word n-grams with any benchmark document, and
+decontamination drops those documents before training.
+
+Spark shape (designed for a 100 TB train side):
+
+- Both sides explode to DISTINCT word n-grams (built-in expressions,
+  codegen'd — ``word_shingles``), hashed to compact 60-bit keys
+  (``sha60`` for oracle parity; pass ``base_hash="xxhash64"`` for the
+  cheaper production hash). The join/shuffle carries 8-byte keys, not
+  ~100-byte gram strings.
+- The eval side is benchmark-sized (1e4..1e6 rows — tiny next to the
+  corpus), so the gram join BROADCASTS it: the train side streams
+  through map-side hash probes with no shuffle of the corpus at all.
+  Set ``broadcast_eval=False`` only if the eval side is itself huge.
+- ``max_gram_df`` drops grams that appear in more than that many eval
+  docs before joining (boilerplate guard — same df-cap idea as the
+  winnowing and MinHash band caps): a license header shared by every
+  eval doc must not turn the probe into a fan-out.
+- Output pair cardinality is bounded by real overlap, not corpus size;
+  the anti-join in ``decontaminate`` broadcasts the contaminated-id
+  set back onto the corpus.
+
+Fully SQL-expressible -> bit-exact DuckDB oracle in the driver gate
+(``dataset_decontaminate`` query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import base_hash_fn, word_shingles
+
+
+def _gram_hashes(
+    df: DataFrame, id_col: str, text_col: str, out_id: str, n: int,
+    base_hash: str,
+) -> DataFrame:
+    hash_fn = base_hash_fn(base_hash)
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(word_shingles(F.col(text_col), n)).alias("_gram"),
+    ).select(out_id, hash_fn(F.col("_gram")).alias("_gh"))
+
+
+def contamination_pairs(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_shared: int = 1,
+    max_gram_df: int | None = None,
+    base_hash: str = "sha60",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """(train_id, eval_id, shared_grams) for every train/eval pair
+    sharing >= ``min_shared`` distinct n-gram hashes.
+
+    ``word_shingles`` is distinct-per-doc, so ``shared_grams`` counts
+    distinct shared grams. n defaults to the GPT-3 paper's 13.
+    """
+    tr = _gram_hashes(train_df, id_col, text_col, "train_id", n, base_hash)
+    ev = _gram_hashes(eval_df, id_col, text_col, "eval_id", n, base_hash)
+    if max_gram_df is not None:
+        hot = (
+            ev.groupBy("_gh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_gram_df)
+            .select("_gh")
+        )
+        ev = ev.join(F.broadcast(hot), "_gh", "left_anti")
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    return (
+        tr.join(ev, "_gh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").cast("long").alias("shared_grams"))
+        .filter(F.col("shared_grams") >= min_shared)
+    )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Training corpus minus contaminated documents (left anti join on
+    the distinct contaminated train ids, which are broadcast-small)."""
+    contaminated = (
+        contamination_pairs(train_df, eval_df, id_col=id_col, **kwargs)
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    return train_df.join(F.broadcast(contaminated), id_col, "left_anti")
