@@ -1,15 +1,19 @@
 from .binary_ops import (
     attach_media_metadata,
+    decode_audio,
     decode_image,
     decode_image_stub,
+    extract_audio_features,
     extract_image_features,
     sample_video_frames,
 )
 
 __all__ = [
     "attach_media_metadata",
+    "decode_audio",
     "decode_image",
     "decode_image_stub",
+    "extract_audio_features",
     "extract_image_features",
     "sample_video_frames",
 ]

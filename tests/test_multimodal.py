@@ -1,6 +1,7 @@
 """Multimodal plumbing: binary columns, metadata, feature extraction,
 frame sampling -- real distributed plan, stubbed codecs."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -128,3 +129,97 @@ def test_image_features_on_real_decoded_image(spark):
     for name, raw in (("img1", ppm), ("img2", bmp)):
         expected = _pooled_features(decode_image(raw), 8)
         assert np.array_equal(got[name], expected), name
+
+
+# ---------------------------------------------------------------------------
+# Audio: real stdlib WAV codec
+# ---------------------------------------------------------------------------
+
+def _wav_bytes(freq=440.0, sr=8000, seconds=0.25, channels=1, sampwidth=2):
+    """Synthesize a PCM WAV entirely with stdlib wave + numpy."""
+    import io
+    import wave
+
+    t = np.arange(int(sr * seconds)) / sr
+    sig = np.sin(2 * np.pi * freq * t)
+    if sampwidth == 2:
+        pcm = (sig * 32767).astype("<i2")
+    elif sampwidth == 1:
+        pcm = ((sig * 127) + 128).astype(np.uint8)
+    else:
+        pcm = (sig * (2**31 - 1)).astype("<i4")
+    frames = np.repeat(pcm[:, None], channels, axis=1).ravel().tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sr)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_decode_audio_roundtrip_widths_and_channels():
+    from rag_vertex_ai_vector_search_spark.multimodal import decode_audio
+
+    for sampwidth in (1, 2, 4):
+        samples, sr = decode_audio(_wav_bytes(sampwidth=sampwidth))
+        assert sr == 8000
+        assert samples.shape == (2000, 1)
+        assert np.abs(samples).max() <= 1.0
+        # a full-scale sine keeps most of its amplitude at any width
+        assert np.abs(samples).max() > 0.9
+
+    stereo, _ = decode_audio(_wav_bytes(channels=2))
+    assert stereo.shape == (2000, 2)
+    # both channels carry the same signal in the fixture
+    assert np.allclose(stereo[:, 0], stereo[:, 1])
+
+
+def test_decode_audio_rejects_garbage():
+    import pytest
+
+    from rag_vertex_ai_vector_search_spark.multimodal import decode_audio
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\x00\x01\x02not-a-wav")
+
+
+def test_extract_audio_features_values(spark):
+    from rag_vertex_ai_vector_search_spark.multimodal import (
+        decode_audio,
+        extract_audio_features,
+    )
+
+    wav_sine = _wav_bytes(freq=440.0, seconds=0.5)
+    wav_quiet = _wav_bytes(freq=10.0, seconds=0.125)
+    df = spark.createDataFrame(
+        [("a1", "audio/wav", bytearray(wav_sine)),
+         ("a2", "audio/wav", bytearray(wav_quiet))],
+        "media_id string, media_type string, content binary",
+    )
+    out = {r.media_id: r for r in
+           extract_audio_features(df, feature_dim=8).collect()}
+
+    a1 = out["a1"]
+    assert a1.sample_rate == 8000
+    assert abs(a1.duration_s - 0.5) < 1e-9
+    # full-scale sine: RMS ~ 1/sqrt(2), peak ~ 1
+    assert abs(a1.rms - 1 / np.sqrt(2)) < 0.01
+    assert a1.peak > 0.99
+    # 440 Hz -> 880 zero crossings/sec -> rate ~ 880/8000
+    assert abs(a1.zero_crossing_rate - 880 / 8000) < 0.01
+    assert len(a1.features) == 8
+    assert abs(np.linalg.norm(a1.features) - 1.0) < 1e-5
+
+    # driver-side reference equals the distributed result bit-for-bit
+    samples, sr = decode_audio(wav_sine)
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        _audio_feature_row,
+    )
+    d, r, p, z, fv = _audio_feature_row(samples, sr, 8)
+    assert (a1.duration_s, a1.rms, a1.peak, a1.zero_crossing_rate) == (d, r, p, z)
+    assert np.array_equal(np.asarray(a1.features, dtype=np.float32), fv)
+
+    a2 = out["a2"]
+    assert abs(a2.duration_s - 0.125) < 1e-9
+    assert a2.zero_crossing_rate < a1.zero_crossing_rate
