@@ -37,22 +37,36 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
-def connected_components(
-    pairs: DataFrame,
-    id_a: str = "id_a",
-    id_b: str = "id_b",
-    *,
-    max_iter: int = 25,
-) -> DataFrame:
-    """Label each node appearing in ``pairs`` with its component's min id.
+DRIVER_CC_THRESHOLD = 500_000
 
-    Returns (node_id, component_id), one row per DISTINCT node. Raises
-    if not converged within ``max_iter`` rounds (diameter > max_iter --
-    would indicate pathological chain-shaped duplicate clusters).
-    """
-    edges = (
+
+def _union_find_local(edge_rows) -> list[tuple]:
+    """Driver-side union-find with path compression + union by min id.
+    ~16 B/edge; at the 5e5-edge threshold this is a few MB and
+    microseconds per op -- far below one Spark job's overhead."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(n, find(n)) for n in parent]
+
+
+def _symmetric_edges(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    return (
         pairs.select(
             F.col(id_a).alias("src"), F.col(id_b).alias("dst")
         )
@@ -63,6 +77,61 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+
+def _small_edge_rows(edges: DataFrame, driver_threshold: int):
+    """One bounded collect (<= threshold pairs of ids, ~8 MB max) when
+    the edge set is under the strategy-switch threshold, else None."""
+    if driver_threshold and edges.count() <= driver_threshold:
+        return [(r[0], r[1]) for r in edges.collect()]
+    return None
+
+
+def _local_df(spark, rows, schema):
+    """Single-partition local result: no point scattering a driver-side
+    list over defaultParallelism partitions just to shuffle it back."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iter: int = 25,
+    driver_threshold: int = DRIVER_CC_THRESHOLD,
+) -> DataFrame:
+    """Label each node appearing in ``pairs`` with its component's min id.
+
+    Returns (node_id, component_id), one row per DISTINCT node. Raises
+    if not converged within ``max_iter`` rounds (diameter > max_iter --
+    would indicate pathological chain-shaped duplicate clusters).
+
+    Size-based strategy switch (the broadcast-join-threshold idea):
+    near-dup edge sets are bounded by ACTUAL duplication, usually tiny
+    next to the corpus, and each distributed label round costs 2-3
+    Spark jobs of fixed overhead. Below ``driver_threshold`` distinct
+    edges (<= ~8 MB of id pairs) the transitive closure runs as
+    driver-side union-find in one collect; above it, distributed
+    min-label propagation with pointer jumping takes over. Results are
+    identical (tests/test_cluster.py asserts both paths agree).
+    """
+    edges = _symmetric_edges(pairs, id_a, id_b)
+    small = _small_edge_rows(edges, driver_threshold)
+    if small is not None:
+        comp = _union_find_local(small)
+        schema = T.StructType([
+            T.StructField("node_id", edges.schema["src"].dataType),
+            T.StructField("component_id", edges.schema["src"].dataType),
+        ])
+        return _local_df(pairs.sparkSession, comp, schema)
+    return _cc_distributed(edges, max_iter)
+
+
+def _cc_distributed(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Distributed min-label propagation with pointer jumping (module
+    docstring); ``edges`` must be symmetric, distinct, materialized."""
     labels = (
         edges.select(F.col("src").alias("node_id"))
         .distinct()
@@ -130,11 +199,34 @@ def dedup_keep_one(
     id_b: str = "id_b",
     *,
     max_iter: int = 25,
+    driver_threshold: int = DRIVER_CC_THRESHOLD,
 ) -> DataFrame:
     """Cluster assignment + per-cluster size, the "keep component_id,
     drop the rest" decision table. (node_id, component_id, cluster_size);
-    rows with node_id == component_id are the keepers."""
-    comp = connected_components(pairs, id_a, id_b, max_iter=max_iter)
+    rows with node_id == component_id are the keepers.
+
+    On the small-edge-set path the sizes are counted driver-side too:
+    the whole decision table comes back as one shuffle-free local
+    DataFrame instead of a groupBy + join over a 500-row input."""
+    edges = _symmetric_edges(pairs, id_a, id_b)
+    small = _small_edge_rows(edges, driver_threshold)
+    if small is not None:
+        from collections import Counter
+
+        comp = _union_find_local(small)
+        sizes = Counter(c for _, c in comp)
+        id_type = edges.schema["src"].dataType
+        schema = T.StructType([
+            T.StructField("node_id", id_type),
+            T.StructField("component_id", id_type),
+            T.StructField("cluster_size", T.LongType()),
+        ])
+        return _local_df(
+            pairs.sparkSession,
+            [(n, c, sizes[c]) for n, c in comp],
+            schema,
+        )
+    comp = _cc_distributed(edges, max_iter)
     sizes = comp.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

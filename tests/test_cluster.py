@@ -44,7 +44,11 @@ def _pairs_df(spark, edges):
     )
 
 
-def test_matches_union_find_on_random_graph(spark):
+@pytest.mark.parametrize("driver_threshold", [0, 500_000])
+def test_matches_union_find_on_random_graph(spark, driver_threshold):
+    """Both strategies -- distributed label propagation (threshold=0)
+    and driver-side union-find (small edge set) -- match the reference
+    and therefore each other."""
     rng = random.Random(7)
     edges = [
         (rng.randrange(200), rng.randrange(200)) for _ in range(150)
@@ -52,7 +56,9 @@ def test_matches_union_find_on_random_graph(spark):
     edges = [(a, b) for a, b in edges if a != b]
     got = {
         r.node_id: r.component_id
-        for r in connected_components(_pairs_df(spark, edges)).collect()
+        for r in connected_components(
+            _pairs_df(spark, edges), driver_threshold=driver_threshold
+        ).collect()
     }
     assert got == _union_find(edges)
 
@@ -60,12 +66,13 @@ def test_matches_union_find_on_random_graph(spark):
 def test_chain_graph_worst_diameter(spark):
     """A 30-node path exercises multi-round convergence: the min label
     travels one hop per round, so diameter-many rounds are needed --
-    the worst case the max_iter guard exists for."""
+    the worst case the max_iter guard exists for. driver_threshold=0
+    forces the distributed path."""
     edges = [(i, i + 1) for i in range(29)]
     got = {
         r.node_id: r.component_id
         for r in connected_components(
-            _pairs_df(spark, edges), max_iter=40
+            _pairs_df(spark, edges), max_iter=40, driver_threshold=0
         ).collect()
     }
     assert got == {i: 0 for i in range(30)}
@@ -89,4 +96,6 @@ def test_star_plus_bridge(spark):
 def test_non_convergence_raises(spark):
     edges = [(i, i + 1) for i in range(10)]
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(_pairs_df(spark, edges), max_iter=2)
+        connected_components(
+            _pairs_df(spark, edges), max_iter=2, driver_threshold=0
+        )
