@@ -265,6 +265,63 @@ def pq_topk(
     )
 
 
+def ivf_pq_search(
+    ivf_index,
+    pq_index: PQIndex,
+    queries_df: DataFrame,
+    k: int,
+    *,
+    probe_percent: float = 10.0,
+    rerank_candidates: int | None = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+) -> DataFrame:
+    """The full tree-AH composition (common/config.py:30-41): coarse
+    probe over the IVF leaves ("tree") -> ADC scan of PQ codes inside
+    the probed leaves only ("AH") -> exact rerank of the shortlist.
+
+    ``pq_index.codes`` must carry the ``cluster_id`` column (encode the
+    IVF-assigned table with ``keep_cols=("cluster_id",)``). The leaf
+    filter prunes the CODE scan the same way it prunes the vector scan
+    in ivf_search -- on a ``partitionBy("cluster_id")`` layout that is
+    partition pruning of bytes; combined with the 32x code shrink, a
+    10% probe reads ~0.3% of the exact path's bytes. The rerank then
+    touches only the shortlist's full vectors via broadcast semi-join.
+
+    Recall compounds (probe recall x ADC recall recovered by rerank) --
+    gated in tests/test_pq.py on clustered data.
+    """
+    from .ivf import _probe_assign_udf
+
+    n_clusters = ivf_index.centroids.shape[0]
+    nprobe = max(1, int(round(n_clusters * probe_percent / 100.0)))
+    probed_q = queries_df.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("query_vector"),
+    ).withColumn(
+        "_probe",
+        _probe_assign_udf(ivf_index.centroids, nprobe)(F.col("query_vector")),
+    )
+    all_probed = sorted(
+        r[0] for r in
+        probed_q.select(F.explode("_probe").alias("c")).distinct().collect()
+    )
+    candidates = PQIndex(
+        codes=pq_index.codes.filter(F.col("cluster_id").isin(all_probed)),
+        books=pq_index.books,
+        id_col=pq_index.id_col,
+    )
+    return pq_search_rerank(
+        candidates,
+        ivf_index.assigned,
+        probed_q.select("query_id", "query_vector"),
+        k,
+        rerank_candidates=rerank_candidates,
+        id_col=ivf_index.id_col,
+        vec_col=ivf_index.vec_col,
+    )
+
+
 def pq_search_rerank(
     index: PQIndex,
     vectors_df: DataFrame,

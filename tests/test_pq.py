@@ -132,3 +132,47 @@ def test_pq_rerank_scores_match_fold(spark, sf_smoke):
         key = (r.query_id, r.neighbor_id)
         if key in exact:
             assert r.score == exact[key]
+
+
+def test_ivf_pq_composition_recall(spark):
+    """Full tree-AH cascade: coarse probe -> ADC over probed leaves ->
+    exact rerank. recall@10 >= 0.85 at 50% probe on clustered data."""
+    from rag_vertex_ai_vector_search_spark.operators.ivf import build_ivf_index
+    from rag_vertex_ai_vector_search_spark.operators.pq import ivf_pq_search
+
+    rng = np.random.RandomState(23)
+    n_centers, per_center, dim = 12, 40, 32
+    centers = rng.randn(n_centers, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per_center):
+            v = c + 0.2 * rng.randn(dim)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 40 == 7).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    k = 10
+    exact = _topk_sets(knn_search(emb, queries, k=k, method="fold").collect())
+
+    ivf = build_ivf_index(emb, n_clusters=12)
+    books = train_pq(ivf.assigned, m=8, ksub=64, iters=8, sample_rows=480)
+    pq = encode_pq(ivf.assigned, books, keep_cols=("cluster_id",))
+    got = _topk_sets(
+        ivf_pq_search(ivf, pq, queries, k=k, probe_percent=50.0).collect()
+    )
+    assert _recall(got, exact) >= 0.85
+
+    # 100% probe + corpus-wide rerank pool degenerates to exact kNN.
+    full = _topk_sets(
+        ivf_pq_search(
+            ivf, pq, queries, k=k, probe_percent=100.0,
+            rerank_candidates=emb.count(),
+        ).collect()
+    )
+    assert full == exact
