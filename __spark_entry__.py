@@ -1098,6 +1098,66 @@ FROM t
 """
 
 
+def q_dataset_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset mixing (operators/splits.py::weighted_sample):
+    per-language keep rates via hash-bucket thresholds -- en 100%,
+    de 50%, fr 25%, zh 10%, everything else dropped. Reproducible and
+    nested across rates; bit-exact DuckDB oracle over the same sha60
+    bucketing."""
+    from rag_vertex_ai_vector_search_spark.operators.splits import (
+        weighted_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, {"en": 1.0, "de": 0.5, "fr": 0.25, "zh": 0.1}
+    ).select("doc_id", "lang", "source")
+
+
+_SQL_MIX_SAMPLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE ('0x' || substr(sha256('mix1' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 10000
+    < CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
+                WHEN 'fr' THEN 2500 WHEN 'zh' THEN 1000 ELSE 0 END
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/pack.py): documents
+    pack in doc_id order within their language into 512-token training
+    sequences; seq_id/seq_offset come from a running token-offset
+    window. Token counts are the engine's SQL-mirrored regex counter,
+    so the whole assignment is bit-exact against DuckDB."""
+    from rag_vertex_ai_vector_search_spark.operators.pack import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, token_col="n_tokens", budget=512, group_col="lang"
+    ).select("doc_id", "pack_group", "n_tokens", "seq_id", "seq_offset")
+
+
+_SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST({_SQL_TOKENS} AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang AS pack_group, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+              - n_tokens AS BIGINT) AS start
+  FROM t
+)
+SELECT doc_id, pack_group, n_tokens,
+       CAST(floor(start / 512) AS BIGINT) AS seq_id,
+       CAST(start - CAST(floor(start / 512) AS BIGINT) * 512 AS BIGINT)
+         AS seq_offset
+FROM c
+"""
+
+
 def q_dataset_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontaminate.py): GPT-3
     Appendix-C-style n-gram overlap between a train split and an eval
@@ -1686,6 +1746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "dataset_split": q_dataset_split,
         "dataset_decontaminate": q_dataset_decontaminate,
+        "dataset_mix_sample": q_dataset_mix_sample,
+        "pack_sequences": q_pack_sequences,
         "pricing_summary": q_pricing_summary,
         "top_revenue_customers": q_top_revenue_customers,
         "supplier_running_window": q_supplier_running_window,
@@ -1736,6 +1798,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _SQL_PII_SCRUB,
         "dataset_split": _SQL_DATASET_SPLIT,
         "dataset_decontaminate": _SQL_DECONTAMINATE,
+        "dataset_mix_sample": _SQL_MIX_SAMPLE,
+        "pack_sequences": _SQL_PACK_SEQUENCES,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "top_revenue_customers": _SQL_TOP_REVENUE,
         "supplier_running_window": _SQL_SUPPLIER_WINDOW,

@@ -71,6 +71,41 @@ def split_assignment(
     return bucket.cast("long"), split
 
 
+def weighted_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    *,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix1",
+    buckets: int = 10_000,
+    base_hash: str = "sha60",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling -- the dataset-MIXING
+    primitive (e.g. keep 100% of en, 30% of crawl, 5% of boilerplate
+    source). Same hash-bucket trick as the splits: a row survives iff
+    ``H(salt||id) mod buckets < rate * buckets``, so membership is
+    reproducible across runs/cluster sizes/upserts and NESTED across
+    rates (the 5% sample is a subset of the 30% sample -- lowering a
+    stratum's rate only removes rows). One narrow filter, no shuffle,
+    no sampling pass; strata not in ``rates`` fall back to
+    ``default_rate``.
+    """
+    c = F.col(id_col)
+    hash_fn = base_hash_fn(base_hash)
+    bucket = F.pmod(
+        hash_fn(F.concat_ws("|", F.lit(salt), c.cast("string"))),
+        F.lit(buckets),
+    )
+    cutoff = F.lit(int(round(default_rate * buckets)))
+    for name, rate in rates.items():
+        cutoff = F.when(
+            F.col(stratum_col) == name, F.lit(int(round(rate * buckets)))
+        ).otherwise(cutoff)
+    return df.filter(bucket < cutoff)
+
+
 def assign_splits(
     df: DataFrame,
     id_col: str = "doc_id",

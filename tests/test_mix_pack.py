@@ -1,0 +1,87 @@
+"""weighted_sample (dataset mixing) and pack_sequences properties."""
+
+from pyspark.sql import functions as F
+
+from rag_vertex_ai_vector_search_spark.operators.pack import (
+    pack_sequences,
+    packing_efficiency,
+)
+from rag_vertex_ai_vector_search_spark.operators.splits import weighted_sample
+from rag_vertex_ai_vector_search_spark.sources import load_table
+
+
+def test_weighted_sample_rates_and_nesting(spark, sf_correct):
+    docs = load_table(spark, sf_correct, "documents")
+    n_en = docs.filter(F.col("lang") == "en").count()
+
+    full = weighted_sample(docs, {"en": 1.0})
+    assert full.count() == n_en  # rate 1.0 keeps everything, others drop
+
+    half = weighted_sample(docs, {"en": 0.5})
+    quarter = weighted_sample(docs, {"en": 0.25})
+    assert 0.35 * n_en < half.count() < 0.65 * n_en
+    # NESTING: the 25% sample is a strict subset of the 50% sample.
+    half_ids = {r.doc_id for r in half.select("doc_id").collect()}
+    quarter_ids = {r.doc_id for r in quarter.select("doc_id").collect()}
+    assert quarter_ids <= half_ids
+
+    # determinism across invocations
+    again = {r.doc_id for r in weighted_sample(docs, {"en": 0.5})
+             .select("doc_id").collect()}
+    assert again == half_ids
+
+    # different salt re-rolls membership
+    other = {r.doc_id for r in
+             weighted_sample(docs, {"en": 0.5}, salt="mix2")
+             .select("doc_id").collect()}
+    assert other != half_ids
+
+
+def test_pack_sequences_offsets_are_consistent(spark):
+    rows = [(i, "g", 100 + (i % 7) * 30) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, n_tokens long")
+    packed = pack_sequences(
+        df, token_col="n_tokens", budget=512, group_col="grp"
+    ).orderBy("doc_id").collect()
+
+    # Replay the packing sequentially and compare every assignment.
+    start = 0
+    for r in packed:
+        assert r.seq_id == start // 512
+        assert r.seq_offset == start % 512
+        start += r.n_tokens
+
+    # efficiency: fill fraction in (0, 1]
+    eff = packing_efficiency(
+        pack_sequences(df, token_col="n_tokens", budget=512, group_col="grp"),
+        token_col="n_tokens", budget=512,
+    ).collect()[0]
+    assert 0.0 < eff.fill_fraction <= 1.0
+
+
+def test_pack_sequences_groups_are_independent(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b", 200) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, n_tokens long")
+    packed = pack_sequences(
+        df, token_col="n_tokens", budget=512, group_col="grp"
+    )
+    # each group packs from offset 0 independently
+    firsts = (
+        packed.groupBy("pack_group")
+        .agg(F.min("seq_id").alias("s"), F.min("seq_offset").alias("o"))
+        .collect()
+    )
+    assert all(r.s == 0 and r.o == 0 for r in firsts)
+
+
+def test_pack_sequences_hash_sharding_no_group(spark):
+    """With no natural group, hash shards bound each window partition;
+    every row still gets a valid deterministic assignment."""
+    rows = [(i, 300) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    p1 = pack_sequences(df, token_col="n_tokens", budget=1024, n_shards=8)
+    p2 = pack_sequences(df, token_col="n_tokens", budget=1024, n_shards=8)
+    assert sorted(map(tuple, p1.collect())) == sorted(map(tuple, p2.collect()))
+    assert p1.select("pack_group").distinct().count() <= 8
+    assert p1.filter(F.col("seq_offset") >= 1024).count() == 0
+    assert p1.count() == 200
