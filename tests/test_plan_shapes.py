@@ -65,3 +65,47 @@ def test_chunking_is_narrow(spark, sf_smoke):
 
     plan = _plan(m.q_chunk_documents(spark, sf_smoke))
     assert "Exchange" not in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_smoke):
+    """The 100 TB asymmetry: the gram join must broadcast the
+    benchmark-sized eval side so the train corpus never shuffles."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.q_dataset_decontaminate(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mix_sample_is_narrow_filter(spark, sf_smoke):
+    """weighted_sample is one projection+filter: no Exchange anywhere."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.q_dataset_mix_sample(spark, sf_smoke))
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_single_shuffle(spark, sf_smoke):
+    """Packing costs exactly one shuffle (the per-group window); the
+    cumsum and floor arithmetic add no further exchanges."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.q_pack_sequences(spark, sf_smoke))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pq_rerank_joins_broadcast(spark, sf_smoke):
+    """The PQ rerank cascade touches full vectors only through
+    broadcast joins of the tiny shortlist and query set."""
+    from rag_vertex_ai_vector_search_spark.operators.pq import (
+        encode_pq, pq_search_rerank, train_pq,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    books = train_pq(emb, m=8, ksub=16, iters=2, sample_rows=300)
+    index = encode_pq(emb, books)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    plan = _plan(pq_search_rerank(index, emb, queries, k=5))
+    assert plan.count("BroadcastHashJoin") >= 2
