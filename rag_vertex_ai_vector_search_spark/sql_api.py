@@ -72,6 +72,17 @@ _SQL_FUNCTIONS = {
         RETURN aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D,
                          (acc, x) -> acc + x)
     """,
+    # sha60 hash bucket (operators/splits.py): the primitive behind
+    # deterministic splits, weighted sampling, and pack sharding.
+    # Usage: engine_hash_bucket(CAST(doc_id AS STRING), 'v1', 10000).
+    "engine_hash_bucket": """
+        CREATE OR REPLACE TEMPORARY FUNCTION engine_hash_bucket(
+            id STRING, salt STRING, buckets INT)
+        RETURNS BIGINT
+        RETURN pmod(CAST(conv(substring(
+                 sha2(concat_ws('|', salt, id), 256), 1, 15), 16, 10)
+               AS BIGINT), buckets)
+    """,
 }
 
 _LANG_SCORE = (

@@ -70,3 +70,27 @@ def test_sql_embed_udf(spark, sf_smoke):
     assert np.array_equal(
         np.asarray(row.v, dtype="float32"), hash_embedding_numpy("hello", 16)
     )
+
+
+def test_sql_hash_bucket_matches_split_assignment(spark, sf_smoke):
+    """engine_hash_bucket == operators/splits.py bucketing, so a SQL
+    user can reproduce split/sample membership exactly."""
+    from rag_vertex_ai_vector_search_spark.sql_api import register_sql_api
+    from rag_vertex_ai_vector_search_spark.operators.splits import assign_splits
+    from rag_vertex_ai_vector_search_spark.sources import load_table
+
+    register_sql_api(spark, sf_smoke)
+    sql_rows = {
+        r.doc_id: r.b
+        for r in spark.sql(
+            "SELECT doc_id, engine_hash_bucket(CAST(doc_id AS STRING), 'v1', 10000) AS b"
+            " FROM documents"
+        ).collect()
+    }
+    df_rows = {
+        r.doc_id: r.split_bucket
+        for r in assign_splits(
+            load_table(spark, sf_smoke, "documents"), salt="v1"
+        ).select("doc_id", "split_bucket").collect()
+    }
+    assert sql_rows == df_rows
