@@ -1464,6 +1464,69 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style series regularization (operators/timeseries.py):
+    hourly counts of high-value events (a sparse slice with real gaps)
+    are gap-filled onto each event_type's hourly grid and carried
+    forward (LOCF), with manufactured rows marked. Spine, join, and
+    ignore-nulls window all mirror bit-exactly in DuckDB
+    (generate_series + last_value IGNORE NULLS)."""
+    from rag_vertex_ai_vector_search_spark.operators.timeseries import (
+        gapfill_locf,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("value") > 90)
+        .groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
+    return gapfill_locf(
+        hourly,
+        time_col="hour",
+        key_cols=["event_type"],
+        value_cols=["n_events", "sum_value"],
+    ).select("event_type", "hour", "n_events", "sum_value", "is_filled")
+
+
+_SQL_EVENTS_GAPFILL = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM events WHERE value > 90
+  GROUP BY 1, 2
+),
+b AS (
+  SELECT event_type, min(hour) AS tmin, max(hour) AS tmax FROM h GROUP BY 1
+),
+spine AS (
+  SELECT event_type,
+         unnest(generate_series(tmin, tmax, INTERVAL 1 HOUR)) AS hour
+  FROM b
+),
+j AS (
+  SELECT s.event_type, s.hour, h.n_events, h.sum_value
+  FROM spine s LEFT JOIN h USING (event_type, hour)
+)
+SELECT event_type, hour,
+       last_value(n_events IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_events,
+       last_value(sum_value IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value,
+       n_events IS NULL AS is_filled
+FROM j
+"""
+
+
 _SQL_EVENTS_HOURLY = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events,
@@ -1826,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": q_point_lookup,
         "merge_upsert": q_merge_upsert,
         "events_hourly": q_events_hourly,
+        "events_gapfill_locf": q_events_gapfill_locf,
         "events_sessionize": q_events_sessionize,
         "nation_set_ops": q_nation_set_ops,
         "string_date_projection": q_string_date_projection,
@@ -1879,6 +1943,7 @@ def oracle_sql() -> dict[str, str]:
         "point_lookup": _SQL_POINT_LOOKUP,
         "merge_upsert": _SQL_MERGE_UPSERT,
         "events_hourly": _SQL_EVENTS_HOURLY,
+        "events_gapfill_locf": _SQL_EVENTS_GAPFILL,
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
         "nation_set_ops": _SQL_NATION_SET_OPS,
         "string_date_projection": _SQL_STRING_DATE,

@@ -1,0 +1,70 @@
+"""gapfill_locf: spine coverage, LOCF carry, fill markers."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from rag_vertex_ai_vector_search_spark.operators.timeseries import gapfill_locf
+
+
+def _ts(h):
+    return datetime.datetime(2024, 1, 1, h)
+
+
+def test_gapfill_fills_holes_and_carries_values(spark):
+    rows = [
+        ("a", _ts(0), 10, 1.5),
+        ("a", _ts(1), 20, 2.5),
+        # hours 2-3 missing
+        ("a", _ts(4), 40, 4.5),
+        ("b", _ts(2), 7, 0.5),  # single observation: no gaps
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, hour timestamp, n long, v double"
+    )
+    out = gapfill_locf(
+        df, time_col="hour", key_cols=["k"], value_cols=["n", "v"]
+    ).orderBy("k", "hour").collect()
+
+    a = [r for r in out if r.k == "a"]
+    assert [r.hour.hour for r in a] == [0, 1, 2, 3, 4]  # full grid
+    assert [r.n for r in a] == [10, 20, 20, 20, 40]     # LOCF carry
+    assert [r.v for r in a] == [1.5, 2.5, 2.5, 2.5, 4.5]
+    assert [r.is_filled for r in a] == [False, False, True, True, False]
+
+    b = [r for r in out if r.k == "b"]
+    assert len(b) == 1 and b[0].n == 7 and not b[0].is_filled
+
+
+def test_gapfill_no_rows_outside_key_lifetime(spark):
+    """Each key's spine spans ITS OWN min..max, not the global range --
+    no manufactured rows before a key first appears or after it ends."""
+    rows = [
+        ("early", _ts(0), 1, 0.0),
+        ("early", _ts(1), 2, 0.0),
+        ("late", _ts(10), 3, 0.0),
+        ("late", _ts(12), 4, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, hour timestamp, n long, v double"
+    )
+    out = gapfill_locf(
+        df, time_col="hour", key_cols=["k"], value_cols=["n"]
+    )
+    assert out.filter(F.col("k") == "early").count() == 2
+    late = out.filter(F.col("k") == "late").orderBy("hour").collect()
+    assert [r.hour.hour for r in late] == [10, 11, 12]
+    assert [r.n for r in late] == [3, 3, 4]
+
+
+def test_gapfill_custom_step(spark):
+    rows = [("a", _ts(0), 1, 0.0), ("a", _ts(1), 2, 0.0)]
+    df = spark.createDataFrame(
+        rows, "k string, hour timestamp, n long, v double"
+    )
+    out = gapfill_locf(
+        df, time_col="hour", key_cols=["k"], value_cols=["n"],
+        step="15 minutes",
+    )
+    assert out.count() == 5  # 0:00 0:15 0:30 0:45 1:00
+    assert out.filter(F.col("is_filled")).count() == 3
