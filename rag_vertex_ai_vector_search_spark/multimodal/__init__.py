@@ -4,7 +4,9 @@ from .binary_ops import (
     decode_image,
     decode_image_stub,
     extract_audio_features,
+    extract_resized_features,
     extract_image_features,
+    resize_image,
     sample_video_frames,
 )
 
@@ -14,6 +16,8 @@ __all__ = [
     "decode_image",
     "decode_image_stub",
     "extract_audio_features",
+    "extract_resized_features",
     "extract_image_features",
+    "resize_image",
     "sample_video_frames",
 ]

@@ -174,6 +174,48 @@ def extract_image_features(
     return df.mapInPandas(_featurize, out_schema)
 
 
+def resize_image(img: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Nearest-neighbor resize in pure numpy (index-map gather): real,
+    deterministic, library-free. Works for (H, W) grayscale and
+    (H, W, C) color arrays. Swap in PIL/opencv for fancier filters --
+    the distributed plumbing (extract_resized_features) is unchanged."""
+    h0, w0 = img.shape[0], img.shape[1]
+    rows = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+    cols = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+    return img[rows][:, cols]
+
+
+def extract_resized_features(
+    df: DataFrame,
+    content_col: str = "content",
+    height: int = 16,
+    width: int = 16,
+    feature_dim: int = 16,
+    decoder=decode_image_stub,
+) -> DataFrame:
+    """decode -> resize -> pooled-feature in one mapInPandas pass: the
+    normalize-then-embed preprocessing shape (every image reaches the
+    feature extractor at a fixed resolution). Adds resized_height/
+    resized_width (constant, for schema contracts downstream) and the
+    ``features`` vector computed on the RESIZED pixels."""
+
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for content in pdf[content_col]:
+                img = decoder(bytes(content) if content is not None else b"")
+                small = resize_image(np.asarray(img), height, width)
+                feats.append(_pooled_features(small, feature_dim))
+            yield pdf.assign(
+                resized_height=height, resized_width=width, features=feats
+            )
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", resized_height int, resized_width int, features array<float>"
+    return df.mapInPandas(_featurize, out_schema)
+
+
 def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
     """REAL pure-stdlib audio decode: RIFF/WAV PCM via the ``wave``
     module (8/16/32-bit integer PCM, any channel count). Returns

@@ -223,3 +223,57 @@ def test_extract_audio_features_values(spark):
     a2 = out["a2"]
     assert abs(a2.duration_s - 0.125) < 1e-9
     assert a2.zero_crossing_rate < a1.zero_crossing_rate
+
+
+# ---------------------------------------------------------------------------
+# Resize
+# ---------------------------------------------------------------------------
+
+def test_resize_image_shapes_and_identity():
+    from rag_vertex_ai_vector_search_spark.multimodal import resize_image
+
+    gray = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    up = resize_image(gray, 16, 16)
+    down = resize_image(gray, 4, 4)
+    assert up.shape == (16, 16) and down.shape == (4, 4)
+    # identity resize is exact
+    assert np.array_equal(resize_image(gray, 8, 8), gray)
+    # 2x nearest-neighbor upsample repeats each pixel
+    assert np.array_equal(up[::2, ::2], gray)
+    # downsample picks exact source pixels (a subset of the original)
+    assert set(down.ravel()) <= set(gray.ravel())
+
+    rgb = np.random.RandomState(0).randint(0, 255, (6, 10, 3), dtype=np.uint8)
+    out = resize_image(rgb, 3, 5)
+    assert out.shape == (3, 5, 3)
+
+
+def test_extract_resized_features_fixed_resolution(spark):
+    from rag_vertex_ai_vector_search_spark.multimodal import (
+        decode_image,
+        extract_resized_features,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        _pooled_features,
+        resize_image,
+    )
+
+    ppm, _ = _ppm_bytes(8, 8)
+    bmp, _ = _bmp24_bytes(10, 6)  # different aspect: resize normalizes
+    df = spark.createDataFrame(
+        [("i1", "image/ppm", bytearray(ppm)),
+         ("i2", "image/bmp", bytearray(bmp))],
+        "media_id string, media_type string, content binary",
+    )
+    out = {r.media_id: r for r in extract_resized_features(
+        df, height=4, width=4, feature_dim=8, decoder=decode_image
+    ).collect()}
+    for name, raw in (("i1", ppm), ("i2", bmp)):
+        r = out[name]
+        assert (r.resized_height, r.resized_width) == (4, 4)
+        expected = _pooled_features(
+            resize_image(np.asarray(decode_image(raw)), 4, 4), 8
+        )
+        assert np.array_equal(
+            np.asarray(r.features, dtype=np.float32), expected
+        ), name
