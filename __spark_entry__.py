@@ -1385,6 +1385,41 @@ def q_supplier_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: each order's trailing-30-day spend for its
+    customer (time-valued frame, not row-counted -- the frame every
+    sliding-metric pipeline needs). Epoch seconds give Spark a numeric
+    rangeBetween identical to DuckDB's RANGE INTERVAL frame; money sums
+    in DECIMAL(18,2) keep the aggregate order-independent."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = 86400
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * day, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w)
+        .cast("double")
+        .alias("trailing_30d_spend"),
+        F.count(F.lit(1)).over(w).alias("trailing_30d_orders"),
+    )
+
+
+_SQL_CUSTOMER_TRAILING = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS trailing_30d_spend,
+       count(*) OVER w AS trailing_30d_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
 _SQL_SUPPLIER_WINDOW = """
 SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
        sum(l_quantity) OVER w AS running_qty,
@@ -1886,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_revenue_customers": q_top_revenue_customers,
         "supplier_running_window": q_supplier_running_window,
+        "customer_trailing_spend": q_customer_trailing_spend,
         "point_lookup": q_point_lookup,
         "merge_upsert": q_merge_upsert,
         "events_hourly": q_events_hourly,
@@ -1940,6 +1976,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "top_revenue_customers": _SQL_TOP_REVENUE,
         "supplier_running_window": _SQL_SUPPLIER_WINDOW,
+        "customer_trailing_spend": _SQL_CUSTOMER_TRAILING,
         "point_lookup": _SQL_POINT_LOOKUP,
         "merge_upsert": _SQL_MERGE_UPSERT,
         "events_hourly": _SQL_EVENTS_HOURLY,
