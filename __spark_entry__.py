@@ -1169,6 +1169,142 @@ GROUP BY lang, source
 """
 
 
+def q_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE capstone composition: raw corpus -> packed training corpus in
+    one lineage, every stage an engine operator, the whole thing under
+    one bit-exact oracle --
+
+      quality gate (> 0.55) -> exact-dedup keep-one (fingerprint
+      window) -> benchmark decontamination (5-gram overlap vs the
+      doc_id%10==0 eval split, df-capped) -> dataset mixing
+      (per-language rates) -> deterministic train/val/test split ->
+      sequence packing (512-token budget within split|lang).
+
+    This is the query a user of the engine actually ships: the output
+    table is what a trainer consumes."""
+    from rag_vertex_ai_vector_search_spark.operators.decontaminate import (
+        decontaminate,
+    )
+    from rag_vertex_ai_vector_search_spark.operators.pack import pack_sequences
+    from rag_vertex_ai_vector_search_spark.operators.splits import (
+        assign_splits,
+        weighted_sample,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", "lang", "source", "text",
+        token_count("text").cast("long").alias("n_tokens"),
+        quality_score("text").alias("_q"),
+        doc_fingerprint("text").alias("_fp"),
+    )
+    kept = base.filter(F.col("_q") > 0.55)
+    dedup_w = Window.partitionBy("_fp").orderBy("doc_id")
+    deduped = (
+        kept.withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    train = deduped.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    clean = decontaminate(train, ev, n=5, max_gram_df=64)
+    mixed = weighted_sample(
+        clean, {"en": 1.0, "de": 0.6, "fr": 0.4, "zh": 0.2}
+    )
+    split_df = assign_splits(mixed, salt="v1")
+    grouped = split_df.withColumn(
+        "grp", F.concat_ws("|", F.col("split"), F.col("lang"))
+    )
+    packed = pack_sequences(
+        grouped, token_col="n_tokens", budget=512, group_col="grp"
+    )
+    return packed.select(
+        "doc_id", "lang", "split", "pack_group", "n_tokens",
+        "seq_id", "seq_offset",
+    )
+
+
+_SQL_TRAINING_PIPELINE = f"""
+WITH base AS (
+  SELECT doc_id, lang, source, text,
+         CAST({_SQL_TOKENS} AS BIGINT) AS n_tokens,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok,
+         len(regexp_extract_all(lower(text), '{_STOP_PAT}')) AS nstop,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) END AS aratio,
+         sha256({_SQL_NORM}) AS fp
+  FROM documents
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, 0.5*aratio + 0.3*least(CAST(length(text) AS DOUBLE)/500.0, 1.0)
+            + 0.2*least((CASE WHEN ntok = 0 THEN 0.0
+                              ELSE CAST(nstop AS DOUBLE)/CAST(ntok AS DOUBLE)
+                         END)*4.0, 1.0) AS quality
+    FROM base) WHERE quality > 0.55
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM kept)
+  WHERE rn = 1
+),
+train AS (SELECT * FROM deduped WHERE doc_id % 10 != 0),
+w AS (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(range(1, len(w) - 3),
+                             i -> array_to_string(w[i:i+4], ' '))
+    END)) AS gram
+  FROM w),
+h AS (SELECT doc_id, ('0x' || substr(sha256(gram), 1, 15))::BIGINT AS gh FROM g),
+ev0 AS (SELECT doc_id AS eval_id, gh FROM h WHERE doc_id % 10 = 0),
+ev AS (
+  SELECT * FROM ev0 WHERE gh NOT IN (
+    SELECT gh FROM ev0 GROUP BY gh HAVING count(*) > 64)
+),
+contaminated AS (
+  SELECT DISTINCT t.doc_id FROM h t JOIN ev ON t.gh = ev.gh
+  WHERE t.doc_id % 10 != 0),
+clean AS (
+  SELECT * FROM train
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+mixed AS (
+  SELECT * FROM clean
+  WHERE ('0x' || substr(sha256('mix1' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        % 10000
+      < CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 6000
+                  WHEN 'fr' THEN 4000 WHEN 'zh' THEN 2000 ELSE 0 END
+),
+sp AS (
+  SELECT *, ('0x' || substr(sha256('v1' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 10000 AS bucket
+  FROM mixed
+),
+split_assigned AS (
+  SELECT *, CASE WHEN bucket < 9000 THEN 'train'
+                 WHEN bucket < 9500 THEN 'val'
+                 ELSE 'test' END AS split
+  FROM sp
+),
+packed AS (
+  SELECT doc_id, lang, split, split || '|' || lang AS pack_group, n_tokens,
+         CAST(sum(n_tokens) OVER (
+                PARTITION BY split || '|' || lang ORDER BY doc_id)
+              - n_tokens AS BIGINT) AS start
+  FROM split_assigned
+)
+SELECT doc_id, lang, split, pack_group, n_tokens,
+       CAST(floor(start / 512) AS BIGINT) AS seq_id,
+       CAST(start - CAST(floor(start / 512) AS BIGINT) * 512 AS BIGINT)
+         AS seq_offset
+FROM packed
+"""
+
+
 def q_dataset_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic dataset mixing (operators/splits.py::weighted_sample):
     per-language keep rates via hash-bucket thresholds -- en 100%,
@@ -1918,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_mix_sample": q_dataset_mix_sample,
         "pack_sequences": q_pack_sequences,
         "corpus_quality_report": q_corpus_quality_report,
+        "training_corpus_pipeline": q_training_corpus_pipeline,
         "pricing_summary": q_pricing_summary,
         "top_revenue_customers": q_top_revenue_customers,
         "supplier_running_window": q_supplier_running_window,
@@ -1973,6 +2110,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_mix_sample": _SQL_MIX_SAMPLE,
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "corpus_quality_report": _SQL_CORPUS_REPORT,
+        "training_corpus_pipeline": _SQL_TRAINING_PIPELINE,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "top_revenue_customers": _SQL_TOP_REVENUE,
         "supplier_running_window": _SQL_SUPPLIER_WINDOW,
