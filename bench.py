@@ -149,9 +149,16 @@ BENCH_QUERIES = [
 
 def main() -> None:
     spark = get_spark("bench")
-    # Warm the JVM + parquet footers + Python UDF workers once so
-    # timings measure the queries, not process spin-up.
+    # Warm the JVM + parquet footers + page cache + Python UDF workers
+    # once so timings measure the queries, not process spin-up or cold
+    # IO: full-column touch of the three hot tables.
     load_table(spark, SF_DIR, "lineitem").count()
+    load_table(spark, SF_DIR, "documents").select(
+        F.sum(F.length("text"))
+    ).collect()
+    load_table(spark, SF_DIR, "embeddings").select(
+        F.sum(F.size("embedding"))
+    ).collect()
     warm = spark.range(64).toDF("x")
     warm.mapInPandas(lambda it: it, "x long").write.mode("overwrite").format(
         "noop"
