@@ -1098,6 +1098,61 @@ FROM t
 """
 
 
+def q_packed_sequence_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized training sequences (operators/pack.py::
+    concat_sequences): documents packed within language into 512-token
+    sequences, then concatenated in doc_id order. The sequence text is
+    returned as its sha256 + length (driver-hashable scalars standing
+    in for megabytes of text); DuckDB mirrors with string_agg ORDER BY."""
+    from rag_vertex_ai_vector_search_spark.operators.pack import (
+        concat_sequences,
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text",
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        docs, token_col="n_tokens", budget=512, group_col="lang"
+    )
+    seqs = concat_sequences(packed)
+    return seqs.select(
+        "pack_group",
+        "seq_id",
+        "n_docs",
+        F.length("seq_text").alias("seq_chars"),
+        F.sha2("seq_text", 256).alias("seq_sha256"),
+    )
+
+
+_SQL_PACKED_SEQ_TEXTS = f"""
+WITH t AS (
+  SELECT doc_id, lang, text, CAST({_SQL_TOKENS} AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang AS pack_group, text,
+         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+              - n_tokens AS BIGINT) AS start
+  FROM t
+),
+assigned AS (
+  SELECT doc_id, pack_group, text,
+         CAST(floor(start / 512) AS BIGINT) AS seq_id
+  FROM c
+)
+SELECT pack_group, seq_id,
+       count(*) AS n_docs,
+       length(string_agg(text, chr(10) || chr(10) ORDER BY doc_id))
+         AS seq_chars,
+       sha256(string_agg(text, chr(10) || chr(10) ORDER BY doc_id))
+         AS seq_sha256
+FROM assigned
+GROUP BY pack_group, seq_id
+"""
+
+
 def q_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) corpus health report: the roll-up a data
     curator reads before training -- doc counts, token mass, short-doc
@@ -2053,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_decontaminate": q_dataset_decontaminate,
         "dataset_mix_sample": q_dataset_mix_sample,
         "pack_sequences": q_pack_sequences,
+        "packed_sequence_texts": q_packed_sequence_texts,
         "corpus_quality_report": q_corpus_quality_report,
         "training_corpus_pipeline": q_training_corpus_pipeline,
         "pricing_summary": q_pricing_summary,
@@ -2109,6 +2165,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_decontaminate": _SQL_DECONTAMINATE,
         "dataset_mix_sample": _SQL_MIX_SAMPLE,
         "pack_sequences": _SQL_PACK_SEQUENCES,
+        "packed_sequence_texts": _SQL_PACKED_SEQ_TEXTS,
         "corpus_quality_report": _SQL_CORPUS_REPORT,
         "training_corpus_pipeline": _SQL_TRAINING_PIPELINE,
         "pricing_summary": _SQL_PRICING_SUMMARY,

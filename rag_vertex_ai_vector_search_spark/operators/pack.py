@@ -76,6 +76,38 @@ def pack_sequences(
     )
 
 
+def concat_sequences(
+    packed: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Materialize one row per training sequence: documents of a
+    (pack_group, seq_id) concatenated in ``id_col`` order.
+
+    Ordering inside the aggregate is made deterministic by sorting the
+    collected (id, text) structs (``collect_list`` order is not
+    guaranteed across retries/partitions; ``array_sort`` on the struct
+    orders by id first). One shuffle, shared key with the packing
+    window."""
+    return (
+        packed.groupBy("pack_group", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(id_col, text_col))
+                    ),
+                    lambda s: s[text_col],
+                ),
+                sep,
+            ).alias("seq_text"),
+        )
+    )
+
+
 def packing_efficiency(
     packed: DataFrame, *, token_col: str, budget: int = 2048
 ) -> DataFrame:

@@ -85,3 +85,23 @@ def test_pack_sequences_hash_sharding_no_group(spark):
     assert p1.select("pack_group").distinct().count() <= 8
     assert p1.filter(F.col("seq_offset") >= 1024).count() == 0
     assert p1.count() == 200
+
+
+def test_concat_sequences_order_and_content(spark):
+    from rag_vertex_ai_vector_search_spark.operators.pack import (
+        concat_sequences,
+        pack_sequences,
+    )
+
+    rows = [(i, "g", f"doc{i}", 300) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, grp string, text string, n_tokens long"
+    )
+    packed = pack_sequences(df, token_col="n_tokens", budget=512, group_col="grp")
+    seqs = {r.seq_id: r for r in concat_sequences(packed).collect()}
+    # 300-token docs, 512 budget: starts at 0,300,600,... -> seq 0 holds
+    # docs 0-1 (starts 0,300), seq 1 docs 2-3 (600,900), seq 2 docs 4-5.
+    assert seqs[0].seq_text == "doc0\n\ndoc1"
+    assert seqs[1].seq_text == "doc2\n\ndoc3"
+    assert seqs[2].seq_text == "doc4\n\ndoc5"
+    assert all(r.n_docs == 2 for r in seqs.values())
