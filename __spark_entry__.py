@@ -1385,6 +1385,42 @@ WHERE ('0x' || substr(sha256('mix1' || '|' || CAST(doc_id AS VARCHAR)), 1, 15)):
 """
 
 
+def q_dataset_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic OVER-sampling (operators/splits.py::
+    weighted_upsample): en 2.3 copies (2 + 30% a third), de exactly 2,
+    zh 40% downsample, fr/es single copy -- the epoch-repetition
+    mixing recipe with zero RNG. copy_id keys the duplicates."""
+    from rag_vertex_ai_vector_search_spark.operators.splits import (
+        weighted_upsample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_upsample(
+        docs, {"en": 2.3, "de": 2.0, "zh": 0.4}
+    ).select("doc_id", "lang", "copy_id")
+
+
+_SQL_MIX_UPSAMPLE = """
+WITH r AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(sha256('mix1' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         % 10000 AS bucket,
+         CASE lang WHEN 'en' THEN 2.3 WHEN 'de' THEN 2.0
+                   WHEN 'zh' THEN 0.4 ELSE 1.0 END AS rate
+  FROM documents
+),
+n AS (
+  SELECT doc_id, lang,
+         CAST(floor(rate) AS INT)
+         + CASE WHEN bucket < CAST(round((rate - floor(rate)) * 10000) AS BIGINT)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM r
+)
+SELECT doc_id, lang, CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy_id
+FROM n
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (operators/pack.py): documents
     pack in doc_id order within their language into 512-token training
@@ -2107,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "dataset_decontaminate": q_dataset_decontaminate,
         "dataset_mix_sample": q_dataset_mix_sample,
+        "dataset_mix_upsample": q_dataset_mix_upsample,
         "pack_sequences": q_pack_sequences,
         "packed_sequence_texts": q_packed_sequence_texts,
         "corpus_quality_report": q_corpus_quality_report,
@@ -2164,6 +2201,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _SQL_DATASET_SPLIT,
         "dataset_decontaminate": _SQL_DECONTAMINATE,
         "dataset_mix_sample": _SQL_MIX_SAMPLE,
+        "dataset_mix_upsample": _SQL_MIX_UPSAMPLE,
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "packed_sequence_texts": _SQL_PACKED_SEQ_TEXTS,
         "corpus_quality_report": _SQL_CORPUS_REPORT,

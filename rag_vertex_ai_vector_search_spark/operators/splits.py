@@ -106,6 +106,55 @@ def weighted_sample(
     return df.filter(bucket < cutoff)
 
 
+def weighted_upsample(
+    df: DataFrame,
+    rates: dict[str, float],
+    *,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix1",
+    buckets: int = 10_000,
+    base_hash: str = "sha60",
+    default_rate: float = 1.0,
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Mixing with rates above 1.0: deterministic OVER-sampling.
+
+    A rate of 2.3 emits 2 copies of every row plus a 3rd for the 30%
+    of rows whose hash bucket falls under the fractional part -- the
+    epoch-style repetition recipe (e.g. Wikipedia seen 2-3x per epoch)
+    without any RNG: reruns, cluster sizes, and upserts all reproduce
+    the same copy multiset. Rates below 1.0 downsample exactly like
+    ``weighted_sample``. Emits ``copy_col`` (1..n) so downstream
+    packing/shuffling can spread copies; rows with 0 copies disappear
+    (explode of an empty sequence).
+    """
+    c = F.col(id_col)
+    hash_fn = base_hash_fn(base_hash)
+    bucket = F.pmod(
+        hash_fn(F.concat_ws("|", F.lit(salt), c.cast("string"))),
+        F.lit(buckets),
+    )
+
+    def n_copies(rate: float):
+        whole = int(rate)
+        frac_cut = int(round((rate - whole) * buckets))
+        return F.lit(whole) + (bucket < F.lit(frac_cut)).cast("int")
+
+    n = n_copies(default_rate)
+    for name, rate in rates.items():
+        n = F.when(F.col(stratum_col) == name, n_copies(rate)).otherwise(n)
+    return df.withColumn("_n_copies", n).select(
+        "*",
+        F.explode(
+            F.when(
+                F.col("_n_copies") >= 1,
+                F.sequence(F.lit(1), F.col("_n_copies")),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias(copy_col),
+    ).drop("_n_copies")
+
+
 def assign_splits(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -105,3 +105,36 @@ def test_concat_sequences_order_and_content(spark):
     assert seqs[1].seq_text == "doc2\n\ndoc3"
     assert seqs[2].seq_text == "doc4\n\ndoc5"
     assert all(r.n_docs == 2 for r in seqs.values())
+
+
+def test_weighted_upsample_copy_counts(spark, sf_correct):
+    from rag_vertex_ai_vector_search_spark.operators.splits import (
+        weighted_sample,
+        weighted_upsample,
+    )
+
+    docs = load_table(spark, sf_correct, "documents")
+    n_en = docs.filter(F.col("lang") == "en").count()
+
+    up = weighted_upsample(docs, {"en": 2.5}).filter(F.col("lang") == "en")
+    total = up.count()
+    # every doc twice + ~50% a third time
+    assert 2.3 * n_en < total < 2.7 * n_en
+    per_doc = up.groupBy("doc_id").count()
+    assert per_doc.filter((F.col("count") < 2) | (F.col("count") > 3)).count() == 0
+
+    # integer rate: exactly n copies, copy_id 1..n
+    two = weighted_upsample(docs, {"en": 2.0}).filter(F.col("lang") == "en")
+    assert two.count() == 2 * n_en
+    assert two.groupBy("doc_id").count().filter(F.col("count") != 2).count() == 0
+
+    # sub-1.0 rate == weighted_sample membership (same hash threshold)
+    down = weighted_upsample(docs, {"en": 0.5}).filter(F.col("lang") == "en")
+    samp = weighted_sample(docs, {"en": 0.5})
+    assert ({r.doc_id for r in down.select("doc_id").collect()}
+            == {r.doc_id for r in samp.select("doc_id").collect()})
+
+    # determinism
+    again = weighted_upsample(docs, {"en": 2.5}).filter(F.col("lang") == "en")
+    assert sorted(map(tuple, again.select("doc_id", "copy_id").collect())) == \
+           sorted(map(tuple, up.select("doc_id", "copy_id").collect()))
