@@ -378,6 +378,75 @@ def q_knn_pq_full_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: dense kNN (doc 5's embedding) + lexical BM25
+    fused by reciprocal-rank fusion (operators/fusion.py, RRF k=60).
+    Rank-based fusion needs no score normalization across the two
+    incomparable scales, and the fixed-order contribution sum keeps
+    the fused doubles bit-exact against the DuckDB mirror."""
+    from rag_vertex_ai_vector_search_spark.operators import bm25_topk
+    from rag_vertex_ai_vector_search_spark.operators.fusion import (
+        reciprocal_rank_fusion,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    vec = knn_search(
+        emb,
+        emb.filter(F.col("vec_id") == 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vector"),
+        ),
+        k=20,
+        method="fold",
+    ).select("query_id", "neighbor_id", "rank")
+    lex = bm25_topk(docs, _BM25_TERMS, k1=1.2, b=0.75, top_n=20).select(
+        F.lit(5).cast("long").alias("query_id"),
+        F.col("doc_id").alias("neighbor_id"),
+        "rank",
+    )
+    fused = reciprocal_rank_fusion({"vec": vec, "lex": lex}, k=60, top_n=15)
+    return fused.select(
+        "query_id",
+        "neighbor_id",
+        F.coalesce("rrf_vec", F.lit(0.0)).alias("rrf_vec"),
+        F.coalesce("rrf_lex", F.lit(0.0)).alias("rrf_lex"),
+        "rrf_score",
+        "rank",
+    )
+
+
+def _sql_hybrid_rrf() -> str:
+    return f"""
+WITH vec AS (
+  SELECT 5 AS query_id, e.vec_id AS neighbor_id,
+         row_number() OVER (
+           ORDER BY list_dot_product(q.qv, e.embedding::DOUBLE[]) DESC,
+                    e.vec_id ASC) AS rank
+  FROM (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 5) q
+  CROSS JOIN embeddings e
+  QUALIFY rank <= 20
+),
+lex AS (
+  SELECT 5 AS query_id, doc_id AS neighbor_id, rank
+  FROM ({_sql_bm25_rank()})
+),
+f AS (
+  SELECT coalesce(v.query_id, l.query_id) AS query_id,
+         coalesce(v.neighbor_id, l.neighbor_id) AS neighbor_id,
+         coalesce(1.0 / (60.0 + CAST(v.rank AS DOUBLE)), 0.0) AS rrf_vec,
+         coalesce(1.0 / (60.0 + CAST(l.rank AS DOUBLE)), 0.0) AS rrf_lex
+  FROM vec v FULL OUTER JOIN lex l ON v.neighbor_id = l.neighbor_id
+)
+SELECT query_id, neighbor_id, rrf_vec, rrf_lex,
+       rrf_vec + rrf_lex AS rrf_score,
+       row_number() OVER (
+         ORDER BY rrf_vec + rrf_lex DESC, neighbor_id ASC) AS rank
+FROM f
+QUALIFY rank <= 15
+"""
+
+
 def q_ingest_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3/O4/O7/O8: tokenize, token-gate, surrogate key, projection
     (embeddings.py:62-90, setup_vector_search.py:39,80-94). Deterministic
@@ -2125,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh_full_cover": q_knn_lsh_full_cover,
         "knn_pq_rerank": q_knn_pq_rerank,
         "knn_pq_full_rerank": q_knn_pq_full_rerank,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
         "ingest_metadata": q_ingest_metadata,
         "ingest_datapoints": q_ingest_datapoints,
         "dedup_exact": q_dedup_exact,
@@ -2183,6 +2253,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh_full_cover": _SQL_KNN_TOPK,
         # knn_pq_rerank: lossy ADC shortlist -> rows-only check
         "knn_pq_full_rerank": _SQL_KNN_TOPK,
+        "hybrid_search_rrf": _sql_hybrid_rrf(),
         "ingest_metadata": _SQL_INGEST_METADATA,
         "ingest_datapoints": _SQL_INGEST_DATAPOINTS,
         "dedup_exact": _SQL_DEDUP_EXACT,
