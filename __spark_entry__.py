@@ -1222,6 +1222,45 @@ GROUP BY pack_group, seq_id
 """
 
 
+def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/lm_quality.py):
+    per-document average surprisal under the corpus unigram model.
+    Per-word surprisal quantizes to integer nanonats so the per-doc sum
+    is exact bigint arithmetic (shuffle-order-independent) and the mean
+    divides two exact integers -- bit-identical in DuckDB."""
+    from rag_vertex_ai_vector_search_spark.operators.lm_quality import (
+        unigram_surprisal,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_surprisal(docs, alpha=0.5).select(
+        "doc_id", "n_words", "avg_surprisal_nats"
+    )
+
+
+def _sql_lm_surprisal(spark: SparkSession | None = None, sf_dir: str = "") -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS word
+  FROM documents
+),
+counts AS (SELECT word, count(*) AS n FROM words GROUP BY word),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS N, CAST(count(*) AS DOUBLE) AS V
+        FROM counts),
+scored AS (
+  SELECT w.doc_id,
+         CAST(floor(-ln((CAST(c.n AS DOUBLE) + 0.5) / (t.N + 0.5 * t.V))
+                    * 1000000000.0) AS BIGINT) AS s
+  FROM words w JOIN counts c USING (word) CROSS JOIN tot t
+)
+SELECT doc_id, count(*) AS n_words,
+       CAST(CAST(sum(s) AS BIGINT) AS DOUBLE)
+         / (1000000000.0 * CAST(count(*) AS DOUBLE)) AS avg_surprisal_nats
+FROM scored
+GROUP BY doc_id
+"""
+
+
 def q_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) corpus health report: the roll-up a data
     curator reads before training -- doc counts, token mass, short-doc
@@ -2217,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "packed_sequence_texts": q_packed_sequence_texts,
         "corpus_quality_report": q_corpus_quality_report,
+        "lm_surprisal": q_lm_surprisal,
         "training_corpus_pipeline": q_training_corpus_pipeline,
         "pricing_summary": q_pricing_summary,
         "top_revenue_customers": q_top_revenue_customers,
@@ -2276,6 +2316,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "packed_sequence_texts": _SQL_PACKED_SEQ_TEXTS,
         "corpus_quality_report": _SQL_CORPUS_REPORT,
+        "lm_surprisal": _sql_lm_surprisal(),
         "training_corpus_pipeline": _SQL_TRAINING_PIPELINE,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "top_revenue_customers": _SQL_TOP_REVENUE,

@@ -1,0 +1,102 @@
+"""Language-model quality scoring: per-document average surprisal
+under a corpus unigram model (the CCNet-style perplexity filter).
+
+CCNet (Wenzek et al., LREC 2020) ranks web documents by LM perplexity:
+low-surprisal text is fluent/common, high-surprisal is noise or
+boilerplate-free rare content; training recipes keep the middle. A full
+KenLM is a model dependency; the engine ships the UNIGRAM version as
+real, distributed machinery (counts, smoothing, scoring) with the same
+pipeline shape an n-gram model would use -- swap the probability table,
+nothing else moves.
+
+    p(w) = (count(w) + alpha) / (N + alpha * V)     (add-alpha smoothing)
+    surprisal(doc) = mean_w -ln p(w)                (nats per token)
+
+Determinism/oracle trick: summing -ln p over a document's words in
+floating point is shuffle-order-dependent. Each word's surprisal is
+therefore quantized to an INTEGER (floor(-ln(p) * 1e9) nanonats): the
+per-doc SUM is exact bigint arithmetic (order-independent), and the
+final mean divides two exact integers -- bit-identical in any engine,
+at a quantization error < 1e-9 nats/word, far below any filtering
+threshold.
+
+Scale shape: words explode -> shuffle-join against the count table ->
+per-doc integer aggregate. The count table is vocabulary-sized; at web
+scale (~1e7-1e8 rows) it stays a plain shuffled join (AQE picks the
+strategy); the two model scalars (N, V) are a one-row aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text
+
+SURPRISAL_SCALE = 1_000_000_000  # nanonats
+
+
+def unigram_counts(
+    df: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """(word, n) over the normalized corpus -- the unigram model table."""
+    return (
+        df.select(
+            F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+                "word"
+            )
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """(id, n_words, avg_surprisal_nats) for every document, scored
+    under ``counts`` (default: the corpus itself -- self-scoring, the
+    CCNet setup uses a reference-corpus model; pass one to mirror
+    that)."""
+    counts = counts if counts is not None else unigram_counts(df, text_col=text_col)
+    totals = counts.agg(
+        F.sum("n").alias("_N"), F.count(F.lit(1)).alias("_V")
+    ).collect()[0]
+    n_total, vocab = int(totals._N), int(totals._V)
+    denom = float(n_total) + alpha * float(vocab)
+
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+            "word"
+        ),
+    )
+    # Unseen words (when scoring under an external model) get count 0.
+    scored = words.join(counts, "word", "left").withColumn(
+        "_surprisal_nanonats",
+        F.floor(
+            -F.log(
+                (F.coalesce(F.col("n"), F.lit(0)).cast("double") + F.lit(alpha))
+                / F.lit(denom)
+            )
+            * F.lit(float(SURPRISAL_SCALE))
+        ).cast("long"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_surprisal_nanonats").alias("_s"),
+        )
+        .withColumn(
+            "avg_surprisal_nats",
+            F.col("_s").cast("double")
+            / (F.lit(float(SURPRISAL_SCALE)) * F.col("n_words").cast("double")),
+        )
+        .drop("_s")
+    )
