@@ -1238,7 +1238,7 @@ def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_lm_surprisal(spark: SparkSession | None = None, sf_dir: str = "") -> str:
+def _sql_lm_surprisal() -> str:
     return f"""
 WITH words AS (
   SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS word

@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     ("dataset_decontaminate", entrymod.q_dataset_decontaminate),
     ("pack_sequences", entrymod.q_pack_sequences),
     ("corpus_quality_report", entrymod.q_corpus_quality_report),
+    ("lm_surprisal", entrymod.q_lm_surprisal),
     # the capstone composition: 6 operators, one lineage, one oracle
     ("training_corpus_pipeline", entrymod.q_training_corpus_pipeline),
 ]
