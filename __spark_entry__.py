@@ -2019,6 +2019,30 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_cube_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets, full CUBE: every subset of (returnflag,
+    linestatus) including the per-dimension marginals ROLLUP omits.
+    grouping_id disambiguates real NULL group keys from subtotal rows
+    on both sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+_SQL_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty, count(*) AS n_rows,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregate + semi-join shape."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -2270,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_set_ops": q_nation_set_ops,
         "string_date_projection": q_string_date_projection,
         "rollup_quantities": q_rollup_quantities,
+        "cube_quantities": q_cube_quantities,
         "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
         "asof_latest_signup": q_asof_latest_signup,
         "parts_never_shipped": q_parts_never_shipped,
@@ -2330,6 +2355,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_set_ops": _SQL_NATION_SET_OPS,
         "string_date_projection": _SQL_STRING_DATE,
         "rollup_quantities": _SQL_ROLLUP,
+        "cube_quantities": _SQL_CUBE,
         "distinct_parts_per_supplier": _SQL_DISTINCT_PARTS,
         "asof_latest_signup": _SQL_ASOF_SIGNUP,
         "parts_never_shipped": _SQL_PARTS_NEVER_SHIPPED,
