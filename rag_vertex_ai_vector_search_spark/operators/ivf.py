@@ -120,9 +120,16 @@ def ivf_search(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vector",
     method: str = "gemm",
+    restrict=None,
     **knn_kwargs,
 ) -> DataFrame:
     """Pruned top-k: probe the best ``nprobe`` clusters per query.
+
+    ``restrict`` (a boolean Column, same contract as knn_search) is
+    applied to the index BEFORE scoring -- the reference's restrict
+    filters compose with the approximate path exactly like the exact
+    one (filter inside the ANN traversal, setup_vector_search.py:45-62),
+    and Catalyst pushes it into the pruned partition scan.
 
     ``probe_percent`` defaults to the reference's
     leaf_nodes_to_search_percent=10 (common/config.py:38).
@@ -163,6 +170,8 @@ def ivf_search(
             method="fold", **knn_kwargs,
         )
     candidates = index.assigned.filter(F.col("cluster_id").isin(all_probed))
+    if restrict is not None:
+        candidates = candidates.filter(restrict)
 
     if method == "gemm":
         return _gemm_masked_topk(

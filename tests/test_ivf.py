@@ -135,3 +135,29 @@ def test_ivf_gemm_join_never_collects_queries(spark, sf_smoke, monkeypatch):
     monkeypatch.setattr(DataFrame, "collect", real_collect)
     assert seen, "probe-union collect expected"
     assert len(out.collect()) > 0
+
+
+def test_ivf_restrict_composes_with_full_probe(spark, sf_smoke):
+    """Restrict filters compose with the approximate path: at 100%
+    probe, restricted IVF search == restricted exact kNN (the
+    reference's Q3+Q6 combination)."""
+    from pyspark.sql import functions as F2
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    restrict = F2.col("label").isin(1, 2, 3) & (F2.col("vec_id") >= 50)
+    k = 8
+    exact = sorted(map(tuple, knn_search(
+        emb, queries, k=k, restrict=restrict, method="fold"
+    ).select("query_id", "rank", "neighbor_id").collect()))
+    index = build_ivf_index(emb, n_clusters=8)
+    approx = sorted(map(tuple, ivf_search(
+        index, queries, k=k, probe_percent=100.0, restrict=restrict
+    ).select("query_id", "rank", "neighbor_id").collect()))
+    assert approx == exact
+    # every returned neighbor satisfies the restrict
+    got = ivf_search(index, queries, k=k, probe_percent=25.0, restrict=restrict)
+    joined = got.join(emb, got.neighbor_id == emb.vec_id)
+    assert joined.filter(~(F2.col("label").isin(1, 2, 3) & (F2.col("vec_id") >= 50))).count() == 0
