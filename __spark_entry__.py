@@ -1834,6 +1834,35 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join (operators/skew.py) under the driver gate: the
+    events fact table has 5 catastrophically hot join keys (one per
+    event_type), the dim side replicates across 8 salts. Salting must
+    be result-invisible, so the oracle is the PLAIN join -- the gate
+    proves the multiset identity, tests/test_skew.py proves the
+    spread."""
+    from rag_vertex_ai_vector_search_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 3),
+         ("signup", 4), ("error", 5)],
+        "event_type string, type_code int",
+    )
+    return salted_join(ev, dim, "event_type", factor=8, salt_src="event_id")
+
+
+_SQL_SALTED_JOIN = """
+SELECT e.event_id, e.event_type, e.user_id, d.type_code
+FROM events e
+JOIN (VALUES ('click', 1), ('view', 2), ('purchase', 3),
+             ('signup', 4), ('error', 5)) AS d(event_type, type_code)
+  ON e.event_type = d.event_type
+"""
+
+
 def q_events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style series regularization (operators/timeseries.py):
     hourly counts of high-value events (a sparse slice with real gaps)
@@ -2290,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "events_hourly": q_events_hourly,
         "events_gapfill_locf": q_events_gapfill_locf,
+        "events_salted_dim_join": q_events_salted_dim_join,
         "events_sessionize": q_events_sessionize,
         "nation_set_ops": q_nation_set_ops,
         "string_date_projection": q_string_date_projection,
@@ -2351,6 +2381,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert": _SQL_MERGE_UPSERT,
         "events_hourly": _SQL_EVENTS_HOURLY,
         "events_gapfill_locf": _SQL_EVENTS_GAPFILL,
+        "events_salted_dim_join": _SQL_SALTED_JOIN,
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
         "nation_set_ops": _SQL_NATION_SET_OPS,
         "string_date_projection": _SQL_STRING_DATE,
