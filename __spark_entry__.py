@@ -334,6 +334,29 @@ def q_knn_lsh_full_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf2_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (hierarchical) IVF under the bit-exact gate
+    (operators/ivf2.py): full probe at both levels visits every leaf,
+    so the result provably equals exact kNN -- the knn_topk oracle
+    checks the whole hierarchy (two-level codebook training, leaf
+    assignment, per-query hierarchical probing, fold scoring, window).
+    Pruned recall is gated in tests/test_ivf2.py."""
+    from rag_vertex_ai_vector_search_spark.operators.ivf2 import (
+        build_ivf2_index,
+        ivf2_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = build_ivf2_index(emb, n_coarse=4, n_fine=4)
+    out = ivf2_search(
+        index, _queries_from_embeddings(emb, 8), k=10,
+        probe_coarse_percent=100.0, probe_fine_percent=100.0,
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "score"
+    )
+
+
 def q_knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization + exact rerank (operators/pq.py): the "AH"
     (asymmetric hashing) half of the reference's tree-AH index
@@ -2284,6 +2307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "knn_lsh_bucketed": q_knn_lsh_bucketed,
         "knn_lsh_full_cover": q_knn_lsh_full_cover,
+        "knn_ivf2_full_probe": q_knn_ivf2_full_probe,
         "knn_pq_rerank": q_knn_pq_rerank,
         "knn_pq_full_rerank": q_knn_pq_full_rerank,
         "hybrid_search_rrf": q_hybrid_search_rrf,
@@ -2346,6 +2370,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_full_probe": _SQL_KNN_TOPK,
         "knn_lsh_bucketed": _sql_knn_lsh_bucketed(),
         "knn_lsh_full_cover": _SQL_KNN_TOPK,
+        "knn_ivf2_full_probe": _SQL_KNN_TOPK,
         # knn_pq_rerank: lossy ADC shortlist -> rows-only check
         "knn_pq_full_rerank": _SQL_KNN_TOPK,
         "hybrid_search_rrf": _sql_hybrid_rrf(),
