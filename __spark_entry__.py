@@ -2006,6 +2006,98 @@ FROM s GROUP BY user_id, session_seq
 """
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over sessionized events: within a session, how
+    many users progress view -> click -> purchase IN THAT ORDER
+    (first-occurrence timestamps must be increasing). Builds on the
+    same gap-sessionization as events_sessionize; conversion ratios
+    divide exact bigints so the single-row aggregate is bit-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    with_gap = ev.withColumn(
+        "new_session",
+        F.when(
+            micros - F.lag(micros, 1, 0).over(w) > 1800 * 1_000_000,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+    def first_ts(event_type: str):
+        return F.min(
+            F.when(F.col("event_type") == event_type, F.col("ts"))
+        )
+
+    sess = with_gap.groupBy("user_id", "session_seq").agg(
+        first_ts("view").alias("_t_view"),
+        first_ts("click").alias("_t_click"),
+        first_ts("purchase").alias("_t_purchase"),
+    )
+    step2 = (F.col("_t_view") < F.col("_t_click"))
+    step3 = step2 & (F.col("_t_click") < F.col("_t_purchase"))
+    agg = sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.col("_t_view").isNotNull().cast("long")).alias("view_sessions"),
+        F.sum(F.when(step2, 1).otherwise(0)).cast("long").alias("view_click"),
+        F.sum(F.when(step3, 1).otherwise(0)).cast("long").alias(
+            "view_click_purchase"
+        ),
+    )
+    return agg.select(
+        "*",
+        (
+            F.col("view_click").cast("double")
+            / F.col("view_sessions").cast("double")
+        ).alias("click_through"),
+        (
+            F.col("view_click_purchase").cast("double")
+            / F.col("view_click").cast("double")
+        ).alias("purchase_through"),
+    )
+
+
+_SQL_EVENTS_FUNNEL = """
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1, 0)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, ts, event_type,
+         CAST(sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM g
+), sess AS (
+  SELECT user_id, session_seq,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM s GROUP BY user_id, session_seq
+), agg AS (
+  SELECT count(*) AS n_sessions,
+         CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS view_sessions,
+         CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT)
+           AS view_click,
+         CAST(sum(CASE WHEN t_view < t_click AND t_click < t_purchase
+                       THEN 1 ELSE 0 END) AS BIGINT) AS view_click_purchase
+  FROM sess
+)
+SELECT *,
+       CAST(view_click AS DOUBLE) / CAST(view_sessions AS DOUBLE)
+         AS click_through,
+       CAST(view_click_purchase AS DOUBLE) / CAST(view_click AS DOUBLE)
+         AS purchase_through
+FROM agg
+"""
+
+
 def q_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations: nations with customers but without suppliers."""
     cust = load_table(spark, sf_dir, "customer").select(
@@ -2345,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill_locf": q_events_gapfill_locf,
         "events_salted_dim_join": q_events_salted_dim_join,
         "events_sessionize": q_events_sessionize,
+        "events_funnel": q_events_funnel,
         "nation_set_ops": q_nation_set_ops,
         "string_date_projection": q_string_date_projection,
         "rollup_quantities": q_rollup_quantities,
@@ -2408,6 +2501,7 @@ def oracle_sql() -> dict[str, str]:
         "events_gapfill_locf": _SQL_EVENTS_GAPFILL,
         "events_salted_dim_join": _SQL_SALTED_JOIN,
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
+        "events_funnel": _SQL_EVENTS_FUNNEL,
         "nation_set_ops": _SQL_NATION_SET_OPS,
         "string_date_projection": _SQL_STRING_DATE,
         "rollup_quantities": _SQL_ROLLUP,
