@@ -2390,7 +2390,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 declared queries (the driver gates the first 50 dict
+    entries, VERDICT r2 #1). Ordering: the 9 entries that never got a
+    driver row in r2 come FIRST; long-stable rows last. Nine stable
+    siblings with green r1/r2 driver history rotated to
+    queries_archive() -- still hash-gated locally by
+    tests/test_oracle_parity.py at sf0.001 and sf0.01.
+    """
     return {
+        # -- never driver-gated before r3: front of the line -----------
+        "cube_quantities": q_cube_quantities,
+        "orders_above_customer_avg": q_orders_above_customer_avg,
+        "events_json_props": q_events_json_props,
+        "price_percentiles": q_price_percentiles,
+        "pivot_qty_by_status": q_pivot_qty_by_status,
+        "parts_never_shipped": q_parts_never_shipped,
+        "asof_latest_signup": q_asof_latest_signup,
+        "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
+        "token_gate_violations": q_token_gate_violations,
+        # -- vector search surface -------------------------------------
         "knn_topk": q_knn_topk,
         "knn_restrict": q_knn_restrict,
         "knn_crowding": q_knn_crowding,
@@ -2398,13 +2416,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_pruned": q_knn_ivf_pruned,
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "knn_lsh_bucketed": q_knn_lsh_bucketed,
-        "knn_lsh_full_cover": q_knn_lsh_full_cover,
-        "knn_ivf2_full_probe": q_knn_ivf2_full_probe,
         "knn_pq_rerank": q_knn_pq_rerank,
         "knn_pq_full_rerank": q_knn_pq_full_rerank,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "ingest_metadata": q_ingest_metadata,
         "ingest_datapoints": q_ingest_datapoints,
+        # -- dedup suite -----------------------------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2412,49 +2429,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_winnow_containment": q_dedup_winnow,
         "dedup_clusters_cc": q_dedup_clusters_cc,
+        # -- text / training-data pipeline -----------------------------
         "chunk_documents": q_chunk_documents,
         "bm25_rank": q_bm25_rank,
-        "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
         "pii_scrub": q_pii_scrub,
         "dataset_split": q_dataset_split,
         "dataset_decontaminate": q_dataset_decontaminate,
-        "dataset_mix_sample": q_dataset_mix_sample,
         "dataset_mix_upsample": q_dataset_mix_upsample,
-        "pack_sequences": q_pack_sequences,
         "packed_sequence_texts": q_packed_sequence_texts,
         "corpus_quality_report": q_corpus_quality_report,
         "lm_surprisal": q_lm_surprisal,
         "training_corpus_pipeline": q_training_corpus_pipeline,
+        # -- relational / events surface -------------------------------
         "pricing_summary": q_pricing_summary,
         "top_revenue_customers": q_top_revenue_customers,
         "supplier_running_window": q_supplier_running_window,
-        "customer_trailing_spend": q_customer_trailing_spend,
         "point_lookup": q_point_lookup,
         "merge_upsert": q_merge_upsert,
-        "events_hourly": q_events_hourly,
         "events_gapfill_locf": q_events_gapfill_locf,
         "events_salted_dim_join": q_events_salted_dim_join,
         "events_sessionize": q_events_sessionize,
         "events_funnel": q_events_funnel,
         "nation_set_ops": q_nation_set_ops,
+    }
+
+
+def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Rotated out of the 50-entry driver window (VERDICT r2 #1), NOT
+    removed: each had green driver rows in r1/r2, is subsumed by a
+    declared sibling, and stays under the local bit-exact gate
+    (tests/test_oracle_parity.py runs declared + archived).
+
+    Subsumption map: knn_ivf2_full_probe / knn_lsh_full_cover are
+    provably-exact siblings whose machinery is also gated via
+    knn_ivf_full_probe / knn_lsh_bucketed; rollup_quantities ->
+    cube_quantities; events_hourly -> events_gapfill_locf (oracle embeds
+    the hourly agg); text_stats -> corpus_quality_report;
+    dataset_mix_sample -> dataset_mix_upsample; pack_sequences ->
+    packed_sequence_texts; customer_trailing_spend (RANGE frame) ->
+    supplier_running_window (windows) + parity test;
+    string_date_projection -> ingest_metadata projections.
+    """
+    return {
+        "knn_lsh_full_cover": q_knn_lsh_full_cover,
+        "knn_ivf2_full_probe": q_knn_ivf2_full_probe,
+        "text_stats": q_text_stats,
+        "dataset_mix_sample": q_dataset_mix_sample,
+        "pack_sequences": q_pack_sequences,
+        "customer_trailing_spend": q_customer_trailing_spend,
+        "events_hourly": q_events_hourly,
         "string_date_projection": q_string_date_projection,
         "rollup_quantities": q_rollup_quantities,
-        "cube_quantities": q_cube_quantities,
-        "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
-        "asof_latest_signup": q_asof_latest_signup,
-        "parts_never_shipped": q_parts_never_shipped,
-        "pivot_qty_by_status": q_pivot_qty_by_status,
-        "price_percentiles": q_price_percentiles,
-        "token_gate_violations": q_token_gate_violations,
-        "events_json_props": q_events_json_props,
-        "orders_above_customer_avg": q_orders_above_customer_avg,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cube_quantities": _SQL_CUBE,
+        "orders_above_customer_avg": _SQL_ORDERS_ABOVE_AVG,
+        "events_json_props": _SQL_EVENTS_JSON,
+        "price_percentiles": _SQL_PERCENTILES,
+        "pivot_qty_by_status": _SQL_PIVOT_QTY,
+        "parts_never_shipped": _SQL_PARTS_NEVER_SHIPPED,
+        "asof_latest_signup": _SQL_ASOF_SIGNUP,
+        "distinct_parts_per_supplier": _SQL_DISTINCT_PARTS,
+        "token_gate_violations": _SQL_TOKEN_GATE,
         "knn_topk": _SQL_KNN_TOPK,
         "knn_restrict": _SQL_KNN_RESTRICT,
         "knn_crowding": _SQL_KNN_CROWDING,
@@ -2462,8 +2503,6 @@ def oracle_sql() -> dict[str, str]:
         # knn_ivf_pruned: approximate + iterative -> rows-only check
         "knn_ivf_full_probe": _SQL_KNN_TOPK,
         "knn_lsh_bucketed": _sql_knn_lsh_bucketed(),
-        "knn_lsh_full_cover": _SQL_KNN_TOPK,
-        "knn_ivf2_full_probe": _SQL_KNN_TOPK,
         # knn_pq_rerank: lossy ADC shortlist -> rows-only check
         "knn_pq_full_rerank": _SQL_KNN_TOPK,
         "hybrid_search_rrf": _sql_hybrid_rrf(),
@@ -2473,20 +2512,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
         "dedup_minhash_lsh": _sql_minhash_lsh(),
         "dedup_simhash": _SQL_DEDUP_SIMHASH,
+        "dedup_embedding_cosine": _SQL_DEDUP_COSINE,
         "dedup_winnow_containment": _SQL_DEDUP_WINNOW,
         "dedup_clusters_cc": _sql_dedup_clusters_cc(),
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "bm25_rank": _sql_bm25_rank(),
-        "dedup_embedding_cosine": _SQL_DEDUP_COSINE,
-        "text_stats": _SQL_TEXT_STATS,
         "text_quality": _SQL_TEXT_QUALITY,
         "text_repetition": _SQL_TEXT_REPETITION,
         "pii_scrub": _SQL_PII_SCRUB,
         "dataset_split": _SQL_DATASET_SPLIT,
         "dataset_decontaminate": _SQL_DECONTAMINATE,
-        "dataset_mix_sample": _SQL_MIX_SAMPLE,
         "dataset_mix_upsample": _SQL_MIX_UPSAMPLE,
-        "pack_sequences": _SQL_PACK_SEQUENCES,
         "packed_sequence_texts": _SQL_PACKED_SEQ_TEXTS,
         "corpus_quality_report": _SQL_CORPUS_REPORT,
         "lm_surprisal": _sql_lm_surprisal(),
@@ -2494,24 +2530,27 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "top_revenue_customers": _SQL_TOP_REVENUE,
         "supplier_running_window": _SQL_SUPPLIER_WINDOW,
-        "customer_trailing_spend": _SQL_CUSTOMER_TRAILING,
         "point_lookup": _SQL_POINT_LOOKUP,
         "merge_upsert": _SQL_MERGE_UPSERT,
-        "events_hourly": _SQL_EVENTS_HOURLY,
         "events_gapfill_locf": _SQL_EVENTS_GAPFILL,
         "events_salted_dim_join": _SQL_SALTED_JOIN,
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
         "events_funnel": _SQL_EVENTS_FUNNEL,
         "nation_set_ops": _SQL_NATION_SET_OPS,
+    }
+
+
+def oracle_sql_archive() -> dict[str, str]:
+    """Oracles for queries_archive() -- run by tests/test_oracle_parity.py
+    (not the driver) so the rotated queries stay bit-exact-verified."""
+    return {
+        "knn_lsh_full_cover": _SQL_KNN_TOPK,
+        "knn_ivf2_full_probe": _SQL_KNN_TOPK,
+        "text_stats": _SQL_TEXT_STATS,
+        "dataset_mix_sample": _SQL_MIX_SAMPLE,
+        "pack_sequences": _SQL_PACK_SEQUENCES,
+        "customer_trailing_spend": _SQL_CUSTOMER_TRAILING,
+        "events_hourly": _SQL_EVENTS_HOURLY,
         "string_date_projection": _SQL_STRING_DATE,
         "rollup_quantities": _SQL_ROLLUP,
-        "cube_quantities": _SQL_CUBE,
-        "distinct_parts_per_supplier": _SQL_DISTINCT_PARTS,
-        "asof_latest_signup": _SQL_ASOF_SIGNUP,
-        "parts_never_shipped": _SQL_PARTS_NEVER_SHIPPED,
-        "pivot_qty_by_status": _SQL_PIVOT_QTY,
-        "price_percentiles": _SQL_PERCENTILES,
-        "token_gate_violations": _SQL_TOKEN_GATE,
-        "events_json_props": _SQL_EVENTS_JSON,
-        "orders_above_customer_avg": _SQL_ORDERS_ABOVE_AVG,
     }
