@@ -153,42 +153,59 @@ def main() -> None:
     # Warm the JVM + parquet footers + page cache + Python UDF workers
     # once so timings measure the queries, not process spin-up or cold
     # IO: full-column touch of the three hot tables.
-    load_table(spark, SF_DIR, "lineitem").count()
-    load_table(spark, SF_DIR, "documents").select(
-        F.sum(F.length("text"))
-    ).collect()
-    load_table(spark, SF_DIR, "embeddings").select(
-        F.sum(F.size("embedding"))
-    ).collect()
-    warm = spark.range(64).toDF("x")
-    warm.mapInPandas(lambda it: it, "x long").write.mode("overwrite").format(
-        "noop"
-    ).save()
-    # One tiny dedup-shaped pass (200 docs) so whole-stage-codegen JIT
-    # for the regex/shingle/window expressions compiles during warmup,
-    # not inside the first timed text query.
-    minhash_candidate_pairs(
-        load_table(spark, SF_DIR, "documents").limit(200),
-        shingle_words=3, num_hashes=64, bands=16,
-        jaccard_threshold=0.5, base_hash="xxhash64",
-    ).write.mode("overwrite").format("noop").save()
+    try:
+        load_table(spark, SF_DIR, "lineitem").count()
+        load_table(spark, SF_DIR, "documents").select(
+            F.sum(F.length("text"))
+        ).collect()
+        load_table(spark, SF_DIR, "embeddings").select(
+            F.sum(F.size("embedding"))
+        ).collect()
+        warm = spark.range(64).toDF("x")
+        warm.mapInPandas(lambda it: it, "x long").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        # One tiny dedup-shaped pass (200 docs) so whole-stage-codegen
+        # JIT for the regex/shingle/window expressions compiles during
+        # warmup, not inside the first timed text query.
+        minhash_candidate_pairs(
+            load_table(spark, SF_DIR, "documents").limit(200),
+            shingle_words=3, num_hashes=64, bands=16,
+            jaccard_threshold=0.5, base_hash="xxhash64",
+        ).write.mode("overwrite").format("noop").save()
+    except Exception as exc:  # noqa: BLE001 -- timings degrade, runs go on
+        print(f"# warmup FAILED: {exc}", file=sys.stderr)
 
-    per_query: dict[str, float] = {}
+    # Fault-isolated: one broken query must not abort the harness (round
+    # 3 shipped ZERO bench evidence because query 8 of 25 threw at
+    # analysis time). Failures record an "error: ..." string and the
+    # single JSON line still prints.
+    per_query: dict[str, float | str] = {}
+    errors = 0
     for name, fn in BENCH_QUERIES:
         t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        # noop sink: full materialization of every column (a count()
-        # would let Catalyst prune UDF columns and under-report).
-        df.write.mode("overwrite").format("noop").save()
+        try:
+            df = fn(spark, SF_DIR)
+            # noop sink: full materialization of every column (a count()
+            # would let Catalyst prune UDF columns and under-report).
+            df.write.mode("overwrite").format("noop").save()
+        except Exception as exc:  # noqa: BLE001 -- regression detector
+            errors += 1
+            msg = str(exc).splitlines()[0][:200] if str(exc) else repr(exc)
+            per_query[name] = f"error: {type(exc).__name__}: {msg}"
+            print(f"# {name}: FAILED {per_query[name]}", file=sys.stderr)
+            continue
         per_query[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {per_query[name]}s", file=sys.stderr)
 
+    timed = [v for v in per_query.values() if isinstance(v, float)]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_wall",
-        "value": round(sum(per_query.values()), 3),
+        "value": round(sum(timed), 3),
         "unit": "sec",
         "queries": per_query,
+        "errors": errors,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -88,6 +88,19 @@ def build_ivf_index(
     return IVFIndex(assigned=assigned, centroids=centroids, id_col=id_col, vec_col=vec_col)
 
 
+def _probe_assign_np(qmat: np.ndarray, centroids: np.ndarray,
+                     nprobe: int) -> np.ndarray:
+    """(nq, dim) query matrix -> (nq, nprobe) nearest-centroid ids
+    (euclidean, KMeans geometry). Driver-side numpy twin of
+    _probe_assign_udf for paths that already hold the query matrix."""
+    d2 = (
+        (qmat ** 2).sum(axis=1, keepdims=True)
+        - 2.0 * qmat @ centroids.T
+        + (centroids ** 2).sum(axis=1)
+    )
+    return np.argsort(d2, axis=1)[:, :nprobe]
+
+
 def _probe_assign_udf(centroids: np.ndarray, nprobe: int):
     """pandas_udf: query vector -> array<int> of its ``nprobe`` nearest
     centroids (euclidean, KMeans geometry; for unit-norm vectors the
@@ -99,12 +112,7 @@ def _probe_assign_udf(centroids: np.ndarray, nprobe: int):
 
     def _assign(vecs: pd.Series) -> pd.Series:
         qmat = np.asarray(list(vecs), dtype=np.float64)
-        d2 = (
-            (qmat ** 2).sum(axis=1, keepdims=True)
-            - 2.0 * qmat @ centroids.T
-            + (centroids ** 2).sum(axis=1)
-        )
-        probes = np.argsort(d2, axis=1)[:, :nprobe]
+        probes = _probe_assign_np(qmat, centroids, nprobe)
         return pd.Series([row.astype("int32").tolist() for row in probes])
 
     return F.pandas_udf(_assign, T.ArrayType(T.IntegerType()))
@@ -150,6 +158,40 @@ def ivf_search(
     if nprobe is None:
         nprobe = max(1, int(round(n_clusters * probe_percent / 100.0)))
 
+    if method == "gemm":
+        # The gemm strategy materializes the query matrix on the driver
+        # anyway (SparkContext.broadcast) -- so probe assignment runs
+        # driver-side in numpy against the already-driver-held centroid
+        # matrix. That folds what was three Spark jobs (probe-UDF pass,
+        # distinct+collect of probed leaves, scoring scan) into ONE
+        # scoring scan; at request scale the saved job-launch overhead
+        # dominates the whole query (r2 bench regression), and at data
+        # scale query sets this path is wrong anyway -- use gemm_join.
+        rows = queries_df.select(query_id_col, query_vec_col).collect()
+        if not rows:
+            return knn_search(
+                index.assigned.limit(0), queries_df, k,
+                id_col=index.id_col, vec_col=index.vec_col,
+                query_id_col=query_id_col, query_vec_col=query_vec_col,
+                method="fold", **knn_kwargs,
+            )
+        qids = [r[0] for r in rows]
+        qmat = np.asarray([r[1] for r in rows], dtype=np.float64)
+        probes = _probe_assign_np(qmat, index.centroids, nprobe)
+        probe_mask = np.zeros((len(qids), n_clusters), dtype=bool)
+        probe_mask[np.arange(len(qids))[:, None], probes] = True
+        all_probed = sorted(int(c) for c in np.unique(probes))
+        candidates = index.assigned.filter(
+            F.col("cluster_id").isin(all_probed)
+        )
+        if restrict is not None:
+            candidates = candidates.filter(restrict)
+        return _gemm_masked_topk_collected(
+            candidates, qids, qmat, probe_mask, k,
+            id_col=index.id_col, vec_col=index.vec_col,
+            query_id_type=queries_df.schema[query_id_col].dataType,
+        )
+
     pruned_q = queries_df.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("_qvec"),
@@ -172,12 +214,6 @@ def ivf_search(
     candidates = index.assigned.filter(F.col("cluster_id").isin(all_probed))
     if restrict is not None:
         candidates = candidates.filter(restrict)
-
-    if method == "gemm":
-        return _gemm_masked_topk(
-            candidates, pruned_q, n_clusters, k,
-            id_col=index.id_col, vec_col=index.vec_col,
-        )
 
     if method == "gemm_join":
         scored = gemm_topk_cogroup(
@@ -252,14 +288,16 @@ def ivf_search_blocked(
     return out
 
 
-def _gemm_masked_topk(
+def _gemm_masked_topk_collected(
     candidates: DataFrame,
-    pruned_q: DataFrame,
-    n_clusters: int,
+    qids,
+    qmat: np.ndarray,
+    probe_mask: np.ndarray,
     k: int,
     *,
     id_col: str,
     vec_col: str,
+    query_id_type,
 ) -> DataFrame:
     """One BLAS GEMM per Arrow batch + per-query probe MASK, then exact
     local top-k; global window finishes. Each query only keeps scores
@@ -271,21 +309,11 @@ def _gemm_masked_topk(
     from .knn import _ranked, _score_block
 
     out_schema = T.StructType([
-        T.StructField("query_id", pruned_q.schema["query_id"].dataType),
+        T.StructField("query_id", query_id_type),
         T.StructField("neighbor_id", candidates.schema[id_col].dataType),
         T.StructField("score", T.DoubleType()),
     ])
 
-    rows = pruned_q.select("query_id", "_qvec", "_probe").collect()
-    if not rows:
-        return candidates.sparkSession.createDataFrame([], out_schema).select(
-            "query_id", F.lit(0).alias("rank"), "neighbor_id", "score"
-        ).limit(0)
-    qids = [r[0] for r in rows]
-    qmat = np.asarray([r[1] for r in rows], dtype=np.float64)
-    probe_mask = np.zeros((len(qids), n_clusters), dtype=bool)  # (nq, nc)
-    for i, r in enumerate(rows):
-        probe_mask[i, np.asarray(r[2], dtype=np.int64)] = True
     bc = candidates.sparkSession.sparkContext.broadcast(
         (qids, qmat, probe_mask)
     )

@@ -113,12 +113,22 @@ def packing_efficiency(
 ) -> DataFrame:
     """Per-group fill metric: tokens per allocated sequence slot
     (n_tokens / (n_seqs * budget)) -- the waste monitor for the packing
-    policy. Tiny aggregate, driver-safe."""
+    policy. Tiny aggregate, driver-safe.
+
+    ``n_seqs`` counts slots from CONSUMED tokens (ceil(n_tokens /
+    budget), integer arithmetic): docs concatenate contiguously, so the
+    group's stream occupies exactly that many sequences. Counting
+    ``max(seq_id) + 1`` (the sequence the last doc *starts* in) under-
+    counts when the last doc spills across the boundary, which let
+    fill_fraction exceed 1.0."""
     return (
         packed.groupBy("pack_group")
-        .agg(
-            F.sum(token_col).alias("n_tokens"),
-            (F.max("seq_id") + 1).alias("n_seqs"),
+        .agg(F.sum(token_col).cast("long").alias("n_tokens"))
+        .withColumn(
+            "n_seqs",
+            F.floor(
+                (F.col("n_tokens") + F.lit(budget - 1)) / F.lit(budget)
+            ).cast("long"),
         )
         .withColumn(
             "fill_fraction",

@@ -128,6 +128,12 @@ def train_pq(
     corpus size, and the m independent k-means runs are numpy-local.
     ``dim`` must be divisible by ``m``.
     """
+    if ksub > 256:
+        raise ValueError(
+            f"ksub={ksub} > 256: codes are stored as one uint8 per "
+            "subspace; larger codebooks would silently wrap. Use more "
+            "subspaces (m) instead."
+        )
     n_rows = df.count()
     frac = min(1.0, sample_rows / max(n_rows, 1))
     sample_df = df.select(vec_col)
@@ -162,6 +168,10 @@ def encode_pq(
 ) -> PQIndex:
     """One streaming pass: vector -> m-byte binary code (narrow, no
     shuffle; the codebook tensor ships by torrent broadcast)."""
+    if books.ksub > 256:
+        raise ValueError(
+            f"ksub={books.ksub} > 256 cannot be encoded as uint8 codes"
+        )
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(books.codebooks)
     m, ksub, dsub = books.m, books.ksub, books.dsub
@@ -188,6 +198,65 @@ def encode_pq(
     return PQIndex(codes=codes, books=books, id_col=id_col)
 
 
+def _lut_for(qmat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """LUT[q, j, c] = <q_sub_j, codeword_jc>: one small GEMM per
+    subspace. qmat (nq, dim), codebooks (m, ksub, dsub) -> (nq, m, ksub)."""
+    m, _, dsub = codebooks.shape
+    return np.stack([
+        qmat[:, j * dsub:(j + 1) * dsub] @ codebooks[j].T
+        for j in range(m)
+    ], axis=1)
+
+
+def _adc_frames(
+    qids,
+    lut: np.ndarray,
+    ids,
+    codes: np.ndarray,
+    k: int,
+    *,
+    probe_mask: np.ndarray | None = None,
+    clusters=None,
+) -> list[pd.DataFrame]:
+    """Score one (nq, m, ksub) LUT against an (n, m) uint8 code block:
+    m vectorized gathers (no GEMM, no float vectors read), then exact
+    local top-k per query with the same (score desc, id asc) tie-break
+    the global window applies.
+
+    ``probe_mask`` (nq x n_clusters bool) + ``clusters`` (per-code
+    cluster id) restrict each query to ITS probed leaves -- the ADC
+    candidate set is then independent of batch composition (mirrors
+    knn._score_block's IVF masking).
+    """
+    nq, n = len(qids), codes.shape[0]
+    m = codes.shape[1]
+    scores = np.zeros((nq, n))
+    for j in range(m):
+        scores += lut[:, j, :][:, codes[:, j]]
+    if probe_mask is not None:
+        allowed = probe_mask[:, clusters]  # (nq, n)
+        scores = np.where(allowed, scores, -np.inf)
+    frames: list[pd.DataFrame] = []
+    for qi in range(nq):
+        s = scores[qi]
+        if probe_mask is not None:
+            n_valid = int((s > -np.inf).sum())
+            if n_valid == 0:
+                continue
+        else:
+            n_valid = n
+        top = min(k, n_valid)
+        cand = np.argpartition(s, n - top)[n - top:]
+        order = np.lexsort((ids[cand], -s[cand]))[:top]
+        idx = cand[order]
+        frames.append(pd.DataFrame({
+            "query_id": qids[qi],
+            "neighbor_id": ids[idx],
+            "score": s[idx],
+        }))
+    return frames
+
+
 def pq_topk(
     index: PQIndex,
     queries_df: DataFrame,
@@ -195,20 +264,33 @@ def pq_topk(
     *,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vector",
+    probe_col: str | None = None,
+    cluster_col: str = "cluster_id",
+    n_clusters: int | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over the encoded corpus.
 
     Per Arrow batch of codes: unpack to a (n, m) uint8 matrix, gather
-    ``sum_j LUT[q, j, codes[:, j]]`` for every query (m vectorized
-    gathers, no GEMM, no float vectors read), exact local top-k, then
-    the global rank window. Returns (query_id, rank, neighbor_id,
-    score) where score is the ADC approximation of the dot product.
+    ``sum_j LUT[q, j, codes[:, j]]`` for every query, exact local
+    top-k, then the global rank window. Returns (query_id, rank,
+    neighbor_id, score) where score is the ADC approximation of the
+    dot product.
+
+    ``probe_col`` (an array<int> column of probed leaf ids on the query
+    side, with ``cluster_col`` on ``index.codes`` and ``n_clusters``)
+    masks each query to its own probed leaves so results don't depend
+    on which other queries share the batch.
     """
     spark = queries_df.sparkSession
     books = index.books
-    m, ksub, dsub = books.m, books.ksub, books.dsub
+    m = books.m
+    if probe_col is not None and n_clusters is None:
+        raise ValueError("probe_col requires n_clusters")
 
-    rows = queries_df.select(query_id_col, query_vec_col).collect()
+    qcols = [query_id_col, query_vec_col] + (
+        [probe_col] if probe_col else []
+    )
+    rows = queries_df.select(*qcols).collect()
     out_schema = T.StructType([
         T.StructField("query_id", queries_df.schema[query_id_col].dataType),
         T.StructField("neighbor_id", index.codes.schema[index.id_col].dataType),
@@ -222,43 +304,136 @@ def pq_topk(
         )
     qids = [r[0] for r in rows]
     qmat = np.asarray([r[1] for r in rows], dtype=np.float64)  # (nq, dim)
-    # LUT[q, j, c] = <q_sub_j, codeword_jc>: one small GEMM per subspace.
-    lut = np.stack([
-        qmat[:, j * dsub:(j + 1) * dsub] @ books.codebooks[j].T
-        for j in range(m)
-    ], axis=1)  # (nq, m, ksub)
-    bc = spark.sparkContext.broadcast((qids, lut))
+    lut = _lut_for(qmat, books.codebooks)  # (nq, m, ksub)
+    probe_mask = None
+    if probe_col is not None:
+        probe_mask = np.zeros((len(qids), n_clusters), dtype=bool)
+        for i, r in enumerate(rows):
+            probe_mask[i, np.asarray(r[2], dtype=np.int64)] = True
+    bc = spark.sparkContext.broadcast((qids, lut, probe_mask))
     id_col = index.id_col
 
+    code_cols = [id_col, "pq_code"] + (
+        [cluster_col] if probe_col is not None else []
+    )
+
     def score(batches):
-        b_qids, b_lut = bc.value
-        nq = len(b_qids)
+        b_qids, b_lut, b_mask = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
             codes = np.frombuffer(
                 b"".join(pdf["pq_code"]), dtype=np.uint8
             ).reshape(len(pdf), m)
-            ids = pdf[id_col].to_numpy()
-            scores = np.zeros((nq, len(pdf)))
-            for j in range(m):
-                scores += b_lut[:, j, :][:, codes[:, j]]
-            frames = []
-            for qi in range(nq):
-                s = scores[qi]
-                top = min(k, len(s))
-                cand = np.argpartition(s, len(s) - top)[len(s) - top:]
-                order = np.lexsort((ids[cand], -s[cand]))[:top]
-                idx = cand[order]
-                frames.append(pd.DataFrame({
-                    "query_id": b_qids[qi],
-                    "neighbor_id": ids[idx],
-                    "score": s[idx],
-                }))
-            yield pd.concat(frames, ignore_index=True)
+            frames = _adc_frames(
+                b_qids, b_lut, pdf[id_col].to_numpy(), codes, k,
+                probe_mask=b_mask,
+                clusters=(
+                    pdf[cluster_col].to_numpy() if b_mask is not None else None
+                ),
+            )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
-    scored = index.codes.select(id_col, "pq_code").mapInPandas(
-        score, out_schema
+    scored = index.codes.select(*code_cols).mapInPandas(score, out_schema)
+    return _ranked(scored, k, None, None).select(
+        "query_id", "rank", "neighbor_id", "score"
+    )
+
+
+def pq_topk_cogroup(
+    index: PQIndex,
+    queries_df: DataFrame,
+    k: int,
+    *,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+    probe_col: str | None = None,
+    cluster_col: str = "cluster_id",
+    n_clusters: int | None = None,
+    n_index_blocks: int | None = None,
+    n_query_blocks: int = 1,
+) -> DataFrame:
+    """Collect-free ADC top-k: NO query row ever touches the driver.
+
+    Mirrors knn.gemm_topk_cogroup's block partitioning: the code table
+    hashes into ``n_index_blocks``, queries replicate across the blocks
+    (queries are the small side to ship; ``n_query_blocks > 1`` splits
+    them and replicates the codes instead to bound per-task memory),
+    and each ``cogroup().applyInPandas`` group builds its LUT locally
+    from the broadcast codebook tensor and runs the gather scoring +
+    exact local top-k. Each (query, code) pair lands in exactly one
+    cogroup, so the union of local winners feeds the global rank window
+    without dedup. Use for data-scale query sets; request-scale sets
+    should prefer pq_topk (streams the codes in place, no shuffle).
+    """
+    spark = queries_df.sparkSession
+    books = index.books
+    m = books.m
+    if probe_col is not None and n_clusters is None:
+        raise ValueError("probe_col requires n_clusters")
+    if n_index_blocks is None:
+        n_index_blocks = spark.sparkContext.defaultParallelism
+    bc_books = spark.sparkContext.broadcast(books.codebooks)
+    id_col = index.id_col
+
+    code_cols = [id_col, "pq_code"] + (
+        [cluster_col] if probe_col is not None else []
+    )
+    idx = index.codes.select(*code_cols).withColumn(
+        "_ib", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_index_blocks))
+    )
+    if n_query_blocks > 1:
+        idx = idx.withColumn(
+            "_qb",
+            F.explode(F.array(*[F.lit(i) for i in range(n_query_blocks)])),
+        )
+        qb_expr = F.pmod(F.xxhash64(F.col(query_id_col)), F.lit(n_query_blocks))
+    else:
+        idx = idx.withColumn("_qb", F.lit(0))
+        qb_expr = F.lit(0).cast("bigint")
+
+    qcols = [query_id_col, query_vec_col] + ([probe_col] if probe_col else [])
+    qry = queries_df.select(*qcols).withColumn("_qb", qb_expr).withColumn(
+        "_ib", F.explode(F.array(*[F.lit(i).cast("bigint")
+                                   for i in range(n_index_blocks)]))
+    )
+
+    out_schema = T.StructType([
+        T.StructField("query_id", queries_df.schema[query_id_col].dataType),
+        T.StructField("neighbor_id", index.codes.schema[id_col].dataType),
+        T.StructField("score", T.DoubleType()),
+    ])
+    empty = pd.DataFrame({f.name: pd.Series(dtype=object) for f in out_schema})
+
+    def score_group(ipdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if ipdf.empty or qpdf.empty:
+            return empty
+        qids = qpdf[query_id_col].to_numpy()
+        qmat = np.asarray(list(qpdf[query_vec_col]), dtype=np.float64)
+        lut = _lut_for(qmat, bc_books.value)
+        probe_mask = None
+        clusters = None
+        if probe_col:
+            probe_mask = np.zeros((len(qids), n_clusters), dtype=bool)
+            for i, lst in enumerate(qpdf[probe_col]):
+                probe_mask[i, np.asarray(lst, dtype=np.int64)] = True
+            clusters = ipdf[cluster_col].to_numpy()
+        codes = np.frombuffer(
+            b"".join(ipdf["pq_code"]), dtype=np.uint8
+        ).reshape(len(ipdf), m)
+        frames = _adc_frames(
+            qids, lut, ipdf[id_col].to_numpy(), codes, k,
+            probe_mask=probe_mask, clusters=clusters,
+        )
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
+
+    scored = (
+        idx.groupby("_ib", "_qb")
+        .cogroup(qry.groupby("_ib", "_qb"))
+        .applyInPandas(score_group, out_schema)
     )
     return _ranked(scored, k, None, None).select(
         "query_id", "rank", "neighbor_id", "score"
@@ -275,18 +450,27 @@ def ivf_pq_search(
     rerank_candidates: int | None = None,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vector",
+    method: str = "broadcast",
 ) -> DataFrame:
     """The full tree-AH composition (common/config.py:30-41): coarse
     probe over the IVF leaves ("tree") -> ADC scan of PQ codes inside
     the probed leaves only ("AH") -> exact rerank of the shortlist.
 
     ``pq_index.codes`` must carry the ``cluster_id`` column (encode the
-    IVF-assigned table with ``keep_cols=("cluster_id",)``). The leaf
-    filter prunes the CODE scan the same way it prunes the vector scan
-    in ivf_search -- on a ``partitionBy("cluster_id")`` layout that is
-    partition pruning of bytes; combined with the 32x code shrink, a
-    10% probe reads ~0.3% of the exact path's bytes. The rerank then
-    touches only the shortlist's full vectors via broadcast semi-join.
+    IVF-assigned table with ``keep_cols=("cluster_id",)``).
+
+    Two prunes compose: the UNION of probed leaves becomes a static
+    ``isin`` filter (on a ``partitionBy("cluster_id")`` layout that is
+    partition pruning of BYTES -- combined with the 32x code shrink, a
+    10% probe reads ~0.3% of the exact path's bytes), and each query is
+    additionally MASKED to its own probed leaves during ADC scoring, so
+    a query's candidate set does not depend on which other queries
+    share the batch. The rerank then touches only the shortlist's full
+    vectors.
+
+    ``method``: "broadcast" ships the query set via
+    SparkContext.broadcast (request-scale); "cogroup" keeps queries
+    distributed end-to-end (data-scale, no driver collect).
 
     Recall compounds (probe recall x ADC recall recovered by rerank) --
     gated in tests/test_pq.py on clustered data.
@@ -302,6 +486,8 @@ def ivf_pq_search(
         "_probe",
         _probe_assign_udf(ivf_index.centroids, nprobe)(F.col("query_vector")),
     )
+    # Static prune: union of probed leaves, <= n_clusters ints no
+    # matter the query count (bounded collect, same as ivf_search).
     all_probed = sorted(
         r[0] for r in
         probed_q.select(F.explode("_probe").alias("c")).distinct().collect()
@@ -314,11 +500,14 @@ def ivf_pq_search(
     return pq_search_rerank(
         candidates,
         ivf_index.assigned,
-        probed_q.select("query_id", "query_vector"),
+        probed_q,
         k,
         rerank_candidates=rerank_candidates,
         id_col=ivf_index.id_col,
         vec_col=ivf_index.vec_col,
+        probe_col="_probe",
+        n_clusters=n_clusters,
+        method=method,
     )
 
 
@@ -333,28 +522,44 @@ def pq_search_rerank(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vector",
+    probe_col: str | None = None,
+    n_clusters: int | None = None,
+    method: str = "broadcast",
 ) -> DataFrame:
     """The production cascade: ADC top-``rerank_candidates`` (default
     4k, mirroring approximate_neighbors_count=150 vs final k in the
-    reference, common/config.py:32) -> broadcast the tiny candidate
-    set back onto the exact vectors -> bit-exact fold re-score ->
-    final top-k. Only ``n_queries * rerank_candidates`` full vectors
-    are ever re-read, via a broadcast semi-join into the vector scan.
+    reference, common/config.py:32) -> join the candidate set back
+    onto the exact vectors -> bit-exact fold re-score -> final top-k.
+    Only ``n_queries * rerank_candidates`` full vectors are ever
+    re-read.
+
+    ``method="broadcast"`` (request-scale): queries ship via
+    SparkContext.broadcast for ADC and the tiny candidate/query sides
+    are broadcast-joined into the vector scan. ``method="cogroup"``
+    (data-scale): ADC runs through pq_topk_cogroup (no driver collect
+    anywhere) and the rerank joins stay shuffle joins so AQE picks the
+    strategy from actual sizes.
     """
     cand_k = rerank_candidates if rerank_candidates is not None else 4 * k
-    cands = pq_topk(
+    topk_fn = pq_topk_cogroup if method == "cogroup" else pq_topk
+    cands = topk_fn(
         index, queries_df, cand_k,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
+        probe_col=probe_col, n_clusters=n_clusters,
     ).select("query_id", "neighbor_id")
 
     q = queries_df.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("_qvec"),
     )
+    if method == "cogroup":
+        cands_side, q_side = cands, q
+    else:
+        cands_side, q_side = F.broadcast(cands), F.broadcast(q)
     exact = (
         vectors_df.select(F.col(id_col).alias("neighbor_id"), vec_col)
-        .join(F.broadcast(cands), "neighbor_id")
-        .join(F.broadcast(q), "query_id")
+        .join(cands_side, "neighbor_id")
+        .join(q_side, "query_id")
         .select(
             "query_id",
             "neighbor_id",

@@ -26,9 +26,14 @@ TABLE_NAMES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The fixture `events` table stores TIMESTAMP(NANOS) parquet, which
-    # Spark only reads via the nanos-as-long escape hatch (runtime-
-    # settable); restore a usable timestamp column (microsecond floor).
+    # The fixture `events.ts` column has shipped as two parquet vintages:
+    # TIMESTAMP(NANOS) (readable only via the nanos-as-long escape hatch)
+    # and timestamp[us] without a timezone (read as TIMESTAMP_NTZ).
+    # Normalize both to session-timezone TIMESTAMP so type-strict
+    # consumers (unix_micros, rangeBetween on epoch seconds) work
+    # regardless of fixture vintage. Session tz is pinned to UTC
+    # (session.py), so the NTZ cast preserves wall-clock time and DuckDB
+    # epoch_us parity holds.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
@@ -38,6 +43,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer division: float division of ~1e18 nanos loses
             # microseconds to double rounding (and DuckDB truncates).
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

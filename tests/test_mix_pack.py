@@ -138,3 +138,20 @@ def test_weighted_upsample_copy_counts(spark, sf_correct):
     again = weighted_upsample(docs, {"en": 2.5}).filter(F.col("lang") == "en")
     assert sorted(map(tuple, again.select("doc_id", "copy_id").collect())) == \
            sorted(map(tuple, up.select("doc_id", "copy_id").collect()))
+
+
+def test_packing_efficiency_spill_never_exceeds_one(spark):
+    """Round-3 bug: a last doc spilling past its start sequence made
+    fill_fraction > 1.0 (slots counted by max(seq_id)+1, not consumed
+    tokens). Two docs of 400 tokens at budget 512: doc 2 STARTS in
+    seq 0 (offset 400) but consumes through seq 1 -> 2 slots, fill
+    800/1024."""
+    df = spark.createDataFrame(
+        [(0, "g", 400), (1, "g", 400)],
+        "doc_id long, grp string, n_tokens long",
+    )
+    packed = pack_sequences(df, token_col="n_tokens", budget=512, group_col="grp")
+    eff = packing_efficiency(packed, token_col="n_tokens", budget=512).collect()[0]
+    assert eff.n_seqs == 2
+    assert abs(eff.fill_fraction - 800 / 1024) < 1e-12
+    assert eff.fill_fraction <= 1.0

@@ -176,3 +176,132 @@ def test_ivf_pq_composition_recall(spark):
         ).collect()
     )
     assert full == exact
+
+
+def _clustered_emb(spark, seed=23, n_centers=12, per_center=40, dim=32):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_centers, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per_center):
+            v = c + 0.2 * rng.randn(dim)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_pq_batch_composition_invariance(spark):
+    """A query's tree-AH result must not depend on which other queries
+    share the batch: with per-query leaf masking, solo and batched runs
+    return identical rows (round-3 bug: ADC candidates came from the
+    UNION of all queries' probed leaves)."""
+    from rag_vertex_ai_vector_search_spark.operators.ivf import build_ivf_index
+    from rag_vertex_ai_vector_search_spark.operators.pq import ivf_pq_search
+
+    emb = _clustered_emb(spark)
+    ivf = build_ivf_index(emb, n_clusters=12)
+    books = train_pq(ivf.assigned, m=8, ksub=64, iters=8, sample_rows=480)
+    pq = encode_pq(ivf.assigned, books, keep_cols=("cluster_id",))
+
+    batch = emb.filter(F.col("vec_id") % 40 == 7).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    solo = batch.filter(F.col("query_id") == 7)
+    kw = dict(k=10, probe_percent=25.0)
+    got_batch = sorted(
+        tuple(r) for r in ivf_pq_search(ivf, pq, batch, **kw)
+        .filter(F.col("query_id") == 7)
+        .select("query_id", "rank", "neighbor_id", "score").collect()
+    )
+    got_solo = sorted(
+        tuple(r) for r in ivf_pq_search(ivf, pq, solo, **kw)
+        .select("query_id", "rank", "neighbor_id", "score").collect()
+    )
+    assert got_solo == got_batch
+
+
+def test_pq_cogroup_equals_broadcast(spark, sf_smoke):
+    """pq_search_rerank(method="cogroup") must rank identically to the
+    broadcast path (and to itself with per-query probe masks)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = _queries(emb, n=12)
+    books = train_pq(emb, m=8, ksub=32, iters=4, sample_rows=500)
+    index = encode_pq(emb, books)
+    bk = sorted(
+        tuple(r)
+        for r in pq_search_rerank(index, emb, queries, k=7)
+        .select("query_id", "rank", "neighbor_id").collect()
+    )
+    cg = sorted(
+        tuple(r)
+        for r in pq_search_rerank(index, emb, queries, k=7, method="cogroup")
+        .select("query_id", "rank", "neighbor_id").collect()
+    )
+    assert cg == bk
+
+
+def test_ivf_pq_cogroup_equals_broadcast(spark):
+    from rag_vertex_ai_vector_search_spark.operators.ivf import build_ivf_index
+    from rag_vertex_ai_vector_search_spark.operators.pq import ivf_pq_search
+
+    emb = _clustered_emb(spark, seed=31)
+    ivf = build_ivf_index(emb, n_clusters=12)
+    books = train_pq(ivf.assigned, m=8, ksub=64, iters=8, sample_rows=480)
+    pq = encode_pq(ivf.assigned, books, keep_cols=("cluster_id",))
+    queries = emb.filter(F.col("vec_id") % 40 == 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    kw = dict(k=10, probe_percent=50.0)
+    bk = sorted(
+        tuple(r) for r in ivf_pq_search(ivf, pq, queries, **kw)
+        .select("query_id", "rank", "neighbor_id").collect()
+    )
+    cg = sorted(
+        tuple(r) for r in ivf_pq_search(ivf, pq, queries, method="cogroup", **kw)
+        .select("query_id", "rank", "neighbor_id").collect()
+    )
+    assert cg == bk
+
+
+def test_pq_cogroup_never_collects_to_driver(spark, sf_smoke, monkeypatch):
+    """The data-scale guarantee of the cogroup PQ path: building AND
+    executing the cascade must never materialize the query set on the
+    driver (mirrors test_knn_blocked's gemm_join guard)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = _queries(emb, n=5)
+    books = train_pq(emb, m=8, ksub=32, iters=4, sample_rows=500)
+    index = encode_pq(emb, books)
+
+    def boom(self, *a, **kw):
+        raise AssertionError("driver-side materialization in PQ cogroup path")
+
+    for meth in ("collect", "take", "first", "toPandas", "toLocalIterator"):
+        monkeypatch.setattr(DataFrame, meth, boom)
+    out = pq_search_rerank(index, emb, queries, k=5, method="cogroup")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    out.foreach(lambda r: None)
+
+
+def test_pq_ksub_guard(spark, sf_smoke):
+    """ksub > 256 cannot fit uint8 codes: train and encode must raise,
+    never silently wrap (round-3 ADVICE item)."""
+    import pytest as _pytest
+
+    from rag_vertex_ai_vector_search_spark.operators.pq import PQCodebooks
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    with _pytest.raises(ValueError, match="ksub"):
+        train_pq(emb, m=8, ksub=512, iters=1, sample_rows=100)
+    fake = PQCodebooks(
+        codebooks=np.zeros((8, 300, 8), dtype=np.float64), dim=64
+    )
+    with _pytest.raises(ValueError, match="ksub"):
+        encode_pq(emb, fake)
