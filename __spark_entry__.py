@@ -1248,7 +1248,7 @@ GROUP BY pack_group, seq_id
 def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring (operators/lm_quality.py):
     per-document average surprisal under the corpus unigram model.
-    Per-word surprisal quantizes to integer nanonats so the per-doc sum
+    Per-word surprisal quantizes to integer micronats so the per-doc sum
     is exact bigint arithmetic (shuffle-order-independent) and the mean
     divides two exact integers -- bit-identical in DuckDB."""
     from rag_vertex_ai_vector_search_spark.operators.lm_quality import (
@@ -1273,12 +1273,12 @@ tot AS (SELECT CAST(sum(n) AS DOUBLE) AS N, CAST(count(*) AS DOUBLE) AS V
 scored AS (
   SELECT w.doc_id,
          CAST(floor(-ln((CAST(c.n AS DOUBLE) + 0.5) / (t.N + 0.5 * t.V))
-                    * 1000000000.0) AS BIGINT) AS s
+                    * 1000000.0) AS BIGINT) AS s
   FROM words w JOIN counts c USING (word) CROSS JOIN tot t
 )
 SELECT doc_id, count(*) AS n_words,
        CAST(CAST(sum(s) AS BIGINT) AS DOUBLE)
-         / (1000000000.0 * CAST(count(*) AS DOUBLE)) AS avg_surprisal_nats
+         / (1000000.0 * CAST(count(*) AS DOUBLE)) AS avg_surprisal_nats
 FROM scored
 GROUP BY doc_id
 """
@@ -1934,8 +1934,9 @@ spine AS (
   FROM b
 ),
 j AS (
-  SELECT s.event_type, s.hour, h.n_events, h.sum_value
-  FROM spine s LEFT JOIN h USING (event_type, hour)
+  SELECT s.event_type, s.hour, h.n_events, h.sum_value, h._obs
+  FROM spine s LEFT JOIN (SELECT *, 1 AS _obs FROM h) h
+  USING (event_type, hour)
 )
 SELECT event_type, hour,
        last_value(n_events IGNORE NULLS) OVER (
@@ -1944,7 +1945,7 @@ SELECT event_type, hour,
        last_value(sum_value IGNORE NULLS) OVER (
          PARTITION BY event_type ORDER BY hour
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value,
-       n_events IS NULL AS is_filled
+       _obs IS NULL AS is_filled
 FROM j
 """
 

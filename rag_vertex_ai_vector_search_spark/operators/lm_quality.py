@@ -14,11 +14,15 @@ nothing else moves.
 
 Determinism/oracle trick: summing -ln p over a document's words in
 floating point is shuffle-order-dependent. Each word's surprisal is
-therefore quantized to an INTEGER (floor(-ln(p) * 1e9) nanonats): the
+therefore quantized to an INTEGER (floor(-ln(p) * 1e6) micronats): the
 per-doc SUM is exact bigint arithmetic (order-independent), and the
 final mean divides two exact integers -- bit-identical in any engine,
-at a quantization error < 1e-9 nats/word, far below any filtering
-threshold.
+at a quantization error < 1e-6 nats/word, far below any filtering
+threshold. The quantum is deliberately COARSE: two engines' libm ln()
+may differ in the last ulp, and floor() only diverges when the product
+straddles an integer boundary -- at 1e6 (vs 1e9) there are 1000x fewer
+boundaries, so a 1-ulp ln() disagreement is correspondingly less
+likely to flip a quantized value.
 
 Scale shape: words explode -> shuffle-join against the count table ->
 per-doc integer aggregate. The count table is vocabulary-sized; at web
@@ -33,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import normalized_text
 
-SURPRISAL_SCALE = 1_000_000_000  # nanonats
+SURPRISAL_SCALE = 1_000_000  # micronats
 
 
 def unigram_counts(
@@ -78,7 +82,7 @@ def unigram_surprisal(
     )
     # Unseen words (when scoring under an external model) get count 0.
     scored = words.join(counts, "word", "left").withColumn(
-        "_surprisal_nanonats",
+        "_surprisal_micronats",
         F.floor(
             -F.log(
                 (F.coalesce(F.col("n"), F.lit(0)).cast("double") + F.lit(alpha))
@@ -91,7 +95,7 @@ def unigram_surprisal(
         scored.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_words"),
-            F.sum("_surprisal_nanonats").alias("_s"),
+            F.sum("_surprisal_micronats").alias("_s"),
         )
         .withColumn(
             "avg_surprisal_nats",

@@ -111,7 +111,13 @@ def bm25_topk(
     # every scored row through one partition. The rank window then runs
     # over only top_n rows.
     top = ranked.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(top_n)
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    # Constant partition key: the window runs over only the top_n
+    # already-reduced rows, so a single partition is the point -- the
+    # literal silences WindowExec's "No Partition Defined" warning
+    # without changing the plan's scale behavior.
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
     return (
         top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("doc_id", "score", "rank")

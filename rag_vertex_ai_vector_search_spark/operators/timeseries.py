@@ -45,9 +45,12 @@ def gapfill_locf(
 
     Leading values are non-null by construction (each key's spine
     starts at its first observation). ``fill_marker`` is True on
-    manufactured rows.
+    manufactured rows -- detected by an explicit observation indicator
+    carried through the left join, NOT by a value column being null, so
+    an observed row whose values are legitimately NULL is still marked
+    as observed (and its nulls are NOT confused with spine holes).
     """
-    tmin, tmax = "_gf_tmin", "_gf_tmax"
+    tmin, tmax, obs = "_gf_tmin", "_gf_tmax", "_gf_obs"
     spine = (
         df.groupBy(*key_cols)
         .agg(
@@ -61,15 +64,15 @@ def gapfill_locf(
             ).alias(time_col),
         )
     )
-    joined = spine.join(df, [*key_cols, time_col], "left")
+    joined = spine.join(
+        df.withColumn(obs, F.lit(1)), [*key_cols, time_col], "left"
+    )
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(time_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = joined.withColumn(
-        fill_marker, F.col(value_cols[0]).isNull()
-    )
+    out = joined.withColumn(fill_marker, F.col(obs).isNull()).drop(obs)
     for v in value_cols:
         out = out.withColumn(v, F.last(v, ignorenulls=True).over(w))
     return out

@@ -68,3 +68,32 @@ def test_gapfill_custom_step(spark):
     )
     assert out.count() == 5  # 0:00 0:15 0:30 0:45 1:00
     assert out.filter(F.col("is_filled")).count() == 3
+
+
+def test_gapfill_observed_null_not_marked_filled(spark):
+    """An observed row whose value column is legitimately NULL must NOT
+    be classified as a manufactured spine row (round-3 ADVICE item: the
+    marker used value-is-null, now an explicit join indicator)."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(k="a", t=datetime.datetime(2024, 1, 1, 0), v=10.0),
+            Row(k="a", t=datetime.datetime(2024, 1, 1, 1), v=None),
+            # hour 2 missing -> manufactured
+            Row(k="a", t=datetime.datetime(2024, 1, 1, 3), v=30.0),
+        ],
+        "k string, t timestamp, v double",
+    )
+    out = {
+        r.t.hour: r
+        for r in gapfill_locf(
+            df, time_col="t", key_cols=["k"], value_cols=["v"]
+        ).collect()
+    }
+    assert out[0].is_filled is False
+    assert out[1].is_filled is False     # observed, value NULL
+    assert out[2].is_filled is True      # manufactured
+    assert out[3].is_filled is False
+    # LOCF still carries through the observed-null row
+    assert out[1].v == 10.0 and out[2].v == 10.0 and out[3].v == 30.0
