@@ -1284,6 +1284,57 @@ GROUP BY doc_id
 """
 
 
+def q_lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-model LM quality scoring (operators/lm_quality.py): one
+    Markov order above lm_surprisal -- p(w | prev) with add-alpha
+    smoothing and a BOS context per document. Same integer-micronat
+    quantization contract, bit-identical in DuckDB (posexplode + lag
+    mirror as generate_subscripts + lag)."""
+    from rag_vertex_ai_vector_search_spark.operators.lm_quality import (
+        bigram_surprisal,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_surprisal(docs, alpha=0.5).select(
+        "doc_id", "n_words", "avg_surprisal_nats"
+    )
+
+
+def _sql_lm_bigram_surprisal() -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split({_SQL_NORM}, ' ')) AS word,
+         generate_subscripts(string_split({_SQL_NORM}, ' '), 1) AS pos
+  FROM documents
+),
+seq AS (
+  SELECT doc_id, pos, word,
+         coalesce(lag(word) OVER (PARTITION BY doc_id ORDER BY pos),
+                  '<s>') AS prev
+  FROM words
+),
+bg AS (SELECT prev, word, count(*) AS n2 FROM seq GROUP BY prev, word),
+ctx AS (SELECT prev, count(*) AS n1 FROM seq GROUP BY prev),
+voc AS (SELECT CAST(count(DISTINCT word) AS DOUBLE) AS V FROM seq),
+scored AS (
+  SELECT s.doc_id,
+         CAST(floor(-ln((CAST(b.n2 AS DOUBLE) + 0.5)
+                        / (CAST(c.n1 AS DOUBLE) + 0.5 * t.V))
+                    * 1000000.0) AS BIGINT) AS s
+  FROM seq s
+  JOIN bg b ON s.prev = b.prev AND s.word = b.word
+  JOIN ctx c ON s.prev = c.prev
+  CROSS JOIN voc t
+)
+SELECT doc_id, count(*) AS n_words,
+       CAST(CAST(sum(s) AS BIGINT) AS DOUBLE)
+         / (1000000.0 * CAST(count(*) AS DOUBLE)) AS avg_surprisal_nats
+FROM scored
+GROUP BY doc_id
+"""
+
+
 def q_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) corpus health report: the roll-up a data
     curator reads before training -- doc counts, token mass, short-doc
@@ -2442,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequence_texts": q_packed_sequence_texts,
         "corpus_quality_report": q_corpus_quality_report,
         "lm_surprisal": q_lm_surprisal,
+        "lm_bigram_surprisal": q_lm_bigram_surprisal,
         "training_corpus_pipeline": q_training_corpus_pipeline,
         # -- relational / events surface -------------------------------
         "pricing_summary": q_pricing_summary,
@@ -2453,7 +2505,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_salted_dim_join": q_events_salted_dim_join,
         "events_sessionize": q_events_sessionize,
         "events_funnel": q_events_funnel,
-        "nation_set_ops": q_nation_set_ops,
     }
 
 
@@ -2471,9 +2522,13 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dataset_mix_sample -> dataset_mix_upsample; pack_sequences ->
     packed_sequence_texts; customer_trailing_spend (RANGE frame) ->
     supplier_running_window (windows) + parity test;
-    string_date_projection -> ingest_metadata projections.
+    string_date_projection -> ingest_metadata projections;
+    nation_set_ops (r4 rotation, green r1-r3) -> the set-op algebra is
+    also exercised by parts_never_shipped (anti-join) and the
+    relational suite.
     """
     return {
+        "nation_set_ops": q_nation_set_ops,
         "knn_lsh_full_cover": q_knn_lsh_full_cover,
         "knn_ivf2_full_probe": q_knn_ivf2_full_probe,
         "text_stats": q_text_stats,
@@ -2527,6 +2582,7 @@ def oracle_sql() -> dict[str, str]:
         "packed_sequence_texts": _SQL_PACKED_SEQ_TEXTS,
         "corpus_quality_report": _SQL_CORPUS_REPORT,
         "lm_surprisal": _sql_lm_surprisal(),
+        "lm_bigram_surprisal": _sql_lm_bigram_surprisal(),
         "training_corpus_pipeline": _SQL_TRAINING_PIPELINE,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "top_revenue_customers": _SQL_TOP_REVENUE,
@@ -2537,7 +2593,6 @@ def oracle_sql() -> dict[str, str]:
         "events_salted_dim_join": _SQL_SALTED_JOIN,
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
         "events_funnel": _SQL_EVENTS_FUNNEL,
-        "nation_set_ops": _SQL_NATION_SET_OPS,
     }
 
 
@@ -2545,6 +2600,7 @@ def oracle_sql_archive() -> dict[str, str]:
     """Oracles for queries_archive() -- run by tests/test_oracle_parity.py
     (not the driver) so the rotated queries stay bit-exact-verified."""
     return {
+        "nation_set_ops": _SQL_NATION_SET_OPS,
         "knn_lsh_full_cover": _SQL_KNN_TOPK,
         "knn_ivf2_full_probe": _SQL_KNN_TOPK,
         "text_stats": _SQL_TEXT_STATS,

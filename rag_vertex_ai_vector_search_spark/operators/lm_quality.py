@@ -104,3 +104,93 @@ def unigram_surprisal(
         )
         .drop("_s")
     )
+
+
+BOS = "<s>"  # sentence-start context for each document's first word
+
+
+def _positioned_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, word, prev): posexplode the normalized text and attach
+    each word's predecessor via a per-doc lag window (the first word's
+    context is the BOS marker). The lag shuffle keys on the document --
+    one task per doc's words, wide parallelism across docs."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(normalized_text(F.col(text_col)), " ")
+            ).alias("pos", "word"),
+        )
+        .withColumn("prev", F.coalesce(F.lag("word").over(w), F.lit(BOS)))
+    )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(id, n_words, avg_surprisal_nats) under a corpus BIGRAM model --
+    one Markov order up from ``unigram_surprisal``, the direction a
+    KenLM-backed CCNet filter takes (higher-order context separates
+    fluent text from shuffled-word noise that a unigram model scores
+    identically).
+
+        p(w | prev) = (c(prev, w) + alpha) / (c(prev) + alpha * V)
+
+    with add-alpha smoothing over the unigram vocabulary V and a BOS
+    context for each document's first word. Same determinism contract
+    as the unigram scorer: per-word surprisal quantizes to integer
+    micronats, per-doc sums are exact bigint arithmetic, bit-identical
+    in DuckDB.
+
+    Scale shape: posexplode -> per-doc lag window (shuffle keyed on
+    doc) -> shuffle-join against the bigram count table (rows bounded
+    by distinct bigrams, AQE picks the join strategy) -> per-doc
+    integer aggregate. The only driver-side value is the scalar V.
+    """
+    words = _positioned_words(df, id_col, text_col)
+    bigram_counts = words.groupBy("prev", "word").agg(
+        F.count(F.lit(1)).alias("n2")
+    )
+    context_counts = words.groupBy("prev").agg(F.count(F.lit(1)).alias("n1"))
+    vocab = words.select("word").distinct().count()
+
+    scored = (
+        words.join(bigram_counts, ["prev", "word"], "left")
+        .join(context_counts, "prev", "left")
+        .withColumn(
+            "_surprisal_micronats",
+            F.floor(
+                -F.log(
+                    (
+                        F.coalesce(F.col("n2"), F.lit(0)).cast("double")
+                        + F.lit(alpha)
+                    )
+                    / (
+                        F.coalesce(F.col("n1"), F.lit(0)).cast("double")
+                        + F.lit(alpha) * F.lit(float(vocab))
+                    )
+                )
+                * F.lit(float(SURPRISAL_SCALE))
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_surprisal_micronats").alias("_s"),
+        )
+        .withColumn(
+            "avg_surprisal_nats",
+            F.col("_s").cast("double")
+            / (F.lit(float(SURPRISAL_SCALE)) * F.col("n_words").cast("double")),
+        )
+        .drop("_s")
+    )

@@ -60,3 +60,62 @@ def test_external_model_unseen_words(spark):
     out = {r.doc_id: r.avg_surprisal_nats
            for r in unigram_surprisal(docs, counts=model).collect()}
     assert out[2] > out[1]
+
+
+def test_bigram_matches_python_reference(spark):
+    from collections import Counter
+
+    from rag_vertex_ai_vector_search_spark.operators.lm_quality import (
+        bigram_surprisal,
+    )
+
+    corpus = {1: "a b a c".split(), 2: "b b c".split()}
+    docs = spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in corpus.items()],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_surprisal(docs, alpha=0.5).collect()}
+
+    seqs = {
+        k: list(zip(["<s>"] + v[:-1], v)) for k, v in corpus.items()
+    }
+    bg = Counter(p for s in seqs.values() for p in s)
+    ctx = Counter(p[0] for s in seqs.values() for p in s)
+    V = len({w for v in corpus.values() for w in v})
+
+    def surp(prev, w, alpha=0.5):
+        return math.floor(
+            -math.log((bg[(prev, w)] + alpha) / (ctx[prev] + alpha * V))
+            * SURPRISAL_SCALE
+        )
+
+    for doc_id, seq in seqs.items():
+        expected = sum(surp(p, w) for p, w in seq) / (
+            SURPRISAL_SCALE * len(seq)
+        )
+        assert out[doc_id].avg_surprisal_nats == expected
+        assert out[doc_id].n_words == len(seq)
+
+
+def test_bigram_separates_shuffled_text(spark):
+    """The point of the higher Markov order: word-shuffled text has the
+    SAME unigram distribution as fluent text but much higher bigram
+    surprisal -- the unigram scorer cannot tell them apart, the bigram
+    scorer must."""
+    from rag_vertex_ai_vector_search_spark.operators.lm_quality import (
+        bigram_surprisal,
+        unigram_surprisal,
+    )
+
+    fluent = ("the cat sat on the mat " * 8).strip()
+    # same word MULTISET, destroyed word order: sorting groups repeats
+    # into bigrams ("cat cat", "mat on") the fluent corpus never emits
+    shuffled = " ".join(sorted(fluent.split()))
+    rows = [(i, fluent) for i in range(1, 11)] + [(99, shuffled)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uni = {r.doc_id: r.avg_surprisal_nats
+           for r in unigram_surprisal(docs).collect()}
+    bi = {r.doc_id: r.avg_surprisal_nats
+          for r in bigram_surprisal(docs).collect()}
+    assert abs(uni[1] - uni[99]) < 0.05         # unigram: indistinguishable
+    assert bi[99] > bi[1] + 0.5                 # bigram: clearly separated

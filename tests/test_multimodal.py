@@ -277,3 +277,149 @@ def test_extract_resized_features_fixed_resolution(spark):
         assert np.array_equal(
             np.asarray(r.features, dtype=np.float32), expected
         ), name
+
+
+def test_png_roundtrip_all_filters():
+    """_decode_png must invert every PNG row filter (None/Sub/Up/
+    Average/Paeth) for gray and RGB images -- the encoder applies one
+    filter to all rows, the decoder must reconstruct the exact pixels."""
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        _decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(5)
+    gray = rng.randint(0, 256, size=(13, 17), dtype=np.uint8)
+    rgb = rng.randint(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    for img in (gray, rgb):
+        for ftype in range(5):
+            data = encode_png(img, filter_type=ftype)
+            out = _decode_png(data)
+            assert np.array_equal(out, img), f"filter {ftype} failed"
+
+
+def test_png_palette_and_alpha_forms():
+    """Palette (color type 3) expands through PLTE; alpha channels
+    (types 4 and 6) are dropped to gray/RGB."""
+    import struct as _struct
+    import zlib
+
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        _PNG_SIG,
+        _decode_png,
+    )
+
+    def chunk(ctype, body):
+        return (
+            _struct.pack(">I", len(body)) + ctype + body
+            + _struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # 2x2 palette image: indices 0..3 into a 4-color palette
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 7, 7])
+    raster = bytes([0, 0, 1, 0, 2, 3])  # two rows, filter 0 + 2 indices
+    png = (
+        _PNG_SIG
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", zlib.compress(raster))
+        + chunk(b"IEND", b"")
+    )
+    out = _decode_png(png)
+    assert out.shape == (2, 2, 3)
+    assert out[0, 0].tolist() == [255, 0, 0]
+    assert out[1, 1].tolist() == [7, 7, 7]
+
+    # 2x1 RGBA (type 6): alpha dropped
+    raster = bytes([0, 10, 20, 30, 255, 40, 50, 60, 0])
+    png = (
+        _PNG_SIG
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raster))
+        + chunk(b"IEND", b"")
+    )
+    out = _decode_png(png)
+    assert out.shape == (1, 2, 3)
+    assert out[0, 0].tolist() == [10, 20, 30]
+
+    # 1x2 gray+alpha (type 4): alpha dropped
+    raster = bytes([0, 100, 255, 200, 0])
+    png = (
+        _PNG_SIG
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 1, 8, 4, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raster))
+        + chunk(b"IEND", b"")
+    )
+    out = _decode_png(png)
+    assert out.shape == (1, 2)
+    assert out[0].tolist() == [100, 200]
+
+
+def test_png_unsupported_forms_raise():
+    import struct as _struct
+    import zlib
+
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        _PNG_SIG,
+        _decode_png,
+    )
+
+    def chunk(ctype, body):
+        return (
+            _struct.pack(">I", len(body)) + ctype + body
+            + _struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # 16-bit depth
+    png16 = (
+        _PNG_SIG
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes([0, 0, 0])))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        _decode_png(png16)
+    # interlaced
+    pngi = (
+        _PNG_SIG
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(bytes([0, 0])))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="interlace"):
+        _decode_png(pngi)
+
+
+def test_image_features_on_png_column(spark):
+    """End-to-end: binary PNG column -> decode_image -> pooled feature
+    vector via mapInPandas, same plan shape as every other codec."""
+    from rag_vertex_ai_vector_search_spark.multimodal import (
+        extract_image_features,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        _pooled_features,
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(9)
+    imgs = [rng.randint(0, 256, size=(6, 7, 3), dtype=np.uint8) for _ in range(3)]
+    rows = [
+        (f"png{i}", "image/png", bytearray(encode_png(img, filter_type=4)),
+         7, 6, 1)
+        for i, img in enumerate(imgs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id string, media_type string, content binary, "
+        "width int, height int, n_frames int",
+    )
+    out = {
+        r.media_id: r.features
+        for r in extract_image_features(
+            df, decoder=decode_image, feature_dim=8
+        ).collect()
+    }
+    for i, img in enumerate(imgs):
+        expected = _pooled_features(img, 8)
+        assert np.allclose(out[f"png{i}"], expected)
