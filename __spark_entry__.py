@@ -1335,6 +1335,66 @@ GROUP BY doc_id
 """
 
 
+def q_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail language-model filter
+    (operators/lm_quality.py::surprisal_buckets): rank every document
+    by unigram surprisal WITHIN its language and ntile into three
+    equal-frequency buckets. Deterministic (score, doc_id) ordering
+    makes the cut bit-exact in DuckDB."""
+    from rag_vertex_ai_vector_search_spark.operators.lm_quality import (
+        surprisal_buckets,
+        unigram_surprisal,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = unigram_surprisal(docs, alpha=0.5).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return surprisal_buckets(scored, group_cols=["lang"]).select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "avg_surprisal_nats",
+        F.col("bucket_idx").cast("long").alias("bucket_idx"),
+        "ppl_bucket",
+    )
+
+
+def _sql_ccnet_quality_buckets() -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS word
+  FROM documents
+),
+counts AS (SELECT word, count(*) AS n FROM words GROUP BY word),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS N, CAST(count(*) AS DOUBLE) AS V
+        FROM counts),
+scored AS (
+  SELECT w.doc_id,
+         CAST(floor(-ln((CAST(c.n AS DOUBLE) + 0.5) / (t.N + 0.5 * t.V))
+                    * 1000000.0) AS BIGINT) AS s
+  FROM words w JOIN counts c USING (word) CROSS JOIN tot t
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_words,
+         CAST(CAST(sum(s) AS BIGINT) AS DOUBLE)
+           / (1000000.0 * CAST(count(*) AS DOUBLE)) AS avg_surprisal_nats
+  FROM scored GROUP BY doc_id
+),
+ranked AS (
+  SELECT p.doc_id, d.lang, p.n_words, p.avg_surprisal_nats,
+         CAST(ntile(3) OVER (
+           PARTITION BY d.lang
+           ORDER BY p.avg_surprisal_nats ASC, p.doc_id ASC
+         ) AS BIGINT) AS bucket_idx
+  FROM per_doc p JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, n_words, avg_surprisal_nats, bucket_idx,
+       (['head', 'middle', 'tail'])[bucket_idx] AS ppl_bucket
+FROM ranked
+"""
+
+
 def q_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) corpus health report: the roll-up a data
     curator reads before training -- doc counts, token mass, short-doc
@@ -2487,13 +2547,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
         "pii_scrub": q_pii_scrub,
-        "dataset_split": q_dataset_split,
         "dataset_decontaminate": q_dataset_decontaminate,
         "dataset_mix_upsample": q_dataset_mix_upsample,
         "packed_sequence_texts": q_packed_sequence_texts,
         "corpus_quality_report": q_corpus_quality_report,
         "lm_surprisal": q_lm_surprisal,
         "lm_bigram_surprisal": q_lm_bigram_surprisal,
+        "ccnet_quality_buckets": q_ccnet_quality_buckets,
         "training_corpus_pipeline": q_training_corpus_pipeline,
         # -- relational / events surface -------------------------------
         "pricing_summary": q_pricing_summary,
@@ -2525,9 +2585,12 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     string_date_projection -> ingest_metadata projections;
     nation_set_ops (r4 rotation, green r1-r3) -> the set-op algebra is
     also exercised by parts_never_shipped (anti-join) and the
-    relational suite.
+    relational suite; dataset_split (r4 rotation, green r1-r3) -> the
+    sha60 hash-bucket split machinery is also exercised by
+    dataset_mix_upsample and the token gates.
     """
     return {
+        "dataset_split": q_dataset_split,
         "nation_set_ops": q_nation_set_ops,
         "knn_lsh_full_cover": q_knn_lsh_full_cover,
         "knn_ivf2_full_probe": q_knn_ivf2_full_probe,
@@ -2576,13 +2639,13 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _SQL_TEXT_QUALITY,
         "text_repetition": _SQL_TEXT_REPETITION,
         "pii_scrub": _SQL_PII_SCRUB,
-        "dataset_split": _SQL_DATASET_SPLIT,
-        "dataset_decontaminate": _SQL_DECONTAMINATE,
+                "dataset_decontaminate": _SQL_DECONTAMINATE,
         "dataset_mix_upsample": _SQL_MIX_UPSAMPLE,
         "packed_sequence_texts": _SQL_PACKED_SEQ_TEXTS,
         "corpus_quality_report": _SQL_CORPUS_REPORT,
         "lm_surprisal": _sql_lm_surprisal(),
         "lm_bigram_surprisal": _sql_lm_bigram_surprisal(),
+        "ccnet_quality_buckets": _sql_ccnet_quality_buckets(),
         "training_corpus_pipeline": _SQL_TRAINING_PIPELINE,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "top_revenue_customers": _SQL_TOP_REVENUE,
@@ -2600,6 +2663,7 @@ def oracle_sql_archive() -> dict[str, str]:
     """Oracles for queries_archive() -- run by tests/test_oracle_parity.py
     (not the driver) so the rotated queries stay bit-exact-verified."""
     return {
+        "dataset_split": _SQL_DATASET_SPLIT,
         "nation_set_ops": _SQL_NATION_SET_OPS,
         "knn_lsh_full_cover": _SQL_KNN_TOPK,
         "knn_ivf2_full_probe": _SQL_KNN_TOPK,

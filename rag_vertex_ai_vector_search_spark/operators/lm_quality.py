@@ -106,6 +106,48 @@ def unigram_surprisal(
     )
 
 
+def surprisal_buckets(
+    scored: DataFrame,
+    *,
+    group_cols: list[str] | None = None,
+    score_col: str = "avg_surprisal_nats",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet's head/middle/tail split: rank documents by LM surprisal
+    WITHIN each group (per language, in CCNet) and cut into
+    ``n_buckets`` equal-frequency buckets -- head = most fluent,
+    tail = most surprising. Training recipes sample the buckets at
+    different rates (head is boilerplate-heavy, tail is noisy; middle
+    is the sweet spot).
+
+    ``ntile`` over a deterministic (score, id) order makes the cut
+    reproducible and engine-portable (same ORDER BY in DuckDB ranks
+    identically, so the driver gate is bit-exact). One shuffle keyed on
+    the group columns; each group ranks independently, so parallelism
+    is the number of groups -- at corpus scale that is languages x
+    shards if a finer ``group_cols`` is passed.
+    """
+    from pyspark.sql import Window
+
+    if n_buckets == len(labels):
+        label_expr = F.element_at(
+            F.array(*[F.lit(x) for x in labels]), F.col("bucket_idx")
+        )
+    else:
+        label_expr = F.concat(F.lit("q"), F.col("bucket_idx").cast("string"))
+    parts = group_cols or []
+    w = (
+        Window.partitionBy(*[F.col(c) for c in parts])
+        if parts else Window.partitionBy(F.lit(0))
+    ).orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("bucket_idx", F.ntile(n_buckets).over(w))
+        .withColumn("ppl_bucket", label_expr)
+    )
+
+
 BOS = "<s>"  # sentence-start context for each document's first word
 
 

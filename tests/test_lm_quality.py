@@ -119,3 +119,33 @@ def test_bigram_separates_shuffled_text(spark):
           for r in bigram_surprisal(docs).collect()}
     assert abs(uni[1] - uni[99]) < 0.05         # unigram: indistinguishable
     assert bi[99] > bi[1] + 0.5                 # bigram: clearly separated
+
+
+def test_surprisal_buckets_equal_frequency_per_group(spark):
+    """CCNet head/middle/tail: each language cuts into equal-frequency
+    buckets independently; head holds the lowest-surprisal docs."""
+    from rag_vertex_ai_vector_search_spark.operators.lm_quality import (
+        surprisal_buckets,
+    )
+
+    rows = [(i, "en", float(i)) for i in range(9)] + [
+        (100 + i, "fr", float(-i)) for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, avg_surprisal_nats double"
+    )
+    out = surprisal_buckets(df, group_cols=["lang"]).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, n in (("en", 9), ("fr", 6)):
+        rs = by_lang[lang]
+        assert len(rs) == n
+        from collections import Counter
+
+        c = Counter(r.ppl_bucket for r in rs)
+        assert c["head"] == c["middle"] == c["tail"] == n // 3
+        # head = lowest surprisal
+        head_max = max(r.avg_surprisal_nats for r in rs if r.ppl_bucket == "head")
+        tail_min = min(r.avg_surprisal_nats for r in rs if r.ppl_bucket == "tail")
+        assert head_max < tail_min
