@@ -735,6 +735,48 @@ WHERE bit_count(xor(sig_a, sig_b)) <= 3
 """
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global exact-substring duplication stats
+    (operators/dedup.py::duplicate_span_stats, Lee et al. 2022): every
+    8-token window hashed with the SQL-mirrorable sha60, counted
+    corpus-wide, reported per doc as (n_spans, n_dup_spans,
+    dup_span_fraction). Orthogonal to the pairwise dedup family:
+    measures how much of EACH doc is repeated text anywhere."""
+    from rag_vertex_ai_vector_search_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_span_stats(docs, span_tokens=8)
+
+
+_SQL_DEDUP_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_SQL_NORM}, ' ') AS ws FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         ('0x' || substr(sha256(array_to_string(ws[i:i+7], ' ')), 1, 15))::BIGINT AS h
+  FROM toks, unnest(generate_series(1, len(ws) - 8 + 1)) AS u(i)
+  WHERE len(ws) >= 8
+),
+freq AS (SELECT h, count(*) AS cnt FROM spans GROUP BY h),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_spans,
+         CAST(sum(CASE WHEN f.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_spans
+  FROM spans s JOIN freq f USING (h) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CASE WHEN coalesce(p.n_spans, 0) > 0
+            THEN CAST(p.n_dup_spans AS DOUBLE) / CAST(p.n_spans AS DOUBLE)
+            ELSE 0.0 END AS dup_span_fraction
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dup via shared winnowing fingerprints (catches
     copied passages that set-level Jaccard misses). FULLY oracle-checked
@@ -2535,7 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_datapoints": q_ingest_datapoints,
         # -- dedup suite -----------------------------------------------
         "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_spans": q_dedup_spans,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -2590,6 +2632,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dataset_mix_upsample and the token gates.
     """
     return {
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dataset_split": q_dataset_split,
         "nation_set_ops": q_nation_set_ops,
         "knn_lsh_full_cover": q_knn_lsh_full_cover,
@@ -2628,7 +2671,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_metadata": _SQL_INGEST_METADATA,
         "ingest_datapoints": _SQL_INGEST_DATAPOINTS,
         "dedup_exact": _SQL_DEDUP_EXACT,
-        "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
+        "dedup_spans": _SQL_DEDUP_SPANS,
         "dedup_minhash_lsh": _sql_minhash_lsh(),
         "dedup_simhash": _SQL_DEDUP_SIMHASH,
         "dedup_embedding_cosine": _SQL_DEDUP_COSINE,
@@ -2663,6 +2706,7 @@ def oracle_sql_archive() -> dict[str, str]:
     """Oracles for queries_archive() -- run by tests/test_oracle_parity.py
     (not the driver) so the rotated queries stay bit-exact-verified."""
     return {
+        "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
         "dataset_split": _SQL_DATASET_SPLIT,
         "nation_set_ops": _SQL_NATION_SET_OPS,
         "knn_lsh_full_cover": _SQL_KNN_TOPK,

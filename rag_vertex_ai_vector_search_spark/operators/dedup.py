@@ -355,6 +355,91 @@ def ngram_jaccard_pairs(
     )
 
 
+def duplicate_span_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 16,
+    min_count: int = 2,
+    base_hash: str = "sha60",
+) -> DataFrame:
+    """Exact-substring duplication stats (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): hash
+    every ``span_tokens``-token window (stride 1) of the normalized
+    text and count occurrences CORPUS-WIDE; a span is duplicated when
+    its hash appears >= ``min_count`` times anywhere (other docs or
+    elsewhere in the same doc). Returns per doc:
+
+        (id, n_spans, n_dup_spans, dup_span_fraction)
+
+    -- the signal recipes use to drop or trim boilerplate-heavy docs.
+    The pairwise dedup family (minhash/simhash/winnowing) answers "are
+    these two docs near-copies"; this answers the orthogonal corpus-
+    global question "how much of THIS doc is repeated text".
+
+    Scale shape: span enumeration is a NARROW pass (sequence +
+    transform + posexplode, rows ~ total tokens); the frequency count
+    is one shuffle on the span hash with map-side combine carrying
+    most of the weight (duplicated hashes are by definition the heavy
+    groups); the join back is hash-partitioned on the same key so AQE
+    reuses the exchange, and the final per-doc aggregate shuffles only
+    (doc, flag) pairs. That is the same cost envelope as the
+    suffix-array sharding in the paper, expressed as three standard
+    shuffles -- no suffix array, no driver state. ``base_hash="sha60"``
+    admits the bit-exact DuckDB oracle; pass "xxhash64" for the
+    cheaper production hash (same plan, no SQL mirror).
+    """
+    hash_fn = base_hash_fn(base_hash)
+    L = span_tokens
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    base = fan_out(df).select(
+        F.col(id_col), toks.alias("_ws"), F.size(toks).alias("_n")
+    )
+    spans = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.col("_n") >= L,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n") - L + 1),
+                    lambda i: hash_fn(
+                        F.array_join(F.slice(F.col("_ws"), i, L), " ")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("_h"),
+    )
+    freq = spans.groupBy("_h").agg(F.count(F.lit(1)).alias("_cnt"))
+    per_doc = (
+        spans.join(freq, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("_cnt") >= min_count, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_dup_spans"),
+        )
+    )
+    # Docs shorter than one span still report (0, 0, 0.0).
+    return (
+        base.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias(
+                "n_dup_spans"
+            ),
+            F.when(
+                F.coalesce(F.col("n_spans"), F.lit(0)) > 0,
+                F.col("n_dup_spans").cast("double")
+                / F.col("n_spans").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("dup_span_fraction"),
+        )
+    )
+
+
 def winnow_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

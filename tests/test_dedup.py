@@ -226,3 +226,53 @@ def test_minhash_star_cap_preserves_small_bucket_pairs(spark, sf_smoke):
         for r in minhash_candidate_pairs(docs, max_bucket_df=None, **kw).collect()
     }
     assert capped == uncapped
+
+
+def test_duplicate_span_stats_counts_and_short_docs(spark):
+    """Corpus-global exact-substring duplication (Lee et al. style):
+    spans repeated across docs AND within one doc both count; docs
+    shorter than one span report (0, 0, 0.0)."""
+    from rag_vertex_ai_vector_search_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    boiler = "subscribe to our newsletter for updates"  # 6 tokens
+    rows = [
+        (1, boiler + " alpha beta gamma"),
+        (2, boiler + " delta epsilon zeta"),
+        (3, "eta theta iota kappa lam mu nu xi"),       # unique text
+        (4, "one two three four one two three four"),   # self-repeat
+        (5, "too short"),                               # < span_tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicate_span_stats(df, span_tokens=6).collect()}
+
+    # doc 1/2: 9 tokens -> 4 spans each; the span equal to `boiler`
+    # (positions 1) appears in both docs -> 1 dup span each.
+    assert out[1].n_spans == 4 and out[2].n_spans == 4
+    assert out[1].n_dup_spans == 1 and out[2].n_dup_spans == 1
+    assert abs(out[1].dup_span_fraction - 0.25) < 1e-12
+    # doc 3: all spans unique
+    assert out[3].n_spans == 3 and out[3].n_dup_spans == 0
+    # doc 4: 8 tokens -> 3 spans; "one two three four one two" etc are
+    # unique, but the doc repeats its own 4-gram -- at span=6 no span
+    # repeats within the doc, so 0.
+    assert out[4].n_dup_spans == 0
+    # doc 5: shorter than one span
+    assert out[5].n_spans == 0 and out[5].n_dup_spans == 0
+    assert out[5].dup_span_fraction == 0.0
+
+
+def test_duplicate_span_stats_within_doc_repeat(spark):
+    from rag_vertex_ai_vector_search_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    # "a b c a b c a b c" with span=3: spans at pos 1,4,7 are all
+    # "a b c" etc -- within-doc repeats count as duplicated.
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c")], "doc_id long, text string"
+    )
+    out = duplicate_span_stats(df, span_tokens=3).collect()[0]
+    assert out.n_spans == 7
+    assert out.n_dup_spans == 7  # every 3-gram here occurs >= 2 times
