@@ -143,6 +143,9 @@ BENCH_QUERIES = [
     ("pack_sequences", entrymod.q_pack_sequences),
     ("corpus_quality_report", entrymod.q_corpus_quality_report),
     ("lm_surprisal", entrymod.q_lm_surprisal),
+    ("lm_bigram_surprisal", entrymod.q_lm_bigram_surprisal),
+    ("ccnet_quality_buckets", entrymod.q_ccnet_quality_buckets),
+    ("dedup_spans", entrymod.q_dedup_spans),
     # the capstone composition: 6 operators, one lineage, one oracle
     ("training_corpus_pipeline", entrymod.q_training_corpus_pipeline),
 ]

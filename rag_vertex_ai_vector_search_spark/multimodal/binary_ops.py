@@ -279,12 +279,14 @@ def encode_png(img: np.ndarray, *, filter_type: int = 0) -> bytes:
 
 def decode_image(content: bytes) -> np.ndarray:
     """REAL pure-stdlib image decode: netpbm P5/P6, uncompressed 24-bit
-    BMP, and 8-bit PNG (zlib inflate + per-row unfilter; gray/RGB/
-    palette/alpha, non-interlaced) -- all decodable with stdlib + numpy
-    alone, proving the decode seam end-to-end without PIL/opencv in the
-    image. Returns (H, W) uint8 grayscale or (H, W, 3) uint8 RGB.
-    Unknown formats raise NotImplementedError (swap in PIL here for
-    JPEG; nothing about the distributed plan changes)."""
+    BMP, 8-bit PNG (zlib inflate + per-row unfilter; gray/RGB/palette/
+    alpha, non-interlaced), and baseline JPEG (full T.81 sequential
+    pipeline: canonical Huffman, dequantize, IDCT, 4:4:4/4:2:2/4:2:0
+    chroma, BT.601 color) -- all decodable with stdlib + numpy alone,
+    proving the decode seam end-to-end without PIL/opencv in the image.
+    Returns (H, W) uint8 grayscale or (H, W, 3) uint8 RGB. Unknown
+    formats (and progressive JPEG) raise NotImplementedError; nothing
+    about the distributed plan changes if PIL is slotted in instead."""
     data = bytes(content or b"")
     if data[:2] in (b"P5", b"P6"):
         return _decode_pnm(data)
@@ -292,9 +294,14 @@ def decode_image(content: bytes) -> np.ndarray:
         return _decode_bmp24(data)
     if data[:8] == _PNG_SIG:
         return _decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_baseline
+
+        return decode_jpeg_baseline(data)
     raise NotImplementedError(
-        "unsupported image format (supported here: PGM/PPM/BMP24/PNG8; "
-        "plug PIL/opencv into extract_image_features(decoder=...) for more)"
+        "unsupported image format (supported here: PGM/PPM/BMP24/PNG8/"
+        "baseline JPEG; plug PIL/opencv into "
+        "extract_image_features(decoder=...) for more)"
     )
 
 

@@ -1,0 +1,582 @@
+"""Baseline JPEG (ITU-T T.81 / ISO 10918-1) codec in pure numpy +
+stdlib -- no PIL/opencv/ffmpeg in this container, so the decode seam is
+closed with the actual algorithm: marker parse, canonical Huffman
+entropy coding, dequantize, inverse zigzag, IDCT, chroma upsample,
+BT.601 YCbCr -> RGB.
+
+Scope (the overwhelming majority of real-world JPEGs):
+- baseline sequential DCT (SOF0), 8-bit samples
+- grayscale (1 component) and YCbCr 3-component
+- chroma subsampling 4:4:4, 4:2:2 and 4:2:0 (any h/v factors 1-2)
+- restart intervals (DRI / RSTn)
+Progressive (SOF2), arithmetic coding, 12-bit and hierarchical modes
+raise NotImplementedError.
+
+The encoder exists for round-trip tests and thumbnail sinks: standard
+Annex K quantization + Huffman tables, libjpeg-style quality scaling,
+4:4:4 only. Constants below are the public tables printed in the spec
+(Annex K.1 / K.3).
+
+All loops that matter run vectorized over blocks (einsum DCT, gather
+dequantize); the per-symbol Huffman walk is Python but operates on a
+numpy bit array -- fine for the featurization path where decode cost is
+paid only by rows that survive the cheap metadata filters.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# -- 8x8 DCT operator ------------------------------------------------------
+
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+_C *= 0.5
+_C[0, :] *= 1.0 / np.sqrt(2.0)
+
+
+def _dct2(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) spatial -> DCT coefficients."""
+    return np.einsum("ij,njk,lk->nil", _C, blocks, _C)
+
+
+def _idct2(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) DCT coefficients -> spatial."""
+    return np.einsum("ji,njk,kl->nil", _C, blocks, _C)
+
+
+# -- zigzag ----------------------------------------------------------------
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# -- Annex K quantization tables ------------------------------------------
+
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+])
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+])
+
+# -- Annex K Huffman tables: (bits[1..16], values) -------------------------
+
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _canonical_codes(bits, values):
+    """(length, code) per symbol in canonical order (T.81 C.2)."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_table(bits, values):
+    """(length, code) -> symbol lookup for the decoder."""
+    return {
+        (ln, cd): sym for sym, (ln, cd) in _canonical_codes(bits, values).items()
+    }
+
+
+# -- bit IO ----------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, length: int, code: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            self.write(8 - self._n, 0xFF)  # pad with 1-bits
+
+
+class _BitReader:
+    """MSB-first reader over the entropy-coded segment; unstuffs
+    0xFF00 and stops at (reporting) RSTn/other markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+        self.marker = None
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn consumed by caller
+                self.marker = nxt
+                self._acc = (self._acc << 8) | 0
+                self._n += 8
+                return
+            else:
+                self.marker = nxt
+                self._acc = (self._acc << 8) | 0
+                self._n += 8
+                return
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_restart(self) -> None:
+        """Consume padding + the RSTn marker at a restart boundary."""
+        self._acc = 0
+        self._n = 0
+        while self.data[self.pos] != 0xFF or not (
+            0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 1
+        self.pos += 2
+        self.marker = None
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _size_cat(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+# -- encoder ---------------------------------------------------------------
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _encode_component(
+    writer: _BitWriter, blocks_q: np.ndarray, dc_codes, ac_codes
+) -> None:
+    pred = 0
+    for blk in blocks_q:
+        zz = blk[_ZIGZAG]
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        s = _size_cat(diff)
+        ln, cd = dc_codes[s]
+        writer.write(ln, cd)
+        if s:
+            writer.write(s, diff if diff >= 0 else diff + (1 << s) - 1)
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last = nz[-1] + 1 if nz.size else 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, cd = ac_codes[0xF0]  # ZRL
+                writer.write(ln, cd)
+                run -= 16
+            s = _size_cat(v)
+            ln, cd = ac_codes[(run << 4) | s]
+            writer.write(ln, cd)
+            writer.write(s, v if v >= 0 else v + (1 << s) - 1)
+            run = 0
+        if last < 63:
+            ln, cd = ac_codes[0x00]  # EOB
+            writer.write(ln, cd)
+
+
+def _blockify(plane: np.ndarray) -> np.ndarray:
+    """(H, W) -> (n_blocks, 8, 8) with edge replication padding."""
+    h, w = plane.shape
+    hp, wp = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.pad(plane, ((0, hp - h), (0, wp - w)), mode="edge")
+    return (
+        padded.reshape(hp // 8, 8, wp // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+def encode_jpeg_baseline(img: np.ndarray, *, quality: int = 85) -> bytes:
+    """Baseline sequential JPEG encoder: (H, W) uint8 grayscale or
+    (H, W, 3) uint8 RGB (written as YCbCr 4:4:4). Standard Annex K
+    tables with libjpeg-style quality scaling."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[0], img.shape[1]
+    qt_l = _quality_scale(_QT_LUMA, quality)
+    qt_c = _quality_scale(_QT_CHROMA, quality)
+
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        r = img[:, :, 0].astype(np.float64)
+        g = img[:, :, 1].astype(np.float64)
+        b = img[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, qt in ((0, qt_l),) if gray else ((0, qt_l), (1, qt_c)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(x) for x in qt[_ZIGZAG])
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        out += bytes([cid, 0x11, 0 if cid == 1 else 1])
+    tables = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    if not gray:
+        tables += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    for tc_th, (bits, values) in tables:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(values), tc_th)
+        out += bytes(bits) + bytes(values)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for cid in range(1, ncomp + 1):
+        out += bytes([cid, 0x00 if cid == 1 else 0x11])
+    out += b"\x00\x3f\x00"
+
+    writer = _BitWriter()
+    dc_l = _canonical_codes(*_DC_LUMA)
+    ac_l = _canonical_codes(*_AC_LUMA)
+    dc_c = _canonical_codes(*_DC_CHROMA)
+    ac_c = _canonical_codes(*_AC_CHROMA)
+    # interleaved 4:4:4 MCU = one block per component
+    comp_blocks = []
+    for ci, plane in enumerate(planes):
+        qt = qt_l if ci == 0 else qt_c
+        blocks = _blockify(plane) - 128.0
+        coef = _dct2(blocks)
+        qblocks = np.round(coef / qt.reshape(8, 8)).astype(np.int32)
+        comp_blocks.append(qblocks.reshape(len(qblocks), 64))
+    if gray:
+        _encode_component(writer, comp_blocks[0], dc_l, ac_l)
+    else:
+        n_blocks = len(comp_blocks[0])
+        preds = [0, 0, 0]
+        for bi in range(n_blocks):
+            for ci in range(3):
+                zz = comp_blocks[ci][bi][_ZIGZAG]
+                dc_codes = dc_l if ci == 0 else dc_c
+                ac_codes = ac_l if ci == 0 else ac_c
+                diff = int(zz[0]) - preds[ci]
+                preds[ci] = int(zz[0])
+                s = _size_cat(diff)
+                ln, cd = dc_codes[s]
+                writer.write(ln, cd)
+                if s:
+                    writer.write(s, diff if diff >= 0 else diff + (1 << s) - 1)
+                run = 0
+                nz = np.nonzero(zz[1:])[0]
+                last = nz[-1] + 1 if nz.size else 0
+                for k in range(1, last + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, cd = ac_codes[0xF0]
+                        writer.write(ln, cd)
+                        run -= 16
+                    s = _size_cat(v)
+                    ln, cd = ac_codes[(run << 4) | s]
+                    writer.write(ln, cd)
+                    writer.write(s, v if v >= 0 else v + (1 << s) - 1)
+                    run = 0
+                if last < 63:
+                    ln, cd = ac_codes[0x00]
+                    writer.write(ln, cd)
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# -- decoder ---------------------------------------------------------------
+
+def decode_jpeg_baseline(content: bytes) -> np.ndarray:
+    """Baseline sequential JPEG decoder. Returns (H, W) uint8 for
+    grayscale streams, (H, W, 3) uint8 RGB for YCbCr streams."""
+    data = bytes(content or b"")
+    if data[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG stream (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tab = np.frombuffer(
+                    body, dtype=np.uint8, count=64, offset=off + 1
+                ).astype(np.int32)
+                qtables[tq] = tab[_UNZIGZAG]  # natural order
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1:off + 17])
+                nval = sum(bits)
+                values = list(body[off + 17:off + 17 + nval])
+                htables[(tc, th)] = _decode_table(bits, values)
+                off += 17 + nval
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            precision = body[0]
+            if precision != 8:
+                raise NotImplementedError(f"{precision}-bit JPEG")
+            hgt, wid = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            sof = (hgt, wid, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{marker:02X} (progressive/arithmetic/"
+                "hierarchical) not supported; baseline SOF0 only"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise NotImplementedError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+                scan.append((cs, tdta >> 4, tdta & 0x0F))
+            return _decode_scan(
+                data, pos + seglen, sof, scan, qtables, htables,
+                restart_interval,
+            )
+        pos += seglen
+    raise NotImplementedError("JPEG stream had no SOS scan")
+
+
+def _decode_scan(data, pos, sof, scan, qtables, htables, restart_interval):
+    hgt, wid, comps = sof
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (wid + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (hgt + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cs, td, ta in scan:
+        c = by_id[cs]
+        order.append((c, htables[(0, td)], htables[(1, ta)]))
+
+    planes = {
+        c["id"]: np.zeros(
+            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
+        )
+        for c in comps
+    }
+    reader = _BitReader(data, pos)
+    preds = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+
+    def read_symbol(table) -> int:
+        length, code = 0, 0
+        while True:
+            code = (code << 1) | reader.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+            if length > 16:
+                raise NotImplementedError("corrupt Huffman stream")
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                reader.align_and_restart()
+                for cid in preds:
+                    preds[cid] = 0
+            mcu_count += 1
+            for c, dc_tab, ac_tab in order:
+                qt = qtables[c["tq"]]
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        s = read_symbol(dc_tab)
+                        diff = _extend(reader.receive(s), s)
+                        preds[c["id"]] += diff
+                        zz[0] = preds[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = read_symbol(ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise NotImplementedError(
+                                    "AC index overflow (corrupt stream)"
+                                )
+                            zz[k] = _extend(reader.receive(s), s)
+                            k += 1
+                        coef = (zz * qt)[_UNZIGZAG].reshape(8, 8)
+                        blk = _idct2(coef[None])[0] + 128.0
+                        py = (my * c["v"] + v) * 8
+                        px = (mx * c["h"] + hh) * 8
+                        planes[c["id"]][py:py + 8, px:px + 8] = blk
+
+    out_planes = []
+    for c in comps:
+        p = planes[c["id"]]
+        # upsample to full resolution by pixel replication
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:hgt, :wid])
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

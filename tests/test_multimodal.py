@@ -423,3 +423,173 @@ def test_image_features_on_png_column(spark):
     for i, img in enumerate(imgs):
         expected = _pooled_features(img, 8)
         assert np.allclose(out[f"png{i}"], expected)
+
+
+def test_jpeg_roundtrip_quality100_near_exact():
+    """At quality=100 every quant divisor is 1, so the only loss is
+    DCT float rounding: round-trip error must be within +/-2 even for
+    random noise (the hardest content). This pins the whole pipeline --
+    markers, canonical Huffman, zigzag, DCT -- as correct."""
+    from rag_vertex_ai_vector_search_spark.multimodal.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 256, size=(24, 17), dtype=np.uint8)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(gray, quality=100))
+    assert out.shape == gray.shape
+    assert np.abs(out.astype(int) - gray.astype(int)).max() <= 2
+
+    rgb = rng.randint(0, 256, size=(19, 21, 3), dtype=np.uint8)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(rgb, quality=100))
+    assert out.shape == rgb.shape
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 3
+
+
+def test_jpeg_flat_and_smooth_content():
+    from rag_vertex_ai_vector_search_spark.multimodal.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    flat = np.full((16, 24), 130, dtype=np.uint8)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(flat, quality=90))
+    assert np.abs(out.astype(int) - 130).max() <= 1  # DC-only blocks
+
+    xx, yy = np.meshgrid(np.arange(40), np.arange(30))
+    smooth = np.stack(
+        [xx * 3 % 256, yy * 5 % 256, (xx + yy) * 2 % 256], axis=2
+    ).astype(np.uint8)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(smooth, quality=90))
+    err = np.abs(out.astype(int) - smooth.astype(int))
+    assert err.mean() < 3 and err.max() <= 12  # lossy but faithful
+
+
+def test_jpeg_unsupported_modes_raise():
+    import struct as _struct
+
+    from rag_vertex_ai_vector_search_spark.multimodal.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    with pytest.raises(NotImplementedError, match="SOI"):
+        decode_jpeg_baseline(b"not a jpeg")
+    # flip SOF0 -> SOF2 (progressive) in a real stream
+    data = bytearray(encode_jpeg_baseline(np.zeros((8, 8), dtype=np.uint8)))
+    idx = data.find(b"\xff\xc0")
+    data[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg_baseline(bytes(data))
+
+
+def test_jpeg_through_image_feature_pipeline(spark):
+    """Binary JPEG column -> decode_image -> pooled features via
+    mapInPandas: the full multimodal path with a real lossy codec."""
+    from rag_vertex_ai_vector_search_spark.multimodal import (
+        extract_image_features,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        _pooled_features,
+        decode_image,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.jpeg import (
+        encode_jpeg_baseline,
+    )
+
+    xx, yy = np.meshgrid(np.arange(32), np.arange(24))
+    imgs = [
+        ((xx * (i + 2) + yy * 3) % 256).astype(np.uint8) for i in range(3)
+    ]
+    rows = [
+        (f"jpg{i}", "image/jpeg",
+         bytearray(encode_jpeg_baseline(img, quality=92)), 32, 24, 1)
+        for i, img in enumerate(imgs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id string, media_type string, content binary, "
+        "width int, height int, n_frames int",
+    )
+    out = {
+        r.media_id: np.asarray(r.features)
+        for r in extract_image_features(
+            df, decoder=decode_image, feature_dim=8
+        ).collect()
+    }
+    for i, img in enumerate(imgs):
+        ref = _pooled_features(img, 8)
+        # lossy codec: feature vector close to the clean-pixel reference
+        assert float(np.dot(out[f"jpg{i}"], ref)) > 0.999
+
+
+def test_jpeg_420_subsampled_stream():
+    """Hand-built 4:2:0 stream (Y 2x2, Cb/Cr 1x1; one MCU = 4 Y blocks
+    + Cb + Cr, DC-only): exercises the interleaved multi-block MCU
+    order and chroma pixel-replication upsampling the 4:4:4 encoder
+    never emits. A flat YCbCr color must decode to the exact flat RGB."""
+    import struct as _struct
+
+    from rag_vertex_ai_vector_search_spark.multimodal.jpeg import (
+        _AC_CHROMA,
+        _AC_LUMA,
+        _DC_CHROMA,
+        _DC_LUMA,
+        _BitWriter,
+        _canonical_codes,
+        _size_cat,
+        decode_jpeg_baseline,
+    )
+
+    h = w = 16  # one 4:2:0 MCU
+    y_val, cb_val, cr_val = 120, 140, 110
+
+    out = bytearray(b"\xff\xd8")
+    # DQT: identity tables (all ones) for exactness
+    for tid in (0, 1):
+        out += b"\xff\xdb" + _struct.pack(">HB", 67, tid) + bytes([1] * 64)
+    out += b"\xff\xc0" + _struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += bytes([1, 0x22, 0])  # Y: h=2, v=2
+    out += bytes([2, 0x11, 1])  # Cb
+    out += bytes([3, 0x11, 1])  # Cr
+    for tc_th, (bits, values) in (
+        (0x00, _DC_LUMA), (0x10, _AC_LUMA),
+        (0x01, _DC_CHROMA), (0x11, _AC_CHROMA),
+    ):
+        out += b"\xff\xc4" + _struct.pack(">HB", 19 + len(values), tc_th)
+        out += bytes(bits) + bytes(values)
+    out += b"\xff\xda" + _struct.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+
+    wtr = _BitWriter()
+    dc_l, ac_l = _canonical_codes(*_DC_LUMA), _canonical_codes(*_AC_LUMA)
+    dc_c, ac_c = _canonical_codes(*_DC_CHROMA), _canonical_codes(*_AC_CHROMA)
+
+    def dc_only(dc_codes, ac_codes, diff):
+        s = _size_cat(diff)
+        ln, cd = dc_codes[s]
+        wtr.write(ln, cd)
+        if s:
+            wtr.write(s, diff if diff >= 0 else diff + (1 << s) - 1)
+        ln, cd = ac_codes[0x00]  # EOB
+        wtr.write(ln, cd)
+
+    # flat plane value V: DCT DC coefficient = 8 * (V - 128)
+    y_dc, cb_dc, cr_dc = (8 * (v - 128) for v in (y_val, cb_val, cr_val))
+    # MCU: 4 Y blocks (differential DC: first carries full value), Cb, Cr
+    dc_only(dc_l, ac_l, y_dc)
+    for _ in range(3):
+        dc_only(dc_l, ac_l, 0)
+    dc_only(dc_c, ac_c, cb_dc)
+    dc_only(dc_c, ac_c, cr_dc)
+    wtr.flush()
+    out += wtr.out + b"\xff\xd9"
+
+    img = decode_jpeg_baseline(bytes(out))
+    assert img.shape == (16, 16, 3)
+    r = y_val + 1.402 * (cr_val - 128.0)
+    g = y_val - 0.344136 * (cb_val - 128.0) - 0.714136 * (cr_val - 128.0)
+    b = y_val + 1.772 * (cb_val - 128.0)
+    expected = np.clip(np.round([r, g, b]), 0, 255).astype(np.uint8)
+    assert np.all(img.reshape(-1, 3) == expected), (img[0, 0], expected)

@@ -109,3 +109,37 @@ def test_pq_rerank_joins_broadcast(spark, sf_smoke):
     )
     plan = _plan(pq_search_rerank(index, emb, queries, k=5))
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_dedup_spans_no_cartesian_and_partial_agg(spark, sf_smoke):
+    """Span duplication is equi-joins + hash aggregates only: no
+    cartesian/broadcast-nested-loop anywhere, and the corpus-wide span
+    frequency count must show a partial (map-side) aggregate so heavy
+    duplicated hashes combine before the shuffle."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.q_dedup_spans(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan  # map-side combine on the span hash
+
+
+def test_bigram_surprisal_no_cartesian(spark, sf_smoke):
+    """Bigram scoring is posexplode + lag window + equi-joins; the only
+    permitted nested-loop is the scalar-vocab cross join (1-row side)."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.q_lm_bigram_surprisal(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+
+
+def test_ccnet_buckets_window_is_partitioned(spark, sf_smoke):
+    """The ntile window must partition by language -- a global window
+    would funnel the corpus through one task."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.q_ccnet_quality_buckets(spark, sf_smoke))
+    assert "ntile" in plan
+    # the Window spec carries the lang partition key
+    window_lines = [l for l in plan.splitlines() if "ntile" in l]
+    assert any("lang" in l for l in window_lines), window_lines
