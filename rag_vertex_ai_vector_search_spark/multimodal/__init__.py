@@ -6,8 +6,16 @@ from .binary_ops import (
     extract_audio_features,
     extract_resized_features,
     extract_image_features,
+    extract_video_frame_features,
     resize_image,
     sample_video_frames,
+)
+from .jpeg import decode_jpeg_baseline, encode_jpeg_baseline
+from .mjpeg import (
+    decode_video_frame,
+    decode_video_frames,
+    encode_mjpeg_avi,
+    probe_mjpeg_avi,
 )
 
 __all__ = [
@@ -15,9 +23,16 @@ __all__ = [
     "decode_audio",
     "decode_image",
     "decode_image_stub",
+    "decode_jpeg_baseline",
+    "decode_video_frame",
+    "decode_video_frames",
+    "encode_jpeg_baseline",
+    "encode_mjpeg_avi",
     "extract_audio_features",
     "extract_resized_features",
     "extract_image_features",
+    "extract_video_frame_features",
+    "probe_mjpeg_avi",
     "resize_image",
     "sample_video_frames",
 ]

@@ -593,3 +593,77 @@ def test_jpeg_420_subsampled_stream():
     b = y_val + 1.772 * (cb_val - 128.0)
     expected = np.clip(np.round([r, g, b]), 0, 255).astype(np.uint8)
     assert np.all(img.reshape(-1, 3) == expected), (img[0, 0], expected)
+
+
+def test_mjpeg_avi_roundtrip_and_probe():
+    """MJPEG AVI: encode N frames, probe the container metadata, decode
+    every frame back within JPEG tolerance."""
+    from rag_vertex_ai_vector_search_spark.multimodal.mjpeg import (
+        decode_video_frames,
+        encode_mjpeg_avi,
+        probe_mjpeg_avi,
+    )
+
+    xx, yy = np.meshgrid(np.arange(32), np.arange(16))
+    frames = [
+        ((xx * 2 + yy * 3 + 20 * i) % 256).astype(np.uint8) for i in range(4)
+    ]
+    avi = encode_mjpeg_avi(frames, fps=5, quality=95)
+    meta = probe_mjpeg_avi(avi)
+    assert meta["n_frames"] == 4 and meta["fps"] == 5.0
+    assert meta["width"] == 32 and meta["height"] == 16
+    out = decode_video_frames(avi)
+    assert len(out) == 4
+    for got, want in zip(out, frames):
+        assert got.shape == want.shape
+        assert np.abs(got.astype(int) - want.astype(int)).mean() < 6
+
+
+def test_mjpeg_rejects_non_avi():
+    from rag_vertex_ai_vector_search_spark.multimodal.mjpeg import (
+        iter_mjpeg_frames,
+    )
+
+    with pytest.raises(NotImplementedError, match="AVI"):
+        list(iter_mjpeg_frames(b"\x00\x01\x02"))
+
+
+def test_video_frame_features_end_to_end(spark):
+    """The full video path on Spark: binary AVI column -> sampled
+    (video, frame_index) explode -> per-frame MJPEG decode -> pooled
+    features, all inside one mapInPandas pass."""
+    from rag_vertex_ai_vector_search_spark.multimodal import (
+        extract_video_frame_features,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        _pooled_features,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.mjpeg import (
+        encode_mjpeg_avi,
+    )
+
+    xx, yy = np.meshgrid(np.arange(24), np.arange(16))
+    vids = []
+    for v in range(2):
+        frames = [
+            ((xx * (v + 2) + yy + 30 * i) % 256).astype(np.uint8)
+            for i in range(6)
+        ]
+        vids.append((f"vid{v}", "video/avi",
+                     bytearray(encode_mjpeg_avi(frames, quality=95)),
+                     24, 16, 6, frames))
+    df = spark.createDataFrame(
+        [(a, b, c, d, e, f) for a, b, c, d, e, f, _ in vids],
+        "media_id string, media_type string, content binary, "
+        "width int, height int, n_frames int",
+    )
+    out = extract_video_frame_features(df, every_k=2, feature_dim=8).collect()
+    # 6 frames sampled every 2 -> indices 0, 2, 4 per video
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r.media_id, {})[r.frame_index] = np.asarray(r.features)
+    for media_id, _, _, _, _, _, frames in vids:
+        assert sorted(by_vid[media_id]) == [0, 2, 4]
+        for idx in (0, 2, 4):
+            ref = _pooled_features(frames[idx], 8)
+            assert float(np.dot(by_vid[media_id][idx], ref)) > 0.999
