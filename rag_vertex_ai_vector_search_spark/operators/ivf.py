@@ -44,6 +44,37 @@ class IVFIndex:
         self.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
 
 
+def _kmeans_numpy(
+    x: np.ndarray, k: int, iters: int, seed: int
+) -> np.ndarray:
+    """Seeded Lloyd's on the driver-side sample (n, dim) -> (k, dim).
+    Empty clusters re-seed from the points farthest from their
+    centroid (same policy as the PQ subspace trainer)."""
+    rng = np.random.default_rng(seed)
+    n = x.shape[0]
+    kk = min(k, n)
+    cent = x[rng.choice(n, size=kk, replace=False)].copy()
+    if kk < k:
+        cent = np.vstack([cent, cent[rng.integers(0, kk, size=k - kk)]])
+    for _ in range(iters):
+        d2 = (
+            (x ** 2).sum(axis=1, keepdims=True)
+            - 2.0 * x @ cent.T
+            + (cent ** 2).sum(axis=1)
+        )
+        assign = d2.argmin(axis=1)
+        far = d2[np.arange(n), assign].argsort()[::-1]
+        spill = 0
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                cent[j] = x[mask].mean(axis=0)
+            else:
+                cent[j] = x[far[spill % n]]
+                spill += 1
+    return cent
+
+
 def build_ivf_index(
     df: DataFrame,
     *,
@@ -53,6 +84,7 @@ def build_ivf_index(
     seed: int = 42,
     max_iter: int = 8,
     max_train_rows: int = 200_000,
+    trainer: str = "numpy",
 ) -> IVFIndex:
     """KMeans-cluster the corpus into ``n_clusters`` leaves.
 
@@ -63,12 +95,42 @@ def build_ivf_index(
     Training runs on a bounded SAMPLE (``max_train_rows``): k-means
     centroid quality converges long before the full corpus is seen, so
     at 100 TB the iterative phase touches ~1e5 rows while the single
-    assignment pass (transform) streams everything once. ``max_iter``
-    defaults to 8: measured training cost at 8 iterations is within
-    0.1% of 20 on the fixture corpus, and a partition layout only
-    needs approximate centroids (probe ranking, not exact assignment,
-    drives recall) -- raise it for genuinely hard cluster structure.
+    assignment pass streams everything once. ``max_iter`` defaults to
+    8: measured training cost at 8 iterations is within 0.1% of 20 on
+    the fixture corpus, and a partition layout only needs approximate
+    centroids (probe ranking, not exact assignment, drives recall).
+
+    ``trainer="numpy"`` (default) collects the bounded sample and runs
+    seeded Lloyd's on the driver -- the SAME economics the PQ trainer
+    proved (sample is a fixed ~100 MB regardless of corpus size), and
+    the whole build is TWO Spark jobs (sample collect + assignment
+    scan) instead of the ~15 that MLlib's k-means|| init + per-iter
+    passes launch; on request-scale corpora the saved job overhead is
+    most of the build wall-time. Assignment streams through an
+    Arrow-vectorized pandas UDF. ``trainer="mllib"`` keeps the
+    distributed trainer for samples too big to collect.
     """
+    if trainer == "numpy":
+        n_rows = df.count()
+        sample_df = df.select(vec_col)
+        if n_rows > max_train_rows:
+            sample_df = sample_df.sample(
+                fraction=min(1.0, max_train_rows / n_rows), seed=seed
+            )
+        sample = np.asarray(
+            [r[0] for r in sample_df.limit(max_train_rows).collect()],
+            dtype=np.float64,
+        )
+        centroids = _kmeans_numpy(sample, n_clusters, max_iter, seed)
+        assigned = df.withColumn(
+            "cluster_id",
+            _nearest_centroid_udf(centroids)(F.col(vec_col)),
+        )
+        return IVFIndex(
+            assigned=assigned, centroids=centroids,
+            id_col=id_col, vec_col=vec_col,
+        )
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -86,6 +148,24 @@ def build_ivf_index(
     assigned = model.transform(feat).drop("_features")
     centroids = np.asarray(model.clusterCenters(), dtype=np.float64)
     return IVFIndex(assigned=assigned, centroids=centroids, id_col=id_col, vec_col=vec_col)
+
+
+def _nearest_centroid_udf(centroids: np.ndarray):
+    """pandas_udf: vector -> nearest centroid id (euclidean). The
+    centroid matrix ships in the closure (tiny); assignment is one
+    vectorized distance computation per Arrow batch."""
+    from pyspark.sql import types as T
+
+    def _assign(vecs: pd.Series) -> pd.Series:
+        vmat = np.asarray(list(vecs), dtype=np.float64)
+        d2 = (
+            (vmat ** 2).sum(axis=1, keepdims=True)
+            - 2.0 * vmat @ centroids.T
+            + (centroids ** 2).sum(axis=1)
+        )
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    return F.pandas_udf(_assign, T.IntegerType())
 
 
 def _probe_assign_np(qmat: np.ndarray, centroids: np.ndarray,
