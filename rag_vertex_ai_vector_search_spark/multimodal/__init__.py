@@ -4,6 +4,7 @@ from .binary_ops import (
     decode_image,
     decode_image_stub,
     extract_audio_features,
+    extract_audio_spectral_features,
     extract_resized_features,
     extract_image_features,
     extract_video_frame_features,
@@ -29,6 +30,7 @@ __all__ = [
     "encode_jpeg_baseline",
     "encode_mjpeg_avi",
     "extract_audio_features",
+    "extract_audio_spectral_features",
     "extract_resized_features",
     "extract_image_features",
     "extract_video_frame_features",

@@ -667,3 +667,30 @@ def test_video_frame_features_end_to_end(spark):
         for idx in (0, 2, 4):
             ref = _pooled_features(frames[idx], 8)
             assert float(np.dot(by_vid[media_id][idx], ref)) > 0.999
+
+
+def test_audio_spectral_features_sine_centroid(spark):
+    """A pure sine's spectral centroid and rolloff must land at its
+    frequency; a higher-pitch sine must rank higher on both -- real
+    FFT behavior, not a stub."""
+    from rag_vertex_ai_vector_search_spark.multimodal import (
+        extract_audio_spectral_features,
+    )
+
+    rows = [
+        ("low", "audio/wav", bytearray(_wav_bytes(freq=300.0, sr=8000)), 0, 0, 0),
+        ("high", "audio/wav", bytearray(_wav_bytes(freq=1500.0, sr=8000)), 0, 0, 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id string, media_type string, content binary, "
+        "width int, height int, n_frames int",
+    )
+    out = {r.media_id: r for r in extract_audio_spectral_features(df).collect()}
+    assert abs(out["low"].spectral_centroid_hz - 300.0) < 30.0
+    assert abs(out["high"].spectral_centroid_hz - 1500.0) < 60.0
+    assert out["high"].spectral_rolloff_hz > out["low"].spectral_rolloff_hz
+    # band profile: energy concentrated in different bands
+    lo = np.asarray(out["low"].features)
+    hi = np.asarray(out["high"].features)
+    assert lo.argmax() < hi.argmax()

@@ -94,3 +94,76 @@ def test_winnowing_guarantee(spark, prefix, shared, suffix):
         ).collect()
     }
     assert fps[0] & fps[1]
+
+
+# -- codec round-trip properties (no Spark; pure numpy + stdlib) ----------
+
+import numpy as np  # noqa: E402
+
+arr_shapes = st.tuples(st.integers(1, 24), st.integers(1, 24))
+
+
+@settings(max_examples=12, deadline=None)
+@given(shape=arr_shapes, seed=st.integers(0, 2**31 - 1),
+       ftype=st.integers(0, 4), color=st.booleans())
+def test_png_roundtrip_property(shape, seed, ftype, color):
+    """encode_png -> _decode_png is the identity for ANY uint8 image
+    under every PNG row filter."""
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        _decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(seed)
+    full = shape + ((3,) if color else ())
+    img = rng.randint(0, 256, size=full, dtype=np.uint8)
+    assert np.array_equal(_decode_png(encode_png(img, filter_type=ftype)), img)
+
+
+@settings(max_examples=8, deadline=None)
+@given(shape=arr_shapes, seed=st.integers(0, 2**31 - 1), color=st.booleans())
+def test_jpeg_q100_roundtrip_property(shape, seed, color):
+    """At quality=100 the JPEG pipeline's only loss is DCT float
+    rounding: error is bounded by a few counts for ANY content."""
+    from rag_vertex_ai_vector_search_spark.multimodal.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.RandomState(seed)
+    full = shape + ((3,) if color else ())
+    img = rng.randint(0, 256, size=full, dtype=np.uint8)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=100))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), sampwidth=st.sampled_from([1, 2, 4]),
+       channels=st.integers(1, 2), n=st.integers(1, 500))
+def test_wav_roundtrip_property(seed, sampwidth, channels, n):
+    """WAV PCM write -> decode_audio recovers samples within the
+    sample-width quantization step."""
+    import io
+    import wave
+
+    from rag_vertex_ai_vector_search_spark.multimodal import decode_audio
+
+    rng = np.random.RandomState(seed)
+    x = rng.uniform(-1.0, 1.0, size=(n, channels))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(8000)
+        if sampwidth == 1:
+            raw = ((x * 127) + 128).clip(0, 255).astype(np.uint8).tobytes()
+        elif sampwidth == 2:
+            raw = (x * 32767).clip(-32768, 32767).astype("<i2").tobytes()
+        else:
+            raw = (x * 2147483647).clip(-2**31, 2**31 - 1).astype("<i4").tobytes()
+        w.writeframes(raw)
+    samples, sr = decode_audio(buf.getvalue())
+    assert sr == 8000 and samples.shape == (n, channels)
+    step = {1: 1 / 128, 2: 1 / 32768, 4: 1 / 2147483648}[sampwidth]
+    assert np.abs(samples - x).max() <= 2 * step + 1e-9
