@@ -1437,6 +1437,73 @@ FROM ranked
 """
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocab budgeting (operators/tokenizer.py): top-100
+    words with the running corpus-coverage fraction. Deterministic
+    (count desc, word asc) ordering; the corpus total rides as a
+    broadcast one-row aggregate."""
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        vocab_coverage_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage_report(docs, top_k=100)
+
+
+_SQL_VOCAB_COVERAGE = f"""
+WITH words AS (
+  SELECT unnest(string_split({_SQL_NORM}, ' ')) AS word FROM documents
+),
+counts AS (SELECT word, count(*) AS n FROM words GROUP BY word),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+top AS (SELECT word, n FROM counts ORDER BY n DESC, word ASC LIMIT 100)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, word ASC) AS BIGINT) AS rank,
+       word, CAST(n AS BIGINT) AS n,
+       CAST(sum(n) OVER (ORDER BY n DESC, word ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / CAST(t.total AS DOUBLE) AS cum_fraction
+FROM top CROSS JOIN tot t
+"""
+
+
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE first-iteration merge statistics (operators/tokenizer.py):
+    adjacent character-pair frequencies inside words, weighted by word
+    frequency, top-100. Pair enumeration runs on the vocabulary table,
+    bounded by distinct words x word length."""
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        bpe_merge_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merge_pairs(docs, top_k=100)
+
+
+_SQL_BPE_PAIRS = f"""
+WITH words AS (
+  SELECT unnest(string_split({_SQL_NORM}, ' ')) AS word FROM documents
+),
+counts AS (SELECT word, count(*) AS n FROM words GROUP BY word),
+pairs AS (
+  SELECT substr(word, i, 2) AS pair, n
+  FROM counts, unnest(generate_series(1, len(word) - 1)) AS u(i)
+  WHERE len(word) >= 2
+),
+agg AS (
+  SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences
+  FROM pairs GROUP BY pair
+),
+top AS (
+  SELECT pair, n_occurrences FROM agg
+  ORDER BY n_occurrences DESC, pair ASC LIMIT 100
+)
+SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair ASC)
+            AS BIGINT) AS rank,
+       pair, n_occurrences
+FROM top
+"""
+
+
 def q_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) corpus health report: the roll-up a data
     curator reads before training -- doc counts, token mass, short-doc
@@ -2557,10 +2624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_above_customer_avg": q_orders_above_customer_avg,
         "events_json_props": q_events_json_props,
         "price_percentiles": q_price_percentiles,
-        "pivot_qty_by_status": q_pivot_qty_by_status,
         "parts_never_shipped": q_parts_never_shipped,
         "asof_latest_signup": q_asof_latest_signup,
-        "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
         "token_gate_violations": q_token_gate_violations,
         # -- vector search surface -------------------------------------
         "knn_topk": q_knn_topk,
@@ -2596,6 +2661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_surprisal": q_lm_surprisal,
         "lm_bigram_surprisal": q_lm_bigram_surprisal,
         "ccnet_quality_buckets": q_ccnet_quality_buckets,
+        "vocab_coverage": q_vocab_coverage,
+        "bpe_merge_pairs": q_bpe_merge_pairs,
         "training_corpus_pipeline": q_training_corpus_pipeline,
         # -- relational / events surface -------------------------------
         "pricing_summary": q_pricing_summary,
@@ -2632,6 +2699,8 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dataset_mix_upsample and the token gates.
     """
     return {
+        "pivot_qty_by_status": q_pivot_qty_by_status,
+        "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dataset_split": q_dataset_split,
         "nation_set_ops": q_nation_set_ops,
@@ -2653,10 +2722,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_above_customer_avg": _SQL_ORDERS_ABOVE_AVG,
         "events_json_props": _SQL_EVENTS_JSON,
         "price_percentiles": _SQL_PERCENTILES,
-        "pivot_qty_by_status": _SQL_PIVOT_QTY,
         "parts_never_shipped": _SQL_PARTS_NEVER_SHIPPED,
         "asof_latest_signup": _SQL_ASOF_SIGNUP,
-        "distinct_parts_per_supplier": _SQL_DISTINCT_PARTS,
         "token_gate_violations": _SQL_TOKEN_GATE,
         "knn_topk": _SQL_KNN_TOPK,
         "knn_restrict": _SQL_KNN_RESTRICT,
@@ -2689,6 +2756,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_surprisal": _sql_lm_surprisal(),
         "lm_bigram_surprisal": _sql_lm_bigram_surprisal(),
         "ccnet_quality_buckets": _sql_ccnet_quality_buckets(),
+        "vocab_coverage": _SQL_VOCAB_COVERAGE,
+        "bpe_merge_pairs": _SQL_BPE_PAIRS,
         "training_corpus_pipeline": _SQL_TRAINING_PIPELINE,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "top_revenue_customers": _SQL_TOP_REVENUE,
@@ -2706,6 +2775,8 @@ def oracle_sql_archive() -> dict[str, str]:
     """Oracles for queries_archive() -- run by tests/test_oracle_parity.py
     (not the driver) so the rotated queries stay bit-exact-verified."""
     return {
+        "pivot_qty_by_status": _SQL_PIVOT_QTY,
+        "distinct_parts_per_supplier": _SQL_DISTINCT_PARTS,
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
         "dataset_split": _SQL_DATASET_SPLIT,
         "nation_set_ops": _SQL_NATION_SET_OPS,

@@ -1,0 +1,106 @@
+"""Tokenizer corpus-prep: the aggregate statistics a tokenizer build
+(BPE/WordPiece) extracts from a training corpus before any model runs.
+
+Two operators, both classic first-steps of tokenizer training:
+
+- ``vocab_coverage_report``: top-K words by frequency with the running
+  corpus-coverage fraction -- the curve that answers "how big must the
+  vocabulary be to cover X% of tokens" (vocab-size budgeting).
+- ``bpe_merge_pairs``: adjacent-character-pair frequencies inside
+  words, weighted by word frequency -- exactly the statistic BPE's
+  first merge iteration maximizes (Sennrich et al. 2016). One
+  iteration is enough for the engine's job (the corpus-side count);
+  the greedy merge loop itself is vocabulary-sized driver work.
+
+Scale shape: both reduce to word-count tables first (one shuffle with
+map-side combine over ~corpus tokens), then operate on the
+vocabulary-sized side (bounded by distinct words, not corpus rows).
+The top-K cut is orderBy+limit -> TakeOrderedAndProject (distributed
+partial top-K, tiny driver merge), and the rank/cumsum windows run
+over only the K survivors under a constant partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text
+
+
+def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    return (
+        df.select(
+            F.explode(
+                F.split(normalized_text(F.col(text_col)), " ")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def vocab_coverage_report(
+    df: DataFrame, *, text_col: str = "text", top_k: int = 100
+) -> DataFrame:
+    """(rank, word, n, cum_fraction) for the ``top_k`` most frequent
+    words; ``cum_fraction`` is the running fraction of ALL corpus
+    tokens covered by ranks 1..rank. Deterministic (n desc, word asc)
+    ordering makes ranks and fractions engine-portable. The corpus
+    total rides along as a broadcast one-row aggregate -- no driver
+    collect."""
+    counts = _word_counts(df, text_col)
+    total = counts.agg(F.sum("n").cast("long").alias("_total"))
+    top = (
+        counts.orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(top_k)
+        .crossJoin(F.broadcast(total))
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("n").desc(), F.col("word").asc()
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_fraction",
+            F.sum("n").over(run).cast("double") / F.col("_total").cast("double"),
+        )
+        .select("rank", "word", F.col("n").cast("long").alias("n"),
+                "cum_fraction")
+    )
+
+
+def bpe_merge_pairs(
+    df: DataFrame, *, text_col: str = "text", top_k: int = 100
+) -> DataFrame:
+    """(rank, pair, n_occurrences) for the ``top_k`` most frequent
+    adjacent character pairs inside words, weighted by word frequency
+    -- BPE's first-iteration merge candidates. Pair enumeration runs
+    on the VOCABULARY table (distinct words), so the explode is
+    bounded by vocab size x word length, not corpus tokens."""
+    counts = _word_counts(df, text_col)
+    pairs = counts.select(
+        F.explode(
+            F.when(
+                F.length("word") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+        F.col("n"),
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("n").cast("long").alias("n_occurrences")
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("n_occurrences").desc(), F.col("pair").asc()
+    )
+    return (
+        agg.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "pair", "n_occurrences")
+    )

@@ -1,0 +1,58 @@
+"""Tokenizer corpus-prep: vocab coverage curve + BPE pair counts."""
+
+from pyspark.sql import functions as F
+
+from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+    bpe_merge_pairs,
+    vocab_coverage_report,
+)
+
+
+def test_vocab_coverage_hand_computed(spark):
+    # tokens: aa x4, bb x3, cc x2, dd x1 -> total 10
+    df = spark.createDataFrame(
+        [(1, "aa bb aa cc"), (2, "aa bb dd"), (3, "aa bb cc")],
+        "doc_id long, text string",
+    )
+    rows = vocab_coverage_report(df, top_k=3).orderBy("rank").collect()
+    assert [(r.rank, r.word, r.n) for r in rows] == [
+        (1, "aa", 4), (2, "bb", 3), (3, "cc", 2),
+    ]
+    assert abs(rows[0].cum_fraction - 0.4) < 1e-12
+    assert abs(rows[1].cum_fraction - 0.7) < 1e-12
+    assert abs(rows[2].cum_fraction - 0.9) < 1e-12
+
+
+def test_vocab_coverage_tie_break_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "zz aa zz aa")], "doc_id long, text string"
+    )
+    rows = vocab_coverage_report(df, top_k=2).orderBy("rank").collect()
+    # equal counts -> lexicographic word order
+    assert [r.word for r in rows] == ["aa", "zz"]
+
+
+def test_bpe_pairs_weighted_by_word_frequency(spark):
+    # "abc" x3 -> pairs ab x3, bc x3; "abd" x1 -> ab x1, bd x1
+    # totals: ab 4, bc 3, bd 1; single-char word ignored
+    df = spark.createDataFrame(
+        [(1, "abc abc abc abd x")], "doc_id long, text string"
+    )
+    rows = bpe_merge_pairs(df, top_k=10).orderBy("rank").collect()
+    assert [(r.rank, r.pair, r.n_occurrences) for r in rows] == [
+        (1, "ab", 4), (2, "bc", 3), (3, "bd", 1),
+    ]
+
+
+def test_topk_cuts_are_take_ordered(spark, sf_smoke):
+    """Both top-K cuts must compile to TakeOrderedAndProject (partial
+    distributed top-K), never a global sort or a vocab-wide window."""
+    from rag_vertex_ai_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    for out in (
+        vocab_coverage_report(docs, top_k=10),
+        bpe_merge_pairs(docs, top_k=10),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
