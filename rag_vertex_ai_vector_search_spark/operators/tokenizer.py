@@ -49,7 +49,13 @@ def vocab_coverage_report(
     ordering makes ranks and fractions engine-portable. The corpus
     total rides along as a broadcast one-row aggregate -- no driver
     collect."""
-    counts = _word_counts(df, text_col)
+    return vocab_coverage_from_counts(_word_counts(df, text_col), top_k=top_k)
+
+
+def vocab_coverage_from_counts(counts: DataFrame, *, top_k: int = 100) -> DataFrame:
+    """Coverage report over a prebuilt (word, n) table -- the shared
+    tail of the batch path and the streaming path
+    (streaming/vocab.py's incrementally-maintained counts)."""
     total = counts.agg(F.sum("n").cast("long").alias("_total"))
     top = (
         counts.orderBy(F.col("n").desc(), F.col("word").asc())
@@ -79,7 +85,16 @@ def bpe_merge_pairs(
     -- BPE's first-iteration merge candidates. Pair enumeration runs
     on the VOCABULARY table (distinct words), so the explode is
     bounded by vocab size x word length, not corpus tokens."""
-    counts = _word_counts(df, text_col)
+    return bpe_merge_pairs_from_counts(
+        _word_counts(df, text_col), top_k=top_k
+    )
+
+
+def bpe_merge_pairs_from_counts(
+    counts: DataFrame, *, top_k: int = 100
+) -> DataFrame:
+    """Pair statistics over a prebuilt (word, n) table (shared with the
+    streaming count maintenance)."""
     pairs = counts.select(
         F.explode(
             F.when(
