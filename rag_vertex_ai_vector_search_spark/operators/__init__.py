@@ -3,6 +3,7 @@ from .ivf import IVFIndex, build_ivf_index, ivf_search, ivf_search_blocked
 from .upsert import merge_by_key, point_lookup, point_update
 from .dedup import (
     dedup_exact,
+    duplicate_span_stats,
     duplicate_clusters,
     minhash_candidate_pairs,
     simhash_near_dup_pairs,
@@ -18,8 +19,20 @@ from .cluster import connected_components, dedup_keep_one
 from .chunk import chunk_documents
 from .ranking import bm25_topk
 from .splits import assign_splits, split_assignment, split_bounds
+from .tokenizer import bpe_merge_pairs, vocab_coverage_report
+from .lm_quality import (
+    bigram_surprisal,
+    surprisal_buckets,
+    unigram_surprisal,
+)
 
 __all__ = [
+    "bigram_surprisal",
+    "bpe_merge_pairs",
+    "duplicate_span_stats",
+    "surprisal_buckets",
+    "unigram_surprisal",
+    "vocab_coverage_report",
     "knn_search",
     "knn_search_blocked",
     "gemm_topk_cogroup",
