@@ -84,9 +84,38 @@ def _knn_ivf(spark, sf_dir):
     return ivf_search(_IVF_CACHE["index"], queries, k=50, probe_percent=10.0)
 
 
+def _knn_gemm_join(spark, sf_dir):
+    """The collect-free exact path (cogroup block GEMM): queries never
+    touch the driver -- the data-scale strategy's request-scale cost."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    return knn_search(emb, queries, k=50, method="gemm_join")
+
+
+def _pq_rerank_cogroup(spark, sf_dir):
+    """The collect-free PQ cascade (pq_topk_cogroup + AQE-planned
+    rerank joins)."""
+    from rag_vertex_ai_vector_search_spark.operators.pq import (
+        encode_pq,
+        pq_search_rerank,
+        train_pq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    books = train_pq(emb, m=8, ksub=64, iters=8, sample_rows=2000)
+    index = encode_pq(emb, books)
+    return pq_search_rerank(index, emb, queries, k=50, method="cogroup")
+
+
 BENCH_QUERIES = [
     ("knn_topk_gemm", _knn_gemm),
     ("knn_topk_gemm_768d", _knn_gemm_768),
+    ("knn_topk_gemm_join", _knn_gemm_join),
     ("ivf_build", _ivf_build),
     ("knn_ivf_pruned", _knn_ivf),
     ("pricing_summary", entrymod.q_pricing_summary),
@@ -123,6 +152,7 @@ BENCH_QUERIES = [
     ),
     # tree-AH's "AH" half: PQ train + encode + ADC search + exact rerank.
     ("knn_pq_rerank", entrymod.q_knn_pq_rerank),
+    ("knn_pq_rerank_cogroup", _pq_rerank_cogroup),
     ("text_quality", entrymod.q_text_quality),
     ("text_repetition", entrymod.q_text_repetition),
     ("pii_scrub", entrymod.q_pii_scrub),
