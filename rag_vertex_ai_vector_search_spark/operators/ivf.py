@@ -209,6 +209,8 @@ def ivf_search(
     query_vec_col: str = "query_vector",
     method: str = "gemm",
     restrict=None,
+    per_crowding_k: int | None = None,
+    crowding_col: str | None = None,
     **knn_kwargs,
 ) -> DataFrame:
     """Pruned top-k: probe the best ``nprobe`` clusters per query.
@@ -218,6 +220,13 @@ def ivf_search(
     filters compose with the approximate path exactly like the exact
     one (filter inside the ANN traversal, setup_vector_search.py:45-62),
     and Catalyst pushes it into the pruned partition scan.
+
+    ``per_crowding_k`` / ``crowding_col`` compose the reference's
+    crowding tag (Q5, setup_vector_search.py:65-67) over the pruned
+    path: the gemm strategies run the exact crowd-capped local prune
+    inside ``_score_block`` (locally exact, same argument as
+    knn_search's gemm path) and every strategy finishes with the same
+    two-window ``_ranked`` the exact path uses.
 
     ``probe_percent`` defaults to the reference's
     leaf_nodes_to_search_percent=10 (common/config.py:38).
@@ -270,6 +279,7 @@ def ivf_search(
             candidates, qids, qmat, probe_mask, k,
             id_col=index.id_col, vec_col=index.vec_col,
             query_id_type=queries_df.schema[query_id_col].dataType,
+            per_crowding_k=per_crowding_k, crowding_col=crowding_col,
         )
 
     pruned_q = queries_df.select(
@@ -295,6 +305,7 @@ def ivf_search(
     if restrict is not None:
         candidates = candidates.filter(restrict)
 
+    extra_cols = [crowding_col] if crowding_col else []
     if method == "gemm_join":
         scored = gemm_topk_cogroup(
             candidates, pruned_q, k,
@@ -302,9 +313,10 @@ def ivf_search(
             query_id_col="query_id", query_vec_col="_qvec",
             probe_col="_probe", cluster_col="cluster_id",
             n_clusters=n_clusters,
+            per_crowding_k=per_crowding_k, crowding_col=crowding_col,
         )
-        return _ranked(scored, k, None, None).select(
-            "query_id", "rank", "neighbor_id", "score"
+        return _ranked(scored, k, per_crowding_k, crowding_col).select(
+            "query_id", "rank", "neighbor_id", "score", *extra_cols
         )
 
     # Declarative fallback: per-pair probe filter + fold scoring.
@@ -317,10 +329,11 @@ def ivf_search(
             "query_id",
             F.col(index.id_col).alias("neighbor_id"),
             dot_product(F.col("_qvec"), F.col(index.vec_col)).alias("score"),
+            *extra_cols,
         )
     )
-    return _ranked(scored, k, None, None).select(
-        "query_id", "rank", "neighbor_id", "score"
+    return _ranked(scored, k, per_crowding_k, crowding_col).select(
+        "query_id", "rank", "neighbor_id", "score", *extra_cols
     )
 
 
@@ -378,12 +391,16 @@ def _gemm_masked_topk_collected(
     id_col: str,
     vec_col: str,
     query_id_type,
+    per_crowding_k: int | None = None,
+    crowding_col: str | None = None,
 ) -> DataFrame:
     """One BLAS GEMM per Arrow batch + per-query probe MASK, then exact
     local top-k; global window finishes. Each query only keeps scores
     from ITS probed clusters, so multi-query batches share the GEMM
     without over-scanning. Query matrix + mask ship via
-    SparkContext.broadcast (one fetch per executor, not per task)."""
+    SparkContext.broadcast (one fetch per executor, not per task).
+    Crowding runs the exact crowd-capped local prune in _score_block
+    (same exactness argument as knn_search's gemm path)."""
     from pyspark.sql import types as T
 
     from .knn import _ranked, _score_block
@@ -393,6 +410,9 @@ def _gemm_masked_topk_collected(
         T.StructField("neighbor_id", candidates.schema[id_col].dataType),
         T.StructField("score", T.DoubleType()),
     ])
+    if crowding_col:
+        out_schema.add(crowding_col, candidates.schema[crowding_col].dataType)
+    extra_cols = [crowding_col] if crowding_col else []
 
     bc = candidates.sparkSession.sparkContext.broadcast(
         (qids, qmat, probe_mask)
@@ -408,15 +428,17 @@ def _gemm_masked_topk_collected(
                 pdf[id_col].to_numpy(),
                 np.asarray(list(pdf[vec_col]), dtype=np.float64),
                 k,
+                crowd=pdf[crowding_col].to_numpy() if crowding_col else None,
+                per_crowding_k=per_crowding_k, crowding_col=crowding_col,
                 probe_mask=b_mask,
                 clusters=pdf["cluster_id"].to_numpy(),
             )
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    scored = candidates.select(id_col, vec_col, "cluster_id").mapInPandas(
-        score, out_schema
-    )
-    return _ranked(scored, k, None, None).select(
-        "query_id", "rank", "neighbor_id", "score"
+    scored = candidates.select(
+        id_col, vec_col, "cluster_id", *extra_cols
+    ).mapInPandas(score, out_schema)
+    return _ranked(scored, k, per_crowding_k, crowding_col).select(
+        "query_id", "rank", "neighbor_id", "score", *extra_cols
     )

@@ -451,6 +451,9 @@ def ivf_pq_search(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vector",
     method: str = "broadcast",
+    restrict=None,
+    per_crowding_k: int | None = None,
+    crowding_col: str | None = None,
 ) -> DataFrame:
     """The full tree-AH composition (common/config.py:30-41): coarse
     probe over the IVF leaves ("tree") -> ADC scan of PQ codes inside
@@ -458,6 +461,16 @@ def ivf_pq_search(
 
     ``pq_index.codes`` must carry the ``cluster_id`` column (encode the
     IVF-assigned table with ``keep_cols=("cluster_id",)``).
+
+    ``restrict`` / ``per_crowding_k`` / ``crowding_col`` compose the
+    reference's full serving contract (Q3-Q5) over the cascade: the
+    reference writes restricts and the crowding tag into every
+    datapoint of the tree-AH index (setup_vector_search.py:43-77), so
+    the production query is "filtered, diversified top-k THROUGH the
+    index", not over a brute-force scan. Restrict columns must be
+    co-stored on the code table (``encode_pq(keep_cols=...)``) so the
+    filter lands on the 32x-smaller code scan, pre-ADC; crowding is
+    enforced on the exact reranked scores (see pq_search_rerank).
 
     Two prunes compose: the UNION of probed leaves becomes a static
     ``isin`` filter (on a ``partitionBy("cluster_id")`` layout that is
@@ -508,6 +521,9 @@ def ivf_pq_search(
         probe_col="_probe",
         n_clusters=n_clusters,
         method=method,
+        restrict=restrict,
+        per_crowding_k=per_crowding_k,
+        crowding_col=crowding_col,
     )
 
 
@@ -525,6 +541,9 @@ def pq_search_rerank(
     probe_col: str | None = None,
     n_clusters: int | None = None,
     method: str = "broadcast",
+    restrict=None,
+    per_crowding_k: int | None = None,
+    crowding_col: str | None = None,
 ) -> DataFrame:
     """The production cascade: ADC top-``rerank_candidates`` (default
     4k, mirroring approximate_neighbors_count=150 vs final k in the
@@ -539,7 +558,39 @@ def pq_search_rerank(
     (data-scale): ADC runs through pq_topk_cogroup (no driver collect
     anywhere) and the rerank joins stay shuffle joins so AQE picks the
     strategy from actual sizes.
+
+    Reference serving contract composition (Q3-Q5 through the index,
+    setup_vector_search.py:43-77):
+
+    - ``restrict`` (boolean Column over columns co-stored on
+      ``index.codes`` via ``encode_pq(keep_cols=...)``) filters the
+      CODE table before ADC -- the filter runs on the 32x-smaller
+      code scan and Catalyst pushes it into the (cluster-pruned)
+      parquet read. The shortlist, and therefore the rerank, only ever
+      sees restricted rows; no post-hoc filtering that would silently
+      shrink k.
+    - ``per_crowding_k`` / ``crowding_col`` apply the reference's
+      crowding semantics (setup_vector_search.py:65-67) on the EXACT
+      reranked scores via the same two-window ``_ranked`` the exact
+      path uses (knn.py:142), so cascade and brute-force crowding are
+      one code path. The crowding column lives on ``vectors_df`` and
+      rides the rerank hydration join. With crowding on, size
+      ``rerank_candidates`` generously (the ADC shortlist is not
+      crowd-aware; a shortlist of c candidates can yield fewer than k
+      post-cap survivors if one crowd dominates it).
+
+    With ``probe_percent=100`` + ``rerank_candidates >= corpus`` this
+    provably equals exact restricted+crowded kNN (the shortlist keeps
+    every restricted row, rerank scores are bit-exact fold dot
+    products, and the final window is the exact path's window) -- the
+    oracled sibling the driver gate checks.
     """
+    if restrict is not None:
+        index = PQIndex(
+            codes=index.codes.filter(restrict),
+            books=index.books,
+            id_col=index.id_col,
+        )
     cand_k = rerank_candidates if rerank_candidates is not None else 4 * k
     topk_fn = pq_topk_cogroup if method == "cogroup" else pq_topk
     cands = topk_fn(
@@ -556,16 +607,20 @@ def pq_search_rerank(
         cands_side, q_side = cands, q
     else:
         cands_side, q_side = F.broadcast(cands), F.broadcast(q)
+    extra_cols = [crowding_col] if crowding_col else []
     exact = (
-        vectors_df.select(F.col(id_col).alias("neighbor_id"), vec_col)
+        vectors_df.select(
+            F.col(id_col).alias("neighbor_id"), vec_col, *extra_cols
+        )
         .join(cands_side, "neighbor_id")
         .join(q_side, "query_id")
         .select(
             "query_id",
             "neighbor_id",
             dot_product(F.col("_qvec"), F.col(vec_col)).alias("score"),
+            *extra_cols,
         )
     )
-    return _ranked(exact, k, None, None).select(
-        "query_id", "rank", "neighbor_id", "score"
+    return _ranked(exact, k, per_crowding_k, crowding_col).select(
+        "query_id", "rank", "neighbor_id", "score", *extra_cols
     )

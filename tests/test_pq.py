@@ -224,6 +224,122 @@ def test_ivf_pq_batch_composition_invariance(spark):
     assert got_solo == got_batch
 
 
+def _labeled(emb):
+    """Deterministic crowd/restrict attribute (5 labels)."""
+    return emb.withColumn("label", (F.col("vec_id") % 5).cast("int"))
+
+
+def test_ivf_pq_restrict_crowding_exact_equals_knn(spark):
+    """Q3-Q5 composed through the cascade, exact configuration: full
+    probe + corpus-wide rerank + restrict + crowding must provably
+    equal exact restricted+crowded kNN (the declared sibling's gate)."""
+    from rag_vertex_ai_vector_search_spark.operators.ivf import build_ivf_index
+    from rag_vertex_ai_vector_search_spark.operators.pq import ivf_pq_search
+
+    emb = _labeled(_clustered_emb(spark, seed=41))
+    restrict = F.col("label").isin(0, 1, 2) & (F.col("vec_id") >= 40)
+    queries = emb.filter(F.col("vec_id") % 40 == 7).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    k = 8
+    exact = sorted(
+        tuple(r) for r in knn_search(
+            emb, queries, k=k, restrict=restrict,
+            per_crowding_k=2, crowding_col="label", method="fold",
+        ).select("query_id", "rank", "neighbor_id", "score", "label")
+        .collect()
+    )
+
+    ivf = build_ivf_index(emb, n_clusters=12)
+    books = train_pq(ivf.assigned, m=8, ksub=64, iters=8, sample_rows=480)
+    pq = encode_pq(ivf.assigned, books, keep_cols=("cluster_id", "label"))
+    for method in ("broadcast", "cogroup"):
+        got = sorted(
+            tuple(r) for r in ivf_pq_search(
+                ivf, pq, queries, k=k,
+                probe_percent=100.0, rerank_candidates=emb.count(),
+                restrict=restrict, per_crowding_k=2, crowding_col="label",
+                method=method,
+            ).select("query_id", "rank", "neighbor_id", "score", "label")
+            .collect()
+        )
+        assert got == exact, method
+
+
+def test_ivf_pq_restrict_crowding_batch_invariance(spark):
+    """Batch-composition invariance holds with restrict + crowding on:
+    a query's restricted, diversified result must not depend on which
+    other queries share the batch (per-query leaf masks compose with
+    the restrict filter and the crowd cap)."""
+    from rag_vertex_ai_vector_search_spark.operators.ivf import build_ivf_index
+    from rag_vertex_ai_vector_search_spark.operators.pq import ivf_pq_search
+
+    emb = _labeled(_clustered_emb(spark, seed=43))
+    ivf = build_ivf_index(emb, n_clusters=12)
+    books = train_pq(ivf.assigned, m=8, ksub=64, iters=8, sample_rows=480)
+    pq = encode_pq(ivf.assigned, books, keep_cols=("cluster_id", "label"))
+
+    batch = emb.filter(F.col("vec_id") % 40 == 7).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    solo = batch.filter(F.col("query_id") == 7)
+    kw = dict(
+        k=6, probe_percent=25.0, rerank_candidates=60,
+        restrict=F.col("label").isin(0, 1, 2),
+        per_crowding_k=2, crowding_col="label",
+    )
+    cols = ("query_id", "rank", "neighbor_id", "score", "label")
+    got_batch = sorted(
+        tuple(r) for r in ivf_pq_search(ivf, pq, batch, **kw)
+        .filter(F.col("query_id") == 7).select(*cols).collect()
+    )
+    got_solo = sorted(
+        tuple(r) for r in ivf_pq_search(ivf, pq, solo, **kw)
+        .select(*cols).collect()
+    )
+    assert got_solo == got_batch
+    # Crowding cap actually binds: never >2 rows per (query, label).
+    import collections
+
+    counts = collections.Counter((r[0], r[4]) for r in got_batch)
+    assert counts and max(counts.values()) <= 2
+
+
+def test_ivf_search_crowding_full_probe_equals_knn(spark):
+    """ivf_search with crowding at 100% probe equals exact crowded kNN
+    for every method (Q5 composed over the IVF path)."""
+    from rag_vertex_ai_vector_search_spark.operators.ivf import (
+        build_ivf_index, ivf_search,
+    )
+
+    emb = _labeled(_clustered_emb(spark, seed=47))
+    restrict = F.col("label") != 4
+    queries = emb.filter(F.col("vec_id") % 40 == 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    k = 8
+    exact = sorted(
+        tuple(r) for r in knn_search(
+            emb, queries, k=k, restrict=restrict,
+            per_crowding_k=2, crowding_col="label", method="fold",
+        ).select("query_id", "rank", "neighbor_id", "score", "label")
+        .collect()
+    )
+    ivf = build_ivf_index(emb, n_clusters=12)
+    for method in ("gemm", "gemm_join", "fold"):
+        got = sorted(
+            tuple(r) for r in ivf_search(
+                ivf, queries, k=k, probe_percent=100.0, method=method,
+                restrict=restrict, per_crowding_k=2, crowding_col="label",
+            ).select("query_id", "rank", "neighbor_id", "score", "label")
+            .collect()
+        )
+        assert got == exact, method
+
+
 def test_pq_cogroup_equals_broadcast(spark, sf_smoke):
     """pq_search_rerank(method="cogroup") must rank identically to the
     broadcast path (and to itself with per-query probe masks)."""
