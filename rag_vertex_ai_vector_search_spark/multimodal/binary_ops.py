@@ -578,44 +578,116 @@ def sample_video_frames(
     )
 
 
+def slice_video_frames(
+    df: DataFrame,
+    content_col: str = "content",
+    every_k: int = 10,
+    frame_slicer=None,
+) -> DataFrame:
+    """ONE container walk per video: slice each sampled frame's
+    compressed payload out of the container and emit per-frame rows
+    WITHOUT the video binary.
+
+    This is the scale-critical half of the video path: the whole-video
+    bytes cross the Arrow boundary once per video (not once per sampled
+    frame), the RIFF chunk walk runs once per video (not O(frames) per
+    frame), and every downstream row carries only its own frame payload
+    -- so after this stage no task ever holds a whole video again.
+
+    ``frame_slicer(content) -> iterable of per-frame payload bytes``
+    defaults to the repo's MJPEG/AVI walk (mjpeg.iter_mjpeg_frames);
+    codecs without independently-decodable frames (H.264 GOPs) plug a
+    slicer that emits closed GOPs at this same seam.
+
+    Output: input columns minus ``content_col``, plus ``frame_index``
+    (position in the stream), ``frame_ref`` (sha256(video):index) and
+    ``frame_payload`` (binary).
+    """
+    import hashlib
+
+    if frame_slicer is None:
+        from .mjpeg import iter_mjpeg_frames as frame_slicer
+
+    keep = [f for f in df.schema.fields if f.name != content_col]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in keep
+    ) + ", frame_index int, frame_ref string, frame_payload binary"
+    keep_names = [f.name for f in keep]
+
+    def _slice(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = row[content_col]
+                data = bytes(content) if content is not None else b""
+                vid_sha = hashlib.sha256(data).hexdigest()
+                base = {c: row[c] for c in keep_names}
+                for idx, payload in enumerate(frame_slicer(data)):
+                    if idx % every_k != 0:
+                        continue
+                    rows.append({
+                        **base,
+                        "frame_index": idx,
+                        "frame_ref": f"{vid_sha}:{idx}",
+                        "frame_payload": payload,
+                    })
+            yield pd.DataFrame(
+                rows,
+                columns=keep_names
+                + ["frame_index", "frame_ref", "frame_payload"],
+            )
+
+    return df.mapInPandas(_slice, out_schema)
+
+
 def extract_video_frame_features(
     df: DataFrame,
     content_col: str = "content",
     n_frames_col: str = "n_frames",
     every_k: int = 10,
     feature_dim: int = 16,
-    frame_decoder=None,
+    frame_slicer=None,
+    payload_decoder=None,
 ) -> DataFrame:
-    """Sampled-frame featurization end-to-end: explode (video,
-    frame_index) rows JVM-side, then decode each sampled frame and pool
-    features in one mapInPandas pass. Default decoder is the repo's
-    MJPEG/AVI path (RIFF chunk walk + baseline JPEG) -- REAL video
-    decode with no ffmpeg; other codecs raise NotImplementedError from
-    the same seam.
+    """Sampled-frame featurization end-to-end, in two stages:
 
-    Scale shape: the explode is narrow; decode cost lands on the
-    exploded rows, so a 10k-frame video becomes ~1k independent work
-    items that spread across the cluster instead of one giant task.
+    1. ``slice_video_frames``: one container walk per video emits
+       per-frame payload rows (the video binary crosses the Arrow
+       boundary exactly once per video and is dropped immediately).
+    2. repartition the (small) frame rows across the cluster, then
+       decode each payload and pool features in a second mapInPandas
+       pass -- a 10k-frame video becomes ~1k independent work items
+       that spread across executors, none of which holds the video.
+
+    Default slicer/decoder are the repo's MJPEG/AVI + baseline-JPEG
+    path (RIFF chunk walk + einsum IDCT) -- REAL video decode with no
+    ffmpeg; other codecs raise NotImplementedError from the same seams.
+    ``n_frames_col`` stays in the signature for schema compatibility
+    (frame existence now comes from the container itself, not the
+    metadata column).
     """
-    if frame_decoder is None:
-        from .mjpeg import decode_video_frame as frame_decoder
+    if payload_decoder is None:
+        from .jpeg import decode_jpeg_baseline as payload_decoder
 
-    frames = sample_video_frames(
-        df, content_col=content_col, n_frames_col=n_frames_col,
-        every_k=every_k,
-    )
+    from ..sources import fan_out
+
+    frames = fan_out(slice_video_frames(
+        df, content_col=content_col, every_k=every_k,
+        frame_slicer=frame_slicer,
+    ))
 
     def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
-            for content, idx in zip(pdf[content_col], pdf["frame_index"]):
-                img = frame_decoder(
-                    bytes(content) if content is not None else b"", int(idx)
+            for payload in pdf["frame_payload"]:
+                img = payload_decoder(
+                    bytes(payload) if payload is not None else b""
                 )
                 feats.append(_pooled_features(np.asarray(img), feature_dim))
-            yield pdf.assign(features=feats)
+            yield pdf.drop(columns=["frame_payload"]).assign(features=feats)
 
     out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in frames.schema.fields
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in frames.schema.fields if f.name != "frame_payload"
     ) + ", features array<float>"
     return frames.mapInPandas(_featurize, out_schema)

@@ -203,8 +203,15 @@ class _BitReader:
         self.marker = None
 
     def _fill(self) -> None:
+        # A truncated entropy segment must surface as the codec's
+        # documented contract (NotImplementedError), not an executor
+        # IndexError -- callers' garbage-rejection paths rely on it.
+        if self.pos >= len(self.data):
+            raise NotImplementedError("truncated JPEG stream")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise NotImplementedError("truncated JPEG stream")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -239,9 +246,13 @@ class _BitReader:
         """Consume padding + the RSTn marker at a restart boundary."""
         self._acc = 0
         self._n = 0
-        while self.data[self.pos] != 0xFF or not (
-            0xD0 <= self.data[self.pos + 1] <= 0xD7
-        ):
+        while True:
+            if self.pos + 1 >= len(self.data):
+                raise NotImplementedError("truncated JPEG stream")
+            if self.data[self.pos] == 0xFF and (
+                0xD0 <= self.data[self.pos + 1] <= 0xD7
+            ):
+                break
             self.pos += 1
         self.pos += 2
         self.marker = None

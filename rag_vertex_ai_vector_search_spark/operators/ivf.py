@@ -121,6 +121,11 @@ def build_ivf_index(
             [r[0] for r in sample_df.limit(max_train_rows).collect()],
             dtype=np.float64,
         )
+        if sample.shape[0] == 0:
+            raise ValueError(
+                "cannot train IVF on empty input: the corpus dataframe "
+                "produced no sample rows (empty table or all rows filtered)"
+            )
         centroids = _kmeans_numpy(sample, n_clusters, max_iter, seed)
         assigned = df.withColumn(
             "cluster_id",

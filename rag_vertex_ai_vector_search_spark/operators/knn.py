@@ -351,17 +351,21 @@ def gemm_topk_cogroup(
         icols.append(crowding_col)
     if cluster_col:
         icols.append(cluster_col)
+    # Both sides' grouping keys are explicitly bigint: pmod(xxhash64)
+    # is bigint while exploded int literals are int, and cogroup key
+    # matching must not lean on implicit coercion.
     idx = index_df.select(*icols).withColumn(
         "_ib", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_index_blocks))
     )
     if n_query_blocks > 1:
         idx = idx.withColumn(
             "_qb",
-            F.explode(F.array(*[F.lit(i) for i in range(n_query_blocks)])),
+            F.explode(F.array(*[F.lit(i).cast("bigint")
+                                for i in range(n_query_blocks)])),
         )
         qb_expr = F.pmod(F.xxhash64(F.col(query_id_col)), F.lit(n_query_blocks))
     else:
-        idx = idx.withColumn("_qb", F.lit(0))
+        idx = idx.withColumn("_qb", F.lit(0).cast("bigint"))
         qb_expr = F.lit(0).cast("bigint")
 
     qcols = [query_id_col, query_vec_col]

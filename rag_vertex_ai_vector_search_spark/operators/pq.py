@@ -143,6 +143,11 @@ def train_pq(
         [r[0] for r in sample_df.limit(sample_rows).collect()],
         dtype=np.float64,
     )
+    if sample.size == 0:
+        raise ValueError(
+            "cannot train PQ on empty input: the corpus dataframe "
+            "produced no sample rows (empty table or all rows filtered)"
+        )
     dim = sample.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -380,17 +385,21 @@ def pq_topk_cogroup(
     code_cols = [id_col, "pq_code"] + (
         [cluster_col] if probe_col is not None else []
     )
+    # Both sides' grouping keys are explicitly bigint: pmod(xxhash64)
+    # is bigint while exploded int literals are int, and cogroup key
+    # matching must not lean on implicit coercion.
     idx = index.codes.select(*code_cols).withColumn(
         "_ib", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_index_blocks))
     )
     if n_query_blocks > 1:
         idx = idx.withColumn(
             "_qb",
-            F.explode(F.array(*[F.lit(i) for i in range(n_query_blocks)])),
+            F.explode(F.array(*[F.lit(i).cast("bigint")
+                                for i in range(n_query_blocks)])),
         )
         qb_expr = F.pmod(F.xxhash64(F.col(query_id_col)), F.lit(n_query_blocks))
     else:
-        idx = idx.withColumn("_qb", F.lit(0))
+        idx = idx.withColumn("_qb", F.lit(0).cast("bigint"))
         qb_expr = F.lit(0).cast("bigint")
 
     qcols = [query_id_col, query_vec_col] + ([probe_col] if probe_col else [])

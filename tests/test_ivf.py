@@ -161,3 +161,20 @@ def test_ivf_restrict_composes_with_full_probe(spark, sf_smoke):
     got = ivf_search(index, queries, k=k, probe_percent=25.0, restrict=restrict)
     joined = got.join(emb, got.neighbor_id == emb.vec_id)
     assert joined.filter(~(F2.col("label").isin(1, 2, 3) & (F2.col("vec_id") >= 50))).count() == 0
+
+
+def test_ivf_build_empty_input_raises_clearly(spark):
+    """An empty (or fully filtered) corpus must fail with a clear
+    ValueError from both trainers, not an opaque numpy crash."""
+    import pytest as _pytest
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="empty input"):
+        build_ivf_index(empty, n_clusters=4)
+
+    from rag_vertex_ai_vector_search_spark.operators.pq import train_pq
+
+    with _pytest.raises(ValueError, match="empty input"):
+        train_pq(empty, m=8, ksub=16, iters=1, sample_rows=100)

@@ -482,6 +482,19 @@ def test_jpeg_unsupported_modes_raise():
     data[idx + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="progressive"):
         decode_jpeg_baseline(bytes(data))
+    # truncated entropy segment: the codec contract (NotImplementedError),
+    # never an executor IndexError
+    rng = np.random.RandomState(3)
+    full = encode_jpeg_baseline(
+        rng.randint(0, 256, (32, 48)).astype(np.uint8), quality=90
+    )
+    sos = full.find(b"\xff\xda")
+    assert sos > 0
+    # cut mid-entropy-segment: decode must hit the codec's documented
+    # contract, never an executor IndexError
+    for cut in (sos + 20, (sos + len(full)) // 2):
+        with pytest.raises(NotImplementedError, match="truncated|JPEG"):
+            decode_jpeg_baseline(full[:cut])
 
 
 def test_jpeg_through_image_feature_pipeline(spark):

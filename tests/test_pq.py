@@ -384,6 +384,53 @@ def test_ivf_pq_cogroup_equals_broadcast(spark):
     assert cg == bk
 
 
+def test_pq_cogroup_query_blocks_equals_broadcast(spark, sf_smoke):
+    """n_query_blocks > 1 (the bounded-task-memory branch that
+    replicates the code table across query blocks) must rank exactly
+    like the broadcast path; its grouping keys are explicit bigints on
+    both cogroup sides, not implicit coercions."""
+    from rag_vertex_ai_vector_search_spark.operators.pq import pq_topk_cogroup
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = _queries(emb, n=12)
+    books = train_pq(emb, m=8, ksub=32, iters=4, sample_rows=500)
+    index = encode_pq(emb, books)
+    bk = sorted(
+        tuple(r) for r in pq_topk(index, queries, k=7)
+        .select("query_id", "rank", "neighbor_id").collect()
+    )
+    for nqb in (2, 3):
+        cg = sorted(
+            tuple(r)
+            for r in pq_topk_cogroup(
+                index, queries, k=7, n_index_blocks=4, n_query_blocks=nqb
+            ).select("query_id", "rank", "neighbor_id").collect()
+        )
+        assert cg == bk, f"n_query_blocks={nqb}"
+
+
+def test_knn_cogroup_query_blocks_equals_fold(spark, sf_smoke):
+    """Same n_query_blocks>1 guarantee for the GEMM cogroup scorer."""
+    from rag_vertex_ai_vector_search_spark.operators.knn import (
+        _ranked, gemm_topk_cogroup,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = _queries(emb, n=12)
+    fold = sorted(
+        tuple(r) for r in knn_search(emb, queries, k=7, method="fold")
+        .select("query_id", "rank", "neighbor_id").collect()
+    )
+    scored = gemm_topk_cogroup(
+        emb, queries, k=7, n_index_blocks=4, n_query_blocks=2
+    )
+    cg = sorted(
+        tuple(r) for r in _ranked(scored, 7, None, None)
+        .select("query_id", "rank", "neighbor_id").collect()
+    )
+    assert cg == fold
+
+
 def test_pq_cogroup_never_collects_to_driver(spark, sf_smoke, monkeypatch):
     """The data-scale guarantee of the cogroup PQ path: building AND
     executing the cascade must never materialize the query set on the
