@@ -55,3 +55,19 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     b = F.col(b) if isinstance(b, str) else b
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot_product(a, b) / denom)
+
+
+def constant_partition_key(col: Column | str) -> Column:
+    """Constant-zero, NON-FOLDABLE window partition key.
+
+    ``Window.partitionBy(F.lit(0))`` does not survive Catalyst: foldable
+    partition expressions are optimized away, leaving an empty partition
+    spec and WindowExec's "No Partition Defined" warning at runtime.
+    Keying on ``pmod(xxhash64(col), 1)`` keeps the expression in the
+    physical plan (it references a column, so it cannot fold) while
+    still mapping every row to the single partition. Use ONLY where the
+    windowed input is already reduced (post-limit / post-aggregate) so
+    one partition is the intended plan, not an accident.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c), F.lit(1))

@@ -138,9 +138,11 @@ def surprisal_buckets(
     else:
         label_expr = F.concat(F.lit("q"), F.col("bucket_idx").cast("string"))
     parts = group_cols or []
+    from ..functions.vector import constant_partition_key
+
     w = (
         Window.partitionBy(*[F.col(c) for c in parts])
-        if parts else Window.partitionBy(F.lit(0))
+        if parts else Window.partitionBy(constant_partition_key(id_col))
     ).orderBy(F.col(score_col).asc(), F.col(id_col).asc())
     return (
         scored.withColumn("bucket_idx", F.ntile(n_buckets).over(w))

@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized_text
+from ..functions.vector import constant_partition_key
 
 
 def bm25_topk(
@@ -111,11 +112,11 @@ def bm25_topk(
     # every scored row through one partition. The rank window then runs
     # over only top_n rows.
     top = ranked.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(top_n)
-    # Constant partition key: the window runs over only the top_n
-    # already-reduced rows, so a single partition is the point -- the
-    # literal silences WindowExec's "No Partition Defined" warning
-    # without changing the plan's scale behavior.
-    w = Window.partitionBy(F.lit(0)).orderBy(
+    # Constant partition key over the <= top_n already-reduced rows: a
+    # single partition is the point. Must be NON-foldable -- a plain
+    # lit(0) gets constant-folded out of the window spec and the
+    # "No Partition Defined" warning comes back.
+    w = Window.partitionBy(constant_partition_key("doc_id")).orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
     return (

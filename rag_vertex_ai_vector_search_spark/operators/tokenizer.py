@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized_text
+from ..functions.vector import constant_partition_key
 
 
 def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
@@ -62,7 +63,7 @@ def vocab_coverage_from_counts(counts: DataFrame, *, top_k: int = 100) -> DataFr
         .limit(top_k)
         .crossJoin(F.broadcast(total))
     )
-    w = Window.partitionBy(F.lit(0)).orderBy(
+    w = Window.partitionBy(constant_partition_key("word")).orderBy(
         F.col("n").desc(), F.col("word").asc()
     )
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -110,7 +111,7 @@ def bpe_merge_pairs_from_counts(
     agg = pairs.groupBy("pair").agg(
         F.sum("n").cast("long").alias("n_occurrences")
     )
-    w = Window.partitionBy(F.lit(0)).orderBy(
+    w = Window.partitionBy(constant_partition_key("pair")).orderBy(
         F.col("n_occurrences").desc(), F.col("pair").asc()
     )
     return (
