@@ -497,6 +497,66 @@ SELECT query_id, rank, neighbor_id, score, label FROM ranked WHERE rank <= 5
 """
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode + featurize, driver-gated end-to-end: the
+    fixture tables have no binary columns, so the query synthesizes
+    deterministic PNG/JPEG/WAV/MJPEG-AVI bytes ON EXECUTORS with the
+    repo's own encoders (multimodal/synthesis.py), then drives the real
+    decode path: JVM metadata pass -> routed per-modality featurize
+    (baseline-JPEG/PNG decode + pooled features, FFT spectral audio
+    profile, container-slice + per-frame video decode). The
+    encode->decode roundtrip makes it hermetic; features are
+    integer-quantized (floor 1e6) for cross-run stability. Rows-only
+    check (DuckDB cannot decode these formats); pixel/sample-level
+    value correctness is gated in tests/test_multimodal.py."""
+    from rag_vertex_ai_vector_search_spark.multimodal import (
+        attach_media_metadata,
+        decode_image,
+        extract_audio_spectral_features,
+        extract_image_features,
+        extract_video_frame_features,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        synthesize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 12
+    ).select("doc_id")
+    media = attach_media_metadata(synthesize_media(fan_out(docs)))
+
+    def _q(col: str):
+        # integer micro-units: stable across runs/platforms at any ulp
+        return F.transform(
+            F.col(col), lambda x: F.floor(x.cast("double") * 1e6).cast("long")
+        )
+
+    imgs = extract_image_features(
+        media.filter(F.col("media_type").startswith("image/")),
+        feature_dim=8, decoder=decode_image,
+    ).select(
+        "doc_id", "media_type", F.lit(0).alias("item_index"),
+        F.col("media_bytes").cast("long").alias("media_bytes"),
+        _q("features").alias("qfeatures"),
+    )
+    wavs = extract_audio_spectral_features(
+        media.filter(F.col("media_type") == "audio/wav"), n_bands=8,
+    ).select(
+        "doc_id", "media_type", F.lit(0).alias("item_index"),
+        F.col("media_bytes").cast("long").alias("media_bytes"),
+        _q("features").alias("qfeatures"),
+    )
+    vids = extract_video_frame_features(
+        media.filter(F.col("media_type") == "video/avi"),
+        every_k=2, feature_dim=8,
+    ).select(
+        "doc_id", "media_type", F.col("frame_index").alias("item_index"),
+        F.col("media_bytes").cast("long").alias("media_bytes"),
+        _q("features").alias("qfeatures"),
+    )
+    return imgs.unionByName(wavs).unionByName(vids)
+
+
 def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: dense kNN (doc 5's embedding) + lexical BM25
     fused by reciprocal-rank fusion (operators/fusion.py, RRF k=60).
@@ -2718,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (r5): front of the line --------------------
         "knn_pq_restrict_crowding": q_knn_pq_restrict_crowding,
         "knn_pq_restrict_crowding_exact": q_knn_pq_restrict_crowding_exact,
+        "multimodal_features": q_multimodal_features,
         # -- r5 rotation back in (VERDICT r4 #7): bench-gate the
         #    archived exact siblings once per round ---------------------
         "knn_ivf2_full_probe": q_knn_ivf2_full_probe,
@@ -2732,7 +2793,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- vector search surface -------------------------------------
         "knn_topk": q_knn_topk,
         "knn_restrict": q_knn_restrict,
-        "knn_crowding": q_knn_crowding,
         "knn_hydrated": q_knn_hydrated,
         "knn_ivf_pruned": q_knn_ivf_pruned,
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
@@ -2805,9 +2865,14 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     TakeOrderedAndProject also under events_salted_dim_join),
     supplier_running_window (running windows also under
     customer_trailing_spend parity + sessionize), cube_quantities
-    (grouping-sets algebra under rollup_quantities parity).
+    (grouping-sets algebra under rollup_quantities parity), and
+    knn_crowding (green r1-r4; its exact two-window crowding semantics
+    are now gated THROUGH the cascade by knn_pq_restrict_crowding_exact,
+    whose oracle embeds the same crowd-cap + rank windows over the same
+    fold scores -- a strictly stronger composition gate).
     """
     return {
+        "knn_crowding": q_knn_crowding,
         "pivot_qty_by_status": q_pivot_qty_by_status,
         "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2841,7 +2906,6 @@ def oracle_sql() -> dict[str, str]:
         "price_percentiles": _SQL_PERCENTILES,
         "knn_topk": _SQL_KNN_TOPK,
         "knn_restrict": _SQL_KNN_RESTRICT,
-        "knn_crowding": _SQL_KNN_CROWDING,
         "knn_hydrated": _SQL_KNN_HYDRATED,
         # knn_ivf_pruned: approximate + iterative -> rows-only check
         "knn_ivf_full_probe": _SQL_KNN_TOPK,
@@ -2886,6 +2950,7 @@ def oracle_sql_archive() -> dict[str, str]:
     """Oracles for queries_archive() -- run by tests/test_oracle_parity.py
     (not the driver) so the rotated queries stay bit-exact-verified."""
     return {
+        "knn_crowding": _SQL_KNN_CROWDING,
         "pivot_qty_by_status": _SQL_PIVOT_QTY,
         "distinct_parts_per_supplier": _SQL_DISTINCT_PARTS,
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,

@@ -1,0 +1,140 @@
+"""Deterministic media synthesis: hermetic binary fixtures for the
+multimodal pipeline, generated ON EXECUTORS with the repo's own
+encoders (encode_png / encode_jpeg_baseline / stdlib WAV writer /
+encode_mjpeg_avi).
+
+Why this exists: the fixture tables carry no binary columns, so the
+only hermetic way to drive the decode/featurize path end-to-end is an
+encode->decode roundtrip built entirely from in-repo codecs. Each
+row's content is a pure function of its integer seed (seeded
+numpy Generator), so the same (seed, modality) always produces the
+same bytes on any worker -- the declared driver query
+(q_multimodal_features) leans on this for run-to-run stability.
+
+Scale shape: synthesis is a narrow mapInPandas stage (no shuffle); at
+100 TB the same stage is where real bytes would arrive from a
+binaryFile/parquet scan instead, and everything downstream (metadata
+pass, routed decode, featurize) is identical.
+"""
+
+from __future__ import annotations
+
+import io
+import wave
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def encode_wav_pcm(
+    sig: np.ndarray, *, sr: int = 8000, channels: int = 1,
+    sampwidth: int = 2,
+) -> bytes:
+    """float [-1, 1] signal -> PCM WAV bytes (stdlib wave module)."""
+    if sampwidth == 2:
+        pcm = (np.clip(sig, -1, 1) * 32767).astype("<i2")
+    elif sampwidth == 1:
+        pcm = ((np.clip(sig, -1, 1) * 127) + 128).astype(np.uint8)
+    elif sampwidth == 4:
+        pcm = (np.clip(sig, -1, 1) * (2 ** 31 - 1)).astype("<i4")
+    else:
+        raise ValueError(f"unsupported sample width {sampwidth}")
+    frames = np.repeat(pcm[:, None], channels, axis=1).ravel().tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sr)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def _synth_image(seed: int, rgb: bool) -> np.ndarray:
+    """Deterministic (24, 32[, 3]) uint8 raster: gradient + seeded
+    texture (structured enough that pooled features differ per seed)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(np.arange(24), np.arange(32), indexing="ij")
+    base = (xx * (3 + seed % 5) + yy * (2 + seed % 3)) % 256
+    noise = rng.integers(0, 64, size=(24, 32))
+    gray = ((base + noise) % 256).astype(np.uint8)
+    if not rgb:
+        return gray
+    return np.stack(
+        [gray, np.roll(gray, seed % 7, axis=1), 255 - gray], axis=2
+    ).astype(np.uint8)
+
+
+def _synth_audio(seed: int) -> np.ndarray:
+    """Deterministic 0.2 s two-tone signal at 8 kHz."""
+    sr = 8000
+    t = np.arange(int(sr * 0.2)) / sr
+    f1 = 220.0 + 55.0 * (seed % 8)
+    f2 = 880.0 + 110.0 * (seed % 5)
+    return 0.6 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(2 * np.pi * f2 * t)
+
+
+def _synth_video_frames(seed: int, n_frames: int = 4) -> list[np.ndarray]:
+    """Deterministic rolling-gradient grayscale frames (16 x 24)."""
+    xx, yy = np.meshgrid(np.arange(24), np.arange(16))
+    return [
+        ((xx * (2 + seed % 4) + yy + 40 * i + seed) % 256).astype(np.uint8)
+        for i in range(n_frames)
+    ]
+
+
+MODALITIES = ("image/png", "image/jpeg", "audio/wav", "video/avi")
+
+
+def synthesize_media(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    modalities: tuple[str, ...] = MODALITIES,
+) -> DataFrame:
+    """One row per (input row x modality): (id, media_type, content).
+
+    Encoders are the repo's own codecs, so decode downstream is a true
+    roundtrip; content is a pure function of (id, modality).
+    """
+    from .binary_ops import encode_png
+    from .jpeg import encode_jpeg_baseline
+    from .mjpeg import encode_mjpeg_avi
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, media_type string, content binary"
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, blobs = [], [], []
+            for rid in pdf[id_col]:
+                seed = int(rid)
+                for mt in modalities:
+                    if mt == "image/png":
+                        # alternate gray / RGB rasters by seed parity
+                        blob = encode_png(_synth_image(seed, rgb=seed % 2 == 0))
+                    elif mt == "image/jpeg":
+                        blob = encode_jpeg_baseline(
+                            _synth_image(seed, rgb=seed % 2 == 1), quality=90
+                        )
+                    elif mt == "audio/wav":
+                        blob = encode_wav_pcm(
+                            _synth_audio(seed),
+                            channels=1 + seed % 2,
+                            sampwidth=2,
+                        )
+                    elif mt == "video/avi":
+                        blob = encode_mjpeg_avi(
+                            _synth_video_frames(seed), quality=95
+                        )
+                    else:
+                        raise ValueError(f"unknown modality {mt}")
+                    ids.append(rid)
+                    types.append(mt)
+                    blobs.append(blob)
+            yield pd.DataFrame(
+                {id_col: ids, "media_type": types, "content": blobs}
+            )
+
+    return df.select(id_col).mapInPandas(_synth, out_schema)

@@ -707,3 +707,63 @@ def test_audio_spectral_features_sine_centroid(spark):
     lo = np.asarray(out["low"].features)
     hi = np.asarray(out["high"].features)
     assert lo.argmax() < hi.argmax()
+
+
+def test_multimodal_features_query_matches_local_reference(spark, sf_smoke):
+    """The declared driver query (rows-only gate) cross-checked at
+    value level: recompute each row's quantized features locally with
+    the same synthesis + codec functions, no Spark involved, and
+    require exact integer equality."""
+    import math
+
+    import __spark_entry__ as entrymod
+    from rag_vertex_ai_vector_search_spark.multimodal import (
+        decode_image,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        _pooled_features,
+        _spectral_feature_row,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal import decode_audio
+    from rag_vertex_ai_vector_search_spark.multimodal.jpeg import (
+        decode_jpeg_baseline, encode_jpeg_baseline,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        encode_png,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.mjpeg import (
+        encode_mjpeg_avi, iter_mjpeg_frames,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        _synth_audio, _synth_image, _synth_video_frames, encode_wav_pcm,
+    )
+
+    got = {
+        (r.doc_id, r.media_type, r.item_index): list(r.qfeatures)
+        for r in entrymod.q_multimodal_features(spark, sf_smoke).collect()
+    }
+    assert len(got) == 60  # 12 docs x (png + jpeg + wav + 2 video frames)
+
+    def q(feats):
+        return [math.floor(float(x) * 1e6) for x in feats]
+
+    for did in range(12):
+        png = encode_png(_synth_image(did, rgb=did % 2 == 0))
+        assert got[(did, "image/png", 0)] == q(
+            _pooled_features(decode_image(png), 8)
+        )
+        jpg = encode_jpeg_baseline(_synth_image(did, rgb=did % 2 == 1), quality=90)
+        assert got[(did, "image/jpeg", 0)] == q(
+            _pooled_features(decode_jpeg_baseline(jpg), 8)
+        )
+        wav = encode_wav_pcm(_synth_audio(did), channels=1 + did % 2, sampwidth=2)
+        samples, sr = decode_audio(wav)
+        _, _, prof = _spectral_feature_row(samples, sr, 8)
+        assert got[(did, "audio/wav", 0)] == q(prof)
+        avi = encode_mjpeg_avi(_synth_video_frames(did), quality=95)
+        for idx, payload in enumerate(iter_mjpeg_frames(avi)):
+            if idx % 2:
+                continue
+            assert got[(did, "video/avi", idx)] == q(
+                _pooled_features(decode_jpeg_baseline(payload), 8)
+            )
