@@ -1533,6 +1533,74 @@ GROUP BY doc_id
 """
 
 
+def q_lm_trigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-backoff trigram LM scoring
+    (operators/lm_quality.py::trigram_surprisal): the next rung toward
+    CCNet's actual 5-gram KenLM scorer. Fixed Jelinek-Mercer weights
+    over add-alpha trigram/bigram/unigram orders, double-BOS document
+    starts, integer-micronat quantization -- the mixture is evaluated
+    in the same left-fold order in both engines, so the oracle is
+    bit-exact."""
+    from rag_vertex_ai_vector_search_spark.operators.lm_quality import (
+        trigram_surprisal,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return trigram_surprisal(docs, alpha=0.5).select(
+        "doc_id", "n_words", "avg_surprisal_nats"
+    )
+
+
+def _sql_lm_trigram_surprisal() -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split({_SQL_NORM}, ' ')) AS word,
+         generate_subscripts(string_split({_SQL_NORM}, ' '), 1) AS pos
+  FROM documents
+),
+seq AS (
+  SELECT doc_id, pos, word,
+         coalesce(lag(word, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+                  '<s>') AS prev,
+         coalesce(lag(word, 2) OVER (PARTITION BY doc_id ORDER BY pos),
+                  '<s>') AS prev2
+  FROM words
+),
+tg   AS (SELECT prev2, prev, word, count(*) AS n3 FROM seq
+         GROUP BY prev2, prev, word),
+tctx AS (SELECT prev2, prev, count(*) AS c3 FROM seq GROUP BY prev2, prev),
+bg   AS (SELECT prev, word, count(*) AS n2 FROM seq GROUP BY prev, word),
+bctx AS (SELECT prev, count(*) AS n1 FROM seq GROUP BY prev),
+ug   AS (SELECT word, count(*) AS n0 FROM seq GROUP BY word),
+tot  AS (SELECT CAST(count(*) AS DOUBLE) AS N,
+                CAST(count(DISTINCT word) AS DOUBLE) AS V FROM seq),
+scored AS (
+  SELECT s.doc_id,
+         CAST(floor(-ln(
+             0.6 * ((CAST(t3.n3 AS DOUBLE) + 0.5)
+                    / (CAST(tc.c3 AS DOUBLE) + 0.5 * t.V))
+           + 0.3 * ((CAST(b.n2 AS DOUBLE) + 0.5)
+                    / (CAST(bc.n1 AS DOUBLE) + 0.5 * t.V))
+           + 0.1 * ((CAST(u.n0 AS DOUBLE) + 0.5)
+                    / (t.N + 0.5 * t.V))
+         ) * 1000000.0) AS BIGINT) AS s
+  FROM seq s
+  JOIN tg t3 ON s.prev2 = t3.prev2 AND s.prev = t3.prev AND s.word = t3.word
+  JOIN tctx tc ON s.prev2 = tc.prev2 AND s.prev = tc.prev
+  JOIN bg b ON s.prev = b.prev AND s.word = b.word
+  JOIN bctx bc ON s.prev = bc.prev
+  JOIN ug u ON s.word = u.word
+  CROSS JOIN tot t
+)
+SELECT doc_id, count(*) AS n_words,
+       CAST(CAST(sum(s) AS BIGINT) AS DOUBLE)
+         / (1000000.0 * CAST(count(*) AS DOUBLE)) AS avg_surprisal_nats
+FROM scored
+GROUP BY doc_id
+"""
+
+
 def q_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail language-model filter
     (operators/lm_quality.py::surprisal_buckets): rank every document
@@ -2792,7 +2860,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_percentiles": q_price_percentiles,
         # -- vector search surface -------------------------------------
         "knn_topk": q_knn_topk,
-        "knn_restrict": q_knn_restrict,
         "knn_hydrated": q_knn_hydrated,
         "knn_ivf_pruned": q_knn_ivf_pruned,
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
@@ -2822,6 +2889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quality_report": q_corpus_quality_report,
         "lm_surprisal": q_lm_surprisal,
         "lm_bigram_surprisal": q_lm_bigram_surprisal,
+        "lm_trigram_surprisal": q_lm_trigram_surprisal,
         "ccnet_quality_buckets": q_ccnet_quality_buckets,
         "vocab_coverage": q_vocab_coverage,
         "bpe_merge_pairs": q_bpe_merge_pairs,
@@ -2866,12 +2934,14 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     supplier_running_window (running windows also under
     customer_trailing_spend parity + sessionize), cube_quantities
     (grouping-sets algebra under rollup_quantities parity), and
-    knn_crowding (green r1-r4; its exact two-window crowding semantics
-    are now gated THROUGH the cascade by knn_pq_restrict_crowding_exact,
-    whose oracle embeds the same crowd-cap + rank windows over the same
-    fold scores -- a strictly stronger composition gate).
+    knn_restrict + knn_crowding (green r1-r4; their restrict filter and
+    two-window crowding semantics are now gated THROUGH the cascade by
+    knn_pq_restrict_crowding_exact, whose oracle embeds the same
+    restrict predicate, crowd-cap and rank windows over the same fold
+    scores -- a strictly stronger composition gate).
     """
     return {
+        "knn_restrict": q_knn_restrict,
         "knn_crowding": q_knn_crowding,
         "pivot_qty_by_status": q_pivot_qty_by_status,
         "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
@@ -2905,7 +2975,6 @@ def oracle_sql() -> dict[str, str]:
         "token_gate_violations": _SQL_TOKEN_GATE,
         "price_percentiles": _SQL_PERCENTILES,
         "knn_topk": _SQL_KNN_TOPK,
-        "knn_restrict": _SQL_KNN_RESTRICT,
         "knn_hydrated": _SQL_KNN_HYDRATED,
         # knn_ivf_pruned: approximate + iterative -> rows-only check
         "knn_ivf_full_probe": _SQL_KNN_TOPK,
@@ -2933,6 +3002,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_quality_report": _SQL_CORPUS_REPORT,
         "lm_surprisal": _sql_lm_surprisal(),
         "lm_bigram_surprisal": _sql_lm_bigram_surprisal(),
+        "lm_trigram_surprisal": _sql_lm_trigram_surprisal(),
         "ccnet_quality_buckets": _sql_ccnet_quality_buckets(),
         "vocab_coverage": _SQL_VOCAB_COVERAGE,
         "bpe_merge_pairs": _SQL_BPE_PAIRS,
@@ -2950,6 +3020,7 @@ def oracle_sql_archive() -> dict[str, str]:
     """Oracles for queries_archive() -- run by tests/test_oracle_parity.py
     (not the driver) so the rotated queries stay bit-exact-verified."""
     return {
+        "knn_restrict": _SQL_KNN_RESTRICT,
         "knn_crowding": _SQL_KNN_CROWDING,
         "pivot_qty_by_status": _SQL_PIVOT_QTY,
         "distinct_parts_per_supplier": _SQL_DISTINCT_PARTS,

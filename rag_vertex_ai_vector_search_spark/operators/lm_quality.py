@@ -172,6 +172,112 @@ def _positioned_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _positioned_words2(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, word, prev, prev2): two lag contexts per position,
+    both BOS-padded at the document start (pos 0 sees (<s>, <s>),
+    pos 1 sees (<s>, w0)). One per-doc lag shuffle serves both lags."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(normalized_text(F.col(text_col)), " ")
+            ).alias("pos", "word"),
+        )
+        .withColumn("prev", F.coalesce(F.lag("word", 1).over(w), F.lit(BOS)))
+        .withColumn("prev2", F.coalesce(F.lag("word", 2).over(w), F.lit(BOS)))
+    )
+
+
+def trigram_surprisal(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+) -> DataFrame:
+    """(id, n_words, avg_surprisal_nats) under an INTERPOLATED BACKOFF
+    trigram model -- the next rung of the CCNet ladder toward a real
+    5-gram KenLM (whose scorer is likewise an interpolated/backoff
+    n-gram mixture):
+
+        p(w | prev2, prev) = l3 * p3 + l2 * p2 + l1 * p1
+        p3 = (c(prev2, prev, w) + a) / (c(prev2, prev) + a * V)
+        p2 = (c(prev, w)        + a) / (c(prev)        + a * V)
+        p1 = (c(w)              + a) / (N               + a * V)
+
+    (Jelinek-Mercer interpolation with fixed weights ``lambdas``; each
+    order is add-alpha smoothed, so the mixture is a proper
+    distribution and unseen trigrams back off smoothly instead of
+    cliff-dropping to the floor probability.) Document starts see a
+    double-BOS context.
+
+    Same determinism contract as the unigram/bigram scorers: the
+    mixture is evaluated in a FIXED left-fold order (l3*p3 + l2*p2 +
+    l1*p1, mirrored textually in the SQL oracle), each p_i is a single
+    IEEE division, and the per-word -ln is quantized to integer
+    micronats so per-doc sums are exact bigint arithmetic.
+
+    Scale shape: one posexplode + one per-doc lag shuffle (serving both
+    lags), then count-table joins -- the trigram table (bounded by
+    distinct trigrams) is the only table a bigram scorer doesn't
+    already shuffle. The only driver-side values are the scalars N, V.
+    """
+    l3, l2, l1 = (float(x) for x in lambdas)
+    words = _positioned_words2(df, id_col, text_col)
+    tri_counts = words.groupBy("prev2", "prev", "word").agg(
+        F.count(F.lit(1)).alias("n3")
+    )
+    tri_ctx = words.groupBy("prev2", "prev").agg(F.count(F.lit(1)).alias("c3"))
+    bi_counts = words.groupBy("prev", "word").agg(F.count(F.lit(1)).alias("n2"))
+    bi_ctx = words.groupBy("prev").agg(F.count(F.lit(1)).alias("n1"))
+    uni_counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n0"))
+    totals = words.agg(
+        F.count(F.lit(1)).alias("_N"),
+        F.countDistinct("word").alias("_V"),
+    ).collect()[0]
+    n_total, vocab = float(totals._N), float(totals._V)
+
+    a = F.lit(alpha)
+    av = F.lit(alpha) * F.lit(vocab)
+
+    def _cnt(col: str):
+        return F.coalesce(F.col(col), F.lit(0)).cast("double")
+
+    p3 = (_cnt("n3") + a) / (_cnt("c3") + av)
+    p2 = (_cnt("n2") + a) / (_cnt("n1") + av)
+    p1 = (_cnt("n0") + a) / (F.lit(n_total) + av)
+    mix = F.lit(l3) * p3 + F.lit(l2) * p2 + F.lit(l1) * p1
+
+    scored = (
+        words.join(tri_counts, ["prev2", "prev", "word"], "left")
+        .join(tri_ctx, ["prev2", "prev"], "left")
+        .join(bi_counts, ["prev", "word"], "left")
+        .join(bi_ctx, ["prev"], "left")
+        .join(uni_counts, ["word"], "left")
+        .withColumn(
+            "_surprisal_micronats",
+            F.floor(-F.log(mix) * F.lit(float(SURPRISAL_SCALE))).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_surprisal_micronats").alias("_s"),
+        )
+        .withColumn(
+            "avg_surprisal_nats",
+            F.col("_s").cast("double")
+            / (F.lit(float(SURPRISAL_SCALE)) * F.col("n_words").cast("double")),
+        )
+        .drop("_s")
+    )
+
+
 def bigram_surprisal(
     df: DataFrame,
     *,

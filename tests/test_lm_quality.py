@@ -149,3 +149,80 @@ def test_surprisal_buckets_equal_frequency_per_group(spark):
         head_max = max(r.avg_surprisal_nats for r in rs if r.ppl_bucket == "head")
         tail_min = min(r.avg_surprisal_nats for r in rs if r.ppl_bucket == "tail")
         assert head_max < tail_min
+
+
+def test_trigram_separates_bigram_preserving_shuffle(spark):
+    """The trigram scorer detects reordering the bigram scorer provably
+    cannot: the probe doc is an Eulerian recombination of the fluent
+    pattern "a b a c a d" -> "a c a b a d", which preserves the exact
+    MULTISET of bigrams (including the BOS-"a" start), so any bigram
+    model assigns both probes identical total surprisal -- while three
+    of the probe's trigram contexts are corpus-unseen."""
+    from rag_vertex_ai_vector_search_spark.operators.lm_quality import (
+        bigram_surprisal,
+        trigram_surprisal,
+    )
+
+    fluent, shuffled = "a b a c a d", "a c a b a d"
+    rows = [(i, fluent) for i in range(50)]
+    rows += [(1000, fluent), (1001, shuffled)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    bg = {r.doc_id: r.avg_surprisal_nats
+          for r in bigram_surprisal(df).collect()}
+    tg = {r.doc_id: r.avg_surprisal_nats
+          for r in trigram_surprisal(df).collect()}
+
+    # Bigram: bit-identical scores (same bigram multiset per doc).
+    assert bg[1000] == bg[1001]
+    # Trigram: the shuffled probe is strictly, clearly more surprising.
+    assert tg[1001] > tg[1000] + 0.5
+    # And the fluent probe scores like the corpus it repeats.
+    assert abs(tg[1000] - tg[0]) < 1e-9
+
+
+def test_trigram_matches_python_reference(spark):
+    """Exact equality against a direct Python implementation of the
+    interpolated mixture (same quantization)."""
+    import math
+    from collections import Counter
+
+    from rag_vertex_ai_vector_search_spark.operators.lm_quality import (
+        SURPRISAL_SCALE,
+        trigram_surprisal,
+    )
+
+    docs = {1: "the cat sat", 2: "the cat ran", 3: "a dog sat the cat"}
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_words, r.avg_surprisal_nats)
+           for r in trigram_surprisal(df, alpha=0.5).collect()}
+
+    seqs = {k: v.split() for k, v in docs.items()}
+    tri, tctx, bi, bctx, uni = Counter(), Counter(), Counter(), Counter(), Counter()
+    n_total = 0
+    for ws in seqs.values():
+        prevs = ["<s>", "<s>"]
+        for w in ws:
+            tri[(prevs[0], prevs[1], w)] += 1
+            tctx[(prevs[0], prevs[1])] += 1
+            bi[(prevs[1], w)] += 1
+            bctx[prevs[1]] += 1
+            uni[w] += 1
+            n_total += 1
+            prevs = [prevs[1], w]
+    V = float(len(uni))
+    a = 0.5
+    for k, ws in seqs.items():
+        prevs = ["<s>", "<s>"]
+        s = 0
+        for w in ws:
+            p3 = (tri[(prevs[0], prevs[1], w)] + a) / (tctx[(prevs[0], prevs[1])] + a * V)
+            p2 = (bi[(prevs[1], w)] + a) / (bctx[prevs[1]] + a * V)
+            p1 = (uni[w] + a) / (float(n_total) + a * V)
+            p = 0.6 * p3 + 0.3 * p2 + 0.1 * p1
+            s += math.floor(-math.log(p) * SURPRISAL_SCALE)
+            prevs = [prevs[1], w]
+        assert got[k][0] == len(ws)
+        assert got[k][1] == s / (SURPRISAL_SCALE * float(len(ws)))
