@@ -212,10 +212,11 @@ def ivf_search(
     probe_percent: float = 10.0,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vector",
-    method: str = "gemm",
+    method: str = "auto",
     restrict=None,
     per_crowding_k: int | None = None,
     crowding_col: str | None = None,
+    auto_threshold: int | None = None,
     **knn_kwargs,
 ) -> DataFrame:
     """Pruned top-k: probe the best ``nprobe`` clusters per query.
@@ -244,9 +245,17 @@ def ivf_search(
     partition pruning of BYTES. Methods: "gemm" (mapInPandas, query
     matrix via SparkContext.broadcast), "gemm_join" (cogroup block
     GEMM, no driver materialization of queries at all), "fold"
-    (declarative broadcast join + fold scoring, bit-exact vs DuckDB).
+    (declarative broadcast join + fold scoring, bit-exact vs DuckDB),
+    "auto" (default: "gemm" at or under ``auto_threshold`` query rows,
+    "gemm_join" above -- the scale-safe strategy without the caller
+    having to know their scale).
     """
-    from .knn import _ranked, gemm_topk_cogroup
+    from .knn import _ranked, _resolve_query_method, gemm_topk_cogroup
+
+    method = _resolve_query_method(
+        queries_df, method, small="gemm", large="gemm_join",
+        threshold=auto_threshold,
+    )
 
     n_clusters = index.centroids.shape[0]
     if nprobe is None:

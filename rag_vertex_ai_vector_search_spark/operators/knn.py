@@ -60,6 +60,35 @@ from ..functions.vector import dot_product
 
 RESULT_COLUMNS = ("query_id", "rank", "neighbor_id", "score")
 
+# Above this many query rows the driver-materializing strategies
+# (SparkContext.broadcast of the query matrix / broadcast join of the
+# query side) stop being safe: 65536 x 768-dim float64 is ~400 MB of
+# driver + executor memory per fetch. The auto switch flips to the
+# cogroup paths past it.
+DEFAULT_QUERY_DRIVER_THRESHOLD = 65_536
+
+
+def _resolve_query_method(
+    queries_df: DataFrame,
+    method: str,
+    *,
+    small: str,
+    large: str,
+    threshold: int | None = None,
+) -> str:
+    """``method="auto"`` -> count-based strategy switch (the
+    cluster.py size-switch pattern applied to the query side): at or
+    under ``threshold`` query rows pick ``small`` (driver-broadcast,
+    zero-shuffle scoring -- the request-scale fast path), above it pick
+    ``large`` (cogroup block scoring -- no driver materialization
+    anywhere). The one count() job is the price of not making the
+    caller know their scale; pass an explicit method to skip it.
+    """
+    if method != "auto":
+        return method
+    t = DEFAULT_QUERY_DRIVER_THRESHOLD if threshold is None else threshold
+    return small if queries_df.count() <= t else large
+
 
 def _score_block(
     qids,
@@ -171,7 +200,8 @@ def knn_search(
     crowding_col: str | None = None,
     metadata_df: DataFrame | None = None,
     metadata_key: str = "data_point_id",
-    method: str = "fold",
+    method: str = "auto",
+    auto_threshold: int | None = None,
 ) -> DataFrame:
     """Filtered, diversity-constrained top-k search.
 
@@ -179,7 +209,17 @@ def knn_search(
     metadata...]). ``restrict`` is applied BEFORE scoring so Catalyst
     can push it to the parquet scan (the reference filters inside the
     ANN traversal for the same reason, setup_vector_search.py:45-62).
+
+    ``method="auto"`` picks "gemm" for query sets at or under
+    ``auto_threshold`` (default DEFAULT_QUERY_DRIVER_THRESHOLD) and the
+    collect-free "gemm_join" above it, so callers who don't know their
+    query scale get the scale-safe strategy by default instead of a
+    silent driver OOM.
     """
+    method = _resolve_query_method(
+        queries_df, method, small="gemm", large="gemm_join",
+        threshold=auto_threshold,
+    )
     if restrict is not None:
         index_df = index_df.filter(restrict)
 

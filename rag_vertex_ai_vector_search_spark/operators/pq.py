@@ -459,10 +459,11 @@ def ivf_pq_search(
     rerank_candidates: int | None = None,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vector",
-    method: str = "broadcast",
+    method: str = "auto",
     restrict=None,
     per_crowding_k: int | None = None,
     crowding_col: str | None = None,
+    auto_threshold: int | None = None,
 ) -> DataFrame:
     """The full tree-AH composition (common/config.py:30-41): coarse
     probe over the IVF leaves ("tree") -> ADC scan of PQ codes inside
@@ -533,6 +534,7 @@ def ivf_pq_search(
         restrict=restrict,
         per_crowding_k=per_crowding_k,
         crowding_col=crowding_col,
+        auto_threshold=auto_threshold,
     )
 
 
@@ -549,10 +551,11 @@ def pq_search_rerank(
     query_vec_col: str = "query_vector",
     probe_col: str | None = None,
     n_clusters: int | None = None,
-    method: str = "broadcast",
+    method: str = "auto",
     restrict=None,
     per_crowding_k: int | None = None,
     crowding_col: str | None = None,
+    auto_threshold: int | None = None,
 ) -> DataFrame:
     """The production cascade: ADC top-``rerank_candidates`` (default
     4k, mirroring approximate_neighbors_count=150 vs final k in the
@@ -566,7 +569,10 @@ def pq_search_rerank(
     are broadcast-joined into the vector scan. ``method="cogroup"``
     (data-scale): ADC runs through pq_topk_cogroup (no driver collect
     anywhere) and the rerank joins stay shuffle joins so AQE picks the
-    strategy from actual sizes.
+    strategy from actual sizes. ``method="auto"`` (default) counts the
+    query side and picks "broadcast" at or under ``auto_threshold``
+    (DEFAULT_QUERY_DRIVER_THRESHOLD), "cogroup" above -- the scale-safe
+    path without the caller having to declare their scale.
 
     Reference serving contract composition (Q3-Q5 through the index,
     setup_vector_search.py:43-77):
@@ -594,6 +600,12 @@ def pq_search_rerank(
     products, and the final window is the exact path's window) -- the
     oracled sibling the driver gate checks.
     """
+    from .knn import _resolve_query_method
+
+    method = _resolve_query_method(
+        queries_df, method, small="broadcast", large="cogroup",
+        threshold=auto_threshold,
+    )
     if restrict is not None:
         index = PQIndex(
             codes=index.codes.filter(restrict),
