@@ -11,7 +11,11 @@ from .binary_ops import (
     resize_image,
     sample_video_frames,
 )
-from .jpeg import decode_jpeg_baseline, encode_jpeg_baseline
+from .jpeg import (
+    decode_jpeg_baseline,
+    encode_jpeg_baseline,
+    encode_jpeg_progressive,
+)
 from .mjpeg import (
     decode_video_frame,
     decode_video_frames,
@@ -28,6 +32,7 @@ __all__ = [
     "decode_video_frame",
     "decode_video_frames",
     "encode_jpeg_baseline",
+    "encode_jpeg_progressive",
     "encode_mjpeg_avi",
     "extract_audio_features",
     "extract_audio_spectral_features",

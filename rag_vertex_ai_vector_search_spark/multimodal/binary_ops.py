@@ -280,13 +280,15 @@ def encode_png(img: np.ndarray, *, filter_type: int = 0) -> bytes:
 def decode_image(content: bytes) -> np.ndarray:
     """REAL pure-stdlib image decode: netpbm P5/P6, uncompressed 24-bit
     BMP, 8-bit PNG (zlib inflate + per-row unfilter; gray/RGB/palette/
-    alpha, non-interlaced), and baseline JPEG (full T.81 sequential
-    pipeline: canonical Huffman, dequantize, IDCT, 4:4:4/4:2:2/4:2:0
-    chroma, BT.601 color) -- all decodable with stdlib + numpy alone,
-    proving the decode seam end-to-end without PIL/opencv in the image.
-    Returns (H, W) uint8 grayscale or (H, W, 3) uint8 RGB. Unknown
-    formats (and progressive JPEG) raise NotImplementedError; nothing
-    about the distributed plan changes if PIL is slotted in instead."""
+    alpha, non-interlaced), and JPEG -- baseline AND progressive SOF2
+    (full T.81 pipeline: canonical Huffman, multi-scan coefficient
+    accumulation with successive approximation, dequantize, IDCT,
+    4:4:4/4:2:2/4:2:0 chroma, BT.601 color) -- all decodable with
+    stdlib + numpy alone, proving the decode seam end-to-end without
+    PIL/opencv in the image. Returns (H, W) uint8 grayscale or
+    (H, W, 3) uint8 RGB. Unknown formats raise NotImplementedError;
+    nothing about the distributed plan changes if PIL is slotted in
+    instead."""
     data = bytes(content or b"")
     if data[:2] in (b"P5", b"P6"):
         return _decode_pnm(data)

@@ -1,21 +1,28 @@
-"""Baseline JPEG (ITU-T T.81 / ISO 10918-1) codec in pure numpy +
-stdlib -- no PIL/opencv/ffmpeg in this container, so the decode seam is
-closed with the actual algorithm: marker parse, canonical Huffman
-entropy coding, dequantize, inverse zigzag, IDCT, chroma upsample,
-BT.601 YCbCr -> RGB.
+"""JPEG (ITU-T T.81 / ISO 10918-1) codec in pure numpy + stdlib -- no
+PIL/opencv/ffmpeg in this container, so the decode seam is closed with
+the actual algorithm: marker parse, canonical Huffman entropy coding,
+dequantize, inverse zigzag, IDCT, chroma upsample, BT.601 YCbCr -> RGB.
 
 Scope (the overwhelming majority of real-world JPEGs):
-- baseline sequential DCT (SOF0), 8-bit samples
+- baseline sequential DCT (SOF0/1), 8-bit samples
+- PROGRESSIVE DCT (SOF2): spectral selection + successive
+  approximation per T.81 G.1.2 (multi-scan coefficient accumulation,
+  EOB runs, refinement correction bits) -- the dominant encode mode of
+  web-scraped corpora
 - grayscale (1 component) and YCbCr 3-component
 - chroma subsampling 4:4:4, 4:2:2 and 4:2:0 (any h/v factors 1-2)
 - restart intervals (DRI / RSTn)
-Progressive (SOF2), arithmetic coding, 12-bit and hierarchical modes
-raise NotImplementedError.
+Arithmetic coding, 12-bit, lossless and hierarchical modes raise
+NotImplementedError.
 
-The encoder exists for round-trip tests and thumbnail sinks: standard
+The encoders exist for round-trip tests and thumbnail sinks: standard
 Annex K quantization + Huffman tables, libjpeg-style quality scaling,
-4:4:4 only. Constants below are the public tables printed in the spec
-(Annex K.1 / K.3).
+4:4:4 only. encode_jpeg_progressive emits a standard 4-phase scan
+script (DC Al=1, AC per component Al=1, DC refine, AC refine) carrying
+exactly the baseline encoder's quantized coefficients, so progressive
+and baseline encodes of the same image decode to IDENTICAL arrays --
+the roundtrip equivalence gate. Constants below are the public tables
+printed in the spec (Annex K.1 / K.3).
 
 All loops that matter run vectorized over blocks (einsum DCT, gather
 dequantize); the per-symbol Huffman walk is Python but operates on a
@@ -421,11 +428,218 @@ def encode_jpeg_baseline(img: np.ndarray, *, quality: int = 85) -> bytes:
     return bytes(out)
 
 
+def _emit_sos(out: bytearray, comps, ss: int, se: int, ah: int, al: int):
+    """comps: list of (component_id, dc_table_id, ac_table_id)."""
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps), len(comps))
+    for cid, td, ta in comps:
+        out += bytes([cid, (td << 4) | ta])
+    out += bytes([ss, se, (ah << 4) | al])
+
+
+def _encode_ac_first(writer, zz, ss, se, al, ac_codes) -> None:
+    """AC first scan for one block: run-length + size over the
+    point-transformed magnitudes sign*(|v| >> Al); EOB per block."""
+    run = 0
+    emitted = False
+    last = ss - 1
+    vals = {}
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = (abs(v) >> al) * (1 if v >= 0 else -1)
+        if t:
+            vals[k] = t
+            last = k
+    for k in range(ss, last + 1):
+        t = vals.get(k)
+        if t is None:
+            run += 1
+            continue
+        while run > 15:
+            ln, cd = ac_codes[0xF0]
+            writer.write(ln, cd)
+            run -= 16
+        s = _size_cat(t)
+        ln, cd = ac_codes[(run << 4) | s]
+        writer.write(ln, cd)
+        writer.write(s, t if t >= 0 else t + (1 << s) - 1)
+        run = 0
+        emitted = True
+    if last < se or not emitted:
+        ln, cd = ac_codes[0x00]  # EOB (EOBRUN = 1)
+        writer.write(ln, cd)
+
+
+def _encode_ac_refine(writer, zz, ss, se, ah, al, ac_codes) -> None:
+    """AC refinement scan for one block, mirroring the decoder's walk
+    (T.81 G.1.2.3): per emitted symbol, correction bits for the
+    history-nonzero coefficients inside THAT symbol's span follow the
+    symbol (and its sign bit) immediately."""
+
+    def hist(k):
+        return (abs(int(zz[k])) >> ah) != 0
+
+    def now(k):
+        return (abs(int(zz[k])) >> al) != 0
+
+    def corr_bit(k):
+        return (abs(int(zz[k])) >> al) & 1
+
+    newly = [
+        t for t in range(ss, se + 1) if not hist(t) and now(t)
+    ]
+    p = ss
+    for t in newly:
+        zeros = [u for u in range(p, t) if not hist(u) and not now(u)]
+        run = len(zeros)
+        while run > 15:
+            z16 = zeros[15]
+            ln, cd = ac_codes[0xF0]  # ZRL spans 16 zero-history coefs
+            writer.write(ln, cd)
+            for u in range(p, z16 + 1):
+                if hist(u):
+                    writer.write(1, corr_bit(u))
+            p = z16 + 1
+            zeros = zeros[16:]
+            run -= 16
+        ln, cd = ac_codes[(run << 4) | 1]
+        writer.write(ln, cd)
+        writer.write(1, 1 if int(zz[t]) > 0 else 0)
+        for u in range(p, t):
+            if hist(u):
+                writer.write(1, corr_bit(u))
+        p = t + 1
+    if p <= se:
+        ln, cd = ac_codes[0x00]  # EOB; decoder's eobrun tail reads the rest
+        writer.write(ln, cd)
+        for u in range(p, se + 1):
+            if hist(u):
+                writer.write(1, corr_bit(u))
+
+
+def encode_jpeg_progressive(img: np.ndarray, *, quality: int = 85) -> bytes:
+    """Progressive (SOF2) JPEG encoder: same quantized coefficients as
+    the baseline encoder, emitted as a standard progressive scan script
+    with BOTH spectral selection and successive approximation --
+
+        1. DC, all components, Al=1
+        2. AC 1..63 per component, Al=1
+        3. DC refinement (Ah=1, Al=0)
+        4. AC refinement 1..63 per component (Ah=1, Al=0)
+
+    Because the scans transmit exactly the quantized coefficients, a
+    decode of this stream is IDENTICAL (array-equal) to a decode of
+    encode_jpeg_baseline at the same quality -- the roundtrip test's
+    equivalence gate."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[0], img.shape[1]
+    qt_l = _quality_scale(_QT_LUMA, quality)
+    qt_c = _quality_scale(_QT_CHROMA, quality)
+
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        r = img[:, :, 0].astype(np.float64)
+        g = img[:, :, 1].astype(np.float64)
+        b = img[:, :, 2].astype(np.float64)
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, qt in ((0, qt_l),) if gray else ((0, qt_l), (1, qt_c)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(x) for x in qt[_ZIGZAG])
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        out += bytes([cid, 0x11, 0 if cid == 1 else 1])
+    tables = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    if not gray:
+        tables += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    for tc_th, (bits, values) in tables:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(values), tc_th)
+        out += bytes(bits) + bytes(values)
+
+    dc_l, ac_l = _canonical_codes(*_DC_LUMA), _canonical_codes(*_AC_LUMA)
+    dc_c, ac_c = _canonical_codes(*_DC_CHROMA), _canonical_codes(*_AC_CHROMA)
+    # 4:4:4: every component shares one block grid; zigzag-order coefs
+    comp_zz = []
+    for ci, plane in enumerate(planes):
+        qt = qt_l if ci == 0 else qt_c
+        blocks = _blockify(plane) - 128.0
+        q = np.round(_dct2(blocks) / qt.reshape(8, 8)).astype(np.int32)
+        comp_zz.append(q.reshape(len(q), 64)[:, _ZIGZAG])
+    n_blocks = len(comp_zz[0])
+    scomps = [
+        (cid, 0 if cid == 1 else 1, 0 if cid == 1 else 1)
+        for cid in range(1, ncomp + 1)
+    ]
+
+    # scan 1: DC all components, Al=1
+    _emit_sos(out, scomps, 0, 0, 0, 1)
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    for bi in range(n_blocks):
+        for ci in range(ncomp):
+            dc_codes = dc_l if ci == 0 else dc_c
+            v = int(comp_zz[ci][bi][0]) >> 1  # arithmetic shift = T.81 DC P.T.
+            diff = v - preds[ci]
+            preds[ci] = v
+            s = _size_cat(diff)
+            ln, cd = dc_codes[s]
+            writer.write(ln, cd)
+            if s:
+                writer.write(s, diff if diff >= 0 else diff + (1 << s) - 1)
+    writer.flush()
+    out += writer.out
+
+    # scans 2..: AC 1..63 per component, Al=1
+    for ci in range(ncomp):
+        _emit_sos(out, [scomps[ci]], 1, 63, 0, 1)
+        writer = _BitWriter()
+        ac_codes = ac_l if ci == 0 else ac_c
+        for bi in range(n_blocks):
+            _encode_ac_first(writer, comp_zz[ci][bi], 1, 63, 1, ac_codes)
+        writer.flush()
+        out += writer.out
+
+    # DC refinement: one raw bit per block per component
+    _emit_sos(out, scomps, 0, 0, 1, 0)
+    writer = _BitWriter()
+    for bi in range(n_blocks):
+        for ci in range(ncomp):
+            writer.write(1, int(comp_zz[ci][bi][0]) & 1)
+    writer.flush()
+    out += writer.out
+
+    # AC refinement per component
+    for ci in range(ncomp):
+        _emit_sos(out, [scomps[ci]], 1, 63, 1, 0)
+        writer = _BitWriter()
+        ac_codes = ac_l if ci == 0 else ac_c
+        for bi in range(n_blocks):
+            _encode_ac_refine(writer, comp_zz[ci][bi], 1, 63, 1, 0, ac_codes)
+        writer.flush()
+        out += writer.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # -- decoder ---------------------------------------------------------------
 
 def decode_jpeg_baseline(content: bytes) -> np.ndarray:
-    """Baseline sequential JPEG decoder. Returns (H, W) uint8 for
-    grayscale streams, (H, W, 3) uint8 RGB for YCbCr streams."""
+    """JPEG decoder: baseline sequential (SOF0/1) and PROGRESSIVE
+    (SOF2 -- spectral selection + successive approximation per T.81
+    G.1.2, the wild web's dominant encode mode). Returns (H, W) uint8
+    for grayscale streams, (H, W, 3) uint8 RGB for YCbCr streams.
+    (The name keeps the original public API; progressive support was
+    added once the shared Huffman/IDCT machinery existed.)"""
     data = bytes(content or b"")
     if data[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG stream (missing SOI)")
@@ -433,11 +647,15 @@ def decode_jpeg_baseline(content: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     sof = None
+    progressive = False
+    coefs: dict[int, np.ndarray] | None = None
     restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
             continue
+        if pos + 1 >= len(data):
+            break
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -466,7 +684,7 @@ def decode_jpeg_baseline(content: bytes) -> np.ndarray:
                 values = list(body[off + 17:off + 17 + nval])
                 htables[(tc, th)] = _decode_table(bits, values)
                 off += 17 + nval
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
             precision = body[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG")
@@ -479,11 +697,12 @@ def decode_jpeg_baseline(content: bytes) -> np.ndarray:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
             sof = (hgt, wid, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0x{marker:02X} (progressive/arithmetic/"
-                "hierarchical) not supported; baseline SOF0 only"
+                f"JPEG SOF marker 0x{marker:02X} (lossless/arithmetic/"
+                "hierarchical) not supported; SOF0/1/2 only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -495,12 +714,272 @@ def decode_jpeg_baseline(content: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
-            return _decode_scan(
-                data, pos + seglen, sof, scan, qtables, htables,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    data, pos + seglen, sof, scan, qtables, htables,
+                    restart_interval,
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            if coefs is None:
+                coefs = _alloc_prog_coefs(sof)
+            pos = _decode_prog_scan(
+                data, pos + seglen, sof, coefs, scan, ss, se, ah, al,
+                htables, restart_interval,
             )
+            continue
         pos += seglen
+    if progressive and coefs is not None:
+        return _reconstruct_progressive(sof, coefs, qtables)
     raise NotImplementedError("JPEG stream had no SOS scan")
+
+
+def _mcu_grid(sof):
+    hgt, wid, comps = sof
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (wid + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (hgt + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _comp_block_dims(sof, c):
+    """Non-interleaved scan block grid: ceil of the COMPONENT's sample
+    dims over 8 (T.81 A.2.2), which can be smaller than the MCU-padded
+    grid."""
+    hgt, wid, comps = sof
+    hmax, vmax, _, _ = _mcu_grid(sof)
+    cw = (wid * c["h"] + hmax - 1) // hmax
+    ch = (hgt * c["v"] + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _alloc_prog_coefs(sof):
+    """Per-component coefficient store in ZIGZAG index order, sized to
+    the MCU-padded block grid (interleaved DC scans cover the padding)."""
+    _, _, mcux, mcuy = _mcu_grid(sof)
+    _, _, comps = sof
+    return {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in comps
+    }
+
+
+def _read_symbol(reader, table) -> int:
+    length, code = 0, 0
+    while True:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+        if length > 16:
+            raise NotImplementedError("corrupt Huffman stream")
+
+
+def _decode_prog_scan(
+    data, pos, sof, coefs, scan, ss, se, ah, al, htables, restart_interval
+):
+    """One progressive scan (T.81 G.1.2): DC first/refinement
+    (interleaved or single-component), AC first/refinement with EOB
+    runs and successive-approximation correction bits. Returns the
+    stream position after the scan's entropy segment."""
+    hgt, wid, comps = sof
+    by_id = {c["id"]: c for c in comps}
+    hmax, vmax, mcux, mcuy = _mcu_grid(sof)
+    reader = _BitReader(data, pos)
+
+    if ss == 0:
+        if se != 0:
+            raise NotImplementedError(
+                "invalid progressive DC scan (Ss=0 requires Se=0)"
+            )
+        scomps = [by_id[cs] for cs, _, _ in scan]
+        dc_tabs = {
+            cs: htables.get((0, td)) for cs, td, _ in scan
+        }
+        preds = {c["id"]: 0 for c in scomps}
+        # walk order: interleaved MCU for multi-component scans, raster
+        # over the component grid otherwise
+        if len(scan) > 1:
+            units = (
+                (c, my * c["v"] + v, mx * c["h"] + h)
+                for my in range(mcuy) for mx in range(mcux)
+                for c in scomps
+                for v in range(c["v"]) for h in range(c["h"])
+            )
+            ri_units = restart_interval * sum(
+                c["v"] * c["h"] for c in scomps
+            )
+        else:
+            c0 = scomps[0]
+            cbh, cbw = _comp_block_dims(sof, c0)
+            units = ((c0, by, bx) for by in range(cbh) for bx in range(cbw))
+            ri_units = restart_interval
+        count = 0
+        for c, by, bx in units:
+            if ri_units and count and count % ri_units == 0:
+                reader.align_and_restart()
+                for cid in preds:
+                    preds[cid] = 0
+            count += 1
+            blk = coefs[c["id"]][by, bx]
+            if ah == 0:
+                s = _read_symbol(reader, dc_tabs[c["id"]])
+                diff = _extend(reader.receive(s), s)
+                preds[c["id"]] += diff
+                blk[0] = preds[c["id"]] << al
+            else:
+                if reader.read_bit():
+                    blk[0] |= 1 << al
+        return reader.pos
+
+    # AC scan: always single-component (T.81 G.1.1.1)
+    if len(scan) != 1:
+        raise NotImplementedError("interleaved progressive AC scan")
+    cs, _, ta = scan[0]
+    c = by_id[cs]
+    ac_tab = htables[(1, ta)]
+    cbh, cbw = _comp_block_dims(sof, c)
+    arr = coefs[c["id"]]
+    eobrun = 0
+    count = 0
+    for by in range(cbh):
+        for bx in range(cbw):
+            if restart_interval and count and count % restart_interval == 0:
+                reader.align_and_restart()
+                eobrun = 0
+            count += 1
+            blk = arr[by, bx]
+            if ah == 0:
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _read_symbol(reader, ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise NotImplementedError(
+                            "AC index overflow (corrupt progressive stream)"
+                        )
+                    blk[k] = _extend(reader.receive(s), s) << al
+                    k += 1
+            else:
+                eobrun = _ac_refine_block(
+                    reader, blk, ss, se, al, eobrun, ac_tab
+                )
+    return reader.pos
+
+
+def _ac_refine_block(reader, blk, ss, se, al, eobrun, ac_tab) -> int:
+    """AC successive-approximation refinement for one block (T.81
+    G.1.2.3 / the libjpeg decode_mcu_AC_refine walk): correction bits
+    for history-nonzero coefficients interleave positionally with
+    newly-significant +-1 insertions. An EOB symbol ends the CURRENT
+    block by consuming its remaining correction bits and then skips
+    the next (run - 1) whole blocks (their correction bits are read
+    by the eobrun>0 entry branch). Returns the residual EOB run."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+
+    def correct(k):
+        if reader.read_bit() and (blk[k] & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else m1
+
+    def tail(k):
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+
+    k = ss
+    if eobrun > 0:
+        # this whole block sits inside a previous EOB run: correction
+        # bits only
+        tail(k)
+        return eobrun - 1
+    while k <= se:
+        rs = _read_symbol(reader, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:
+                new_run = (1 << r) - 1
+                if r:
+                    new_run += reader.receive(r)
+                tail(k)  # current block's remaining correction bits
+                return new_run
+            val = 0  # ZRL: span 16 zero-history coefficients
+        else:
+            if s != 1:
+                raise NotImplementedError(
+                    "invalid refinement magnitude (corrupt stream)"
+                )
+            val = p1 if reader.read_bit() else m1
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            else:
+                if r == 0:
+                    if s:
+                        blk[k] = val
+                    k += 1
+                    break
+                r -= 1
+            k += 1
+    return 0
+
+
+def _reconstruct_progressive(sof, coefs, qtables):
+    """Dequantize + IDCT the accumulated coefficient store (vectorized
+    over all blocks per component), then the same assemble/upsample/
+    color path as the baseline decoder."""
+    hgt, wid, comps = sof
+    planes = {}
+    for c in comps:
+        arr = coefs[c["id"]]  # (bh, bw, 64) zigzag order
+        bh, bw = arr.shape[0], arr.shape[1]
+        qt = qtables[c["tq"]]
+        flat = arr.reshape(-1, 64).astype(np.float64) * qt
+        nat = flat[:, _UNZIGZAG].reshape(-1, 8, 8)
+        blocks = _idct2(nat) + 128.0
+        planes[c["id"]] = (
+            blocks.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+    return _assemble_planes(sof, planes)
+
+
+def _assemble_planes(sof, planes):
+    hgt, wid, comps = sof
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    out_planes = []
+    for c in comps:
+        p = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:hgt, :wid])
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def _decode_scan(data, pos, sof, scan, qtables, htables, restart_interval):
@@ -575,19 +1054,4 @@ def _decode_scan(data, pos, sof, scan, qtables, htables, restart_interval):
                         px = (mx * c["h"] + hh) * 8
                         planes[c["id"]][py:py + 8, px:px + 8] = blk
 
-    out_planes = []
-    for c in comps:
-        p = planes[c["id"]]
-        # upsample to full resolution by pixel replication
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        out_planes.append(p[:hgt, :wid])
-    if len(out_planes) == 1:
-        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = out_planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return _assemble_planes(sof, planes)

@@ -767,3 +767,60 @@ def test_multimodal_features_query_matches_local_reference(spark, sf_smoke):
             assert got[(did, "video/avi", idx)] == q(
                 _pooled_features(decode_jpeg_baseline(payload), 8)
             )
+
+
+def test_jpeg_progressive_decode_equals_baseline():
+    """Progressive (SOF2) streams carry exactly the same quantized
+    coefficients as baseline streams from the same image, so decoding
+    either must produce IDENTICAL arrays -- this gates every
+    progressive decode path at once: multi-scan accumulation, EOB
+    runs, DC/AC successive-approximation refinement, correction-bit
+    interleaving."""
+    from rag_vertex_ai_vector_search_spark.multimodal.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(7)
+    cases = [
+        rng.randint(0, 256, (32, 48)).astype(np.uint8),       # gray
+        rng.randint(0, 256, (17, 23)).astype(np.uint8),       # gray, odd
+        rng.randint(0, 256, (24, 40, 3)).astype(np.uint8),    # rgb
+        rng.randint(0, 256, (19, 21, 3)).astype(np.uint8),    # rgb, odd
+        np.full((16, 16), 128, np.uint8),                     # flat
+        (np.add.outer(np.arange(40) * 3, np.arange(56) * 2) % 256
+         ).astype(np.uint8),                                  # smooth
+    ]
+    for q in (50, 85, 95):
+        for img in cases:
+            prog = encode_jpeg_progressive(img, quality=q)
+            assert b"\xff\xc2" in prog[:200]  # really SOF2
+            assert np.array_equal(
+                decode_jpeg_baseline(prog),
+                decode_jpeg_baseline(encode_jpeg_baseline(img, quality=q)),
+            )
+
+
+def test_jpeg_progressive_through_image_pipeline(spark):
+    """Progressive JPEG bytes flow through decode_image and the Spark
+    featurize path like any other supported format."""
+    from rag_vertex_ai_vector_search_spark.multimodal import (
+        decode_image,
+        encode_jpeg_progressive,
+        extract_image_features,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        _pooled_features,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (24, 32, 3)).astype(np.uint8)
+    blob = encode_jpeg_progressive(img, quality=90)
+    df = spark.createDataFrame(
+        [("p1", "image/jpeg", bytearray(blob))],
+        "media_id string, media_type string, content binary",
+    )
+    out = extract_image_features(df, feature_dim=8, decoder=decode_image)
+    got = np.asarray(out.collect()[0].features, dtype=np.float32)
+    assert np.array_equal(got, _pooled_features(decode_image(blob), 8))
