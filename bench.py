@@ -81,7 +81,11 @@ def _knn_ivf(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
     )
-    return ivf_search(_IVF_CACHE["index"], queries, k=50, probe_percent=10.0)
+    # method pinned (not "auto") so the timing stays comparable across
+    # rounds -- auto adds one count() job before the same plan.
+    return ivf_search(
+        _IVF_CACHE["index"], queries, k=50, probe_percent=10.0, method="gemm"
+    )
 
 
 def _knn_gemm_join(spark, sf_dir):
@@ -174,8 +178,14 @@ BENCH_QUERIES = [
     ("corpus_quality_report", entrymod.q_corpus_quality_report),
     ("lm_surprisal", entrymod.q_lm_surprisal),
     ("lm_bigram_surprisal", entrymod.q_lm_bigram_surprisal),
+    ("lm_trigram_surprisal", entrymod.q_lm_trigram_surprisal),
     ("ccnet_quality_buckets", entrymod.q_ccnet_quality_buckets),
     ("dedup_spans", entrymod.q_dedup_spans),
+    # r5: the reference's full serving contract through the cascade
+    # (restrict pre-ADC + crowding on reranked scores)
+    ("knn_pq_restrict_crowding", entrymod.q_knn_pq_restrict_crowding),
+    # r5: synthesized-media decode + featurize across all 4 modalities
+    ("multimodal_features", entrymod.q_multimodal_features),
     # the capstone composition: 6 operators, one lineage, one oracle
     ("training_corpus_pipeline", entrymod.q_training_corpus_pipeline),
 ]

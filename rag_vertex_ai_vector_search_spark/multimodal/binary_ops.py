@@ -159,12 +159,48 @@ def _png_unfilter(
     return out
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_samples(
+    raw: np.ndarray, width: int, height: int, channels: int, depth: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter + unpack one (sub)image's scanline run into
+    (height, width, channels) uint8 SAMPLES. 16-bit narrows to the
+    high byte (the standard 16->8 reduction); sub-byte depths unpack
+    bit groups (values left unscaled -- the caller scales gray or
+    indexes the palette). Returns (samples, bytes_consumed)."""
+    bpp = max(1, channels * depth // 8)
+    stride = (width * channels * depth + 7) // 8
+    need = height * (1 + stride)
+    if raw.size < need:
+        raise NotImplementedError("PNG raster size mismatch")
+    px = _png_unfilter(raw[:need], height, stride, bpp)
+    if depth == 8:
+        return px.reshape(height, width, channels), need
+    if depth == 16:
+        # big-endian sample pairs: every even byte is the high byte
+        return px[:, 0::2].reshape(height, width, channels), need
+    # depth 1/2/4: spec limits these to 1-channel (gray or palette)
+    bits = np.unpackbits(px, axis=1)[:, : width * depth]
+    groups = bits.reshape(height, width, depth).astype(np.uint8)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (groups * weights).sum(axis=2).astype(np.uint8)
+    return vals.reshape(height, width, 1), need
+
+
 def _decode_png(data: bytes) -> np.ndarray:
     """REAL PNG decode in pure stdlib + numpy: chunk walk, zlib
-    inflate (stdlib), per-row unfilter. Supports 8-bit depth, color
-    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
-    non-interlaced -- the overwhelming majority of real-world PNGs.
-    16-bit and Adam7 interlacing raise NotImplementedError."""
+    inflate (stdlib), per-row unfilter. Full baseline matrix: bit
+    depths 1/2/4/8/16, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), non-interlaced AND Adam7-interlaced
+    (seven sub-image passes scattered onto the pixel grid). 16-bit
+    narrows to the high byte; alpha drops -- the output contract stays
+    (H, W) / (H, W, 3) uint8."""
     import zlib
 
     if data[:8] != _PNG_SIG:
@@ -189,30 +225,52 @@ def _decode_png(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise NotImplementedError("PNG missing IHDR")
     width, height, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if depth not in (1, 2, 4, 8, 16):
+        raise NotImplementedError(f"PNG bit depth {depth}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise NotImplementedError(f"PNG color type {color}")
+    if depth < 8 and color not in (0, 3):
+        raise NotImplementedError(
+            f"PNG bit depth {depth} invalid for color type {color}"
+        )
+    if interlace not in (0, 1):
+        raise NotImplementedError(f"PNG interlace method {interlace}")
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = width * channels
-    if raw.size != height * (1 + stride):
-        raise NotImplementedError("PNG raster size mismatch")
-    px = _png_unfilter(raw, height, stride, channels)
+
+    if interlace == 0:
+        samples, used = _png_samples(raw, width, height, channels, depth)
+        if raw.size != used:
+            raise NotImplementedError("PNG raster size mismatch")
+    else:
+        samples = np.zeros((height, width, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sub, used = _png_samples(raw[off:], wp, hp, channels, depth)
+            off += used
+            samples[y0::dy, x0::dx] = sub
+        if off != raw.size:
+            raise NotImplementedError("PNG raster size mismatch")
+
     if color == 3:
         if palette is None:
             raise NotImplementedError("palette PNG missing PLTE")
-        return palette[px.reshape(height, width)]
+        return palette[samples.reshape(height, width)]
+    if color == 0 and depth < 8:
+        # scale sub-byte gray to full range (e.g. 1-bit: 0/1 -> 0/255)
+        scale = 255 // ((1 << depth) - 1)
+        return (samples.reshape(height, width) * scale).astype(np.uint8)
     if channels == 1:
-        return px.reshape(height, width).copy()
-    img = px.reshape(height, width, channels)
+        return samples.reshape(height, width).copy()
     if color == 4:  # gray+alpha -> drop alpha
-        return img[:, :, 0].copy()
+        return samples[:, :, 0].copy()
     if color == 6:  # RGBA -> drop alpha
-        return img[:, :, :3].copy()
-    return img.copy()
+        return samples[:, :, :3].copy()
+    return samples.copy()
 
 
 def encode_png(img: np.ndarray, *, filter_type: int = 0) -> bytes:

@@ -19,7 +19,7 @@ vectors where k-means layouts can't help).
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vector import dot_product
@@ -69,26 +69,42 @@ def lsh_topk(
     n_planes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    restrict: Column | None = None,
+    per_crowding_k: int | None = None,
+    crowding_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only bucket-colliding candidates.
 
-    Returns (query_id, rank, neighbor_id, score) like knn_search; rows
-    with no collision in any band are unreachable (that is the
-    approximation).
+    Returns (query_id, rank, neighbor_id, score[, crowding_col]) like
+    knn_search; rows with no collision in any band are unreachable
+    (that is the approximation).
+
+    ``restrict`` / ``per_crowding_k`` / ``crowding_col`` compose the
+    reference's serving contract (Q3-Q5) over this path too: the
+    restrict filters the index BEFORE bucketing (pushed to the scan,
+    and restricted-out rows never enter the candidate join), crowding
+    caps via the same two-window ranking as the exact path. With
+    n_planes=0 every pair collides, so restricted+crowded LSH provably
+    equals exact restricted+crowded kNN -- the full-cover gate.
     """
-    dim = None
+    from .knn import _ranked
+
+    if restrict is not None:
+        index_df = index_df.filter(restrict)
     # derive dim from any query row (cheap: queries are the small side)
     first = queries_df.select(F.size(query_vec_col)).first()
     if first is None:
         return knn_empty(index_df, queries_df, query_id_col, id_col)
     dim = first[0]
     planes = _hyperplanes(dim, n_planes, seed)
+    extra_cols = [crowding_col] if crowding_col else []
 
     idx = index_df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_v"),
+        *extra_cols,
         F.explode(_band_buckets(F.col(vec_col), planes, bands)).alias("_b"),
-    ).select("neighbor_id", "_v", "_b.band_id", "_b.bucket")
+    ).select("neighbor_id", "_v", *extra_cols, "_b.band_id", "_b.bucket")
 
     qry = queries_df.select(
         F.col(query_id_col).alias("query_id"),
@@ -98,7 +114,7 @@ def lsh_topk(
 
     candidates = (
         idx.join(F.broadcast(qry), ["band_id", "bucket"])
-        .select("query_id", "neighbor_id", "_q", "_v")
+        .select("query_id", "neighbor_id", "_q", "_v", *extra_cols)
         .dropDuplicates(["query_id", "neighbor_id"])
     )
 
@@ -106,14 +122,10 @@ def lsh_topk(
         "query_id",
         "neighbor_id",
         dot_product("_q", "_v").alias("score"),
+        *extra_cols,
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score")
+    return _ranked(scored, k, per_crowding_k, crowding_col).select(
+        "query_id", "rank", "neighbor_id", "score", *extra_cols,
     )
 
 

@@ -141,11 +141,19 @@ def ivf2_search(
     probe_fine_percent: float = 25.0,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vector",
+    restrict=None,
+    per_crowding_k: int | None = None,
+    crowding_col: str | None = None,
 ) -> DataFrame:
     """Hierarchically pruned top-k: probe top coarse buckets, then top
     fine leaves within each probed bucket; exact fold scoring over the
     per-query leaf set. Probe assignment runs on executors (the
-    codebook tensors ship in the UDF closure)."""
+    codebook tensors ship in the UDF closure).
+
+    ``restrict`` / ``per_crowding_k`` / ``crowding_col``: the
+    reference's Q3-Q5 serving contract composed over the hierarchy --
+    restrict filters the pruned candidate scan (pushed below scoring),
+    crowding caps via the shared two-window ranking."""
     C, Fh = index.coarse.shape[0], index.fine.shape[1]
     pc = max(1, int(round(C * probe_coarse_percent / 100.0)))
     pf = max(1, int(round(Fh * probe_fine_percent / 100.0)))
@@ -178,6 +186,9 @@ def ivf2_search(
         pruned_q.select(F.explode("_probe").alias("c")).distinct().collect()
     )
     candidates = index.assigned.filter(F.col("cluster_id").isin(all_probed))
+    if restrict is not None:
+        candidates = candidates.filter(restrict)
+    extra_cols = [crowding_col] if crowding_col else []
     scored = (
         candidates.crossJoin(F.broadcast(pruned_q))
         .filter(F.array_contains(F.col("_probe"), F.col("cluster_id")))
@@ -185,8 +196,9 @@ def ivf2_search(
             "query_id",
             F.col(index.id_col).alias("neighbor_id"),
             dot_product(F.col("_qvec"), F.col(index.vec_col)).alias("score"),
+            *extra_cols,
         )
     )
-    return _ranked(scored, k, None, None).select(
-        "query_id", "rank", "neighbor_id", "score"
+    return _ranked(scored, k, per_crowding_k, crowding_col).select(
+        "query_id", "rank", "neighbor_id", "score", *extra_cols
     )

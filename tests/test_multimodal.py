@@ -370,24 +370,36 @@ def test_png_unsupported_forms_raise():
             + _struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    # 16-bit depth
-    png16 = (
+    # 16-bit and Adam7 are SUPPORTED since r5 (see test_png_16bit_and_
+    # subbyte_depths / test_png_adam7_interlaced); the remaining raises
+    # are genuinely invalid forms.
+    # invalid bit depth
+    png3 = (
         _PNG_SIG
-        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
-        + chunk(b"IDAT", zlib.compress(bytes([0, 0, 0])))
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 1, 1, 3, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes([0, 0])))
         + chunk(b"IEND", b"")
     )
     with pytest.raises(NotImplementedError, match="bit depth"):
-        _decode_png(png16)
-    # interlaced
-    pngi = (
+        _decode_png(png3)
+    # sub-byte depth on a truecolor type (spec-invalid combination)
+    png_bad_combo = (
         _PNG_SIG
-        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 1, 1, 4, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes([0, 0])))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="color type"):
+        _decode_png(png_bad_combo)
+    # unknown interlace method
+    pngi2 = (
+        _PNG_SIG
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 2))
         + chunk(b"IDAT", zlib.compress(bytes([0, 0])))
         + chunk(b"IEND", b"")
     )
     with pytest.raises(NotImplementedError, match="interlace"):
-        _decode_png(pngi)
+        _decode_png(pngi2)
 
 
 def test_image_features_on_png_column(spark):
@@ -824,3 +836,116 @@ def test_jpeg_progressive_through_image_pipeline(spark):
     out = extract_image_features(df, feature_dim=8, decoder=decode_image)
     got = np.asarray(out.collect()[0].features, dtype=np.float32)
     assert np.array_equal(got, _pooled_features(decode_image(blob), 8))
+
+
+def _png_chunks(ihdr_body, idat_raw, palette=None):
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_body)
+    if palette is not None:
+        out += chunk(b"PLTE", palette)
+    out += chunk(b"IDAT", zlib.compress(idat_raw)) + chunk(b"IEND", b"")
+    return out
+
+
+def test_png_16bit_and_subbyte_depths():
+    """16-bit narrows to the high byte; 1/2/4-bit gray scales to full
+    range; 4-bit palette indexes correctly -- all hand-constructed
+    streams with known pixels."""
+    import struct
+
+    from rag_vertex_ai_vector_search_spark.multimodal import decode_image
+
+    # 16-bit grayscale 3x2: value = high<<8 | low; expect the high byte
+    rng = np.random.RandomState(5)
+    hi = rng.randint(0, 256, (2, 3)).astype(np.uint8)
+    lo = rng.randint(0, 256, (2, 3)).astype(np.uint8)
+    raw = bytearray()
+    for r in range(2):
+        raw.append(0)
+        for c in range(3):
+            raw += bytes([hi[r, c], lo[r, c]])
+    png = _png_chunks(struct.pack(">IIBBBBB", 3, 2, 16, 0, 0, 0, 0), bytes(raw))
+    assert np.array_equal(decode_image(png), hi)
+
+    # 16-bit RGB 2x2
+    hi3 = rng.randint(0, 256, (2, 2, 3)).astype(np.uint8)
+    raw = bytearray()
+    for r in range(2):
+        raw.append(0)
+        for c in range(2):
+            for ch in range(3):
+                raw += bytes([hi3[r, c, ch], 0x7F])
+    png = _png_chunks(struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0), bytes(raw))
+    assert np.array_equal(decode_image(png), hi3)
+
+    # 1-bit gray 10x2 (stride rounds up to 2 bytes/row); 0/1 -> 0/255
+    bits = rng.randint(0, 2, (2, 10)).astype(np.uint8)
+    raw = bytearray()
+    for r in range(2):
+        raw.append(0)
+        packed = np.packbits(bits[r], bitorder="big")
+        raw += packed.tobytes()
+    png = _png_chunks(struct.pack(">IIBBBBB", 10, 2, 1, 0, 0, 0, 0), bytes(raw))
+    assert np.array_equal(decode_image(png), bits * 255)
+
+    # 4-bit palette 3x2 (odd width: low nibble of last byte is padding)
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    idx = np.array([[1, 15, 7], [0, 3, 12]], dtype=np.uint8)
+    raw = bytearray()
+    for r in range(2):
+        raw.append(0)
+        raw += bytes([(idx[r, 0] << 4) | idx[r, 1], idx[r, 2] << 4])
+    png = _png_chunks(
+        struct.pack(">IIBBBBB", 3, 2, 4, 3, 0, 0, 0), bytes(raw),
+        palette=pal.tobytes(),
+    )
+    assert np.array_equal(decode_image(png), pal[idx])
+
+
+def test_png_adam7_interlaced():
+    """Adam7: seven per-pass sub-images scatter back onto the pixel
+    grid; decode of a hand-interlaced stream equals the reference
+    image, for 8-bit RGB and 16-bit gray, at sizes exercising empty
+    and partial passes."""
+    import struct
+
+    from rag_vertex_ai_vector_search_spark.multimodal import decode_image
+
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    rng = np.random.RandomState(9)
+    for h, w in ((13, 11), (8, 8), (3, 5), (1, 9)):
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        raw = bytearray()
+        for x0, y0, dx, dy in passes:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for row in sub:
+                raw.append(0)
+                raw += row.astype(np.uint8).tobytes()
+        png = _png_chunks(
+            struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1), bytes(raw)
+        )
+        assert np.array_equal(decode_image(png), img), (h, w)
+
+    # 16-bit gray interlaced: expect the high bytes back
+    h, w = 9, 6
+    hi = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = hi[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw.append(0)
+            for v in row:
+                raw += bytes([int(v), 0x55])
+    png = _png_chunks(struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 1), bytes(raw))
+    assert np.array_equal(decode_image(png), hi)

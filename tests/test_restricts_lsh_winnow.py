@@ -87,3 +87,50 @@ def test_winnowing_shared_substring(spark):
         for r in df.select("doc_id", winnowing_fingerprints("text").alias("fp")).collect()
     }
     assert fps == again
+
+
+def test_restrict_crowding_compose_over_all_ann_families(spark, sf_smoke):
+    """Q3-Q5 through EVERY approximate path: at full cover (zero-plane
+    LSH, 100% probe IVF2) restricted+crowded search must equal exact
+    restricted+crowded kNN -- no family silently loses the serving
+    contract when a user switches index types."""
+    from pyspark.sql import functions as F
+
+    from rag_vertex_ai_vector_search_spark.operators import knn_search, lsh_topk
+    from rag_vertex_ai_vector_search_spark.operators.ivf2 import (
+        build_ivf2_index,
+        ivf2_search,
+    )
+    from rag_vertex_ai_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    restrict = F.col("label").isin(0, 1, 2) & (F.col("vec_id") >= 30)
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    cols = ("query_id", "rank", "neighbor_id", "score", "label")
+    exact = sorted(
+        tuple(r) for r in knn_search(
+            emb, queries, k=8, restrict=restrict,
+            per_crowding_k=2, crowding_col="label", method="fold",
+        ).select(*cols).collect()
+    )
+
+    lsh = sorted(
+        tuple(r) for r in lsh_topk(
+            emb, queries, k=8, n_planes=0, bands=1,
+            restrict=restrict, per_crowding_k=2, crowding_col="label",
+        ).select(*cols).collect()
+    )
+    assert lsh == exact
+
+    ivf2 = build_ivf2_index(emb, n_coarse=3, n_fine=3)
+    hier = sorted(
+        tuple(r) for r in ivf2_search(
+            ivf2, queries, k=8,
+            probe_coarse_percent=100.0, probe_fine_percent=100.0,
+            restrict=restrict, per_crowding_k=2, crowding_col="label",
+        ).select(*cols).collect()
+    )
+    assert hier == exact
