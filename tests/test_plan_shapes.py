@@ -143,3 +143,50 @@ def test_ccnet_buckets_window_is_partitioned(spark, sf_smoke):
     # the Window spec carries the lang partition key
     window_lines = [l for l in plan.splitlines() if "ntile" in l]
     assert any("lang" in l for l in window_lines), window_lines
+
+
+def test_pq_restrict_pushed_into_partition_pruned_code_scan(
+    spark, sf_smoke, tmp_path
+):
+    """The cascade's Q3/Q4 claim at the physical layer: on a saved
+    partitionBy("cluster_id") code layout, the cluster probe filter
+    must be PARTITION pruning (PartitionFilters) and the restrict must
+    reach the parquet scan as PushedFilters -- unprobed leaves are
+    unread bytes and restricted-out rows never leave the scan."""
+    from rag_vertex_ai_vector_search_spark.operators.ivf import build_ivf_index
+    from rag_vertex_ai_vector_search_spark.operators.pq import (
+        PQIndex, encode_pq, pq_search_rerank, train_pq,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    ivf = build_ivf_index(emb, n_clusters=4)
+    books = train_pq(emb, m=8, ksub=16, iters=2, sample_rows=300)
+    pq = encode_pq(ivf.assigned, books, keep_cols=("cluster_id", "label"))
+    path = str(tmp_path / "codes")
+    pq.codes.write.partitionBy("cluster_id").parquet(path)
+    codes = spark.read.parquet(path)
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    index = PQIndex(
+        codes=codes.filter(F.col("cluster_id").isin(0, 2)),
+        books=books, id_col="vec_id",
+    )
+    out = pq_search_rerank(
+        index, ivf.assigned, queries, k=3,
+        restrict=F.col("label").isin(1, 2, 3),
+        method="broadcast",
+    )
+    plan = _plan(out)
+    scan_lines = [
+        l for l in plan.splitlines()
+        if "FileScan" in l and "codes" in l
+    ]
+    assert scan_lines, plan
+    assert any("PartitionFilters" in l and "cluster_id" in l
+               for l in scan_lines), scan_lines
+    assert any("PushedFilters" in l and "label" in l
+               for l in scan_lines), scan_lines
+    assert "CartesianProduct" not in plan
