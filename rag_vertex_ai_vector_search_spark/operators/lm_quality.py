@@ -191,6 +191,22 @@ def _positioned_words2(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def trigram_position_counts(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(prev2, prev, word, n) over the BOS-padded position stream --
+    the SINGLE sufficient statistic for the interpolated trigram
+    ladder: every lower-order table (bigram, contexts, unigram, totals)
+    derives from it by exact integer sums, which is what lets the
+    streaming maintenance (streaming/ngram.py) keep one table and the
+    scorer derive the rest bit-exactly."""
+    return (
+        _positioned_words2(df, id_col, text_col)
+        .groupBy("prev2", "prev", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def trigram_surprisal(
     df: DataFrame,
     *,
@@ -198,6 +214,7 @@ def trigram_surprisal(
     text_col: str = "text",
     alpha: float = 0.5,
     lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_words, avg_surprisal_nats) under an INTERPOLATED BACKOFF
     trigram model -- the next rung of the CCNet ladder toward a real
@@ -225,18 +242,34 @@ def trigram_surprisal(
     lags), then count-table joins -- the trigram table (bounded by
     distinct trigrams) is the only table a bigram scorer doesn't
     already shuffle. The only driver-side values are the scalars N, V.
+
+    ``counts``: a prebuilt (prev2, prev, word, n) trigram-position
+    table (e.g. the streaming-maintained one from streaming/ngram.py).
+    Every lower-order table derives from it by exact integer sums, so
+    scoring under ``counts`` built from the same corpus is bit-equal
+    to self-scoring; a table built from a REFERENCE corpus gives the
+    CCNet setup (score web text under a clean-corpus model), with
+    unseen n-grams coalescing to zero counts.
     """
     l3, l2, l1 = (float(x) for x in lambdas)
     words = _positioned_words2(df, id_col, text_col)
-    tri_counts = words.groupBy("prev2", "prev", "word").agg(
-        F.count(F.lit(1)).alias("n3")
+    tri = (
+        counts if counts is not None
+        else trigram_position_counts(df, id_col=id_col, text_col=text_col)
     )
-    tri_ctx = words.groupBy("prev2", "prev").agg(F.count(F.lit(1)).alias("c3"))
-    bi_counts = words.groupBy("prev", "word").agg(F.count(F.lit(1)).alias("n2"))
-    bi_ctx = words.groupBy("prev").agg(F.count(F.lit(1)).alias("n1"))
-    uni_counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n0"))
-    totals = words.agg(
-        F.count(F.lit(1)).alias("_N"),
+    tri_counts = tri.select(
+        "prev2", "prev", "word", F.col("n").cast("long").alias("n3")
+    )
+    tri_ctx = tri.groupBy("prev2", "prev").agg(
+        F.sum("n").cast("long").alias("c3")
+    )
+    bi_counts = tri.groupBy("prev", "word").agg(
+        F.sum("n").cast("long").alias("n2")
+    )
+    bi_ctx = tri.groupBy("prev").agg(F.sum("n").cast("long").alias("n1"))
+    uni_counts = tri.groupBy("word").agg(F.sum("n").cast("long").alias("n0"))
+    totals = tri.agg(
+        F.sum("n").alias("_N"),
         F.countDistinct("word").alias("_V"),
     ).collect()[0]
     n_total, vocab = float(totals._N), float(totals._V)
