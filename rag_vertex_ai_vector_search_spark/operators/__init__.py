@@ -23,11 +23,35 @@ from .tokenizer import bpe_merge_pairs, vocab_coverage_report
 from .lm_quality import (
     bigram_surprisal,
     surprisal_buckets,
+    trigram_position_counts,
+    trigram_surprisal,
     unigram_surprisal,
 )
+from .pq import (
+    PQIndex,
+    encode_pq,
+    ivf_pq_search,
+    pq_search_rerank,
+    pq_topk,
+    pq_topk_cogroup,
+    train_pq,
+)
+from .ivf2 import IVF2Index, build_ivf2_index, ivf2_search
 
 __all__ = [
     "bigram_surprisal",
+    "trigram_position_counts",
+    "trigram_surprisal",
+    "PQIndex",
+    "encode_pq",
+    "ivf_pq_search",
+    "pq_search_rerank",
+    "pq_topk",
+    "pq_topk_cogroup",
+    "train_pq",
+    "IVF2Index",
+    "build_ivf2_index",
+    "ivf2_search",
     "bpe_merge_pairs",
     "duplicate_span_stats",
     "surprisal_buckets",

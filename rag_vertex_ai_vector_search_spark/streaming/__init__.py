@@ -6,6 +6,18 @@ from .rollup import (
     read_rollup,
     stream_rollup_events,
 )
+from .vocab import (
+    apply_vocab_batch,
+    compact_vocab,
+    read_vocab,
+    stream_vocab_counts,
+)
+from .ngram import (
+    apply_ngram_batch,
+    compact_ngrams,
+    read_ngram_counts,
+    stream_ngram_counts,
+)
 
 __all__ = [
     "stream_merge_into_index",
@@ -14,4 +26,12 @@ __all__ = [
     "apply_rollup_batch",
     "read_rollup",
     "compact_rollup",
+    "apply_vocab_batch",
+    "compact_vocab",
+    "read_vocab",
+    "stream_vocab_counts",
+    "apply_ngram_batch",
+    "compact_ngrams",
+    "read_ngram_counts",
+    "stream_ngram_counts",
 ]
