@@ -933,6 +933,78 @@ FROM toks t LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def q_dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level boilerplate removal
+    (operators/dedup.py::dedup_boilerplate_lines): lines duplicated
+    across documents are dropped and each document's surviving lines
+    reassemble in order. The fixture text has no newlines, so the query
+    first segments every document into 8-word "lines" with the proven
+    slice parity pattern (Spark slice(ws, i, L) == DuckDB 1-based
+    inclusive list slice), then removes segments appearing in more
+    than one distinct document (the exact-duplicate docs planted in
+    the fixture guarantee removals). Output pins the reassembled text
+    by sha256 -- bit-exact against the DuckDB string_agg ORDER BY
+    mirror."""
+    from rag_vertex_ai_vector_search_spark.operators.dedup import (
+        dedup_boilerplate_lines,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    ws = F.split(F.col("text"), " ")
+    lined = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size(ws) - F.lit(1)) / F.lit(8)).cast("int"),
+                ),
+                lambda i: F.array_join(
+                    F.slice(ws, i * F.lit(8) + F.lit(1), F.lit(8)), " "
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = dedup_boilerplate_lines(lined, max_line_df=1)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.sha2(F.col("text"), 256).alias("clean_sha"),
+    )
+
+
+_SQL_DEDUP_BOILERPLATE = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         i AS pos,
+         array_to_string(w[(i * 8 + 1):(i * 8 + 8)], ' ') AS line
+  FROM ws,
+       unnest(generate_series(
+         0, CAST(floor((len(w) - 1) / 8) AS BIGINT))) AS t(i)
+),
+counts AS (
+  SELECT line, count(DISTINCT doc_id) AS ldf FROM lines GROUP BY line
+),
+flagged AS (
+  SELECT l.doc_id, l.pos, l.line, (c.ldf <= 1) AS keep
+  FROM lines l JOIN counts c USING (line)
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       sha256(coalesce(
+         string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos),
+         '')) AS clean_sha
+FROM flagged
+GROUP BY doc_id
+"""
+
+
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dup via shared winnowing fingerprints (catches
     copied passages that set-level Jaccard misses). FULLY oracle-checked
@@ -2856,7 +2928,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": q_events_json_props,
         "parts_never_shipped": q_parts_never_shipped,
         "asof_latest_signup": q_asof_latest_signup,
-        "token_gate_violations": q_token_gate_violations,
         "price_percentiles": q_price_percentiles,
         # -- vector search surface -------------------------------------
         "knn_topk": q_knn_topk,
@@ -2871,6 +2942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_datapoints": q_ingest_datapoints,
         # -- dedup suite -----------------------------------------------
         "dedup_exact": q_dedup_exact,
+        "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
         "dedup_spans": q_dedup_spans,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -2943,6 +3015,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_restrict": q_knn_restrict,
         "knn_crowding": q_knn_crowding,
+        "token_gate_violations": q_token_gate_violations,
         "pivot_qty_by_status": q_pivot_qty_by_status,
         "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2972,7 +3045,6 @@ def oracle_sql() -> dict[str, str]:
         "events_json_props": _SQL_EVENTS_JSON,
         "parts_never_shipped": _SQL_PARTS_NEVER_SHIPPED,
         "asof_latest_signup": _SQL_ASOF_SIGNUP,
-        "token_gate_violations": _SQL_TOKEN_GATE,
         "price_percentiles": _SQL_PERCENTILES,
         "knn_topk": _SQL_KNN_TOPK,
         "knn_hydrated": _SQL_KNN_HYDRATED,
@@ -2985,6 +3057,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_metadata": _SQL_INGEST_METADATA,
         "ingest_datapoints": _SQL_INGEST_DATAPOINTS,
         "dedup_exact": _SQL_DEDUP_EXACT,
+        "dedup_boilerplate_lines": _SQL_DEDUP_BOILERPLATE,
         "dedup_spans": _SQL_DEDUP_SPANS,
         "dedup_minhash_lsh": _sql_minhash_lsh(),
         "dedup_simhash": _SQL_DEDUP_SIMHASH,
@@ -3022,6 +3095,7 @@ def oracle_sql_archive() -> dict[str, str]:
     return {
         "knn_restrict": _SQL_KNN_RESTRICT,
         "knn_crowding": _SQL_KNN_CROWDING,
+        "token_gate_violations": _SQL_TOKEN_GATE,
         "pivot_qty_by_status": _SQL_PIVOT_QTY,
         "distinct_parts_per_supplier": _SQL_DISTINCT_PARTS,
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,

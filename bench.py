@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     ("lm_trigram_surprisal", entrymod.q_lm_trigram_surprisal),
     ("ccnet_quality_buckets", entrymod.q_ccnet_quality_buckets),
     ("dedup_spans", entrymod.q_dedup_spans),
+    ("dedup_boilerplate_lines", entrymod.q_dedup_boilerplate_lines),
     # r5: the reference's full serving contract through the cascade
     # (restrict pre-ADC + crowding on reranked scores)
     ("knn_pq_restrict_crowding", entrymod.q_knn_pq_restrict_crowding),

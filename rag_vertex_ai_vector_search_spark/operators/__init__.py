@@ -2,6 +2,7 @@ from .knn import knn_search, knn_search_blocked, brute_force_topk, gemm_topk_cog
 from .ivf import IVFIndex, build_ivf_index, ivf_search, ivf_search_blocked
 from .upsert import merge_by_key, point_lookup, point_update
 from .dedup import (
+    dedup_boilerplate_lines,
     dedup_exact,
     duplicate_span_stats,
     duplicate_clusters,
@@ -68,6 +69,7 @@ __all__ = [
     "merge_by_key",
     "point_lookup",
     "point_update",
+    "dedup_boilerplate_lines",
     "dedup_exact",
     "duplicate_clusters",
     "minhash_candidate_pairs",

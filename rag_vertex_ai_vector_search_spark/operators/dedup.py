@@ -620,3 +620,63 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def dedup_boilerplate_lines(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_line_df: int = 1,
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/RefinedWeb paragraph
+    dedup stage): drop every line that appears in MORE than
+    ``max_line_df`` distinct documents (navigation bars, cookie
+    banners, license footers -- the exact-duplicate text that document-
+    level dedup cannot touch because the surrounding documents differ),
+    then reassemble each document's surviving lines in order.
+
+    Returns (id_col, n_lines, n_removed, text) -- every input document
+    is present, including fully-boilerplate ones (empty text).
+
+    Scale shape: one narrow posexplode (documents -> lines), ONE
+    shuffle for the line document-frequency table (map-side combine
+    absorbs the duplicated-line mass -- the heaviest lines are exactly
+    the ones combiners collapse), one shuffle-join back (AQE picks the
+    strategy; the df table is bounded by distinct lines), and a per-doc
+    sorted-struct reassembly on the same doc-keyed shuffle the final
+    aggregate needs anyway. No pairwise comparison anywhere -- cost is
+    linear in corpus lines at any scale.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    counts = lines.groupBy("line").agg(
+        F.countDistinct(id_col).alias("_line_df")
+    )
+    flagged = lines.join(counts, "line").withColumn(
+        "_keep", F.col("_line_df") <= F.lit(max_line_df)
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((~F.col("_keep")).cast("long")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                sep,
+            ).alias(text_col),
+        )
+    )

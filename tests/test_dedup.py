@@ -276,3 +276,36 @@ def test_duplicate_span_stats_within_doc_repeat(spark):
     out = duplicate_span_stats(df, span_tokens=3).collect()[0]
     assert out.n_spans == 7
     assert out.n_dup_spans == 7  # every 3-gram here occurs >= 2 times
+
+
+def test_dedup_boilerplate_lines_semantics(spark):
+    """Planted boilerplate: a footer shared by 3 docs is removed
+    everywhere, unique lines survive in order, a line repeated WITHIN
+    one doc stays (df counts distinct docs), and a fully-boilerplate
+    doc comes back with empty text instead of disappearing."""
+    from rag_vertex_ai_vector_search_spark.operators.dedup import (
+        dedup_boilerplate_lines,
+    )
+
+    footer = "copyright acme corp all rights reserved"
+    rows = [
+        (1, f"alpha unique one\n{footer}\nbravo unique two"),
+        (2, f"charlie unique\n{footer}"),
+        (3, f"{footer}\ndelta unique\ndelta unique"),
+        (4, footer),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_boilerplate_lines(
+        df, max_line_df=1
+    ).collect()}
+
+    assert len(out) == 4
+    assert out[1].text == "alpha unique one\nbravo unique two"
+    assert (out[1].n_lines, out[1].n_removed) == (3, 1)
+    assert out[2].text == "charlie unique"
+    # within-doc repetition is NOT boilerplate (distinct-doc frequency)
+    assert out[3].text == "delta unique\ndelta unique"
+    assert (out[3].n_lines, out[3].n_removed) == (3, 1)
+    # fully-boilerplate doc: present, empty
+    assert out[4].text == ""
+    assert (out[4].n_lines, out[4].n_removed) == (1, 1)
