@@ -1460,6 +1460,37 @@ FROM t
 """
 
 
+def q_dataset_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-domain cap (operators/splits.py::
+    cap_per_group): at most 10 documents per source survive, chosen by
+    deterministic sha60 hash order -- an unbiased but fully
+    reproducible shuffle that stays stable under corpus growth. The
+    oracle reproduces the hash ranking bit-exactly via the proven
+    sha60 mirror."""
+    from rag_vertex_ai_vector_search_spark.operators.splits import (
+        cap_per_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = cap_per_group(
+        docs, group_col="source", id_col="doc_id",
+        max_per_group=10, salt="cap1",
+    )
+    return out.select("doc_id", "source")
+
+
+_SQL_DOMAIN_CAP = f"""
+WITH ranked AS (
+  SELECT doc_id, source, row_number() OVER (
+    PARTITION BY source
+    ORDER BY {_sql_sha60("'cap1|' || CAST(doc_id AS VARCHAR)")} ASC,
+             doc_id ASC) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rn <= 10
+"""
+
+
 def q_packed_sequence_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized training sequences (operators/pack.py::
     concat_sequences): documents packed within language into 512-token
@@ -2926,7 +2957,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- first driver-gated in r3 ----------------------------------
         "orders_above_customer_avg": q_orders_above_customer_avg,
         "events_json_props": q_events_json_props,
-        "parts_never_shipped": q_parts_never_shipped,
         "asof_latest_signup": q_asof_latest_signup,
         "price_percentiles": q_price_percentiles,
         # -- vector search surface -------------------------------------
@@ -2956,6 +2986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "pii_scrub": q_pii_scrub,
         "dataset_decontaminate": q_dataset_decontaminate,
+        "dataset_domain_cap": q_dataset_domain_cap,
         "dataset_mix_upsample": q_dataset_mix_upsample,
         "packed_sequence_texts": q_packed_sequence_texts,
         "corpus_quality_report": q_corpus_quality_report,
@@ -3016,6 +3047,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_restrict": q_knn_restrict,
         "knn_crowding": q_knn_crowding,
         "token_gate_violations": q_token_gate_violations,
+        "parts_never_shipped": q_parts_never_shipped,
         "pivot_qty_by_status": q_pivot_qty_by_status,
         "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3043,7 +3075,6 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh_full_cover": _SQL_KNN_TOPK,
         "orders_above_customer_avg": _SQL_ORDERS_ABOVE_AVG,
         "events_json_props": _SQL_EVENTS_JSON,
-        "parts_never_shipped": _SQL_PARTS_NEVER_SHIPPED,
         "asof_latest_signup": _SQL_ASOF_SIGNUP,
         "price_percentiles": _SQL_PERCENTILES,
         "knn_topk": _SQL_KNN_TOPK,
@@ -3070,6 +3101,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _SQL_TEXT_REPETITION,
         "pii_scrub": _SQL_PII_SCRUB,
         "dataset_decontaminate": _SQL_DECONTAMINATE,
+        "dataset_domain_cap": _SQL_DOMAIN_CAP,
         "dataset_mix_upsample": _SQL_MIX_UPSAMPLE,
         "packed_sequence_texts": _SQL_PACKED_SEQ_TEXTS,
         "corpus_quality_report": _SQL_CORPUS_REPORT,
@@ -3096,6 +3128,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "knn_restrict": _SQL_KNN_RESTRICT,
         "knn_crowding": _SQL_KNN_CROWDING,
         "token_gate_violations": _SQL_TOKEN_GATE,
+        "parts_never_shipped": _SQL_PARTS_NEVER_SHIPPED,
         "pivot_qty_by_status": _SQL_PIVOT_QTY,
         "distinct_parts_per_supplier": _SQL_DISTINCT_PARTS,
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,

@@ -19,7 +19,12 @@ from .ann_lsh import lsh_topk
 from .cluster import connected_components, dedup_keep_one
 from .chunk import chunk_documents
 from .ranking import bm25_topk
-from .splits import assign_splits, split_assignment, split_bounds
+from .splits import (
+    assign_splits,
+    cap_per_group,
+    split_assignment,
+    split_bounds,
+)
 from .tokenizer import bpe_merge_pairs, vocab_coverage_report
 from .lm_quality import (
     bigram_surprisal,
@@ -88,6 +93,7 @@ __all__ = [
     "chunk_documents",
     "bm25_topk",
     "assign_splits",
+    "cap_per_group",
     "split_assignment",
     "split_bounds",
 ]

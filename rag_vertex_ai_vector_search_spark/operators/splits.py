@@ -171,3 +171,47 @@ def assign_splits(
         id_col, weights=weights, salt=salt, buckets=buckets, base_hash=base_hash
     )
     return df.withColumn(bucket_col, bucket).withColumn(split_col, split)
+
+
+def cap_per_group(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    max_per_group: int = 100,
+    salt: str = "cap1",
+    base_hash: str = "sha60",
+) -> DataFrame:
+    """Deterministic per-group cap -- the RefinedWeb-style per-domain
+    limit (no single site may dominate the corpus). Rows rank within
+    their group by ``H(salt || id)`` (hash order == an unbiased but
+    fully reproducible shuffle; the id tiebreak makes ranks total), and
+    only the first ``max_per_group`` survive.
+
+    Properties the hash ordering buys at 100 TB:
+    - reproducible across runs, cluster sizes, and partitionings;
+    - STABLE UNDER GROWTH in the keep direction a training pipeline
+      wants: newly crawled pages insert into the hash order uniformly,
+      so the kept set churns minimally instead of shifting wholesale;
+    - unbiased within the group (no correlation with crawl order or
+      storage order, which plain LIMIT would have).
+
+    One shuffle keyed on the group column; per-group state is a
+    row_number stream, and group skew is bounded by the biggest
+    domain's row count (salt the group into sub-shards first if one
+    domain exceeds a task's comfort).
+    """
+    from pyspark.sql import Window
+
+    hash_fn = base_hash_fn(base_hash)
+    order = hash_fn(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        order.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_cap_rn", F.row_number().over(w))
+        .filter(F.col("_cap_rn") <= max_per_group)
+        .drop("_cap_rn")
+    )

@@ -155,3 +155,50 @@ def test_packing_efficiency_spill_never_exceeds_one(spark):
     assert eff.n_seqs == 2
     assert abs(eff.fill_fraction - 800 / 1024) < 1e-12
     assert eff.fill_fraction <= 1.0
+
+
+def test_cap_per_group_deterministic_capped_and_growth_stable(spark, sf_smoke):
+    """Per-domain cap: deterministic across runs, never more than the
+    cap per group, and stable under growth (new rows insert uniformly
+    into the hash order, so the kept set churns proportionally instead
+    of shifting wholesale)."""
+    from pyspark.sql import functions as F
+
+    from rag_vertex_ai_vector_search_spark.operators.splits import (
+        cap_per_group,
+    )
+    from rag_vertex_ai_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "source")
+    a = {(r.doc_id, r.source) for r in cap_per_group(
+        docs, max_per_group=10).collect()}
+    b = {(r.doc_id, r.source) for r in cap_per_group(
+        docs, max_per_group=10).collect()}
+    assert a == b
+
+    import collections
+
+    per = collections.Counter(s for _, s in a)
+    n_groups = docs.select("source").distinct().count()
+    assert len(per) == n_groups
+    assert max(per.values()) <= 10
+    # groups with >= 10 docs are capped exactly
+    sizes = {r.source: r["count"] for r in
+             docs.groupBy("source").count().collect()}
+    for src, n in sizes.items():
+        assert per[src] == min(10, n)
+
+    # growth: add 5 synthetic docs per source; most of the kept set
+    # survives (expected churn ~ cap * new/(old+new))
+    extra = docs.select("source").distinct().withColumn(
+        "doc_id", F.xxhash64("source") + 1_000_000
+    ).select("doc_id", "source")
+    grown = docs.unionByName(extra)
+    c = {(r.doc_id, r.source) for r in cap_per_group(
+        grown, max_per_group=10).collect()}
+    assert len(a & c) >= int(0.7 * len(a))
+
+    # different salt -> different (but still capped) selection
+    d = {(r.doc_id, r.source) for r in cap_per_group(
+        docs, max_per_group=10, salt="other").collect()}
+    assert d != a
