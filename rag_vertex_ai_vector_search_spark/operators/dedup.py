@@ -629,6 +629,7 @@ def dedup_boilerplate_lines(
     text_col: str = "text",
     sep: str = "\n",
     max_line_df: int = 1,
+    line_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Line-level boilerplate removal (the CCNet/RefinedWeb paragraph
     dedup stage): drop every line that appears in MORE than
@@ -648,16 +649,33 @@ def dedup_boilerplate_lines(
     sorted-struct reassembly on the same doc-keyed shuffle the final
     aggregate needs anyway. No pairwise comparison anywhere -- cost is
     linear in corpus lines at any scale.
+
+    ``line_counts``: a prebuilt (line, n_docs) document-frequency
+    table (e.g. the streaming-maintained one from
+    streaming/linestats.py). Per-batch partial counts are additive
+    because each document arrives in exactly one batch, so the
+    maintained table equals batch recomputation and cleaning under it
+    is bit-equal to self-counting; it also enables cleaning a SLICE of
+    the corpus against corpus-global frequencies.
     """
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
     )
-    counts = lines.groupBy("line").agg(
-        F.countDistinct(id_col).alias("_line_df")
-    )
-    flagged = lines.join(counts, "line").withColumn(
-        "_keep", F.col("_line_df") <= F.lit(max_line_df)
+    if line_counts is not None:
+        counts = line_counts.select(
+            "line", F.col("n_docs").cast("long").alias("_line_df")
+        )
+    else:
+        counts = lines.groupBy("line").agg(
+            F.countDistinct(id_col).alias("_line_df")
+        )
+    # left join: a line absent from an EXTERNAL count table has df 0
+    # (keep); with self-counting the join always matches, so the left
+    # join is exactly the inner join there.
+    flagged = lines.join(counts, "line", "left").withColumn(
+        "_keep",
+        F.coalesce(F.col("_line_df"), F.lit(0)) <= F.lit(max_line_df),
     )
     return (
         flagged.groupBy(id_col)

@@ -18,6 +18,12 @@ from .ngram import (
     read_ngram_counts,
     stream_ngram_counts,
 )
+from .linestats import (
+    apply_line_df_batch,
+    compact_line_df,
+    read_line_df,
+    stream_line_df,
+)
 
 __all__ = [
     "stream_merge_into_index",
@@ -34,4 +40,8 @@ __all__ = [
     "compact_ngrams",
     "read_ngram_counts",
     "stream_ngram_counts",
+    "apply_line_df_batch",
+    "compact_line_df",
+    "read_line_df",
+    "stream_line_df",
 ]

@@ -101,3 +101,59 @@ def test_ngram_compaction_folds_epochs(spark, sf_smoke, tmp_path):
     assert [f.rsplit("=", 1)[-1] for f in files_after] == ["-1"]
     assert sorted(map(tuple, read_ngram_counts(spark, table).collect())) \
         == expected
+
+
+# -- line document-frequency maintenance (streaming/linestats.py) ----------
+
+def test_stream_line_df_matches_batch_and_cleaner_parity(
+    spark, sf_smoke, tmp_path
+):
+    """Maintained line frequencies == batch distinct-doc counts, and
+    boilerplate cleaning under the maintained table is bit-equal to
+    batch self-counting."""
+    from rag_vertex_ai_vector_search_spark.operators.dedup import (
+        dedup_boilerplate_lines,
+    )
+    from rag_vertex_ai_vector_search_spark.streaming.linestats import (
+        apply_line_df_batch,
+        read_line_df,
+    )
+
+    footer = "shared footer line"
+    rows = [
+        (i, f"unique line {i} alpha\n{footer}\nunique line {i} beta")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    table = str(tmp_path / "linedf")
+    apply_line_df_batch(docs.filter(F.col("doc_id") % 2 == 0), 0, table)
+    apply_line_df_batch(docs.filter(F.col("doc_id") % 2 == 1), 1, table)
+    apply_line_df_batch(docs.filter(F.col("doc_id") % 2 == 1), 1, table)
+
+    counts = read_line_df(spark, table)
+    batch = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", "\n")).alias("line")
+        )
+        .groupBy("line")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    )
+    assert counts.exceptAll(batch).isEmpty() \
+        and batch.exceptAll(counts).isEmpty()
+
+    maintained = dedup_boilerplate_lines(docs, line_counts=counts)
+    selfcount = dedup_boilerplate_lines(docs)
+    assert maintained.exceptAll(selfcount).isEmpty() \
+        and selfcount.exceptAll(maintained).isEmpty()
+
+    # cleaning a SLICE against corpus-global frequencies: the shared
+    # footer is removed even though the slice holds only one copy...
+    one = dedup_boilerplate_lines(
+        docs.filter(F.col("doc_id") == 3), line_counts=counts
+    ).collect()[0]
+    assert one.n_removed == 1 and footer not in one.text
+    # ...while self-counting the slice alone would keep it
+    solo = dedup_boilerplate_lines(
+        docs.filter(F.col("doc_id") == 3)
+    ).collect()[0]
+    assert solo.n_removed == 0
