@@ -698,3 +698,59 @@ def dedup_boilerplate_lines(
             ).alias(text_col),
         )
     )
+
+
+def minhash_banded_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_words: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """(id, band_id, band_hash, sig) per document x band -- the
+    standalone banding stage of minhash_candidate_pairs, for consumers
+    that match against a MAINTAINED band table instead of self-joining
+    (streaming near-dup suppression, cross-corpus lookup). The band key
+    is the signature slice itself as a CSV string (exact slice
+    equality, engine-portable); ``sig`` rides along so a matched pair
+    can be verified by MinHash component agreement without re-reading
+    either document's text.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows_per_band = num_hashes // bands
+    sig_udf = minhash_signature_udf(num_hashes)
+    hash_fn = base_hash_fn(base_hash)
+    with_sig = fan_out(df).select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                word_shingles(text_col, shingle_words),
+                lambda s: hash_fn(s),
+            )
+        ).alias("_hashes"),
+    ).withColumn("sig", sig_udf("_hashes")).drop("_hashes")
+
+    def _key(b: int):
+        return F.array_join(
+            F.transform(
+                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        )
+
+    return with_sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"), _key(b).alias("band_hash")
+                )
+                for b in range(bands)
+            ])
+        ).alias("_band"),
+    ).select(id_col, "_band.band_id", "_band.band_hash", "sig")

@@ -24,6 +24,11 @@ from .linestats import (
     read_line_df,
     stream_line_df,
 )
+from .dedup_minhash import (
+    apply_minhash_dedup_batch,
+    read_deduped,
+    stream_dedup_minhash,
+)
 
 __all__ = [
     "stream_merge_into_index",
@@ -44,4 +49,7 @@ __all__ = [
     "compact_line_df",
     "read_line_df",
     "stream_line_df",
+    "apply_minhash_dedup_batch",
+    "read_deduped",
+    "stream_dedup_minhash",
 ]

@@ -1,0 +1,112 @@
+"""Streaming near-dup suppression (streaming/dedup_minhash.py):
+cross-batch first-wins, within-batch keep-min-id, replay idempotence,
+and unique documents always surviving."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from rag_vertex_ai_vector_search_spark.streaming.dedup_minhash import (
+    apply_minhash_dedup_batch,
+    read_deduped,
+    stream_dedup_minhash,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _corpus(n_unique=12, seed=3):
+    """Distinct word-soup docs + controlled near-dup variants."""
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(120)]
+    base = {}
+    for i in range(n_unique):
+        words = list(rng.choice(vocab, size=40, replace=True))
+        base[i] = " ".join(words)
+    return base
+
+
+def _near(text, k=2):
+    """Variant differing in the last k words: Jaccard stays high."""
+    ws = text.split()
+    return " ".join(ws[:-k] + ["zzz"] * k)
+
+
+def test_cross_batch_near_dup_dropped_unique_kept(spark, tmp_path):
+    base = _corpus()
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    kw = dict(state_path=state, out_path=out)
+
+    batch1 = _docs(spark, [(i, t) for i, t in base.items() if i < 6])
+    apply_minhash_dedup_batch(batch1, 0, **kw)
+    # batch 2: near-dups of kept docs 0..2 + three genuinely new docs
+    batch2 = _docs(
+        spark,
+        [(100 + i, _near(base[i])) for i in range(3)]
+        + [(200 + i, t) for i, t in base.items() if i >= 6],
+    )
+    apply_minhash_dedup_batch(batch2, 1, **kw)
+
+    kept = {r.doc_id for r in read_deduped(spark, out).collect()}
+    assert kept == {0, 1, 2, 3, 4, 5, 206, 207, 208, 209, 210, 211}
+
+
+def test_within_batch_min_id_wins_and_replay_idempotent(spark, tmp_path):
+    base = _corpus(seed=7)
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    kw = dict(state_path=state, out_path=out)
+
+    rows = [(i, t) for i, t in base.items() if i < 4]
+    rows += [(50, _near(base[0])), (51, _near(base[1], k=1))]
+    batch = _docs(spark, rows)
+    apply_minhash_dedup_batch(batch, 0, **kw)
+    kept0 = sorted(r.doc_id for r in read_deduped(spark, out).collect())
+    assert kept0 == [0, 1, 2, 3]  # min ids win inside the batch
+
+    # at-least-once replay of the SAME epoch: byte-equal result, and
+    # crucially the batch must not match its own prior state write
+    apply_minhash_dedup_batch(batch, 0, **kw)
+    assert sorted(
+        r.doc_id for r in read_deduped(spark, out).collect()
+    ) == kept0
+
+    # a later batch near-dup of doc 2 is still caught by the state
+    apply_minhash_dedup_batch(_docs(spark, [(90, _near(base[2]))]), 1, **kw)
+    assert sorted(
+        r.doc_id for r in read_deduped(spark, out).collect()
+    ) == kept0
+
+
+def test_streaming_end_to_end(spark, tmp_path):
+    base = _corpus(seed=11)
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    originals = _docs(spark, [(i, t) for i, t in base.items() if i < 8])
+    dups = _docs(spark, [(300 + i, _near(base[i])) for i in range(4)])
+    originals.repartition(1).write.parquet(src)
+    dups.repartition(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(originals.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream_dedup_minhash(
+        stream, state_path=state, out_path=out, checkpoint_dir=ckpt
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    kept = {r.doc_id for r in read_deduped(spark, out).collect()}
+    # one representative per duplicate cluster, regardless of which
+    # file the stream happened to pick up first
+    assert len(kept) == 8
+    for i in range(4):
+        assert len(kept & {i, 300 + i}) == 1, (i, kept)
+    assert set(range(4, 8)) <= kept
