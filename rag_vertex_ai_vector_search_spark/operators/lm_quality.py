@@ -285,8 +285,16 @@ def trigram_surprisal(
     p1 = (_cnt("n0") + a) / (F.lit(n_total) + av)
     mix = F.lit(l3) * p3 + F.lit(l2) * p2 + F.lit(l1) * p1
 
-    scored = (
-        words.join(tri_counts, ["prev2", "prev", "word"], "left")
+    # Score each DISTINCT triple of the SCORED corpus once (the five
+    # count joins run table-vs-table, bounded by distinct n-grams --
+    # left joins + coalesce give unseen orders their backoff counts),
+    # then join the positions stream ONCE on the triple: one
+    # position-level shuffle instead of five. Per-triple values are
+    # identical to per-position computation, so the integer sums (and
+    # the oracle) are unchanged.
+    triple_scores = (
+        words.select("prev2", "prev", "word").distinct()
+        .join(tri_counts, ["prev2", "prev", "word"], "left")
         .join(tri_ctx, ["prev2", "prev"], "left")
         .join(bi_counts, ["prev", "word"], "left")
         .join(bi_ctx, ["prev"], "left")
@@ -295,7 +303,9 @@ def trigram_surprisal(
             "_surprisal_micronats",
             F.floor(-F.log(mix) * F.lit(float(SURPRISAL_SCALE))).cast("long"),
         )
+        .select("prev2", "prev", "word", "_surprisal_micronats")
     )
+    scored = words.join(triple_scores, ["prev2", "prev", "word"], "left")
     return (
         scored.groupBy(id_col)
         .agg(
