@@ -354,9 +354,12 @@ def bigram_surprisal(
     context_counts = words.groupBy("prev").agg(F.count(F.lit(1)).alias("n1"))
     vocab = words.select("word").distinct().count()
 
-    scored = (
-        words.join(bigram_counts, ["prev", "word"], "left")
-        .join(context_counts, "prev", "left")
+    # Score each distinct (prev, word) pair once at bigram-table
+    # cardinality, then ONE position-level join back (the trigram
+    # scorer's shape) -- identical per-pair values, fewer corpus-scale
+    # shuffles on real text where distinct bigrams << positions.
+    pair_scores = (
+        bigram_counts.join(context_counts, "prev", "left")
         .withColumn(
             "_surprisal_micronats",
             F.floor(
@@ -373,7 +376,9 @@ def bigram_surprisal(
                 * F.lit(float(SURPRISAL_SCALE))
             ).cast("long"),
         )
+        .select("prev", "word", "_surprisal_micronats")
     )
+    scored = words.join(pair_scores, ["prev", "word"], "left")
     return (
         scored.groupBy(id_col)
         .agg(
