@@ -99,7 +99,7 @@ def synthesize_media(
     roundtrip; content is a pure function of (id, modality).
     """
     from .binary_ops import encode_png
-    from .jpeg import encode_jpeg_baseline
+    from .jpeg import encode_jpeg_baseline, encode_jpeg_progressive
     from .mjpeg import encode_mjpeg_avi
 
     id_type = df.schema[id_col].dataType.simpleString()
@@ -115,7 +115,15 @@ def synthesize_media(
                         # alternate gray / RGB rasters by seed parity
                         blob = encode_png(_synth_image(seed, rgb=seed % 2 == 0))
                     elif mt == "image/jpeg":
-                        blob = encode_jpeg_baseline(
+                        # alternate baseline / progressive SOF2 streams:
+                        # both decode array-equal (same quantized
+                        # coefficients), so the driver gate exercises the
+                        # progressive decoder with unchanged pinned values
+                        enc = (
+                            encode_jpeg_baseline if seed % 2 == 0
+                            else encode_jpeg_progressive
+                        )
+                        blob = enc(
                             _synth_image(seed, rgb=seed % 2 == 1), quality=90
                         )
                     elif mt == "audio/wav":
