@@ -1005,6 +1005,67 @@ GROUP BY doc_id
 """
 
 
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of Lee et al. 2022
+    (operators/dedup.py::remove_duplicate_spans): tokens covered by any
+    corpus-duplicated 8-token span are excised and each document's
+    survivors reassemble in order. Same sha60 span hashing as
+    `dedup_spans` (which only measures); the covered-position expansion
+    mirrors as DuckDB generate_series + DISTINCT, and the reassembly
+    uses the proven ordered-filtered string_agg parity rule. Output
+    pins the cleaned text by sha256."""
+    from rag_vertex_ai_vector_search_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(docs, span_tokens=8)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed_tokens",
+        F.sha2(F.col("text"), 256).alias("clean_sha"),
+    )
+
+
+_SQL_DEDUP_SPAN_REMOVAL = f"""
+WITH base AS (
+  SELECT doc_id, string_split({_SQL_NORM}, ' ') AS ws FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS pos
+  FROM base
+),
+starts AS (
+  SELECT doc_id, i AS strt,
+         ('0x' || substr(sha256(array_to_string(ws[i:i+7], ' ')), 1, 15))::BIGINT AS h
+  FROM base, unnest(generate_series(1, len(ws) - 8 + 1)) AS u(i)
+  WHERE len(ws) >= 8
+),
+freq AS (SELECT h, count(*) AS cnt FROM starts GROUP BY h),
+covered AS (
+  SELECT DISTINCT s.doc_id, p AS pos
+  FROM starts s JOIN freq f USING (h),
+       unnest(generate_series(s.strt, s.strt + 7)) AS g(p)
+  WHERE f.cnt >= 2
+),
+marked AS (
+  SELECT t.doc_id, t.pos, t.tok, (c.pos IS NOT NULL) AS rm
+  FROM tok t
+  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed_tokens,
+       sha256(coalesce(
+         string_agg(CASE WHEN NOT rm THEN tok END, ' ' ORDER BY pos),
+         '')) AS clean_sha
+FROM marked
+GROUP BY doc_id
+"""
+
+
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dup via shared winnowing fingerprints (catches
     copied passages that set-level Jaccard misses). FULLY oracle-checked
@@ -2928,6 +2989,119 @@ GROUP BY 1, 2
 """
 
 
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/importance.py, Xie et al.
+    NeurIPS 2023): every document scored by the log ratio of a hashed
+    unigram+bigram bag model of the TARGET slice (lang='en') over the
+    raw-corpus model. Per-distinct-bucket scores quantize to integer
+    micronats (the lm_quality determinism trick), so per-doc sums are
+    exact bigint arithmetic -- bit-identical in DuckDB."""
+    from rag_vertex_ai_vector_search_spark.operators.importance import (
+        dsir_log_importance,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_log_importance(docs, target, n_buckets=1024, alpha=0.5)
+
+
+_SQL_DSIR = f"""
+WITH norm AS (
+  SELECT doc_id, lang, string_split({_SQL_NORM}, ' ') AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(ws,
+           CASE WHEN len(ws) >= 2
+                THEN list_transform(range(1, len(ws)),
+                                    i -> array_to_string(ws[i:i+1], ' '))
+                ELSE []::VARCHAR[] END)) AS g
+  FROM norm
+),
+bkt AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(sha256(g), 1, 15))::BIGINT % 1024 AS bucket
+  FROM grams
+),
+raw_counts AS (SELECT bucket, count(*) AS nr FROM bkt GROUP BY bucket),
+tgt_counts AS (
+  SELECT bucket, count(*) AS nt FROM bkt WHERE lang = 'en' GROUP BY bucket
+),
+tot AS (
+  SELECT (SELECT count(*) FROM bkt)::DOUBLE + 512.0 AS dr,
+         (SELECT count(*) FROM bkt WHERE lang = 'en')::DOUBLE + 512.0 AS dt
+),
+scores AS (
+  SELECT d.bucket,
+         CAST(floor((ln((coalesce(t.nt, 0)::DOUBLE + 0.5) / tot.dt)
+                     - ln((coalesce(r.nr, 0)::DOUBLE + 0.5) / tot.dr))
+                    * 1000000.0) AS BIGINT) AS lw
+  FROM (SELECT DISTINCT bucket FROM bkt) d
+  LEFT JOIN tgt_counts t USING (bucket)
+  LEFT JOIN raw_counts r USING (bucket)
+  CROSS JOIN tot
+)
+SELECT b.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(s.lw) AS BIGINT) AS log_weight_micronats,
+       CAST(sum(s.lw) AS DOUBLE)
+         / (1000000.0 * count(*)::DOUBLE) AS avg_log_weight_nats
+FROM bkt b JOIN scores s USING (bucket)
+GROUP BY b.doc_id
+"""
+
+
+def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k evaluation loop (operators/evaluate.py): the
+    LSH-bucketed approximate path measured against exact kNN ground
+    truth, per query. BOTH sides are independently oracled machinery
+    (knn_topk's fold scores; knn_lsh_bucketed's seeded hyperplanes),
+    so the recall numbers themselves hash-match -- the driver gate
+    certifies the measurement loop, not just the paths it measures."""
+    from rag_vertex_ai_vector_search_spark.operators import lsh_topk
+    from rag_vertex_ai_vector_search_spark.operators.evaluate import (
+        recall_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _queries_from_embeddings(emb, 8)
+    exact = knn_search(emb, queries, k=10, method="fold")
+    approx = lsh_topk(emb, queries, k=10, n_planes=16, bands=8)
+    return recall_report(approx, exact)
+
+
+def _sql_ann_recall_lsh() -> str:
+    """Compose the two existing oracles as CTE inputs to the recall
+    join -- truth = exact kNN SQL, approx = LSH SQL (same parameters as
+    the declared queries they mirror)."""
+    return f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id FROM ({_SQL_KNN_TOPK}) t
+),
+apx AS (
+  SELECT query_id, neighbor_id FROM ({_sql_knn_lsh_bucketed()}) a
+),
+ne AS (SELECT query_id, count(*) AS n_exact FROM truth GROUP BY query_id),
+na AS (SELECT query_id, count(*) AS n_approx FROM apx GROUP BY query_id),
+hits AS (
+  SELECT a.query_id, count(*) AS n_hits
+  FROM apx a JOIN truth t USING (query_id, neighbor_id)
+  GROUP BY a.query_id
+)
+SELECT query_id,
+       CAST(coalesce(ne.n_exact, 0) AS BIGINT) AS n_exact,
+       CAST(coalesce(na.n_approx, 0) AS BIGINT) AS n_approx,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CASE WHEN coalesce(ne.n_exact, 0) > 0
+            THEN CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+                 / CAST(ne.n_exact AS DOUBLE)
+            ELSE 0.0 END AS recall
+FROM ne
+FULL JOIN na USING (query_id)
+LEFT JOIN hits h USING (query_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -2947,6 +3121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- new this round (r5): front of the line --------------------
+        "dedup_span_removal": q_dedup_span_removal,
+        "dsir_importance": q_dsir_importance,
+        "ann_recall_lsh": q_ann_recall_lsh,
         "knn_pq_restrict_crowding": q_knn_pq_restrict_crowding,
         "knn_pq_restrict_crowding_exact": q_knn_pq_restrict_crowding_exact,
         "multimodal_features": q_multimodal_features,
@@ -2960,7 +3137,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_latest_signup": q_asof_latest_signup,
         "price_percentiles": q_price_percentiles,
         # -- vector search surface -------------------------------------
-        "knn_topk": q_knn_topk,
         "knn_hydrated": q_knn_hydrated,
         "knn_ivf_pruned": q_knn_ivf_pruned,
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
@@ -2971,7 +3147,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_metadata": q_ingest_metadata,
         "ingest_datapoints": q_ingest_datapoints,
         # -- dedup suite -----------------------------------------------
-        "dedup_exact": q_dedup_exact,
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
         "dedup_spans": q_dedup_spans,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2998,7 +3173,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_pairs": q_bpe_merge_pairs,
         "training_corpus_pipeline": q_training_corpus_pipeline,
         # -- relational / events surface -------------------------------
-        "point_lookup": q_point_lookup,
         "merge_upsert": q_merge_upsert,
         "events_gapfill_locf": q_events_gapfill_locf,
         "events_salted_dim_join": q_events_salted_dim_join,
@@ -3042,8 +3216,22 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     knn_pq_restrict_crowding_exact, whose oracle embeds the same
     restrict predicate, crowd-cap and rank windows over the same fold
     scores -- a strictly stronger composition gate).
+
+    Mid-r5 rotation (making room for dedup_span_removal /
+    dsir_importance / ann_recall_lsh): knn_topk (green r1-r4; its
+    _SQL_KNN_TOPK oracle still gates four declared siblings --
+    knn_ivf_full_probe, knn_ivf2_full_probe, knn_lsh_full_cover,
+    knn_pq_full_rerank -- and now also the truth side of
+    ann_recall_lsh), point_lookup (green r1-r4; the pushed key-filter
+    scan is embedded in merge_upsert's oracle semantics),
+    dedup_exact (green r1-r4; fingerprint group-by machinery also
+    gated through corpus_quality_report's dup-doc counts and the
+    training_corpus_pipeline's exact-dedup keep-one stage).
     """
     return {
+        "knn_topk": q_knn_topk,
+        "point_lookup": q_point_lookup,
+        "dedup_exact": q_dedup_exact,
         "knn_restrict": q_knn_restrict,
         "knn_crowding": q_knn_crowding,
         "token_gate_violations": q_token_gate_violations,
@@ -3069,6 +3257,9 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_span_removal": _SQL_DEDUP_SPAN_REMOVAL,
+        "dsir_importance": _SQL_DSIR,
+        "ann_recall_lsh": _sql_ann_recall_lsh(),
         # knn_pq_restrict_crowding: lossy ADC shortlist -> rows-only
         "knn_pq_restrict_crowding_exact": _SQL_KNN_PQ_RESTRICT_CROWDING_EXACT,
         "knn_ivf2_full_probe": _SQL_KNN_TOPK,
@@ -3077,7 +3268,6 @@ def oracle_sql() -> dict[str, str]:
         "events_json_props": _SQL_EVENTS_JSON,
         "asof_latest_signup": _SQL_ASOF_SIGNUP,
         "price_percentiles": _SQL_PERCENTILES,
-        "knn_topk": _SQL_KNN_TOPK,
         "knn_hydrated": _SQL_KNN_HYDRATED,
         # knn_ivf_pruned: approximate + iterative -> rows-only check
         "knn_ivf_full_probe": _SQL_KNN_TOPK,
@@ -3087,7 +3277,6 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search_rrf": _sql_hybrid_rrf(),
         "ingest_metadata": _SQL_INGEST_METADATA,
         "ingest_datapoints": _SQL_INGEST_DATAPOINTS,
-        "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_boilerplate_lines": _SQL_DEDUP_BOILERPLATE,
         "dedup_spans": _SQL_DEDUP_SPANS,
         "dedup_minhash_lsh": _sql_minhash_lsh(),
@@ -3112,7 +3301,6 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": _SQL_VOCAB_COVERAGE,
         "bpe_merge_pairs": _SQL_BPE_PAIRS,
         "training_corpus_pipeline": _SQL_TRAINING_PIPELINE,
-        "point_lookup": _SQL_POINT_LOOKUP,
         "merge_upsert": _SQL_MERGE_UPSERT,
         "events_gapfill_locf": _SQL_EVENTS_GAPFILL,
         "events_salted_dim_join": _SQL_SALTED_JOIN,
@@ -3125,6 +3313,9 @@ def oracle_sql_archive() -> dict[str, str]:
     """Oracles for queries_archive() -- run by tests/test_oracle_parity.py
     (not the driver) so the rotated queries stay bit-exact-verified."""
     return {
+        "knn_topk": _SQL_KNN_TOPK,
+        "point_lookup": _SQL_POINT_LOOKUP,
+        "dedup_exact": _SQL_DEDUP_EXACT,
         "knn_restrict": _SQL_KNN_RESTRICT,
         "knn_crowding": _SQL_KNN_CROWDING,
         "token_gate_violations": _SQL_TOKEN_GATE,

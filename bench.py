@@ -182,6 +182,10 @@ BENCH_QUERIES = [
     ("ccnet_quality_buckets", entrymod.q_ccnet_quality_buckets),
     ("dedup_spans", entrymod.q_dedup_spans),
     ("dedup_boilerplate_lines", entrymod.q_dedup_boilerplate_lines),
+    # r5 mid-round: Lee et al. span EXCISION + reassembly (the cut
+    # half of dedup_spans) and DSIR hashed-ngram importance weights
+    ("dedup_span_removal", entrymod.q_dedup_span_removal),
+    ("dsir_importance", entrymod.q_dsir_importance),
     # r5: the reference's full serving contract through the cascade
     # (restrict pre-ADC + crowding on reranked scores)
     ("knn_pq_restrict_crowding", entrymod.q_knn_pq_restrict_crowding),

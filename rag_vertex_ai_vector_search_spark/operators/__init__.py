@@ -5,6 +5,7 @@ from .dedup import (
     dedup_boilerplate_lines,
     dedup_exact,
     duplicate_span_stats,
+    remove_duplicate_spans,
     duplicate_clusters,
     minhash_candidate_pairs,
     simhash_near_dup_pairs,
@@ -43,6 +44,12 @@ from .pq import (
     train_pq,
 )
 from .ivf2 import IVF2Index, build_ivf2_index, ivf2_search
+from .importance import (
+    dsir_gumbel_select,
+    dsir_log_importance,
+    hashed_gram_bucket_counts,
+)
+from .evaluate import recall_report, recall_summary
 
 __all__ = [
     "bigram_surprisal",
@@ -60,6 +67,12 @@ __all__ = [
     "ivf2_search",
     "bpe_merge_pairs",
     "duplicate_span_stats",
+    "remove_duplicate_spans",
+    "dsir_gumbel_select",
+    "dsir_log_importance",
+    "hashed_gram_bucket_counts",
+    "recall_report",
+    "recall_summary",
     "surprisal_buckets",
     "unigram_surprisal",
     "vocab_coverage_report",

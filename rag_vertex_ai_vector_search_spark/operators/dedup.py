@@ -440,6 +440,102 @@ def duplicate_span_stats(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 16,
+    min_count: int = 2,
+    base_hash: str = "sha60",
+) -> DataFrame:
+    """Excise corpus-duplicated spans from each document (the removal
+    half of Lee et al. 2022 -- ``duplicate_span_stats`` measures, this
+    CUTS): a token is removed when ANY ``span_tokens``-token window
+    covering it occurs >= ``min_count`` times corpus-wide; survivors
+    reassemble in order. Returns per doc:
+
+        (id, n_tokens, n_removed_tokens, text)
+
+    Every input document is present -- docs shorter than one span keep
+    all tokens; fully-duplicated docs come back with empty text.
+
+    Scale shape: the span enumeration / frequency count / dup-flag join
+    are EXACTLY ``duplicate_span_stats``'s three shuffles. The extra
+    work is (a) expanding dup span starts to their covered positions --
+    ``span_tokens x n_dup_spans`` rows, bounded by the duplicated mass,
+    with the per-(doc,pos) distinct absorbing the heavy overlap case
+    (consecutive dup starts in one doc) via map-side combine -- and
+    (b) the per-doc ordered reassembly, a sorted-struct collect on the
+    same doc-keyed shuffle the final aggregate needs anyway. No
+    suffix array, no driver state; linear in corpus tokens.
+
+    ``base_hash="sha60"`` admits the bit-exact DuckDB oracle
+    (generate_series covered-position mirror + string_agg ORDER BY
+    reassembly); "xxhash64" is the cheaper production hash.
+    """
+    hash_fn = base_hash_fn(base_hash)
+    L = span_tokens
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    base = fan_out(df).select(
+        F.col(id_col), toks.alias("_ws"), F.size(toks).alias("_n")
+    )
+    tokens = base.select(
+        F.col(id_col), F.posexplode("_ws").alias("_p0", "_tok")
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "_tok")
+    starts = (
+        base.filter(F.col("_n") >= L)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n") - L + 1),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        hash_fn(
+                            F.array_join(F.slice(F.col("_ws"), i, L), " ")
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("_s"),
+        )
+        .select(id_col, "_s.start", "_s.h")
+    )
+    freq = starts.groupBy("h").agg(F.count(F.lit(1)).alias("_cnt"))
+    dup_starts = starts.join(
+        freq.filter(F.col("_cnt") >= min_count).select("h"), "h", "left_semi"
+    )
+    covered = dup_starts.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + F.lit(L - 1))
+        ).alias("pos"),
+    ).distinct()
+    marked = tokens.join(
+        covered.withColumn("_rm", F.lit(1)), [id_col, "pos"], "left"
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("_rm").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_removed_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_rm").isNull(),
+                            F.struct(F.col("pos"), F.col("_tok")),
+                        )
+                    )
+                ),
+                lambda x: x["_tok"],
+            ),
+            " ",
+        ).alias(text_col),
+    )
+
+
 def winnow_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -278,6 +278,89 @@ def test_duplicate_span_stats_within_doc_repeat(spark):
     assert out.n_dup_spans == 7  # every 3-gram here occurs >= 2 times
 
 
+def test_remove_duplicate_spans_semantics(spark):
+    """The removal half of Lee et al.: tokens covered by any
+    corpus-duplicated span are cut, survivors reassemble in order,
+    short docs pass through untouched, and a fully-duplicated doc
+    comes back with empty text instead of disappearing."""
+    from rag_vertex_ai_vector_search_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    boiler = "subscribe to our newsletter for updates"  # 6 tokens
+    rows = [
+        (1, boiler + " alpha beta gamma"),
+        (2, boiler + " delta epsilon zeta"),
+        (3, "eta theta iota kappa lam mu nu xi"),       # unique text
+        (4, "too short"),                               # < span_tokens
+        (5, boiler),                                    # exactly one dup span
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicate_spans(
+        df, span_tokens=6
+    ).collect()}
+
+    assert len(out) == 5
+    # docs 1/2: the 6-token boiler span (start 1) duplicates across
+    # docs, so tokens 1..6 go; the unique tail survives in order.
+    assert out[1].text == "alpha beta gamma"
+    assert (out[1].n_tokens, out[1].n_removed_tokens) == (9, 6)
+    assert out[2].text == "delta epsilon zeta"
+    # doc 3: nothing duplicated, text unchanged (already normalized)
+    assert out[3].text == "eta theta iota kappa lam mu nu xi"
+    assert out[3].n_removed_tokens == 0
+    # doc 4: shorter than one span -> no spans, untouched
+    assert out[4].text == "too short"
+    assert (out[4].n_tokens, out[4].n_removed_tokens) == (2, 0)
+    # doc 5: the whole doc is one duplicated span -> present, empty
+    assert out[5].text == ""
+    assert (out[5].n_tokens, out[5].n_removed_tokens) == (6, 6)
+
+
+def test_remove_duplicate_spans_overlapping_coverage(spark):
+    """Within-doc self-repeat with OVERLAPPING dup spans: every token
+    of 'a b c a b c a b c' is covered by some duplicated 3-gram, so
+    the doc empties; overlap must not double-count removals."""
+    from rag_vertex_ai_vector_search_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "p q r s t u v w x")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(
+        df, span_tokens=3
+    ).collect()}
+    assert out[1].text == ""
+    assert (out[1].n_tokens, out[1].n_removed_tokens) == (9, 9)
+    assert out[2].text == "p q r s t u v w x"
+    assert out[2].n_removed_tokens == 0
+
+
+def test_remove_duplicate_spans_partial_overlap_tail_kept(spark):
+    """A dup span in the middle removes exactly its covered window:
+    tokens on both sides survive and rejoin across the cut."""
+    from rag_vertex_ai_vector_search_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    shared = "x y z w"  # 4 tokens, planted in both docs mid-text
+    rows = [
+        (1, f"head1 one {shared} tail1 two"),
+        (2, f"head2 three {shared} tail2 four"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicate_spans(
+        df, span_tokens=4
+    ).collect()}
+    # Only the exact shared 4-gram duplicates; its window covers
+    # positions 3..6 of each 8-token doc.
+    assert out[1].text == "head1 one tail1 two"
+    assert (out[1].n_tokens, out[1].n_removed_tokens) == (8, 4)
+    assert out[2].text == "head2 three tail2 four"
+
+
 def test_dedup_boilerplate_lines_semantics(spark):
     """Planted boilerplate: a footer shared by 3 docs is removed
     everywhere, unique lines survive in order, a line repeated WITHIN
