@@ -185,6 +185,9 @@ BENCH_QUERIES = [
     # r5 mid-round: Lee et al. span EXCISION + reassembly (the cut
     # half of dedup_spans) and DSIR hashed-ngram importance weights
     ("dedup_span_removal", entrymod.q_dedup_span_removal),
+    # Declared sha60 query benched as-is: warm sha60 vs xxhash64 differ
+    # by < 10% here (1.9 vs 1.7 s at sf0.1) -- the hash is not the
+    # cost, so the bench keeps the oracle-gated configuration.
     ("dsir_importance", entrymod.q_dsir_importance),
     # r5: the reference's full serving contract through the cascade
     # (restrict pre-ADC + crowding on reranked scores)

@@ -111,24 +111,32 @@ def dsir_log_importance(
     tables (default: built from ``df`` / ``target_df``).
     """
     tcol = target_text_col or text_col
+    # Self-built model tables are cached: they are <= n_buckets rows
+    # (trivial memory) but each sits on a full gram-enumeration scan,
+    # and they are consumed twice -- once by the scalar-total collect
+    # below and once by the scoring join. Without the cache the corpus
+    # scan runs four times instead of twice.
     if raw_counts is None:
         raw_counts = hashed_gram_bucket_counts(
             df, text_col=text_col, n_buckets=n_buckets, base_hash=base_hash
-        )
+        ).cache()
     if target_counts is None:
         target_counts = hashed_gram_bucket_counts(
             target_df, text_col=tcol, n_buckets=n_buckets, base_hash=base_hash
-        )
+        ).cache()
     n_raw = int(raw_counts.agg(F.sum("n")).collect()[0][0] or 0)
     n_tgt = int(target_counts.agg(F.sum("n")).collect()[0][0] or 0)
     denom_r = float(n_raw) + alpha * float(n_buckets)
     denom_t = float(n_tgt) + alpha * float(n_buckets)
 
     grams = _gram_buckets(df, id_col, text_col, n_buckets, base_hash)
-    # Score each DISTINCT bucket once (<= n_buckets rows -- broadcast-
-    # sized by construction), then one join back on the bucket id.
-    # ln(pt) - ln(pr) is mirrored TEXTUALLY in the SQL oracle; floor
-    # quantization makes the per-doc sum exact bigint arithmetic.
+    # Score the WHOLE bucket domain 0..B-1 once (spark.range -- no
+    # corpus scan; <= n_buckets rows, broadcast-sized by construction),
+    # then one join back on the bucket id. Unobserved buckets get a
+    # score no gram ever joins -- harmless, and it keeps the corpus
+    # scan count at one. ln(pt) - ln(pr) is mirrored TEXTUALLY in the
+    # SQL oracle; floor quantization makes the per-doc sum exact
+    # bigint arithmetic.
     a = F.lit(alpha)
     p_t = (F.coalesce(F.col("_nt"), F.lit(0)).cast("double") + a) / F.lit(
         denom_t
@@ -136,8 +144,11 @@ def dsir_log_importance(
     p_r = (F.coalesce(F.col("_nr"), F.lit(0)).cast("double") + a) / F.lit(
         denom_r
     )
+    domain = df.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
     bucket_scores = (
-        grams.select("bucket").distinct()
+        domain
         .join(target_counts.select("bucket", F.col("n").alias("_nt")),
               "bucket", "left")
         .join(raw_counts.select("bucket", F.col("n").alias("_nr")),

@@ -24,6 +24,12 @@ from .linestats import (
     read_line_df,
     stream_line_df,
 )
+from .dsir_stream import (
+    apply_dsir_batch,
+    compact_dsir_model,
+    read_dsir_model,
+    stream_dsir_model,
+)
 from .dedup_minhash import (
     apply_minhash_dedup_batch,
     read_deduped,
@@ -49,6 +55,10 @@ __all__ = [
     "compact_line_df",
     "read_line_df",
     "stream_line_df",
+    "apply_dsir_batch",
+    "compact_dsir_model",
+    "read_dsir_model",
+    "stream_dsir_model",
     "apply_minhash_dedup_batch",
     "read_deduped",
     "stream_dedup_minhash",

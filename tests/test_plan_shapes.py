@@ -124,6 +124,34 @@ def test_dedup_spans_no_cartesian_and_partial_agg(spark, sf_smoke):
     assert "partial_count" in plan  # map-side combine on the span hash
 
 
+def test_span_removal_no_cartesian_and_partial_agg(spark, sf_smoke):
+    """Span excision is the stats operator's shuffles plus keyed
+    equi-joins: no cartesian/nested-loop anywhere, map-side combine on
+    the span-hash count, and the final reassembly aggregate shows a
+    partial objHashAggregate/sort-agg stage rather than a global sort."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.q_dedup_span_removal(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan  # map-side combine on the span hash
+
+
+def test_dsir_score_table_is_bounded_join(spark, sf_smoke):
+    """DSIR's per-bucket score table is <= n_buckets rows by
+    construction, so the join back must be a hash join (broadcast at
+    fixture scale), never a cartesian; both model counts must show
+    map-side partial aggregation (billions of grams -> <= n_buckets
+    groups is where the leverage is)."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.q_dsir_importance(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_bigram_surprisal_no_cartesian(spark, sf_smoke):
     """Bigram scoring is posexplode + lag window + equi-joins; the only
     permitted nested-loop is the scalar-vocab cross join (1-row side)."""
