@@ -500,10 +500,11 @@ SELECT query_id, rank, neighbor_id, score, label FROM ranked WHERE rank <= 5
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + featurize, driver-gated end-to-end: the
     fixture tables have no binary columns, so the query synthesizes
-    deterministic PNG/JPEG/WAV/MJPEG-AVI bytes ON EXECUTORS with the
-    repo's own encoders (multimodal/synthesis.py), then drives the real
-    decode path: JVM metadata pass -> routed per-modality featurize
-    (baseline-JPEG/PNG decode + pooled features, FFT spectral audio
+    deterministic PNG/JPEG/GIF/WAV/MJPEG-AVI bytes ON EXECUTORS with
+    the repo's own encoders (multimodal/synthesis.py), then drives the
+    real decode path: JVM metadata pass -> routed per-modality
+    featurize (baseline+progressive JPEG / PNG / GIF-LZW decode +
+    pooled features, FFT spectral audio
     profile, container-slice + per-frame video decode). The
     encode->decode roundtrip makes it hermetic; features are
     integer-quantized (floor 1e6) for cross-run stability. Rows-only

@@ -11,6 +11,12 @@ from .binary_ops import (
     resize_image,
     sample_video_frames,
 )
+from .gif import (
+    decode_gif,
+    encode_gif,
+    iter_gif_frames,
+    probe_gif,
+)
 from .jpeg import (
     decode_jpeg_baseline,
     encode_jpeg_baseline,
@@ -28,7 +34,11 @@ __all__ = [
     "decode_audio",
     "decode_image",
     "decode_image_stub",
+    "decode_gif",
     "decode_jpeg_baseline",
+    "encode_gif",
+    "iter_gif_frames",
+    "probe_gif",
     "decode_video_frame",
     "decode_video_frames",
     "encode_jpeg_baseline",

@@ -358,9 +358,13 @@ def decode_image(content: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg_baseline
 
         return decode_jpeg_baseline(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(data)
     raise NotImplementedError(
         "unsupported image format (supported here: PGM/PPM/BMP24/PNG8/"
-        "baseline JPEG; plug PIL/opencv into "
+        "GIF87a/89a/baseline JPEG; plug PIL/opencv into "
         "extract_image_features(decoder=...) for more)"
     )
 

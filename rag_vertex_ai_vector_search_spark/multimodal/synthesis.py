@@ -84,7 +84,9 @@ def _synth_video_frames(seed: int, n_frames: int = 4) -> list[np.ndarray]:
     ]
 
 
-MODALITIES = ("image/png", "image/jpeg", "audio/wav", "video/avi")
+MODALITIES = (
+    "image/png", "image/jpeg", "image/gif", "audio/wav", "video/avi"
+)
 
 
 def synthesize_media(
@@ -99,6 +101,7 @@ def synthesize_media(
     roundtrip; content is a pure function of (id, modality).
     """
     from .binary_ops import encode_png
+    from .gif import encode_gif
     from .jpeg import encode_jpeg_baseline, encode_jpeg_progressive
     from .mjpeg import encode_mjpeg_avi
 
@@ -125,6 +128,14 @@ def synthesize_media(
                         )
                         blob = enc(
                             _synth_image(seed, rgb=seed % 2 == 1), quality=90
+                        )
+                    elif mt == "image/gif":
+                        # gray rasters (exact <= 256-color palette);
+                        # alternate interlaced encoding by seed parity
+                        # so the gate exercises the deinterlace path
+                        blob = encode_gif(
+                            _synth_image(seed, rgb=False),
+                            interlace=seed % 2 == 1,
                         )
                     elif mt == "audio/wav":
                         blob = encode_wav_pcm(

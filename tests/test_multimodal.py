@@ -754,7 +754,7 @@ def test_multimodal_features_query_matches_local_reference(spark, sf_smoke):
         (r.doc_id, r.media_type, r.item_index): list(r.qfeatures)
         for r in entrymod.q_multimodal_features(spark, sf_smoke).collect()
     }
-    assert len(got) == 60  # 12 docs x (png + jpeg + wav + 2 video frames)
+    assert len(got) == 72  # 12 docs x (png + jpeg + gif + wav + 2 video frames)
 
     def q(feats):
         return [math.floor(float(x) * 1e6) for x in feats]
@@ -767,6 +767,14 @@ def test_multimodal_features_query_matches_local_reference(spark, sf_smoke):
         jpg = encode_jpeg_baseline(_synth_image(did, rgb=did % 2 == 1), quality=90)
         assert got[(did, "image/jpeg", 0)] == q(
             _pooled_features(decode_jpeg_baseline(jpg), 8)
+        )
+        from rag_vertex_ai_vector_search_spark.multimodal.gif import (
+            encode_gif,
+        )
+
+        gif = encode_gif(_synth_image(did, rgb=False), interlace=did % 2 == 1)
+        assert got[(did, "image/gif", 0)] == q(
+            _pooled_features(decode_image(gif), 8)
         )
         wav = encode_wav_pcm(_synth_audio(did), channels=1 + did % 2, sampwidth=2)
         samples, sr = decode_audio(wav)
