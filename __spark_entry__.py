@@ -2990,6 +2990,104 @@ GROUP BY 1, 2
 """
 
 
+def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML text extraction + boilerplate signals (functions/html.py,
+    the trafilatura/jusText stage of a web-corpus pipeline). The
+    fixture text is plain, so the query first wraps every document in
+    a deterministic page skeleton (title, script/style/comment noise,
+    entity-encoded markup, two nav links derived from source/lang) --
+    the same synthesis-in-query pattern pii_scrub uses -- then runs
+    the real extraction: visible text (pinned by sha256), <title>,
+    tag count, and jusText-style link density. All patterns are
+    RE2-safe with a fixed replace order, mirrored byte-for-byte in
+    DuckDB."""
+    from rag_vertex_ai_vector_search_spark.functions.html import (
+        html_title,
+        html_to_text,
+        link_density,
+        tag_count,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" </title><style>p { margin: 0 }</style>"),
+        F.lit("<script>var x = '<p>skip</p>';</script></head>"),
+        F.lit("<body><!-- generated --><h1>"),
+        F.col("source"),
+        F.lit(" &amp; friends</h1><p>"),
+        F.col("text"),
+        F.lit("</p><div class='nav'><a href='/"),
+        F.col("source"),
+        F.lit("'>"),
+        F.col("source"),
+        F.lit(" home</a> <a href='/lang'><b>"),
+        F.col("lang"),
+        F.lit("</b>&nbsp;page</a></div></body></html>"),
+    )
+    page = docs.select(F.col("doc_id"), html.alias("_html"))
+    return page.select(
+        "doc_id",
+        html_title("_html").alias("page_title"),
+        tag_count("_html").cast("long").alias("n_tags"),
+        link_density("_html").alias("link_density"),
+        F.sha2(html_to_text("_html"), 256).alias("text_sha"),
+    )
+
+
+_SQL_HTML_EXTRACT = r"""
+WITH page AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || ' </title><style>p { margin: 0 }</style>'
+         || '<script>var x = ''<p>skip</p>'';</script></head>'
+         || '<body><!-- generated --><h1>' || source
+         || ' &amp; friends</h1><p>' || text
+         || '</p><div class=''nav''><a href=''/' || source || '''>'
+         || source || ' home</a> <a href=''/lang''><b>' || lang
+         || '</b>&nbsp;page</a></div></body></html>' AS h
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id, h,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                   '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+               '<[^>]*>', ' ', 'g'),
+             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS vis,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               array_to_string(
+                 regexp_extract_all(h, '(?is)<a[\s>][^>]*>(.*?)</a>', 1),
+                 ' '),
+               '<[^>]*>', ' ', 'g'),
+             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS atext
+  FROM page
+)
+SELECT doc_id,
+       trim(regexp_extract(h, '(?is)<title[^>]*>(.*?)</title>', 1))
+         AS page_title,
+       CAST(len(regexp_extract_all(h, '<[^>]*>')) AS BIGINT) AS n_tags,
+       CASE WHEN len(vis) > 0
+            THEN least(CAST(len(atext) AS DOUBLE) / CAST(len(vis) AS DOUBLE),
+                       1.0)
+            ELSE 0.0 END AS link_density,
+       sha256(vis) AS text_sha
+FROM stripped
+"""
+
+
 def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (operators/importance.py, Xie et al.
     NeurIPS 2023): every document scored by the log ratio of a hashed
@@ -3125,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_removal": q_dedup_span_removal,
         "dsir_importance": q_dsir_importance,
         "ann_recall_lsh": q_ann_recall_lsh,
+        "html_text_extract": q_html_text_extract,
         "knn_pq_restrict_crowding": q_knn_pq_restrict_crowding,
         "knn_pq_restrict_crowding_exact": q_knn_pq_restrict_crowding_exact,
         "multimodal_features": q_multimodal_features,
@@ -3136,7 +3235,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_above_customer_avg": q_orders_above_customer_avg,
         "events_json_props": q_events_json_props,
         "asof_latest_signup": q_asof_latest_signup,
-        "price_percentiles": q_price_percentiles,
         # -- vector search surface -------------------------------------
         "knn_hydrated": q_knn_hydrated,
         "knn_ivf_pruned": q_knn_ivf_pruned,
@@ -3227,12 +3325,16 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scan is embedded in merge_upsert's oracle semantics),
     dedup_exact (green r1-r4; fingerprint group-by machinery also
     gated through corpus_quality_report's dup-doc counts and the
-    training_corpus_pipeline's exact-dedup keep-one stage).
+    training_corpus_pipeline's exact-dedup keep-one stage),
+    price_percentiles (green r3-r4; exact interpolated percentile ==
+    quantile_cont stays bit-gated here, displaced by
+    html_text_extract).
     """
     return {
         "knn_topk": q_knn_topk,
         "point_lookup": q_point_lookup,
         "dedup_exact": q_dedup_exact,
+        "price_percentiles": q_price_percentiles,
         "knn_restrict": q_knn_restrict,
         "knn_crowding": q_knn_crowding,
         "token_gate_violations": q_token_gate_violations,
@@ -3261,6 +3363,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_span_removal": _SQL_DEDUP_SPAN_REMOVAL,
         "dsir_importance": _SQL_DSIR,
         "ann_recall_lsh": _sql_ann_recall_lsh(),
+        "html_text_extract": _SQL_HTML_EXTRACT,
         # knn_pq_restrict_crowding: lossy ADC shortlist -> rows-only
         "knn_pq_restrict_crowding_exact": _SQL_KNN_PQ_RESTRICT_CROWDING_EXACT,
         "knn_ivf2_full_probe": _SQL_KNN_TOPK,
@@ -3268,7 +3371,6 @@ def oracle_sql() -> dict[str, str]:
         "orders_above_customer_avg": _SQL_ORDERS_ABOVE_AVG,
         "events_json_props": _SQL_EVENTS_JSON,
         "asof_latest_signup": _SQL_ASOF_SIGNUP,
-        "price_percentiles": _SQL_PERCENTILES,
         "knn_hydrated": _SQL_KNN_HYDRATED,
         # knn_ivf_pruned: approximate + iterative -> rows-only check
         "knn_ivf_full_probe": _SQL_KNN_TOPK,
@@ -3317,6 +3419,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "knn_topk": _SQL_KNN_TOPK,
         "point_lookup": _SQL_POINT_LOOKUP,
         "dedup_exact": _SQL_DEDUP_EXACT,
+        "price_percentiles": _SQL_PERCENTILES,
         "knn_restrict": _SQL_KNN_RESTRICT,
         "knn_crowding": _SQL_KNN_CROWDING,
         "token_gate_violations": _SQL_TOKEN_GATE,

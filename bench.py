@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     ("knn_pq_rerank", entrymod.q_knn_pq_rerank),
     ("knn_pq_rerank_cogroup", _pq_rerank_cogroup),
     ("text_quality", entrymod.q_text_quality),
+    ("html_text_extract", entrymod.q_html_text_extract),
     ("text_repetition", entrymod.q_text_repetition),
     ("pii_scrub", entrymod.q_pii_scrub),
     ("ingest_datapoints", entrymod.q_ingest_datapoints),
