@@ -3088,6 +3088,107 @@ FROM stripped
 """
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + domain extraction (functions/url.py) --
+    the normalization pass before URL-level dedup and the per-domain
+    cap (whose group key is exactly url_domain's output). The fixture
+    has no URL column, so the query synthesizes a messy-but-
+    deterministic URL per document (uppercase scheme/host, default
+    port, tracking params interleaved with real ones, fragment) and
+    runs the real normalization; same synthesis-in-query pattern as
+    pii_scrub / html_text_extract."""
+    from rag_vertex_ai_vector_search_spark.functions.url import (
+        normalize_url,
+        url_domain,
+        url_host,
+        url_query_param_count,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper(F.col("source")),
+        F.lit(".Example.COM:443/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&page="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&fbclid=x"),
+        F.col("doc_id").cast("string"),
+        F.lit("&ref_ok=1#sec-"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    page = docs.select(F.col("doc_id"), url.alias("_u"))
+    return page.select(
+        "doc_id",
+        normalize_url("_u").alias("url_norm"),
+        url_host("_u").alias("host"),
+        url_domain("_u").alias("domain"),
+        url_query_param_count("_u").cast("long").alias("n_params"),
+    )
+
+
+# Mirror of functions/url.py: one RE2 split into (authority, path,
+# ?query, #fragment) groups, lowercase authority, default-port strip
+# (\1 backreference replacement == Spark's $1), tracking-param filter.
+_SQL_URL_NORMALIZE = r"""
+WITH page AS (
+  SELECT doc_id,
+         'HTTPS://WWW.' || upper(source) || '.Example.COM:443/docs/'
+         || lang || '/' || CAST(doc_id AS VARCHAR)
+         || '?utm_source=feed&page=' || CAST(doc_id % 7 AS VARCHAR)
+         || '&fbclid=x' || CAST(doc_id AS VARCHAR)
+         || '&ref_ok=1#sec-' || CAST(doc_id % 3 AS VARCHAR) AS u
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, u,
+    regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(u,
+          '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$',
+          1)),
+        '^(http://[^/?#]*):80$', '\1'),
+      '^(https://[^/?#]*):443$', '\1') AS auth,
+    regexp_extract(u,
+      '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$',
+      2) AS path,
+    array_to_string(
+      list_filter(
+        string_split(
+          substr(regexp_extract(u,
+            '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$',
+            3), 2),
+          '&'),
+        p -> p <> '' AND NOT regexp_matches(p,
+          '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)=')),
+      '&') AS q
+  FROM page
+),
+hosts AS (
+  SELECT doc_id, auth, path, q,
+    regexp_extract(
+      regexp_replace(
+        lower(regexp_extract(u,
+          '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$',
+          1)),
+        '^[a-z][a-z0-9+.\-]*://([^@]*@)?', ''),
+      '^([^:]*)', 1) AS host
+  FROM parts
+)
+SELECT doc_id,
+       auth || path || CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_norm,
+       host,
+       CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+            THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+            ELSE host END AS domain,
+       CAST(CASE WHEN q = '' THEN 0
+                 ELSE len(string_split(q, '&')) END AS BIGINT) AS n_params
+FROM hosts
+"""
+
+
 def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (operators/importance.py, Xie et al.
     NeurIPS 2023): every document scored by the log ratio of a hashed
@@ -3224,6 +3325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance": q_dsir_importance,
         "ann_recall_lsh": q_ann_recall_lsh,
         "html_text_extract": q_html_text_extract,
+        "url_normalize": q_url_normalize,
         "knn_pq_restrict_crowding": q_knn_pq_restrict_crowding,
         "knn_pq_restrict_crowding_exact": q_knn_pq_restrict_crowding_exact,
         "multimodal_features": q_multimodal_features,
@@ -3276,7 +3378,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill_locf": q_events_gapfill_locf,
         "events_salted_dim_join": q_events_salted_dim_join,
         "events_sessionize": q_events_sessionize,
-        "events_funnel": q_events_funnel,
     }
 
 
@@ -3328,13 +3429,17 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     training_corpus_pipeline's exact-dedup keep-one stage),
     price_percentiles (green r3-r4; exact interpolated percentile ==
     quantile_cont stays bit-gated here, displaced by
-    html_text_extract).
+    html_text_extract), events_funnel (green r1/r2/r4; its ordered
+    min-ts-per-stage windows ride the same sessionized event stream
+    the still-declared events_sessionize gates, displaced by
+    url_normalize).
     """
     return {
         "knn_topk": q_knn_topk,
         "point_lookup": q_point_lookup,
         "dedup_exact": q_dedup_exact,
         "price_percentiles": q_price_percentiles,
+        "events_funnel": q_events_funnel,
         "knn_restrict": q_knn_restrict,
         "knn_crowding": q_knn_crowding,
         "token_gate_violations": q_token_gate_violations,
@@ -3364,6 +3469,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_importance": _SQL_DSIR,
         "ann_recall_lsh": _sql_ann_recall_lsh(),
         "html_text_extract": _SQL_HTML_EXTRACT,
+        "url_normalize": _SQL_URL_NORMALIZE,
         # knn_pq_restrict_crowding: lossy ADC shortlist -> rows-only
         "knn_pq_restrict_crowding_exact": _SQL_KNN_PQ_RESTRICT_CROWDING_EXACT,
         "knn_ivf2_full_probe": _SQL_KNN_TOPK,
@@ -3408,7 +3514,6 @@ def oracle_sql() -> dict[str, str]:
         "events_gapfill_locf": _SQL_EVENTS_GAPFILL,
         "events_salted_dim_join": _SQL_SALTED_JOIN,
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
-        "events_funnel": _SQL_EVENTS_FUNNEL,
     }
 
 
@@ -3420,6 +3525,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "point_lookup": _SQL_POINT_LOOKUP,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "price_percentiles": _SQL_PERCENTILES,
+        "events_funnel": _SQL_EVENTS_FUNNEL,
         "knn_restrict": _SQL_KNN_RESTRICT,
         "knn_crowding": _SQL_KNN_CROWDING,
         "token_gate_violations": _SQL_TOKEN_GATE,
