@@ -2990,6 +2990,36 @@ GROUP BY 1, 2
 """
 
 
+def _sql_html_visible(col: str) -> str:
+    """DuckDB mirror of functions/html.py::html_to_text over ``col``."""
+    return (
+        "trim(regexp_replace("
+        "replace(replace(replace(replace(replace(replace("
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"{col}, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),"
+        " '(?is)<style[^>]*>.*?</style>', ' ', 'g'),"
+        " '(?s)<!--.*?-->', ' ', 'g'),"
+        " '<[^>]*>', ' ', 'g'),"
+        " '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),"
+        " '&quot;', '\"'), '&#39;', ''''), '&amp;', '&'),"
+        " '\\s+', ' ', 'g'))"
+    )
+
+
+def _sql_html_anchor(col: str) -> str:
+    """DuckDB mirror of functions/html.py::anchor_text over ``col``."""
+    return (
+        "trim(regexp_replace("
+        "replace(replace(replace(replace(replace(replace("
+        "regexp_replace(array_to_string("
+        f"regexp_extract_all({col}, '(?is)<a[\\s>][^>]*>(.*?)</a>', 1), ' '),"
+        " '<[^>]*>', ' ', 'g'),"
+        " '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),"
+        " '&quot;', '\"'), '&#39;', ''''), '&amp;', '&'),"
+        " '\\s+', ' ', 'g'))"
+    )
+
+
 def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML text extraction + boilerplate signals (functions/html.py,
     the trafilatura/jusText stage of a web-corpus pipeline). The
@@ -3189,6 +3219,218 @@ FROM hosts
 """
 
 
+def q_web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end WEB-corpus assembly -- the capstone composition of
+    this round's operators, one lineage under one oracle (the
+    web-pipeline counterpart of training_corpus_pipeline):
+
+      1. synthesize a deterministic HTML page + messy URL per doc
+      2. html_to_text + link_density (trafilatura/jusText stage)
+      3. url_domain (per-source registrable domains)
+      4. quality gate: link_density <= 0.2 AND >= 300 visible chars
+      5. cap_per_group: at most 8 docs per domain (RefinedWeb balance)
+      6. DSIR importance vs the capped English slice
+      7. dsir_gumbel_select: weighted sample of 100 docs
+
+    Every stage is the REAL operator; the whole five-operator
+    composition hash-matches the DuckDB mirror bit-for-bit (this is
+    also the oracle gate for dsir_gumbel_select's hash-Gumbel keys,
+    which are pytest-only elsewhere)."""
+    from rag_vertex_ai_vector_search_spark.functions.html import (
+        html_to_text,
+        link_density,
+    )
+    from rag_vertex_ai_vector_search_spark.functions.url import url_domain
+    from rag_vertex_ai_vector_search_spark.operators.importance import (
+        dsir_gumbel_select,
+        dsir_log_importance,
+    )
+    from rag_vertex_ai_vector_search_spark.operators.splits import (
+        cap_per_group,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" </title><style>p { margin: 0 }</style>"),
+        F.lit("<script>var x = '<p>skip</p>';</script></head>"),
+        F.lit("<body><!-- generated --><h1>"),
+        F.col("source"),
+        F.lit(" &amp; friends</h1><p>"),
+        F.col("text"),
+        F.lit("</p><div class='nav'><a href='/"),
+        F.col("source"),
+        F.lit("'>"),
+        F.col("source"),
+        F.lit(" home</a> <a href='/lang'><b>"),
+        F.col("lang"),
+        F.lit("</b>&nbsp;page</a></div></body></html>"),
+    )
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper(F.col("source")),
+        F.lit("-News.COM:443/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("#top"),
+    )
+    base = docs.select(
+        "doc_id", "lang", html.alias("_html"), url.alias("_url")
+    )
+    ext = base.select(
+        "doc_id",
+        "lang",
+        html_to_text("_html").alias("clean_text"),
+        link_density("_html").alias("ld"),
+        url_domain("_url").alias("domain"),
+    )
+    gated = ext.filter(
+        (F.col("ld") <= 0.2) & (F.length("clean_text") >= 300)
+    )
+    capped = cap_per_group(
+        gated, group_col="domain", id_col="doc_id",
+        max_per_group=8, salt="web1",
+    )
+    scored = dsir_log_importance(
+        capped,
+        capped.filter(F.col("lang") == "en"),
+        id_col="doc_id",
+        text_col="clean_text",
+        n_buckets=1024,
+        alpha=0.5,
+    )
+    enriched = scored.join(
+        capped.select("doc_id", "domain", "clean_text"), "doc_id"
+    )
+    sel = dsir_gumbel_select(enriched, 100, salt="web2")
+    return sel.select(
+        "doc_id",
+        "domain",
+        "log_weight_micronats",
+        "gumbel_key_micronats",
+        F.sha2(F.col("clean_text"), 256).alias("text_sha"),
+    )
+
+
+def _sql_web_pipeline() -> str:
+    """DuckDB mirror of q_web_corpus_pipeline: the same five-stage CTE
+    chain -- html strip, link density, domain, sha60-ranked cap, DSIR
+    bucket scores (integer micronats), hash-Gumbel top-100."""
+    vis = _sql_html_visible("h")
+    atext = _sql_html_anchor("h")
+    cap_key = _sql_sha60("'web1|' || CAST(doc_id AS VARCHAR)")
+    gum_hash = _sql_sha60("'web2:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH page AS (
+  SELECT doc_id, lang,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || ' </title><style>p {{ margin: 0 }}</style>'
+         || '<script>var x = ''<p>skip</p>'';</script></head>'
+         || '<body><!-- generated --><h1>' || source
+         || ' &amp; friends</h1><p>' || text
+         || '</p><div class=''nav''><a href=''/' || source || '''>'
+         || source || ' home</a> <a href=''/lang''><b>' || lang
+         || '</b>&nbsp;page</a></div></body></html>' AS h,
+         'HTTPS://WWW.' || upper(source) || '-News.COM:443/docs/'
+         || CAST(doc_id AS VARCHAR) || '?utm_source=feed&id='
+         || CAST(doc_id AS VARCHAR) || '#top' AS u
+  FROM documents
+),
+ext AS (
+  SELECT doc_id, lang, {vis} AS vis, {atext} AS atext,
+    regexp_extract(
+      regexp_replace(
+        lower(regexp_extract(u,
+          '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$',
+          1)),
+        '^[a-z][a-z0-9+.\\-]*://([^@]*@)?', ''),
+      '^([^:]*)', 1) AS host
+  FROM page
+),
+ext2 AS (
+  SELECT doc_id, lang, vis,
+    CASE WHEN len(vis) > 0
+         THEN least(CAST(len(atext) AS DOUBLE) / CAST(len(vis) AS DOUBLE),
+                    1.0)
+         ELSE 0.0 END AS ld,
+    CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) <> ''
+         THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+         ELSE host END AS domain
+  FROM ext
+),
+gated AS (
+  SELECT * FROM ext2 WHERE ld <= 0.2 AND len(vis) >= 300
+),
+capped AS (
+  SELECT doc_id, lang, vis, domain FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY domain
+      ORDER BY {cap_key} ASC, doc_id ASC) AS rn
+    FROM gated)
+  WHERE rn <= 8
+),
+norm AS (
+  SELECT doc_id, lang, domain, vis,
+         string_split(trim(regexp_replace(lower(vis), '\\s+', ' ', 'g')),
+                      ' ') AS ws
+  FROM capped
+),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(ws,
+           CASE WHEN len(ws) >= 2
+                THEN list_transform(range(1, len(ws)),
+                                    i -> array_to_string(ws[i:i+1], ' '))
+                ELSE []::VARCHAR[] END)) AS g
+  FROM norm
+),
+bkt AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(sha256(g), 1, 15))::BIGINT % 1024 AS bucket
+  FROM grams
+),
+raw_counts AS (SELECT bucket, count(*) AS nr FROM bkt GROUP BY bucket),
+tgt_counts AS (
+  SELECT bucket, count(*) AS nt FROM bkt WHERE lang = 'en' GROUP BY bucket
+),
+tot AS (
+  SELECT (SELECT count(*) FROM bkt)::DOUBLE + 512.0 AS dr,
+         (SELECT count(*) FROM bkt WHERE lang = 'en')::DOUBLE + 512.0 AS dt
+),
+scores AS (
+  SELECT d.bucket,
+         CAST(floor((ln((coalesce(t.nt, 0)::DOUBLE + 0.5) / tot.dt)
+                     - ln((coalesce(r.nr, 0)::DOUBLE + 0.5) / tot.dr))
+                    * 1000000.0) AS BIGINT) AS lw
+  FROM (SELECT DISTINCT bucket FROM bkt) d
+  LEFT JOIN tgt_counts t USING (bucket)
+  LEFT JOIN raw_counts r USING (bucket)
+  CROSS JOIN tot
+),
+per_doc AS (
+  SELECT b.doc_id, CAST(sum(s.lw) AS BIGINT) AS log_weight_micronats
+  FROM bkt b JOIN scores s USING (bucket)
+  GROUP BY b.doc_id
+),
+keyed AS (
+  SELECT p.doc_id, n.domain, p.log_weight_micronats,
+         CAST(floor(
+           CAST(p.log_weight_micronats AS DOUBLE)
+           + (-ln(-ln((({gum_hash}) + 1.0) / (power(2, 60) + 1.0))))
+             * 1000000.0
+         ) AS BIGINT) AS gumbel_key_micronats,
+         sha256(n.vis) AS text_sha
+  FROM per_doc p JOIN norm n USING (doc_id)
+)
+SELECT doc_id, domain, log_weight_micronats, gumbel_key_micronats, text_sha
+FROM keyed
+ORDER BY gumbel_key_micronats DESC, doc_id ASC
+LIMIT 100
+"""
+
+
 def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (operators/importance.py, Xie et al.
     NeurIPS 2023): every document scored by the log ratio of a hashed
@@ -3326,6 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_lsh": q_ann_recall_lsh,
         "html_text_extract": q_html_text_extract,
         "url_normalize": q_url_normalize,
+        "web_corpus_pipeline": q_web_corpus_pipeline,
         "knn_pq_restrict_crowding": q_knn_pq_restrict_crowding,
         "knn_pq_restrict_crowding_exact": q_knn_pq_restrict_crowding_exact,
         "multimodal_features": q_multimodal_features,
@@ -3334,7 +3577,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf2_full_probe": q_knn_ivf2_full_probe,
         "knn_lsh_full_cover": q_knn_lsh_full_cover,
         # -- first driver-gated in r3 ----------------------------------
-        "orders_above_customer_avg": q_orders_above_customer_avg,
         "events_json_props": q_events_json_props,
         "asof_latest_signup": q_asof_latest_signup,
         # -- vector search surface -------------------------------------
@@ -3432,7 +3674,9 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     html_text_extract), events_funnel (green r1/r2/r4; its ordered
     min-ts-per-stage windows ride the same sessionized event stream
     the still-declared events_sessionize gates, displaced by
-    url_normalize).
+    url_normalize), orders_above_customer_avg (green r3-r4; the
+    per-group-average semi-join shape stays bit-gated here, displaced
+    by web_corpus_pipeline -- a five-operator composition gate).
     """
     return {
         "knn_topk": q_knn_topk,
@@ -3440,6 +3684,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "price_percentiles": q_price_percentiles,
         "events_funnel": q_events_funnel,
+        "orders_above_customer_avg": q_orders_above_customer_avg,
         "knn_restrict": q_knn_restrict,
         "knn_crowding": q_knn_crowding,
         "token_gate_violations": q_token_gate_violations,
@@ -3470,11 +3715,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_lsh": _sql_ann_recall_lsh(),
         "html_text_extract": _SQL_HTML_EXTRACT,
         "url_normalize": _SQL_URL_NORMALIZE,
+        "web_corpus_pipeline": _sql_web_pipeline(),
         # knn_pq_restrict_crowding: lossy ADC shortlist -> rows-only
         "knn_pq_restrict_crowding_exact": _SQL_KNN_PQ_RESTRICT_CROWDING_EXACT,
         "knn_ivf2_full_probe": _SQL_KNN_TOPK,
         "knn_lsh_full_cover": _SQL_KNN_TOPK,
-        "orders_above_customer_avg": _SQL_ORDERS_ABOVE_AVG,
         "events_json_props": _SQL_EVENTS_JSON,
         "asof_latest_signup": _SQL_ASOF_SIGNUP,
         "knn_hydrated": _SQL_KNN_HYDRATED,
@@ -3526,6 +3771,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "dedup_exact": _SQL_DEDUP_EXACT,
         "price_percentiles": _SQL_PERCENTILES,
         "events_funnel": _SQL_EVENTS_FUNNEL,
+        "orders_above_customer_avg": _SQL_ORDERS_ABOVE_AVG,
         "knn_restrict": _SQL_KNN_RESTRICT,
         "knn_crowding": _SQL_KNN_CROWDING,
         "token_gate_violations": _SQL_TOKEN_GATE,

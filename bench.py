@@ -195,8 +195,9 @@ BENCH_QUERIES = [
     ("knn_pq_restrict_crowding", entrymod.q_knn_pq_restrict_crowding),
     # r5: synthesized-media decode + featurize across all 4 modalities
     ("multimodal_features", entrymod.q_multimodal_features),
-    # the capstone composition: 6 operators, one lineage, one oracle
+    # the capstone compositions: one lineage, one oracle each
     ("training_corpus_pipeline", entrymod.q_training_corpus_pipeline),
+    ("web_corpus_pipeline", entrymod.q_web_corpus_pipeline),
 ]
 
 
