@@ -3431,6 +3431,69 @@ LIMIT 100
 """
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container write -> read -> extract, driver-gated
+    (sources/warc.py): each batch of fixture documents is packaged
+    ON EXECUTORS into spec-shaped member-per-record .warc.gz bytes
+    (HTTP-wrapped response records, deterministic record ids), parsed
+    straight back with the engine's reader, and the recovered entity
+    bodies are emitted as (url, byte length, sha256). The oracle reads
+    the SOURCE table directly -- so a hash match proves the writer,
+    the gzip framing, the record parser and the HTTP body split
+    recover every document bit-exactly."""
+    import hashlib
+
+    import pandas as pd
+
+    from rag_vertex_ai_vector_search_spark.sources.warc import (
+        encode_warc,
+        http_payload_body,
+        parse_warc_records,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text"
+    )
+
+    def _rt(batches):
+        for pdf in batches:
+            recs = [
+                {
+                    "warc_type": "response",
+                    "url": f"https://www.{s}-news.com/docs/{i}",
+                    "payload": str(t).encode("utf-8"),
+                }
+                for i, s, t in zip(pdf["doc_id"], pdf["source"], pdf["text"])
+            ]
+            blob = encode_warc(recs, gzip_per_record=True)
+            rows = []
+            for rec in parse_warc_records(blob):
+                body = http_payload_body(rec["payload"])
+                rows.append({
+                    "url": rec["warc-target-uri"],
+                    "content_length": len(body),
+                    "body_sha": hashlib.sha256(body).hexdigest(),
+                })
+            yield pd.DataFrame(
+                rows, columns=["url", "content_length", "body_sha"]
+            )
+
+    return docs.mapInPandas(
+        _rt, "url string, content_length long, body_sha string"
+    )
+
+
+# The oracle bypasses the container entirely: if the WARC write->read
+# pipeline is lossless, its output must equal the source rows.
+_SQL_WARC_ROUNDTRIP = """
+SELECT 'https://www.' || source || '-news.com/docs/'
+       || CAST(doc_id AS VARCHAR) AS url,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+       sha256(text) AS body_sha
+FROM documents
+"""
+
+
 def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (operators/importance.py, Xie et al.
     NeurIPS 2023): every document scored by the log ratio of a hashed
@@ -3569,6 +3632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_text_extract": q_html_text_extract,
         "url_normalize": q_url_normalize,
         "web_corpus_pipeline": q_web_corpus_pipeline,
+        "warc_roundtrip": q_warc_roundtrip,
         "knn_pq_restrict_crowding": q_knn_pq_restrict_crowding,
         "knn_pq_restrict_crowding_exact": q_knn_pq_restrict_crowding_exact,
         "multimodal_features": q_multimodal_features,
@@ -3577,7 +3641,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf2_full_probe": q_knn_ivf2_full_probe,
         "knn_lsh_full_cover": q_knn_lsh_full_cover,
         # -- first driver-gated in r3 ----------------------------------
-        "events_json_props": q_events_json_props,
         "asof_latest_signup": q_asof_latest_signup,
         # -- vector search surface -------------------------------------
         "knn_hydrated": q_knn_hydrated,
@@ -3676,7 +3739,9 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the still-declared events_sessionize gates, displaced by
     url_normalize), orders_above_customer_avg (green r3-r4; the
     per-group-average semi-join shape stays bit-gated here, displaced
-    by web_corpus_pipeline -- a five-operator composition gate).
+    by web_corpus_pipeline -- a five-operator composition gate),
+    events_json_props (green r3-r4; the get_json_object projection
+    stays bit-gated here, displaced by warc_roundtrip).
     """
     return {
         "knn_topk": q_knn_topk,
@@ -3685,6 +3750,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_percentiles": q_price_percentiles,
         "events_funnel": q_events_funnel,
         "orders_above_customer_avg": q_orders_above_customer_avg,
+        "events_json_props": q_events_json_props,
         "knn_restrict": q_knn_restrict,
         "knn_crowding": q_knn_crowding,
         "token_gate_violations": q_token_gate_violations,
@@ -3716,11 +3782,11 @@ def oracle_sql() -> dict[str, str]:
         "html_text_extract": _SQL_HTML_EXTRACT,
         "url_normalize": _SQL_URL_NORMALIZE,
         "web_corpus_pipeline": _sql_web_pipeline(),
+        "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
         # knn_pq_restrict_crowding: lossy ADC shortlist -> rows-only
         "knn_pq_restrict_crowding_exact": _SQL_KNN_PQ_RESTRICT_CROWDING_EXACT,
         "knn_ivf2_full_probe": _SQL_KNN_TOPK,
         "knn_lsh_full_cover": _SQL_KNN_TOPK,
-        "events_json_props": _SQL_EVENTS_JSON,
         "asof_latest_signup": _SQL_ASOF_SIGNUP,
         "knn_hydrated": _SQL_KNN_HYDRATED,
         # knn_ivf_pruned: approximate + iterative -> rows-only check
@@ -3772,6 +3838,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "price_percentiles": _SQL_PERCENTILES,
         "events_funnel": _SQL_EVENTS_FUNNEL,
         "orders_above_customer_avg": _SQL_ORDERS_ABOVE_AVG,
+        "events_json_props": _SQL_EVENTS_JSON,
         "knn_restrict": _SQL_KNN_RESTRICT,
         "knn_crowding": _SQL_KNN_CROWDING,
         "token_gate_violations": _SQL_TOKEN_GATE,

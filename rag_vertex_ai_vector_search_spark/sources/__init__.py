@@ -8,6 +8,12 @@ from .tables import (
 )
 from .documents import scan_document_dir
 from .compact import compact_parquet, table_file_stats
+from .warc import (
+    encode_warc,
+    http_payload_body,
+    parse_warc_records,
+    read_warc,
+)
 
 __all__ = [
     "TABLE_NAMES",
@@ -19,4 +25,8 @@ __all__ = [
     "scan_document_dir",
     "compact_parquet",
     "table_file_stats",
+    "encode_warc",
+    "http_payload_body",
+    "parse_warc_records",
+    "read_warc",
 ]
