@@ -3431,6 +3431,84 @@ LIMIT 100
 """
 
 
+def q_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule bundle (Rae et al. 2021 A1.1,
+    functions/text.py::gopher_quality_flags) over the fixture corpus.
+    Deterministic rule-exercise synthesis: every fifth document gets a
+    bullet prefix (trips the bullet-line rule), every seventh an
+    ellipsis suffix (trips the ellipsis rule); the corpus' natural
+    length spread exercises the word-count bound. min_stopword_hits=1
+    because the synthetic vocabulary carries only 'the' from the
+    Gopher stop list. All eight metrics + the keep verdict are
+    oracle-gated."""
+    from rag_vertex_ai_vector_search_spark.functions.text import (
+        gopher_quality_flags,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    x = F.concat(
+        F.when(F.col("doc_id") % 5 == 0, F.lit("- ")).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("...")).otherwise(F.lit("")),
+    )
+    g = docs.select(
+        "doc_id",
+        gopher_quality_flags(x, min_stopword_hits=1).alias("g"),
+    )
+    return g.select("doc_id", "g.*")
+
+
+_SQL_GOPHER = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN '- ' ELSE '' END || text
+         || CASE WHEN doc_id % 7 = 0 THEN '...' ELSE '' END AS x
+  FROM documents
+),
+m AS (
+  SELECT doc_id, x,
+         trim(regexp_replace(lower(x), '\s+', ' ', 'g')) AS norm,
+         string_split(trim(regexp_replace(lower(x), '\s+', ' ', 'g')),
+                      ' ') AS ws,
+         string_split(x, chr(10)) AS ls
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CASE WHEN len(norm) = 0 THEN 0.0
+         ELSE CAST(len(norm) - (len(ws) - 1) AS DOUBLE)
+              / CAST(len(ws) AS DOUBLE) END AS mean_word_len,
+    CAST(len(regexp_extract_all(x, '#'))
+         + len(regexp_extract_all(x, '\.\.\.')) AS DOUBLE)
+      / CAST(len(ws) AS DOUBLE) AS symbol_ratio,
+    CAST(len(list_filter(ls,
+           l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+      / CAST(len(ls) AS DOUBLE) AS bullet_line_fraction,
+    CAST(len(list_filter(ls,
+           l -> ends_with(rtrim(l), '...')
+                OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+      / CAST(len(ls) AS DOUBLE) AS ellipsis_line_fraction,
+    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+      / CAST(len(ws) AS DOUBLE) AS alpha_word_fraction,
+    CAST(len(list_filter(
+           ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+           sw -> list_contains(ws, sw))) AS BIGINT) AS n_stopwords_present
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_fraction,
+       ellipsis_line_fraction, alpha_word_fraction, n_stopwords_present,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1
+        AND bullet_line_fraction <= 0.9
+        AND ellipsis_line_fraction <= 0.3
+        AND alpha_word_fraction >= 0.8
+        AND n_stopwords_present >= 1) AS keep
+FROM s
+"""
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC container write -> read -> extract, driver-gated
     (sources/warc.py): each batch of fixture documents is packaged
@@ -3633,6 +3711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "web_corpus_pipeline": q_web_corpus_pipeline,
         "warc_roundtrip": q_warc_roundtrip,
+        "gopher_quality_gate": q_gopher_quality_gate,
         "knn_pq_restrict_crowding": q_knn_pq_restrict_crowding,
         "knn_pq_restrict_crowding_exact": q_knn_pq_restrict_crowding_exact,
         "multimodal_features": q_multimodal_features,
@@ -3668,7 +3747,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "dataset_decontaminate": q_dataset_decontaminate,
         "dataset_domain_cap": q_dataset_domain_cap,
-        "dataset_mix_upsample": q_dataset_mix_upsample,
         "packed_sequence_texts": q_packed_sequence_texts,
         "corpus_quality_report": q_corpus_quality_report,
         "lm_surprisal": q_lm_surprisal,
@@ -3741,7 +3819,11 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     per-group-average semi-join shape stays bit-gated here, displaced
     by web_corpus_pipeline -- a five-operator composition gate),
     events_json_props (green r3-r4; the get_json_object projection
-    stays bit-gated here, displaced by warc_roundtrip).
+    stays bit-gated here, displaced by warc_roundtrip),
+    dataset_mix_upsample (green r3-r4; its sub-1.0 path equals the
+    archived dataset_mix_sample and the epoch-copy determinism stays
+    bit-gated here, while the training pipeline's oracle still embeds
+    the mixing stage -- displaced by gopher_quality_gate).
     """
     return {
         "knn_topk": q_knn_topk,
@@ -3751,6 +3833,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "orders_above_customer_avg": q_orders_above_customer_avg,
         "events_json_props": q_events_json_props,
+        "dataset_mix_upsample": q_dataset_mix_upsample,
         "knn_restrict": q_knn_restrict,
         "knn_crowding": q_knn_crowding,
         "token_gate_violations": q_token_gate_violations,
@@ -3783,6 +3866,7 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize": _SQL_URL_NORMALIZE,
         "web_corpus_pipeline": _sql_web_pipeline(),
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
+        "gopher_quality_gate": _SQL_GOPHER,
         # knn_pq_restrict_crowding: lossy ADC shortlist -> rows-only
         "knn_pq_restrict_crowding_exact": _SQL_KNN_PQ_RESTRICT_CROWDING_EXACT,
         "knn_ivf2_full_probe": _SQL_KNN_TOPK,
@@ -3811,7 +3895,6 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _SQL_PII_SCRUB,
         "dataset_decontaminate": _SQL_DECONTAMINATE,
         "dataset_domain_cap": _SQL_DOMAIN_CAP,
-        "dataset_mix_upsample": _SQL_MIX_UPSAMPLE,
         "packed_sequence_texts": _SQL_PACKED_SEQ_TEXTS,
         "corpus_quality_report": _SQL_CORPUS_REPORT,
         "lm_surprisal": _sql_lm_surprisal(),
@@ -3839,6 +3922,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "events_funnel": _SQL_EVENTS_FUNNEL,
         "orders_above_customer_avg": _SQL_ORDERS_ABOVE_AVG,
         "events_json_props": _SQL_EVENTS_JSON,
+        "dataset_mix_upsample": _SQL_MIX_UPSAMPLE,
         "knn_restrict": _SQL_KNN_RESTRICT,
         "knn_crowding": _SQL_KNN_CROWDING,
         "token_gate_violations": _SQL_TOKEN_GATE,

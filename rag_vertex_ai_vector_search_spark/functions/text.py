@@ -345,6 +345,101 @@ def mean_word_length(col: Column | str) -> Column:
     return F.when(F.length(norm) == 0, F.lit(0.0)).otherwise(chars / n)
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_BULLET_CHARS = ("-", "*", "•")  # -, *, •
+
+
+def gopher_quality_flags(
+    col: Column | str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_fraction: float = 0.9,
+    max_ellipsis_line_fraction: float = 0.3,
+    min_alpha_word_fraction: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """The Gopher quality-rule bundle (Rae et al. 2021, Appendix A1.1)
+    as ONE struct column -- the published heuristic filter most
+    web-corpus recipes start from:
+
+      - word count in [min_words, max_words]
+      - mean word length in [min, max] chars
+      - symbol-to-word ratio ('#' and '...') <= max
+      - at most max_bullet_line_fraction of lines start with a bullet
+      - at most max_ellipsis_line_fraction of lines end with ellipsis
+      - >= min_alpha_word_fraction of words contain a letter
+      - text contains >= min_stopword_hits of the 8 Gopher stop words
+
+    Fields: n_words, mean_word_len, symbol_ratio, bullet_line_fraction,
+    ellipsis_line_fraction, alpha_word_fraction, n_stopwords_present,
+    keep (the conjunction). Pure codegen'd array expressions, linear
+    per document, mirrored exactly by DuckDB list functions -- zero
+    shuffles; the gate composes as a narrow filter at any scale.
+    """
+    raw = _c(col)
+    words = _words(col)
+    n = F.size(words)
+    nd = n.cast("double")
+    mwl = mean_word_length(col)
+    symbols = (
+        F.regexp_count(raw, F.lit("#")) + F.regexp_count(raw, F.lit(r"\.\.\."))
+    )
+    symbol_ratio = F.when(n > 0, symbols.cast("double") / nd).otherwise(
+        F.lit(0.0)
+    )
+    lines = F.split(raw, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(F.ltrim(l), 1, 1).isin(*_BULLET_CHARS),
+        )
+    ).cast("double")
+    ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda l: F.endswith(F.rtrim(l), F.lit("..."))
+            | F.endswith(F.rtrim(l), F.lit("…")),
+        )
+    ).cast("double")
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast("double")
+    alpha_frac = F.when(n > 0, alpha / nd).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(words, s),
+        )
+    )
+    bullet_frac = bullet / n_lines
+    ellipsis_frac = ellipsis / n_lines
+    keep = (
+        (n >= F.lit(min_words))
+        & (n <= F.lit(max_words))
+        & (mwl >= F.lit(float(min_mean_word_len)))
+        & (mwl <= F.lit(float(max_mean_word_len)))
+        & (symbol_ratio <= F.lit(float(max_symbol_word_ratio)))
+        & (bullet_frac <= F.lit(float(max_bullet_line_fraction)))
+        & (ellipsis_frac <= F.lit(float(max_ellipsis_line_fraction)))
+        & (alpha_frac >= F.lit(float(min_alpha_word_fraction)))
+        & (stop_hits >= F.lit(min_stopword_hits))
+    )
+    return F.struct(
+        n.cast("long").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_fraction"),
+        ellipsis_frac.alias("ellipsis_line_fraction"),
+        alpha_frac.alias("alpha_word_fraction"),
+        stop_hits.cast("long").alias("n_stopwords_present"),
+        keep.alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII detection / redaction. Patterns are deliberately RE2-safe (no
 # backreferences, no lookaround) so the exact same pattern string runs

@@ -154,3 +154,64 @@ def test_split_is_narrow_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-rule bundle (Rae et al. 2021, A1.1)
+# ---------------------------------------------------------------------------
+
+def _gopher(spark, text, **kw):
+    from rag_vertex_ai_vector_search_spark.functions.text import (
+        gopher_quality_flags,
+    )
+
+    return (
+        spark.createDataFrame([(text,)], "text string")
+        .select(gopher_quality_flags("text", **kw).alias("g"))
+        .collect()[0]
+        .g
+    )
+
+
+def test_gopher_clean_prose_keeps(spark):
+    prose = (
+        "the quick brown fox jumps over the lazy dog and runs to be "
+        "with that other fine animal which they have seen many times "
+        "before in the wide green field near the old stone bridge "
+        "while the sun sets slowly of an evening and the birds sing "
+        "softly in the trees above the quiet flowing river below"
+    )
+    g = _gopher(spark, prose)
+    assert g.keep is True
+    assert g.n_words >= 50
+    assert 3.0 <= g.mean_word_len <= 10.0
+    assert g.symbol_ratio == 0.0
+    assert g.bullet_line_fraction == 0.0
+    assert g.alpha_word_fraction == 1.0
+    assert g.n_stopwords_present >= 2
+
+
+def test_gopher_individual_rules_fail(spark):
+    # too short
+    assert _gopher(spark, "the cat sat of and").keep is False
+    # bullet-heavy lines (every line a bullet)
+    bullets = "\n".join("- item " + "word " * 20 for _ in range(5))
+    g = _gopher(spark, bullets, max_bullet_line_fraction=0.9)
+    assert g.bullet_line_fraction == 1.0 and g.keep is False
+    # ellipsis-heavy lines
+    dots = "\n".join("the thing and more of that be have with..." 
+                     for _ in range(10))
+    g = _gopher(spark, dots, min_words=5)
+    assert g.ellipsis_line_fraction == 1.0 and g.keep is False
+    # symbol spam
+    spam = "the # of # and # that # have # with " * 20
+    g = _gopher(spark, spam, min_words=5)
+    assert g.symbol_ratio > 0.1 and g.keep is False
+    # numeric words fail the alpha-fraction rule
+    nums = ("the of and that be have with " + "12345 " * 60)
+    g = _gopher(spark, nums, min_words=5)
+    assert g.alpha_word_fraction < 0.8 and g.keep is False
+    # no stopwords at all
+    rand = "zyx wvu tsr qpo nml kji " * 12
+    g = _gopher(spark, rand, min_words=5)
+    assert g.n_stopwords_present == 0 and g.keep is False
