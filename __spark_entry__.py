@@ -541,7 +541,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q("features").alias("qfeatures"),
     )
     wavs = extract_audio_spectral_features(
-        media.filter(F.col("media_type") == "audio/wav"), n_bands=8,
+        media.filter(F.col("media_type").startswith("audio/")), n_bands=8,
     ).select(
         "doc_id", "media_type", F.lit(0).alias("item_index"),
         F.col("media_bytes").cast("long").alias("media_bytes"),

@@ -11,6 +11,10 @@ from .binary_ops import (
     resize_image,
     sample_video_frames,
 )
+from .flac import (
+    decode_flac,
+    encode_flac,
+)
 from .gif import (
     decode_gif,
     encode_gif,
@@ -34,6 +38,8 @@ __all__ = [
     "decode_audio",
     "decode_image",
     "decode_image_stub",
+    "decode_flac",
+    "encode_flac",
     "decode_gif",
     "decode_jpeg_baseline",
     "encode_gif",

@@ -457,16 +457,24 @@ def extract_resized_features(
 
 def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
     """REAL pure-stdlib audio decode: RIFF/WAV PCM via the ``wave``
-    module (8/16/32-bit integer PCM, any channel count). Returns
+    module (8/16/32-bit integer PCM, any channel count) and FLAC via
+    the in-repo codec (multimodal/flac.py: fixed + LPC prediction,
+    Rice residuals, stereo decorrelation, CRC-verified). Returns
     ``(samples, sample_rate)`` where samples is (n_frames, n_channels)
     float64 in [-1, 1]. Unknown/compressed formats raise
     NotImplementedError (plug soundfile/ffmpeg in via
-    ``extract_audio_features(decoder=...)`` for MP3/FLAC/OGG; the
+    ``extract_audio_features(decoder=...)`` for MP3/OGG; the
     distributed plan is unchanged)."""
     import io
     import wave
 
     data = bytes(content or b"")
+    if data[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        samples, sr, bps = decode_flac(data)
+        scale = float(1 << (bps - 1))
+        return samples.astype(np.float64) / scale, sr
     try:
         with wave.open(io.BytesIO(data)) as w:
             sr = w.getframerate()

@@ -85,7 +85,8 @@ def _synth_video_frames(seed: int, n_frames: int = 4) -> list[np.ndarray]:
 
 
 MODALITIES = (
-    "image/png", "image/jpeg", "image/gif", "audio/wav", "video/avi"
+    "image/png", "image/jpeg", "image/gif", "audio/wav", "audio/flac",
+    "video/avi",
 )
 
 
@@ -101,6 +102,7 @@ def synthesize_media(
     roundtrip; content is a pure function of (id, modality).
     """
     from .binary_ops import encode_png
+    from .flac import encode_flac
     from .gif import encode_gif
     from .jpeg import encode_jpeg_baseline, encode_jpeg_progressive
     from .mjpeg import encode_mjpeg_avi
@@ -143,6 +145,11 @@ def synthesize_media(
                             channels=1 + seed % 2,
                             sampwidth=2,
                         )
+                    elif mt == "audio/flac":
+                        pcm = (
+                            np.clip(_synth_audio(seed), -1, 1) * 32767
+                        ).astype(np.int32)
+                        blob = encode_flac(pcm, sample_rate=8000)
                     elif mt == "video/avi":
                         blob = encode_mjpeg_avi(
                             _synth_video_frames(seed), quality=95

@@ -754,7 +754,7 @@ def test_multimodal_features_query_matches_local_reference(spark, sf_smoke):
         (r.doc_id, r.media_type, r.item_index): list(r.qfeatures)
         for r in entrymod.q_multimodal_features(spark, sf_smoke).collect()
     }
-    assert len(got) == 72  # 12 docs x (png + jpeg + gif + wav + 2 video frames)
+    assert len(got) == 84  # 12 docs x (png+jpeg+gif+wav+flac+2 video frames)
 
     def q(feats):
         return [math.floor(float(x) * 1e6) for x in feats]
@@ -780,6 +780,16 @@ def test_multimodal_features_query_matches_local_reference(spark, sf_smoke):
         samples, sr = decode_audio(wav)
         _, _, prof = _spectral_feature_row(samples, sr, 8)
         assert got[(did, "audio/wav", 0)] == q(prof)
+        import numpy as np
+
+        from rag_vertex_ai_vector_search_spark.multimodal.flac import (
+            encode_flac,
+        )
+
+        pcm = (np.clip(_synth_audio(did), -1, 1) * 32767).astype(np.int32)
+        fsamples, fsr = decode_audio(encode_flac(pcm, sample_rate=8000))
+        _, _, fprof = _spectral_feature_row(fsamples, fsr, 8)
+        assert got[(did, "audio/flac", 0)] == q(fprof)
         avi = encode_mjpeg_avi(_synth_video_frames(did), quality=95)
         for idx, payload in enumerate(iter_mjpeg_frames(avi)):
             if idx % 2:
