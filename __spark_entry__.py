@@ -3289,10 +3289,14 @@ def q_web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = ext.filter(
         (F.col("ld") <= 0.2) & (F.length("clean_text") >= 300)
     )
+    # The capped corpus is the pipeline's materialized intermediate (a
+    # real run writes it to parquet before modeling); caching it keeps
+    # the regex-heavy extract+cap lineage from re-executing under the
+    # DSIR stage's two scalar-total actions + final plan.
     capped = cap_per_group(
         gated, group_col="domain", id_col="doc_id",
         max_per_group=8, salt="web1",
-    )
+    ).cache()
     scored = dsir_log_importance(
         capped,
         capped.filter(F.col("lang") == "en"),
