@@ -24,6 +24,7 @@ from .linestats import (
     read_line_df,
     stream_line_df,
 )
+from .join import stream_interval_join
 from .dsir_stream import (
     apply_dsir_batch,
     compact_dsir_model,
@@ -55,6 +56,7 @@ __all__ = [
     "compact_line_df",
     "read_line_df",
     "stream_line_df",
+    "stream_interval_join",
     "apply_dsir_batch",
     "compact_dsir_model",
     "read_dsir_model",
