@@ -3435,6 +3435,56 @@ LIMIT 100
 """
 
 
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source contamination matrix
+    (operators/decontaminate.py::cross_source_overlap): distinct
+    5-gram Jaccard between every pair of the corpus' 20 sources --
+    the audit a multi-source corpus runs before mixing, and the
+    between-slice counterpart of dataset_decontaminate's train/eval
+    check. Fully oracle-gated including the Jaccard arithmetic."""
+    from rag_vertex_ai_vector_search_spark.operators.decontaminate import (
+        cross_source_overlap,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_source_overlap(docs, n=5)
+
+
+_SQL_SOURCE_OVERLAP = f"""
+WITH w AS (
+  SELECT source, string_split({_SQL_NORM}, ' ') AS w FROM documents
+),
+g AS (
+  SELECT source, unnest(list_distinct(
+    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(range(1, len(w) - 3),
+                             i -> array_to_string(w[i:i+4], ' '))
+    END)) AS gram
+  FROM w
+),
+h AS (
+  SELECT DISTINCT source AS g,
+         ('0x' || substr(sha256(gram), 1, 15))::BIGINT AS gh
+  FROM g
+),
+tot AS (SELECT g, count(*) AS t FROM h GROUP BY g),
+sh AS (
+  SELECT a.g AS group_a, b.g AS group_b,
+         CAST(count(*) AS BIGINT) AS shared_grams
+  FROM h a JOIN h b ON a.gh = b.gh AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT group_a, group_b, shared_grams,
+       CAST(ta.t AS BIGINT) AS grams_a,
+       CAST(tb.t AS BIGINT) AS grams_b,
+       CAST(shared_grams AS DOUBLE)
+         / CAST(ta.t + tb.t - shared_grams AS DOUBLE) AS jaccard
+FROM sh
+JOIN tot ta ON sh.group_a = ta.g
+JOIN tot tb ON sh.group_b = tb.g
+"""
+
+
 def q_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher quality-rule bundle (Rae et al. 2021 A1.1,
     functions/text.py::gopher_quality_flags) over the fixture corpus.
@@ -3716,6 +3766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_corpus_pipeline": q_web_corpus_pipeline,
         "warc_roundtrip": q_warc_roundtrip,
         "gopher_quality_gate": q_gopher_quality_gate,
+        "source_overlap_matrix": q_source_overlap_matrix,
         "knn_pq_restrict_crowding": q_knn_pq_restrict_crowding,
         "knn_pq_restrict_crowding_exact": q_knn_pq_restrict_crowding_exact,
         "multimodal_features": q_multimodal_features,
@@ -3740,7 +3791,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_winnow_containment": q_dedup_winnow,
         "dedup_clusters_cc": q_dedup_clusters_cc,
         # -- text / training-data pipeline -----------------------------
@@ -3827,7 +3877,11 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dataset_mix_upsample (green r3-r4; its sub-1.0 path equals the
     archived dataset_mix_sample and the epoch-copy determinism stays
     bit-gated here, while the training pipeline's oracle still embeds
-    the mixing stage -- displaced by gopher_quality_gate).
+    the mixing stage -- displaced by gopher_quality_gate),
+    dedup_embedding_cosine (green r1-r4; its fold dot-product scoring
+    is the _SQL_KNN_TOPK machinery four declared queries still gate,
+    and the IVF-blocked scale path stays benched + recall-tested --
+    displaced by source_overlap_matrix).
     """
     return {
         "knn_topk": q_knn_topk,
@@ -3838,6 +3892,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_above_customer_avg": q_orders_above_customer_avg,
         "events_json_props": q_events_json_props,
         "dataset_mix_upsample": q_dataset_mix_upsample,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "knn_restrict": q_knn_restrict,
         "knn_crowding": q_knn_crowding,
         "token_gate_violations": q_token_gate_violations,
@@ -3871,6 +3926,7 @@ def oracle_sql() -> dict[str, str]:
         "web_corpus_pipeline": _sql_web_pipeline(),
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
         "gopher_quality_gate": _SQL_GOPHER,
+        "source_overlap_matrix": _SQL_SOURCE_OVERLAP,
         # knn_pq_restrict_crowding: lossy ADC shortlist -> rows-only
         "knn_pq_restrict_crowding_exact": _SQL_KNN_PQ_RESTRICT_CROWDING_EXACT,
         "knn_ivf2_full_probe": _SQL_KNN_TOPK,
@@ -3889,7 +3945,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_spans": _SQL_DEDUP_SPANS,
         "dedup_minhash_lsh": _sql_minhash_lsh(),
         "dedup_simhash": _SQL_DEDUP_SIMHASH,
-        "dedup_embedding_cosine": _SQL_DEDUP_COSINE,
         "dedup_winnow_containment": _SQL_DEDUP_WINNOW,
         "dedup_clusters_cc": _sql_dedup_clusters_cc(),
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
@@ -3927,6 +3982,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "orders_above_customer_avg": _SQL_ORDERS_ABOVE_AVG,
         "events_json_props": _SQL_EVENTS_JSON,
         "dataset_mix_upsample": _SQL_MIX_UPSAMPLE,
+        "dedup_embedding_cosine": _SQL_DEDUP_COSINE,
         "knn_restrict": _SQL_KNN_RESTRICT,
         "knn_crowding": _SQL_KNN_CROWDING,
         "token_gate_violations": _SQL_TOKEN_GATE,

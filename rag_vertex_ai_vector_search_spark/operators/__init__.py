@@ -15,6 +15,11 @@ from .dedup import (
 )
 from .ingest import ingest_documents, IngestResult, TokenLimitExceeded
 from .asof import asof_join
+from .decontaminate import (
+    contamination_pairs,
+    cross_source_overlap,
+    decontaminate,
+)
 from .restricts import restrict_predicate
 from .ann_lsh import lsh_topk
 from .cluster import connected_components, dedup_keep_one
@@ -99,6 +104,9 @@ __all__ = [
     "IngestResult",
     "TokenLimitExceeded",
     "asof_join",
+    "contamination_pairs",
+    "cross_source_overlap",
+    "decontaminate",
     "restrict_predicate",
     "lsh_topk",
     "connected_components",

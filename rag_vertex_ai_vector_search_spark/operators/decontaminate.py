@@ -97,6 +97,83 @@ def contamination_pairs(
     )
 
 
+def cross_source_overlap(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 5,
+    base_hash: str = "sha60",
+) -> DataFrame:
+    """Pairwise n-gram contamination MATRIX between every pair of
+    corpus slices (sources, dumps, snapshots): for each (a, b) with
+    a < b,
+
+        (group_a, group_b, shared_grams, grams_a, grams_b, jaccard)
+
+    over the groups' DISTINCT gram-hash sets. The audit a multi-source
+    corpus runs before mixing -- two "independent" sources with high
+    Jaccard are the same crawl twice, and a training/eval split drawn
+    from them leaks.
+
+    Scale shape: the per-group distinct-gram table is bounded by
+    content (not corpus rows) and shrinks to 8-byte keys; the pair
+    join is keyed on the gram hash, so cost tracks actual overlap,
+    with per-gram fan-out bounded by (#groups choose 2) -- groups are
+    few (sources/dumps) by construction. One distinct, one self-join,
+    two broadcast-sized aggregates.
+    """
+    hash_fn = base_hash_fn(base_hash)
+    grams = (
+        fan_out(df)
+        .select(
+            F.col(group_col).alias("_g"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("_gram"),
+        )
+        .select("_g", hash_fn(F.col("_gram")).alias("_gh"))
+        .distinct()
+    )
+    totals = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_tot"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(
+            b,
+            on=[
+                F.col("a._gh") == F.col("b._gh"),
+                F.col("a._g") < F.col("b._g"),
+            ],
+        )
+        .groupBy(
+            F.col("a._g").alias("group_a"), F.col("b._g").alias("group_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
+    )
+    ta = totals.select(
+        F.col("_g").alias("group_a"), F.col("_tot").alias("grams_a")
+    )
+    tb = totals.select(
+        F.col("_g").alias("group_b"), F.col("_tot").alias("grams_b")
+    )
+    return (
+        shared.join(ta, "group_a")
+        .join(tb, "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "shared_grams",
+            F.col("grams_a").cast("long").alias("grams_a"),
+            F.col("grams_b").cast("long").alias("grams_b"),
+            (
+                F.col("shared_grams").cast("double")
+                / (
+                    F.col("grams_a") + F.col("grams_b")
+                    - F.col("shared_grams")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
 def decontaminate(
     train_df: DataFrame,
     eval_df: DataFrame,

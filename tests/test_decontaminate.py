@@ -77,3 +77,33 @@ def test_xxhash64_variant_same_pairs(spark):
     b = sorted(tuple(r) for r in contamination_pairs(
         train, ev, n=5, base_hash="xxhash64").collect())
     assert a == b
+
+
+def test_cross_source_overlap_matrix(spark):
+    """Planted slice overlap: sources A and B share a passage (high
+    Jaccard), C is disjoint (absent from the matrix); counts and the
+    Jaccard arithmetic match a hand computation."""
+    from rag_vertex_ai_vector_search_spark.operators.decontaminate import (
+        cross_source_overlap,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"       # 6 words
+    rows = [
+        (1, "A", shared + " one two"),
+        (2, "A", "completely different words here now indeed"),
+        (3, "B", shared + " three four"),
+        (4, "C", "unrelated text with nothing in common at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r.group_a, r.group_b): r
+           for r in cross_source_overlap(df, n=5).collect()}
+
+    # only pairs with >0 shared grams appear; C overlaps nobody
+    assert set(out) == {("A", "B")}
+    r = out[("A", "B")]
+    # shared 5-grams: windows fully inside the 6-word shared passage:
+    # "alpha..epsilon" and "beta..zeta" -> 2
+    assert r.shared_grams == 2
+    # A: doc1 has 4 5-grams, doc2 has 2 -> 6 distinct; B: 4
+    assert (r.grams_a, r.grams_b) == (6, 4)
+    assert r.jaccard == 2 / (6 + 4 - 2)
