@@ -167,3 +167,56 @@ def test_wav_roundtrip_property(seed, sampwidth, channels, n):
     assert sr == 8000 and samples.shape == (n, channels)
     step = {1: 1 / 128, 2: 1 / 32768, 4: 1 / 2147483648}[sampwidth]
     assert np.abs(samples - x).max() <= 2 * step + 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    shape=st.tuples(st.integers(1, 24), st.integers(1, 24)),
+    seed=st.integers(0, 2**31 - 1),
+    palette_size=st.integers(1, 256),
+    interlace=st.booleans(),
+)
+def test_gif_roundtrip_property(shape, seed, palette_size, interlace):
+    """Any gray raster whose values fit one palette survives GIF
+    encode->decode bit-exactly, interlaced or not."""
+    import numpy as np
+
+    from rag_vertex_ai_vector_search_spark.multimodal.gif import (
+        decode_gif, encode_gif,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, palette_size, size=shape, dtype=np.uint8)
+    out = decode_gif(encode_gif(img, interlace=interlace))
+    assert out.shape == (*shape, 3)
+    assert np.array_equal(out[:, :, 0], img)
+    assert np.array_equal(out[:, :, 1], img)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(1, 9000),
+    channels=st.integers(1, 2),
+    bps=st.sampled_from([8, 16]),
+    tonal=st.booleans(),
+)
+def test_flac_roundtrip_property(seed, n, channels, bps, tonal):
+    """Any in-range signal (noise or tonal, mono or stereo, crossing
+    frame boundaries) survives FLAC encode->decode losslessly."""
+    import numpy as np
+
+    from rag_vertex_ai_vector_search_spark.multimodal.flac import (
+        decode_flac, encode_flac,
+    )
+
+    rng = np.random.default_rng(seed)
+    hi = (1 << (bps - 1)) - 1
+    if tonal:
+        t = np.arange(n * channels).reshape(n, channels)
+        sig = (hi * 0.3 * np.sin(t / 7.0)).astype(np.int32)
+    else:
+        sig = rng.integers(-hi - 1, hi, size=(n, channels), dtype=np.int32)
+    out, sr, got_bps = decode_flac(encode_flac(sig, bps=bps))
+    assert (sr, got_bps) == (8000, bps)
+    assert np.array_equal(out, sig)
