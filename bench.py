@@ -159,6 +159,9 @@ BENCH_QUERIES = [
     ("knn_pq_rerank_cogroup", _pq_rerank_cogroup),
     ("text_quality", entrymod.q_text_quality),
     ("html_text_extract", entrymod.q_html_text_extract),
+    ("gopher_quality_gate", entrymod.q_gopher_quality_gate),
+    ("source_overlap_matrix", entrymod.q_source_overlap_matrix),
+    ("warc_roundtrip", entrymod.q_warc_roundtrip),
     ("text_repetition", entrymod.q_text_repetition),
     ("pii_scrub", entrymod.q_pii_scrub),
     ("ingest_datapoints", entrymod.q_ingest_datapoints),

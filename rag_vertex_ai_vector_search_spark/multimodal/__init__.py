@@ -5,6 +5,7 @@ from .binary_ops import (
     decode_image_stub,
     extract_audio_features,
     extract_audio_spectral_features,
+    extract_gif_frame_features,
     extract_resized_features,
     extract_image_features,
     extract_video_frame_features,
@@ -52,6 +53,7 @@ __all__ = [
     "encode_mjpeg_avi",
     "extract_audio_features",
     "extract_audio_spectral_features",
+    "extract_gif_frame_features",
     "extract_resized_features",
     "extract_image_features",
     "extract_video_frame_features",

@@ -712,6 +712,56 @@ def slice_video_frames(
     return df.mapInPandas(_slice, out_schema)
 
 
+def extract_gif_frame_features(
+    df: DataFrame,
+    content_col: str = "content",
+    every_k: int = 1,
+    feature_dim: int = 16,
+) -> DataFrame:
+    """Animated-GIF frames through the frame-featurize seam: one
+    mapInPandas pass decodes each GIF's COMPOSITED frames (disposal +
+    transparency applied) and emits per-frame feature rows without the
+    file bytes.
+
+    Unlike MJPEG, GIF frames are not independently decodable -- each
+    composites onto the previous canvas -- so the whole file is one
+    sequential work unit (the right grain: web GIFs are small) and the
+    fan-out happens ACROSS files, not within one. Output: input
+    columns minus ``content_col`` plus (frame_index, features).
+    """
+    from .gif import iter_gif_frames
+
+    keep = [f for f in df.schema.fields if f.name != content_col]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in keep
+    ) + ", frame_index int, features array<float>"
+    keep_names = [f.name for f in keep]
+
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = row[content_col]
+                base = {c: row[c] for c in keep_names}
+                for idx, frame in enumerate(
+                    iter_gif_frames(bytes(content) if content else b"")
+                ):
+                    if idx % every_k:
+                        continue
+                    rows.append({
+                        **base,
+                        "frame_index": idx,
+                        "features": _pooled_features(frame, feature_dim),
+                    })
+            yield pd.DataFrame(
+                rows, columns=keep_names + ["frame_index", "features"]
+            )
+
+    from ..sources import fan_out
+
+    return fan_out(df).mapInPandas(_featurize, out_schema)
+
+
 def extract_video_frame_features(
     df: DataFrame,
     content_col: str = "content",

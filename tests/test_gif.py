@@ -108,3 +108,36 @@ def test_decode_image_routes_gif():
     img = np.full((5, 4), 77, np.uint8)
     out = decode_image(encode_gif(img))
     assert out.shape == (5, 4, 3) and out[0, 0, 0] == 77
+
+
+def test_extract_gif_frame_features_spark(spark):
+    """Animated GIFs explode into per-frame feature rows on Spark; the
+    values equal a driver-side composited-frame featurization."""
+    import numpy as np
+
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        _pooled_features,
+        extract_gif_frame_features,
+    )
+
+    def anim(seed, n):
+        rng = np.random.default_rng(seed)
+        return [
+            rng.integers(0, 200, size=(10, 12), dtype=np.uint8)
+            for _ in range(n)
+        ]
+
+    blobs = {1: encode_gif(anim(1, 3)), 2: encode_gif(anim(2, 5))}
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in blobs.items()],
+        "gif_id long, content binary",
+    )
+    out = extract_gif_frame_features(df, every_k=2, feature_dim=6)
+    rows = {(r.gif_id, r.frame_index): list(r.features)
+            for r in out.collect()}
+    # every_k=2 keeps frames 0,2[,4]
+    assert set(rows) == {(1, 0), (1, 2), (2, 0), (2, 2), (2, 4)}
+    for (gid, idx), feats in rows.items():
+        frame = list(iter_gif_frames(blobs[gid]))[idx]
+        ref = [float(np.float32(x)) for x in _pooled_features(frame, 6)]
+        assert feats == ref
