@@ -85,6 +85,99 @@ _SQL_FUNCTIONS = {
     """,
 }
 
+def _sql_pat(pat: str) -> str:
+    """Regex pattern -> SQL single-quoted literal body (backslashes
+    survive spark.sql's string parsing, quotes double)."""
+    return pat.replace("\\", "\\\\").replace("'", "''")
+
+
+def _sql_lit(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _html_strip_expr(var: str) -> str:
+    """Spark-SQL text of functions/html.py::html_to_text(var) -- built
+    from the SAME pattern constants, so SQL == DataFrame by
+    construction."""
+    from .functions.html import (
+        _COMMENT_PAT, _ENTITIES, _SCRIPT_PAT, _STYLE_PAT, _TAG_PAT,
+    )
+
+    e = var
+    for pat in (_SCRIPT_PAT, _STYLE_PAT, _COMMENT_PAT, _TAG_PAT):
+        e = f"regexp_replace({e}, '{_sql_pat(pat)}', ' ')"
+    for ent, rep in _ENTITIES:
+        e = f"replace({e}, '{_sql_lit(ent)}', '{_sql_lit(rep)}')"
+    return f"trim(regexp_replace({e}, '\\\\s+', ' '))"
+
+
+def _html_anchor_expr(var: str) -> str:
+    from .functions.html import _ANCHOR_PAT, _ENTITIES, _TAG_PAT
+
+    e = (
+        f"array_join(regexp_extract_all({var}, "
+        f"'{_sql_pat(_ANCHOR_PAT)}', 1), ' ')"
+    )
+    e = f"regexp_replace({e}, '{_sql_pat(_TAG_PAT)}', ' ')"
+    for ent, rep in _ENTITIES:
+        e = f"replace({e}, '{_sql_lit(ent)}', '{_sql_lit(rep)}')"
+    return f"trim(regexp_replace({e}, '\\\\s+', ' '))"
+
+
+def _html_url_function_ddls() -> dict[str, str]:
+    from .functions.url import _TRACKING_PAT, _URL_SPLIT
+
+    vis = _html_strip_expr("t")
+    atext = _html_anchor_expr("t")
+    split = _sql_pat(_URL_SPLIT)
+    auth = f"lower(regexp_extract(t, '{split}', 1))"
+    auth = f"regexp_replace({auth}, '^(http://[^/?#]*):80$', '$1')"
+    auth = f"regexp_replace({auth}, '^(https://[^/?#]*):443$', '$1')"
+    host = (
+        f"regexp_extract(regexp_replace(lower(regexp_extract(t, "
+        f"'{split}', 1)), '^[a-z][a-z0-9+.\\\\-]*://([^@]*@)?', ''), "
+        f"'^([^:]*)', 1)"
+    )
+    qs = f"substring(regexp_extract(t, '{split}', 3), 2, 1073741824)"
+    kept = (
+        f"array_join(filter(split({qs}, '&'), "
+        f"p -> p != '' AND NOT p RLIKE '{_sql_pat(_TRACKING_PAT)}'), '&')"
+    )
+    query = (
+        f"CASE WHEN regexp_extract(t, '{split}', 3) = '' "
+        f"OR {kept} = '' THEN '' ELSE concat('?', {kept}) END"
+    )
+    path = f"regexp_extract(t, '{split}', 2)"
+    return {
+        "engine_html_text": f"""
+            CREATE OR REPLACE TEMPORARY FUNCTION engine_html_text(t STRING)
+            RETURNS STRING RETURN {vis}
+        """,
+        "engine_link_density": f"""
+            CREATE OR REPLACE TEMPORARY FUNCTION engine_link_density(
+                t STRING)
+            RETURNS DOUBLE
+            RETURN CASE WHEN length({vis}) > 0
+                   THEN least(CAST(length({atext}) AS DOUBLE)
+                              / CAST(length({vis}) AS DOUBLE), 1.0D)
+                   ELSE 0.0D END
+        """,
+        "engine_url_domain": f"""
+            CREATE OR REPLACE TEMPORARY FUNCTION engine_url_domain(t STRING)
+            RETURNS STRING
+            RETURN CASE WHEN regexp_extract({host},
+                     '([^.]+\\\\.[^.]+)$', 1) != ''
+                   THEN regexp_extract({host}, '([^.]+\\\\.[^.]+)$', 1)
+                   ELSE {host} END
+        """,
+        "engine_url_normalize": f"""
+            CREATE OR REPLACE TEMPORARY FUNCTION engine_url_normalize(
+                t STRING)
+            RETURNS STRING RETURN concat({auth}, {path}, {query})
+        """,
+    }
+
+
 _LANG_SCORE = (
     "size(regexp_extract_all(lower(t), '\\\\b({words})\\\\b', 0))"
 )
@@ -114,6 +207,8 @@ def register_sql_api(
     if sf_dir is not None:
         register_views(spark, sf_dir)
     for ddl in _SQL_FUNCTIONS.values():
+        spark.sql(ddl)
+    for ddl in _html_url_function_ddls().values():
         spark.sql(ddl)
     spark.sql(_lang_id_sql())
     spark.udf.register("engine_embed", hash_embedding_udf(dim))

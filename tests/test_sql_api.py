@@ -94,3 +94,44 @@ def test_sql_hash_bucket_matches_split_assignment(spark, sf_smoke):
         ).select("doc_id", "split_bucket").collect()
     }
     assert sql_rows == df_rows
+
+
+def test_sql_html_url_functions_match_builders(spark):
+    """engine_html_text / engine_link_density / engine_url_domain /
+    engine_url_normalize from spark.sql are bit-identical to the
+    DataFrame builders they mirror."""
+    from pyspark.sql import functions as F
+
+    from rag_vertex_ai_vector_search_spark.functions.html import (
+        html_to_text, link_density,
+    )
+    from rag_vertex_ai_vector_search_spark.functions.url import (
+        normalize_url, url_domain,
+    )
+    from rag_vertex_ai_vector_search_spark.sql_api import register_sql_api
+
+    register_sql_api(spark)
+    html = ("<html><head><title>T</title><script>var a=1;</script></head>"
+            "<body><p>Some &amp; text</p><a href='/x'>Link&nbsp;here</a>"
+            "</body></html>")
+    url = "HTTP://User@Sub.Ex.COM:80/P?utm_source=a&q=1&gclid=g#frag"
+    df = spark.createDataFrame([(html, url)], "h string, u string")
+    df.createOrReplaceTempView("_pages")
+
+    sql_row = spark.sql("""
+        SELECT engine_html_text(h) AS vis,
+               engine_link_density(h) AS ld,
+               engine_url_domain(u) AS dom,
+               engine_url_normalize(u) AS norm
+        FROM _pages
+    """).collect()[0]
+    ref = df.select(
+        html_to_text("h").alias("vis"),
+        link_density("h").alias("ld"),
+        url_domain("u").alias("dom"),
+        normalize_url("u").alias("norm"),
+    ).collect()[0]
+    assert sql_row.vis == ref.vis == "T Some & text Link here"
+    assert sql_row.ld == ref.ld
+    assert sql_row.dom == ref.dom == "ex.com"
+    assert sql_row.norm == ref.norm == "http://user@sub.ex.com/P?q=1"
