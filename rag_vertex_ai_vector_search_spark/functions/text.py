@@ -345,6 +345,21 @@ def mean_word_length(col: Column | str) -> Column:
     return F.when(F.length(norm) == 0, F.lit(0.0)).otherwise(chars / n)
 
 
+def split_sentences(col: Column | str) -> Column:
+    """Sentence array of the text: maximal runs of non-terminator
+    characters plus their trailing ``.!?`` run, trimmed, empties
+    dropped. RE2-safe (no lookbehind -- the terminators stay ATTACHED
+    to their sentence instead of being split on), so the same pattern
+    mirrors in any SQL engine; abbreviation handling ("e.g.") is a
+    model-based segmenter's job and slots into the same seam."""
+    parts = F.regexp_extract_all(
+        _c(col), F.lit(r"[^.!?]+[.!?]*"), F.lit(0)
+    )
+    return F.filter(
+        F.transform(parts, lambda s: F.trim(s)), lambda s: s != ""
+    )
+
+
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 _BULLET_CHARS = ("-", "*", "•")  # -, *, •

@@ -23,7 +23,7 @@ from .decontaminate import (
 from .restricts import restrict_predicate
 from .ann_lsh import lsh_topk
 from .cluster import connected_components, dedup_keep_one
-from .chunk import chunk_documents
+from .chunk import chunk_by_sentences, chunk_documents
 from .ranking import bm25_topk
 from .splits import (
     assign_splits,
@@ -111,6 +111,7 @@ __all__ = [
     "lsh_topk",
     "connected_components",
     "dedup_keep_one",
+    "chunk_by_sentences",
     "chunk_documents",
     "bm25_topk",
     "assign_splits",

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import normalized_text
+from ..functions.text import normalized_text, split_sentences, whitespace_token_count
 
 
 def chunk_documents(
@@ -65,4 +65,68 @@ def chunk_documents(
         F.col("_pos").cast("long").alias("chunk_index"),
         F.array_join(window, " ").alias("chunk_text"),
         F.size(window).cast("long").alias("n_tokens"),
+    )
+
+
+def chunk_by_sentences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    budget_tokens: int = 64,
+) -> DataFrame:
+    """Sentence-aligned chunking: split each document into sentences
+    (terminators kept attached), then pack CONSECUTIVE sentences into
+    chunks by running token offset -- a sentence goes to chunk
+    ``floor(start_offset / budget)``, so chunks never split a sentence
+    and overflow past the budget is bounded by one sentence (the
+    concat-and-chunk assignment ``pack_sequences`` uses, applied at
+    sentence granularity within a document).
+
+    Embedding-ingest prefers this over fixed token windows when
+    sentence boundaries matter (retrieval snippets, QA passages).
+    Returns (doc_id, chunk_index, chunk_text, n_sentences, n_tokens).
+
+    Scale shape: narrow split + posexplode; one per-doc window for the
+    running offset (shuffle keyed on the document); one doc+chunk
+    aggregate with ordered reassembly on the same shuffle. A one-
+    sentence 10k-token document still fits one task -- same bound as
+    every per-doc operator here.
+    """
+    from pyspark.sql import Window
+
+    sent = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(split_sentences(F.col(text_col))).alias(
+            "_pos", "_sent"
+        ),
+    ).withColumn("_ntok", whitespace_token_count(F.col("_sent")))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sent.withColumn(
+        "_off", F.coalesce(F.sum("_ntok").over(w), F.lit(0))
+    ).withColumn(
+        "chunk_index",
+        F.floor(F.col("_off") / F.lit(budget_tokens)).cast("long"),
+    )
+    return (
+        packed.groupBy("doc_id", "chunk_index")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("_pos"), F.col("_sent"))
+                        )
+                    ),
+                    lambda x: x["_sent"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+            F.sum("_ntok").cast("long").alias("n_tokens"),
+        )
     )
