@@ -86,6 +86,87 @@ SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 10
 """
 
 
+def q_knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COSINE_DISTANCE top-k (operators/knn.py::knn_search_cosine):
+    fold-normalize both sides, then the standard dot search. Archive-
+    gated (r5-new; declared window at capacity) -- the normalize+fold
+    pipeline mirrors bit-exactly in DuckDB."""
+    from rag_vertex_ai_vector_search_spark.operators.knn import (
+        knn_search_cosine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_search_cosine(
+        emb, _queries_from_embeddings(emb, 8), k=10, method="fold"
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"),
+        "neighbor_id", "score",
+    )
+
+
+_SQL_KNN_TOPK_COSINE = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+), n AS (
+  SELECT vec_id,
+         list_transform(ve, x -> x / sqrt(list_dot_product(ve, ve))) AS nv
+  FROM v
+), q AS (
+  SELECT vec_id AS query_id, nv AS qv FROM n WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, e.nv) AS score
+  FROM q CROSS JOIN n e
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 10
+"""
+
+
+def q_knn_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQUARED_L2_DISTANCE top-k (operators/knn.py::knn_search_l2, the
+    MIPS augmentation reduction). Archive-gated (r5-new): the oracle
+    mirrors BOTH the augmented-dot ranking key and the exact
+    three-fold distance rehydration."""
+    from rag_vertex_ai_vector_search_spark.operators.knn import (
+        knn_search_l2,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_search_l2(
+        emb, _queries_from_embeddings(emb, 8), k=10, method="fold"
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"),
+        "neighbor_id", "score",
+    )
+
+
+_SQL_KNN_TOPK_L2 = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, e.ve)
+           + (-0.5 * list_dot_product(e.ve, e.ve)) AS rkey,
+         list_dot_product(q.qv, q.qv) + list_dot_product(e.ve, e.ve)
+           - 2.0 * list_dot_product(q.qv, e.ve) AS score
+  FROM q CROSS JOIN v e
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rkey DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 10
+"""
+
+
 def q_knn_restrict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3/Q4: categorical + numeric restrict pre-filters
     (setup_vector_search.py:45-62)."""
@@ -3975,6 +4056,11 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     same-category swap: the declared chunking face is now the
     sentence-aligned variant, while the token-window operator stays
     bit-gated here with its no-Exchange plan assertion).
+
+    r5-NEW archive entries (never declared -- the window is at
+    capacity): knn_topk_cosine / knn_topk_l2, the COSINE and
+    SQUARED_L2 distance measures of the FindNeighbors contract, each
+    under the same local bit-exact gate as everything here.
     """
     return {
         "knn_topk": q_knn_topk,
@@ -3987,6 +4073,8 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_mix_upsample": q_dataset_mix_upsample,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "chunk_documents": q_chunk_documents,
+        "knn_topk_cosine": q_knn_topk_cosine,
+        "knn_topk_l2": q_knn_topk_l2,
         "knn_restrict": q_knn_restrict,
         "knn_crowding": q_knn_crowding,
         "token_gate_violations": q_token_gate_violations,
@@ -4078,6 +4166,8 @@ def oracle_sql_archive() -> dict[str, str]:
         "dataset_mix_upsample": _SQL_MIX_UPSAMPLE,
         "dedup_embedding_cosine": _SQL_DEDUP_COSINE,
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
+        "knn_topk_cosine": _SQL_KNN_TOPK_COSINE,
+        "knn_topk_l2": _SQL_KNN_TOPK_L2,
         "knn_restrict": _SQL_KNN_RESTRICT,
         "knn_crowding": _SQL_KNN_CROWDING,
         "token_gate_violations": _SQL_TOKEN_GATE,

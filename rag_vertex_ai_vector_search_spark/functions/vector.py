@@ -57,6 +57,18 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot_product(a, b) / denom)
 
 
+def squared_l2(a: Column | str, b: Column | str) -> Column:
+    """Squared Euclidean distance via three sequential folds
+    (dd(a,a) + dd(b,b) - 2*dd(a,b)) -- each fold == DuckDB
+    list_dot_product, so the whole expression mirrors bit-exactly."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return (
+        dot_product(a, a) + dot_product(b, b)
+        - F.lit(2.0) * dot_product(a, b)
+    )
+
+
 def constant_partition_key(col: Column | str) -> Column:
     """Constant-zero, NON-FOLDABLE window partition key.
 

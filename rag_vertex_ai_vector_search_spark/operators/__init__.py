@@ -1,4 +1,11 @@
-from .knn import knn_search, knn_search_blocked, brute_force_topk, gemm_topk_cogroup
+from .knn import (
+    brute_force_topk,
+    gemm_topk_cogroup,
+    knn_search,
+    knn_search_blocked,
+    knn_search_cosine,
+    knn_search_l2,
+)
 from .ivf import IVFIndex, build_ivf_index, ivf_search, ivf_search_blocked
 from .upsert import merge_by_key, point_lookup, point_update
 from .dedup import (
@@ -83,6 +90,8 @@ __all__ = [
     "vocab_coverage_report",
     "knn_search",
     "knn_search_blocked",
+    "knn_search_cosine",
+    "knn_search_l2",
     "gemm_topk_cogroup",
     "brute_force_topk",
     "IVFIndex",

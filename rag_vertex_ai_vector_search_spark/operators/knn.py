@@ -457,6 +457,94 @@ def gemm_topk_cogroup(
     )
 
 
+def knn_search_cosine(
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    k: int,
+    *,
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_vector",
+    **kwargs,
+) -> DataFrame:
+    """COSINE_DISTANCE counterpart of the dot-product search (the
+    Vertex FindNeighbors contract enumerates COSINE alongside
+    DOT_PRODUCT; the reference's unit-normalized embeddings make them
+    coincide, arbitrary vectors do not): unit-normalize BOTH sides with
+    the fold-mirrorable ``l2_normalize``, then reuse ``knn_search``
+    verbatim -- every physical strategy (fold / gemm / cogroup / auto)
+    inherits cosine for free, and the returned ``score`` IS the cosine
+    similarity."""
+    from ..functions.vector import l2_normalize
+
+    idx = index_df.withColumn(vec_col, l2_normalize(F.col(vec_col)))
+    qry = queries_df.withColumn(
+        query_vec_col, l2_normalize(F.col(query_vec_col))
+    )
+    return knn_search(
+        idx, qry, k, vec_col=vec_col, query_vec_col=query_vec_col, **kwargs
+    )
+
+
+def knn_search_l2(
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+    **kwargs,
+) -> DataFrame:
+    """SQUARED_L2_DISTANCE search via the classic MIPS reduction:
+    argmin ||q - v||^2 == argmax (q.v - 0.5*||v||^2), so augmenting
+    index vectors with [-0.5*|v|^2] and queries with [1.0] turns L2
+    nearest-neighbor into the dot-product search every strategy here
+    already implements -- fold, GEMM, cogroup, IVF layouts, the lot,
+    with zero changes to their internals.
+
+    The ranking key is the augmented dot product (deterministic,
+    fold-mirrorable); the returned ``score`` is the actual squared
+    distance, rehydrated exactly for the k winners by joining the
+    (tiny) result back to both vector tables -- two broadcast joins of
+    a top-k-sized side, the Q7 hydration shape."""
+    from ..functions.vector import dot_product as dd
+
+    aug_v = F.concat(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        F.array(F.lit(-0.5) * dd(F.col(vec_col), F.col(vec_col))),
+    )
+    aug_q = F.concat(
+        F.transform(F.col(query_vec_col), lambda x: x.cast("double")),
+        F.array(F.lit(1.0)),
+    )
+    idx = index_df.withColumn("_augv", aug_v)
+    qry = queries_df.withColumn("_augq", aug_q)
+    ranked = knn_search(
+        idx, qry, k,
+        id_col=id_col, vec_col="_augv",
+        query_id_col=query_id_col, query_vec_col="_augq",
+        **kwargs,
+    ).select("query_id", "rank", "neighbor_id")
+    q_side = queries_df.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("_qv"),
+    )
+    v_side = index_df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vv")
+    )
+    from ..functions.vector import squared_l2
+
+    small = ranked.join(F.broadcast(q_side), "query_id")
+    # broadcast the top-k side so the full vector table streams
+    return v_side.join(F.broadcast(small), "neighbor_id").select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        squared_l2(F.col("_qv"), F.col("_vv")).alias("score"),
+    )
+
+
 def brute_force_topk(
     index_df: DataFrame,
     queries_df: DataFrame,
