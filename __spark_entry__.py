@@ -3656,6 +3656,74 @@ JOIN tot tb ON sh.group_b = tb.g
 """
 
 
+def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard write -> read -> regroup, driver-gated
+    (sources/webdataset.py): each batch of documents becomes one
+    deterministic tar shard ({key}.txt = text, {key}.json = metadata),
+    parsed straight back with the engine's reader; recovered members
+    emit (key, ext, byte length, sha256). Like warc_roundtrip, the
+    oracle reads the SOURCE table -- a hash match proves the shard
+    writer, the ustar framing, the member parser and the key/ext
+    grouping rule recover every payload bit-exactly."""
+    import hashlib
+
+    import pandas as pd
+
+    from rag_vertex_ai_vector_search_spark.sources.webdataset import (
+        encode_webdataset_shard,
+        parse_webdataset_shard,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "text"
+    )
+
+    def _rt(batches):
+        for pdf in batches:
+            samples = {
+                f"{int(i):08d}": {
+                    "txt": str(t).encode("utf-8"),
+                    "json": (
+                        f'{{"doc_id": {int(i)}, "lang": "{l}"}}'
+                    ).encode("utf-8"),
+                }
+                for i, l, t in zip(pdf["doc_id"], pdf["lang"], pdf["text"])
+            }
+            blob = encode_webdataset_shard(samples)
+            rows = [
+                {
+                    "key": k, "ext": e, "n_bytes": len(p),
+                    "payload_sha": hashlib.sha256(p).hexdigest(),
+                }
+                for k, e, p in parse_webdataset_shard(blob)
+            ]
+            yield pd.DataFrame(
+                rows, columns=["key", "ext", "n_bytes", "payload_sha"]
+            )
+
+    return docs.mapInPandas(
+        _rt, "key string, ext string, n_bytes long, payload_sha string"
+    )
+
+
+_SQL_WEBDATASET_ROUNDTRIP = """
+SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+       'txt' AS ext,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha
+FROM documents
+UNION ALL
+SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+       'json' AS ext,
+       CAST(octet_length(encode(
+         '{"doc_id": ' || CAST(doc_id AS VARCHAR)
+         || ', "lang": "' || lang || '"}')) AS BIGINT) AS n_bytes,
+       sha256('{"doc_id": ' || CAST(doc_id AS VARCHAR)
+              || ', "lang": "' || lang || '"}') AS payload_sha
+FROM documents
+"""
+
+
 def q_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher quality-rule bundle (Rae et al. 2021 A1.1,
     functions/text.py::gopher_quality_flags) over the fixture corpus.
@@ -3936,6 +4004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "web_corpus_pipeline": q_web_corpus_pipeline,
         "warc_roundtrip": q_warc_roundtrip,
+        "webdataset_roundtrip": q_webdataset_roundtrip,
         "gopher_quality_gate": q_gopher_quality_gate,
         "source_overlap_matrix": q_source_overlap_matrix,
         "knn_pq_restrict_crowding": q_knn_pq_restrict_crowding,
@@ -3961,7 +4030,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
         "dedup_spans": q_dedup_spans,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_winnow_containment": q_dedup_winnow,
         "dedup_clusters_cc": q_dedup_clusters_cc,
         # -- text / training-data pipeline -----------------------------
@@ -4055,7 +4123,11 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     displaced by source_overlap_matrix), chunk_documents (green r1-r4;
     same-category swap: the declared chunking face is now the
     sentence-aligned variant, while the token-window operator stays
-    bit-gated here with its no-Exchange plan assertion).
+    bit-gated here with its no-Exchange plan assertion), dedup_simhash
+    (green r2-r4; the near-dup pair surface stays declared via
+    dedup_minhash_lsh + dedup_winnow_containment, and simhash's
+    lossless 4x16 banding bit gate is unchanged here -- displaced by
+    webdataset_roundtrip).
 
     r5-NEW archive entries (never declared -- the window is at
     capacity): knn_topk_cosine / knn_topk_l2, the COSINE and
@@ -4073,6 +4145,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_mix_upsample": q_dataset_mix_upsample,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "chunk_documents": q_chunk_documents,
+        "dedup_simhash": q_dedup_simhash,
         "knn_topk_cosine": q_knn_topk_cosine,
         "knn_topk_l2": q_knn_topk_l2,
         "knn_restrict": q_knn_restrict,
@@ -4107,6 +4180,7 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize": _SQL_URL_NORMALIZE,
         "web_corpus_pipeline": _sql_web_pipeline(),
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
+        "webdataset_roundtrip": _SQL_WEBDATASET_ROUNDTRIP,
         "gopher_quality_gate": _SQL_GOPHER,
         "source_overlap_matrix": _SQL_SOURCE_OVERLAP,
         # knn_pq_restrict_crowding: lossy ADC shortlist -> rows-only
@@ -4126,7 +4200,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_boilerplate_lines": _SQL_DEDUP_BOILERPLATE,
         "dedup_spans": _SQL_DEDUP_SPANS,
         "dedup_minhash_lsh": _sql_minhash_lsh(),
-        "dedup_simhash": _SQL_DEDUP_SIMHASH,
         "dedup_winnow_containment": _SQL_DEDUP_WINNOW,
         "dedup_clusters_cc": _sql_dedup_clusters_cc(),
         "chunk_sentences": _SQL_CHUNK_SENTENCES,
@@ -4166,6 +4239,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "dataset_mix_upsample": _SQL_MIX_UPSAMPLE,
         "dedup_embedding_cosine": _SQL_DEDUP_COSINE,
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
+        "dedup_simhash": _SQL_DEDUP_SIMHASH,
         "knn_topk_cosine": _SQL_KNN_TOPK_COSINE,
         "knn_topk_l2": _SQL_KNN_TOPK_L2,
         "knn_restrict": _SQL_KNN_RESTRICT,

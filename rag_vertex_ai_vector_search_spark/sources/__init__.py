@@ -8,6 +8,12 @@ from .tables import (
 )
 from .documents import scan_document_dir
 from .compact import compact_parquet, table_file_stats
+from .webdataset import (
+    encode_webdataset_shard,
+    group_webdataset_samples,
+    parse_webdataset_shard,
+    read_webdataset,
+)
 from .warc import (
     encode_warc,
     http_payload_body,
@@ -26,6 +32,10 @@ __all__ = [
     "compact_parquet",
     "table_file_stats",
     "encode_warc",
+    "encode_webdataset_shard",
+    "group_webdataset_samples",
+    "parse_webdataset_shard",
+    "read_webdataset",
     "http_payload_body",
     "parse_warc_records",
     "read_warc",
