@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     ("gopher_quality_gate", entrymod.q_gopher_quality_gate),
     ("source_overlap_matrix", entrymod.q_source_overlap_matrix),
     ("warc_roundtrip", entrymod.q_warc_roundtrip),
+    ("webdataset_roundtrip", entrymod.q_webdataset_roundtrip),
+    ("chunk_sentences", entrymod.q_chunk_sentences),
     ("text_repetition", entrymod.q_text_repetition),
     ("pii_scrub", entrymod.q_pii_scrub),
     ("ingest_datapoints", entrymod.q_ingest_datapoints),
