@@ -167,6 +167,42 @@ SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 10
 """
 
 
+_PROFILE_COLS = (
+    "l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+)
+
+
+def q_lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style column profile of the biggest fixture table
+    (operators/profile.py): one aggregate pass -> per-column row
+    count, nulls, exact distinct count, min, max -- every metric
+    order-independent, so the whole report oracles exactly.
+    Archive-gated (r5-new; window at capacity)."""
+    from rag_vertex_ai_vector_search_spark.operators.profile import (
+        profile_columns,
+    )
+
+    return profile_columns(
+        load_table(spark, sf_dir, "lineitem"), list(_PROFILE_COLS)
+    )
+
+
+def _sql_lineitem_profile() -> str:
+    parts = [
+        f"""
+SELECT '{c}' AS "column",
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS DOUBLE) AS min_value,
+       CAST(max({c}) AS DOUBLE) AS max_value
+FROM lineitem"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_knn_restrict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3/Q4: categorical + numeric restrict pre-filters
     (setup_vector_search.py:45-62)."""
@@ -4131,8 +4167,9 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     r5-NEW archive entries (never declared -- the window is at
     capacity): knn_topk_cosine / knn_topk_l2, the COSINE and
-    SQUARED_L2 distance measures of the FindNeighbors contract, each
-    under the same local bit-exact gate as everything here.
+    SQUARED_L2 distance measures of the FindNeighbors contract, and
+    lineitem_profile (Deequ-style column profiling), each under the
+    same local bit-exact gate as everything here.
     """
     return {
         "knn_topk": q_knn_topk,
@@ -4148,6 +4185,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "knn_topk_cosine": q_knn_topk_cosine,
         "knn_topk_l2": q_knn_topk_l2,
+        "lineitem_profile": q_lineitem_profile,
         "knn_restrict": q_knn_restrict,
         "knn_crowding": q_knn_crowding,
         "token_gate_violations": q_token_gate_violations,
@@ -4242,6 +4280,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "dedup_simhash": _SQL_DEDUP_SIMHASH,
         "knn_topk_cosine": _SQL_KNN_TOPK_COSINE,
         "knn_topk_l2": _SQL_KNN_TOPK_L2,
+        "lineitem_profile": _sql_lineitem_profile(),
         "knn_restrict": _SQL_KNN_RESTRICT,
         "knn_crowding": _SQL_KNN_CROWDING,
         "token_gate_violations": _SQL_TOKEN_GATE,

@@ -62,6 +62,7 @@ from .importance import (
     hashed_gram_bucket_counts,
 )
 from .evaluate import recall_report, recall_summary
+from .profile import profile_columns
 
 __all__ = [
     "bigram_surprisal",
@@ -83,6 +84,7 @@ __all__ = [
     "dsir_gumbel_select",
     "dsir_log_importance",
     "hashed_gram_bucket_counts",
+    "profile_columns",
     "recall_report",
     "recall_summary",
     "surprisal_buckets",
