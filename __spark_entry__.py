@@ -167,6 +167,55 @@ SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 10
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR/ANCE-style hard-negative mining
+    (operators/negatives.py::mine_hard_negatives): the top non-positive
+    scorers per training query, mined with the engine's own search
+    stack. Positives are deterministic (the query itself + a planted
+    id). Archive-gated (r5-new; window at capacity)."""
+    from rag_vertex_ai_vector_search_spark.operators.negatives import (
+        mine_hard_negatives,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _queries_from_embeddings(emb, 6)
+    positives = emb.sparkSession.createDataFrame(
+        [(q, p) for q in range(6) for p in (q, q + 50)],
+        "query_id long, pos_id long",
+    )
+    return mine_hard_negatives(
+        emb, queries, positives, n_negatives=5, k_fetch=20, method="fold"
+    )
+
+
+_SQL_HARD_NEGATIVES = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 6
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, e.embedding::DOUBLE[]) AS score
+  FROM q CROSS JOIN embeddings e
+), fetched AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+    FROM scored)
+  WHERE rank <= 20
+), nonpos AS (
+  SELECT * FROM fetched
+  WHERE neighbor_id != query_id AND neighbor_id != query_id + 50
+)
+SELECT query_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id
+         ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS neg_rank,
+       neighbor_id, score
+FROM nonpos
+QUALIFY neg_rank <= 5
+"""
+
+
 _PROFILE_COLS = (
     "l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
 )
@@ -4167,9 +4216,10 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     r5-NEW archive entries (never declared -- the window is at
     capacity): knn_topk_cosine / knn_topk_l2, the COSINE and
-    SQUARED_L2 distance measures of the FindNeighbors contract, and
-    lineitem_profile (Deequ-style column profiling), each under the
-    same local bit-exact gate as everything here.
+    SQUARED_L2 distance measures of the FindNeighbors contract,
+    lineitem_profile (Deequ-style column profiling) and
+    hard_negatives (DPR/ANCE retrieval-training mining), each under
+    the same local bit-exact gate as everything here.
     """
     return {
         "knn_topk": q_knn_topk,
@@ -4186,6 +4236,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk_cosine": q_knn_topk_cosine,
         "knn_topk_l2": q_knn_topk_l2,
         "lineitem_profile": q_lineitem_profile,
+        "hard_negatives": q_hard_negatives,
         "knn_restrict": q_knn_restrict,
         "knn_crowding": q_knn_crowding,
         "token_gate_violations": q_token_gate_violations,
@@ -4281,6 +4332,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "knn_topk_cosine": _SQL_KNN_TOPK_COSINE,
         "knn_topk_l2": _SQL_KNN_TOPK_L2,
         "lineitem_profile": _sql_lineitem_profile(),
+        "hard_negatives": _SQL_HARD_NEGATIVES,
         "knn_restrict": _SQL_KNN_RESTRICT,
         "knn_crowding": _SQL_KNN_CROWDING,
         "token_gate_violations": _SQL_TOKEN_GATE,

@@ -62,6 +62,7 @@ from .importance import (
     hashed_gram_bucket_counts,
 )
 from .evaluate import recall_report, recall_summary
+from .negatives import mine_hard_negatives
 from .profile import profile_columns
 
 __all__ = [
@@ -84,6 +85,7 @@ __all__ = [
     "dsir_gumbel_select",
     "dsir_log_importance",
     "hashed_gram_bucket_counts",
+    "mine_hard_negatives",
     "profile_columns",
     "recall_report",
     "recall_summary",
