@@ -673,7 +673,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled features, FFT spectral audio
     profile, container-slice + per-frame video decode). The
     encode->decode roundtrip makes it hermetic; features are
-    integer-quantized (floor 1e6) for cross-run stability. Rows-only
+    integer-quantized (floor 1e6) for cross-run stability, then
+    posexploded to one (feature_index, qvalue) scalar row each so
+    every output cell is hashable by the driver's canonicalizer
+    (r5's array<long> column broke its pandas sort). Rows-only
     check (DuckDB cannot decode these formats); pixel/sample-level
     value correctness is gated in tests/test_multimodal.py."""
     from rag_vertex_ai_vector_search_spark.multimodal import (
@@ -721,7 +724,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_bytes").cast("long").alias("media_bytes"),
         _q("features").alias("qfeatures"),
     )
-    return imgs.unionByName(wavs).unionByName(vids)
+    out = imgs.unionByName(wavs).unionByName(vids)
+    # Scalar-only schema for the driver gate: one row per feature
+    # element; posexplode keeps the per-item ordering recoverable.
+    return out.select(
+        "doc_id", "media_type", "item_index", "media_bytes",
+        F.posexplode("qfeatures").alias("feature_index", "qvalue"),
+    )
 
 
 def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3792,13 +3801,13 @@ def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_WEBDATASET_ROUNDTRIP = """
-SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+SELECT format('{:08d}', doc_id) AS key,
        'txt' AS ext,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        sha256(text) AS payload_sha
 FROM documents
 UNION ALL
-SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+SELECT format('{:08d}', doc_id) AS key,
        'json' AS ext,
        CAST(octet_length(encode(
          '{"doc_id": ' || CAST(doc_id AS VARCHAR)

@@ -181,10 +181,14 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
     return out
 
 
-def _parse_gif(data: bytes):
+def _parse_gif(data: bytes, decode_pixels: bool = True):
     """Yield stream-level events: ('screen', dict) once, then
     ('frame', dict) per image descriptor (indices already LZW-decoded
-    and deinterlaced)."""
+    and deinterlaced). ``decode_pixels=False`` walks the same block
+    structure but skips the LZW decode + deinterlace (sub-block length
+    bytes alone delimit the image data), yielding ``indices=None`` --
+    the cheap path ``probe_gif`` uses so metadata probing an animated
+    GIF does not pay full pixel decode cost."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise NotImplementedError("not a GIF stream")
     width, height, flags, bg_index, _ = struct.unpack_from("<HHBBB", data, 6)
@@ -220,18 +224,30 @@ def _parse_gif(data: bytes):
         if block == 0x2C:  # image descriptor
             left, top, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
             pos += 9
+            if left + w > width or top + h > height:
+                # Out-of-screen patches would silently clip under numpy
+                # slice assignment while the (h, w) patch/mask do not,
+                # crashing the compositor with a shape mismatch -- keep
+                # it a codec-contract error instead.
+                raise NotImplementedError(
+                    f"GIF image descriptor ({left},{top})+{w}x{h} extends "
+                    f"past the {width}x{height} logical screen"
+                )
             lct = None
             if iflags & 0x80:
                 lct, pos = _read_color_table(data, pos, 2 << (iflags & 0x07))
             min_code_size = data[pos]
             pos += 1
             payload, pos = _read_subblocks(data, pos)
-            idx = np.frombuffer(
-                bytes(_lzw_decode(min_code_size, payload)),
-                dtype=np.uint8, count=w * h,
-            ).reshape(h, w)
-            if iflags & 0x40:
-                idx = _deinterlace(idx)
+            if decode_pixels:
+                idx = np.frombuffer(
+                    bytes(_lzw_decode(min_code_size, payload)),
+                    dtype=np.uint8, count=w * h,
+                ).reshape(h, w)
+                if iflags & 0x40:
+                    idx = _deinterlace(idx)
+            else:
+                idx = None
             yield "frame", {
                 "left": left, "top": top, "width": w, "height": h,
                 "lct": lct, "indices": idx, **gce,
@@ -250,7 +266,7 @@ def probe_gif(content: bytes) -> dict:
     walk: (version, width, height, n_frames, animated)."""
     data = bytes(content or b"")
     meta: dict = {"n_frames": 0}
-    for kind, info in _parse_gif(data):
+    for kind, info in _parse_gif(data, decode_pixels=False):
         if kind == "screen":
             meta.update(
                 version=info["version"], width=info["width"],

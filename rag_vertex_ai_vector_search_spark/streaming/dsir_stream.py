@@ -99,4 +99,15 @@ def compact_dsir_model(spark: SparkSession, table_path: str) -> None:
         .withColumn("_epoch", F.lit(-1))
         .localCheckpoint(eager=True)
     )
-    folded.write.mode("overwrite").partitionBy("_epoch").parquet(table_path)
+    # Static overwrite is load-bearing: the fold must replace the WHOLE
+    # table. Under a session-level dynamic partitionOverwriteMode the
+    # overwrite would only replace _epoch=-1 (the sole partition present
+    # in `folded`), leaving stale epoch partitions to double-count every
+    # bucket on the next read. Pin it per-write so session config can't
+    # change the semantics.
+    (
+        folded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("_epoch")
+        .parquet(table_path)
+    )

@@ -1,6 +1,8 @@
 """GIF codec (multimodal/gif.py): LZW round-trips, spec-grounded byte
 fixture, interlace, animation composition, transparency, disposal."""
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -98,6 +100,40 @@ def test_gif_palette_overflow_and_garbage_rejected():
         decode_gif(b"NOTAGIF" + b"\x00" * 40)
     with pytest.raises(NotImplementedError):
         decode_gif(WHITE_1PX[:-5])  # truncated stream
+
+
+def test_gif_out_of_screen_descriptor_rejected():
+    """A frame whose image descriptor extends past the logical screen
+    must raise the codec's NotImplementedError contract, not a raw
+    numpy shape error from the compositor (the canvas slice silently
+    clips while the patch/mask keep their declared (h, w))."""
+    img = np.full((6, 6), 50, np.uint8)
+    blob = bytearray(encode_gif(img))
+    # Shrink the logical screen to 4x4 while the image descriptor still
+    # declares a 6x6 patch at (0, 0) -> patch exceeds the screen.
+    struct.pack_into("<HH", blob, 6, 4, 4)
+    with pytest.raises(NotImplementedError, match="logical screen"):
+        decode_gif(bytes(blob))
+    # probe hits the same structural validation on its cheap path
+    with pytest.raises(NotImplementedError, match="logical screen"):
+        probe_gif(bytes(blob))
+
+
+def test_probe_gif_skips_pixel_decode(monkeypatch):
+    """probe_gif must not pay LZW decode cost: metadata comes from the
+    block walk alone (sub-block lengths delimit the image data)."""
+    import rag_vertex_ai_vector_search_spark.multimodal.gif as gifmod
+
+    frames = [np.full((16, 16), v, np.uint8) for v in (10, 20, 30)]
+    blob = encode_gif(frames, delay_cs=4)
+
+    def _boom(*a, **k):  # pragma: no cover - must never run
+        raise AssertionError("probe_gif invoked _lzw_decode")
+
+    monkeypatch.setattr(gifmod, "_lzw_decode", _boom)
+    meta = gifmod.probe_gif(blob)
+    assert meta["n_frames"] == 3 and meta["animated"]
+    assert (meta["width"], meta["height"]) == (16, 16)
 
 
 def test_decode_image_routes_gif():

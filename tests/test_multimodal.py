@@ -750,9 +750,13 @@ def test_multimodal_features_query_matches_local_reference(spark, sf_smoke):
         _synth_audio, _synth_image, _synth_video_frames, encode_wav_pcm,
     )
 
+    got: dict = {}
+    for r in entrymod.q_multimodal_features(spark, sf_smoke).collect():
+        got.setdefault((r.doc_id, r.media_type, r.item_index), {})[
+            r.feature_index
+        ] = r.qvalue
     got = {
-        (r.doc_id, r.media_type, r.item_index): list(r.qfeatures)
-        for r in entrymod.q_multimodal_features(spark, sf_smoke).collect()
+        k: [v[i] for i in range(len(v))] for k, v in got.items()
     }
     assert len(got) == 84  # 12 docs x (png+jpeg+gif+wav+flac+2 video frames)
 
