@@ -4040,16 +4040,16 @@ def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_report(approx, exact)
 
 
-def _sql_ann_recall_lsh() -> str:
-    """Compose the two existing oracles as CTE inputs to the recall
-    join -- truth = exact kNN SQL, approx = LSH SQL (same parameters as
-    the declared queries they mirror)."""
+def _sql_recall_join(truth_sql: str, apx_sql: str) -> str:
+    """Shared recall-report mirror: wrap a truth SQL and an approx SQL
+    (each producing (query_id, neighbor_id, ...)) in the n_exact /
+    n_approx / n_hits / recall join of operators/evaluate.py."""
     return f"""
 WITH truth AS (
-  SELECT query_id, neighbor_id FROM ({_SQL_KNN_TOPK}) t
+  SELECT query_id, neighbor_id FROM ({truth_sql}) t
 ),
 apx AS (
-  SELECT query_id, neighbor_id FROM ({_sql_knn_lsh_bucketed()}) a
+  SELECT query_id, neighbor_id FROM ({apx_sql}) a
 ),
 ne AS (SELECT query_id, count(*) AS n_exact FROM truth GROUP BY query_id),
 na AS (SELECT query_id, count(*) AS n_approx FROM apx GROUP BY query_id),
@@ -4072,6 +4072,214 @@ LEFT JOIN hits h USING (query_id)
 """
 
 
+def _sql_ann_recall_lsh() -> str:
+    """Compose the two existing oracles as CTE inputs to the recall
+    join -- truth = exact kNN SQL, approx = LSH SQL (same parameters as
+    the declared queries they mirror)."""
+    return _sql_recall_join(_SQL_KNN_TOPK, _sql_knn_lsh_bucketed())
+
+
+def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PRUNED IVF path (nprobe=4 of 16 leaves = the
+    reference's leaf_nodes_to_search_percent=25 semantics,
+    common/config.py:38) against exact kNN truth -- the driver-gated
+    version of what knn_ivf_pruned can only declare rows-only.
+
+    The trick that makes a pruned (lossy) path hash-gateable: the
+    index is built around an EXPLICIT quantizer -- centroids pinned to
+    corpus rows vec_id < 16 (build_ivf_index(centroids=...), the FAISS
+    pre-trained-quantizer pattern) -- so cluster assignment, probe
+    ranking and the leaf-restricted top-k are all closed-form and the
+    whole cascade mirrors in SQL. Recall < 1.0 here is CORRECT (the
+    point of the gate is that both engines agree on exactly how lossy
+    probing 4/16 leaves is); the machinery is the same ivf_search the
+    trained-layout queries run."""
+    import numpy as np
+
+    from rag_vertex_ai_vector_search_spark.operators.evaluate import (
+        recall_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _queries_from_embeddings(emb, 8)
+    seeds = np.asarray(
+        [
+            r[0]
+            for r in emb.filter(F.col("vec_id") < 16)
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    index = build_ivf_index(emb, centroids=seeds)
+    approx = ivf_search(index, queries, k=10, nprobe=4, method="fold")
+    exact = knn_search(emb, queries, k=10, method="fold")
+    return recall_report(approx, exact)
+
+
+def _sql_ann_recall_ivf() -> str:
+    """Full SQL mirror of the pruned IVF cascade: centroids are the
+    embeddings of vec_id < 16, assignment/probing is euclidean argmin
+    (c.c - 2 v.c, the same expansion _nearest_centroid_udf ranks by;
+    ties break toward the lower centroid id exactly like numpy argmin
+    takes the first minimal index), candidates are each query's 4
+    probed leaves, and the leaf-restricted top-10 uses the fold dot
+    product with the engine's (score DESC, id ASC) tie-break."""
+    apx = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+assign AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(c.cv, c.cv)
+                      - 2 * list_dot_product(e.embedding::DOUBLE[], c.cv) ASC,
+                      c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 8
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(c.cv, c.cv)
+                      - 2 * list_dot_product(q.qv, c.cv) ASC,
+                      c.cid ASC) AS rn
+    FROM q CROSS JOIN cents c) WHERE rn <= 4
+)
+SELECT query_id, neighbor_id FROM (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY list_dot_product(q.qv, e.embedding::DOUBLE[]) DESC,
+                    e.vec_id ASC) AS rnk
+  FROM probes p
+  JOIN assign a ON a.cluster_id = p.cid
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN q ON q.query_id = p.query_id
+) WHERE rnk <= 10
+"""
+    return _sql_recall_join(_SQL_KNN_TOPK, apx)
+
+
+def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LOSSY PQ/ADC cascade (asymmetric hashing,
+    index_config AH tree type) against exact kNN truth -- the
+    driver-gated version of what knn_pq_rerank can only declare
+    rows-only. The shortlist is genuinely lossy: ADC-approximate
+    top-40 of the 8x8 product code, then the exact fold rerank to
+    k=10, so recall measures exactly what the quantization loses.
+
+    Hash-gateable by the same explicit-quantizer trick as
+    ann_recall_ivf: codebooks are pinned to corpus rows vec_id < 16
+    (codebooks_from_vectors, FAISS's assignable
+    ProductQuantizer.centroids), making encode (per-subspace euclidean
+    argmin) and ADC (dot against the reconstruction) closed-form; the
+    machinery is the same encode_pq + pq_search_rerank cascade the
+    trained-codebook queries run."""
+    import numpy as np
+
+    from rag_vertex_ai_vector_search_spark.operators.evaluate import (
+        recall_report,
+    )
+    from rag_vertex_ai_vector_search_spark.operators.pq import (
+        codebooks_from_vectors,
+        encode_pq,
+        pq_search_rerank,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _queries_from_embeddings(emb, 8)
+    seeds = np.asarray(
+        [
+            r[0]
+            for r in emb.filter(F.col("vec_id") < 16)
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    books = codebooks_from_vectors(seeds, m=8)
+    index = encode_pq(emb, books)
+    approx = pq_search_rerank(
+        index, emb, queries, k=10, rerank_candidates=40, method="broadcast",
+    )
+    exact = knn_search(emb, queries, k=10, method="fold")
+    return recall_report(approx, exact)
+
+
+def _sql_ann_recall_pq() -> str:
+    """Full SQL mirror of the ADC cascade with data-row codebooks:
+    subspace j's entry c is list_slice(seed_c, j*8+1, j*8+8) (DuckDB
+    1-based inclusive == Spark slice); encoding is per-subspace
+    euclidean argmin with the numpy first-minimal-index tie-break
+    (entry id ASC); the ADC score is the dot of the query against the
+    CONCATENATED chosen entries (sum over subspaces of the per-subspace
+    LUT dots -- same value, deterministic fold); shortlist 40, exact
+    fold rerank to 10."""
+    apx = """
+WITH seeds AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+entries AS (
+  SELECT s.cid, t.j, list_slice(s.cv, t.j * 8 + 1, t.j * 8 + 8) AS ev
+  FROM seeds s CROSS JOIN range(8) t(j)
+),
+codes AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT e.vec_id, en.j, en.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id, en.j
+             ORDER BY list_dot_product(en.ev, en.ev)
+                      - 2 * list_dot_product(
+                          list_slice(e.embedding::DOUBLE[],
+                                     en.j * 8 + 1, en.j * 8 + 8),
+                          en.ev) ASC,
+                      en.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN entries en) WHERE rn = 1
+),
+recon AS (
+  SELECT c.vec_id, flatten(list(en.ev ORDER BY c.j ASC)) AS rv
+  FROM codes c JOIN entries en ON en.cid = c.cid AND en.j = c.j
+  GROUP BY c.vec_id
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 8
+),
+shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, r.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, r.rv) DESC,
+                      r.vec_id ASC) AS rn
+    FROM q CROSS JOIN recon r) WHERE rn <= 40
+)
+SELECT query_id, neighbor_id FROM (
+  SELECT s.query_id, e.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY list_dot_product(q.qv, e.embedding::DOUBLE[]) DESC,
+                    e.vec_id ASC) AS rnk
+  FROM shortlist s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+) WHERE rnk <= 10
+"""
+    return _sql_recall_join(_SQL_KNN_TOPK, apx)
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -4090,7 +4298,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_oracle_parity.py at sf0.001 and sf0.01.
     """
     return {
-        # -- new this round (r5): front of the line --------------------
+        # -- new this round (r6): the two remaining approximate ANN
+        #    families get oracled recall gates (VERDICT r5 #3) ---------
+        "ann_recall_ivf": q_ann_recall_ivf,
+        "ann_recall_pq": q_ann_recall_pq,
+        # -- new in r5 -------------------------------------------------
         "dedup_span_removal": q_dedup_span_removal,
         "dsir_importance": q_dsir_importance,
         "ann_recall_lsh": q_ann_recall_lsh,
@@ -4104,10 +4316,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq_restrict_crowding": q_knn_pq_restrict_crowding,
         "knn_pq_restrict_crowding_exact": q_knn_pq_restrict_crowding_exact,
         "multimodal_features": q_multimodal_features,
-        # -- r5 rotation back in (VERDICT r4 #7): bench-gate the
-        #    archived exact siblings once per round ---------------------
-        "knn_ivf2_full_probe": q_knn_ivf2_full_probe,
-        "knn_lsh_full_cover": q_knn_lsh_full_cover,
         # -- first driver-gated in r3 ----------------------------------
         "asof_latest_signup": q_asof_latest_signup,
         # -- vector search surface -------------------------------------
@@ -4229,8 +4437,18 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lineitem_profile (Deequ-style column profiling) and
     hard_negatives (DPR/ANCE retrieval-training mining), each under
     the same local bit-exact gate as everything here.
+
+    r6 rotation: knn_ivf2_full_probe / knn_lsh_full_cover return to
+    the archive after their r5 bench-gate round (VERDICT r4 #7
+    satisfied: both driver-green in CORRECTNESS_r05), displaced by
+    ann_recall_ivf / ann_recall_pq (VERDICT r5 #3) -- strictly
+    stronger gates for the same two families: each hash-checks the
+    PRUNED/LOSSY configuration's recall against oracled exact truth
+    instead of re-proving the full-cover == exact identity.
     """
     return {
+        "knn_ivf2_full_probe": q_knn_ivf2_full_probe,
+        "knn_lsh_full_cover": q_knn_lsh_full_cover,
         "knn_topk": q_knn_topk,
         "point_lookup": q_point_lookup,
         "dedup_exact": q_dedup_exact,
@@ -4271,6 +4489,8 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ann_recall_ivf": _sql_ann_recall_ivf(),
+        "ann_recall_pq": _sql_ann_recall_pq(),
         "dedup_span_removal": _SQL_DEDUP_SPAN_REMOVAL,
         "dsir_importance": _SQL_DSIR,
         "ann_recall_lsh": _sql_ann_recall_lsh(),
@@ -4283,8 +4503,6 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap_matrix": _SQL_SOURCE_OVERLAP,
         # knn_pq_restrict_crowding: lossy ADC shortlist -> rows-only
         "knn_pq_restrict_crowding_exact": _SQL_KNN_PQ_RESTRICT_CROWDING_EXACT,
-        "knn_ivf2_full_probe": _SQL_KNN_TOPK,
-        "knn_lsh_full_cover": _SQL_KNN_TOPK,
         "asof_latest_signup": _SQL_ASOF_SIGNUP,
         "knn_hydrated": _SQL_KNN_HYDRATED,
         # knn_ivf_pruned: approximate + iterative -> rows-only check
@@ -4327,6 +4545,8 @@ def oracle_sql_archive() -> dict[str, str]:
     """Oracles for queries_archive() -- run by tests/test_oracle_parity.py
     (not the driver) so the rotated queries stay bit-exact-verified."""
     return {
+        "knn_ivf2_full_probe": _SQL_KNN_TOPK,
+        "knn_lsh_full_cover": _SQL_KNN_TOPK,
         "knn_topk": _SQL_KNN_TOPK,
         "point_lookup": _SQL_POINT_LOOKUP,
         "dedup_exact": _SQL_DEDUP_EXACT,

@@ -200,6 +200,10 @@ BENCH_QUERIES = [
     ("knn_pq_restrict_crowding", entrymod.q_knn_pq_restrict_crowding),
     # r5: synthesized-media decode + featurize across all 4 modalities
     ("multimodal_features", entrymod.q_multimodal_features),
+    # r6: oracled recall gates for the pruned IVF and lossy PQ paths
+    # (explicit data-row quantizers, VERDICT r5 #3)
+    ("ann_recall_ivf", entrymod.q_ann_recall_ivf),
+    ("ann_recall_pq", entrymod.q_ann_recall_pq),
     # the capstone compositions: one lineage, one oracle each
     ("training_corpus_pipeline", entrymod.q_training_corpus_pipeline),
     ("web_corpus_pipeline", entrymod.q_web_corpus_pipeline),

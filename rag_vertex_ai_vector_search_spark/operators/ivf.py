@@ -85,6 +85,7 @@ def build_ivf_index(
     max_iter: int = 8,
     max_train_rows: int = 200_000,
     trainer: str = "numpy",
+    centroids: np.ndarray | None = None,
 ) -> IVFIndex:
     """KMeans-cluster the corpus into ``n_clusters`` leaves.
 
@@ -109,7 +110,25 @@ def build_ivf_index(
     most of the build wall-time. Assignment streams through an
     Arrow-vectorized pandas UDF. ``trainer="mllib"`` keeps the
     distributed trainer for samples too big to collect.
+
+    ``centroids`` (an explicit (n, dim) float64 matrix) skips training
+    entirely and clusters the corpus around the given points -- the
+    pre-trained-quantizer pattern (FAISS ``IndexIVFFlat(quantizer,...)``):
+    reuse a layout trained on last month's corpus, share one quantizer
+    across shards, or pin centroids to chosen data rows so the whole
+    pruned search is closed-form (the oracled ``ann_recall_ivf``
+    configuration). Overrides ``n_clusters``/``trainer``.
     """
+    if centroids is not None:
+        centroids = np.ascontiguousarray(centroids, dtype=np.float64)
+        assigned = df.withColumn(
+            "cluster_id",
+            _nearest_centroid_udf(centroids)(F.col(vec_col)),
+        )
+        return IVFIndex(
+            assigned=assigned, centroids=centroids,
+            id_col=id_col, vec_col=vec_col,
+        )
     if trainer == "numpy":
         n_rows = df.count()
         sample_df = df.select(vec_col)

@@ -163,6 +163,28 @@ def train_pq(
     return PQCodebooks(codebooks=books, dim=dim)
 
 
+def codebooks_from_vectors(vecs: np.ndarray, *, m: int) -> PQCodebooks:
+    """Build codebooks directly from ``ksub`` given full-dimension
+    vectors: entry ``c`` of subspace ``j`` is ``vecs[c]``'s j-th
+    subvector. The pre-trained-quantizer seam (FAISS lets you assign
+    ``ProductQuantizer.centroids`` wholesale): reuse codebooks trained
+    elsewhere, share them across index shards -- or pin them to chosen
+    corpus rows so the whole ADC cascade is closed-form and
+    SQL-mirrorable (the oracled ``ann_recall_pq`` configuration)."""
+    vecs = np.ascontiguousarray(vecs, dtype=np.float64)
+    ksub, dim = vecs.shape
+    if ksub > 256:
+        raise ValueError(f"{ksub} codebook vectors > 256 uint8 codes")
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.stack([
+        np.ascontiguousarray(vecs[:, j * dsub:(j + 1) * dsub])
+        for j in range(m)
+    ])
+    return PQCodebooks(codebooks=books, dim=dim)
+
+
 def encode_pq(
     df: DataFrame,
     books: PQCodebooks,
