@@ -3391,19 +3391,36 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic URL per document (uppercase scheme/host, default
     port, tracking params interleaved with real ones, fragment) and
     runs the real normalization; same synthesis-in-query pattern as
-    pii_scrub / html_text_extract."""
+    pii_scrub / html_text_extract.
+
+    r6: the domain column is the PSL registrable domain
+    (functions/psl.py::with_registrable_domain -- broadcast
+    longest-suffix-match joins over the embedded publicsuffix.org
+    snapshot), and the synthesized hosts cycle through the tricky PSL
+    classes -- plain .com, ccSLD (co.uk / com.au), an exception rule
+    (city.kawasaki.jp), a pure-wildcard ccTLD (*.ck) and a
+    private-section platform (github.io) -- so the oracle hash-gates
+    every branch of the PSL algorithm."""
+    from rag_vertex_ai_vector_search_spark.functions.psl import (
+        with_registrable_domain,
+    )
     from rag_vertex_ai_vector_search_spark.functions.url import (
         normalize_url,
-        url_domain,
         url_host,
         url_query_param_count,
     )
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _URL_PSL_SUFFIXES]),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    )
     url = F.concat(
         F.lit("HTTPS://WWW."),
         F.upper(F.col("source")),
-        F.lit(".Example.COM:443/docs/"),
+        F.lit("."),
+        suffix,
+        F.lit(":443/docs/"),
         F.col("lang"),
         F.lit("/"),
         F.col("doc_id").cast("string"),
@@ -3415,22 +3432,39 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 3).cast("string"),
     )
     page = docs.select(F.col("doc_id"), url.alias("_u"))
-    return page.select(
+    base = page.select(
         "doc_id",
         normalize_url("_u").alias("url_norm"),
         url_host("_u").alias("host"),
-        url_domain("_u").alias("domain"),
         url_query_param_count("_u").cast("long").alias("n_params"),
+    )
+    return with_registrable_domain(base, "host", out_col="domain").select(
+        "doc_id", "url_norm", "host", "domain", "n_params"
     )
 
 
 # Mirror of functions/url.py: one RE2 split into (authority, path,
 # ?query, #fragment) groups, lowercase authority, default-port strip
 # (\1 backreference replacement == Spark's $1), tracking-param filter.
+# PSL-class suffix cycle for the synthesized hosts: plain .com, two
+# ccSLDs, an exception rule, a pure-wildcard ccTLD, a private-section
+# platform. Mixed case exercises the lowercase normalization.
+_URL_PSL_SUFFIXES = (
+    "Example.COM",
+    "Example.Co.UK",
+    "Example.COM.au",
+    "City.Kawasaki.JP",
+    "Foo.CK",
+    "Usr.GitHub.IO",
+)
+
 _SQL_URL_NORMALIZE = r"""
 WITH page AS (
   SELECT doc_id,
-         'HTTPS://WWW.' || upper(source) || '.Example.COM:443/docs/'
+         'HTTPS://WWW.' || upper(source) || '.'
+         || (['Example.COM', 'Example.Co.UK', 'Example.COM.au',
+              'City.Kawasaki.JP', 'Foo.CK', 'Usr.GitHub.IO'])[
+              CAST(doc_id % 6 AS INT) + 1] || ':443/docs/'
          || lang || '/' || CAST(doc_id AS VARCHAR)
          || '?utm_source=feed&page=' || CAST(doc_id % 7 AS VARCHAR)
          || '&fbclid=x' || CAST(doc_id AS VARCHAR)
@@ -3475,13 +3509,24 @@ hosts AS (
 SELECT doc_id,
        auth || path || CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_norm,
        host,
-       CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
-            THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
-            ELSE host END AS domain,
+       __PSL_DOMAIN__ AS domain,
        CAST(CASE WHEN q = '' THEN 0
                  ELSE len(string_split(q, '&')) END AS BIGINT) AS n_params
 FROM hosts
 """
+
+
+def _sql_url_normalize() -> str:
+    """The url_normalize oracle with the PSL registrable-domain mirror
+    spliced in -- generated off the SAME rule snapshot the Spark join
+    uses (functions/psl.py::sql_registrable_domain)."""
+    from rag_vertex_ai_vector_search_spark.functions.psl import (
+        sql_registrable_domain,
+    )
+
+    return _SQL_URL_NORMALIZE.replace(
+        "__PSL_DOMAIN__", sql_registrable_domain("host")
+    )
 
 
 def q_web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4495,7 +4540,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_importance": _SQL_DSIR,
         "ann_recall_lsh": _sql_ann_recall_lsh(),
         "html_text_extract": _SQL_HTML_EXTRACT,
-        "url_normalize": _SQL_URL_NORMALIZE,
+        "url_normalize": _sql_url_normalize(),
         "web_corpus_pipeline": _sql_web_pipeline(),
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
         "webdataset_roundtrip": _SQL_WEBDATASET_ROUNDTRIP,

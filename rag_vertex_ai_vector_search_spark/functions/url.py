@@ -15,10 +15,12 @@ normalization then:
   dangling '?' when nothing survives.
 
 ``url_domain`` approximates the registrable domain as the last two
-host labels -- the right grouping key for synthetic and most real
-hosts; a public-suffix list (co.uk etc.) slots into the same
-expression as a longer suffix alternation when full PSL fidelity is
-needed.
+host labels -- a cheap single-expression key for synthetic hosts. For
+real web corpora use ``functions/psl.py::with_registrable_domain``:
+the full publicsuffix.org algorithm (wildcards, exceptions,
+multi-label rules) as broadcast longest-suffix-match joins, which
+groups ``*.co.uk`` / ``*.com.au`` hosts correctly where the
+two-label rule collapses them onto the public suffix.
 """
 
 from __future__ import annotations
@@ -48,8 +50,10 @@ def url_host(col: Column | str) -> Column:
 
 
 def url_domain(col: Column | str) -> Column:
-    """Registrable-domain approximation: the last two host labels
-    (PSL seam documented in the module docstring)."""
+    """Registrable-domain approximation: the last two host labels.
+    For PSL fidelity (co.uk, exceptions, wildcards) use
+    ``functions/psl.py::with_registrable_domain`` -- this stays the
+    cheap pure-Column variant."""
     host = url_host(col)
     two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     return F.when(two != "", two).otherwise(host)
