@@ -369,6 +369,65 @@ def decode_image(content: bytes) -> np.ndarray:
     )
 
 
+# --------------------------------------------------------------------------
+# Decode-status contract: a crawl's media is full of formats these
+# codecs don't cover (MP3, H.264, WebP ...) and of plain corruption.
+# With on_error="skip", every extractor lets such rows FLOW THROUGH as
+# counted skips -- feature columns null + a decode_status column --
+# instead of failing the task; media_decode_report() aggregates the
+# rates. on_error="raise" (default) keeps the strict contract.
+# --------------------------------------------------------------------------
+
+DECODE_OK = "ok"
+DECODE_UNSUPPORTED = "unsupported"  # NotImplementedError: format contract
+DECODE_CORRUPT = "corrupt"          # anything else: damaged bytes
+
+
+def _decode_status_of(exc: Exception) -> str:
+    return (
+        DECODE_UNSUPPORTED
+        if isinstance(exc, NotImplementedError)
+        else DECODE_CORRUPT
+    )
+
+
+def _check_on_error(on_error: str) -> bool:
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+    return on_error == "skip"
+
+
+def media_decode_report(
+    df: DataFrame,
+    *,
+    group_col: str = "media_type",
+    status_col: str = "decode_status",
+) -> DataFrame:
+    """Per-modality skip accounting over any extractor output run with
+    ``on_error="skip"``: (group, n_items, n_ok, n_unsupported,
+    n_corrupt, skip_rate). Surface this next to corpus_quality_report
+    so unsupported-codec mass is a measured number, not a silent gap."""
+
+    def _n(status: str):
+        return F.sum(
+            F.when(F.col(status_col) == status, 1).otherwise(0)
+        ).cast("long")
+
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            _n(DECODE_OK).alias("n_ok"),
+            _n(DECODE_UNSUPPORTED).alias("n_unsupported"),
+            _n(DECODE_CORRUPT).alias("n_corrupt"),
+        )
+        .withColumn(
+            "skip_rate",
+            (F.col("n_items") - F.col("n_ok")) / F.col("n_items"),
+        )
+    )
+
+
 def _pooled_features(img: np.ndarray, feature_dim: int) -> np.ndarray:
     """Deterministic pooled feature vector from any (H,W[,3]) image:
     grayscale -> flatten -> ``feature_dim`` strided means -> L2 norm."""
@@ -390,6 +449,7 @@ def extract_image_features(
     content_col: str = "content",
     feature_dim: int = 16,
     decoder=decode_image_stub,
+    on_error: str = "raise",
 ) -> DataFrame:
     """mapInPandas feature extraction over binary image columns.
 
@@ -397,19 +457,37 @@ def extract_image_features(
     array<float>. ``decoder`` maps bytes -> pixel array:
     ``decode_image`` is the real PPM/PGM/BMP codec, the stub keeps
     hermetic golden values; a PIL/model decode slots in unchanged.
+    ``on_error="skip"`` adds a ``decode_status`` column and nulls the
+    features of undecodable rows instead of failing the task (see
+    ``media_decode_report``).
     """
+    skip = _check_on_error(on_error)
 
     def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
+            feats, statuses = [], []
             for content in pdf[content_col]:
-                img = decoder(bytes(content) if content is not None else b"")
+                data = bytes(content) if content is not None else b""
+                try:
+                    img = decoder(data)
+                except Exception as e:  # noqa: BLE001 -- classified below
+                    if not skip:
+                        raise
+                    feats.append(None)
+                    statuses.append(_decode_status_of(e))
+                    continue
                 feats.append(_pooled_features(np.asarray(img), feature_dim))
-            yield pdf.assign(features=feats)
+                statuses.append(DECODE_OK)
+            out = pdf.assign(features=feats)
+            if skip:
+                out = out.assign(decode_status=statuses)
+            yield out
 
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", features array<float>"
+    if skip:
+        out_schema += ", decode_status string"
     return df.mapInPandas(_featurize, out_schema)
 
 
@@ -431,27 +509,44 @@ def extract_resized_features(
     width: int = 16,
     feature_dim: int = 16,
     decoder=decode_image_stub,
+    on_error: str = "raise",
 ) -> DataFrame:
     """decode -> resize -> pooled-feature in one mapInPandas pass: the
     normalize-then-embed preprocessing shape (every image reaches the
     feature extractor at a fixed resolution). Adds resized_height/
     resized_width (constant, for schema contracts downstream) and the
-    ``features`` vector computed on the RESIZED pixels."""
+    ``features`` vector computed on the RESIZED pixels.
+    ``on_error="skip"``: counted-skip contract (media_decode_report)."""
+    skip = _check_on_error(on_error)
 
     def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
+            feats, statuses = [], []
             for content in pdf[content_col]:
-                img = decoder(bytes(content) if content is not None else b"")
+                data = bytes(content) if content is not None else b""
+                try:
+                    img = decoder(data)
+                except Exception as e:  # noqa: BLE001 -- classified below
+                    if not skip:
+                        raise
+                    feats.append(None)
+                    statuses.append(_decode_status_of(e))
+                    continue
                 small = resize_image(np.asarray(img), height, width)
                 feats.append(_pooled_features(small, feature_dim))
-            yield pdf.assign(
+                statuses.append(DECODE_OK)
+            out = pdf.assign(
                 resized_height=height, resized_width=width, features=feats
             )
+            if skip:
+                out = out.assign(decode_status=statuses)
+            yield out
 
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", resized_height int, resized_width int, features array<float>"
+    if skip:
+        out_schema += ", decode_status string"
     return df.mapInPandas(_featurize, out_schema)
 
 
@@ -521,20 +616,31 @@ def extract_audio_features(
     content_col: str = "content",
     feature_dim: int = 16,
     decoder=decode_audio,
+    on_error: str = "raise",
 ) -> DataFrame:
     """mapInPandas audio feature extraction over binary WAV columns:
     adds sample_rate, duration_s, rms, peak, zero_crossing_rate and a
     ``features`` energy-profile vector. Same plan shape as image
     featurization: one Arrow batch in, same rows out + typed columns;
-    decode cost stays on the (pre-filtered) subset that reaches it."""
+    decode cost stays on the (pre-filtered) subset that reaches it.
+    ``on_error="skip"``: counted-skip contract (media_decode_report)."""
+    skip = _check_on_error(on_error)
 
     def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rates, durs, rmss, peaks, zcrs, feats = [], [], [], [], [], []
+            statuses = []
             for content in pdf[content_col]:
-                samples, sr = decoder(
-                    bytes(content) if content is not None else b""
-                )
+                data = bytes(content) if content is not None else b""
+                try:
+                    samples, sr = decoder(data)
+                except Exception as e:  # noqa: BLE001 -- classified below
+                    if not skip:
+                        raise
+                    for lst in (rates, durs, rmss, peaks, zcrs, feats):
+                        lst.append(None)
+                    statuses.append(_decode_status_of(e))
+                    continue
                 d, r, p, z, fv = _audio_feature_row(samples, sr, feature_dim)
                 rates.append(sr)
                 durs.append(d)
@@ -542,10 +648,14 @@ def extract_audio_features(
                 peaks.append(p)
                 zcrs.append(z)
                 feats.append(fv)
-            yield pdf.assign(
+                statuses.append(DECODE_OK)
+            out = pdf.assign(
                 sample_rate=rates, duration_s=durs, rms=rmss, peak=peaks,
                 zero_crossing_rate=zcrs, features=feats,
             )
+            if skip:
+                out = out.assign(decode_status=statuses)
+            yield out
 
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
@@ -553,6 +663,8 @@ def extract_audio_features(
         ", sample_rate int, duration_s double, rms double, peak double,"
         " zero_crossing_rate double, features array<float>"
     )
+    if skip:
+        out_schema += ", decode_status string"
     return df.mapInPandas(_featurize, out_schema)
 
 
@@ -588,28 +700,42 @@ def extract_audio_spectral_features(
     content_col: str = "content",
     n_bands: int = 16,
     decoder=decode_audio,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Frequency-domain audio featurization (numpy.fft -- REAL DSP, no
     external library): adds spectral_centroid_hz, spectral_rolloff_hz
     and a ``features`` log-band-energy profile. Same mapInPandas batch
     shape as the time-domain extractor; compose both for a fuller
-    fingerprint."""
+    fingerprint. ``on_error="skip"``: counted-skip contract."""
+    skip = _check_on_error(on_error)
 
     def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            cents, rolls, feats = [], [], []
+            cents, rolls, feats, statuses = [], [], [], []
             for content in pdf[content_col]:
-                samples, sr = decoder(
-                    bytes(content) if content is not None else b""
-                )
+                data = bytes(content) if content is not None else b""
+                try:
+                    samples, sr = decoder(data)
+                except Exception as e:  # noqa: BLE001 -- classified below
+                    if not skip:
+                        raise
+                    cents.append(None)
+                    rolls.append(None)
+                    feats.append(None)
+                    statuses.append(_decode_status_of(e))
+                    continue
                 c, r, fv = _spectral_feature_row(samples, sr, n_bands)
                 cents.append(c)
                 rolls.append(r)
                 feats.append(fv)
-            yield pdf.assign(
+                statuses.append(DECODE_OK)
+            out = pdf.assign(
                 spectral_centroid_hz=cents, spectral_rolloff_hz=rolls,
                 features=feats,
             )
+            if skip:
+                out = out.assign(decode_status=statuses)
+            yield out
 
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
@@ -617,6 +743,8 @@ def extract_audio_spectral_features(
         ", spectral_centroid_hz double, spectral_rolloff_hz double,"
         " features array<float>"
     )
+    if skip:
+        out_schema += ", decode_status string"
     return df.mapInPandas(_featurize, out_schema)
 
 
@@ -655,6 +783,7 @@ def slice_video_frames(
     content_col: str = "content",
     every_k: int = 10,
     frame_slicer=None,
+    on_error: str = "raise",
 ) -> DataFrame:
     """ONE container walk per video: slice each sampled frame's
     compressed payload out of the container and emit per-frame rows
@@ -674,17 +803,29 @@ def slice_video_frames(
     Output: input columns minus ``content_col``, plus ``frame_index``
     (position in the stream), ``frame_ref`` (sha256(video):index) and
     ``frame_payload`` (binary).
+
+    ``on_error="skip"``: a container that cannot be walked (unknown
+    codec, truncated RIFF) emits ONE row with ``frame_index=-1``, null
+    payload and its ``decode_status`` -- all-or-nothing per file, so
+    ``media_decode_report`` counts whole skipped assets, never partial
+    frame sets from a half-walked container.
     """
     import hashlib
 
     if frame_slicer is None:
         from .mjpeg import iter_mjpeg_frames as frame_slicer
+    skip = _check_on_error(on_error)
 
     keep = [f for f in df.schema.fields if f.name != content_col]
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in keep
     ) + ", frame_index int, frame_ref string, frame_payload binary"
+    if skip:
+        out_schema += ", decode_status string"
     keep_names = [f.name for f in keep]
+    out_cols = keep_names + ["frame_index", "frame_ref", "frame_payload"]
+    if skip:
+        out_cols = out_cols + ["decode_status"]
 
     def _slice(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -694,20 +835,34 @@ def slice_video_frames(
                 data = bytes(content) if content is not None else b""
                 vid_sha = hashlib.sha256(data).hexdigest()
                 base = {c: row[c] for c in keep_names}
-                for idx, payload in enumerate(frame_slicer(data)):
-                    if idx % every_k != 0:
-                        continue
+                try:
+                    sliced = [
+                        (idx, payload)
+                        for idx, payload in enumerate(frame_slicer(data))
+                        if idx % every_k == 0
+                    ]
+                except Exception as e:  # noqa: BLE001 -- classified below
+                    if not skip:
+                        raise
                     rows.append({
+                        **base,
+                        "frame_index": -1,
+                        "frame_ref": f"{vid_sha}:-1",
+                        "frame_payload": None,
+                        "decode_status": _decode_status_of(e),
+                    })
+                    continue
+                for idx, payload in sliced:
+                    r = {
                         **base,
                         "frame_index": idx,
                         "frame_ref": f"{vid_sha}:{idx}",
                         "frame_payload": payload,
-                    })
-            yield pd.DataFrame(
-                rows,
-                columns=keep_names
-                + ["frame_index", "frame_ref", "frame_payload"],
-            )
+                    }
+                    if skip:
+                        r["decode_status"] = DECODE_OK
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=out_cols)
 
     return df.mapInPandas(_slice, out_schema)
 
@@ -717,6 +872,7 @@ def extract_gif_frame_features(
     content_col: str = "content",
     every_k: int = 1,
     feature_dim: int = 16,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Animated-GIF frames through the frame-featurize seam: one
     mapInPandas pass decodes each GIF's COMPOSITED frames (disposal +
@@ -728,14 +884,24 @@ def extract_gif_frame_features(
     sequential work unit (the right grain: web GIFs are small) and the
     fan-out happens ACROSS files, not within one. Output: input
     columns minus ``content_col`` plus (frame_index, features).
+
+    ``on_error="skip"``: an undecodable GIF emits one frame_index=-1
+    counted-skip row (all-or-nothing per file, since a compositing
+    error invalidates every later frame's canvas anyway).
     """
     from .gif import iter_gif_frames
 
+    skip = _check_on_error(on_error)
     keep = [f for f in df.schema.fields if f.name != content_col]
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in keep
     ) + ", frame_index int, features array<float>"
+    if skip:
+        out_schema += ", decode_status string"
     keep_names = [f.name for f in keep]
+    out_cols = keep_names + ["frame_index", "features"]
+    if skip:
+        out_cols = out_cols + ["decode_status"]
 
     def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -743,19 +909,28 @@ def extract_gif_frame_features(
             for _, row in pdf.iterrows():
                 content = row[content_col]
                 base = {c: row[c] for c in keep_names}
-                for idx, frame in enumerate(
-                    iter_gif_frames(bytes(content) if content else b"")
-                ):
-                    if idx % every_k:
-                        continue
+                try:
+                    frames = [
+                        (idx, _pooled_features(frame, feature_dim))
+                        for idx, frame in enumerate(
+                            iter_gif_frames(bytes(content) if content else b"")
+                        )
+                        if idx % every_k == 0
+                    ]
+                except Exception as e:  # noqa: BLE001 -- classified below
+                    if not skip:
+                        raise
                     rows.append({
-                        **base,
-                        "frame_index": idx,
-                        "features": _pooled_features(frame, feature_dim),
+                        **base, "frame_index": -1, "features": None,
+                        "decode_status": _decode_status_of(e),
                     })
-            yield pd.DataFrame(
-                rows, columns=keep_names + ["frame_index", "features"]
-            )
+                    continue
+                for idx, feats in frames:
+                    r = {**base, "frame_index": idx, "features": feats}
+                    if skip:
+                        r["decode_status"] = DECODE_OK
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=out_cols)
 
     from ..sources import fan_out
 
@@ -770,6 +945,7 @@ def extract_video_frame_features(
     feature_dim: int = 16,
     frame_slicer=None,
     payload_decoder=None,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Sampled-frame featurization end-to-end, in two stages:
 
@@ -787,26 +963,48 @@ def extract_video_frame_features(
     ``n_frames_col`` stays in the signature for schema compatibility
     (frame existence now comes from the container itself, not the
     metadata column).
+
+    ``on_error="skip"`` composes both stages' accounting: container
+    walk failures arrive as frame_index=-1 rows from
+    ``slice_video_frames`` and per-frame payload decode failures get
+    their own status -- every input asset is represented in the output
+    either by feature rows or by exactly one counted-skip row.
     """
     if payload_decoder is None:
         from .jpeg import decode_jpeg_baseline as payload_decoder
+    skip = _check_on_error(on_error)
 
     from ..sources import fan_out
 
     frames = fan_out(slice_video_frames(
         df, content_col=content_col, every_k=every_k,
-        frame_slicer=frame_slicer,
+        frame_slicer=frame_slicer, on_error=on_error,
     ))
 
     def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
-            for payload in pdf["frame_payload"]:
-                img = payload_decoder(
-                    bytes(payload) if payload is not None else b""
-                )
+            statuses = (
+                list(pdf["decode_status"]) if skip else ["ok"] * len(pdf)
+            )
+            for i, payload in enumerate(pdf["frame_payload"]):
+                if skip and statuses[i] != DECODE_OK:
+                    feats.append(None)  # container-level skip row
+                    continue
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    img = payload_decoder(data)
+                except Exception as e:  # noqa: BLE001 -- classified below
+                    if not skip:
+                        raise
+                    feats.append(None)
+                    statuses[i] = _decode_status_of(e)
+                    continue
                 feats.append(_pooled_features(np.asarray(img), feature_dim))
-            yield pdf.drop(columns=["frame_payload"]).assign(features=feats)
+            out = pdf.drop(columns=["frame_payload"]).assign(features=feats)
+            if skip:
+                out = out.assign(decode_status=statuses)
+            yield out
 
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"

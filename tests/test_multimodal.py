@@ -971,3 +971,173 @@ def test_png_adam7_interlaced():
                 raw += bytes([int(v), 0x55])
     png = _png_chunks(struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 1), bytes(raw))
     assert np.array_equal(decode_image(png), hi)
+
+
+# ---------------------------------------------------------------------------
+# decode_status counted-skip contract (VERDICT r5 #7)
+# ---------------------------------------------------------------------------
+
+def _mixed_media_df(spark):
+    """4 images (1 MP3-planted 'image', 1 corrupt PNG), 3 audio items
+    (1 real MP3 header = unsupported, 1 truncated WAV = corrupt)."""
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        encode_png,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        _synth_audio, _synth_image, encode_wav_pcm,
+    )
+
+    png_ok = encode_png(_synth_image(1, rgb=True))
+    # Corrupt INSIDE the zlib IDAT stream (valid signature + IHDR, so
+    # the failure is a raw zlib.error = "corrupt", not the codec's
+    # NotImplementedError format contract = "unsupported").
+    idat = png_ok.index(b"IDAT") + 8
+    png_corrupt = (
+        png_ok[:idat]
+        + bytes(b ^ 0xFF for b in png_ok[idat:idat + 12])
+        + png_ok[idat + 12:]
+    )
+    mp3 = b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\xff\xfb\x90\x00" * 40
+    wav_ok = encode_wav_pcm(_synth_audio(1), channels=1, sampwidth=2)
+    wav_trunc = wav_ok[: len(wav_ok) // 3]
+
+    img_rows = [
+        ("img_ok1", "image/png", bytearray(png_ok)),
+        ("img_ok2", "image/png", bytearray(encode_png(_synth_image(2, rgb=False)))),
+        ("img_mp3", "image/mp3?", bytearray(mp3)),       # unsupported format
+        ("img_bad", "image/png", bytearray(png_corrupt)),  # corrupt stream
+    ]
+    aud_rows = [
+        ("aud_ok", "audio/wav", bytearray(wav_ok)),
+        ("aud_mp3", "audio/mpeg", bytearray(mp3)),       # unsupported codec
+        ("aud_bad", "audio/wav", bytearray(wav_trunc)),  # corrupt container
+    ]
+    schema = "media_id string, media_type string, content binary"
+    return (
+        spark.createDataFrame(img_rows, schema),
+        spark.createDataFrame(aud_rows, schema),
+    )
+
+
+def test_decode_skip_contract_exact_counts(spark):
+    """Mixed media with planted unsupported + corrupt bytes completes
+    (no task error) and the skip accounting is exact."""
+    from rag_vertex_ai_vector_search_spark.multimodal import (
+        DECODE_CORRUPT,
+        DECODE_OK,
+        DECODE_UNSUPPORTED,
+        decode_image,
+        extract_audio_spectral_features,
+        extract_image_features,
+        media_decode_report,
+    )
+
+    imgs, auds = _mixed_media_df(spark)
+    img_out = extract_image_features(
+        imgs, decoder=decode_image, feature_dim=4, on_error="skip"
+    )
+    aud_out = extract_audio_spectral_features(
+        auds, n_bands=4, on_error="skip"
+    )
+    combined = img_out.select(
+        "media_id", "media_type", "decode_status", "features"
+    ).unionByName(
+        aud_out.select("media_id", "media_type", "decode_status", "features")
+    )
+    rows = {r.media_id: r for r in combined.collect()}
+    assert rows["img_ok1"].decode_status == DECODE_OK
+    assert rows["img_ok2"].decode_status == DECODE_OK
+    assert rows["img_mp3"].decode_status == DECODE_UNSUPPORTED
+    assert rows["img_bad"].decode_status == DECODE_CORRUPT
+    assert rows["aud_ok"].decode_status == DECODE_OK
+    assert rows["aud_mp3"].decode_status == DECODE_UNSUPPORTED
+    assert rows["aud_bad"].decode_status == DECODE_CORRUPT
+    # skipped rows carry null features; ok rows carry real vectors
+    for mid, r in rows.items():
+        if r.decode_status == DECODE_OK:
+            assert r.features is not None and len(r.features) == 4, mid
+        else:
+            assert r.features is None, mid
+
+    # media_decode_report: exact per-modality rates
+    rep = {
+        r.media_type: r
+        for r in media_decode_report(combined).collect()
+    }
+    assert (rep["image/png"].n_items, rep["image/png"].n_ok,
+            rep["image/png"].n_corrupt) == (3, 2, 1)
+    assert rep["image/mp3?"].n_unsupported == 1
+    assert (rep["audio/wav"].n_items, rep["audio/wav"].n_ok,
+            rep["audio/wav"].n_corrupt) == (2, 1, 1)
+    assert rep["audio/mpeg"].n_unsupported == 1
+    assert rep["audio/wav"].skip_rate == 0.5
+
+
+def test_decode_skip_contract_video_and_gif(spark):
+    """Container-level skips: a non-AVI blob among MJPEG videos and a
+    broken GIF among animations each produce exactly ONE frame_index=-1
+    counted-skip row; good assets featurize normally."""
+    from rag_vertex_ai_vector_search_spark.multimodal import (
+        DECODE_OK,
+        encode_gif,
+        extract_gif_frame_features,
+        extract_video_frame_features,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.mjpeg import (
+        encode_mjpeg_avi,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        _synth_video_frames,
+    )
+
+    avi = encode_mjpeg_avi(_synth_video_frames(3), quality=90)
+    vids = spark.createDataFrame(
+        [("v_ok", bytearray(avi), 4), ("v_bad", bytearray(b"\x00" * 64), 0)],
+        "media_id string, content binary, n_frames int",
+    )
+    vout = extract_video_frame_features(
+        vids, every_k=2, feature_dim=4, on_error="skip"
+    ).collect()
+    by_id = {}
+    for r in vout:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert all(r.decode_status == DECODE_OK for r in by_id["v_ok"])
+    assert all(r.features is not None for r in by_id["v_ok"])
+    assert len(by_id["v_bad"]) == 1
+    assert by_id["v_bad"][0].frame_index == -1
+    assert by_id["v_bad"][0].decode_status != DECODE_OK
+    assert by_id["v_bad"][0].features is None
+
+    img = np.full((6, 6), 33, np.uint8)
+    gifs = spark.createDataFrame(
+        [
+            ("g_ok", bytearray(encode_gif([img, img + 1]))),
+            ("g_bad", bytearray(encode_gif(img)[:-8])),  # truncated
+        ],
+        "media_id string, content binary",
+    )
+    gout = extract_gif_frame_features(
+        gifs, feature_dim=4, on_error="skip"
+    ).collect()
+    g = {}
+    for r in gout:
+        g.setdefault(r.media_id, []).append(r)
+    assert len(g["g_ok"]) == 2
+    assert all(r.decode_status == DECODE_OK for r in g["g_ok"])
+    assert len(g["g_bad"]) == 1 and g["g_bad"][0].frame_index == -1
+
+
+def test_decode_raise_mode_unchanged(spark):
+    """Default on_error='raise' keeps the strict contract: planted
+    garbage still fails the job, and the output schema carries NO
+    decode_status column."""
+    from rag_vertex_ai_vector_search_spark.multimodal import (
+        decode_image,
+        extract_image_features,
+    )
+
+    imgs, _ = _mixed_media_df(spark)
+    strict = extract_image_features(imgs, decoder=decode_image, feature_dim=4)
+    assert "decode_status" not in strict.columns
+    with pytest.raises(Exception):
+        strict.collect()
