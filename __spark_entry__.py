@@ -2120,6 +2120,88 @@ FROM top CROSS JOIN tot t
 """
 
 
+def q_hll_token_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-word cardinality per language
+    (operators/sketch.py): the mergeable-sketch answer to "how many
+    distinct tokens per group" that at 100 TB replaces an exact
+    count(distinct) shuffle with 2^p integer registers per group.
+    Archive-gated (declared window at capacity).
+
+    The full sketch surface is oracled: every (lang, bucket, max_rho)
+    register row AND the floor-quantized estimate -- sha60 bucketing,
+    the bin()/format('{:b}') bit-length rho, and the exact integer
+    harmonic sum (2^(w+1-rho) scaling) all mirror bit-identically in
+    DuckDB. p=8 keeps the register table driver-sized; accuracy vs
+    exact distinct is pytest-gated in test_sketch.py."""
+    from rag_vertex_ai_vector_search_spark.functions.text import (
+        normalized_text,
+    )
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("word"),
+    )
+    regs = hll_sketch(words, "word", group_cols=("lang",), p=8)
+    est = hll_estimate(regs, group_cols=("lang",), p=8)
+    return regs.join(est, "lang").select(
+        "lang",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("max_rho").cast("long").alias("max_rho"),
+        "n_registers",
+        "estimate",
+    )
+
+
+# p=8 under sha60: w = 52-bit suffix; 2^52 - 1 = 4503599627370495.
+# alpha_256 * 256^2 inlined as the exact Python double repr (same
+# literal Spark uses); occupied harmonic sum mirrored as the exact
+# integer sum of 2^(53 - rho) scaled by 2^-53.
+_SQL_HLL_TOKENS = f"""
+WITH words AS (
+  SELECT lang, unnest(string_split({_SQL_NORM}, ' ')) AS word
+  FROM documents
+),
+h AS (
+  SELECT lang, ('0x' || substr(sha256(word), 1, 15))::BIGINT AS hv
+  FROM words
+),
+regs AS (
+  SELECT lang, hv >> 52 AS bucket,
+         max(CASE WHEN (hv & 4503599627370495) = 0 THEN 53
+                  ELSE 53 - length(format('{{:b}}', hv & 4503599627370495))
+             END) AS max_rho
+  FROM h GROUP BY lang, hv >> 52
+),
+est AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_registers,
+         CAST(sum(1::BIGINT << (53 - max_rho)) AS DOUBLE)
+           / {float(1 << 53)!r} + (256 - count(*)) AS harm,
+         256 - count(*) AS v
+  FROM regs GROUP BY lang
+),
+fin AS (
+  SELECT lang, n_registers,
+         CAST(floor(CASE
+           WHEN ({0.7213 / (1.0 + 1.079 / 256) * 256 * 256!r} / harm)
+                  <= 640.0 AND v > 0
+           THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+           ELSE {0.7213 / (1.0 + 1.079 / 256) * 256 * 256!r} / harm
+         END) AS BIGINT) AS estimate
+  FROM est
+)
+SELECT r.lang, CAST(r.bucket AS BIGINT) AS bucket,
+       CAST(r.max_rho AS BIGINT) AS max_rho,
+       f.n_registers, f.estimate
+FROM regs r JOIN fin f ON r.lang = f.lang
+"""
+
+
 def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE first-iteration merge statistics (operators/tokenizer.py):
     adjacent character-pair frequencies inside words, weighted by word
@@ -4492,6 +4574,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     instead of re-proving the full-cover == exact identity.
     """
     return {
+        "hll_token_cardinality": q_hll_token_cardinality,
         "knn_ivf2_full_probe": q_knn_ivf2_full_probe,
         "knn_lsh_full_cover": q_knn_lsh_full_cover,
         "knn_topk": q_knn_topk,
@@ -4590,6 +4673,7 @@ def oracle_sql_archive() -> dict[str, str]:
     """Oracles for queries_archive() -- run by tests/test_oracle_parity.py
     (not the driver) so the rotated queries stay bit-exact-verified."""
     return {
+        "hll_token_cardinality": _SQL_HLL_TOKENS,
         "knn_ivf2_full_probe": _SQL_KNN_TOPK,
         "knn_lsh_full_cover": _SQL_KNN_TOPK,
         "knn_topk": _SQL_KNN_TOPK,

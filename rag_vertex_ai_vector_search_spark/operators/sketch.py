@@ -1,0 +1,185 @@
+"""Mergeable cardinality sketches: HyperLogLog register tables as
+DataFrames.
+
+At 100 TB, "how many distinct users/URLs/tokens per group" is a core
+corpus statistic, but exact count(distinct) shuffles every distinct
+value. An HLL register table is the mergeable alternative (Flajolet et
+al. 2007; the same structure Spark's own approx_count_distinct and
+BigQuery's HLL_COUNT maintain): 2^p integer registers per group --
+tiny, unioned by register-wise MAX -- so sketches from shards, days,
+or streaming micro-batches merge without re-reading data. This module
+keeps the registers as plain (group, bucket, max_rho) rows, which is
+exactly what makes them maintainable as a streaming state table (the
+same ``_epoch`` fold the DSIR model tables use) and auditable by the
+driver gate: with the sha60 base hash every register value -- and the
+floor-quantized estimate -- is bit-reproducible in DuckDB SQL.
+
+Hash geometry (w = 60 - p bits of suffix under sha60):
+
+    h      = sha60(value)            (< 2^60, positive in int64)
+    bucket = h >> w                  (p leading bits)
+    rem    = h & (2^w - 1)
+    rho    = w - bit_length(rem) + 1 (w + 1 when rem = 0)
+
+``bit_length`` is string-free of float error on BOTH engines:
+``length(bin(rem))`` in Spark == ``length(format('{:b}', rem))`` in
+DuckDB. Estimation follows the standard HLL curve: alpha_m * m^2 /
+sum(2^-M_j) with the small-range linear-counting correction
+E <= 2.5m & V > 0 -> m * ln(m / V). The estimate involves one ``ln``
+/ ``pow`` whose last-ulp behavior could differ across engines, so the
+oracle-facing column is floor(E) -- integer cardinalities -- with the
+register rows themselves exact by construction.
+
+``base_hash="xxhash64"`` is the cheaper production option (same plan,
+no SQL mirror).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import base_hash_fn
+
+_SHA60_BITS = 60
+_XX_BITS = 64
+
+
+def _bits_for(base_hash: str) -> int:
+    return _SHA60_BITS if base_hash == "sha60" else _XX_BITS
+
+
+def _suffix_width(base_hash: str, p: int) -> int:
+    """Bits of hash suffix below the bucket index (xxhash64 spends one
+    bit on abs() to keep >> geometry uniform)."""
+    bits = _bits_for(base_hash)
+    return bits - p - (1 if base_hash == "xxhash64" else 0)
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_sketch(
+    df: DataFrame,
+    col: str | Column,
+    *,
+    group_cols: tuple[str, ...] = (),
+    p: int = 12,
+    base_hash: str = "sha60",
+) -> DataFrame:
+    """One aggregation pass -> HLL register rows
+    ``(*group_cols, bucket int, max_rho int)``.
+
+    Only OCCUPIED registers are materialized (<= min(2^p, n_distinct)
+    rows per group); the estimator treats absent buckets as rho = 0.
+    Map-side combine applies (max is algebraic), so the shuffle
+    carries at most 2^p rows per group per input partition.
+    """
+    w = _suffix_width(base_hash, p)
+    c = F.col(col) if isinstance(col, str) else col
+    h = base_hash_fn(base_hash)(c)
+    if base_hash == "xxhash64":
+        # fold the sign bit away so >> keeps the uniform geometry
+        h = F.abs(h)
+    bucket = F.shiftright(h, w)
+    rem = h.bitwiseAND(F.lit((1 << w) - 1))
+    rho = F.when(rem == 0, F.lit(w + 1)).otherwise(
+        F.lit(w) - F.length(F.bin(rem)) + F.lit(1)
+    )
+    return (
+        df.select(
+            *group_cols,
+            bucket.cast("int").alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union register tables from shards/days/micro-batches into one:
+    register-wise MAX. The whole point of the sketch -- merging never
+    re-reads the data that produced it."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "max_rho"]
+    return out.groupBy(*keys).agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    *,
+    group_cols: tuple[str, ...] = (),
+    p: int = 12,
+    base_hash: str = "sha60",
+) -> DataFrame:
+    """Registers -> ``(*group_cols, n_registers, estimate)`` with
+    ``estimate`` = floor(HLL cardinality) as a long (integer output is
+    the cross-engine-stable surface; see module docstring).
+
+    Absent (never-hit) registers contribute 2^0 = 1 each to the
+    harmonic sum: m - n_occupied empties fold in as one arithmetic
+    term, so the estimator works on the compact occupied-only table.
+
+    The occupied part of the harmonic sum is computed as the INTEGER
+    sum of 2^(w+1-rho) (each term <= 2^w, and m * 2^w <= 2^60 for
+    sha60 / 2^62 for xxhash64, so int64 never overflows), then scaled
+    by 2^-(w+1): exact and order-independent, where a float
+    sum(2^-rho) would round differently under different partition
+    orders and break cross-engine parity.
+    """
+    m = 1 << p
+    w = _suffix_width(base_hash, p)
+    alpha = _alpha(m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+        F.sum(
+            F.expr(f"shiftleft(1L, {w + 1} - max_rho)")
+        ).alias("_occ_scaled"),
+    )
+    harm = (
+        F.col("_occ_scaled").cast("double") / F.lit(float(1 << (w + 1)))
+        + (F.lit(m) - F.col("n_registers")).cast("double")
+    )
+    raw = F.lit(alpha * m * m) / harm
+    # linear counting below 2.5m when any register is empty (occupied
+    # registers always have rho >= 1, so V is exactly the empty count)
+    v = F.lit(m) - F.col("n_registers")
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        "n_registers",
+        F.floor(corrected).cast("long").alias("estimate"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str | Column,
+    *,
+    group_cols: tuple[str, ...] = (),
+    p: int = 12,
+    base_hash: str = "sha60",
+) -> DataFrame:
+    """sketch + estimate in one call: per-group approximate distinct
+    counts ``(*group_cols, n_registers, estimate)``."""
+    return hll_estimate(
+        hll_sketch(
+            df, col, group_cols=group_cols, p=p, base_hash=base_hash
+        ),
+        group_cols=group_cols,
+        p=p,
+        base_hash=base_hash,
+    )

@@ -1,0 +1,131 @@
+"""sf-scaling evidence curve (VERDICT r5 #8): measure the repo's
+heaviest bench queries at sf0.1 AND a locally-synthesized 3x fixture
+(sf0.3), and report the per-query scaling exponent
+alpha = log(t_3x / t_1x) / log(3)  --  alpha ~ 1.0 = linear scaling,
+the cheapest locally-obtainable proof that the 100 TB plan shapes
+hold beyond the single sf0.1 measurement point.
+
+The 3x fixture replicates sf0.1 with id-shifted epochs (deterministic;
+epoch>0 documents get a per-epoch text suffix so exact-duplicate mass
+does not triple and dedup selectivity stays in-distribution). Events
+shift by epoch days to EXTEND the stream rather than stack the same
+timestamps. Usage:
+
+    python scripts/scale_curve.py            # build fixture + bench
+    python scripts/scale_curve.py --reuse    # reuse existing fixture
+
+Prints one JSON line per run; paste the table into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+SRC = "/root/testdata/sf0.1"
+DST = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/sparkgraft_sf0.3")
+EPOCHS = 3
+
+# The heaviest bench queries of BENCH_r05 (plan-audited set) + the two
+# ANN recall gates (embeddings-table scaling).
+QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_clusters_cc",
+    "training_corpus_pipeline",
+    "dsir_importance",
+    "web_corpus_pipeline",
+    "ann_recall_ivf",
+    "ann_recall_pq",
+]
+
+
+def build_fixture(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(DST, exist_ok=True)
+
+    def union_epochs(df, transforms):
+        out = None
+        for e in range(EPOCHS):
+            part = transforms(df, e)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    n_docs = docs.count()
+    union_epochs(
+        docs,
+        lambda df, e: df.select(
+            (F.col("doc_id") + F.lit(e * n_docs)).alias("doc_id"),
+            (
+                F.col("text") if e == 0
+                else F.concat(F.col("text"), F.lit(f" epoch{e}"))
+            ).alias("text"),
+            *[c for c in df.columns if c not in ("doc_id", "text")],
+        ),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    n_emb = emb.count()
+    union_epochs(
+        emb,
+        lambda df, e: df.select(
+            (F.col("vec_id") + F.lit(e * n_emb)).alias("vec_id"),
+            *[c for c in df.columns if c != "vec_id"],
+        ),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+
+    # remaining tables: byte-identical copies (only the hot tables scale)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"):
+        dst = f"{DST}/{t}.parquet"
+        if not os.path.exists(dst):
+            shutil.copyfile(f"{SRC}/{t}.parquet", dst)
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entrymod
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "8g")
+        .appName("scale_curve")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if "--reuse" not in sys.argv or not os.path.exists(f"{DST}/documents.parquet"):
+        build_fixture(spark)
+
+    qmap = entrymod.queries()
+    import math
+    results = {}
+    for name in QUERIES:
+        fn = qmap[name]
+        times = {}
+        for label, sf_dir in (("sf0.1", SRC), ("sf0.3", DST)):
+            best = None
+            for _ in range(2):  # min-of-2, same policy as bench.py
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times[label] = round(best, 3)
+        alpha = math.log(times["sf0.3"] / times["sf0.1"]) / math.log(3)
+        results[name] = {**times, "alpha": round(alpha, 2)}
+        print(f"# {name}: {times['sf0.1']}s -> {times['sf0.3']}s "
+              f"(alpha={results[name]['alpha']})", file=sys.stderr)
+    print(json.dumps({"metric": "scale_curve", "epochs": EPOCHS,
+                      "queries": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,7 @@ def _pairs_df(spark, edges):
     )
 
 
+@pytest.mark.full
 @pytest.mark.parametrize("driver_threshold", [0, 500_000])
 def test_matches_union_find_on_random_graph(spark, driver_threshold):
     """Both strategies -- distributed label propagation (threshold=0)

@@ -102,6 +102,7 @@ def test_simhash_finds_near_dups(planted):
     assert not any(4 in p or 5 in p for p in found)
 
 
+@pytest.mark.full
 def test_simhash_banding_is_lossless(planted):
     """Banding must find every pair with hamming <= chunks-1: compare the
     banded join against the quadratic scan."""
@@ -139,6 +140,7 @@ def test_simhash_banding_is_lossless(planted):
     assert banded == brute
 
 
+@pytest.mark.full
 def test_cosine_ivf_blocking_recall_vs_exact(spark):
     """The cluster_id-blocked cosine dedup (the 100 TB path) must find
     >= 95% of the pairs the unblocked exact scan finds on clustered

@@ -23,6 +23,13 @@ from rag_vertex_ai_vector_search_spark.plans import (
 )
 from rag_vertex_ai_vector_search_spark.plans.manifest import deployment_state
 
+import pytest
+
+# Slow tier: excluded from the per-commit fast gate (pytest -m "not full");
+# the full suite still runs before a round is declared done.
+pytestmark = pytest.mark.full
+
+
 
 def test_full_rag_pipeline(spark, sf_smoke, tmp_path):
     docs = load_table(spark, sf_smoke, "documents")

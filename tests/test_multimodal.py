@@ -721,6 +721,7 @@ def test_audio_spectral_features_sine_centroid(spark):
     assert lo.argmax() < hi.argmax()
 
 
+@pytest.mark.full
 def test_multimodal_features_query_matches_local_reference(spark, sf_smoke):
     """The declared driver query (rows-only gate) cross-checked at
     value level: recompute each row's quantized features locally with

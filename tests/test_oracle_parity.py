@@ -79,6 +79,7 @@ def test_query_matches_oracle(spark, sf_smoke, name):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
 
 
+@pytest.mark.full
 def test_all_queries_run_and_nonempty(spark, sf_smoke):
     """Every declared+archived query (oracled or not) runs with a schema."""
     for name, qfn in ALL_QUERIES.items():

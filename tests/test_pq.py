@@ -17,6 +17,7 @@ from rag_vertex_ai_vector_search_spark.operators.pq import (
     pq_topk,
     train_pq,
 )
+import pytest
 
 
 def _topk_sets(rows):
@@ -134,6 +135,7 @@ def test_pq_rerank_scores_match_fold(spark, sf_smoke):
             assert r.score == exact[key]
 
 
+@pytest.mark.full
 def test_ivf_pq_composition_recall(spark):
     """Full tree-AH cascade: coarse probe -> ADC over probed leaves ->
     exact rerank. recall@10 >= 0.85 at 50% probe on clustered data."""
@@ -193,6 +195,7 @@ def _clustered_emb(spark, seed=23, n_centers=12, per_center=40, dim=32):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
+@pytest.mark.full
 def test_ivf_pq_batch_composition_invariance(spark):
     """A query's tree-AH result must not depend on which other queries
     share the batch: with per-query leaf masking, solo and batched runs
@@ -229,6 +232,7 @@ def _labeled(emb):
     return emb.withColumn("label", (F.col("vec_id") % 5).cast("int"))
 
 
+@pytest.mark.full
 def test_ivf_pq_restrict_crowding_exact_equals_knn(spark):
     """Q3-Q5 composed through the cascade, exact configuration: full
     probe + corpus-wide rerank + restrict + crowding must provably
@@ -267,6 +271,7 @@ def test_ivf_pq_restrict_crowding_exact_equals_knn(spark):
         assert got == exact, method
 
 
+@pytest.mark.full
 def test_ivf_pq_restrict_crowding_batch_invariance(spark):
     """Batch-composition invariance holds with restrict + crowding on:
     a query's restricted, diversified result must not depend on which
@@ -307,6 +312,7 @@ def test_ivf_pq_restrict_crowding_batch_invariance(spark):
     assert counts and max(counts.values()) <= 2
 
 
+@pytest.mark.full
 def test_ivf_search_crowding_full_probe_equals_knn(spark):
     """ivf_search with crowding at 100% probe equals exact crowded kNN
     for every method (Q5 composed over the IVF path)."""
@@ -360,6 +366,7 @@ def test_pq_cogroup_equals_broadcast(spark, sf_smoke):
     assert cg == bk
 
 
+@pytest.mark.full
 def test_ivf_pq_cogroup_equals_broadcast(spark):
     from rag_vertex_ai_vector_search_spark.operators.ivf import build_ivf_index
     from rag_vertex_ai_vector_search_spark.operators.pq import ivf_pq_search

@@ -100,6 +100,13 @@ def test_winnowing_guarantee(spark, prefix, shared, suffix):
 
 import numpy as np  # noqa: E402
 
+import pytest
+
+# Slow tier: excluded from the per-commit fast gate (pytest -m "not full");
+# the full suite still runs before a round is declared done.
+pytestmark = pytest.mark.full
+
+
 arr_shapes = st.tuples(st.integers(1, 24), st.integers(1, 24))
 
 

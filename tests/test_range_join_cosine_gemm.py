@@ -8,8 +8,10 @@ from rag_vertex_ai_vector_search_spark.operators.dedup import (
 )
 from rag_vertex_ai_vector_search_spark.operators.range_join import interval_join
 from rag_vertex_ai_vector_search_spark.sources import load_table
+import pytest
 
 
+@pytest.mark.full
 def test_interval_join_matches_naive(spark):
     points = spark.createDataFrame(
         [(i, float(i * 3 % 97)) for i in range(60)], "pid long, x double"

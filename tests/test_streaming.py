@@ -5,6 +5,13 @@ import time
 
 from pyspark.sql import functions as F
 
+import pytest
+
+# Slow tier: excluded from the per-commit fast gate (pytest -m "not full");
+# the full suite still runs before a round is declared done.
+pytestmark = pytest.mark.full
+
+
 
 def test_stream_merge_into_index(spark, tmp_path):
     from rag_vertex_ai_vector_search_spark.streaming import stream_merge_into_index

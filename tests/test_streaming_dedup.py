@@ -4,6 +4,13 @@ from datetime import datetime
 
 from rag_vertex_ai_vector_search_spark.streaming import stream_dedup_exact
 
+import pytest
+
+# Slow tier: excluded from the per-commit fast gate (pytest -m "not full");
+# the full suite still runs before a round is declared done.
+pytestmark = pytest.mark.full
+
+
 
 def _ts(s):
     return datetime.fromisoformat(s)

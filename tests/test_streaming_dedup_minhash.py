@@ -11,6 +11,13 @@ from rag_vertex_ai_vector_search_spark.streaming.dedup_minhash import (
     stream_dedup_minhash,
 )
 
+import pytest
+
+# Slow tier: excluded from the per-commit fast gate (pytest -m "not full");
+# the full suite still runs before a round is declared done.
+pytestmark = pytest.mark.full
+
+
 
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")

@@ -19,6 +19,13 @@ from rag_vertex_ai_vector_search_spark.streaming.dsir_stream import (
     stream_dsir_model,
 )
 
+import pytest
+
+# Slow tier: excluded from the per-commit fast gate (pytest -m "not full");
+# the full suite still runs before a round is declared done.
+pytestmark = pytest.mark.full
+
+
 B = 512  # small bucket space keeps the fixture tables tiny
 
 

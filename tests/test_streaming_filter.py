@@ -12,6 +12,11 @@ from rag_vertex_ai_vector_search_spark.streaming.filter import (
     stream_training_filter,
 )
 
+# Slow tier: excluded from the per-commit fast gate (pytest -m "not full");
+# the full suite still runs before a round is declared done.
+pytestmark = pytest.mark.full
+
+
 
 def test_bloom_no_false_negatives_bounded_false_positives():
     rng = np.random.RandomState(7)

@@ -10,6 +10,13 @@ from rag_vertex_ai_vector_search_spark.streaming.ivf_stream import (
     stream_merge_into_ivf_index,
 )
 
+import pytest
+
+# Slow tier: excluded from the per-commit fast gate (pytest -m "not full");
+# the full suite still runs before a round is declared done.
+pytestmark = pytest.mark.full
+
+
 SCHEMA = "doc_id long, text string"
 
 

@@ -11,6 +11,13 @@ from rag_vertex_ai_vector_search_spark.streaming.join import (
     stream_interval_join,
 )
 
+import pytest
+
+# Slow tier: excluded from the per-commit fast gate (pytest -m "not full");
+# the full suite still runs before a round is declared done.
+pytestmark = pytest.mark.full
+
+
 SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
 
 

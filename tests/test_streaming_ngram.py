@@ -18,6 +18,13 @@ from rag_vertex_ai_vector_search_spark.streaming.ngram import (
     stream_ngram_counts,
 )
 
+import pytest
+
+# Slow tier: excluded from the per-commit fast gate (pytest -m "not full");
+# the full suite still runs before a round is declared done.
+pytestmark = pytest.mark.full
+
+
 
 def _assert_same(a, b):
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()

@@ -13,6 +13,13 @@ from rag_vertex_ai_vector_search_spark.streaming.rollup import (
     stream_rollup_events,
 )
 
+import pytest
+
+# Slow tier: excluded from the per-commit fast gate (pytest -m "not full");
+# the full suite still runs before a round is declared done.
+pytestmark = pytest.mark.full
+
+
 
 def _batch_hourly(ev):
     return ev.groupBy(

@@ -4,6 +4,13 @@ from datetime import datetime, timedelta
 
 from rag_vertex_ai_vector_search_spark.streaming.stateful import stream_sessionize
 
+import pytest
+
+# Slow tier: excluded from the per-commit fast gate (pytest -m "not full");
+# the full suite still runs before a round is declared done.
+pytestmark = pytest.mark.full
+
+
 
 def test_stateful_sessionizer_emits_closed_sessions(spark, tmp_path):
     src = str(tmp_path / "src")

@@ -20,6 +20,13 @@ from rag_vertex_ai_vector_search_spark.streaming.vocab import (
     stream_vocab_counts,
 )
 
+import pytest
+
+# Slow tier: excluded from the per-commit fast gate (pytest -m "not full");
+# the full suite still runs before a round is declared done.
+pytestmark = pytest.mark.full
+
+
 
 def _batch_counts(docs):
     from rag_vertex_ai_vector_search_spark.operators.tokenizer import (

@@ -6,6 +6,13 @@ from datetime import datetime
 
 from pyspark.sql import functions as F
 
+import pytest
+
+# Slow tier: excluded from the per-commit fast gate (pytest -m "not full");
+# the full suite still runs before a round is declared done.
+pytestmark = pytest.mark.full
+
+
 
 def _ts(s):
     return datetime.fromisoformat(s)
