@@ -2202,6 +2202,74 @@ FROM regs r JOIN fin f ON r.lang = f.lang
 """
 
 
+def q_cms_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min word frequencies (operators/sketch.py) vs exact
+    counts: ``(word, n_exact, est)`` with the CMS guarantee
+    est >= n_exact visible row-by-row. Archive-gated (declared window
+    at capacity). width=64 against the fixture vocabulary forces real
+    bucket collisions, so the min-over-depth actually earns its keep;
+    every counter sum, probe bucket, and min is mirrored bit-exactly
+    in DuckDB (sha60 salted hashes, integer counters)."""
+    from rag_vertex_ai_vector_search_spark.functions.text import (
+        normalized_text,
+    )
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        cms_point_estimate,
+        cms_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("word"),
+    )
+    counters = cms_sketch(words, "word", depth=4, width=64)
+    exact = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    est = cms_point_estimate(
+        counters,
+        exact.select(F.col("word").alias("item")),
+        depth=4,
+        width=64,
+    )
+    return exact.join(est, exact.word == est.item).select(
+        "word", "n_exact", F.col("est").cast("long").alias("est")
+    )
+
+
+_SQL_CMS_WORDS = f"""
+WITH words AS (
+  SELECT unnest(string_split({_SQL_NORM}, ' ')) AS word FROM documents
+),
+exact AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_exact FROM words GROUP BY word
+),
+probes AS (
+  SELECT t.j AS row,
+         CAST((('0x' || substr(sha256(CAST(t.j AS VARCHAR) || ':' || word),
+                               1, 15))::BIGINT) % 64 AS INT) AS bucket
+  FROM words CROSS JOIN range(4) t(j)
+),
+counters AS (
+  SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM probes GROUP BY row, bucket
+),
+qprobes AS (
+  SELECT word, t.j AS row,
+         CAST((('0x' || substr(sha256(CAST(t.j AS VARCHAR) || ':' || word),
+                               1, 15))::BIGINT) % 64 AS INT) AS bucket
+  FROM exact CROSS JOIN range(4) t(j)
+),
+est AS (
+  SELECT q.word, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+  FROM qprobes q LEFT JOIN counters c USING (row, bucket)
+  GROUP BY q.word
+)
+SELECT e.word, e.n_exact, s.est
+FROM exact e JOIN est s ON e.word = s.word
+"""
+
+
 def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE first-iteration merge statistics (operators/tokenizer.py):
     adjacent character-pair frequencies inside words, weighted by word
@@ -4572,9 +4640,16 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stronger gates for the same two families: each hash-checks the
     PRUNED/LOSSY configuration's recall against oracled exact truth
     instead of re-proving the full-cover == exact identity.
+
+    r6-NEW archive entries (never declared -- window at capacity):
+    hll_token_cardinality (HyperLogLog register table + estimate,
+    operators/sketch.py) and cms_word_frequencies (Count-Min counters
+    vs exact counts with the one-sided bound visible per row), both
+    bit-oracled here.
     """
     return {
         "hll_token_cardinality": q_hll_token_cardinality,
+        "cms_word_frequencies": q_cms_word_frequencies,
         "knn_ivf2_full_probe": q_knn_ivf2_full_probe,
         "knn_lsh_full_cover": q_knn_lsh_full_cover,
         "knn_topk": q_knn_topk,
@@ -4674,6 +4749,7 @@ def oracle_sql_archive() -> dict[str, str]:
     (not the driver) so the rotated queries stay bit-exact-verified."""
     return {
         "hll_token_cardinality": _SQL_HLL_TOKENS,
+        "cms_word_frequencies": _SQL_CMS_WORDS,
         "knn_ivf2_full_probe": _SQL_KNN_TOPK,
         "knn_lsh_full_cover": _SQL_KNN_TOPK,
         "knn_topk": _SQL_KNN_TOPK,

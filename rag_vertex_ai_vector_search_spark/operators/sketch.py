@@ -1,5 +1,5 @@
-"""Mergeable cardinality sketches: HyperLogLog register tables as
-DataFrames.
+"""Mergeable sketches as DataFrames: HyperLogLog register tables
+(distinct counts) and Count-Min counter tables (frequencies).
 
 At 100 TB, "how many distinct users/URLs/tokens per group" is a core
 corpus statistic, but exact count(distinct) shuffles every distinct
@@ -32,6 +32,13 @@ register rows themselves exact by construction.
 
 ``base_hash="xxhash64"`` is the cheaper production option (same plan,
 no SQL mirror).
+
+The Count-Min half (``cms_sketch`` / ``cms_merge`` /
+``cms_point_estimate``) follows the same design rules: bounded
+integer state, merge = counter-wise addition (linear, so shard
+sketches sum exactly to the union's sketch), and -- because counters
+are SUMS, not order-sensitive rank state -- the whole structure is
+order-independent and bit-reproducible in SQL.
 """
 
 from __future__ import annotations
@@ -162,6 +169,102 @@ def hll_estimate(
         *group_cols,
         "n_registers",
         F.floor(corrected).cast("long").alias("estimate"),
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: str | Column,
+    *,
+    group_cols: tuple[str, ...] = (),
+    depth: int = 4,
+    width: int = 1 << 12,
+    base_hash: str = "sha60",
+    weight: Column | None = None,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) as a counter
+    DataFrame ``(*group_cols, row int, bucket int, cnt long)``.
+
+    The frequency companion to the HLL table: "how often does each
+    item occur" with bounded state (depth x width counters per group,
+    ~128 KiB at 4 x 4096) instead of a distinct-key shuffle. Counters
+    are SUMS of integers, so unlike rank-based sketches (Misra-Gries,
+    reservoir) the table is exactly order-independent: shard sketches
+    merge by counter-wise addition (``cms_merge``) and the whole
+    structure -- rows, counters and point estimates -- reproduces
+    bit-for-bit in DuckDB under the sha60 hash.
+
+    The ``depth`` independent rows come from salting the hash input
+    (``row || ':' || value``), the standard string-salt construction.
+    ``weight`` (optional long Column) counts each input row with a
+    weight (e.g. token counts) instead of 1. Only occupied counters
+    materialize. ONE input scan: the depth probes posexplode from an
+    array column (never depth scans of the corpus).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    w = F.lit(1).cast("long") if weight is None else weight.cast("long")
+    hashes = base_hash_fn(base_hash)
+    probes = F.array(*[
+        F.pmod(
+            hashes(F.concat(F.lit(f"{d}:"), c.cast("string"))),
+            F.lit(width),
+        ).cast("int")
+        for d in range(depth)
+    ])
+    rows = df.select(
+        *group_cols, w.alias("_w"),
+        F.posexplode(probes).alias("row", "bucket"),
+    )
+    return (
+        rows.groupBy(*group_cols, "row", "bucket")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Counter-wise ADDITION of counter tables -- sketches of disjoint
+    shards sum to the sketch of the union (exactly, by linearity)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_point_estimate(
+    counters: DataFrame,
+    items: DataFrame,
+    item_col: str = "item",
+    *,
+    depth: int = 4,
+    width: int = 1 << 12,
+    base_hash: str = "sha60",
+) -> DataFrame:
+    """Estimated frequency of each item in ``items``: ``(item, est)``
+    where est = MIN over the depth rows' counters (the CMS upper
+    bound; exact when no collisions, never an underestimate). Expects
+    the counters of ONE logical sketch (filter a grouped table to one
+    group first); the (small) probe set rides a join against the
+    bounded counter table."""
+    c = F.col(item_col)
+    hashes = base_hash_fn(base_hash)
+    parr = F.array(*[
+        F.pmod(
+            hashes(F.concat(F.lit(f"{d}:"), c.cast("string"))),
+            F.lit(width),
+        ).cast("int")
+        for d in range(depth)
+    ])
+    probes = items.select(
+        c.alias("item"), F.posexplode(parr).alias("row", "bucket")
+    )
+    # LEFT join from the probe side: an absent counter is a ZERO count
+    # (the item never hashed there), which must win the min -- an inner
+    # join would silently overestimate unseen items.
+    joined = probes.join(counters, ["row", "bucket"], "left")
+    return (
+        joined.groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
 
 

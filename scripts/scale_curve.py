@@ -1,13 +1,13 @@
 """sf-scaling evidence curve (VERDICT r5 #8): measure the repo's
-heaviest bench queries at sf0.1 AND a locally-synthesized 3x fixture
-(sf0.3), and report the per-query scaling exponent
-alpha = log(t_3x / t_1x) / log(3)  --  alpha ~ 1.0 = linear scaling,
+heaviest bench queries at sf0.1 AND a locally-synthesized Nx fixture
+(default 10x ~ sf1), and report the per-query scaling exponent
+alpha = log(t_Nx / t_1x) / log(N)  --  alpha ~ 1.0 = linear scaling,
 the cheapest locally-obtainable proof that the 100 TB plan shapes
 hold beyond the single sf0.1 measurement point.
 
-The 3x fixture replicates sf0.1 with id-shifted epochs (deterministic;
+The Nx fixture replicates sf0.1 with id-shifted epochs (deterministic;
 epoch>0 documents get a per-epoch text suffix so exact-duplicate mass
-does not triple and dedup selectivity stays in-distribution). Events
+does not multiply and dedup selectivity stays in-distribution). Events
 shift by epoch days to EXTEND the stream rather than stack the same
 timestamps. Usage:
 
@@ -26,8 +26,10 @@ import sys
 import time
 
 SRC = "/root/testdata/sf0.1"
-DST = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/sparkgraft_sf0.3")
-EPOCHS = 3
+EPOCHS = int(os.environ.get("SPARK_GRAFT_SCALE_EPOCHS", "10"))
+DST = os.environ.get(
+    "SPARK_GRAFT_SCALE_DIR", f"/tmp/sparkgraft_sf0.1x{EPOCHS}"
+)
 
 # The heaviest bench queries of BENCH_r05 (plan-audited set) + the two
 # ANN recall gates (embeddings-table scaling).
@@ -111,7 +113,7 @@ def main() -> None:
     for name in QUERIES:
         fn = qmap[name]
         times = {}
-        for label, sf_dir in (("sf0.1", SRC), ("sf0.3", DST)):
+        for label, sf_dir in (("base", SRC), ("scaled", DST)):
             best = None
             for _ in range(2):  # min-of-2, same policy as bench.py
                 t0 = time.perf_counter()
@@ -119,9 +121,9 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             times[label] = round(best, 3)
-        alpha = math.log(times["sf0.3"] / times["sf0.1"]) / math.log(3)
+        alpha = math.log(times["scaled"] / times["base"]) / math.log(EPOCHS)
         results[name] = {**times, "alpha": round(alpha, 2)}
-        print(f"# {name}: {times['sf0.1']}s -> {times['sf0.3']}s "
+        print(f"# {name}: {times['base']}s -> {times['scaled']}s "
               f"(alpha={results[name]['alpha']})", file=sys.stderr)
     print(json.dumps({"metric": "scale_curve", "epochs": EPOCHS,
                       "queries": results}))

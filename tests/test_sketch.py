@@ -94,3 +94,110 @@ def test_hll_register_bounds(spark):
     assert len(regs) <= 256
     assert all(0 <= r.bucket < 256 for r in regs)
     assert all(1 <= r.max_rho <= 53 for r in regs)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+def _word_stream(spark, counts: dict):
+    rows = [(w,) for w, n in counts.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "word string")
+
+
+def test_cms_exact_when_wide(spark):
+    """With width >> distinct items there are no collisions and the
+    estimate IS the exact count."""
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        cms_point_estimate,
+        cms_sketch,
+    )
+
+    counts = {"a": 7, "b": 3, "c": 12, "d": 1}
+    df = _word_stream(spark, counts)
+    counters = cms_sketch(df, "word", depth=4, width=1 << 12)
+    items = spark.createDataFrame(
+        [(w,) for w in [*counts, "never-seen"]], "item string"
+    )
+    est = {r.item: r.est for r in
+           cms_point_estimate(counters, items, depth=4, width=1 << 12)
+           .collect()}
+    for w, n in counts.items():
+        assert est[w] == n, (w, est[w], n)
+    assert est["never-seen"] == 0  # absent counters count as zero
+
+
+def test_cms_never_underestimates_under_collisions(spark):
+    """Tiny width forces collisions: estimates may exceed but can
+    never undershoot the true count (the CMS one-sided bound)."""
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        cms_point_estimate,
+        cms_sketch,
+    )
+
+    counts = {f"w{i}": (i % 5) + 1 for i in range(50)}
+    df = _word_stream(spark, counts)
+    counters = cms_sketch(df, "word", depth=4, width=16)
+    items = spark.createDataFrame([(w,) for w in counts], "item string")
+    est = {r.item: r.est for r in
+           cms_point_estimate(counters, items, depth=4, width=16).collect()}
+    assert all(est[w] >= n for w, n in counts.items())
+    assert any(est[w] > n for w, n in counts.items())  # collisions real
+
+
+def test_cms_merge_is_linear(spark):
+    """Sketch(A) + Sketch(B) == Sketch(A ++ B), counter for counter."""
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        cms_merge,
+        cms_sketch,
+    )
+
+    a = _word_stream(spark, {"x": 5, "y": 2})
+    b = _word_stream(spark, {"y": 4, "z": 1})
+    merged = cms_merge(
+        cms_sketch(a, "word", depth=3, width=64),
+        cms_sketch(b, "word", depth=3, width=64),
+    )
+    direct = cms_sketch(a.unionByName(b), "word", depth=3, width=64)
+    m = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+    d = {(r.row, r.bucket): r.cnt for r in direct.collect()}
+    assert m == d
+
+
+def test_cms_weighted(spark):
+    """The weight column counts each row with its weight (token-count
+    weighting of a per-document stream)."""
+    from pyspark.sql import functions as F
+
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        cms_point_estimate,
+        cms_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 2)], "word string, w int"
+    )
+    counters = cms_sketch(
+        df, "word", depth=3, width=256, weight=F.col("w")
+    )
+    items = spark.createDataFrame([("a",), ("b",)], "item string")
+    est = {r.item: r.est for r in
+           cms_point_estimate(counters, items, depth=3, width=256).collect()}
+    assert est == {"a": 15, "b": 2}
+
+
+def test_cms_partition_order_invariant(spark):
+    """Integer counters admit no float drift: any partitioning gives
+    the identical counter table."""
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        cms_sketch,
+    )
+
+    counts = {f"t{i}": i + 1 for i in range(30)}
+    df = _word_stream(spark, counts)
+    one = {(r.row, r.bucket): r.cnt for r in
+           cms_sketch(df.coalesce(1), "word", depth=4, width=32).collect()}
+    many = {(r.row, r.bucket): r.cnt for r in
+            cms_sketch(df.repartition(16), "word", depth=4, width=32)
+            .collect()}
+    assert one == many
