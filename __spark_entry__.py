@@ -1307,10 +1307,15 @@ def q_dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_dedup_clusters_cc() -> str:
-    # the full minhash oracle (itself a WITH query) nests as a CTE body
+    # The full minhash oracle (itself a WITH query) nests as a CTE
+    # body. MATERIALIZED is load-bearing for speed, not semantics:
+    # without it DuckDB 1.0 re-inlines mh/edges into the recursive
+    # reach CTE and re-runs the whole 64-hash minhash pipeline every
+    # fixpoint iteration (measured 97 s -> 22 s at sf0.001, identical
+    # rows).
     return f"""
-WITH RECURSIVE mh AS ({_sql_minhash_lsh()}),
-edges AS (
+WITH RECURSIVE mh AS MATERIALIZED ({_sql_minhash_lsh()}),
+edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM mh
   UNION
   SELECT id_b AS src, id_a AS dst FROM mh
@@ -2199,6 +2204,80 @@ SELECT r.lang, CAST(r.bucket AS BIGINT) AS bucket,
        CAST(r.max_rho AS BIGINT) AS max_rho,
        f.n_registers, f.estimate
 FROM regs r JOIN fin f ON r.lang = f.lang
+"""
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE BPE training (operators/tokenizer.py::train_bpe,
+    Sennrich et al. 2016 Algorithm 1): 8 full greedy merge rounds over
+    the corpus vocabulary, not just the first round's pair statistics
+    (bpe_merge_pairs). Archive-gated (declared window at capacity).
+
+    The oracle is the interesting part: each round's pair count,
+    deterministic argmax, and greedy left-to-right merge REWRITE are
+    mirrored as one chained CTE stage -- the merge fold is the same
+    string-accumulator lambda on both engines (Spark F.aggregate ==
+    DuckDB list_reduce), so all 8 rounds of an iterative algorithm
+    hash-match end-to-end."""
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        train_bpe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_bpe(docs, n_merges=8)
+
+
+def _sql_bpe_train(n_merges: int = 8) -> str:
+    """Generate the n-stage chained-CTE mirror of train_bpe: stage k =
+    (pair counts over vocab_k) -> (argmax best_k) -> (vocab_{k+1} via
+    the list_reduce merge fold, best_k cross-joined into lambda
+    scope). Final result = UNION ALL of the per-stage argmax rows."""
+    stages = []
+    for k in range(n_merges):
+        stages.append(f"""
+pairs_{k} AS (
+  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+    SELECT n,
+           unnest(list_transform(range(1, len(string_split(toks, ' '))),
+             i -> string_split(toks, ' ')[i] || chr(1)
+                  || string_split(toks, ' ')[i + 1])) AS pair
+    FROM vocab_{k} WHERE len(string_split(toks, ' ')) >= 2
+  ) GROUP BY pair
+),
+best_{k} AS (
+  SELECT string_split(pair, chr(1))[1] AS l,
+         string_split(pair, chr(1))[2] AS r,
+         cnt
+  FROM pairs_{k} ORDER BY cnt DESC, pair ASC LIMIT 1
+),
+vocab_{k + 1} AS (
+  SELECT v.word, v.n,
+    list_reduce(string_split(v.toks, ' '), (acc, s) -> CASE
+      WHEN string_split(acc, ' ')[-1] = b.l AND s = b.r
+      THEN (CASE WHEN len(string_split(acc, ' ')) = 1 THEN ''
+            ELSE array_to_string(list_slice(string_split(acc, ' '), 1,
+                   len(string_split(acc, ' ')) - 1), ' ') || ' ' END)
+           || b.l || b.r
+      ELSE acc || ' ' || s END) AS toks
+  FROM vocab_{k} v CROSS JOIN best_{k} b
+)""")
+        # noqa: the lambda's b.l/b.r resolve via the cross join scope
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS merge_rank, l AS \"left\","
+        f" r AS \"right\", l || r AS merged, cnt AS n_occurrences"
+        f" FROM best_{k}"
+        for k in range(n_merges)
+    )
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split({_SQL_NORM}, ' ')) AS word FROM documents
+),
+vocab_0 AS (
+  SELECT word, array_to_string(string_split(word, ''), ' ') AS toks,
+         CAST(count(*) AS BIGINT) AS n
+  FROM words GROUP BY word
+),{",".join(stages)}
+{finals}
 """
 
 
@@ -4650,6 +4729,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hll_token_cardinality": q_hll_token_cardinality,
         "cms_word_frequencies": q_cms_word_frequencies,
+        "bpe_train_merges": q_bpe_train_merges,
         "knn_ivf2_full_probe": q_knn_ivf2_full_probe,
         "knn_lsh_full_cover": q_knn_lsh_full_cover,
         "knn_topk": q_knn_topk,
@@ -4750,6 +4830,7 @@ def oracle_sql_archive() -> dict[str, str]:
     return {
         "hll_token_cardinality": _SQL_HLL_TOKENS,
         "cms_word_frequencies": _SQL_CMS_WORDS,
+        "bpe_train_merges": _sql_bpe_train(8),
         "knn_ivf2_full_probe": _SQL_KNN_TOPK,
         "knn_lsh_full_cover": _SQL_KNN_TOPK,
         "knn_topk": _SQL_KNN_TOPK,

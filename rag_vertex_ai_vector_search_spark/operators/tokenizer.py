@@ -120,3 +120,122 @@ def bpe_merge_pairs_from_counts(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "pair", "n_occurrences")
     )
+
+
+# --------------------------------------------------------------------------
+# Iterative BPE training (Sennrich et al. 2016, Algorithm 1)
+# --------------------------------------------------------------------------
+
+_PAIR_SEP = "\x01"  # joins (left, right) into one pair key
+
+
+def _merge_fold(toks_col, left, right):
+    """Apply ONE merge (left, right) -> left+right to a space-joined
+    symbol string, greedy left-to-right non-overlapping -- the exact
+    scan semantics of the reference BPE implementation, expressed as a
+    sequential fold: seed with the first symbol, then for each next
+    symbol either merge it into the accumulator's LAST token (when
+    last == left and s == right) or append. A just-merged token equals
+    left+right and can no longer match as ``left``, which reproduces
+    the i += 2 skip of the scanning loop.
+
+    The accumulator is a STRING (not an array) so the identical
+    lambda runs as DuckDB ``list_reduce`` in the oracle -- same
+    algorithm, same types, both engines.
+    """
+    arr = F.split(toks_col, " ")
+    merged = F.concat(F.lit(left), F.lit(right))
+
+    def step(acc, s):
+        accarr = F.split(acc, " ")
+        last = F.element_at(accarr, -1)
+        stripped = F.array_join(
+            F.slice(accarr, 1, F.size(accarr) - 1), " "
+        )
+        head = F.when(
+            F.size(accarr) == 1, F.lit("")
+        ).otherwise(F.concat(stripped, F.lit(" ")))
+        return F.when(
+            (last == F.lit(left)) & (s == F.lit(right)),
+            F.concat(head, merged),
+        ).otherwise(F.concat(acc, F.lit(" "), s))
+
+    return F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1),
+        step,
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 8,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus: the full greedy
+    loop, not just the first iteration's statistics. Returns
+    ``(merge_rank, left, right, merged, n_occurrences)`` -- the merge
+    list a tokenizer ships.
+
+    Scale shape per iteration: pair counting and the merge rewrite run
+    on the VOCABULARY table (distinct words x word length -- bounded,
+    never corpus-sized), and the only driver traffic is ONE row (the
+    argmax pair). ``checkpoint_every`` localCheckpoints the vocabulary
+    so iteration i+1's scan doesn't replay i accumulated rewrites --
+    the same lineage-truncation policy as the connected-components
+    loop. Deterministic: ties break (count desc, pair asc) like
+    bpe_merge_pairs.
+    """
+    vocab = _word_counts(df, text_col).select(
+        "word",
+        F.array_join(F.split(F.col("word"), ""), " ").alias("toks"),
+        F.col("n").cast("long").alias("n"),
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        arr = F.split(F.col("toks"), " ")
+        pairs = vocab.select(
+            F.explode(
+                F.when(
+                    F.size(arr) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(arr) - 1),
+                        lambda i: F.concat(
+                            F.element_at(arr, i),
+                            F.lit(_PAIR_SEP),
+                            F.element_at(arr, i + 1),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pair"),
+            "n",
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("n").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            raise ValueError(
+                f"BPE pairs exhausted after {rank - 1} merges "
+                f"(requested {n_merges}): every word is one symbol"
+            )
+        left, right = best[0]["pair"].split(_PAIR_SEP)
+        merges.append((rank, left, right, left + right, best[0]["cnt"]))
+        vocab = vocab.withColumn(
+            "toks", _merge_fold(F.col("toks"), left, right)
+        )
+        if rank % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, left string, right string, merged string, "
+        "n_occurrences long",
+    )

@@ -1,0 +1,170 @@
+"""Streaming sketch maintenance: HLL register tables and Count-Min
+counter tables kept fresh per micro-batch.
+
+The sketch DataFrames of ``operators/sketch.py`` are DESIGNED for
+this: both fold with an idempotent-or-additive per-key operation (HLL:
+register-wise MAX, commutative + idempotent; CMS: counter-wise SUM,
+additive with each row arriving in exactly one batch), so the standard
+epoch-partition layout of the streaming family (vocab / dsir) gives
+exactly-once table contents under at-least-once foreachBatch delivery:
+a replayed epoch overwrites its own ``_epoch`` partition wholesale,
+and the read-time fold over epochs is bit-equal to the batch sketch of
+the full stream -- ``read_hll(...)`` == ``hll_sketch(all_rows)`` and
+``read_cms(...)`` == ``cms_sketch(all_rows)`` by construction
+(tests/test_streaming_sketch.py proves both plus replay idempotence).
+
+State is bounded per epoch: <= 2^p register rows / depth x width
+counter rows PER GROUP whatever the batch size -- like the DSIR model,
+among the cheapest maintained tables here. Compaction folds
+accumulated epochs into the ``_epoch=-1`` base partition with STATIC
+overwrite (whole-table replace; dynamic mode would leave stale epochs
+alive and double-count -- same pitfall compact_dsir_model pins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sketch import cms_sketch, hll_sketch
+
+
+def apply_hll_batch(
+    batch_df: DataFrame, epoch_id: int, table_path: str,
+    *, col: str, group_cols: tuple[str, ...] = (),
+    p: int = 12, base_hash: str = "sha60",
+) -> None:
+    """foreachBatch body: the batch's HLL register partial under its
+    epoch partition (writer-scoped dynamic overwrite -> replay-safe)."""
+    (
+        hll_sketch(
+            batch_df, col, group_cols=group_cols, p=p, base_hash=base_hash
+        )
+        .withColumn("_epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_epoch")
+        .parquet(table_path)
+    )
+
+
+def stream_hll(
+    stream_df: DataFrame, table_path: str, *, checkpoint_dir: str,
+    col: str, group_cols: tuple[str, ...] = (),
+    p: int = 12, base_hash: str = "sha60",
+):
+    """Attach HLL register maintenance to a stream."""
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda df, eid: apply_hll_batch(
+                df, eid, table_path, col=col, group_cols=group_cols,
+                p=p, base_hash=base_hash,
+            )
+        )
+        .start()
+    )
+
+
+def read_hll(
+    spark: SparkSession, table_path: str,
+    *, group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fold epoch partials to the current register table (max)."""
+    return (
+        spark.read.parquet(table_path)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
+def apply_cms_batch(
+    batch_df: DataFrame, epoch_id: int, table_path: str,
+    *, col: str, group_cols: tuple[str, ...] = (),
+    depth: int = 4, width: int = 1 << 12, base_hash: str = "sha60",
+    weight=None,
+) -> None:
+    """foreachBatch body: the batch's CMS counter partial under its
+    epoch partition."""
+    (
+        cms_sketch(
+            batch_df, col, group_cols=group_cols, depth=depth,
+            width=width, base_hash=base_hash, weight=weight,
+        )
+        .withColumn("_epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_epoch")
+        .parquet(table_path)
+    )
+
+
+def stream_cms(
+    stream_df: DataFrame, table_path: str, *, checkpoint_dir: str,
+    col: str, group_cols: tuple[str, ...] = (),
+    depth: int = 4, width: int = 1 << 12, base_hash: str = "sha60",
+):
+    """Attach CMS counter maintenance to a stream."""
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda df, eid: apply_cms_batch(
+                df, eid, table_path, col=col, group_cols=group_cols,
+                depth=depth, width=width, base_hash=base_hash,
+            )
+        )
+        .start()
+    )
+
+
+def read_cms(
+    spark: SparkSession, table_path: str,
+    *, group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fold epoch partials to the current counter table (sum)."""
+    return (
+        spark.read.parquet(table_path)
+        .groupBy(*group_cols, "row", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def _compact(
+    spark: SparkSession, table_path: str, folder,
+) -> None:
+    folded = folder(spark, table_path).withColumn(
+        "_epoch", F.lit(-1)
+    ).localCheckpoint(eager=True)
+    # Static overwrite: the fold must replace the WHOLE table (see
+    # module docstring / compact_dsir_model).
+    (
+        folded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("_epoch")
+        .parquet(table_path)
+    )
+
+
+def compact_hll(
+    spark: SparkSession, table_path: str,
+    *, group_cols: tuple[str, ...] = (),
+) -> None:
+    """Fold accumulated epochs into one ``_epoch=-1`` base partition;
+    run with the stream paused."""
+    _compact(
+        spark, table_path,
+        lambda s, t: read_hll(s, t, group_cols=group_cols),
+    )
+
+
+def compact_cms(
+    spark: SparkSession, table_path: str,
+    *, group_cols: tuple[str, ...] = (),
+) -> None:
+    """CMS compaction: same fold-to-base layout."""
+    _compact(
+        spark, table_path,
+        lambda s, t: read_cms(s, t, group_cols=group_cols),
+    )

@@ -4,8 +4,10 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from rag_vertex_ai_vector_search_spark.operators import asof_join
+import pytest
 
 
+@pytest.mark.full
 def test_asof_matches_pandas(spark):
     left_rows = [
         (1, "u1", 100), (2, "u1", 205), (3, "u1", 50),

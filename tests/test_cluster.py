@@ -64,6 +64,7 @@ def test_matches_union_find_on_random_graph(spark, driver_threshold):
     assert got == _union_find(edges)
 
 
+@pytest.mark.full
 def test_chain_graph_worst_diameter(spark):
     """A 30-node path exercises multi-round convergence: the min label
     travels one hop per round, so diameter-many rounds are needed --

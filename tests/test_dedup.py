@@ -65,6 +65,7 @@ def test_minhash_finds_near_dups(planted):
     assert not any(4 in p or 5 in p for p in found)
 
 
+@pytest.mark.full
 def test_minhash_recall_vs_exact_jaccard(spark, sf_smoke):
     """Every word-set-Jaccard>=0.8 pair (exact, blocked) must be found by
     the MinHash path at threshold 0.5 -- LSH recall on real fixture data."""

@@ -160,6 +160,7 @@ def test_recall_report_values(spark):
     assert s.frac_perfect == pytest.approx(1 / 4)
 
 
+@pytest.mark.full
 def test_recall_report_on_real_ann_path(spark):
     """End-to-end: LSH vs exact kNN on the fixture embeddings -- the
     report's recall equals a driver-side set computation, and the

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from rag_vertex_ai_vector_search_spark.sources import load_table
 from rag_vertex_ai_vector_search_spark.operators import knn_search
 from rag_vertex_ai_vector_search_spark.operators.ivf import build_ivf_index, ivf_search
+import pytest
 
 
 def _topk_sets(rows):
@@ -33,6 +34,7 @@ def test_ivf_full_probe_is_exact(spark, sf_smoke):
     assert full == exact
 
 
+@pytest.mark.full
 def test_ivf_recall_on_clustered_data(spark):
     """recall@10 >= 0.95 at 25% probe on data with cluster structure
     (real embedding corpora are clustered; the driver fixture vectors are
@@ -90,6 +92,7 @@ def _ranks(df):
     )
 
 
+@pytest.mark.full
 def test_ivf_methods_agree(spark, sf_smoke):
     """gemm / fold / gemm_join and the blocked wrapper produce identical
     rankings at the same probe setting."""

@@ -9,6 +9,7 @@ from rag_vertex_ai_vector_search_spark.operators.ivf2 import (
     ivf2_search,
 )
 from rag_vertex_ai_vector_search_spark.sources import load_table
+import pytest
 
 
 def _topk_sets(rows):
@@ -54,6 +55,7 @@ def test_ivf2_leaf_ids_cover_both_levels(spark, sf_smoke):
     assert len({r.cluster_id for r in rows}) > len({r.coarse_id for r in rows})
 
 
+@pytest.mark.full
 def test_ivf2_recall_on_two_level_structure(spark):
     """Planted hierarchy (coarse super-clusters, fine sub-clusters):
     hierarchical probing at 50/50 keeps recall@10 >= 0.85."""

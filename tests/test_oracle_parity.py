@@ -23,9 +23,16 @@ from rag_vertex_ai_vector_search_spark.sources import TABLE_NAMES  # noqa: E402
 # Declared contract + archived rotation (VERDICT r2 #1): the driver
 # gates only the first 50 queries() entries, so stable siblings rotate
 # into queries_archive() but keep the SAME bit-exact gate here.
+# Tiering (r6): parity for DECLARED queries (the driver-gated surface)
+# runs in the per-commit fast gate; parity for ARCHIVED queries --
+# local insurance for rotated-out stalwarts the driver no longer
+# checks -- rides the full tier.
 ALL_QUERIES = {**entrymod.queries(), **entrymod.queries_archive()}
 ALL_ORACLES = {**entrymod.oracle_sql(), **entrymod.oracle_sql_archive()}
-ORACLED = sorted(ALL_ORACLES.keys())
+ORACLED = sorted(entrymod.oracle_sql().keys()) + [
+    pytest.param(name, marks=pytest.mark.full)
+    for name in sorted(entrymod.oracle_sql_archive().keys())
+]
 
 
 def _duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:

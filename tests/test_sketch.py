@@ -186,6 +186,7 @@ def test_cms_weighted(spark):
     assert est == {"a": 15, "b": 2}
 
 
+@pytest.mark.full
 def test_cms_partition_order_invariant(spark):
     """Integer counters admit no float drift: any partitioning gives
     the identical counter table."""

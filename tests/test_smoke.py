@@ -9,6 +9,7 @@ from rag_vertex_ai_vector_search_spark.functions import (
     token_count,
 )
 from rag_vertex_ai_vector_search_spark.operators import knn_search
+import pytest
 
 
 def test_tables_load(spark, sf_smoke):
@@ -78,6 +79,7 @@ def test_run_log_sink(tmp_path):
             h.close()
 
 
+@pytest.mark.full
 def test_knn_metric_variants_match_numpy(spark):
     """Cosine and squared-L2 search agree with a numpy brute force on
     NON-normalized vectors (where dot-product ranking provably

@@ -1,0 +1,179 @@
+"""Streaming HLL / CMS sketch maintenance == batch sketches,
+replay-idempotent, compaction-stable (streaming/sketch_stream.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_vertex_ai_vector_search_spark.operators.sketch import (
+    cms_sketch,
+    hll_estimate,
+    hll_sketch,
+)
+from rag_vertex_ai_vector_search_spark.sources import load_table
+from rag_vertex_ai_vector_search_spark.streaming.sketch_stream import (
+    apply_cms_batch,
+    apply_hll_batch,
+    compact_cms,
+    compact_hll,
+    read_cms,
+    read_hll,
+    stream_cms,
+    stream_hll,
+)
+
+# Slow tier: excluded from the per-commit fast gate (pytest -m "not full");
+# the full suite still runs before a round is declared done.
+pytestmark = pytest.mark.full
+
+P = 8
+DEPTH = 3
+WIDTH = 64
+
+
+def _assert_same(a, b):
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def _words(docs):
+    from rag_vertex_ai_vector_search_spark.functions.text import (
+        normalized_text,
+    )
+
+    return docs.select(
+        "lang",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("word"),
+    )
+
+
+def test_stream_hll_matches_batch_and_survives_compaction(
+    spark, sf_smoke, tmp_path
+):
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "hll")
+    ckpt = str(tmp_path / "ckpt")
+    docs.repartition(3).write.parquet(src)
+
+    stream = _words(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_hll(
+        stream, table, checkpoint_dir=ckpt, col="word",
+        group_cols=("lang",), p=P,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    epochs = spark.read.parquet(table).select("_epoch").distinct().count()
+    assert epochs >= 2
+    batch = hll_sketch(_words(docs), "word", group_cols=("lang",), p=P)
+    maintained = read_hll(spark, table, group_cols=("lang",))
+    _assert_same(maintained, batch)
+    # estimates off the maintained table == estimates off the batch
+    _assert_same(
+        hll_estimate(maintained, group_cols=("lang",), p=P),
+        hll_estimate(batch, group_cols=("lang",), p=P),
+    )
+
+    compact_hll(spark, table, group_cols=("lang",))
+    folded_epochs = [
+        r[0]
+        for r in spark.read.parquet(table).select("_epoch").distinct()
+        .collect()
+    ]
+    assert folded_epochs == [-1]
+    _assert_same(read_hll(spark, table, group_cols=("lang",)), batch)
+
+
+def test_hll_replay_idempotent(spark, sf_smoke, tmp_path):
+    """A replayed epoch overwrites its own partition: register table
+    (and thus every estimate) unchanged -- MAX is idempotent."""
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    words = _words(docs)
+    table = str(tmp_path / "hll")
+    even = _words(docs.filter(F.col("doc_id") % 2 == 0))
+    odd = _words(docs.filter(F.col("doc_id") % 2 == 1))
+    apply_hll_batch(even, 0, table, col="word", group_cols=("lang",), p=P)
+    apply_hll_batch(odd, 1, table, col="word", group_cols=("lang",), p=P)
+    apply_hll_batch(odd, 1, table, col="word", group_cols=("lang",), p=P)
+    _assert_same(
+        read_hll(spark, table, group_cols=("lang",)),
+        hll_sketch(words, "word", group_cols=("lang",), p=P),
+    )
+
+
+def test_stream_cms_matches_batch_and_replay(spark, sf_smoke, tmp_path):
+    """CMS counters: stream fold == batch sketch (additivity: each row
+    arrives in exactly one epoch), replay changes nothing, compaction
+    preserves the view."""
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    words = _words(docs)
+    table = str(tmp_path / "cms")
+    even = _words(docs.filter(F.col("doc_id") % 2 == 0))
+    odd = _words(docs.filter(F.col("doc_id") % 2 == 1))
+    apply_cms_batch(
+        even, 0, table, col="word", depth=DEPTH, width=WIDTH
+    )
+    apply_cms_batch(
+        odd, 1, table, col="word", depth=DEPTH, width=WIDTH
+    )
+    apply_cms_batch(
+        odd, 1, table, col="word", depth=DEPTH, width=WIDTH
+    )  # at-least-once replay
+    batch = cms_sketch(words, "word", depth=DEPTH, width=WIDTH)
+    _assert_same(read_cms(spark, table), batch)
+
+    compact_cms(spark, table)
+    folded_epochs = [
+        r[0]
+        for r in spark.read.parquet(table).select("_epoch").distinct()
+        .collect()
+    ]
+    assert folded_epochs == [-1]
+    _assert_same(read_cms(spark, table), batch)
+
+    # and a post-compaction epoch still folds in additively
+    apply_cms_batch(
+        even, 7, table, col="word", depth=DEPTH, width=WIDTH
+    )
+    twice_even = cms_sketch(
+        words.unionByName(even), "word", depth=DEPTH, width=WIDTH
+    )
+    _assert_same(read_cms(spark, table), twice_even)
+
+
+def test_stream_cms_live_stream(spark, sf_smoke, tmp_path):
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "ckpt")
+    docs.repartition(2).write.parquet(src)
+    stream = _words(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_cms(
+        stream, table, checkpoint_dir=ckpt, col="word",
+        depth=DEPTH, width=WIDTH,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    _assert_same(
+        read_cms(spark, table),
+        cms_sketch(_words(docs), "word", depth=DEPTH, width=WIDTH),
+    )
