@@ -2281,6 +2281,121 @@ vocab_0 AS (
 """
 
 
+def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, operators/semdedup.py): embedding-
+    cluster semantic dedup with the paper's keep-lowest-centroid-
+    similarity representative policy. Archive-gated (window at
+    capacity). Oracle configuration: data-row centroids (vec_id < 16,
+    the ann_recall_ivf trick) + fold cosine pairs, so clustering,
+    within-cluster pair generation, the connected-components closure
+    AND the keep policy window all mirror in one composite SQL.
+
+    The fixture embeddings are near-orthogonal (zero cosine >= 0.8
+    pairs at sf0.01), which would leave the dedup branches vacuous --
+    so the query PLANTS semantic duplicates deterministically: vec_id
+    < 30 get a scaled copy (x * 1.001, float-rounded; cosine ~ 1,
+    euclid-near so copies co-cluster) at vec_id + 10000. Every planted
+    pair must form a 2-member component with exactly one keeper."""
+    import numpy as np
+
+    from rag_vertex_ai_vector_search_spark.operators.semdedup import (
+        semdedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    dups = emb.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + F.lit(10000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: (x * F.lit(1.001)).cast("float"),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(dups)
+    seeds = np.asarray(
+        [
+            r[0]
+            for r in emb.filter(F.col("vec_id") < 16)
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    return semdedup(
+        corpus, threshold=0.99, centroids=seeds, pair_method="fold"
+    )
+
+
+_SQL_SEMDEDUP = """
+WITH RECURSIVE corpus AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id,
+         list_transform(embedding, x -> CAST(x * 1.001::DOUBLE AS FLOAT))
+           AS embedding
+  FROM embeddings WHERE vec_id < 30
+),
+cents AS MATERIALIZED (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, v, cluster_id FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid AS cluster_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(c.cv, c.cv)
+                      - 2 * list_dot_product(e.embedding::DOUBLE[], c.cv) ASC,
+                      c.cid ASC) AS rn
+    FROM corpus e CROSS JOIN cents c) WHERE rn = 1
+),
+scored AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster_id,
+         list_dot_product(a.v, c.cv)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(c.cv, c.cv))) AS centroid_sim
+  FROM assign a JOIN cents c ON c.cid = a.cluster_id
+),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.id
+),
+comp AS (SELECT id, MIN(r) AS component_id FROM reach GROUP BY id),
+lab AS (
+  SELECT s.vec_id, s.cluster_id,
+         coalesce(c.component_id, s.vec_id) AS component_id,
+         s.centroid_sim
+  FROM scored s LEFT JOIN comp c ON c.id = s.vec_id
+)
+SELECT vec_id,
+       CAST(cluster_id AS INT) AS cluster_id,
+       component_id,
+       CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+         AS component_size,
+       centroid_sim,
+       (row_number() OVER (
+          PARTITION BY component_id
+          ORDER BY centroid_sim ASC, vec_id ASC)) = 1 AS keep
+FROM lab
+"""
+
+
 def q_cms_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min word frequencies (operators/sketch.py) vs exact
     counts: ``(word, n_exact, est)`` with the CMS guarantee
@@ -4730,6 +4845,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_token_cardinality": q_hll_token_cardinality,
         "cms_word_frequencies": q_cms_word_frequencies,
         "bpe_train_merges": q_bpe_train_merges,
+        "semdedup_keep": q_semdedup_keep,
         "knn_ivf2_full_probe": q_knn_ivf2_full_probe,
         "knn_lsh_full_cover": q_knn_lsh_full_cover,
         "knn_topk": q_knn_topk,
@@ -4831,6 +4947,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "hll_token_cardinality": _SQL_HLL_TOKENS,
         "cms_word_frequencies": _SQL_CMS_WORDS,
         "bpe_train_merges": _sql_bpe_train(8),
+        "semdedup_keep": _SQL_SEMDEDUP,
         "knn_ivf2_full_probe": _SQL_KNN_TOPK,
         "knn_lsh_full_cover": _SQL_KNN_TOPK,
         "knn_topk": _SQL_KNN_TOPK,
