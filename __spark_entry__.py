@@ -2396,6 +2396,130 @@ FROM lab
 """
 
 
+def q_c4_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2,
+    functions/text.py::c4_clean_lines + c4_quality_flags) -- the third
+    member of the classic web-filter trio next to the Gopher bundle
+    and the CCNet perplexity buckets. Archive-gated.
+
+    Deterministic rule-exercise synthesis (the gopher_quality_gate
+    pattern): each doc becomes three sentence-lines from its own
+    words, plus planted violations -- a 2-word line (min-word rule),
+    an unterminated line, a 'javascript' line every 5th doc, 'Lorem
+    ipsum' every 7th, a '{' line every 11th, a blocklist word every
+    13th. Cleaned text is sha256-pinned; every per-rule flag and the
+    page verdict are oracle-gated."""
+    from rag_vertex_ai_vector_search_spark.functions.text import (
+        c4_clean_lines,
+        c4_quality_flags,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    ws = F.split(F.col("text"), " ")
+
+    def sent(i):
+        return F.concat(
+            F.array_join(F.slice(ws, i * 8 + 1, 8), " "), F.lit(".")
+        )
+
+    d = F.col("doc_id")
+    lines = F.concat_ws(
+        "\n",
+        sent(0),
+        F.lit("too short."),
+        sent(1),
+        F.lit("this line never terminates and so gets dropped"),
+        F.when(
+            d % 5 == 0,
+            F.lit("Please enable JavaScript to view this page."),
+        ).otherwise(sent(2)),
+        F.when(
+            d % 7 == 0,
+            F.lit("Lorem ipsum dolor sit amet consectetur adipiscing."),
+        ).otherwise(F.lit("a perfectly ordinary closing sentence here.")),
+        F.when(
+            d % 11 == 0,
+            F.lit("config { width: 10 } applied to the page layout."),
+        ).otherwise(F.lit("another plain sentence to round things out.")),
+        F.when(
+            d % 13 == 0,
+            F.lit("someone wrote badword1 in this line sadly today."),
+        ).otherwise(F.lit("the final ordinary sentence of the page.")),
+    )
+    page = docs.select("doc_id", lines.alias("_t"))
+    flags = c4_quality_flags("_t")
+    return page.select(
+        "doc_id",
+        F.sha2(c4_clean_lines("_t"), 256).alias("cleaned_sha"),
+        flags.getField("n_kept_lines").alias("n_kept_lines"),
+        flags.getField("cleaned_chars").alias("cleaned_chars"),
+        flags.getField("n_sentences").alias("n_sentences"),
+        flags.getField("has_brace").alias("has_brace"),
+        flags.getField("has_lorem").alias("has_lorem"),
+        flags.getField("has_badword").alias("has_badword"),
+        flags.getField("keep").alias("keep"),
+    )
+
+
+_SQL_C4_GATE = r"""
+WITH page AS (
+  SELECT doc_id,
+    concat_ws(chr(10),
+      array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') || '.',
+      'too short.',
+      array_to_string(list_slice(string_split(text, ' '), 9, 16), ' ') || '.',
+      'this line never terminates and so gets dropped',
+      CASE WHEN doc_id % 5 = 0
+           THEN 'Please enable JavaScript to view this page.'
+           ELSE array_to_string(
+                  list_slice(string_split(text, ' '), 17, 24), ' ') || '.'
+      END,
+      CASE WHEN doc_id % 7 = 0
+           THEN 'Lorem ipsum dolor sit amet consectetur adipiscing.'
+           ELSE 'a perfectly ordinary closing sentence here.' END,
+      CASE WHEN doc_id % 11 = 0
+           THEN 'config { width: 10 } applied to the page layout.'
+           ELSE 'another plain sentence to round things out.' END,
+      CASE WHEN doc_id % 13 = 0
+           THEN 'someone wrote badword1 in this line sadly today.'
+           ELSE 'the final ordinary sentence of the page.' END
+    ) AS t
+  FROM documents
+),
+cleanedt AS (
+  SELECT doc_id,
+    array_to_string(
+      list_filter(string_split(t, chr(10)), ln ->
+        substr(trim(ln), -1, 1) IN ('.', '!', '?', '"')
+        AND len(string_split(trim(ln), ' ')) >= 5
+        AND NOT contains(lower(trim(ln)), 'javascript')),
+      chr(10)) AS cleaned
+  FROM page
+),
+flags AS (
+  SELECT doc_id, cleaned,
+    CASE WHEN cleaned = '' THEN 0
+         ELSE len(string_split(cleaned, chr(10))) END AS n_kept_lines,
+    length(cleaned) AS cleaned_chars,
+    length(regexp_replace(cleaned, '[^.!?]', '', 'g')) AS n_sentences,
+    contains(cleaned, '{') AS has_brace,
+    contains(lower(cleaned), 'lorem ipsum') AS has_lorem,
+    (contains(lower(cleaned), 'badword1')
+     OR contains(lower(cleaned), 'badword2')
+     OR contains(lower(cleaned), 'obscenity')) AS has_badword
+  FROM cleanedt
+)
+SELECT doc_id, sha256(cleaned) AS cleaned_sha,
+       CAST(n_kept_lines AS BIGINT) AS n_kept_lines,
+       CAST(cleaned_chars AS BIGINT) AS cleaned_chars,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       has_brace, has_lorem, has_badword,
+       (n_sentences >= 3 AND NOT has_brace AND NOT has_lorem
+        AND NOT has_badword) AS keep
+FROM flags
+"""
+
+
 def q_cms_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min word frequencies (operators/sketch.py) vs exact
     counts: ``(word, n_exact, est)`` with the CMS guarantee
@@ -4837,15 +4961,19 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     r6-NEW archive entries (never declared -- window at capacity):
     hll_token_cardinality (HyperLogLog register table + estimate,
-    operators/sketch.py) and cms_word_frequencies (Count-Min counters
-    vs exact counts with the one-sided bound visible per row), both
-    bit-oracled here.
+    operators/sketch.py), cms_word_frequencies (Count-Min counters
+    vs exact counts with the one-sided bound visible per row),
+    bpe_train_merges (the full 8-round iterative BPE loop vs a
+    chained-CTE mirror), semdedup_keep (Abbas et al. semantic dedup
+    with planted near-duplicates) and c4_quality_gate (the Raffel et
+    al. C4 cleaning rules), all bit-oracled here.
     """
     return {
         "hll_token_cardinality": q_hll_token_cardinality,
         "cms_word_frequencies": q_cms_word_frequencies,
         "bpe_train_merges": q_bpe_train_merges,
         "semdedup_keep": q_semdedup_keep,
+        "c4_quality_gate": q_c4_quality_gate,
         "knn_ivf2_full_probe": q_knn_ivf2_full_probe,
         "knn_lsh_full_cover": q_knn_lsh_full_cover,
         "knn_topk": q_knn_topk,
@@ -4948,6 +5076,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "cms_word_frequencies": _SQL_CMS_WORDS,
         "bpe_train_merges": _sql_bpe_train(8),
         "semdedup_keep": _SQL_SEMDEDUP,
+        "c4_quality_gate": _SQL_C4_GATE,
         "knn_ivf2_full_probe": _SQL_KNN_TOPK,
         "knn_lsh_full_cover": _SQL_KNN_TOPK,
         "knn_topk": _SQL_KNN_TOPK,

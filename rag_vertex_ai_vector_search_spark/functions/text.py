@@ -484,3 +484,103 @@ def redact_pii(col: Column | str, replacement: str = "[PII]") -> Column:
     for pattern in PII_PATTERNS.values():
         out = F.regexp_replace(out, pattern, replacement)
     return out
+
+
+# --------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning...", section 2.2 -- the published heuristics the
+# C4 corpus was built with)
+# --------------------------------------------------------------------------
+
+# Placeholder slice of the "List of Dirty, Naughty, Obscene..." public
+# blocklist C4 cites; swap the full list in for production (same
+# any-match expression, the list is data).
+C4_BADWORDS = ("badword1", "badword2", "obscenity")
+
+_C4_TERMINAL = ('.', '!', '?', '"')
+
+
+def c4_clean_lines(
+    col: Column | str,
+    *,
+    sep: str = "\n",
+    min_line_words: int = 5,
+) -> Column:
+    """C4's LINE-level pass, reassembled: keep only lines that end in
+    terminal punctuation (. ! ? or closing quote), have at least
+    ``min_line_words`` words, and do not contain the word
+    'javascript' (case-insensitive) -- the paper's line rules.
+    ('lorem ipsum', '{' and the blocklist are PAGE-level removals;
+    ``c4_quality_flags`` checks those.) Returns the surviving lines
+    re-joined with ``sep`` ('' when nothing survives) -- the
+    filtered-reassembly shape whose DuckDB mirror (list_filter +
+    array_to_string) is bit-proven. Pure codegen'd array expressions,
+    zero shuffles."""
+    lines = F.split(_c(col), F.lit(sep).cast("string"))
+
+    def keep_line(ln):
+        trimmed = F.trim(ln)
+        ends_ok = F.substring(trimmed, -1, 1).isin(list(_C4_TERMINAL))
+        n_words = F.size(F.split(trimmed, " "))
+        return (
+            ends_ok
+            & (n_words >= min_line_words)
+            & ~F.lower(trimmed).contains("javascript")
+        )
+
+    return F.array_join(F.filter(lines, keep_line), sep)
+
+
+def c4_quality_flags(
+    col: Column | str,
+    *,
+    sep: str = "\n",
+    min_sentences: int = 3,
+    min_line_words: int = 5,
+    badwords: tuple[str, ...] = C4_BADWORDS,
+) -> Column:
+    """C4's PAGE-level verdict over the line-cleaned text, as one
+    struct column (the same shape as gopher_quality_flags):
+
+      - n_kept_lines / cleaned_chars: what the line pass left
+      - n_sentences >= min_sentences (terminal-punctuation count)
+      - no curly brace '{' (code page marker)
+      - no 'lorem ipsum'
+      - no blocklist word
+      - keep: the conjunction
+
+    Fields: n_kept_lines, cleaned_chars, n_sentences, has_brace,
+    has_lorem, has_badword, keep. Zero shuffles; compose with
+    ``c4_clean_lines`` for the cleaned text itself."""
+    cleaned = c4_clean_lines(
+        _c(col), sep=sep, min_line_words=min_line_words
+    )
+    lower = F.lower(cleaned)
+    n_sentences = (
+        F.length(F.regexp_replace(cleaned, r"[^.!?]", ""))
+    ).cast("long")
+    # any-match over the blocklist as a simple OR chain (tiny list;
+    # the full published list is data behind the same expression)
+    has_badword = F.lit(False)
+    for w in badwords:
+        has_badword = has_badword | lower.contains(w)
+    n_kept_lines = F.when(cleaned == "", F.lit(0)).otherwise(
+        F.size(F.split(cleaned, F.lit(sep).cast("string")))
+    ).cast("long")
+    has_brace = cleaned.contains("{")
+    has_lorem = lower.contains("lorem ipsum")
+    keep = (
+        (n_sentences >= min_sentences)
+        & ~has_brace
+        & ~has_lorem
+        & ~has_badword
+    )
+    return F.struct(
+        n_kept_lines.alias("n_kept_lines"),
+        F.length(cleaned).cast("long").alias("cleaned_chars"),
+        n_sentences.alias("n_sentences"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        has_badword.alias("has_badword"),
+        keep.alias("keep"),
+    )

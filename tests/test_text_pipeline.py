@@ -215,3 +215,64 @@ def test_gopher_individual_rules_fail(spark):
     rand = "zyx wvu tsr qpo nml kji " * 12
     g = _gopher(spark, rand, min_words=5)
     assert g.n_stopwords_present == 0 and g.keep is False
+
+
+def test_c4_line_rules_individually(spark):
+    """Each C4 line rule drops exactly its target (Raffel et al. §2.2):
+    missing terminal punctuation, under 5 words, javascript lines."""
+    from rag_vertex_ai_vector_search_spark.functions.text import (
+        c4_clean_lines,
+    )
+
+    text = "\n".join([
+        "this sentence properly ends with a period.",
+        "no terminal punctuation on this long line here",
+        "too short.",
+        "Please enable JavaScript to continue browsing now.",
+        'a quoted ending counts as terminal punctuation okay."',
+        "exclamations also terminate a sentence just fine!",
+    ])
+    df = spark.createDataFrame([(text,)], "t string")
+    [r] = df.select(c4_clean_lines("t").alias("c")).collect()
+    kept = r.c.split("\n")
+    assert kept == [
+        "this sentence properly ends with a period.",
+        'a quoted ending counts as terminal punctuation okay."',
+        "exclamations also terminate a sentence just fine!",
+    ]
+
+
+def test_c4_page_rules_individually(spark):
+    """Page-level verdicts: sentence minimum, brace, lorem, blocklist."""
+    from rag_vertex_ai_vector_search_spark.functions.text import (
+        c4_quality_flags,
+    )
+
+    three = ("one full sentence right here okay. "
+             "a second full sentence follows now. "
+             "and a third one completes the page.")
+    cases = {
+        "ok": (three, True),
+        "few": ("just one single sentence on this page.", False),
+        "brace": (three + "\nconfig { x } is set here properly.", False),
+        "lorem": (three + "\nLorem ipsum dolor sit amet friends.", False),
+        "bad": (three + "\nsomeone wrote badword2 in here sadly.", False),
+    }
+    df = spark.createDataFrame(
+        [(k, v[0]) for k, v in cases.items()], "k string, t string"
+    )
+    got = {
+        r.k: r.f
+        for r in df.select("k", c4_quality_flags("t").alias("f")).collect()
+    }
+    for k, (_, want_keep) in cases.items():
+        assert got[k].keep == want_keep, (k, got[k])
+    assert got["few"].n_sentences == 1
+    assert got["brace"].has_brace and not got["ok"].has_brace
+    assert got["lorem"].has_lorem
+    assert got["bad"].has_badword
+    # empty-after-cleaning page: zero kept lines, keep False
+    [empty] = spark.createDataFrame(
+        [("nothing here terminates so all lines go away",)], "t string"
+    ).select(c4_quality_flags("t").alias("f")).collect()
+    assert empty.f.n_kept_lines == 0 and not empty.f.keep
