@@ -204,6 +204,12 @@ BENCH_QUERIES = [
     # (explicit data-row quantizers, VERDICT r5 #3)
     ("ann_recall_ivf", entrymod.q_ann_recall_ivf),
     ("ann_recall_pq", entrymod.q_ann_recall_pq),
+    # r6: sketches, iterative BPE, SemDeDup, C4 rules
+    ("hll_token_cardinality", entrymod.q_hll_token_cardinality),
+    ("cms_word_frequencies", entrymod.q_cms_word_frequencies),
+    ("bpe_train_merges", entrymod.q_bpe_train_merges),
+    ("semdedup_keep", entrymod.q_semdedup_keep),
+    ("c4_quality_gate", entrymod.q_c4_quality_gate),
     # the capstone compositions: one lineage, one oracle each
     ("training_corpus_pipeline", entrymod.q_training_corpus_pipeline),
     ("web_corpus_pipeline", entrymod.q_web_corpus_pipeline),
