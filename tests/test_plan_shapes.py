@@ -218,3 +218,67 @@ def test_pq_restrict_pushed_into_partition_pruned_code_scan(
     assert any("PushedFilters" in l and "label" in l
                for l in scan_lines), scan_lines
     assert "CartesianProduct" not in plan
+
+
+def test_hll_sketch_single_shuffle_with_partial_agg(spark, sf_smoke):
+    """The HLL register build must be ONE shuffle with a map-side
+    partial max (HashAggregate below the Exchange) -- the whole point
+    of the sketch vs a distinct-key shuffle."""
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        hll_sketch,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    plan = _plan(hll_sketch(words, "w", group_cols=("lang",), p=8))
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1, plan
+    # partial aggregation below the exchange (max is algebraic)
+    assert "partial_max" in plan or "partial" in plan.lower(), plan
+
+
+def test_cms_sketch_single_input_scan(spark, sf_smoke):
+    """The depth probes posexplode from ONE projection: depth=4 must
+    not scan the input four times (the union-per-row shape would)."""
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        cms_sketch,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    plan = _plan(cms_sketch(words, "w", depth=4, width=256))
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert len(scans) == 1, scans
+    # exactly one probe posexplode (the input's own word explode is
+    # the other Generate)
+    assert plan.count("Generate posexplode") == 1, plan
+
+
+def test_semdedup_no_cartesian_and_broadcast_centroids(spark):
+    """SemDeDup's pair join must stay an equi-join on cluster_id (no
+    cartesian product across leaves) and the centroid-similarity join
+    must be a broadcast."""
+    import numpy as np
+
+    from rag_vertex_ai_vector_search_spark.operators.semdedup import (
+        semdedup,
+    )
+
+    rng = np.random.default_rng(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=16)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    seeds = np.asarray(
+        [r.embedding for r in df.orderBy("vec_id").limit(4).collect()],
+        dtype=np.float64,
+    )
+    plan = _plan(
+        semdedup(df, n_clusters=4, threshold=0.9, centroids=seeds,
+                 pair_method="fold")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -17,6 +17,14 @@ SETTINGS = settings(
 
 words = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8)
 
+def _session():
+    from rag_vertex_ai_vector_search_spark.session import get_spark
+
+    return get_spark("engine-tests", extra_confs={
+        "spark.sql.shuffle.partitions": "8",
+    })
+
+
 
 @SETTINGS
 @given(
@@ -227,3 +235,120 @@ def test_flac_roundtrip_property(seed, n, channels, bps, tonal):
     out, sr, got_bps = decode_flac(encode_flac(sig, bps=bps))
     assert (sr, got_bps) == (8000, bps)
     assert np.array_equal(out, sig)
+
+
+def _psl_reference(host, rules):
+    """Pure-Python publicsuffix.org algorithm: the spec as literally
+    as possible, independent of the Spark/SQL implementations."""
+    if not host:
+        return host
+    labels = host.lower().split(".")
+    exc_ps = None
+    best = 0
+    for raw in rules:
+        rule = raw.lower()
+        if rule.startswith("!"):
+            r = rule[1:].split(".")
+            if labels[-len(r):] == r:
+                exc_ps = len(r) - 1
+        elif rule.startswith("*."):
+            r = rule[2:].split(".")
+            if len(labels) >= len(r) + 1 and labels[-len(r):] == r:
+                best = max(best, len(r) + 1)
+        else:
+            r = rule.split(".")
+            if labels[-len(r):] == r:
+                best = max(best, len(r))
+    ps = exc_ps if exc_ps is not None else max(best, 1)
+    if len(labels) <= ps:
+        return host.lower()
+    return ".".join(labels[-(ps + 1):])
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(
+                ["www", "a", "blog", "x1", "sub", "example", "co", "uk",
+                 "kawasaki", "jp", "city", "ck", "github", "io", "k12",
+                 "ca", "us", "com", "au", "foo"]
+            ),
+            min_size=1, max_size=6,
+        ),
+        min_size=1, max_size=12,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_psl_spark_matches_reference_algorithm(host_labels):
+    """Random hosts assembled from PSL-relevant labels: the Spark
+    broadcast-join implementation must agree with a literal
+    pure-Python transcription of the published algorithm."""
+    from rag_vertex_ai_vector_search_spark.functions.psl import (
+        PSL_SNAPSHOT,
+        with_registrable_domain,
+    )
+
+    spark = _session()
+    hosts = [".".join(ls) for ls in host_labels]
+    got = {
+        r.host: r.domain
+        for r in with_registrable_domain(
+            spark.createDataFrame([(h,) for h in hosts], "host string"),
+            "host",
+        ).collect()
+    }
+    for h in hosts:
+        assert got[h] == _psl_reference(h, PSL_SNAPSHOT), h
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdef", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=9),
+        min_size=1, max_size=25,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_cms_one_sided_bound_property(counts):
+    """For ANY multiset: CMS never underestimates, and is exact when
+    width is generous."""
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        cms_point_estimate,
+        cms_sketch,
+    )
+
+    spark = _session()
+    rows = [(w,) for w, n in counts.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "w string")
+    items = spark.createDataFrame(
+        [(w,) for w in counts], "item string"
+    )
+    tight = {r.item: r.est for r in cms_point_estimate(
+        cms_sketch(df, "w", depth=3, width=8),
+        items, depth=3, width=8).collect()}
+    wide = {r.item: r.est for r in cms_point_estimate(
+        cms_sketch(df, "w", depth=3, width=1 << 14),
+        items, depth=3, width=1 << 14).collect()}
+    for w, n in counts.items():
+        assert tight[w] >= n, (w, tight[w], n)
+        assert wide[w] == n, (w, wide[w], n)
+
+
+@given(st.integers(min_value=1, max_value=400))
+@settings(max_examples=10, deadline=None)
+def test_hll_merge_idempotent_property(n):
+    """Merging a sketch with ITSELF changes nothing (max-fold
+    idempotence) -- the property that makes at-least-once streaming
+    delivery safe."""
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        hll_merge,
+        hll_sketch,
+    )
+
+    spark = _session()
+    df = spark.range(n).select(F.col("id").cast("string").alias("v"))
+    s = hll_sketch(df, "v", p=6)
+    twice = hll_merge(s, s)
+    a = sorted((r.bucket, r.max_rho) for r in s.collect())
+    b = sorted((r.bucket, r.max_rho) for r in twice.collect())
+    assert a == b
