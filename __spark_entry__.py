@@ -2396,6 +2396,100 @@ FROM lab
 """
 
 
+def q_knn_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked-retrieval metrics (operators/evaluate.py::
+    ranking_metrics): MRR / DCG@10 / nDCG@10 of the oracled exact kNN
+    results against label-derived graded qrels (rel 2 = same label,
+    rel 1 = same label parity). Archive-gated. Both metric folds are
+    SEQUENTIAL (F.aggregate == list_reduce), so the float DCG sums --
+    including the log2 discounts -- hash-match the DuckDB mirror."""
+    from rag_vertex_ai_vector_search_spark.operators.evaluate import (
+        ranking_metrics,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    results = knn_search(
+        emb, _queries_from_embeddings(emb, 8), k=10, method="fold"
+    )
+    qlab = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("_ql")
+    )
+    qrels = qlab.crossJoin(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("label").alias("_nl")
+        )
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.when(F.col("_ql") == F.col("_nl"), F.lit(2.0))
+        .when(F.col("_ql") % 2 == F.col("_nl") % 2, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("rel"),
+    ).filter(F.col("rel") > 0)
+    return ranking_metrics(results, qrels, k=10)
+
+
+def _sql_knn_ranking_metrics() -> str:
+    """Mirror with the SAME precomputed discount literals the Spark
+    side inlines (operators/evaluate.py::discount_literals -- no
+    engine log2 agrees bit-for-bit, so the table is the contract)."""
+    from rag_vertex_ai_vector_search_spark.operators.evaluate import (
+        discount_literals,
+    )
+
+    disc = "[" + ", ".join(repr(d) for d in discount_literals(10)) + "]"
+    return f"""
+WITH res AS (
+  SELECT query_id, neighbor_id, rank FROM ({_SQL_KNN_TOPK}) t
+),
+qrels AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CASE WHEN q.label = e.label THEN 2.0
+              WHEN q.label % 2 = e.label % 2 THEN 1.0
+              ELSE 0.0 END AS rel
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id < 8
+    AND (q.label = e.label OR q.label % 2 = e.label % 2)
+),
+scored AS (
+  SELECT r.query_id, r.rank, coalesce(j.rel, 0.0) AS rel
+  FROM res r LEFT JOIN qrels j
+    ON j.query_id = r.query_id AND j.neighbor_id = r.neighbor_id
+),
+ideal AS (
+  SELECT query_id, rank, rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, rank ASC) AS ipos
+  FROM scored
+),
+perq AS (
+  SELECT query_id,
+         list((power(2.0, rel) - 1.0) / ({disc})[rank]
+              ORDER BY rank) AS dterms,
+         list((power(2.0, rel) - 1.0) / ({disc})[ipos]
+              ORDER BY ipos) AS iterms,
+         min(CASE WHEN rel > 0 THEN rank END) AS first_rel_rank
+  FROM ideal GROUP BY query_id
+),
+nr AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+  FROM qrels WHERE rel > 0 GROUP BY query_id
+),
+m AS (
+  SELECT p.query_id,
+         coalesce(nr.n_rel, 0) AS n_rel,
+         p.first_rel_rank,
+         coalesce(1.0 / CAST(p.first_rel_rank AS DOUBLE), 0.0) AS rr,
+         list_reduce(list_prepend(0.0, p.dterms), (a, b) -> a + b) AS dcg,
+         list_reduce(list_prepend(0.0, p.iterms), (a, b) -> a + b) AS idcg
+  FROM perq p LEFT JOIN nr ON nr.query_id = p.query_id
+)
+SELECT query_id, n_rel, first_rel_rank, rr, dcg, idcg,
+       CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END AS ndcg
+FROM m
+"""
+
+
 def q_c4_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4 cleaning rules (Raffel et al. 2020 §2.2,
     functions/text.py::c4_clean_lines + c4_quality_flags) -- the third
@@ -4974,6 +5068,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges": q_bpe_train_merges,
         "semdedup_keep": q_semdedup_keep,
         "c4_quality_gate": q_c4_quality_gate,
+        "knn_ranking_metrics": q_knn_ranking_metrics,
         "knn_ivf2_full_probe": q_knn_ivf2_full_probe,
         "knn_lsh_full_cover": q_knn_lsh_full_cover,
         "knn_topk": q_knn_topk,
@@ -5077,6 +5172,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "bpe_train_merges": _sql_bpe_train(8),
         "semdedup_keep": _SQL_SEMDEDUP,
         "c4_quality_gate": _SQL_C4_GATE,
+        "knn_ranking_metrics": _sql_knn_ranking_metrics(),
         "knn_ivf2_full_probe": _SQL_KNN_TOPK,
         "knn_lsh_full_cover": _SQL_KNN_TOPK,
         "knn_topk": _SQL_KNN_TOPK,

@@ -85,3 +85,110 @@ def recall_summary(
             F.when(F.col("recall") >= 1.0, F.lit(1.0)).otherwise(F.lit(0.0))
         ).alias("frac_perfect"),
     )
+
+
+def discount_literals(k: int) -> list[float]:
+    """log2(pos + 1) for pos 1..k as plain Python doubles -- the shared
+    discount table both ranking_metrics and its SQL oracle inline (see
+    the determinism note in ranking_metrics)."""
+    import math
+
+    return [math.log2(pos + 1.0) for pos in range(1, k + 1)]
+
+
+def ranking_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    *,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    neighbor_id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Classic ranked-retrieval metrics per query: reciprocal rank,
+    DCG@k, ideal DCG@k and nDCG@k (Jarvelin & Kekalainen 2002) --
+    the evaluation companion to recall_report when result ORDER
+    matters (hybrid search, reranking cascades).
+
+    ``results``: (query, neighbor, rank) with rank 1-based;
+    ``qrels``: (query, neighbor, rel) graded relevance (missing pairs
+    = rel 0). Output: (query_id, n_rel, first_rel_rank, rr, dcg,
+    idcg, ndcg); queries with no relevant documents report 0.0
+    metrics and first_rel_rank null.
+
+    Determinism across engines: both DCG and IDCG are SEQUENTIAL
+    folds over rank-sorted gain lists (F.aggregate == DuckDB
+    list_reduce), so the float sums are bit-reproducible -- no
+    order-dependent SUM(). The log2 discounts are PRECOMPUTED as k
+    Python doubles and inlined as literals (JVM log2 = ln/ln2 differs
+    from DuckDB's native log2 in the last ulp at e.g. x=9,10,11, and
+    from DuckDB's ln-ratio at x=3 -- no shared expression exists, so
+    the literal table is the only bit-stable discount source; see
+    discount_literals()). Scale shape: everything is top-k-sized
+    joins and per-query folds, bounded by n_queries x k.
+    """
+    r = results.select(
+        F.col(query_id_col).alias("_q"),
+        F.col(neighbor_id_col).alias("_n"),
+        F.col(rank_col).cast("long").alias("_rank"),
+    ).filter(F.col("_rank") <= k)
+    j = qrels.select(
+        F.col(query_id_col).alias("_q"),
+        F.col(neighbor_id_col).alias("_n"),
+        F.col(rel_col).cast("double").alias("_rel"),
+    )
+    scored = r.join(j, ["_q", "_n"], "left").withColumn(
+        "_rel", F.coalesce(F.col("_rel"), F.lit(0.0))
+    )
+
+    def fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    per_q = scored.groupBy("_q").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_rank"), F.col("_rel")))
+        ).alias("_by_rank"),
+        F.min(
+            F.when(F.col("_rel") > 0, F.col("_rank"))
+        ).alias("first_rel_rank"),
+    )
+    discounts = F.array(*[F.lit(d) for d in discount_literals(k)])
+    # gains in rank order: (2^rel - 1) / log2(rank + 1)
+    dcg_terms = F.transform(
+        F.col("_by_rank"),
+        lambda s: (F.pow(F.lit(2.0), s.getField("_rel")) - F.lit(1.0))
+        / F.element_at(discounts, s.getField("_rank").cast("int")),
+    )
+    # ideal ordering: rels sorted descending, positions 1..n
+    rels_desc = F.reverse(
+        F.sort_array(
+            F.transform(F.col("_by_rank"), lambda s: s.getField("_rel"))
+        )
+    )
+    idcg_terms = F.zip_with(
+        rels_desc,
+        F.sequence(F.lit(1), F.greatest(F.size(rels_desc), F.lit(1))),
+        lambda rel, pos: (F.pow(F.lit(2.0), rel) - F.lit(1.0))
+        / F.element_at(discounts, pos.cast("int")),
+    )
+    # qrels relevant-count per query rides a separate tiny aggregate
+    n_rel = j.filter(F.col("_rel") > 0).groupBy("_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    out = per_q.join(n_rel, "_q", "left").select(
+        F.col("_q").alias(query_id_col),
+        F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
+        "first_rel_rank",
+        F.coalesce(
+            1.0 / F.col("first_rel_rank").cast("double"), F.lit(0.0)
+        ).alias("rr"),
+        fold_sum(dcg_terms).alias("dcg"),
+        fold_sum(idcg_terms).alias("idcg"),
+    )
+    return out.withColumn(
+        "ndcg",
+        F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(
+            F.lit(0.0)
+        ),
+    )

@@ -197,3 +197,56 @@ def test_recall_report_on_real_ann_path(spark):
     full = lsh_topk(emb, queries, k=10, n_planes=0, bands=1)
     s = recall_summary(recall_report(full, exact)).collect()[0]
     assert s.mean_recall == 1.0 and s.frac_perfect == 1.0
+
+
+def test_ranking_metrics_hand_values(spark):
+    """MRR / DCG / nDCG against a hand-computed example."""
+    import math
+
+    from rag_vertex_ai_vector_search_spark.operators.evaluate import (
+        ranking_metrics,
+    )
+
+    results = spark.createDataFrame(
+        [("q1", n, r) for r, n in enumerate(["a", "b", "c", "d"], start=1)]
+        + [("q2", n, r) for r, n in enumerate(["x", "y"], start=1)],
+        "query_id string, neighbor_id string, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "b", 2.0), ("q1", "d", 1.0), ("q1", "zzz", 3.0)],
+        "query_id string, neighbor_id string, rel double",
+    )
+    out = {r.query_id: r for r in
+           ranking_metrics(results, qrels, k=10).collect()}
+
+    q1 = out["q1"]
+    assert q1.n_rel == 3          # qrels-wide, incl. the unretrieved zzz
+    assert q1.first_rel_rank == 2
+    assert q1.rr == 0.5
+    dcg = (2 ** 2 - 1) / math.log2(3) + (2 ** 1 - 1) / math.log2(5)
+    idcg = (2 ** 2 - 1) / math.log2(2) + (2 ** 1 - 1) / math.log2(3)
+    assert abs(q1.dcg - dcg) < 1e-12
+    assert abs(q1.idcg - idcg) < 1e-12
+    assert abs(q1.ndcg - dcg / idcg) < 1e-12
+
+    q2 = out["q2"]               # nothing relevant retrieved or known
+    assert q2.n_rel == 0 and q2.first_rel_rank is None
+    assert q2.rr == 0.0 and q2.ndcg == 0.0
+
+
+def test_ranking_metrics_perfect_ranking_is_1(spark):
+    from rag_vertex_ai_vector_search_spark.operators.evaluate import (
+        ranking_metrics,
+    )
+
+    results = spark.createDataFrame(
+        [("q", "a", 1), ("q", "b", 2), ("q", "c", 3)],
+        "query_id string, neighbor_id string, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("q", "a", 3.0), ("q", "b", 2.0), ("q", "c", 1.0)],
+        "query_id string, neighbor_id string, rel double",
+    )
+    [r] = ranking_metrics(results, qrels, k=3).collect()
+    assert r.rr == 1.0
+    assert abs(r.ndcg - 1.0) < 1e-12
