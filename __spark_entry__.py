@@ -2268,6 +2268,12 @@ vocab_{k + 1} AS (
         f" FROM best_{k}"
         for k in range(n_merges)
     )
+    return _bpe_with_prefix(stages) + finals + "\n"
+
+
+def _bpe_with_prefix(stages) -> str:
+    """Shared WITH prefix of the BPE mirrors: word counts + vocab_0 +
+    the merge-stage chain."""
     return f"""
 WITH words AS (
   SELECT unnest(string_split({_SQL_NORM}, ' ')) AS word FROM documents
@@ -2277,8 +2283,68 @@ vocab_0 AS (
          CAST(count(*) AS BIGINT) AS n
   FROM words GROUP BY word
 ),{",".join(stages)}
-{finals}
 """
+
+
+def _sql_bpe_tokenize(n_merges: int = 8) -> str:
+    """Mirror of bpe_tokenize(train_bpe(corpus)): the train chain's
+    FINAL vocabulary (vocab_n.toks IS apply_bpe of the learned merges
+    on every corpus word, by construction), joined back onto corpus
+    word positions and reassembled in order (the proven string_agg
+    ORDER BY mirror of array_join(transform(array_sort(collect_list))))."""
+    train = _sql_bpe_train(n_merges)
+    # reuse the full stage chain by regenerating it (deterministic)
+    prefix_end = train.rindex("SELECT CAST(1 AS BIGINT) AS merge_rank")
+    prefix = train[:prefix_end].rstrip()
+    return prefix + f""",
+pos AS (
+  SELECT doc_id,
+         unnest(string_split({_SQL_NORM}, ' ')) AS word,
+         generate_subscripts(string_split({_SQL_NORM}, ' '), 1) AS pos
+  FROM documents
+),
+tok AS (
+  SELECT p.doc_id, p.pos, v.toks
+  FROM pos p JOIN vocab_{n_merges} v USING (word)
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         string_agg(toks, ' ' ORDER BY pos) AS tokens
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, n_words,
+       CAST(len(string_split(tokens, ' ')) AS BIGINT) AS n_tokens,
+       sha256(tokens) AS tokens_sha
+FROM agg
+"""
+
+
+def q_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tokenizer LIFECYCLE under one oracle: train 8 BPE
+    merges on the corpus (train_bpe's driver loop), then ENCODE every
+    document with the learned merges (operators/tokenizer.py::
+    bpe_tokenize -- per-DISTINCT-word application joined back onto
+    positions) and reassemble each document's token stream in order.
+    Archive-gated. The mirror reuses the train chain's final
+    vocabulary (vocab_8.toks IS the application of the learned merges
+    to every corpus word, by construction), so train AND apply are
+    gated by one composite SQL; token streams are sha256-pinned."""
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        bpe_tokenize,
+        train_bpe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right)
+        for r in train_bpe(docs, n_merges=8).orderBy("merge_rank").collect()
+    ]
+    out = bpe_tokenize(docs, merges)
+    return out.select(
+        "doc_id", "n_words", "n_tokens",
+        F.sha2(F.col("tokens"), 256).alias("tokens_sha"),
+    )
 
 
 def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5069,6 +5135,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     unchanged, bit-gated here).
     """
     return {
+        "bpe_tokenize_corpus": q_bpe_tokenize_corpus,
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
         "pii_scrub": q_pii_scrub,
@@ -5173,6 +5240,7 @@ def oracle_sql_archive() -> dict[str, str]:
     """Oracles for queries_archive() -- run by tests/test_oracle_parity.py
     (not the driver) so the rotated queries stay bit-exact-verified."""
     return {
+        "bpe_tokenize_corpus": _sql_bpe_tokenize(8),
         "text_quality": _SQL_TEXT_QUALITY,
         "text_repetition": _SQL_TEXT_REPETITION,
         "pii_scrub": _SQL_PII_SCRUB,

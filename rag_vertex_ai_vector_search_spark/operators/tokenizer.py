@@ -239,3 +239,120 @@ def train_bpe(
         "merge_rank long, left string, right string, merged string, "
         "n_occurrences long",
     )
+
+
+def apply_bpe_to_words(
+    words: DataFrame,
+    merges,
+    *,
+    word_col: str = "word",
+    method: str = "fold",
+) -> DataFrame:
+    """Apply an ORDERED merge list to each word: the encode side of
+    BPE (what a tokenizer does at corpus-processing time with a
+    published merges.txt). Returns the input plus ``toks`` -- the
+    word's final space-joined symbol sequence.
+
+    ``merges``: [(left, right), ...] in training order (driver-held;
+    a production merges.txt is ~32k pairs, a few hundred KiB).
+
+    ``method="fold"``: one chained JVM fold per merge -- bit-exact
+    against the training rewrite (and the SQL oracle) but the
+    expression tree grows with len(merges); right for gates and short
+    merge lists. ``method="udf"``: one Arrow-batched pandas UDF
+    applying all merges per word with the standard scan loop -- the
+    production path for real merge lists (per-word cost ~word_len x
+    matching merges, independent of expression-tree limits). Both
+    paths produce IDENTICAL results (tests/test_tokenizer.py).
+    """
+    if method == "fold":
+        toks = F.array_join(F.split(F.col(word_col), ""), " ")
+        out = words.withColumn("toks", toks)
+        for left, right in merges:
+            out = out.withColumn(
+                "toks", _merge_fold(F.col("toks"), left, right)
+            )
+        return out
+
+    if method != "udf":
+        raise ValueError(f"method must be 'fold' or 'udf', got {method!r}")
+
+    from pyspark.sql import types as T
+
+    merge_list = list(merges)
+
+    # no pd.Series annotations: pandas is imported locally, so string
+    # type hints would not resolve for pandas_udf's inference
+    @F.pandas_udf(T.StringType())
+    def _apply(col):
+        def encode(w: str) -> str:
+            syms = list(w)
+            for left, right in merge_list:
+                i = 0
+                out = []
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return " ".join(syms)
+
+        return col.map(encode)
+
+    return words.withColumn("toks", _apply(F.col(word_col)))
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "fold",
+) -> DataFrame:
+    """Tokenize a corpus with a trained merge list: per-document
+    ``(id, n_words, n_tokens, tokens)`` where ``tokens`` is the
+    space-joined BPE symbol stream in word order.
+
+    Scale shape (the per-DISTINCT-word rule): merges apply once per
+    VOCABULARY entry, then one join maps positions back -- the
+    encode work is bounded by distinct words x word length however
+    large the corpus, and the join shuffles corpus positions once.
+    """
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(normalized_text(F.col(text_col)), " ")
+        ).alias("_pos", "word"),
+    )
+    vocab = apply_bpe_to_words(
+        pos.select("word").distinct(), merges, method=method
+    )
+    joined = pos.join(vocab, "word")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_pos"), F.col("toks")))
+                    ),
+                    lambda s: s.getField("toks"),
+                ),
+                " ",
+            ).alias("tokens"),
+        )
+        .withColumn(
+            "n_tokens",
+            F.size(F.split(F.col("tokens"), " ")).cast("long"),
+        )
+        .select(id_col, "n_words", "n_tokens", "tokens")
+    )

