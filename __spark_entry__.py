@@ -2347,6 +2347,88 @@ def q_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/graph.py) over a synthesized
+    deterministic citation graph on the documents table (doc i links
+    to (7i+1) mod D and (13i+3) mod D, every 5th doc also to
+    (3i+11) mod D) -- the domain/page-authority signal web-corpus
+    pipelines weight quality sampling with. Archive-gated. Because
+    every iteration is integer division + exact long sums, all 6
+    power-iteration rounds mirror as chained CTE stages and the final
+    ranks hash-match bit-for-bit (the float formulation could not:
+    partition-order float sums differ in the last ulp)."""
+    from rag_vertex_ai_vector_search_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = docs.count()
+    i = F.col("doc_id")
+    e1 = docs.select(i.alias("src"), ((i * 7 + 1) % d).alias("dst"))
+    e2 = docs.select(i.alias("src"), ((i * 13 + 3) % d).alias("dst"))
+    e3 = docs.filter(i % 5 == 0).select(
+        i.alias("src"), ((i * 3 + 11) % d).alias("dst")
+    )
+    edges = e1.union(e2).union(e3)
+    return pagerank(edges, n_iter=6)
+
+
+def _sql_pagerank(n_iter: int = 6) -> str:
+    """Chained-CTE mirror of the integer PageRank loop (the bpe_train
+    pattern): same edge synthesis, same integer teleport/damping
+    arithmetic, one CTE stage per power iteration."""
+    stages = []
+    for k in range(n_iter):
+        stages.append(f"""
+pr_{k + 1} AS (
+  SELECT n.node_id,
+         CAST(t.teleport + (17 * coalesce(s.inc, 0)) // 20 AS BIGINT)
+           AS pr_units
+  FROM nodes n
+  CROSS JOIN tconst t
+  LEFT JOIN (
+    SELECT e.dst AS node_id,
+           CAST(sum(p.pr_units // o.deg) AS BIGINT) AS inc
+    FROM edges e
+    JOIN pr_{k} p ON p.node_id = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node_id = n.node_id
+)""")
+    return f"""
+WITH d AS (SELECT count(*) AS d FROM documents),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT d FROM d) AS dst
+    FROM documents
+    UNION
+    SELECT doc_id AS src, (doc_id * 13 + 3) % (SELECT d FROM d) AS dst
+    FROM documents
+    UNION
+    SELECT doc_id AS src, (doc_id * 3 + 11) % (SELECT d FROM d) AS dst
+    FROM documents WHERE doc_id % 5 = 0)
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS node_id FROM edges
+  UNION
+  SELECT DISTINCT dst FROM edges
+),
+nn AS (SELECT count(*) AS n FROM nodes),
+tconst AS (
+  SELECT (1000000000::BIGINT - (17::BIGINT * 1000000000::BIGINT) // 20) // (SELECT n FROM nn)
+           AS teleport
+),
+outdeg AS MATERIALIZED (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+),
+pr_0 AS (
+  SELECT node_id,
+         CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS pr_units
+  FROM nodes
+),{",".join(stages)}
+SELECT node_id, pr_units,
+       CAST(pr_units AS DOUBLE) / 1000000000.0 AS pr
+FROM pr_{n_iter}
+"""
+
+
 def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, operators/semdedup.py): embedding-
     cluster semantic dedup with the paper's keep-lowest-centroid-
@@ -5136,6 +5218,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         "bpe_tokenize_corpus": q_bpe_tokenize_corpus,
+        "pagerank_citations": q_pagerank_citations,
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
         "pii_scrub": q_pii_scrub,
@@ -5241,6 +5324,7 @@ def oracle_sql_archive() -> dict[str, str]:
     (not the driver) so the rotated queries stay bit-exact-verified."""
     return {
         "bpe_tokenize_corpus": _sql_bpe_tokenize(8),
+        "pagerank_citations": _sql_pagerank(6),
         "text_quality": _SQL_TEXT_QUALITY,
         "text_repetition": _SQL_TEXT_REPETITION,
         "pii_scrub": _SQL_PII_SCRUB,

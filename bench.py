@@ -210,6 +210,9 @@ BENCH_QUERIES = [
     ("bpe_train_merges", entrymod.q_bpe_train_merges),
     ("semdedup_keep", entrymod.q_semdedup_keep),
     ("c4_quality_gate", entrymod.q_c4_quality_gate),
+    ("knn_ranking_metrics", entrymod.q_knn_ranking_metrics),
+    ("bpe_tokenize_corpus", entrymod.q_bpe_tokenize_corpus),
+    ("pagerank_citations", entrymod.q_pagerank_citations),
     # the capstone compositions: one lineage, one oracle each
     ("training_corpus_pipeline", entrymod.q_training_corpus_pipeline),
     ("web_corpus_pipeline", entrymod.q_web_corpus_pipeline),

@@ -168,16 +168,22 @@ def _merge_fold(toks_col, left, right):
 
 
 def train_bpe(
-    df: DataFrame,
+    df: DataFrame | None,
     *,
     text_col: str = "text",
     n_merges: int = 8,
     checkpoint_every: int = 4,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus: the full greedy
     loop, not just the first iteration's statistics. Returns
     ``(merge_rank, left, right, merged, n_occurrences)`` -- the merge
     list a tokenizer ships.
+
+    ``counts`` (a prebuilt (word, n) table) replaces the corpus scan
+    -- the same seam vocab_coverage_from_counts exposes, so the
+    streaming-maintained vocabulary (streaming/vocab.py) feeds BPE
+    training without re-reading documents.
 
     Scale shape per iteration: pair counting and the merge rewrite run
     on the VOCABULARY table (distinct words x word length -- bounded,
@@ -188,7 +194,8 @@ def train_bpe(
     loop. Deterministic: ties break (count desc, pair asc) like
     bpe_merge_pairs.
     """
-    vocab = _word_counts(df, text_col).select(
+    base = counts if counts is not None else _word_counts(df, text_col)
+    vocab = base.select(
         "word",
         F.array_join(F.split(F.col("word"), ""), " ").alias("toks"),
         F.col("n").cast("long").alias("n"),
@@ -233,7 +240,7 @@ def train_bpe(
         if rank % checkpoint_every == 0:
             vocab = vocab.localCheckpoint(eager=True)
 
-    spark = df.sparkSession
+    spark = (df if df is not None else base).sparkSession
     return spark.createDataFrame(
         merges,
         "merge_rank long, left string, right string, merged string, "

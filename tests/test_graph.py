@@ -1,0 +1,58 @@
+"""Integer-exact PageRank (operators/graph.py): structure, bounds,
+and the determinism that justifies the integer design."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_vertex_ai_vector_search_spark.operators.graph import pagerank
+
+
+def _star_plus_chain(spark):
+    """Hub h receives links from 5 spokes; chain a->b->c feeds a."""
+    edges = [("s1", "h"), ("s2", "h"), ("s3", "h"), ("s4", "h"),
+             ("s5", "h"), ("a", "b"), ("b", "c"), ("c", "a"),
+             ("h", "a")]
+    return spark.createDataFrame(edges, "src string, dst string")
+
+
+def test_pagerank_hub_dominates_and_mass_bounded(spark):
+    e = _star_plus_chain(spark)
+    pr = {r.node_id: r.pr_units for r in pagerank(e, n_iter=12).collect()}
+    assert len(pr) == 9
+    # the hub out-ranks every spoke
+    assert all(pr["h"] > pr[f"s{i}"] for i in range(1, 6))
+    # spokes are symmetric -> identical integer ranks
+    assert len({pr[f"s{i}"] for i in range(1, 6)}) == 1
+    # total mass stays within the documented round-down drift:
+    # <= scale, and loses < (N + dangling) units per iteration
+    total = sum(pr.values())
+    assert total <= 10 ** 9
+    assert total > 0.5 * 10 ** 9  # chain recycles most mass
+
+
+def test_pagerank_partition_order_invariant(spark):
+    """Integer arithmetic admits no float reassociation: any input
+    partitioning yields the identical rank table."""
+    e = _star_plus_chain(spark)
+    a = sorted((r.node_id, r.pr_units)
+               for r in pagerank(e.coalesce(1), n_iter=8).collect())
+    b = sorted((r.node_id, r.pr_units)
+               for r in pagerank(e.repartition(16), n_iter=8).collect())
+    assert a == b
+
+
+def test_pagerank_uniform_cycle_is_uniform(spark):
+    """A pure cycle has a uniform stationary distribution; integer
+    rounding must preserve the symmetry exactly."""
+    n = 6
+    e = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    pr = [r.pr_units for r in pagerank(e, n_iter=10).collect()]
+    assert len(set(pr)) == 1
+
+
+def test_pagerank_empty_raises(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="empty edge list"):
+        pagerank(e)

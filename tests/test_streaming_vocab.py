@@ -99,3 +99,25 @@ def test_vocab_compaction_folds_epochs(spark, sf_smoke, tmp_path):
     assert dirs == [table + "/_epoch=-1"]
     after = read_vocab(spark, table)
     _assert_same(after, spark.createDataFrame(expected, after.schema))
+
+
+def test_train_bpe_reads_maintained_vocab(spark, sf_smoke, tmp_path):
+    """train_bpe(counts=read_vocab(...)) learns the IDENTICAL merges
+    as batch self-training -- the streaming-vocab table feeds BPE
+    training without re-reading documents."""
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        train_bpe,
+    )
+    from rag_vertex_ai_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    table = str(tmp_path / "vocab")
+    apply_vocab_batch(docs.filter(F.col("doc_id") % 2 == 0), 0, table)
+    apply_vocab_batch(docs.filter(F.col("doc_id") % 2 == 1), 1, table)
+    maintained = read_vocab(spark, table)
+    a = [tuple(r) for r in
+         train_bpe(None, counts=maintained, n_merges=4)
+         .orderBy("merge_rank").collect()]
+    b = [tuple(r) for r in
+         train_bpe(docs, n_merges=4).orderBy("merge_rank").collect()]
+    assert a == b
