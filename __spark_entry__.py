@@ -5215,6 +5215,11 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-gated through corpus_quality_report + ccnet buckets),
     text_repetition and pii_scrub (stable green r2-r5; machinery
     unchanged, bit-gated here).
+
+    Late-r6 archive additions (never declared): bpe_tokenize_corpus
+    (the full train-then-encode tokenizer lifecycle under one
+    composite oracle) and pagerank_citations (integer-exact PageRank,
+    6 chained power iterations hash-matched).
     """
     return {
         "bpe_tokenize_corpus": q_bpe_tokenize_corpus,
