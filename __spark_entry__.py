@@ -2227,11 +2227,11 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_bpe(docs, n_merges=8)
 
 
-def _sql_bpe_train(n_merges: int = 8) -> str:
-    """Generate the n-stage chained-CTE mirror of train_bpe: stage k =
-    (pair counts over vocab_k) -> (argmax best_k) -> (vocab_{k+1} via
-    the list_reduce merge fold, best_k cross-joined into lambda
-    scope). Final result = UNION ALL of the per-stage argmax rows."""
+def _sql_bpe_stage_chain(n_merges: int) -> tuple[str, str]:
+    """(prefix, finals) shared by both BPE mirrors: the WITH chain
+    (word counts + vocab_0 + n merge stages) and the per-stage argmax
+    UNION. Both _sql_bpe_train and _sql_bpe_tokenize compose from
+    these parts -- no substring surgery on generated SQL."""
     stages = []
     for k in range(n_merges):
         stages.append(f"""
@@ -2268,7 +2268,16 @@ vocab_{k + 1} AS (
         f" FROM best_{k}"
         for k in range(n_merges)
     )
-    return _bpe_with_prefix(stages) + finals + "\n"
+    return _bpe_with_prefix(stages), finals
+
+
+def _sql_bpe_train(n_merges: int = 8) -> str:
+    """The n-stage chained-CTE mirror of train_bpe: stage k =
+    (pair counts over vocab_k) -> (argmax best_k) -> (vocab_{k+1} via
+    the list_reduce merge fold, best_k cross-joined into lambda
+    scope). Final result = UNION ALL of the per-stage argmax rows."""
+    prefix, finals = _sql_bpe_stage_chain(n_merges)
+    return prefix + finals + "\n"
 
 
 def _bpe_with_prefix(stages) -> str:
@@ -2292,11 +2301,8 @@ def _sql_bpe_tokenize(n_merges: int = 8) -> str:
     on every corpus word, by construction), joined back onto corpus
     word positions and reassembled in order (the proven string_agg
     ORDER BY mirror of array_join(transform(array_sort(collect_list))))."""
-    train = _sql_bpe_train(n_merges)
-    # reuse the full stage chain by regenerating it (deterministic)
-    prefix_end = train.rindex("SELECT CAST(1 AS BIGINT) AS merge_rank")
-    prefix = train[:prefix_end].rstrip()
-    return prefix + f""",
+    prefix, _finals = _sql_bpe_stage_chain(n_merges)
+    return prefix.rstrip() + f""",
 pos AS (
   SELECT doc_id,
          unnest(string_split({_SQL_NORM}, ' ')) AS word,
@@ -2604,33 +2610,37 @@ scored AS (
   FROM res r LEFT JOIN qrels j
     ON j.query_id = r.query_id AND j.neighbor_id = r.neighbor_id
 ),
-ideal AS (
-  SELECT query_id, rank, rel,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY rel DESC, rank ASC) AS ipos
-  FROM scored
-),
 perq AS (
   SELECT query_id,
          list((power(2.0, rel) - 1.0) / ({disc})[rank]
               ORDER BY rank) AS dterms,
-         list((power(2.0, rel) - 1.0) / ({disc})[ipos]
-              ORDER BY ipos) AS iterms,
          min(CASE WHEN rel > 0 THEN rank END) AS first_rel_rank
-  FROM ideal GROUP BY query_id
+  FROM scored GROUP BY query_id
 ),
-nr AS (
-  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
-  FROM qrels WHERE rel > 0 GROUP BY query_id
+-- standard IDCG: ideal ordering over ALL judged relevant docs in
+-- qrels (rel desc), truncated at k -- not just the retrieved set
+irel AS (
+  SELECT query_id, rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, neighbor_id ASC) AS ipos
+  FROM qrels WHERE rel > 0
+),
+iperq AS (
+  SELECT query_id,
+         list((power(2.0, rel) - 1.0) / ({disc})[ipos]
+              ORDER BY ipos) FILTER (WHERE ipos <= 10) AS iterms,
+         CAST(count(*) AS BIGINT) AS n_rel
+  FROM irel GROUP BY query_id
 ),
 m AS (
   SELECT p.query_id,
-         coalesce(nr.n_rel, 0) AS n_rel,
+         coalesce(i.n_rel, 0) AS n_rel,
          p.first_rel_rank,
          coalesce(1.0 / CAST(p.first_rel_rank AS DOUBLE), 0.0) AS rr,
          list_reduce(list_prepend(0.0, p.dterms), (a, b) -> a + b) AS dcg,
-         list_reduce(list_prepend(0.0, p.iterms), (a, b) -> a + b) AS idcg
-  FROM perq p LEFT JOIN nr ON nr.query_id = p.query_id
+         coalesce(list_reduce(list_prepend(0.0, coalesce(i.iterms, [])),
+                              (a, b) -> a + b), 0.0) AS idcg
+  FROM perq p LEFT JOIN iperq i ON i.query_id = p.query_id
 )
 SELECT query_id, n_rel, first_rel_rank, rr, dcg, idcg,
        CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END AS ndcg

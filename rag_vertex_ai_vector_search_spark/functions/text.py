@@ -500,6 +500,13 @@ C4_BADWORDS = ("badword1", "badword2", "obscenity")
 _C4_TERMINAL = ('.', '!', '?', '"')
 
 
+def _literal_split_pattern(sep: str) -> str:
+    """Quote ``sep`` for F.split, which treats its pattern as a Java
+    REGEX: \\Q...\\E quoting makes any separator (e.g. '.', '|')
+    split literally. Embedded \\E sequences are re-quoted."""
+    return "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def c4_clean_lines(
     col: Column | str,
     *,
@@ -515,8 +522,9 @@ def c4_clean_lines(
     re-joined with ``sep`` ('' when nothing survives) -- the
     filtered-reassembly shape whose DuckDB mirror (list_filter +
     array_to_string) is bit-proven. Pure codegen'd array expressions,
-    zero shuffles."""
-    lines = F.split(_c(col), F.lit(sep).cast("string"))
+    zero shuffles. ``sep`` is split as a LITERAL (regex-quoted), so
+    separators containing regex metacharacters are safe."""
+    lines = F.split(_c(col), F.lit(_literal_split_pattern(sep)))
 
     def keep_line(ln):
         trimmed = F.trim(ln)
@@ -565,7 +573,7 @@ def c4_quality_flags(
     for w in badwords:
         has_badword = has_badword | lower.contains(w)
     n_kept_lines = F.when(cleaned == "", F.lit(0)).otherwise(
-        F.size(F.split(cleaned, F.lit(sep).cast("string")))
+        F.size(F.split(cleaned, F.lit(_literal_split_pattern(sep))))
     ).cast("long")
     has_brace = cleaned.contains("{")
     has_lorem = lower.contains("lorem ipsum")

@@ -117,6 +117,12 @@ def ranking_metrics(
     idcg, ndcg); queries with no relevant documents report 0.0
     metrics and first_rel_rank null.
 
+    IDCG follows the standard definition: the ideal ordering over ALL
+    judged relevant documents in qrels (rels sorted descending),
+    truncated at k -- NOT just the rels of the retrieved top-k. A
+    ranking that misses relevant documents entirely therefore scores
+    ndcg < 1 (the same-set "local" variant would report 1.0).
+
     Determinism across engines: both DCG and IDCG are SEQUENTIAL
     folds over rank-sorted gain lists (F.aggregate == DuckDB
     list_reduce), so the float sums are bit-reproducible -- no
@@ -160,23 +166,27 @@ def ranking_metrics(
         lambda s: (F.pow(F.lit(2.0), s.getField("_rel")) - F.lit(1.0))
         / F.element_at(discounts, s.getField("_rank").cast("int")),
     )
-    # ideal ordering: rels sorted descending, positions 1..n
-    rels_desc = F.reverse(
-        F.sort_array(
-            F.transform(F.col("_by_rank"), lambda s: s.getField("_rel"))
-        )
+    # Ideal ordering over ALL judged relevant docs (qrels side, not
+    # the retrieved set): rels sorted descending, truncated at k.
+    # rel = 0 terms contribute (2^0 - 1) = 0 and sort last, so
+    # filtering them first never changes the truncated ideal prefix.
+    # sort_array of the VALUES is tie-insensitive, so the fold is
+    # bit-deterministic whatever order collect_list saw the rows in.
+    ideal = j.filter(F.col("_rel") > 0).groupBy("_q").agg(
+        F.slice(
+            F.sort_array(F.collect_list("_rel"), asc=False), 1, k
+        ).alias("_ideal_rels"),
+        F.count(F.lit(1)).cast("long").alias("n_rel"),
     )
     idcg_terms = F.zip_with(
-        rels_desc,
-        F.sequence(F.lit(1), F.greatest(F.size(rels_desc), F.lit(1))),
+        F.col("_ideal_rels"),
+        F.sequence(
+            F.lit(1), F.greatest(F.size("_ideal_rels"), F.lit(1))
+        ),
         lambda rel, pos: (F.pow(F.lit(2.0), rel) - F.lit(1.0))
         / F.element_at(discounts, pos.cast("int")),
     )
-    # qrels relevant-count per query rides a separate tiny aggregate
-    n_rel = j.filter(F.col("_rel") > 0).groupBy("_q").agg(
-        F.count(F.lit(1)).cast("long").alias("n_rel")
-    )
-    out = per_q.join(n_rel, "_q", "left").select(
+    out = per_q.join(ideal, "_q", "left").select(
         F.col("_q").alias(query_id_col),
         F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
         "first_rel_rank",
@@ -184,7 +194,7 @@ def ranking_metrics(
             1.0 / F.col("first_rel_rank").cast("double"), F.lit(0.0)
         ).alias("rr"),
         fold_sum(dcg_terms).alias("dcg"),
-        fold_sum(idcg_terms).alias("idcg"),
+        F.coalesce(fold_sum(idcg_terms), F.lit(0.0)).alias("idcg"),
     )
     return out.withColumn(
         "ndcg",

@@ -93,8 +93,10 @@ def hll_sketch(
     c = F.col(col) if isinstance(col, str) else col
     h = base_hash_fn(base_hash)(c)
     if base_hash == "xxhash64":
-        # fold the sign bit away so >> keeps the uniform geometry
-        h = F.abs(h)
+        # Mask the sign bit away (NOT abs: Java abs(Long.MIN_VALUE)
+        # overflows back to Long.MIN_VALUE, which would yield a
+        # negative bucket) so >> keeps the uniform 63-bit geometry.
+        h = h.bitwiseAND(F.lit((1 << 63) - 1))
     bucket = F.shiftright(h, w)
     rem = h.bitwiseAND(F.lit((1 << w) - 1))
     rho = F.when(rem == 0, F.lit(w + 1)).otherwise(

@@ -83,14 +83,16 @@ def apply_cms_batch(
     batch_df: DataFrame, epoch_id: int, table_path: str,
     *, col: str, group_cols: tuple[str, ...] = (),
     depth: int = 4, width: int = 1 << 12, base_hash: str = "sha60",
-    weight=None,
+    weight_col: str | None = None,
 ) -> None:
     """foreachBatch body: the batch's CMS counter partial under its
-    epoch partition."""
+    epoch partition. ``weight_col`` names an integer column to count
+    by (resolved to a Column here so the batch fn stays picklable)."""
     (
         cms_sketch(
             batch_df, col, group_cols=group_cols, depth=depth,
-            width=width, base_hash=base_hash, weight=weight,
+            width=width, base_hash=base_hash,
+            weight=None if weight_col is None else F.col(weight_col),
         )
         .withColumn("_epoch", F.lit(int(epoch_id)))
         .write.mode("overwrite")
@@ -104,8 +106,11 @@ def stream_cms(
     stream_df: DataFrame, table_path: str, *, checkpoint_dir: str,
     col: str, group_cols: tuple[str, ...] = (),
     depth: int = 4, width: int = 1 << 12, base_hash: str = "sha60",
+    weight_col: str | None = None,
 ):
-    """Attach CMS counter maintenance to a stream."""
+    """Attach CMS counter maintenance to a stream. ``weight_col``
+    (optional) names an integer column so weighted CMS maintenance
+    (token counts etc.) is reachable from the streaming path too."""
     return (
         stream_df.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
@@ -113,6 +118,7 @@ def stream_cms(
             lambda df, eid: apply_cms_batch(
                 df, eid, table_path, col=col, group_cols=group_cols,
                 depth=depth, width=width, base_hash=base_hash,
+                weight_col=weight_col,
             )
         )
         .start()

@@ -224,10 +224,17 @@ def test_ranking_metrics_hand_values(spark):
     assert q1.first_rel_rank == 2
     assert q1.rr == 0.5
     dcg = (2 ** 2 - 1) / math.log2(3) + (2 ** 1 - 1) / math.log2(5)
-    idcg = (2 ** 2 - 1) / math.log2(2) + (2 ** 1 - 1) / math.log2(3)
+    # standard IDCG: ideal ordering over ALL judged relevant docs
+    # (zzz rel=3 included even though never retrieved), truncated at k
+    idcg = (
+        (2 ** 3 - 1) / math.log2(2)
+        + (2 ** 2 - 1) / math.log2(3)
+        + (2 ** 1 - 1) / math.log2(4)
+    )
     assert abs(q1.dcg - dcg) < 1e-12
     assert abs(q1.idcg - idcg) < 1e-12
     assert abs(q1.ndcg - dcg / idcg) < 1e-12
+    assert q1.ndcg < 1.0  # missing a judged-relevant doc costs nDCG
 
     q2 = out["q2"]               # nothing relevant retrieved or known
     assert q2.n_rel == 0 and q2.first_rel_rank is None

@@ -152,6 +152,36 @@ def test_stream_cms_matches_batch_and_replay(spark, sf_smoke, tmp_path):
     _assert_same(read_cms(spark, table), twice_even)
 
 
+def test_stream_cms_weighted(spark, sf_smoke, tmp_path):
+    """Weighted CMS maintenance is reachable from the streaming path:
+    weight_col plumbs through to cms_sketch's weight and the stream
+    fold equals the weighted batch sketch."""
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    weighted = _words(docs).withColumn(
+        "w", (F.length("word") % 3 + 1).cast("long")
+    )
+    table = str(tmp_path / "cmsw")
+    even = weighted.filter(F.col("doc_id") % 2 == 0)
+    odd = weighted.filter(F.col("doc_id") % 2 == 1)
+    apply_cms_batch(
+        even, 0, table, col="word", depth=DEPTH, width=WIDTH,
+        weight_col="w",
+    )
+    apply_cms_batch(
+        odd, 1, table, col="word", depth=DEPTH, width=WIDTH,
+        weight_col="w",
+    )
+    _assert_same(
+        read_cms(spark, table),
+        cms_sketch(
+            weighted, "word", depth=DEPTH, width=WIDTH,
+            weight=F.col("w"),
+        ),
+    )
+
+
 def test_stream_cms_live_stream(spark, sf_smoke, tmp_path):
     docs = load_table(spark, sf_smoke, "documents").select(
         "doc_id", "text", "lang"
