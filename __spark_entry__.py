@@ -2125,6 +2125,65 @@ FROM top CROSS JOIN tot t
 """
 
 
+def q_streaming_vocab_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming subsystem's driver gate (VERDICT r6 #1): a REAL
+    Structured Streaming run -- micro-batched file source, foreachBatch
+    epoch-partitioned state writes (streaming/vocab.py, the reference's
+    STREAM_UPDATE semantic, index_manager.py:53) -- whose maintained
+    vocabulary table is folded and hash-matched against the plain batch
+    word-count SQL. stream==batch is the module's design invariant
+    (replay-idempotent epoch overwrite; proven in
+    tests/test_streaming_vocab.py); this query makes the driver enforce
+    it: the documents fixture is split into 3 files, streamed one file
+    per trigger (>= 2 micro-batches asserted), and the folded (word, n)
+    table is returned. The fold is localCheckpoint'ed so the result
+    outlives the temp working dir."""
+    import shutil
+    import tempfile
+
+    from rag_vertex_ai_vector_search_spark.streaming.vocab import (
+        read_vocab,
+        stream_vocab_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="stream_vocab_")
+    try:
+        src = f"{work}/src"
+        table = f"{work}/vocab"
+        ckpt = f"{work}/ckpt"
+        docs.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_vocab_counts(stream, table, checkpoint_dir=ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        n_epochs = (
+            spark.read.parquet(table).select("_epoch").distinct().count()
+        )
+        if n_epochs < 2:
+            raise RuntimeError(
+                f"stream produced {n_epochs} micro-batch(es); the gate "
+                "requires the maintained table to be built from >= 2"
+            )
+        return read_vocab(spark, table).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_SQL_STREAM_VOCAB = f"""
+WITH words AS (
+  SELECT unnest(string_split({_SQL_NORM}, ' ')) AS word FROM documents
+)
+SELECT word, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY word
+"""
+
+
 def q_hll_token_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-word cardinality per language
     (operators/sketch.py): the mergeable-sketch answer to "how many
@@ -5063,7 +5122,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_oracle_parity.py at sf0.001 and sf0.01.
     """
     return {
-        # -- new this round (r6): the two remaining approximate ANN
+        # -- new this round (r7): the streaming subsystem's FIRST
+        #    driver-gated row (VERDICT r6 #1) -- a real micro-batched
+        #    foreachBatch run whose maintained state table is folded
+        #    and hash-matched against the batch SQL -------------------
+        "streaming_vocab_maintained": q_streaming_vocab_maintained,
+        # -- new in r6: the two remaining approximate ANN
         #    families get oracled recall gates (VERDICT r5 #3), plus
         #    the round's novel operators promoted mid-round (each
         #    parity-proven at sf0.001 AND sf0.01 before promotion) ----
@@ -5094,7 +5158,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- vector search surface -------------------------------------
         "knn_hydrated": q_knn_hydrated,
         "knn_ivf_pruned": q_knn_ivf_pruned,
-        "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "knn_lsh_bucketed": q_knn_lsh_bucketed,
         "knn_pq_rerank": q_knn_pq_rerank,
         "knn_pq_full_rerank": q_knn_pq_full_rerank,
@@ -5230,8 +5293,17 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (the full train-then-encode tokenizer lifecycle under one
     composite oracle) and pagerank_citations (integer-exact PageRank,
     6 chained power iterations hash-matched).
+
+    r7 rotation: streaming_vocab_maintained (the streaming
+    subsystem's first driver gate, VERDICT r6 #1) displaces
+    knn_ivf_full_probe (green r2-r6; its full-probe==exact identity
+    rides _SQL_KNN_TOPK, which still gates knn_pq_full_rerank in the
+    declared window, and the IVF build/probe machinery is gated
+    harder by the still-declared ann_recall_ivf, whose oracle embeds
+    the same exact-truth side against the PRUNED configuration).
     """
     return {
+        "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "bpe_tokenize_corpus": q_bpe_tokenize_corpus,
         "pagerank_citations": q_pagerank_citations,
         "text_quality": q_text_quality,
@@ -5282,6 +5354,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "streaming_vocab_maintained": _SQL_STREAM_VOCAB,
         "ann_recall_ivf": _sql_ann_recall_ivf(),
         "ann_recall_pq": _sql_ann_recall_pq(),
         "hll_token_cardinality": _SQL_HLL_TOKENS,
@@ -5305,7 +5378,6 @@ def oracle_sql() -> dict[str, str]:
         "asof_latest_signup": _SQL_ASOF_SIGNUP,
         "knn_hydrated": _SQL_KNN_HYDRATED,
         # knn_ivf_pruned: approximate + iterative -> rows-only check
-        "knn_ivf_full_probe": _SQL_KNN_TOPK,
         "knn_lsh_bucketed": _sql_knn_lsh_bucketed(),
         # knn_pq_rerank: lossy ADC shortlist -> rows-only check
         "knn_pq_full_rerank": _SQL_KNN_TOPK,
@@ -5338,6 +5410,7 @@ def oracle_sql_archive() -> dict[str, str]:
     """Oracles for queries_archive() -- run by tests/test_oracle_parity.py
     (not the driver) so the rotated queries stay bit-exact-verified."""
     return {
+        "knn_ivf_full_probe": _SQL_KNN_TOPK,
         "bpe_tokenize_corpus": _sql_bpe_tokenize(8),
         "pagerank_citations": _sql_pagerank(6),
         "text_quality": _SQL_TEXT_QUALITY,

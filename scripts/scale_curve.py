@@ -51,17 +51,12 @@ QUERIES = [
 ]
 
 
-def _semdedup_production(spark, sf_dir):
-    from rag_vertex_ai_vector_search_spark.operators.semdedup import semdedup
-    from rag_vertex_ai_vector_search_spark.sources import load_table
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    return semdedup(emb, n_clusters=max(16, n // 500), threshold=0.9)
-
-
 def _resolve(name, entrymod):
     if name == "semdedup_production":
+        # single definition, shared with the bench harness (r7: the
+        # production config is benched in bench.py proper too)
+        from bench import _semdedup_production
+
         return _semdedup_production
     qs = entrymod.queries()
     if name in qs:
