@@ -121,3 +121,94 @@ def test_bpe_tokenize_roundtrip_consistency(spark, sf_smoke):
         assert len(toks) == r.n_tokens
         # no token contains a space; merged symbols are concatenations
         assert all(t for t in toks)
+
+
+def test_train_bpe_batched_equals_sequential_fixture(spark, sf_smoke):
+    """The batched trainer learns the IDENTICAL merge list (ranks,
+    pairs, counts) as one-merge-per-round training -- batching is an
+    execution strategy, not an approximation."""
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        train_bpe,
+    )
+    from rag_vertex_ai_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    seq = [tuple(r) for r in
+           train_bpe(docs, n_merges=40).orderBy("merge_rank").collect()]
+    stats: dict = {}
+    bat = [tuple(r) for r in
+           train_bpe(docs, n_merges=40, batch_candidates=64, stats=stats)
+           .orderBy("merge_rank").collect()]
+    assert bat == seq
+    # the batch path must actually batch (else the test is vacuous)
+    assert stats["rounds"] < 40
+    assert max(stats["batch_sizes"]) > 1
+
+
+def test_train_bpe_batched_equals_sequential_adversarial(spark):
+    """Collision-heavy corpus: a 3-letter alphabet forces shared
+    substrings, so created tokens regularly collide with existing
+    symbols (the case where naive top-N batching diverges from
+    sequential greedy). The stop-at-collision guard must keep the
+    merge lists identical anyway."""
+    import random
+
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        train_bpe,
+    )
+
+    rng = random.Random(7)
+    words = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(3, 10)))
+        for _ in range(400)
+    ]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i * 4:(i + 1) * 4])) for i in range(100)],
+        "doc_id long, text string",
+    )
+    seq = [tuple(r) for r in
+           train_bpe(docs, n_merges=60).orderBy("merge_rank").collect()]
+    stats: dict = {}
+    bat = [tuple(r) for r in
+           train_bpe(docs, n_merges=60, batch_candidates=128, stats=stats)
+           .orderBy("merge_rank").collect()]
+    assert bat == seq
+    assert stats["rounds"] < 60
+
+
+def test_train_bpe_driver_path_equals_sequential(spark, sf_smoke):
+    """driver_threshold collects the (fixed-size) vocabulary once and
+    trains in memory -- output identical to the distributed sequential
+    loop, on the fixture AND an adversarial 3-letter corpus."""
+    import random
+
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        train_bpe,
+    )
+    from rag_vertex_ai_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    seq = [tuple(r) for r in
+           train_bpe(docs, n_merges=40).orderBy("merge_rank").collect()]
+    stats: dict = {}
+    drv = [tuple(r) for r in
+           train_bpe(docs, n_merges=40, driver_threshold=1_000_000,
+                     stats=stats).orderBy("merge_rank").collect()]
+    assert drv == seq
+    assert stats["rounds"] == 0 and stats["driver_rows"] > 0
+
+    rng = random.Random(11)
+    words = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(3, 10)))
+        for _ in range(400)
+    ]
+    adv = spark.createDataFrame(
+        [(i, " ".join(words[i * 4:(i + 1) * 4])) for i in range(100)],
+        "doc_id long, text string",
+    )
+    seq2 = [tuple(r) for r in
+            train_bpe(adv, n_merges=60).orderBy("merge_rank").collect()]
+    drv2 = [tuple(r) for r in
+            train_bpe(adv, n_merges=60, driver_threshold=1_000_000)
+            .orderBy("merge_rank").collect()]
+    assert drv2 == seq2
