@@ -2494,6 +2494,113 @@ FROM pr_{n_iter}
 """
 
 
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted + personalized PageRank (operators/graph.py, r7): the
+    citation graph gains integer edge multiplicities (link counts; one
+    arm deliberately duplicates e1's (src, dst) pairs so the
+    parallel-edge weight aggregation is exercised) and a topic-
+    conditioned teleport vector (integer shares on the doc_id % 4 == 0
+    subset; all other nodes get ZERO teleport mass). Both extensions
+    stay in pure integer arithmetic -- contrib = (pr*w) div wdeg,
+    teleport = (total*share) div sum_shares -- so all 6 power
+    iterations still mirror as chained CTE stages bit-for-bit."""
+    from rag_vertex_ai_vector_search_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = docs.count()
+    i = F.col("doc_id")
+    w_long = lambda c: c.cast("long").alias("w")  # noqa: E731
+    e1 = docs.select(
+        i.alias("src"), ((i * 7 + 1) % d).alias("dst"), w_long(F.lit(1) + i % 3)
+    )
+    e2 = docs.select(
+        i.alias("src"), ((i * 13 + 3) % d).alias("dst"), w_long(F.lit(1) + i % 2)
+    )
+    e3 = docs.filter(i % 5 == 0).select(
+        i.alias("src"), ((i * 3 + 11) % d).alias("dst"), w_long(F.lit(3))
+    )
+    e4 = docs.filter(i % 4 == 0).select(
+        i.alias("src"), ((i * 7 + 1) % d).alias("dst"), w_long(F.lit(2))
+    )
+    edges = e1.union(e2).union(e3).union(e4)
+    pers = docs.filter(i % 4 == 0).select(
+        i.alias("node_id"), (F.lit(1) + i % 7).cast("long").alias("share")
+    )
+    return pagerank(
+        edges, weight_col="w", personalization=pers, n_iter=6
+    )
+
+
+def _sql_pagerank_weighted(n_iter: int = 6) -> str:
+    """Chained-CTE mirror of the weighted + personalized integer
+    PageRank: same edge/weight/share synthesis, weighted contribs
+    (pr*w)//wdeg, per-node teleport (150000000*share)//sum_shares."""
+    stages = []
+    for k in range(n_iter):
+        stages.append(f"""
+pr_{k + 1} AS (
+  SELECT t.node_id,
+         CAST(t.tele + (17 * coalesce(s.inc, 0)) // 20 AS BIGINT)
+           AS pr_units
+  FROM tele t
+  LEFT JOIN (
+    SELECT e.dst AS node_id,
+           CAST(sum((p.pr_units * e.w) // o.deg) AS BIGINT) AS inc
+    FROM edges e
+    JOIN pr_{k} p ON p.node_id = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node_id = t.node_id
+)""")
+    return f"""
+WITH d AS (SELECT count(*) AS d FROM documents),
+rawe AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT d FROM d) AS dst,
+         1 + doc_id % 3 AS w
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 3) % (SELECT d FROM d), 1 + doc_id % 2
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 3 + 11) % (SELECT d FROM d), 3
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, (doc_id * 7 + 1) % (SELECT d FROM d), 2
+  FROM documents WHERE doc_id % 4 = 0
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM rawe GROUP BY src, dst
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS node_id FROM edges
+  UNION
+  SELECT DISTINCT dst FROM edges
+),
+nn AS (SELECT count(*) AS n FROM nodes),
+shr AS (
+  SELECT doc_id AS node_id, CAST(1 + doc_id % 7 AS BIGINT) AS share
+  FROM documents WHERE doc_id % 4 = 0
+),
+ss AS (SELECT CAST(sum(share) AS BIGINT) AS s FROM shr),
+tele AS MATERIALIZED (
+  SELECT n.node_id,
+         CAST((150000000::BIGINT * coalesce(s.share, 0))
+              // (SELECT s FROM ss) AS BIGINT) AS tele
+  FROM nodes n LEFT JOIN shr s ON s.node_id = n.node_id
+),
+outdeg AS MATERIALIZED (
+  SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM edges GROUP BY src
+),
+pr_0 AS (
+  SELECT node_id,
+         CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS pr_units
+  FROM nodes
+),{",".join(stages)}
+SELECT node_id, pr_units,
+       CAST(pr_units AS DOUBLE) / 1000000000.0 AS pr
+FROM pr_{n_iter}
+"""
+
+
 def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, operators/semdedup.py): embedding-
     cluster semantic dedup with the paper's keep-lowest-centroid-
@@ -5306,6 +5413,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "bpe_tokenize_corpus": q_bpe_tokenize_corpus,
         "pagerank_citations": q_pagerank_citations,
+        "pagerank_weighted": q_pagerank_weighted,
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
         "pii_scrub": q_pii_scrub,
@@ -5413,6 +5521,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "knn_ivf_full_probe": _SQL_KNN_TOPK,
         "bpe_tokenize_corpus": _sql_bpe_tokenize(8),
         "pagerank_citations": _sql_pagerank(6),
+        "pagerank_weighted": _sql_pagerank_weighted(6),
         "text_quality": _SQL_TEXT_QUALITY,
         "text_repetition": _SQL_TEXT_REPETITION,
         "pii_scrub": _SQL_PII_SCRUB,

@@ -28,10 +28,26 @@ float luck. n_iter is fixed (power iteration converges geometrically;
 Scale shape per iteration: one join edges->pr (shuffle on src), one
 groupBy dst (shuffle on dst), one left join back to nodes -- all
 equi-joins on ids; localCheckpoint truncates lineage every few rounds
-like the CC and BPE loops. The only driver scalar is N (one count).
+like the CC and BPE loops. The only driver scalars are N (one count)
+and, for the personalized variant, the one-row teleport-share sum.
+
+Weighted edges and personalized teleport (round 7) stay inside the
+same integer algebra:
+
+    contrib(e)  = (pr[src] * w(e)) div wdeg[src]   (wdeg = sum of
+                  outgoing weights; w(e) an integer multiplicity,
+                  e.g. a link count)
+    teleport[v] = (total_teleport * share[v]) div sum_shares
+                  (per-node integer shares; uniform when no
+                  personalization vector is given)
+
+so weighted and topic-conditioned (personalized) authority both stay
+bit-reproducible and mirror in the same chained-CTE oracle.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -42,6 +58,8 @@ def pagerank(
     *,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: Optional[str] = None,
+    personalization: Optional[DataFrame] = None,
     n_iter: int = 10,
     damping_num: int = 17,
     damping_den: int = 20,
@@ -52,10 +70,30 @@ def pagerank(
     ``(node_id, pr_units, pr)`` -- rank in micro-units (long) and as a
     double (units / scale). Damping is the rational
     ``damping_num/damping_den`` (default 17/20 = 0.85).
+
+    ``weight_col`` names an integer edge-multiplicity column (e.g. a
+    link count): parallel edges are summed per (src, dst) and each
+    source's rank splits proportionally to weight instead of uniformly.
+    ``personalization`` is an optional ``(node_id, share)`` DataFrame of
+    integer teleport shares -- the topic-conditioned (personalized)
+    variant; nodes absent from it get zero teleport mass. Both stay in
+    pure integer arithmetic, so the fixpoint remains bit-reproducible
+    across engines and partitionings.
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    if weight_col is None:
+        e = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).distinct().withColumn("w", F.lit(1).cast("long"))
+    else:
+        e = (
+            edges.select(
+                F.col(src_col).alias("src"),
+                F.col(dst_col).alias("dst"),
+                F.col(weight_col).cast("long").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").cast("long").alias("w"))
+        )
     nodes = (
         e.select(F.col("src").alias("node_id"))
         .union(e.select(F.col("dst").alias("node_id")))
@@ -66,11 +104,33 @@ def pagerank(
     if n == 0:
         raise ValueError("pagerank on an empty edge list")
     init_units = scale // n
-    teleport = (scale - (damping_num * scale) // damping_den) // n
+    total_teleport = scale - (damping_num * scale) // damping_den
 
-    outdeg = e.groupBy("src").agg(
-        F.count(F.lit(1)).cast("long").alias("_deg")
-    )
+    if personalization is None:
+        # Uniform teleport: one constant per node.
+        tele = nodes.withColumn(
+            "_tele", F.lit(total_teleport // n).cast("long")
+        )
+    else:
+        shares = personalization.select(
+            F.col("node_id"), F.col("share").cast("long").alias("share")
+        )
+        sum_shares = shares.agg(F.sum("share")).collect()[0][0]
+        if not sum_shares or sum_shares <= 0:
+            raise ValueError("personalization shares must sum > 0")
+        tele = (
+            nodes.join(shares, "node_id", "left")
+            .select(
+                "node_id",
+                F.expr(
+                    f"({total_teleport} * coalesce(share, 0L))"
+                    f" div {sum_shares}"
+                ).cast("long").alias("_tele"),
+            )
+        )
+    tele = tele.localCheckpoint(eager=True)
+
+    outdeg = e.groupBy("src").agg(F.sum("w").cast("long").alias("_deg"))
     pr = nodes.withColumn("pr_units", F.lit(init_units).cast("long"))
     for i in range(1, n_iter + 1):
         contrib = (
@@ -78,18 +138,18 @@ def pagerank(
             .join(outdeg, "src")
             .select(
                 F.col("dst"),
-                F.expr("pr_units div _deg").alias("_c"),
+                F.expr("(pr_units * w) div _deg").alias("_c"),
             )
         )
         inc = contrib.groupBy("dst").agg(
             F.sum("_c").cast("long").alias("_inc")
         )
         pr = (
-            nodes.join(inc, nodes["node_id"] == inc["dst"], "left")
+            tele.join(inc, tele["node_id"] == inc["dst"], "left")
             .select(
                 "node_id",
                 (
-                    F.lit(teleport)
+                    F.col("_tele")
                     + F.expr(
                         f"({damping_num} * coalesce(_inc, 0L)) "
                         f"div {damping_den}"

@@ -56,3 +56,50 @@ def test_pagerank_empty_raises(spark):
     e = spark.createDataFrame([], "src long, dst long")
     with pytest.raises(ValueError, match="empty edge list"):
         pagerank(e)
+
+
+def test_pagerank_weighted_splits_rank_by_weight(spark):
+    """src fans out to a (weight 3) and b (weight 1): a must receive
+    ~3x b's contribution; with uniform weights they tie. Parallel
+    (src, dst) rows must aggregate into one weighted edge."""
+    e = spark.createDataFrame(
+        [("s", "a", 2), ("s", "a", 1), ("s", "b", 1),
+         ("a", "s", 1), ("b", "s", 1)],
+        "src string, dst string, w int",
+    )
+    pr = {r.node_id: r.pr_units
+          for r in pagerank(e, weight_col="w", n_iter=12).collect()}
+    assert pr["a"] > pr["b"]
+    # uniform weights restore the tie
+    pr_u = {r.node_id: r.pr_units
+            for r in pagerank(e.select("src", "dst"), n_iter=12).collect()}
+    assert pr_u["a"] == pr_u["b"]
+
+
+def test_pagerank_personalized_teleport_shares(spark):
+    """Teleport mass lands only on nodes with a share; a node outside
+    the personalization set with no in-links converges to rank 0."""
+    n = 8
+    e = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)] + [(99, 0)],
+        "src long, dst long",
+    )
+    pers = spark.createDataFrame(
+        [(0, 3), (1, 1)], "node_id long, share long"
+    )
+    pr = {r.node_id: r.pr_units
+          for r in pagerank(e, personalization=pers, n_iter=20).collect()}
+    # node 99 has no in-edges and no teleport share -> mass decays to 0
+    assert pr[99] == 0
+    # node 0 (share 3) out-ranks node 1 (share 1 but also fed by 0's
+    # chain position): check teleport-only corner instead -- node 0
+    # gets 3/4 of teleport, and every node is reachable so all > 0
+    assert pr[0] > 0 and pr[1] > 0
+    assert sum(pr.values()) <= 10 ** 9
+
+
+def test_pagerank_personalized_invalid_shares(spark):
+    e = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    pers = spark.createDataFrame([(0, 0)], "node_id long, share long")
+    with pytest.raises(ValueError, match="sum > 0"):
+        pagerank(e, personalization=pers)
