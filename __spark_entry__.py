@@ -3047,10 +3047,31 @@ FROM top
 def q_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) corpus health report: the roll-up a data
     curator reads before training -- doc counts, token mass, short-doc
-    and exact-dup counts, tagged-vs-detected language mismatches.
-    Every metric is integer-derived (counts and bigint token sums; the
-    one ratio is an exact bigint/bigint division), so the aggregate is
-    order-independent and bit-exact against DuckDB."""
+    and exact-dup counts, tagged-vs-detected language mismatches,
+    and (r7) MEDIA DECODE RATES, so "what fraction of my media
+    decoded?" is answered by the same query. Every metric is
+    integer-derived (counts and bigint token sums; the one ratio is an
+    exact bigint/bigint division), so the aggregate is
+    order-independent and bit-exact against DuckDB.
+
+    The media columns run the REAL counted-skip decode path: docs with
+    doc_id % 37 == 0 get synthesized PNG+WAV assets with planted
+    defects (synthesize_media_with_defects: IDAT bit-flips ->
+    corrupt, truncated WAV -> corrupt, MP3 bytes -> unsupported),
+    decoded with on_error="skip" and folded per (lang, source). The
+    defect rules are closed-form in doc_id, so the oracle predicts
+    the counts without decoding -- while the Spark side must EARN
+    them through the codecs; a decoder regression flips statuses and
+    breaks the hash."""
+    from rag_vertex_ai_vector_search_spark.multimodal import (
+        decode_image,
+        extract_audio_spectral_features,
+        extract_image_features,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        synthesize_media_with_defects,
+    )
+
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     enriched = docs.select(
         "lang",
@@ -3060,7 +3081,7 @@ def q_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_fingerprint("text").alias("_fp"),
     )
     fp_df = enriched.groupBy("_fp").agg(F.count(F.lit(1)).alias("_fp_df"))
-    return (
+    base = (
         enriched.join(fp_df, "_fp")
         .groupBy("lang", "source")
         .agg(
@@ -3076,6 +3097,41 @@ def q_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.sum((F.col("_fp_df") > 1).cast("long")).alias("n_dup_docs"),
         )
+    )
+
+    media_docs = docs.filter(F.col("doc_id") % 37 == 0).select(
+        "doc_id", "lang", "source"
+    )
+    media = synthesize_media_with_defects(media_docs)
+    imgs = extract_image_features(
+        media.filter(F.col("media_type").startswith("image/")),
+        feature_dim=4, decoder=decode_image, on_error="skip",
+    ).select("doc_id", "decode_status")
+    auds = extract_audio_spectral_features(
+        media.filter(F.col("media_type").startswith("audio/")),
+        n_bands=4, on_error="skip",
+    ).select("doc_id", "decode_status")
+    mstats = (
+        imgs.unionByName(auds)
+        .join(media_docs, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_mi"),
+            F.sum((F.col("decode_status") == "ok").cast("long")).alias("_mo"),
+            F.sum(
+                (F.col("decode_status") == "unsupported").cast("long")
+            ).alias("_mu"),
+            F.sum(
+                (F.col("decode_status") == "corrupt").cast("long")
+            ).alias("_mc"),
+        )
+    )
+    return base.join(mstats, ["lang", "source"], "left").select(
+        base["*"],
+        F.coalesce("_mi", F.lit(0)).cast("long").alias("n_media_items"),
+        F.coalesce("_mo", F.lit(0)).cast("long").alias("n_media_ok"),
+        F.coalesce("_mu", F.lit(0)).cast("long").alias("n_media_unsupported"),
+        F.coalesce("_mc", F.lit(0)).cast("long").alias("n_media_corrupt"),
     )
 
 
@@ -3098,20 +3154,47 @@ l AS (
                  ELSE 'fr' END AS lid
   FROM t
 ),
-d AS (SELECT fp, count(*) AS fp_df FROM t GROUP BY fp)
-SELECT lang, source,
-       count(*) AS n_docs,
-       CAST(sum(ntok) AS BIGINT) AS total_tokens,
-       CAST(CAST(sum(ntok) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-         AS avg_tokens,
-       CAST(sum(CASE WHEN ntok < 20 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_short_docs,
-       CAST(sum(CASE WHEN lid <> lang THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_lang_mismatch,
-       CAST(sum(CASE WHEN fp_df > 1 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_dup_docs
-FROM l JOIN d USING (fp)
-GROUP BY lang, source
+d AS (SELECT fp, count(*) AS fp_df FROM t GROUP BY fp),
+base AS (
+  SELECT lang, source,
+         count(*) AS n_docs,
+         CAST(sum(ntok) AS BIGINT) AS total_tokens,
+         CAST(CAST(sum(ntok) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS avg_tokens,
+         CAST(sum(CASE WHEN ntok < 20 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_short_docs,
+         CAST(sum(CASE WHEN lid <> lang THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lang_mismatch,
+         CAST(sum(CASE WHEN fp_df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_docs
+  FROM l JOIN d USING (fp)
+  GROUP BY lang, source
+),
+-- decode statuses are a closed-form function of doc_id (the planted-
+-- defect rules in synthesize_media_with_defects): png corrupt iff
+-- doc_id%4=0, wav corrupt iff doc_id%4=1, extra unsupported mpeg iff
+-- doc_id%3=0. The Spark side earns these through the real codecs.
+m AS (
+  SELECT lang, source,
+         CAST(2 * count(*)
+              + sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_media_items,
+         CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END)
+              + sum(CASE WHEN doc_id % 4 = 1 THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_media_ok,
+         CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_media_unsupported,
+         CAST(sum(CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_media_corrupt
+  FROM documents WHERE doc_id % 37 = 0
+  GROUP BY lang, source
+)
+SELECT base.*,
+       coalesce(m.n_media_items, 0) AS n_media_items,
+       coalesce(m.n_media_ok, 0) AS n_media_ok,
+       coalesce(m.n_media_unsupported, 0) AS n_media_unsupported,
+       coalesce(m.n_media_corrupt, 0) AS n_media_corrupt
+FROM base LEFT JOIN m USING (lang, source)
 """
 
 

@@ -164,3 +164,79 @@ def synthesize_media(
             )
 
     return df.select(id_col).mapInPandas(_synth, out_schema)
+
+
+# Published MP3 framing bytes: an ID3v2.4 tag header followed by
+# MPEG-1 Layer III frame syncs (0xFFFB) -- enough for any magic-based
+# router to classify the blob, and guaranteed to hit the codecs'
+# NotImplementedError format contract (no MP3 decoder in-repo).
+MP3_STUB = b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\xff\xfb\x90\x00" * 40
+
+
+def synthesize_media_with_defects(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    unsupported_every: int = 3,
+    corrupt_every: int = 4,
+) -> DataFrame:
+    """Deterministic media synthesis WITH planted defects, so the
+    counted-skip decode contract can be exercised (and oracled) at
+    corpus scale:
+
+    - every input row gets one clean-roundtrip PNG and WAV;
+    - seed % corrupt_every == 0: the PNG's IDAT stream is bit-flipped
+      (raw zlib.error downstream -> DECODE_CORRUPT);
+    - seed % corrupt_every == 1: the WAV is truncated to a third
+      (container error -> DECODE_CORRUPT);
+    - seed % unsupported_every == 0: an EXTRA ``audio/mpeg`` item with
+      real MP3 header bytes (NotImplementedError -> DECODE_UNSUPPORTED).
+
+    Every decode_status is therefore a CLOSED-FORM function of the
+    seed: a SQL oracle can predict per-group decode rates without
+    decoding anything, while the Spark side earns them through the
+    real decode path -- a codec regression flips statuses and breaks
+    the hash. Same executor-side mapInPandas shape as
+    ``synthesize_media``.
+    """
+    from .binary_ops import encode_png
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, media_type string, content binary"
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, blobs = [], [], []
+            for rid in pdf[id_col]:
+                seed = int(rid)
+                png = encode_png(_synth_image(seed, rgb=seed % 2 == 0))
+                if seed % corrupt_every == 0:
+                    # flip 12 bytes inside the zlib IDAT payload: the
+                    # signature/IHDR stay valid, the inflate fails
+                    i = png.index(b"IDAT") + 8
+                    png = (
+                        png[:i]
+                        + bytes(b ^ 0xFF for b in png[i:i + 12])
+                        + png[i + 12:]
+                    )
+                wav = encode_wav_pcm(
+                    _synth_audio(seed), channels=1 + seed % 2, sampwidth=2
+                )
+                if seed % corrupt_every == 1:
+                    # odd byte count: even-sampwidth PCM can never
+                    # frame-align, so the cut fails decode for ANY
+                    # channel count (an aligned cut of a stereo WAV
+                    # parses as a legitimately shorter clip)
+                    wav = wav[: (len(wav) // 3) | 1]
+                items = [("image/png", png), ("audio/wav", wav)]
+                if seed % unsupported_every == 0:
+                    items.append(("audio/mpeg", MP3_STUB))
+                for mt, blob in items:
+                    ids.append(rid)
+                    types.append(mt)
+                    blobs.append(blob)
+            yield pd.DataFrame(
+                {id_col: ids, "media_type": types, "content": blobs}
+            )
+
+    return df.select(id_col).mapInPandas(_synth, out_schema)

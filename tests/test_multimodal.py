@@ -1142,3 +1142,47 @@ def test_decode_raise_mode_unchanged(spark):
     assert "decode_status" not in strict.columns
     with pytest.raises(Exception):
         strict.collect()
+
+
+def test_synthesize_media_with_defects_statuses_closed_form(spark):
+    """The planted-defect rules must map to decode statuses as a pure
+    function of the seed -- this equivalence is what lets
+    corpus_quality_report's oracle predict decode rates without
+    decoding (r7)."""
+    from rag_vertex_ai_vector_search_spark.multimodal import (
+        DECODE_CORRUPT,
+        DECODE_OK,
+        DECODE_UNSUPPORTED,
+        decode_image,
+        extract_audio_spectral_features,
+        extract_image_features,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        synthesize_media_with_defects,
+    )
+
+    ids = spark.range(0, 13).select(F.col("id").alias("doc_id"))
+    media = synthesize_media_with_defects(ids)
+    imgs = extract_image_features(
+        media.filter(F.col("media_type").startswith("image/")),
+        feature_dim=4, decoder=decode_image, on_error="skip",
+    ).select("doc_id", "media_type", "decode_status")
+    auds = extract_audio_spectral_features(
+        media.filter(F.col("media_type").startswith("audio/")),
+        n_bands=4, on_error="skip",
+    ).select("doc_id", "media_type", "decode_status")
+    rows = {
+        (r.doc_id, r.media_type): r.decode_status
+        for r in imgs.unionByName(auds).collect()
+    }
+    for seed in range(13):
+        exp_png = DECODE_CORRUPT if seed % 4 == 0 else DECODE_OK
+        exp_wav = DECODE_CORRUPT if seed % 4 == 1 else DECODE_OK
+        assert rows[(seed, "image/png")] == exp_png, seed
+        assert rows[(seed, "audio/wav")] == exp_wav, seed
+        if seed % 3 == 0:
+            assert rows[(seed, "audio/mpeg")] == DECODE_UNSUPPORTED, seed
+        else:
+            assert (seed, "audio/mpeg") not in rows, seed
+    # item count: 2 per seed + one mpeg per seed%3==0
+    assert len(rows) == 2 * 13 + 5
