@@ -5294,6 +5294,41 @@ SELECT query_id, neighbor_id FROM (
     return _sql_recall_join(_SQL_KNN_TOPK, apx)
 
 
+def q_ann_recall_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row tuning-sweep summary over the pinned-quantizer IVF
+    recall report (r7, VERDICT r6 #7): micro recall = sum(n_hits) /
+    sum(n_exact) as ONE exact integer division, worst-query recall as
+    a min (selection, not accumulation), and the perfect-query
+    fraction from an integer count -- the reformulation that makes a
+    float summary hash-gateable (a partition-order avg() could not
+    be). n_exact is uniform (k=10 per query), so micro == the macro
+    mean recall this summary replaces."""
+    from rag_vertex_ai_vector_search_spark.operators.evaluate import (
+        recall_summary,
+    )
+
+    return recall_summary(q_ann_recall_ivf(spark, sf_dir))
+
+
+def _sql_ann_recall_summary() -> str:
+    """Aggregate mirror over the full ann_recall_ivf derived table."""
+    return f"""
+WITH rep AS ({_sql_ann_recall_ivf()})
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(n_exact) AS BIGINT) AS sum_exact,
+       CAST(sum(n_hits) AS BIGINT) AS sum_hits,
+       CASE WHEN sum(n_exact) > 0
+            THEN CAST(sum(n_hits) AS DOUBLE) / CAST(sum(n_exact) AS DOUBLE)
+            ELSE 0.0 END AS micro_recall,
+       min(recall) AS min_recall,
+       CAST(sum(CASE WHEN recall >= 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_perfect,
+       CAST(sum(CASE WHEN recall >= 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS frac_perfect
+FROM rep
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -5348,7 +5383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- vector search surface -------------------------------------
         "knn_hydrated": q_knn_hydrated,
         "knn_ivf_pruned": q_knn_ivf_pruned,
-        "knn_lsh_bucketed": q_knn_lsh_bucketed,
+        "ann_recall_summary": q_ann_recall_summary,
         "knn_pq_rerank": q_knn_pq_rerank,
         "knn_pq_full_rerank": q_knn_pq_full_rerank,
         "hybrid_search_rrf": q_hybrid_search_rrf,
@@ -5491,8 +5526,15 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     declared window, and the IVF build/probe machinery is gated
     harder by the still-declared ann_recall_ivf, whose oracle embeds
     the same exact-truth side against the PRUNED configuration).
+
+    Second r7 rotation: ann_recall_summary (the integer-sum recall
+    summary, VERDICT r6 #7) displaces knn_lsh_bucketed -- whose whole
+    oracle (hyperplanes, banding, bucket join, top-k) remains embedded
+    verbatim as the approx side of the still-declared ann_recall_lsh,
+    so the LSH machinery keeps a driver gate.
     """
     return {
+        "knn_lsh_bucketed": q_knn_lsh_bucketed,
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "bpe_tokenize_corpus": q_bpe_tokenize_corpus,
         "pagerank_citations": q_pagerank_citations,
@@ -5569,7 +5611,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_latest_signup": _SQL_ASOF_SIGNUP,
         "knn_hydrated": _SQL_KNN_HYDRATED,
         # knn_ivf_pruned: approximate + iterative -> rows-only check
-        "knn_lsh_bucketed": _sql_knn_lsh_bucketed(),
+        "ann_recall_summary": _sql_ann_recall_summary(),
         # knn_pq_rerank: lossy ADC shortlist -> rows-only check
         "knn_pq_full_rerank": _SQL_KNN_TOPK,
         "hybrid_search_rrf": _sql_hybrid_rrf(),
@@ -5601,6 +5643,7 @@ def oracle_sql_archive() -> dict[str, str]:
     """Oracles for queries_archive() -- run by tests/test_oracle_parity.py
     (not the driver) so the rotated queries stay bit-exact-verified."""
     return {
+        "knn_lsh_bucketed": _sql_knn_lsh_bucketed(),
         "knn_ivf_full_probe": _SQL_KNN_TOPK,
         "bpe_tokenize_corpus": _sql_bpe_tokenize(8),
         "pagerank_citations": _sql_pagerank(6),

@@ -265,6 +265,10 @@ BENCH_QUERIES = [
     ("knn_ranking_metrics", entrymod.q_knn_ranking_metrics),
     ("bpe_tokenize_corpus", entrymod.q_bpe_tokenize_corpus),
     ("pagerank_citations", entrymod.q_pagerank_citations),
+    # r7: weighted + personalized PageRank, and the integer-sum recall
+    # summary that replaced the float-avg formulation
+    ("pagerank_weighted", entrymod.q_pagerank_weighted),
+    ("ann_recall_summary", entrymod.q_ann_recall_summary),
     # r7: the streaming subsystem's driver-gated row -- a real
     # micro-batched foreachBatch run + state-table fold (VERDICT r6 #1)
     ("streaming_vocab_maintained", entrymod.q_streaming_vocab_maintained),

@@ -74,15 +74,40 @@ def recall_report(
 def recall_summary(
     report: DataFrame, *, query_id_col: str = "query_id"
 ) -> DataFrame:
-    """One-row macro summary of a recall_report: mean/min recall and
-    the fraction of queries at perfect recall -- the numbers an index
-    tuning sweep compares across configurations."""
+    """One-row summary of a recall_report: micro-averaged recall,
+    worst-query recall and the fraction of queries at perfect recall
+    -- the numbers an index tuning sweep compares across
+    configurations.
+
+    Every column is order-independent by construction (r7), so the
+    summary is bit-reproducible across partitionings and engines:
+    integer counter sums (``sum_hits``/``sum_exact``/``n_perfect``)
+    with ONE exact double division each for the two rates, and a
+    ``min`` (a selection, not an accumulation) for the floor.
+    ``micro_recall`` = sum(n_hits)/sum(n_exact) equals the macro mean
+    recall whenever n_exact is uniform across queries (the top-k
+    evaluation case); a float ``avg(recall)`` would reassociate under
+    partitioning and is deliberately not offered."""
     return report.agg(
         F.count(F.lit(1)).cast("long").alias("n_queries"),
-        F.avg("recall").alias("mean_recall"),
+        F.sum("n_exact").cast("long").alias("sum_exact"),
+        F.sum("n_hits").cast("long").alias("sum_hits"),
         F.min("recall").alias("min_recall"),
-        F.avg(
-            F.when(F.col("recall") >= 1.0, F.lit(1.0)).otherwise(F.lit(0.0))
+        F.sum((F.col("recall") >= 1.0).cast("long")).alias("n_perfect"),
+    ).select(
+        "n_queries",
+        "sum_exact",
+        "sum_hits",
+        F.when(
+            F.col("sum_exact") > 0,
+            F.col("sum_hits").cast("double")
+            / F.col("sum_exact").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("micro_recall"),
+        "min_recall",
+        "n_perfect",
+        (
+            F.col("n_perfect").cast("double")
+            / F.col("n_queries").cast("double")
         ).alias("frac_perfect"),
     )
 

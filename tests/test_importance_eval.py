@@ -156,8 +156,11 @@ def test_recall_report_values(spark):
 
     s = recall_summary(recall_report(approx, exact)).collect()[0]
     assert s.n_queries == 4
-    assert s.mean_recall == pytest.approx((2 / 3 + 1.0 + 0.0 + 0.0) / 4)
-    assert s.frac_perfect == pytest.approx(1 / 4)
+    # integer-sum micro recall: hits (2 + 2 + 0 + 0) / truth (3+2+1+0)
+    assert (s.sum_hits, s.sum_exact) == (4, 6)
+    assert s.micro_recall == pytest.approx(4 / 6)
+    assert s.min_recall == 0.0
+    assert (s.n_perfect, s.frac_perfect) == (1, pytest.approx(1 / 4))
 
 
 @pytest.mark.full
@@ -196,7 +199,7 @@ def test_recall_report_on_real_ann_path(spark):
     # zero-plane cover == exact: recall 1.0 for every query
     full = lsh_topk(emb, queries, k=10, n_planes=0, bands=1)
     s = recall_summary(recall_report(full, exact)).collect()[0]
-    assert s.mean_recall == 1.0 and s.frac_perfect == 1.0
+    assert s.micro_recall == 1.0 and s.frac_perfect == 1.0
 
 
 def test_ranking_metrics_hand_values(spark):
