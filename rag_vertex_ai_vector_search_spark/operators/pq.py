@@ -111,6 +111,87 @@ def _kmeans_1sub(x: np.ndarray, ksub: int, iters: int, rng) -> np.ndarray:
     return cent
 
 
+def _kmeans_1sub_aniso(
+    x: np.ndarray, ksub: int, iters: int, rng, eta: float
+) -> np.ndarray:
+    """Anisotropic (score-aware) Lloyd's for one subspace -- the "A"
+    refinement ScaNN brings to AH (Guo et al., ICML 2020, Thm 3.2):
+    quantization error PARALLEL to the datapoint hurts high inner
+    products (the pairs top-k ranking cares about) more than
+    orthogonal error, so it is weighted ``eta`` >= 1 times harder.
+
+    Per point, with residual r = c - x and unit direction u = x/|x|:
+        loss(c) = |r|^2 + (eta - 1) * (r . u)^2
+    Assignment minimizes this loss; the codeword update solves the
+    per-cluster normal equations exactly:
+        [ n_j I + (eta-1) sum u_i u_i^T ] c_j = eta * sum x_i
+    (using M_i x_i = eta x_i when u_i = x_i/|x_i|), a dsub x dsub
+    solve per cluster. eta = 1 degenerates to plain Lloyd's.
+    Zero-norm points contribute isotropically (u = 0)."""
+    n, d = x.shape
+    norms = np.linalg.norm(x, axis=1)
+    u = np.zeros_like(x)
+    nz = norms > 0
+    u[nz] = x[nz] / norms[nz, None]
+    k = min(ksub, n)
+    cent = x[rng.choice(n, size=k, replace=False)].copy()
+    if k < ksub:
+        cent = np.vstack([cent, cent[rng.integers(0, k, size=ksub - k)]])
+    for _ in range(iters):
+        d2 = (
+            (x ** 2).sum(axis=1, keepdims=True)
+            - 2.0 * x @ cent.T
+            + (cent ** 2).sum(axis=1)
+        )
+        # (r . u) for every (point, codeword): c.u - |x| (u.x == |x|)
+        proj = u @ cent.T - norms[:, None]
+        loss = d2 + (eta - 1.0) * proj ** 2
+        assign = loss.argmin(axis=1)
+        far = loss[np.arange(n), assign].argsort()[::-1]
+        spill = 0
+        eye = np.eye(d)
+        for j in range(ksub):
+            mask = assign == j
+            if mask.any():
+                uj = u[mask]
+                a = mask.sum() * eye + (eta - 1.0) * (uj.T @ uj)
+                b = eta * x[mask].sum(axis=0)
+                cent[j] = np.linalg.solve(a, b)
+            else:
+                cent[j] = x[far[spill % n]]
+                spill += 1
+    return cent
+
+
+def score_aware_loss(
+    sample: np.ndarray, books: "PQCodebooks", *, eta: float
+) -> float:
+    """Mean per-point score-aware quantization loss of ``sample`` under
+    ``books`` (summed over subspaces, best-codeword assignment by the
+    same loss). The training objective of the anisotropic trainer --
+    exposed so tests can assert the anisotropic codebooks beat plain
+    Lloyd's on the objective that predicts MIPS ranking quality."""
+    sample = np.ascontiguousarray(sample, dtype=np.float64)
+    m, dsub = books.m, books.dsub
+    total = 0.0
+    for j in range(m):
+        x = np.ascontiguousarray(sample[:, j * dsub:(j + 1) * dsub])
+        cent = books.codebooks[j]
+        norms = np.linalg.norm(x, axis=1)
+        u = np.zeros_like(x)
+        nz = norms > 0
+        u[nz] = x[nz] / norms[nz, None]
+        d2 = (
+            (x ** 2).sum(axis=1, keepdims=True)
+            - 2.0 * x @ cent.T
+            + (cent ** 2).sum(axis=1)
+        )
+        proj = u @ cent.T - norms[:, None]
+        loss = d2 + (eta - 1.0) * proj ** 2
+        total += loss.min(axis=1).sum()
+    return float(total / sample.shape[0])
+
+
 def train_pq(
     df: DataFrame,
     *,
@@ -120,6 +201,7 @@ def train_pq(
     sample_rows: int = 65_536,
     iters: int = 12,
     seed: int = 42,
+    anisotropic_eta: float | None = None,
 ) -> PQCodebooks:
     """Train per-subspace codebooks on a bounded sample.
 
@@ -127,6 +209,14 @@ def train_pq(
     touches the driver; at 100 TB this is a fixed ~200 MB regardless of
     corpus size, and the m independent k-means runs are numpy-local.
     ``dim`` must be divisible by ``m``.
+
+    ``anisotropic_eta``: when set (> 1), train with the score-aware
+    anisotropic loss (ScaNN, Guo et al. 2020) instead of plain
+    euclidean Lloyd's -- parallel-to-datapoint quantization error is
+    weighted ``eta`` times the orthogonal error, improving recall@k
+    for inner-product search at the same code budget. Everything
+    downstream (encode, ADC, rerank) is unchanged: the result is just
+    a better codebook tensor.
     """
     if ksub > 256:
         raise ValueError(
@@ -153,10 +243,20 @@ def train_pq(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
     rng = np.random.default_rng(seed)
+    if anisotropic_eta is not None and anisotropic_eta < 1.0:
+        raise ValueError(
+            f"anisotropic_eta={anisotropic_eta} < 1: parallel error "
+            "must weigh at least as much as orthogonal error"
+        )
     books = np.stack([
         _kmeans_1sub(
             np.ascontiguousarray(sample[:, j * dsub:(j + 1) * dsub]),
             ksub, iters, rng,
+        )
+        if anisotropic_eta is None
+        else _kmeans_1sub_aniso(
+            np.ascontiguousarray(sample[:, j * dsub:(j + 1) * dsub]),
+            ksub, iters, rng, anisotropic_eta,
         )
         for j in range(m)
     ])

@@ -475,3 +475,52 @@ def test_pq_ksub_guard(spark, sf_smoke):
     )
     with _pytest.raises(ValueError, match="ksub"):
         encode_pq(emb, fake)
+
+
+@pytest.mark.full
+def test_pq_anisotropic_beats_vanilla_on_clustered_data(spark):
+    """ScaNN's score-aware refinement (train_pq(anisotropic_eta=...))
+    must beat plain Lloyd's on BOTH its own objective (score-aware
+    quantization loss) and the end metric (ADC recall@10 vs exact) on
+    the clustered MIPS regime it targets. Deterministic: same seeds,
+    same sample, same encode/ADC path -- only the codebook tensor
+    differs."""
+    from rag_vertex_ai_vector_search_spark.operators.pq import (
+        score_aware_loss,
+    )
+
+    emb = _clustered_emb(
+        spark, seed=11, n_centers=16, per_center=30, dim=32
+    )
+    queries = emb.filter(F.col("vec_id") % 30 == 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    k = 10
+    exact = _topk_sets(knn_search(emb, queries, k=k, method="fold").collect())
+
+    kw = dict(m=8, ksub=64, iters=8, sample_rows=480)
+    vanilla = train_pq(emb, **kw)
+    aniso = train_pq(emb, anisotropic_eta=4.0, **kw)
+
+    sample = np.asarray(
+        [r[0] for r in emb.orderBy("vec_id").select("embedding").collect()],
+        dtype=np.float64,
+    )
+    assert (
+        score_aware_loss(sample, aniso, eta=4.0)
+        < score_aware_loss(sample, vanilla, eta=4.0)
+    )
+
+    rec_v = _recall(_topk_sets(pq_topk(encode_pq(emb, vanilla), queries,
+                                       k=k).collect()), exact)
+    rec_a = _recall(_topk_sets(pq_topk(encode_pq(emb, aniso), queries,
+                                       k=k).collect()), exact)
+    assert rec_a >= rec_v
+    assert rec_a >= 0.7
+
+
+def test_pq_anisotropic_eta_validation(spark):
+    emb = _clustered_emb(spark, per_center=5)
+    with pytest.raises(ValueError, match="anisotropic_eta"):
+        train_pq(emb, m=8, ksub=16, anisotropic_eta=0.5)
