@@ -81,3 +81,90 @@ def point_update(
             F.when(hit, F.current_timestamp()).otherwise(F.col(stamp_col)),
         )
     return out
+
+
+def _is_path_not_found(e: Exception) -> bool:
+    msg = str(e)
+    return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+
+
+def merge_into_table(
+    spark,
+    path: str,
+    updates: DataFrame,
+    *,
+    key: str = "data_point_id",
+    fmt: str = "parquet",
+    precedence_col: str | None = None,
+    n_buckets: int = 64,
+) -> None:
+    """Transactional-style MERGE of ``updates`` into the keyed table at
+    ``path`` -- the storage-level counterpart of ``merge_by_key``.
+
+    ``fmt="parquet"`` (always available): copy-on-write with bucket
+    pruning. The table is laid out as ``_bucket = pmod(xxhash64(key),
+    n_buckets)`` partition dirs; a merge reads ONLY the buckets that
+    contain updated keys, keep-latest-merges them, and replaces just
+    those partition dirs via dynamic partition overwrite (untouched
+    buckets keep their files byte-for-byte). Job-atomic via the Hadoop
+    commit protocol, but not safe under CONCURRENT writers.
+
+    ``fmt="delta"``: a real ``MERGE INTO`` through delta-spark
+    (whenMatchedUpdateAll / whenNotMatchedInsertAll) with optimistic
+    concurrency -- the 100 TB multi-writer path. Import-gated: raises
+    ImportError with guidance when delta-spark isn't installed (it is
+    not in this image; tests skip via importorskip). Size
+    ``n_buckets`` so one bucket's rows fit executor memory at the
+    target scale.
+    """
+    if precedence_col is not None:
+        w = Window.partitionBy(key).orderBy(F.col(precedence_col).desc())
+        updates = (
+            updates.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    if fmt == "delta":
+        try:
+            from delta.tables import DeltaTable
+        except ImportError as e:
+            raise ImportError(
+                "merge_into_table(fmt='delta') needs the delta-spark "
+                "package and a Delta-enabled SparkSession "
+                "(spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension); "
+                "use fmt='parquet' for the copy-on-write path"
+            ) from e
+        if not DeltaTable.isDeltaTable(spark, path):
+            updates.write.format("delta").mode("errorifexists").save(path)
+            return
+        (
+            DeltaTable.forPath(spark, path).alias("b")
+            .merge(updates.alias("u"), f"b.{key} = u.{key}")
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
+    if fmt != "parquet":
+        raise ValueError(f"fmt must be 'parquet' or 'delta', got {fmt!r}")
+
+    bucketed = updates.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+    )
+    try:
+        base = spark.read.parquet(path)
+    except Exception as e:  # noqa: BLE001 -- only absent-path falls through
+        if not _is_path_not_found(e):
+            raise
+        bucketed.write.mode("errorifexists").partitionBy("_bucket").parquet(
+            path
+        )
+        return
+    touched = sorted(
+        r[0] for r in bucketed.select("_bucket").distinct().collect()
+    )
+    base_touched = base.filter(F.col("_bucket").isin(touched))
+    merged = merge_by_key(base_touched, bucketed, key=key)
+    merged.localCheckpoint(eager=True).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("_bucket").parquet(path)

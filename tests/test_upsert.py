@@ -1,6 +1,7 @@
 """Upsert/merge property tests (reference: upsert_datapoints
 setup_vector_search.py:147-153, update firestore_ops.py:109-122)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from rag_vertex_ai_vector_search_spark.sources import load_table
@@ -60,3 +61,100 @@ def test_point_lookup_and_update(spark, sf_smoke):
         .exceptAll(base.filter(F.col("o_orderkey") != 42))
         .isEmpty()
     )
+
+
+def test_merge_into_table_parquet_cow(spark, tmp_path):
+    """Storage-level MERGE (parquet copy-on-write): first write lays
+    out hash buckets; a second merge replaces matched keys, inserts
+    new ones, leaves everything else intact -- and rewrites ONLY the
+    touched bucket directories."""
+    import os
+
+    from rag_vertex_ai_vector_search_spark.operators.upsert import (
+        merge_into_table,
+    )
+
+    path = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "data_point_id long, val string"
+    )
+    merge_into_table(spark, path, base, n_buckets=8)
+    before = {
+        d: sorted(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path) if d.startswith("_bucket=")
+    }
+
+    updates = spark.createDataFrame(
+        [(7, "NEW7"), (100, "NEW100")], "data_point_id long, val string"
+    )
+    merge_into_table(spark, path, updates, n_buckets=8)
+
+    got = {r.data_point_id: r.val for r in spark.read.parquet(path).collect()}
+    assert len(got) == 101
+    assert got[7] == "NEW7" and got[100] == "NEW100"
+    assert got[6] == "v6" and got[99] == "v99"
+
+    # untouched bucket dirs keep their files byte-for-byte (same names)
+    from pyspark.sql import functions as F2
+    touched = {
+        r[0] for r in updates.select(
+            F2.pmod(F2.xxhash64("data_point_id"), F2.lit(8)).cast("int")
+        ).collect()
+    }
+    after = {
+        d: sorted(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path) if d.startswith("_bucket=")
+    }
+    for d, files in before.items():
+        if int(d.split("=")[1]) not in touched:
+            assert after[d] == files, d
+
+
+def test_merge_into_table_precedence_and_idempotence(spark, tmp_path):
+    from rag_vertex_ai_vector_search_spark.operators.upsert import (
+        merge_into_table,
+    )
+
+    path = str(tmp_path / "idx2")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], "data_point_id long, val string, ts long"
+    )
+    merge_into_table(spark, path, base, n_buckets=4)
+    # conflicting update rows for one key: higher ts wins
+    ups = spark.createDataFrame(
+        [(1, "old", 5), (1, "new", 20)],
+        "data_point_id long, val string, ts long",
+    )
+    merge_into_table(spark, path, ups, n_buckets=4, precedence_col="ts")
+    merge_into_table(spark, path, ups, n_buckets=4, precedence_col="ts")
+    got = {r.data_point_id: r.val for r in spark.read.parquet(path).collect()}
+    assert got == {1: "new", 2: "b"}
+
+
+def test_merge_into_table_delta_seam(spark, tmp_path):
+    """Same MERGE semantics through delta-spark when available; in
+    images without it the ImportError contract is the test."""
+    from rag_vertex_ai_vector_search_spark.operators.upsert import (
+        merge_into_table,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a")], "data_point_id long, val string"
+    )
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="delta-spark"):
+            merge_into_table(spark, str(tmp_path / "d"), base, fmt="delta")
+        return
+    path = str(tmp_path / "d")
+    merge_into_table(spark, path, base, fmt="delta")
+    ups = spark.createDataFrame(
+        [(1, "A"), (2, "b")], "data_point_id long, val string"
+    )
+    merge_into_table(spark, path, ups, fmt="delta")
+    got = {
+        r.data_point_id: r.val
+        for r in spark.read.format("delta").load(path).collect()
+    }
+    assert got == {1: "A", 2: "b"}
