@@ -3006,6 +3006,105 @@ FROM exact e JOIN est s ON e.word = s.word
 """
 
 
+def q_bloom_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination (operators/sketch.py
+    bloom_*, r7): build a Bloom over the eval split's (doc_id%10==0)
+    distinct 5-gram shingles, probe every train doc's grams against
+    it, and report per-doc contamination counts -- the broadcast-sized
+    alternative to dataset_decontaminate's exact gram join (the word
+    table is <= n_bits/32 rows whatever the corpus; the exact join
+    shuffles eval grams x train grams). Deliberately k=3 / m=2^20 so
+    the false-positive rate is part of the contract: ZERO false
+    negatives (every truly shared gram flags) and both engines agree
+    bit-for-bit on exactly WHICH non-shared grams false-positive
+    (deterministic sha60 probes). Probes run per DISTINCT train gram
+    (vocabulary-sized) and join back to (doc, gram) pairs once -- the
+    r5 n-gram scoring rule."""
+    from rag_vertex_ai_vector_search_spark.functions.text import (
+        word_shingles,
+    )
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        bloom_contains, bloom_sketch,
+    )
+
+    kw = dict(n_bits=1 << 20, k=3)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 5)).alias("gram")
+    )
+    ev = grams.filter(F.col("doc_id") % 10 == 0)
+    tr = grams.filter(F.col("doc_id") % 10 != 0)
+    words = bloom_sketch(ev, "gram", **kw)
+    verdicts = bloom_contains(
+        words,
+        tr.select("gram").distinct().select(F.col("gram").alias("item")),
+        **kw,
+    )
+    return (
+        tr.join(verdicts, tr["gram"] == verdicts["item"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.col("might_contain").cast("long")).alias("n_flagged"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_flagged",
+            (F.col("n_flagged") > 0).alias("contaminated"),
+        )
+    )
+
+
+_SQL_BLOOM_DECON = f"""
+WITH w AS (
+  SELECT doc_id, string_split({_SQL_NORM}, ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(range(1, len(w) - 3),
+                             i -> array_to_string(w[i:i+4], ' '))
+    END)) AS gram
+  FROM w
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+setpos AS (
+  SELECT (('0x' || substr(sha256(CAST(t.j AS VARCHAR) || ':' || gram),
+                          1, 15))::BIGINT) % 1048576 AS pos
+  FROM ev CROSS JOIN range(3) t(j)
+),
+words AS (
+  SELECT CAST(pos // 32 AS INT) AS word,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM setpos GROUP BY 1
+),
+tg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 != 0),
+probe AS (
+  SELECT gram, CAST(pos // 32 AS INT) AS word,
+         (1::BIGINT << CAST(pos % 32 AS INT)) AS mask
+  FROM (
+    SELECT gram,
+           (('0x' || substr(sha256(CAST(t.j AS VARCHAR) || ':' || gram),
+                            1, 15))::BIGINT) % 1048576 AS pos
+    FROM tg CROSS JOIN range(3) t(j))
+),
+verd AS (
+  SELECT gram,
+         min(CASE WHEN (coalesce(wd.bits, 0) & probe.mask) <> 0
+                  THEN 1 ELSE 0 END) = 1 AS might_contain
+  FROM probe LEFT JOIN words wd USING (word)
+  GROUP BY gram
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN might_contain THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       sum(CASE WHEN might_contain THEN 1 ELSE 0 END) > 0 AS contaminated
+FROM g JOIN verd USING (gram)
+WHERE doc_id % 10 != 0
+GROUP BY doc_id
+"""
+
+
 def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE first-iteration merge statistics (operators/tokenizer.py):
     adjacent character-pair frequencies inside words, weighted by word
@@ -5391,7 +5490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_datapoints": q_ingest_datapoints,
         # -- dedup suite -----------------------------------------------
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
-        "dedup_spans": q_dedup_spans,
+        "bloom_ngram_decontaminate": q_bloom_ngram_decontaminate,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_winnow_containment": q_dedup_winnow,
         "dedup_clusters_cc": q_dedup_clusters_cc,
@@ -5532,9 +5631,16 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle (hyperplanes, banding, bucket join, top-k) remains embedded
     verbatim as the approx side of the still-declared ann_recall_lsh,
     so the LSH machinery keeps a driver gate.
+
+    Third r7 rotation: bloom_ngram_decontaminate (the Bloom membership
+    sketch family) displaces dedup_spans -- whose span-detection CTEs
+    are re-derived verbatim inside the still-declared
+    dedup_span_removal oracle, so the Lee-et-al span machinery keeps
+    a driver gate.
     """
     return {
         "knn_lsh_bucketed": q_knn_lsh_bucketed,
+        "dedup_spans": q_dedup_spans,
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "bpe_tokenize_corpus": q_bpe_tokenize_corpus,
         "pagerank_citations": q_pagerank_citations,
@@ -5618,7 +5724,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_metadata": _SQL_INGEST_METADATA,
         "ingest_datapoints": _SQL_INGEST_DATAPOINTS,
         "dedup_boilerplate_lines": _SQL_DEDUP_BOILERPLATE,
-        "dedup_spans": _SQL_DEDUP_SPANS,
+        "bloom_ngram_decontaminate": _SQL_BLOOM_DECON,
         "dedup_minhash_lsh": _sql_minhash_lsh(),
         "dedup_winnow_containment": _SQL_DEDUP_WINNOW,
         "dedup_clusters_cc": _sql_dedup_clusters_cc(),
@@ -5644,6 +5750,7 @@ def oracle_sql_archive() -> dict[str, str]:
     (not the driver) so the rotated queries stay bit-exact-verified."""
     return {
         "knn_lsh_bucketed": _sql_knn_lsh_bucketed(),
+        "dedup_spans": _SQL_DEDUP_SPANS,
         "knn_ivf_full_probe": _SQL_KNN_TOPK,
         "bpe_tokenize_corpus": _sql_bpe_tokenize(8),
         "pagerank_citations": _sql_pagerank(6),

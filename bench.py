@@ -269,6 +269,9 @@ BENCH_QUERIES = [
     # summary that replaced the float-avg formulation
     ("pagerank_weighted", entrymod.q_pagerank_weighted),
     ("ann_recall_summary", entrymod.q_ann_recall_summary),
+    # r7: Bloom membership sketch completing the HLL/CMS family --
+    # broadcast-sized benchmark decontamination
+    ("bloom_ngram_decontaminate", entrymod.q_bloom_ngram_decontaminate),
     # r7: the streaming subsystem's driver-gated row -- a real
     # micro-batched foreachBatch run + state-table fold (VERDICT r6 #1)
     ("streaming_vocab_maintained", entrymod.q_streaming_vocab_maintained),

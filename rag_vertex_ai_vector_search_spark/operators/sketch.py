@@ -288,3 +288,146 @@ def hll_distinct(
         p=p,
         base_hash=base_hash,
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom filters: the MEMBERSHIP sketch (Bloom 1970) completing the
+# family -- HLL answers "how many distinct", CMS "how often", Bloom
+# "have I seen this" with zero false negatives and a tunable false-
+# positive rate. The 100 TB use-case is benchmark decontamination: a
+# Bloom over the eval set's n-grams is a few MB broadcast to every
+# executor, where the exact gram join would shuffle the corpus.
+#
+# State layout follows the HLL/CMS rules: plain integer rows
+# (*group_cols, word int, bits long) where word = position >> 5 packs
+# 32 filter bits per row (32, not 64: bit 63 would flip the int64
+# sign, and signed << overflow semantics differ across engines; with
+# 32-bit words every mask is a small positive long on BOTH Spark and
+# DuckDB). Merge = word-wise bit_or (commutative + associative, so
+# order-independent and shard-mergeable). The k probe positions use
+# the same string-salt construction as CMS rows; under sha60 the whole
+# structure -- words, masks, membership verdicts, and the floor-
+# quantized cardinality estimate -- reproduces bit-for-bit in SQL.
+# --------------------------------------------------------------------------
+
+
+def _bloom_positions(
+    c: Column, *, n_bits: int, k: int, base_hash: str
+) -> Column:
+    """Array of the k salted probe positions of a value (< n_bits)."""
+    hashes = base_hash_fn(base_hash)
+    return F.array(*[
+        F.pmod(
+            hashes(F.concat(F.lit(f"{d}:"), c.cast("string"))),
+            F.lit(n_bits),
+        ).cast("long")
+        for d in range(k)
+    ])
+
+
+def bloom_sketch(
+    df: DataFrame,
+    col: str | Column,
+    *,
+    group_cols: tuple[str, ...] = (),
+    n_bits: int = 1 << 20,
+    k: int = 3,
+    base_hash: str = "sha60",
+) -> DataFrame:
+    """One aggregation pass -> Bloom word rows
+    ``(*group_cols, word int, bits long)``.
+
+    Only occupied words materialize (<= n_bits/32 rows per group
+    whatever the input size); absent words are all-zero. Map-side
+    combine applies (bit_or is algebraic), so the shuffle carries at
+    most n_bits/32 rows per group per input partition. Size n_bits >=
+    ~1.44 * k * n_expected for the standard (k n / m) load; FP rate
+    ~ (1 - e^(-k n / m))^k."""
+    c = F.col(col) if isinstance(col, str) else col
+    pos = _bloom_positions(c, n_bits=n_bits, k=k, base_hash=base_hash)
+    rows = df.select(*group_cols, F.explode(pos).alias("_pos"))
+    return (
+        rows.select(
+            *group_cols,
+            F.shiftright(F.col("_pos"), 5).cast("int").alias("word"),
+            F.expr(
+                "shiftleft(1L, CAST(_pos & 31 AS INT))"
+            ).alias("_mask"),
+        )
+        .groupBy(*group_cols, "word")
+        .agg(F.expr("bit_or(_mask)").cast("long").alias("bits"))
+    )
+
+
+def bloom_merge(*sketches: DataFrame) -> DataFrame:
+    """Word-wise bit OR of word tables: sketches of shards merge to
+    exactly the sketch of the union (set union of the bit sets)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "bits"]
+    return out.groupBy(*keys).agg(
+        F.expr("bit_or(bits)").cast("long").alias("bits")
+    )
+
+
+def bloom_contains(
+    words: DataFrame,
+    items: DataFrame,
+    item_col: str = "item",
+    *,
+    n_bits: int = 1 << 20,
+    k: int = 3,
+    base_hash: str = "sha60",
+) -> DataFrame:
+    """Membership probe: ``(item, might_contain)`` -- true iff ALL k
+    probe bits are set. Never a false negative; false positives at the
+    filter's load-dependent rate. Expects the words of ONE logical
+    sketch (filter a grouped table first); the probe set rides a join
+    against the bounded word table (broadcast-sized: <= n_bits/32
+    rows), never against the data that built it."""
+    c = F.col(item_col)
+    pos = _bloom_positions(c, n_bits=n_bits, k=k, base_hash=base_hash)
+    probes = items.select(
+        c.alias("item"), F.explode(pos).alias("_pos")
+    ).select(
+        "item",
+        F.shiftright(F.col("_pos"), 5).cast("int").alias("word"),
+        F.expr("shiftleft(1L, CAST(_pos & 31 AS INT))").alias("_mask"),
+    )
+    # LEFT join: an absent word row is all-zero bits -> bit not set.
+    joined = probes.join(words, ["word"], "left")
+    return joined.groupBy("item").agg(
+        F.min(
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_mask"))
+                != 0
+            ).cast("int")
+        ).cast("boolean").alias("might_contain")
+    )
+
+
+def bloom_cardinality(
+    words: DataFrame,
+    *,
+    group_cols: tuple[str, ...] = (),
+    n_bits: int = 1 << 20,
+    k: int = 3,
+) -> DataFrame:
+    """Per-group ``(n_set_bits, estimate)`` from the word table:
+    estimate = floor(-(m/k) * ln(1 - X/m)) (Swamidass & Baldi 2007),
+    X = set bits. The set-bit count is an exact integer sum of
+    per-word popcounts (bit_count agrees across engines on the
+    non-negative 32-bit-word longs); floor-quantization makes the one
+    transcendental cross-engine-stable, same policy as hll_estimate."""
+    agg = words.groupBy(*group_cols).agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("n_set_bits")
+    )
+    m = float(n_bits)
+    x = F.col("n_set_bits").cast("double")
+    est = F.lit(-(m / k)) * F.log(F.lit(1.0) - x / F.lit(m))
+    return agg.select(
+        *group_cols,
+        "n_set_bits",
+        F.floor(est).cast("long").alias("estimate"),
+    )

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.sketch import cms_sketch, hll_sketch
+from ..operators.sketch import bloom_sketch, cms_sketch, hll_sketch
 
 
 def apply_hll_batch(
@@ -173,4 +173,70 @@ def compact_cms(
     _compact(
         spark, table_path,
         lambda s, t: read_cms(s, t, group_cols=group_cols),
+    )
+
+
+def apply_bloom_batch(
+    batch_df: DataFrame, epoch_id: int, table_path: str,
+    *, col: str, group_cols: tuple[str, ...] = (),
+    n_bits: int = 1 << 20, k: int = 3, base_hash: str = "sha60",
+) -> None:
+    """foreachBatch body: the batch's Bloom word partial under its
+    epoch partition. bit_or is commutative AND idempotent (like HLL's
+    max, unlike CMS's sum), so replayed epochs can't corrupt state
+    even before the overwrite lands."""
+    (
+        bloom_sketch(
+            batch_df, col, group_cols=group_cols, n_bits=n_bits,
+            k=k, base_hash=base_hash,
+        )
+        .withColumn("_epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_epoch")
+        .parquet(table_path)
+    )
+
+
+def stream_bloom(
+    stream_df: DataFrame, table_path: str, *, checkpoint_dir: str,
+    col: str, group_cols: tuple[str, ...] = (),
+    n_bits: int = 1 << 20, k: int = 3, base_hash: str = "sha60",
+):
+    """Attach Bloom word-table maintenance to a stream -- the
+    streaming half of membership tracking (e.g. "have we already
+    ingested this URL/document fingerprint")."""
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda df, eid: apply_bloom_batch(
+                df, eid, table_path, col=col, group_cols=group_cols,
+                n_bits=n_bits, k=k, base_hash=base_hash,
+            )
+        )
+        .start()
+    )
+
+
+def read_bloom(
+    spark: SparkSession, table_path: str,
+    *, group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fold epoch partials to the current word table (bit_or)."""
+    return (
+        spark.read.parquet(table_path)
+        .groupBy(*group_cols, "word")
+        .agg(F.expr("bit_or(bits)").cast("long").alias("bits"))
+    )
+
+
+def compact_bloom(
+    spark: SparkSession, table_path: str,
+    *, group_cols: tuple[str, ...] = (),
+) -> None:
+    """Bloom compaction: same fold-to-base layout."""
+    _compact(
+        spark, table_path,
+        lambda s, t: read_bloom(s, t, group_cols=group_cols),
     )

@@ -202,3 +202,78 @@ def test_cms_partition_order_invariant(spark):
             cms_sketch(df.repartition(16), "word", depth=4, width=32)
             .collect()}
     assert one == many
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    """Every inserted item probes true (the Bloom guarantee); planted
+    NON-members false-positive at well under the design rate for this
+    load (k=3, n=2000, m=2^17 -> ~0.01%)."""
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        bloom_contains, bloom_sketch,
+    )
+
+    kw = dict(n_bits=1 << 17, k=3)
+    members = _ids(spark, 2000, "in")
+    words = bloom_sketch(members, "val", **kw)
+    got_in = bloom_contains(
+        words, members.select(F.col("val").alias("item")), **kw
+    ).collect()
+    assert len(got_in) == 2000
+    assert all(r.might_contain for r in got_in)
+
+    outs = _ids(spark, 5000, "out")
+    got_out = bloom_contains(
+        words, outs.select(F.col("val").alias("item")), **kw
+    ).collect()
+    fp = sum(r.might_contain for r in got_out)
+    assert fp <= 5  # ~0.0001 expected; 10x slack
+
+    # word table is bounded and every mask fits 32 positive bits
+    rows = words.collect()
+    assert len(rows) <= (1 << 17) // 32
+    assert all(0 < r.bits <= (1 << 32) - 1 for r in rows)
+
+
+def test_bloom_merge_equals_single_pass_and_grouped(spark):
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        bloom_merge, bloom_sketch,
+    )
+
+    kw = dict(n_bits=1 << 14, k=3)
+    a = _ids(spark, 800, "x")
+    b = spark.range(400, 1200).select(
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("val")
+    )
+    merged = bloom_merge(
+        bloom_sketch(a, "val", **kw), bloom_sketch(b, "val", **kw)
+    )
+    direct = bloom_sketch(a.unionByName(b), "val", **kw)
+    assert sorted((r.word, r.bits) for r in merged.collect()) == sorted(
+        (r.word, r.bits) for r in direct.collect()
+    )
+
+    g = a.withColumn("g", F.lit("g1")).unionByName(
+        _ids(spark, 100, "y").withColumn("g", F.lit("g2"))
+    )
+    gw = bloom_sketch(g, "val", group_cols=("g",), **kw)
+    assert gw.select("g").distinct().count() == 2
+
+
+def test_bloom_cardinality_estimate(spark):
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        bloom_cardinality, bloom_sketch,
+    )
+
+    kw = dict(n_bits=1 << 17, k=3)
+    words = bloom_sketch(_ids(spark, 3000), "val", **kw)
+    got = bloom_cardinality(words, **{k: v for k, v in kw.items()}).collect()[0]
+    assert abs(got.estimate - 3000) / 3000 < 0.05
+    # partition-order invariance of the integer popcount sum
+    got2 = bloom_cardinality(
+        bloom_sketch(_ids(spark, 3000).repartition(16), "val", **kw), **kw
+    ).collect()[0]
+    assert (got.n_set_bits, got.estimate) == (got2.n_set_bits, got2.estimate)

@@ -207,3 +207,64 @@ def test_stream_cms_live_stream(spark, sf_smoke, tmp_path):
         read_cms(spark, table),
         cms_sketch(_words(docs), "word", depth=DEPTH, width=WIDTH),
     )
+
+
+def test_stream_bloom_matches_batch_replay_and_compaction(
+    spark, sf_smoke, tmp_path
+):
+    """Streaming Bloom word maintenance == the batch sketch; replaying
+    an epoch is a no-op (bit_or idempotence); compaction folds to the
+    base partition with identical membership verdicts."""
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        bloom_contains, bloom_sketch,
+    )
+    from rag_vertex_ai_vector_search_spark.streaming.sketch_stream import (
+        apply_bloom_batch, compact_bloom, read_bloom, stream_bloom,
+    )
+
+    kw = dict(n_bits=1 << 16, k=3)
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "bloom")
+    ckpt = str(tmp_path / "ckpt")
+    docs.repartition(3).write.parquet(src)
+
+    stream = _words(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_bloom(
+        stream, table, checkpoint_dir=ckpt, col="word", **kw
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert spark.read.parquet(table).select("_epoch").distinct().count() >= 2
+    batch = bloom_sketch(_words(docs), "word", **kw)
+    maintained = read_bloom(spark, table)
+    _assert_same(maintained, batch)
+
+    # replaying already-seen rows (a duplicate delivery under
+    # at-least-once) is a no-op: bit_or is idempotent
+    apply_bloom_batch(_words(docs), 99, table, col="word", **kw)
+    _assert_same(read_bloom(spark, table), batch)
+
+    # membership verdicts identical off maintained vs batch sketches
+    # (re-read: the replay overwrote partition files under the old plan)
+    probes = _words(docs).select(F.col("word").alias("item")).distinct()
+    _assert_same(
+        bloom_contains(read_bloom(spark, table), probes, **kw),
+        bloom_contains(batch, probes, **kw),
+    )
+
+    compact_bloom(spark, table)
+    assert [
+        r[0] for r in
+        spark.read.parquet(table).select("_epoch").distinct().collect()
+    ] == [-1]
+    _assert_same(read_bloom(spark, table), batch)
