@@ -4813,6 +4813,72 @@ LIMIT 100
 """
 
 
+_PHRASES = [
+    "table hash",
+    "customer join",
+    "slow hash batch",
+    "part filter scan",
+]
+
+
+def q_phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quoted-phrase search (operators/ranking.py::
+    phrase_occurrences, r7): per-(phrase, doc) occurrence counts of
+    four fixed phrases over the documents table -- the positional
+    complement to bag-of-words BM25. The anchor trick (an occurrence
+    of slot j at token position p implies a phrase instance at anchor
+    p - j; a full instance covers all plen distinct slots) replaces a
+    P-way self-join with one (doc, anchor) aggregate; the phrase-slot
+    table is broadcast. Mirrors verbatim in SQL: 0-based Spark
+    posexplode == DuckDB generate_subscripts - 1."""
+    from rag_vertex_ai_vector_search_spark.operators.ranking import (
+        phrase_occurrences,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return phrase_occurrences(docs, _PHRASES)
+
+
+def _sql_phrase_search() -> str:
+    """Phrase-slot VALUES literal generated off the SAME Python list
+    as the Spark query (the PSL-rules pattern, functions/psl.py)."""
+    rows = []
+    for phrase in _PHRASES:
+        terms = phrase.split()
+        for j, term in enumerate(terms):
+            rows.append(f"('{phrase}', {j}, '{term}', {len(terms)})")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH ph AS (
+  SELECT * FROM (VALUES
+    {values}
+  ) AS t(phrase, slot, term, plen)
+),
+w AS (
+  SELECT doc_id, string_split({_SQL_NORM}, ' ') AS ws FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(ws) AS tok,
+         generate_subscripts(ws, 1) - 1 AS pos
+  FROM w
+),
+hits AS (
+  SELECT doc_id, phrase, plen, pos - slot AS anchor, slot
+  FROM tok JOIN ph ON tok.tok = ph.term
+  WHERE pos - slot >= 0
+),
+anch AS (
+  SELECT doc_id, phrase, anchor
+  FROM hits
+  GROUP BY doc_id, phrase, plen, anchor
+  HAVING count(DISTINCT slot) = plen
+)
+SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM anch
+GROUP BY phrase, doc_id
+"""
+
+
 def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise cross-source contamination matrix
     (operators/decontaminate.py::cross_source_overlap): distinct
@@ -5473,7 +5539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "webdataset_roundtrip": q_webdataset_roundtrip,
         "gopher_quality_gate": q_gopher_quality_gate,
-        "source_overlap_matrix": q_source_overlap_matrix,
+        "phrase_search_docs": q_phrase_search_docs,
         "knn_pq_restrict_crowding": q_knn_pq_restrict_crowding,
         "knn_pq_restrict_crowding_exact": q_knn_pq_restrict_crowding_exact,
         "multimodal_features": q_multimodal_features,
@@ -5637,10 +5703,17 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     are re-derived verbatim inside the still-declared
     dedup_span_removal oracle, so the Lee-et-al span machinery keeps
     a driver gate.
+
+    Fourth r7 rotation: phrase_search_docs (positional phrase
+    retrieval) displaces source_overlap_matrix -- the shingle+sha60
+    equi-join machinery it exercises stays declared-gated through
+    dataset_decontaminate and bloom_ngram_decontaminate, which use
+    the same gram mirrors.
     """
     return {
         "knn_lsh_bucketed": q_knn_lsh_bucketed,
         "dedup_spans": q_dedup_spans,
+        "source_overlap_matrix": q_source_overlap_matrix,
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "bpe_tokenize_corpus": q_bpe_tokenize_corpus,
         "pagerank_citations": q_pagerank_citations,
@@ -5711,7 +5784,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
         "webdataset_roundtrip": _SQL_WEBDATASET_ROUNDTRIP,
         "gopher_quality_gate": _SQL_GOPHER,
-        "source_overlap_matrix": _SQL_SOURCE_OVERLAP,
+        "phrase_search_docs": _sql_phrase_search(),
         # knn_pq_restrict_crowding: lossy ADC shortlist -> rows-only
         "knn_pq_restrict_crowding_exact": _SQL_KNN_PQ_RESTRICT_CROWDING_EXACT,
         "asof_latest_signup": _SQL_ASOF_SIGNUP,
@@ -5751,6 +5824,7 @@ def oracle_sql_archive() -> dict[str, str]:
     return {
         "knn_lsh_bucketed": _sql_knn_lsh_bucketed(),
         "dedup_spans": _SQL_DEDUP_SPANS,
+        "source_overlap_matrix": _SQL_SOURCE_OVERLAP,
         "knn_ivf_full_probe": _SQL_KNN_TOPK,
         "bpe_tokenize_corpus": _sql_bpe_tokenize(8),
         "pagerank_citations": _sql_pagerank(6),

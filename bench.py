@@ -272,6 +272,8 @@ BENCH_QUERIES = [
     # r7: Bloom membership sketch completing the HLL/CMS family --
     # broadcast-sized benchmark decontamination
     ("bloom_ngram_decontaminate", entrymod.q_bloom_ngram_decontaminate),
+    # r7: positional phrase retrieval (quoted-phrase queries)
+    ("phrase_search_docs", entrymod.q_phrase_search_docs),
     # r7: the streaming subsystem's driver-gated row -- a real
     # micro-batched foreachBatch run + state-table fold (VERDICT r6 #1)
     ("streaming_vocab_maintained", entrymod.q_streaming_vocab_maintained),

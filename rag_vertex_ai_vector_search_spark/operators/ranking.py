@@ -123,3 +123,66 @@ def bm25_topk(
         top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("doc_id", "score", "rank")
     )
+
+
+def phrase_occurrences(
+    df: DataFrame,
+    phrases: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase matching over a document table:
+    ``(phrase, doc_id, n_occurrences)`` -- one row per (phrase, doc)
+    with at least one occurrence of the consecutive word sequence.
+
+    The positional complement to ``bm25_topk``'s bag-of-words scoring
+    (every real search surface offers quoted-phrase queries). Uses the
+    anchor trick instead of a P-way self-join: an occurrence of the
+    phrase's j-th term at token position p can only belong to a phrase
+    instance starting at anchor = p - j, so matches group by
+    (doc, phrase, anchor) and a full instance is exactly the anchors
+    covering all P distinct term slots. Handles repeated terms inside
+    a phrase (each token row fans out to every slot its word fills).
+
+    Scale shape: the phrase-slot table is tiny and broadcast; the
+    token explode is corpus-linear but filtered to phrase words by the
+    join BEFORE the one (doc, anchor) shuffle -- documents without any
+    phrase word never shuffle at all.
+    """
+    if not phrases:
+        raise ValueError("phrase_occurrences needs at least one phrase")
+    slots = []
+    for phrase in phrases:
+        terms = phrase.split()
+        if not terms:
+            raise ValueError(f"empty phrase {phrase!r}")
+        for j, term in enumerate(terms):
+            slots.append((phrase, j, term, len(terms)))
+    spark = df.sparkSession
+    slot_df = F.broadcast(
+        spark.createDataFrame(
+            slots, "phrase string, slot int, term string, plen int"
+        )
+    )
+    tokens = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+            "_pos", "_tok"
+        ),
+    )
+    hits = tokens.join(slot_df, tokens["_tok"] == slot_df["term"]).select(
+        id_col, "phrase", "plen",
+        (F.col("_pos") - F.col("slot")).alias("_anchor"),
+        "slot",
+    )
+    anchors = (
+        hits.filter(F.col("_anchor") >= 0)
+        .groupBy(id_col, "phrase", "plen", "_anchor")
+        .agg(F.countDistinct("slot").alias("_nslots"))
+        .filter(F.col("_nslots") == F.col("plen"))
+    )
+    return (
+        anchors.groupBy("phrase", id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
