@@ -5459,6 +5459,66 @@ SELECT query_id, neighbor_id FROM (
     return _sql_recall_join(_SQL_KNN_TOPK, apx)
 
 
+def q_ann_recall_dim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation recall curve (operators/evaluate.py::
+    dim_prefix_recall, r7): exact kNN restricted to the first L dims
+    of the embedding vs full-dim truth, one integer-sum summary row
+    per L in (8, 16, 32, 64) -- the Matryoshka-embedding ablation
+    (Kusupati et al. 2022) that answers "how many prefix bytes does
+    the index actually need". Archive-gated (window at capacity).
+    Everything is the proven fold/dot machinery on SLICED arrays, so
+    each L's kNN + recall join + summary mirrors bit-for-bit; the
+    L=64 row is the recall==1 sanity anchor inside the gate."""
+    from rag_vertex_ai_vector_search_spark.operators.evaluate import (
+        dim_prefix_recall,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dim_prefix_recall(
+        emb, _queries_from_embeddings(emb, 8), dims=(8, 16, 32, 64), k=10
+    )
+
+
+def _sql_ann_recall_dim_prefix(dims=(8, 16, 32, 64)) -> str:
+    """Per-L: truth = full-dim kNN SQL, approx = the same kNN over
+    list-sliced DOUBLE[] prefixes (DuckDB arr[1:L] == Spark
+    slice(arr, 1, L)); recall join + the integer-sum summary, UNION
+    ALL over L."""
+    parts = []
+    for dim in dims:
+        apx = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, (embedding::DOUBLE[])[1:{dim}] AS qv
+  FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, (e.embedding::DOUBLE[])[1:{dim}]) AS score
+  FROM q CROSS JOIN embeddings e
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 10
+"""
+        parts.append(f"""
+SELECT CAST({dim} AS INT) AS prefix_dim,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(n_exact) AS BIGINT) AS sum_exact,
+       CAST(sum(n_hits) AS BIGINT) AS sum_hits,
+       CASE WHEN sum(n_exact) > 0
+            THEN CAST(sum(n_hits) AS DOUBLE) / CAST(sum(n_exact) AS DOUBLE)
+            ELSE 0.0 END AS micro_recall,
+       min(recall) AS min_recall,
+       CAST(sum(CASE WHEN recall >= 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_perfect,
+       CAST(sum(CASE WHEN recall >= 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS frac_perfect
+FROM ({_sql_recall_join(_SQL_KNN_TOPK, apx)}) rep_{dim}
+""")
+    return " UNION ALL ".join(parts)
+
+
 def q_ann_recall_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-row tuning-sweep summary over the pinned-quantizer IVF
     recall report (r7, VERDICT r6 #7): micro recall = sum(n_hits) /
@@ -5714,6 +5774,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh_bucketed": q_knn_lsh_bucketed,
         "dedup_spans": q_dedup_spans,
         "source_overlap_matrix": q_source_overlap_matrix,
+        "ann_recall_dim_prefix": q_ann_recall_dim_prefix,
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "bpe_tokenize_corpus": q_bpe_tokenize_corpus,
         "pagerank_citations": q_pagerank_citations,
@@ -5825,6 +5886,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "knn_lsh_bucketed": _sql_knn_lsh_bucketed(),
         "dedup_spans": _SQL_DEDUP_SPANS,
         "source_overlap_matrix": _SQL_SOURCE_OVERLAP,
+        "ann_recall_dim_prefix": _sql_ann_recall_dim_prefix(),
         "knn_ivf_full_probe": _SQL_KNN_TOPK,
         "bpe_tokenize_corpus": _sql_bpe_tokenize(8),
         "pagerank_citations": _sql_pagerank(6),

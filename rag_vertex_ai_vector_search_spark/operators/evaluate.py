@@ -227,3 +227,49 @@ def ranking_metrics(
             F.lit(0.0)
         ),
     )
+
+
+def dim_prefix_recall(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    dims: tuple[int, ...],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+    method: str = "fold",
+) -> DataFrame:
+    """Recall curve of DIMENSION-TRUNCATED exact search vs full-dim
+    truth: one summary row per prefix length L in ``dims`` --
+    ``(prefix_dim, n_queries, sum_exact, sum_hits, micro_recall,
+    min_recall, n_perfect, frac_perfect)``.
+
+    The ablation behind Matryoshka-style embeddings (Kusupati et al.
+    2022): if recall@k at L=dim/4 is close to 1, the index can store
+    the prefix and cut vector bytes 4x (or use prefix scoring as a
+    cheap first pass). Both sides are exact kNN -- the curve isolates
+    the cost of TRUNCATION, not of any ANN approximation; the full-dim
+    L row is the sanity anchor (recall exactly 1). Scale shape: one
+    kNN pass per L over a k-sized result set; the summaries are
+    one-row aggregates unioned driver-free.
+    """
+    from .knn import knn_search
+
+    exact = knn_search(emb, queries, k=k, method=method)
+    out = None
+    for dim in dims:
+        emb_l = emb.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, dim).alias(vec_col)
+        )
+        q_l = queries.select(
+            F.col(query_id_col),
+            F.slice(F.col(query_vec_col), 1, dim).alias(query_vec_col),
+        )
+        approx = knn_search(emb_l, q_l, k=k, method=method)
+        summary = recall_summary(recall_report(approx, exact)).select(
+            F.lit(dim).cast("int").alias("prefix_dim"), "*"
+        )
+        out = summary if out is None else out.unionByName(summary)
+    return out

@@ -260,3 +260,34 @@ def test_ranking_metrics_perfect_ranking_is_1(spark):
     [r] = ranking_metrics(results, qrels, k=3).collect()
     assert r.rr == 1.0
     assert abs(r.ndcg - 1.0) < 1e-12
+
+
+def test_dim_prefix_recall_curve_monotone_anchor(spark):
+    """Full-dim row must be exactly 1.0 (approx == truth); the curve
+    is monotone non-decreasing in L on nested-structure data."""
+    import numpy as np
+
+    from rag_vertex_ai_vector_search_spark.operators.evaluate import (
+        dim_prefix_recall,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(120, 16)
+    # nested structure: early dims carry the signal (Matryoshka regime)
+    base[:, 8:] *= 0.05
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    rows = {
+        r.prefix_dim: r
+        for r in dim_prefix_recall(emb, q, dims=(4, 8, 16), k=5).collect()
+    }
+    assert rows[16].micro_recall == 1.0 and rows[16].frac_perfect == 1.0
+    assert rows[4].micro_recall <= rows[8].micro_recall <= 1.0
+    # early dims carry the signal -> the 8-dim prefix is already good
+    assert rows[8].micro_recall >= 0.8
