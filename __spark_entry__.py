@@ -978,19 +978,24 @@ WITH sh AS (
          )) AS hashes
   FROM (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS w FROM documents)
 ),
-sig AS (
-  SELECT doc_id, hashes,
-         list_transform(range(0, 64),
-           j -> CAST(list_min(list_transform(hashes,
-                  h -> (({a_list})[j+1]::HUGEINT * h + ({b_list})[j+1])
-                       % {MINHASH_PRIME}))
-                AS BIGINT)) AS sig
-  FROM sh
+hrows AS (SELECT doc_id, unnest(hashes) AS h FROM sh),
+-- relational minhash: explode gram hashes to rows and min-reduce per
+-- (doc, j) instead of nested list_transform lambdas -- identical
+-- values (same affine map, same min set), but vectorized: 19 s -> 2 s
+-- at sf0.001, and dedup_clusters_cc inherits the speedup through its
+-- MATERIALIZED mh CTE (r7)
+minh AS (
+  SELECT doc_id, t.range AS j,
+         CAST(min((({a_list})[t.range + 1]::HUGEINT * h
+                   + ({b_list})[t.range + 1]) % {MINHASH_PRIME})
+              AS BIGINT) AS mh
+  FROM hrows, range(64) t
+  GROUP BY doc_id, t.range
 ),
 banded AS (
-  SELECT doc_id, t.range AS band_id,
-         array_to_string(sig[t.range*4 + 1 : t.range*4 + 4], ',') AS band_key
-  FROM sig, range(16) t
+  SELECT doc_id, j // 4 AS band_id,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_key
+  FROM minh GROUP BY doc_id, j // 4
 ),
 sized AS (
   SELECT doc_id, band_id, band_key,

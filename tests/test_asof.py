@@ -41,6 +41,7 @@ def test_asof_matches_pandas(spark):
     assert len(got) == len(left_rows)
 
 
+@pytest.mark.full
 def test_asof_right_ties_deterministic(spark):
     """Two right rows at the same (key, ts): tiebreak picks the max."""
     left = spark.createDataFrame([(1, "u", 10)], "id long, k string, ts long")

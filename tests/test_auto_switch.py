@@ -5,6 +5,7 @@ automatically -- the caller no longer has to know their query scale to
 get the scale-safe plan.
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from rag_vertex_ai_vector_search_spark.sources import load_table
@@ -31,6 +32,7 @@ def _plan(df):
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+@pytest.mark.full
 def test_knn_auto_picks_gemm_small_cogroup_large(spark, sf_smoke, monkeypatch):
     """Below the threshold auto resolves to the broadcast GEMM plan;
     above it to the cogroup plan -- proven by plan shape AND by
@@ -56,6 +58,7 @@ def test_knn_auto_picks_gemm_small_cogroup_large(spark, sf_smoke, monkeypatch):
     large.foreach(lambda r: None)  # executes end-to-end, no collect
 
 
+@pytest.mark.full
 def test_knn_auto_results_invariant_across_threshold(spark, sf_smoke):
     emb = load_table(spark, sf_smoke, "embeddings")
     queries = _queries(emb)
@@ -73,6 +76,7 @@ def test_knn_auto_results_invariant_across_threshold(spark, sf_smoke):
     assert lo == hi
 
 
+@pytest.mark.full
 def test_ivf_auto_results_invariant_and_cogroup_plan(spark, sf_smoke):
     emb = load_table(spark, sf_smoke, "embeddings")
     queries = _queries(emb)
@@ -94,6 +98,7 @@ def test_ivf_auto_results_invariant_and_cogroup_plan(spark, sf_smoke):
     assert "FlatMapCoGroupsInPandas" in _plan(big)
 
 
+@pytest.mark.full
 def test_pq_auto_results_invariant_and_no_collect_above(
     spark, sf_smoke, monkeypatch
 ):

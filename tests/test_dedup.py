@@ -215,6 +215,7 @@ def test_minhash_hot_bucket_star_cap(spark):
     assert all(abs(r.jaccard - 1.0) < 1e-12 for r in pairs if r.id_a < n_dups)
 
 
+@pytest.mark.full
 def test_minhash_star_cap_preserves_small_bucket_pairs(spark, sf_smoke):
     """With the cap far above every fixture bucket size, results are
     identical to the uncapped join (the cap only rewires hot buckets)."""

@@ -15,6 +15,7 @@ def _star_plus_chain(spark):
     return spark.createDataFrame(edges, "src string, dst string")
 
 
+@pytest.mark.full
 def test_pagerank_hub_dominates_and_mass_bounded(spark):
     e = _star_plus_chain(spark)
     pr = {r.node_id: r.pr_units for r in pagerank(e, n_iter=12).collect()}
@@ -30,6 +31,7 @@ def test_pagerank_hub_dominates_and_mass_bounded(spark):
     assert total > 0.5 * 10 ** 9  # chain recycles most mass
 
 
+@pytest.mark.full
 def test_pagerank_partition_order_invariant(spark):
     """Integer arithmetic admits no float reassociation: any input
     partitioning yields the identical rank table."""
@@ -58,6 +60,7 @@ def test_pagerank_empty_raises(spark):
         pagerank(e)
 
 
+@pytest.mark.full
 def test_pagerank_weighted_splits_rank_by_weight(spark):
     """src fans out to a (weight 3) and b (weight 1): a must receive
     ~3x b's contribution; with uniform weights they tie. Parallel
@@ -76,6 +79,7 @@ def test_pagerank_weighted_splits_rank_by_weight(spark):
     assert pr_u["a"] == pr_u["b"]
 
 
+@pytest.mark.full
 def test_pagerank_personalized_teleport_shares(spark):
     """Teleport mass lands only on nodes with a share; a node outside
     the personalization set with no in-links converges to rank 0."""

@@ -91,6 +91,7 @@ from types import SimpleNamespace
 _fake_encoder_factory = functools.partial(SimpleNamespace, encode=str.split)
 
 
+@pytest.mark.full
 def test_exact_token_counter_seam(spark):
     """The tiktoken seam: an injected encoder drives gate decisions end
     to end through ingest_documents(token_counter=...), and decisions

@@ -86,6 +86,7 @@ def test_pq_adc_recall_and_rerank_exact(spark, sf_smoke):
     assert rer == exact
 
 
+@pytest.mark.full
 def test_pq_rerank_recall_on_clustered_data(spark):
     """On clustered data (the realistic regime) the standard cascade --
     ADC shortlist of 4k + exact rerank -- hits recall@10 >= 0.9."""

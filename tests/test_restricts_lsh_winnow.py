@@ -1,5 +1,6 @@
 """Restrict predicates over map columns, LSH ANN, winnowing fingerprints."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from rag_vertex_ai_vector_search_spark.sources import load_table
@@ -39,6 +40,7 @@ def test_restrict_predicate_on_ingested_datapoints(spark, sf_smoke):
     assert dp.filter(restrict_predicate(deny={"nope": ["x"]})).count() == dp.count()
 
 
+@pytest.mark.full
 def test_lsh_topk_recall_vs_exact(spark, sf_smoke):
     """LSH candidates are a subset; self-match must survive and recall
     on the reachable set should be reasonable even on random vectors."""

@@ -66,6 +66,7 @@ def test_semdedup_finds_planted_groups_and_keeps_one(spark):
     assert sum(1 for r in out.values() if r.keep) == 13
 
 
+@pytest.mark.full
 def test_semdedup_gemm_and_fold_agree(spark):
     """Both pair backends produce the same verdicts (scores differ in
     ulps; the >= threshold decisions and components must not)."""

@@ -191,6 +191,7 @@ def test_gopher_clean_prose_keeps(spark):
     assert g.n_stopwords_present >= 2
 
 
+@pytest.mark.full
 def test_gopher_individual_rules_fail(spark):
     # too short
     assert _gopher(spark, "the cat sat of and").keep is False

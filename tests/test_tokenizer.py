@@ -1,5 +1,6 @@
 """Tokenizer corpus-prep: vocab coverage curve + BPE pair counts."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
@@ -123,6 +124,7 @@ def test_bpe_tokenize_roundtrip_consistency(spark, sf_smoke):
         assert all(t for t in toks)
 
 
+@pytest.mark.full
 def test_train_bpe_batched_equals_sequential_fixture(spark, sf_smoke):
     """The batched trainer learns the IDENTICAL merge list (ranks,
     pairs, counts) as one-merge-per-round training -- batching is an
@@ -145,6 +147,7 @@ def test_train_bpe_batched_equals_sequential_fixture(spark, sf_smoke):
     assert max(stats["batch_sizes"]) > 1
 
 
+@pytest.mark.full
 def test_train_bpe_batched_equals_sequential_adversarial(spark):
     """Collision-heavy corpus: a 3-letter alphabet forces shared
     substrings, so created tokens regularly collide with existing
@@ -176,6 +179,7 @@ def test_train_bpe_batched_equals_sequential_adversarial(spark):
     assert stats["rounds"] < 60
 
 
+@pytest.mark.full
 def test_train_bpe_driver_path_equals_sequential(spark, sf_smoke):
     """driver_threshold collects the (fixed-size) vocabulary once and
     trains in memory -- output identical to the distributed sequential

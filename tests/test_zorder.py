@@ -1,6 +1,7 @@
 """Z-order layout: file bounding boxes must prune multi-column box
 predicates far better than a single-column sort."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from rag_vertex_ai_vector_search_spark.sources.zorder import (
@@ -25,6 +26,7 @@ def _box_files(boxes, pred):
     return n
 
 
+@pytest.mark.full
 def test_zorder_prunes_boxes_better_than_linear_sort(spark, tmp_path):
     df = (
         spark.range(40_000)
