@@ -82,15 +82,22 @@ class PQIndex:
     id_col: str
 
 
-def _kmeans_1sub(x: np.ndarray, ksub: int, iters: int, rng) -> np.ndarray:
+def _kmeans_1sub(
+    x: np.ndarray, ksub: int, iters: int, rng, init: np.ndarray | None = None
+) -> np.ndarray:
     """Plain Lloyd's on one subspace sample (n, dsub) -> (ksub, dsub).
     Deterministic under the caller's seeded ``rng``. Empty clusters are
-    re-seeded from the points farthest from their centroid."""
+    re-seeded from the points farthest from their centroid. ``init``
+    warm-starts from given centroids (the OPQ alternation keeps its
+    codebooks across rotation updates)."""
     n = x.shape[0]
-    k = min(ksub, n)
-    cent = x[rng.choice(n, size=k, replace=False)].copy()
-    if k < ksub:  # degenerate tiny corpus: pad with repeats
-        cent = np.vstack([cent, cent[rng.integers(0, k, size=ksub - k)]])
+    if init is not None:
+        cent = init.copy()
+    else:
+        k = min(ksub, n)
+        cent = x[rng.choice(n, size=k, replace=False)].copy()
+        if k < ksub:  # degenerate tiny corpus: pad with repeats
+            cent = np.vstack([cent, cent[rng.integers(0, k, size=ksub - k)]])
     for _ in range(iters):
         # (n, ksub) squared distances via the expansion trick.
         d2 = (
@@ -112,7 +119,8 @@ def _kmeans_1sub(x: np.ndarray, ksub: int, iters: int, rng) -> np.ndarray:
 
 
 def _kmeans_1sub_aniso(
-    x: np.ndarray, ksub: int, iters: int, rng, eta: float
+    x: np.ndarray, ksub: int, iters: int, rng, eta: float,
+    init: np.ndarray | None = None,
 ) -> np.ndarray:
     """Anisotropic (score-aware) Lloyd's for one subspace -- the "A"
     refinement ScaNN brings to AH (Guo et al., ICML 2020, Thm 3.2):
@@ -133,10 +141,13 @@ def _kmeans_1sub_aniso(
     u = np.zeros_like(x)
     nz = norms > 0
     u[nz] = x[nz] / norms[nz, None]
-    k = min(ksub, n)
-    cent = x[rng.choice(n, size=k, replace=False)].copy()
-    if k < ksub:
-        cent = np.vstack([cent, cent[rng.integers(0, k, size=ksub - k)]])
+    if init is not None:
+        cent = init.copy()
+    else:
+        k = min(ksub, n)
+        cent = x[rng.choice(n, size=k, replace=False)].copy()
+        if k < ksub:
+            cent = np.vstack([cent, cent[rng.integers(0, k, size=ksub - k)]])
     for _ in range(iters):
         d2 = (
             (x ** 2).sum(axis=1, keepdims=True)
@@ -323,6 +334,130 @@ def encode_pq(
         id_col, *keep_cols, _encode(F.col(vec_col)).alias("pq_code")
     )
     return PQIndex(codes=codes, books=books, id_col=id_col)
+
+
+def _reconstruct(x: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Encode-then-decode ``x`` under ``codebooks``: each subvector is
+    replaced by its nearest codeword (the PQ quantization x-tilde)."""
+    m, _, dsub = codebooks.shape
+    out = np.empty_like(x)
+    for j in range(m):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        d2 = (
+            (sub ** 2).sum(axis=1, keepdims=True)
+            - 2.0 * sub @ codebooks[j].T
+            + (codebooks[j] ** 2).sum(axis=1)
+        )
+        out[:, j * dsub:(j + 1) * dsub] = codebooks[j][d2.argmin(axis=1)]
+    return out
+
+
+def train_opq(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 256,
+    sample_rows: int = 65_536,
+    iters: int = 12,
+    opq_iters: int = 10,
+    seed: int = 42,
+    anisotropic_eta: float | None = None,
+) -> tuple[np.ndarray, PQCodebooks]:
+    """Optimized Product Quantization (Ge et al., CVPR 2013, the
+    non-parametric OPQ-NP): learn an ORTHOGONAL rotation R so the
+    rotated data's subspaces carry balanced, independent energy --
+    then PQ in the rotated space. Returns ``(R, books)`` with R a
+    (dim, dim) orthogonal matrix (rows transform as x' = x @ R).
+
+    Why: plain PQ quantizes FIXED dim/m slices; when variance is
+    concentrated or correlated across slice boundaries (typical of
+    learned embeddings), those slices waste code budget. OPQ
+    alternates (a) Lloyd's on the rotated sample and (b) the exact
+    orthogonal Procrustes solve R = U V^T from SVD(X^T X-tilde),
+    which provably minimizes ||X R - X-tilde||_F over orthogonal R.
+    Rotation preserves dot products, so search quality is pure win at
+    the cost of one (dim x dim) GEMM per vector (rotate_vectors).
+
+    Training runs on the same bounded driver sample as train_pq;
+    ``anisotropic_eta`` composes (score-aware Lloyd's inside the
+    rotated space). Final codebooks get a full ``iters`` refinement
+    pass after the alternation converges.
+    """
+    n_rows = df.count()
+    frac = min(1.0, sample_rows / max(n_rows, 1))
+    sample_df = df.select(vec_col)
+    if frac < 1.0:
+        sample_df = sample_df.sample(fraction=frac, seed=seed)
+    x = np.asarray(
+        [r[0] for r in sample_df.limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    if x.size == 0:
+        raise ValueError("cannot train OPQ on empty input")
+    dim = x.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+
+    def _books(
+        xr: np.ndarray, n_iters: int, prev: np.ndarray | None
+    ) -> np.ndarray:
+        return np.stack([
+            _kmeans_1sub(
+                np.ascontiguousarray(xr[:, j * dsub:(j + 1) * dsub]),
+                ksub, n_iters, rng,
+                init=None if prev is None else prev[j],
+            )
+            if anisotropic_eta is None
+            else _kmeans_1sub_aniso(
+                np.ascontiguousarray(xr[:, j * dsub:(j + 1) * dsub]),
+                ksub, n_iters, rng, anisotropic_eta,
+                init=None if prev is None else prev[j],
+            )
+            for j in range(m)
+        ])
+
+    # Warm-started alternation (OPQ-NP): codebooks persist across
+    # rotation updates -- retraining from a fresh random init each
+    # round would throw away the state the Procrustes step just
+    # optimized R against, and the alternation would not converge.
+    r = np.eye(dim)
+    books = _books(x, iters, None)
+    for _ in range(opq_iters):
+        xr = x @ r
+        books = _books(xr, 2, books)
+        xq = _reconstruct(xr, books)
+        u, _, vt = np.linalg.svd(x.T @ xq)
+        r = u @ vt
+    books = _books(x @ r, max(2, iters // 2), books)
+    return r, PQCodebooks(codebooks=books, dim=dim)
+
+
+def rotate_vectors(
+    df: DataFrame,
+    rotation: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Apply ``x' = x @ R`` to a vector column (Arrow-batched GEMM per
+    batch; the rotation ships by broadcast). Apply the SAME rotation
+    to corpus vectors before encode_pq and to queries before ADC
+    search -- exact rerank can keep joining the UNROTATED vectors by
+    id (orthogonal R preserves the dot products being approximated)."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.ascontiguousarray(rotation))
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _rot(vecs: pd.Series) -> pd.Series:
+        rot = bc.value
+        vmat = np.asarray(list(vecs), dtype=np.float64)
+        out = vmat @ rot
+        return pd.Series(list(out))
+
+    return df.withColumn(out_col or vec_col, _rot(F.col(vec_col)))
 
 
 def _lut_for(qmat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:

@@ -525,3 +525,107 @@ def test_pq_anisotropic_eta_validation(spark):
     emb = _clustered_emb(spark, per_center=5)
     with pytest.raises(ValueError, match="anisotropic_eta"):
         train_pq(emb, m=8, ksub=16, anisotropic_eta=0.5)
+
+
+@pytest.mark.full
+def test_opq_rotation_orthogonal_and_lower_mse(spark):
+    """OPQ (Ge et al. 2013): the learned rotation must be orthogonal,
+    strictly lower the quantization MSE vs same-budget vanilla PQ on
+    cross-slice-correlated data, and not lose L2 ADC recall (the
+    metric OPQ is designed for; for MIPS ranking the anisotropic
+    trainer is the right lever and composes via anisotropic_eta)."""
+    from rag_vertex_ai_vector_search_spark.operators.pq import (
+        _reconstruct, train_opq,
+    )
+
+    rng0 = np.random.RandomState(3)
+    dim, m, ksub = 32, 8, 32
+    centers = rng0.randn(10, dim) * np.linspace(3, 0.1, dim)
+    x0 = np.vstack([c + 0.1 * rng0.randn(40, dim) for c in centers])
+    qrot, _ = np.linalg.qr(rng0.randn(dim, dim))
+    x = x0 @ qrot  # energy mixed across the dim/m slices
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<float>",
+    )
+    kw = dict(m=m, ksub=ksub, iters=8, sample_rows=len(x))
+    vanilla = train_pq(emb, **kw)
+    r, opq = train_opq(emb, opq_iters=12, **kw)
+
+    assert np.allclose(r @ r.T, np.eye(dim), atol=1e-9)
+    xs = np.asarray(
+        [row[0] for row in emb.orderBy("vec_id")
+         .select("embedding").collect()],
+        dtype=np.float64,
+    )
+    mse_v = ((xs - _reconstruct(xs, vanilla.codebooks)) ** 2).mean()
+    mse_o = ((xs @ r - _reconstruct(xs @ r, opq.codebooks)) ** 2).mean()
+    assert mse_o < mse_v
+
+    # L2 ADC recall (numpy mirror of the ADC table scan)
+    qs = xs[np.arange(7, len(xs), 40)] + 0.05 * np.random.RandomState(9).randn(10, dim)
+    k = 10
+    ex = np.argsort(((qs[:, None, :] - xs[None, :, :]) ** 2).sum(-1),
+                    axis=1)[:, :k]
+
+    def l2_recall(xr, qr, books):
+        dsub = dim // m
+        dist = np.zeros((qr.shape[0], len(xr)))
+        for j in range(m):
+            sub = xr[:, j * dsub:(j + 1) * dsub]
+            cs = books[j]
+            d2 = ((sub ** 2).sum(1, keepdims=True) - 2 * sub @ cs.T
+                  + (cs ** 2).sum(1))
+            code = d2.argmin(1)
+            qd = ((qr[:, j * dsub:(j + 1) * dsub][:, None, :]
+                   - cs[None, :, :]) ** 2).sum(-1)
+            dist += qd[:, code]
+        ap = np.argsort(dist, axis=1)[:, :k]
+        return np.mean([len(set(a) & set(e)) / k for a, e in zip(ap, ex)])
+
+    rec_v = l2_recall(xs, qs, vanilla.codebooks)
+    rec_o = l2_recall(xs @ r, qs @ r, opq.codebooks)
+    assert rec_o >= rec_v
+
+
+@pytest.mark.full
+def test_opq_rotate_encode_rerank_degenerates_to_exact(spark, sf_smoke):
+    """The rotated-space cascade keeps the unrotated cascade's
+    degeneracy gate: ADC shortlist over rotated codes + exact rerank
+    IN THE ROTATED SPACE with a corpus-wide pool == exact fold kNN of
+    the rotated vectors (one orthogonal map applied to both sides of
+    the same search problem). The rotation itself must be numerically
+    dot-preserving to float tolerance."""
+    from rag_vertex_ai_vector_search_spark.operators.pq import (
+        rotate_vectors, train_opq,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = _queries(emb, n=4)
+    k = 5
+
+    r, books = train_opq(
+        emb, m=8, ksub=32, iters=4, opq_iters=4, sample_rows=500
+    )
+    rot_emb = rotate_vectors(emb, r)
+    rot_q = rotate_vectors(queries, r, vec_col="query_vector")
+    exact_rot = _topk_sets(
+        knn_search(rot_emb, rot_q, k=k, method="fold").collect()
+    )
+    index = encode_pq(rot_emb, books)
+    n = emb.count()
+    got = _topk_sets(
+        pq_search_rerank(index, rot_emb, rot_q, k=k, rerank_candidates=n)
+        .collect()
+    )
+    assert got == exact_rot
+
+    # numeric dot preservation of the rotation (orthogonality on the
+    # actual data): <q, x> == <qR, xR> to float tolerance
+    q0 = queries.orderBy("query_id").collect()[0].query_vector
+    x0 = emb.orderBy("vec_id").collect()[7].embedding
+    qr = rot_q.orderBy("query_id").collect()[0].query_vector
+    xr = rot_emb.orderBy("vec_id").collect()[7].embedding
+    d0 = sum(float(a) * float(b) for a, b in zip(q0, x0))
+    dr = sum(float(a) * float(b) for a, b in zip(qr, xr))
+    assert abs(d0 - dr) < 1e-6 * max(1.0, abs(d0))
