@@ -3110,6 +3110,71 @@ GROUP BY doc_id
 """
 
 
+def q_price_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram sketch + quantile estimation
+    (operators/sketch.py::histogram_sketch/histogram_quantiles, r7):
+    per-returnflag p50/p90/p99 of l_extendedprice from a 256-bin
+    counter table -- the bounded-state mergeable alternative to exact
+    percentile_disc (which must sort every value). Prices convert to
+    integer cents through DECIMAL(18,2) (the proven money-parity
+    route), so bins, integer cumulative sums, the rational crossing
+    test cum*q_den >= total*q_num, and the bin-edge estimates are all
+    exact -- the whole distribution sketch hash-matches. Archive-gated
+    (window at capacity)."""
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        histogram_quantiles, histogram_sketch,
+    )
+
+    kw = dict(lo=0, hi=12_000_000, n_bins=256)
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (
+        F.col("l_extendedprice").cast("decimal(18,2)") * 100
+    ).cast("long")
+    df = li.select("l_returnflag", cents.alias("cents"))
+    hist = histogram_sketch(
+        df, "cents", group_cols=("l_returnflag",), **kw
+    )
+    return histogram_quantiles(
+        hist, group_cols=("l_returnflag",),
+        quantiles=((1, 2), (9, 10), (99, 100)), **kw
+    )
+
+
+_SQL_PRICE_HISTOGRAM = """
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM lineitem
+),
+h AS (
+  SELECT l_returnflag,
+         CAST(least(255, greatest(0, (cents * 256) // 12000000)) AS INT)
+           AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM v GROUP BY 1, 2
+),
+c AS (
+  SELECT l_returnflag, bin, cnt,
+         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY l_returnflag) AS total
+  FROM h
+),
+q AS (SELECT * FROM (VALUES (1, 2), (9, 10), (99, 100)) t(q_num, q_den)),
+sel AS (
+  SELECT c.l_returnflag, q.q_num, q.q_den,
+         CAST(min(c.bin) AS INT) AS q_bin,
+         CAST(max(c.total) AS BIGINT) AS n_rows
+  FROM c CROSS JOIN q
+  WHERE c.cum * q.q_den >= c.total * q.q_num
+  GROUP BY c.l_returnflag, q.q_num, q.q_den
+)
+SELECT l_returnflag, CAST(q_num AS INT) AS q_num, CAST(q_den AS INT) AS q_den,
+       n_rows, q_bin,
+       CAST((CAST(q_bin AS BIGINT) * 12000000) // 256 AS BIGINT) AS q_value
+FROM sel
+"""
+
+
 def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE first-iteration merge statistics (operators/tokenizer.py):
     adjacent character-pair frequencies inside words, weighted by word
@@ -5780,6 +5845,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "source_overlap_matrix": q_source_overlap_matrix,
         "ann_recall_dim_prefix": q_ann_recall_dim_prefix,
+        "price_histogram_quantiles": q_price_histogram_quantiles,
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "bpe_tokenize_corpus": q_bpe_tokenize_corpus,
         "pagerank_citations": q_pagerank_citations,
@@ -5892,6 +5958,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "dedup_spans": _SQL_DEDUP_SPANS,
         "source_overlap_matrix": _SQL_SOURCE_OVERLAP,
         "ann_recall_dim_prefix": _sql_ann_recall_dim_prefix(),
+        "price_histogram_quantiles": _SQL_PRICE_HISTOGRAM,
         "knn_ivf_full_probe": _SQL_KNN_TOPK,
         "bpe_tokenize_corpus": _sql_bpe_tokenize(8),
         "pagerank_citations": _sql_pagerank(6),

@@ -431,3 +431,124 @@ def bloom_cardinality(
         "n_set_bits",
         F.floor(est).cast("long").alias("estimate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Equi-width histograms: the DISTRIBUTION sketch. Exact percentiles
+# need a full sort (percentile_disc shuffles every value); a histogram
+# is the bounded-state, counter-sum-mergeable alternative -- the same
+# trade HLL/CMS/Bloom make, here for "what does this column's
+# distribution look like" (price profiling, doc-length curves, score
+# calibration). All arithmetic is INTEGER on a caller-supplied long
+# column (convert decimals to cents first: exact), so bins, merges,
+# and the bin-edge quantile estimates reproduce bit-for-bit in SQL.
+# --------------------------------------------------------------------------
+
+
+def histogram_sketch(
+    df: DataFrame,
+    col: str | Column,
+    *,
+    group_cols: tuple[str, ...] = (),
+    lo: int,
+    hi: int,
+    n_bins: int = 128,
+) -> DataFrame:
+    """One aggregation pass -> histogram rows
+    ``(*group_cols, bin int, cnt long)`` over a LONG-valued column.
+
+    bin = ((v - lo) * n_bins) div (hi - lo), clamped to [0, n_bins-1]
+    (values outside [lo, hi) land in the edge bins, so mass is never
+    dropped). Only occupied bins materialize; map-side combine applies
+    (sum is algebraic), so the shuffle carries <= n_bins rows per
+    group per input partition."""
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    c = (F.col(col) if isinstance(col, str) else col).cast("long")
+    rows = df.select(
+        *group_cols,
+        ((c - F.lit(lo)) * F.lit(n_bins)).alias("_num"),
+    ).select(
+        *group_cols,
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(F.lit(0), F.expr(f"_num div {hi - lo}")),
+        ).cast("int").alias("bin"),
+    )
+    return rows.groupBy(*group_cols, "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def histogram_merge(*sketches: DataFrame) -> DataFrame:
+    """Bin-wise ADDITION: shard histograms sum exactly to the union's."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    *,
+    group_cols: tuple[str, ...] = (),
+    lo: int,
+    hi: int,
+    n_bins: int = 128,
+    quantiles: tuple[tuple[int, int], ...] = ((1, 2), (9, 10), (99, 100)),
+) -> DataFrame:
+    """Per-group quantile estimates off the bin table: for each
+    (q_num, q_den) the SMALLEST bin whose cumulative count reaches
+    q_num/q_den of the total, reported as the bin's lower edge in
+    input units -- ``(*group_cols, q_num, q_den, n_rows, q_bin,
+    q_value)``. Error is bounded by one bin width. Rational quantiles
+    and integer cumulative sums keep every output column exact: the
+    crossing test is ``cum * q_den >= total * q_num``, no float ever
+    enters."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols).orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        if group_cols
+        else Window.partitionBy(F.lit(0)).orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        *group_cols, "bin", "cnt",
+        F.sum("cnt").over(w).alias("_cum"),
+    ).withColumn(
+        "_total",
+        F.sum("cnt").over(
+            Window.partitionBy(*group_cols) if group_cols
+            else Window.partitionBy(F.lit(0))
+        ),
+    )
+    out = None
+    for q_num, q_den in quantiles:
+        hit = (
+            cum.filter(
+                F.col("_cum") * F.lit(q_den) >= F.col("_total") * F.lit(q_num)
+            )
+            .groupBy(*group_cols)
+            .agg(
+                F.min("bin").alias("q_bin"),
+                F.max("_total").alias("n_rows"),
+            )
+            .select(
+                *group_cols,
+                F.lit(q_num).cast("int").alias("q_num"),
+                F.lit(q_den).cast("int").alias("q_den"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("q_bin").cast("int").alias("q_bin"),
+                (
+                    F.lit(lo)
+                    + F.expr(
+                        f"(CAST(q_bin AS BIGINT) * {hi - lo}) div {n_bins}"
+                    )
+                ).cast("long").alias("q_value"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

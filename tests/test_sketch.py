@@ -277,3 +277,85 @@ def test_bloom_cardinality_estimate(spark):
         bloom_sketch(_ids(spark, 3000).repartition(16), "val", **kw), **kw
     ).collect()[0]
     assert (got.n_set_bits, got.estimate) == (got2.n_set_bits, got2.estimate)
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram
+# ---------------------------------------------------------------------------
+
+def test_histogram_counts_merge_and_clamp(spark):
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        histogram_merge, histogram_sketch,
+    )
+
+    kw = dict(lo=0, hi=100, n_bins=10)
+    df = spark.createDataFrame(
+        [(v,) for v in [-5, 0, 5, 9, 10, 55, 99, 100, 250]], "v long"
+    )
+    hist = {r.bin: r.cnt for r in histogram_sketch(df, "v", **kw).collect()}
+    # -5 clamps into bin 0; 100 and 250 clamp into bin 9
+    assert hist[0] == 4      # -5, 0, 5, 9
+    assert hist[1] == 1      # 10
+    assert hist[5] == 1      # 55
+    assert hist[9] == 3      # 99, 100, 250
+    assert sum(hist.values()) == 9
+
+    a = spark.createDataFrame([(v,) for v in range(0, 50)], "v long")
+    b = spark.createDataFrame([(v,) for v in range(50, 100)], "v long")
+    merged = histogram_merge(
+        histogram_sketch(a, "v", **kw), histogram_sketch(b, "v", **kw)
+    )
+    direct = histogram_sketch(a.unionByName(b), "v", **kw)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_histogram_quantiles_within_one_bin(spark):
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        histogram_quantiles, histogram_sketch,
+    )
+
+    kw = dict(lo=0, hi=1000, n_bins=100)
+    df = spark.createDataFrame([(v,) for v in range(1000)], "v long")
+    hist = histogram_sketch(df, "v", **kw)
+    got = {
+        (r.q_num, r.q_den): r
+        for r in histogram_quantiles(
+            hist, quantiles=((1, 2), (9, 10), (99, 100)), **kw
+        ).collect()
+    }
+    # uniform 0..999: true p50=500, p90=900, p99=990; bin width 10
+    assert abs(got[(1, 2)].q_value - 500) <= 10
+    assert abs(got[(9, 10)].q_value - 900) <= 10
+    assert abs(got[(99, 100)].q_value - 990) <= 10
+    assert all(r.n_rows == 1000 for r in got.values())
+
+    # partition-order invariance (pure integer cumulative sums)
+    got2 = {
+        (r.q_num, r.q_den): r.q_value
+        for r in histogram_quantiles(
+            histogram_sketch(df.repartition(16), "v", **kw),
+            quantiles=((1, 2), (9, 10), (99, 100)), **kw
+        ).collect()
+    }
+    assert got2 == {k: r.q_value for k, r in got.items()}
+
+
+def test_histogram_grouped_quantiles(spark):
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        histogram_quantiles, histogram_sketch,
+    )
+
+    kw = dict(lo=0, hi=100, n_bins=50)
+    rows = [("a", v) for v in range(0, 100)] + [("b", v) for v in range(0, 10)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    hist = histogram_sketch(df, "v", group_cols=("g",), **kw)
+    got = {
+        (r.g, r.q_num, r.q_den): r.q_value
+        for r in histogram_quantiles(
+            hist, group_cols=("g",), quantiles=((1, 2),), **kw
+        ).collect()
+    }
+    assert abs(got[("a", 1, 2)] - 50) <= 2
+    assert abs(got[("b", 1, 2)] - 5) <= 2
