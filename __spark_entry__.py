@@ -1922,6 +1922,65 @@ GROUP BY doc_id
 """
 
 
+def q_lm_kn_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (operators/lm_quality.py
+    ::kneser_ney_bigram_surprisal, r7): THE standard n-gram smoothing
+    (what KenLM implements) -- absolute discounting plus continuation
+    probabilities ("how many distinct contexts does w complete"), the
+    fix for add-alpha's 'san francisco' pathology. All five statistics
+    are exact integers off the bigram table; the probability evaluates
+    in a fixed operation order mirrored textually below, quantized to
+    integer micronats. Archive-gated (window at capacity)."""
+    from rag_vertex_ai_vector_search_spark.operators.lm_quality import (
+        kneser_ney_bigram_surprisal,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return kneser_ney_bigram_surprisal(docs)
+
+
+def _sql_lm_kn_bigram_surprisal() -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split({_SQL_NORM}, ' ')) AS word,
+         generate_subscripts(string_split({_SQL_NORM}, ' '), 1) AS pos
+  FROM documents
+),
+seq AS (
+  SELECT doc_id, pos, word,
+         coalesce(lag(word) OVER (PARTITION BY doc_id ORDER BY pos),
+                  '<s>') AS prev
+  FROM words
+),
+bg AS (SELECT prev, word, count(*) AS n2 FROM seq GROUP BY prev, word),
+ctx AS (SELECT prev, count(*) AS n1 FROM seq GROUP BY prev),
+tp AS (SELECT prev, count(*) AS tprev FROM bg GROUP BY prev),
+cw AS (SELECT word, count(*) AS ncw FROM bg GROUP BY word),
+ty AS (SELECT CAST(count(*) AS DOUBLE) AS T FROM bg),
+voc AS (SELECT CAST(count(DISTINCT word) AS DOUBLE) AS V FROM seq),
+scored AS (
+  SELECT s.doc_id,
+         CAST(floor(-ln(
+           greatest(CAST(b.n2 AS DOUBLE) - 0.75, 0.0) / CAST(c.n1 AS DOUBLE)
+           + ((0.75 * CAST(t.tprev AS DOUBLE)) / CAST(c.n1 AS DOUBLE))
+             * ((CAST(w.ncw AS DOUBLE) + 0.5) / (x.T + 0.5 * v.V))
+         ) * 1000000.0) AS BIGINT) AS s
+  FROM seq s
+  JOIN bg b ON s.prev = b.prev AND s.word = b.word
+  JOIN ctx c ON s.prev = c.prev
+  JOIN tp t ON s.prev = t.prev
+  JOIN cw w ON s.word = w.word
+  CROSS JOIN ty x CROSS JOIN voc v
+)
+SELECT doc_id, count(*) AS n_words,
+       CAST(CAST(sum(s) AS BIGINT) AS DOUBLE)
+         / (1000000.0 * CAST(count(*) AS DOUBLE)) AS avg_surprisal_nats
+FROM scored
+GROUP BY doc_id
+"""
+
+
 def q_lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-model LM quality scoring (operators/lm_quality.py): one
     Markov order above lm_surprisal -- p(w | prev) with add-alpha
@@ -5846,6 +5905,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_matrix": q_source_overlap_matrix,
         "ann_recall_dim_prefix": q_ann_recall_dim_prefix,
         "price_histogram_quantiles": q_price_histogram_quantiles,
+        "lm_kn_bigram_surprisal": q_lm_kn_bigram_surprisal,
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "bpe_tokenize_corpus": q_bpe_tokenize_corpus,
         "pagerank_citations": q_pagerank_citations,
@@ -5959,6 +6019,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "source_overlap_matrix": _SQL_SOURCE_OVERLAP,
         "ann_recall_dim_prefix": _sql_ann_recall_dim_prefix(),
         "price_histogram_quantiles": _SQL_PRICE_HISTOGRAM,
+        "lm_kn_bigram_surprisal": _sql_lm_kn_bigram_surprisal(),
         "knn_ivf_full_probe": _SQL_KNN_TOPK,
         "bpe_tokenize_corpus": _sql_bpe_tokenize(8),
         "pagerank_citations": _sql_pagerank(6),

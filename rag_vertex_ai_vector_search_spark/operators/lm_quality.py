@@ -392,3 +392,100 @@ def bigram_surprisal(
         )
         .drop("_s")
     )
+
+
+def kneser_ney_bigram_surprisal(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(id, n_words, avg_surprisal_nats) under an INTERPOLATED
+    KNESER-NEY bigram model -- the standard n-gram smoothing (Kneser &
+    Ney 1995; Chen & Goodman 1999's interpolated variant), and what
+    KenLM itself implements:
+
+        p_KN(w | prev) = max(c(prev,w) - d, 0) / c(prev)
+                         + (d * N1+(prev,.) / c(prev)) * p_cont(w)
+        p_cont(w)      = (N1+(.,w) + a) / (N1+(.,.) + a * V)
+
+    The continuation probability asks "how many distinct contexts does
+    w complete", not "how often does w occur" -- the fix for the
+    'san francisco' pathology where add-alpha overrates 'francisco' in
+    new contexts. p_cont gets add-alpha smoothing so wholly-unseen
+    words keep a nonzero floor (and the distribution stays proper);
+    unseen contexts (possible when scoring under a reference-corpus
+    model) fall back to p_cont alone.
+
+    All five statistics (c(prev,w), c(prev), N1+(prev,.), N1+(.,w),
+    N1+(.,.)) are exact integers off the bigram table; the probability
+    is evaluated in a FIXED operation order mirrored textually by the
+    SQL oracle, then quantized to integer micronats -- same
+    determinism contract as every scorer in this module. Scale shape
+    identical to bigram_surprisal: per-DISTINCT-pair scoring at
+    bigram-table cardinality, one position-level join back.
+    """
+    d = float(discount)
+    words = _positioned_words(df, id_col, text_col)
+    bg = words.groupBy("prev", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("n2")
+    )
+    ctx = words.groupBy("prev").agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    # continuation statistics: distinct-type counts off the bigram table
+    t_prev = bg.groupBy("prev").agg(
+        F.count(F.lit(1)).cast("long").alias("tprev")   # N1+(prev, .)
+    )
+    n_cw = bg.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("ncw")     # N1+(., w)
+    )
+    scalars = bg.agg(
+        F.count(F.lit(1)).alias("_types"),
+    ).collect()[0]
+    n_types = float(scalars._types)                      # N1+(., .)
+    vocab = float(words.select("word").distinct().count())
+
+    pcont = (
+        (F.coalesce(F.col("ncw"), F.lit(0)).cast("double") + F.lit(alpha))
+        / (F.lit(n_types) + F.lit(alpha) * F.lit(vocab))
+    )
+    n1d = F.coalesce(F.col("n1"), F.lit(0)).cast("double")
+    p_kn = F.when(
+        F.coalesce(F.col("n1"), F.lit(0)) > 0,
+        F.greatest(
+            F.coalesce(F.col("n2"), F.lit(0)).cast("double") - F.lit(d),
+            F.lit(0.0),
+        ) / n1d
+        + (
+            (F.lit(d) * F.coalesce(F.col("tprev"), F.lit(0)).cast("double"))
+            / n1d
+        ) * pcont,
+    ).otherwise(pcont)
+
+    pair_scores = (
+        bg.join(ctx, "prev", "left")
+        .join(t_prev, "prev", "left")
+        .join(n_cw, "word", "left")
+        .withColumn(
+            "_surprisal_micronats",
+            F.floor(-F.log(p_kn) * F.lit(float(SURPRISAL_SCALE))).cast(
+                "long"
+            ),
+        )
+        .select("prev", "word", "_surprisal_micronats")
+    )
+    scored = words.join(pair_scores, ["prev", "word"], "left")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_surprisal_micronats").alias("_s"),
+        )
+        .withColumn(
+            "avg_surprisal_nats",
+            F.col("_s").cast("double")
+            / (F.lit(float(SURPRISAL_SCALE)) * F.col("n_words").cast("double")),
+        )
+        .drop("_s")
+    )

@@ -226,3 +226,74 @@ def test_trigram_matches_python_reference(spark):
             prevs = [prevs[1], w]
         assert got[k][0] == len(ws)
         assert got[k][1] == s / (SURPRISAL_SCALE * float(len(ws)))
+
+
+def test_kneser_ney_matches_python_reference(spark):
+    """Exact micronat equality against a driver-side recomputation of
+    interpolated KN (discount 0.75, add-alpha continuation)."""
+    import math
+
+    from rag_vertex_ai_vector_search_spark.operators.lm_quality import (
+        kneser_ney_bigram_surprisal,
+    )
+
+    rows = [
+        (1, "san francisco is in california"),
+        (2, "san francisco has fog"),
+        (3, "the city is big"),
+        (4, "the fog is thick"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_words, r.avg_surprisal_nats)
+        for r in kneser_ney_bigram_surprisal(df).collect()
+    }
+
+    # python reference
+    seqs = {}
+    for doc_id, text in rows:
+        ws = text.lower().split()
+        seqs[doc_id] = list(zip(["<s>"] + ws[:-1], ws))
+    bg, ctx = {}, {}
+    for pairs in seqs.values():
+        for p, w in pairs:
+            bg[(p, w)] = bg.get((p, w), 0) + 1
+            ctx[p] = ctx.get(p, 0) + 1
+    tprev, ncw = {}, {}
+    for (p, w) in bg:
+        tprev[p] = tprev.get(p, 0) + 1
+        ncw[w] = ncw.get(w, 0) + 1
+    n_types = float(len(bg))
+    vocab = float(len({w for pairs in seqs.values() for _, w in pairs}))
+    d, a = 0.75, 0.5
+    for doc_id, pairs in seqs.items():
+        total = 0
+        for p, w in pairs:
+            pcont = (ncw[w] + a) / (n_types + a * vocab)
+            pr = max(bg[(p, w)] - d, 0.0) / ctx[p] + (
+                (d * tprev[p]) / ctx[p]
+            ) * pcont
+            total += math.floor(-math.log(pr) * 1_000_000)
+        n = len(pairs)
+        assert got[doc_id] == (n, total / (1_000_000 * n)), doc_id
+
+    # the KN property: 'francisco' is frequent but single-context, so
+    # its continuation probability is LOW -- a novel context pairing
+    # must surprise KN more than a same-frequency diverse-context word
+    assert ncw["francisco"] == 1
+
+
+def test_kneser_ney_fluent_beats_shuffled(spark):
+    from rag_vertex_ai_vector_search_spark.operators.lm_quality import (
+        kneser_ney_bigram_surprisal,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    shuf = "dog the over quick lazy fox brown the jumps " * 5
+    corpus = [(i, base) for i in range(8)] + [(100, shuf)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r.doc_id: r.avg_surprisal_nats
+        for r in kneser_ney_bigram_surprisal(df).collect()
+    }
+    assert got[0] < got[100]
