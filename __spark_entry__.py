@@ -2665,6 +2665,91 @@ FROM pr_{n_iter}
 """
 
 
+def q_hits_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact HITS hubs/authorities (operators/graph.py::hits,
+    r7) over the same synthesized citation graph as pagerank_citations
+    -- the complementary link signal (hubs = link directories,
+    authorities = canonical sources). L1 normalization with integer
+    division against a cross-joined one-row sum keeps every round
+    exact, so all 6 iterations (12 half-steps) mirror as chained CTE
+    stages bit-for-bit. Archive-gated."""
+    from rag_vertex_ai_vector_search_spark.operators.graph import hits
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = docs.count()
+    i = F.col("doc_id")
+    e1 = docs.select(i.alias("src"), ((i * 7 + 1) % d).alias("dst"))
+    e2 = docs.select(i.alias("src"), ((i * 13 + 3) % d).alias("dst"))
+    e3 = docs.filter(i % 5 == 0).select(
+        i.alias("src"), ((i * 3 + 11) % d).alias("dst")
+    )
+    return hits(e1.union(e2).union(e3), n_iter=6)
+
+
+def _sql_hits(n_iter: int = 6) -> str:
+    """Chained-CTE mirror of the integer HITS loop: two half-steps per
+    iteration (authority from hubs, hubs from authorities), each an
+    edge join + integer L1 renormalization against the stage sum."""
+    stages = []
+    for k in range(1, n_iter + 1):
+        stages.append(f"""
+araw_{k} AS MATERIALIZED (
+  SELECT e.dst AS node_id, CAST(sum(h.h_units) AS BIGINT) AS raw
+  FROM edges e JOIN h_{k - 1} h ON h.node_id = e.src
+  GROUP BY e.dst
+),
+a_{k} AS MATERIALIZED (
+  SELECT n.node_id,
+         CAST((coalesce(r.raw, 0) * 1000000000)
+              // (SELECT CAST(sum(raw) AS BIGINT) FROM araw_{k})
+              AS BIGINT) AS a_units
+  FROM nodes n LEFT JOIN araw_{k} r USING (node_id)
+),
+hraw_{k} AS MATERIALIZED (
+  SELECT e.src AS node_id, CAST(sum(a.a_units) AS BIGINT) AS raw
+  FROM edges e JOIN a_{k} a ON a.node_id = e.dst
+  GROUP BY e.src
+),
+h_{k} AS MATERIALIZED (
+  SELECT n.node_id,
+         CAST((coalesce(r.raw, 0) * 1000000000)
+              // (SELECT CAST(sum(raw) AS BIGINT) FROM hraw_{k})
+              AS BIGINT) AS h_units
+  FROM nodes n LEFT JOIN hraw_{k} r USING (node_id)
+)""")
+    return f"""
+WITH d AS (SELECT count(*) AS d FROM documents),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT d FROM d) AS dst
+    FROM documents
+    UNION
+    SELECT doc_id AS src, (doc_id * 13 + 3) % (SELECT d FROM d) AS dst
+    FROM documents
+    UNION
+    SELECT doc_id AS src, (doc_id * 3 + 11) % (SELECT d FROM d) AS dst
+    FROM documents WHERE doc_id % 5 = 0)
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS node_id FROM edges
+  UNION
+  SELECT DISTINCT dst FROM edges
+),
+nn AS (SELECT count(*) AS n FROM nodes),
+h_0 AS (
+  SELECT node_id,
+         CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS h_units
+  FROM nodes
+),{",".join(stages)}
+SELECT h.node_id,
+       h.h_units AS hub_units,
+       a.a_units AS auth_units,
+       CAST(h.h_units AS DOUBLE) / 1000000000.0 AS hub,
+       CAST(a.a_units AS DOUBLE) / 1000000000.0 AS authority
+FROM h_{n_iter} h JOIN a_{n_iter} a USING (node_id)
+"""
+
+
 def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, operators/semdedup.py): embedding-
     cluster semantic dedup with the paper's keep-lowest-centroid-
@@ -5910,6 +5995,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize_corpus": q_bpe_tokenize_corpus,
         "pagerank_citations": q_pagerank_citations,
         "pagerank_weighted": q_pagerank_weighted,
+        "hits_citations": q_hits_citations,
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
         "pii_scrub": q_pii_scrub,
@@ -6024,6 +6110,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "bpe_tokenize_corpus": _sql_bpe_tokenize(8),
         "pagerank_citations": _sql_pagerank(6),
         "pagerank_weighted": _sql_pagerank_weighted(6),
+        "hits_citations": _sql_hits(6),
         "text_quality": _SQL_TEXT_QUALITY,
         "text_repetition": _SQL_TEXT_REPETITION,
         "pii_scrub": _SQL_PII_SCRUB,

@@ -164,3 +164,104 @@ def pagerank(
         "pr_units",
         (F.col("pr_units").cast("double") / F.lit(float(scale))).alias("pr"),
     )
+
+
+def hits(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 10,
+    scale: int = 10 ** 9,
+) -> DataFrame:
+    """Integer-exact HITS (Kleinberg 1999): hubs point at good
+    authorities, authorities are pointed at by good hubs -- the
+    complementary link signal to PageRank (a page can be a great HUB
+    of links without having authority itself; web-corpus curation uses
+    hub scores to find link directories and authority scores to find
+    canonical sources). Returns ``(node_id, hub_units, auth_units,
+    hub, authority)``.
+
+    Determinism: the classical L2 normalization is a float sqrt --
+    order-dependent poison. This implementation normalizes each round
+    in L1 with integer division against the distributed one-row sum
+    (cross-joined, never collected):
+
+        a_raw[v] = sum_{(u,v)} h[u];  a[v] = (a_raw[v] * scale) div S_a
+        h_raw[u] = sum_{(u,v)} a[v];  h[u] = (h_raw[u] * scale) div S_h
+
+    Long sums are exact; rankings are identical to the L1-normalized
+    float iteration up to round-down drift < 1 unit per node. Caller
+    contract: E * scale must fit int64 (at web scale drop ``scale`` to
+    1e6). Shape per iteration: two keyed shuffles + two one-row
+    aggregates. Unlike pagerank, every half-step ends in an EAGER
+    localCheckpoint: the normalization sum is a separate aggregation
+    subtree over the same stage, and without truncation each of the
+    2*n_iter sums would re-execute its entire prefix lineage
+    (measured: minutes instead of seconds at 6 iterations).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .union(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("hits on an empty edge list")
+    h = nodes.withColumn("h_units", F.lit(scale // n).cast("long"))
+    a = None
+    for i in range(1, n_iter + 1):
+        a_raw = (
+            e.join(h, e["src"] == h["node_id"])
+            .groupBy("dst")
+            .agg(F.sum("h_units").cast("long").alias("_raw"))
+        )
+        a_raw = a_raw.localCheckpoint(eager=True)
+        a_sum = a_raw.agg(F.sum("_raw").cast("long").alias("_s"))
+        a = (
+            nodes.join(a_raw, nodes["node_id"] == a_raw["dst"], "left")
+            .crossJoin(a_sum)
+            .select(
+                "node_id",
+                F.expr(
+                    f"(coalesce(_raw, 0L) * {scale}L) div _s"
+                ).cast("long").alias("a_units"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(a, e["dst"] == a["node_id"])
+            .groupBy("src")
+            .agg(F.sum("a_units").cast("long").alias("_raw"))
+        )
+        h_raw = h_raw.localCheckpoint(eager=True)
+        h_sum = h_raw.agg(F.sum("_raw").cast("long").alias("_s"))
+        h = (
+            nodes.join(h_raw, nodes["node_id"] == h_raw["src"], "left")
+            .crossJoin(h_sum)
+            .select(
+                "node_id",
+                F.expr(
+                    f"(coalesce(_raw, 0L) * {scale}L) div _s"
+                ).cast("long").alias("h_units"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        h.join(a, "node_id")
+        .select(
+            "node_id",
+            F.col("h_units").alias("hub_units"),
+            F.col("a_units").alias("auth_units"),
+            (F.col("h_units").cast("double") / F.lit(float(scale))).alias(
+                "hub"
+            ),
+            (F.col("a_units").cast("double") / F.lit(float(scale))).alias(
+                "authority"
+            ),
+        )
+    )

@@ -107,3 +107,39 @@ def test_pagerank_personalized_invalid_shares(spark):
     pers = spark.createDataFrame([(0, 0)], "node_id long, share long")
     with pytest.raises(ValueError, match="sum > 0"):
         pagerank(e, personalization=pers)
+
+
+@pytest.mark.full
+def test_hits_hubs_and_authorities_separate(spark):
+    """Bipartite citation: s* link to t* -> s* are pure hubs (high hub,
+    zero authority), t* pure authorities; t1 with more in-links
+    out-authorities t2. Partition-order invariant (integer L1
+    normalization)."""
+    from rag_vertex_ai_vector_search_spark.operators.graph import hits
+
+    edges = [("s1", "t1"), ("s2", "t1"), ("s3", "t1"),
+             ("s1", "t2"), ("s2", "t2")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.node_id: r for r in hits(e, n_iter=8).collect()}
+    for s in ("s1", "s2", "s3"):
+        assert out[s].auth_units == 0, s       # nothing points at s*
+    for t in ("t1", "t2"):
+        assert out[t].hub_units == 0, t        # t* point at nothing
+    assert out["t1"].auth_units > out["t2"].auth_units
+    # s1/s2 (2 out-links each) out-hub s3 (1)
+    assert out["s1"].hub_units == out["s2"].hub_units
+    assert out["s1"].hub_units > out["s3"].hub_units
+
+    a = sorted((r.node_id, r.hub_units, r.auth_units)
+               for r in hits(e.coalesce(1), n_iter=8).collect())
+    b = sorted((r.node_id, r.hub_units, r.auth_units)
+               for r in hits(e.repartition(16), n_iter=8).collect())
+    assert a == b
+
+
+def test_hits_empty_raises(spark):
+    from rag_vertex_ai_vector_search_spark.operators.graph import hits
+
+    e = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="empty edge list"):
+        hits(e)
