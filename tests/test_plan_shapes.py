@@ -282,3 +282,60 @@ def test_semdedup_no_cartesian_and_broadcast_centroids(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_sketch_single_shuffle_and_broadcast_probe(spark, sf_smoke):
+    """The Bloom word build must be ONE shuffle with map-side partial
+    bit_or; membership probes must BROADCAST the bounded word table
+    (never shuffle the probe corpus against it)."""
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        bloom_contains, bloom_sketch,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    kw = dict(n_bits=1 << 14, k=3)
+    sk = bloom_sketch(words, "w", **kw)
+    plan = _plan(sk)
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1, plan
+
+    probe = bloom_contains(
+        sk, words.select(F.col("w").alias("item")).distinct(), **kw
+    )
+    assert "BroadcastHashJoin" in _plan(probe)
+
+
+def test_phrase_search_broadcasts_slots_single_anchor_shuffle(
+    spark, sf_smoke
+):
+    """The phrase-slot table must broadcast; corpus-side work is the
+    token explode + ONE (doc, anchor) aggregate shuffle chain -- no
+    P-way self-join (which would show >= 2 SortMergeJoins)."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.q_phrase_search_docs(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_histogram_single_shuffle_partial_agg(spark, sf_smoke):
+    """Histogram build: one shuffle, partial counts below it."""
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        histogram_sketch,
+    )
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    df = li.select("l_returnflag", cents.alias("cents"))
+    plan = _plan(
+        histogram_sketch(
+            df, "cents", group_cols=("l_returnflag",),
+            lo=0, hi=12_000_000, n_bins=256,
+        )
+    )
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1, plan
+    assert "partial" in plan.lower(), plan
