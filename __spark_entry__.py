@@ -2665,6 +2665,145 @@ FROM pr_{n_iter}
 """
 
 
+def q_authority_weighted_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 capstone composition: doc-level citations -> DOMAIN-level
+    link graph (edge weight = inter-domain link count) -> weighted
+    integer PageRank (operators/graph.py) -> authority joined back to
+    documents -> hash-Gumbel weighted selection of 50 docs
+    (operators/importance.py::dsir_gumbel_select) with sampling
+    probability proportional to exp(domain authority). This is the
+    quality-weighted corpus sampler a web pipeline actually runs
+    ("prefer docs from authoritative domains, stochastically, and
+    reproducibly"), and every stage -- edge lift, weight aggregation,
+    4 integer power iterations, the div-1000 weight bridge, the
+    Gumbel keys -- mirrors in ONE composite SQL, so the whole lineage
+    is hash-gated."""
+    from rag_vertex_ai_vector_search_spark.operators.graph import pagerank
+    from rag_vertex_ai_vector_search_spark.operators.importance import (
+        dsir_gumbel_select,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    d = docs.count()
+    i = F.col("doc_id")
+    cite = (
+        docs.select(i.alias("a"), ((i * 7 + 1) % d).alias("b"))
+        .unionAll(docs.select(i.alias("a"), ((i * 13 + 3) % d).alias("b")))
+        .unionAll(
+            docs.filter(i % 5 == 0).select(
+                i.alias("a"), ((i * 3 + 11) % d).alias("b")
+            )
+        )
+    )
+    dmap = docs.select(F.col("doc_id").alias("_d"), F.col("source"))
+    dedges = (
+        cite.join(dmap, cite["a"] == dmap["_d"])
+        .select(F.col("source").alias("src"), "b")
+        .join(dmap, F.col("b") == dmap["_d"])
+        .select("src", F.col("source").alias("dst"))
+        .withColumn("w", F.lit(1).cast("long"))
+    )
+    pr = pagerank(dedges, weight_col="w", n_iter=4)
+    scored = docs.join(
+        pr.select(
+            F.col("node_id"), F.col("pr_units"),
+        ),
+        docs["source"] == F.col("node_id"),
+    ).select(
+        "doc_id",
+        F.col("source").alias("domain"),
+        F.col("pr_units").alias("authority_units"),
+        F.expr("pr_units div 1000").cast("long").alias(
+            "log_weight_micronats"
+        ),
+    )
+    sel = dsir_gumbel_select(scored, 50, salt="auth")
+    return sel.select(
+        "doc_id", "domain", "authority_units",
+        "log_weight_micronats", "gumbel_key_micronats",
+    )
+
+
+def _sql_authority_weighted_selection(n_iter: int = 4) -> str:
+    """Composite mirror: domain edge lift + the weighted-PageRank
+    chained CTEs (uniform teleport) + the proven hash-Gumbel key
+    formula, ORDER BY key DESC, doc_id LIMIT 50."""
+    gum_hash = _sql_sha60("'auth:' || CAST(doc_id AS VARCHAR)")
+    stages = []
+    for k in range(n_iter):
+        stages.append(f"""
+pr_{k + 1} AS MATERIALIZED (
+  SELECT n.node_id,
+         CAST(t.tele + (17 * coalesce(s.inc, 0)) // 20 AS BIGINT)
+           AS pr_units
+  FROM nodes n
+  CROSS JOIN tconst t
+  LEFT JOIN (
+    SELECT e.dst AS node_id,
+           CAST(sum((p.pr_units * e.w) // o.deg) AS BIGINT) AS inc
+    FROM edges e
+    JOIN pr_{k} p ON p.node_id = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.node_id = n.node_id
+)""")
+    return f"""
+WITH d AS (SELECT count(*) AS d FROM documents),
+cite AS (
+  SELECT doc_id AS a, (doc_id * 7 + 1) % (SELECT d FROM d) AS b
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 3) % (SELECT d FROM d) FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 3 + 11) % (SELECT d FROM d)
+  FROM documents WHERE doc_id % 5 = 0
+),
+dm AS (SELECT doc_id, source FROM documents),
+edges AS MATERIALIZED (
+  SELECT x.source AS src, y.source AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM cite c JOIN dm x ON c.a = x.doc_id JOIN dm y ON c.b = y.doc_id
+  GROUP BY x.source, y.source
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS node_id FROM edges
+  UNION
+  SELECT DISTINCT dst FROM edges
+),
+nn AS (SELECT count(*) AS n FROM nodes),
+tconst AS (
+  SELECT (1000000000::BIGINT
+          - (17::BIGINT * 1000000000::BIGINT) // 20) // (SELECT n FROM nn)
+           AS tele
+),
+outdeg AS MATERIALIZED (
+  SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM edges GROUP BY src
+),
+pr_0 AS (
+  SELECT node_id,
+         CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS pr_units
+  FROM nodes
+),{",".join(stages)},
+scored AS (
+  SELECT doc_id, source AS domain, pr_units AS authority_units,
+         CAST(pr_units // 1000 AS BIGINT) AS log_weight_micronats
+  FROM documents JOIN pr_{n_iter} ON source = node_id
+),
+keys AS (
+  SELECT *,
+         CAST(floor(
+           CAST(log_weight_micronats AS DOUBLE)
+           + (-ln(-ln(({gum_hash} + 1.0) / (power(2, 60) + 1.0))))
+             * 1000000.0
+         ) AS BIGINT) AS gumbel_key_micronats
+  FROM scored
+)
+SELECT doc_id, domain, authority_units, log_weight_micronats,
+       gumbel_key_micronats
+FROM keys
+ORDER BY gumbel_key_micronats DESC, doc_id ASC
+LIMIT 50
+"""
+
+
 def q_hits_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact HITS hubs/authorities (operators/graph.py::hits,
     r7) over the same synthesized citation graph as pagerank_citations
@@ -5807,7 +5946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_removal": q_dedup_span_removal,
         "dsir_importance": q_dsir_importance,
         "ann_recall_lsh": q_ann_recall_lsh,
-        "html_text_extract": q_html_text_extract,
+        "authority_weighted_selection": q_authority_weighted_selection,
         "url_normalize": q_url_normalize,
         "web_corpus_pipeline": q_web_corpus_pipeline,
         "warc_roundtrip": q_warc_roundtrip,
@@ -5983,6 +6122,11 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     equi-join machinery it exercises stays declared-gated through
     dataset_decontaminate and bloom_ngram_decontaminate, which use
     the same gram mirrors.
+
+    Fifth r7 rotation: authority_weighted_selection (the weighted-
+    PageRank -> Gumbel-sampler capstone) displaces html_text_extract,
+    whose visible-text/anchor-text mirrors are embedded verbatim in
+    the still-declared web_corpus_pipeline oracle.
     """
     return {
         "knn_lsh_bucketed": q_knn_lsh_bucketed,
@@ -5996,6 +6140,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_citations": q_pagerank_citations,
         "pagerank_weighted": q_pagerank_weighted,
         "hits_citations": q_hits_citations,
+        "html_text_extract": q_html_text_extract,
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
         "pii_scrub": q_pii_scrub,
@@ -6056,7 +6201,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_span_removal": _SQL_DEDUP_SPAN_REMOVAL,
         "dsir_importance": _SQL_DSIR,
         "ann_recall_lsh": _sql_ann_recall_lsh(),
-        "html_text_extract": _SQL_HTML_EXTRACT,
+        "authority_weighted_selection": _sql_authority_weighted_selection(4),
         "url_normalize": _sql_url_normalize(),
         "web_corpus_pipeline": _sql_web_pipeline(),
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
@@ -6111,6 +6256,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "pagerank_citations": _sql_pagerank(6),
         "pagerank_weighted": _sql_pagerank_weighted(6),
         "hits_citations": _sql_hits(6),
+        "html_text_extract": _SQL_HTML_EXTRACT,
         "text_quality": _SQL_TEXT_QUALITY,
         "text_repetition": _SQL_TEXT_REPETITION,
         "pii_scrub": _SQL_PII_SCRUB,

@@ -274,6 +274,8 @@ BENCH_QUERIES = [
     ("bloom_ngram_decontaminate", entrymod.q_bloom_ngram_decontaminate),
     # r7: positional phrase retrieval (quoted-phrase queries)
     ("phrase_search_docs", entrymod.q_phrase_search_docs),
+    # r7 capstone: domain graph -> weighted PageRank -> Gumbel sampler
+    ("authority_weighted_selection", entrymod.q_authority_weighted_selection),
     # r7: the streaming subsystem's driver-gated row -- a real
     # micro-batched foreachBatch run + state-table fold (VERDICT r6 #1)
     ("streaming_vocab_maintained", entrymod.q_streaming_vocab_maintained),
