@@ -4255,6 +4255,50 @@ GROUP BY 1, 2
 """
 
 
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoothing of the event value series
+    (operators/timeseries.py::ewma, r7, alpha = 1/4): the detrending
+    pass before threshold anomaly flags. EWMA is inherently
+    sequential, so the operator runs ONE F.aggregate fold per key over
+    the sort_array'd series -- which is exactly DuckDB's list_reduce
+    semantics (seed = first element, lambda(acc, x) for the rest), so
+    every intermediate smoothed value mirrors bit-for-bit; the oracle
+    re-folds each prefix (quadratic is fine at oracle scale). Alpha
+    1/4 and its complement 3/4 are exact binary doubles. Archive-
+    gated (window at capacity)."""
+    from rag_vertex_ai_vector_search_spark.operators.timeseries import (
+        ewma,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return ewma(
+        ev, key_cols=("user_id",), ts_col="ts", value_col="value",
+        alpha_num=1, alpha_den=4, tie_col="event_id",
+    )
+
+
+_SQL_EVENTS_EWMA = """
+WITH packed AS (
+  SELECT user_id,
+         list(struct_pack(ts := ts, eid := event_id, v := value)
+              ORDER BY ts, event_id, value) AS series
+  FROM events GROUP BY user_id
+),
+pos AS (
+  SELECT user_id, unnest(series) AS s,
+         generate_subscripts(series, 1) AS i, series
+  FROM packed
+)
+SELECT user_id, s.ts AS ts, s.eid AS event_id, s.v AS value,
+       list_reduce(list_transform(series[1:i], z -> z.v),
+                   (acc, x) -> 0.25::DOUBLE * x + 0.75::DOUBLE * acc)
+         AS ewma
+FROM pos
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute inactivity gap splits sessions per user
     (lag + cumulative sum of gap flags)."""
@@ -6135,6 +6179,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_dim_prefix": q_ann_recall_dim_prefix,
         "price_histogram_quantiles": q_price_histogram_quantiles,
         "lm_kn_bigram_surprisal": q_lm_kn_bigram_surprisal,
+        "events_ewma": q_events_ewma,
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "bpe_tokenize_corpus": q_bpe_tokenize_corpus,
         "pagerank_citations": q_pagerank_citations,
@@ -6251,6 +6296,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "ann_recall_dim_prefix": _sql_ann_recall_dim_prefix(),
         "price_histogram_quantiles": _SQL_PRICE_HISTOGRAM,
         "lm_kn_bigram_surprisal": _sql_lm_kn_bigram_surprisal(),
+        "events_ewma": _SQL_EVENTS_EWMA,
         "knn_ivf_full_probe": _SQL_KNN_TOPK,
         "bpe_tokenize_corpus": _sql_bpe_tokenize(8),
         "pagerank_citations": _sql_pagerank(6),

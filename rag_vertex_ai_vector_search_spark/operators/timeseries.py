@@ -76,3 +76,89 @@ def gapfill_locf(
     for v in value_cols:
         out = out.withColumn(v, F.last(v, ignorenulls=True).over(w))
     return out
+
+
+def ewma(
+    df: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Exponentially weighted moving average per key:
+    ``s_t = (a_num/a_den) * x_t + (1 - a_num/a_den) * s_{t-1}``,
+    seeded with the first observation -- the standard smoothing for
+    rate/latency/score series (and the detrending step before
+    threshold-based anomaly flags). Adds ``ewma`` next to each row.
+
+    Determinism: EWMA is inherently SEQUENTIAL -- a distributed
+    running-window sum cannot express it, and a float reduction over
+    an unordered shuffle would be garbage. The implementation
+    collects each key's series as a sort_array'd struct list and runs
+    ONE F.aggregate fold (rational alpha evaluated in a fixed
+    operation order), then posexplodes back to rows -- bit-equal to
+    DuckDB's list_reduce over the same sorted list, so the operator
+    is oracle-gateable. Ordering ties break on ``tie_col`` (default:
+    none -- provide one when timestamps can collide, e.g. event_id,
+    or cross-engine sort stability is not guaranteed).
+
+    Scale shape: one shuffle on the key; each key's series must fit
+    executor memory (the same per-key contract as sessionize /
+    collect-based windows -- at 100 TB, window the series by day
+    first if a single key's history is unbounded).
+    """
+    a = float(alpha_num) / float(alpha_den)
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    packed = df.groupBy(*key_cols).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("_ts"),
+                    *([F.col(tie_col).alias("_tie")] if tie_col else []),
+                    F.col(value_col).cast("double").alias("_v"),
+                )
+            )
+        ).alias("_series")
+    )
+    # fold to an ARRAY of running ewma values (same length), then zip
+    # back: acc is (array, last); expressed with aggregate over structs
+    fold = F.aggregate(
+        F.col("_series"),
+        F.struct(
+            F.lit(None).cast("array<double>").alias("acc"),
+            F.lit(None).cast("double").alias("last"),
+        ),
+        lambda acc, x: F.struct(
+            F.when(
+                acc["acc"].isNull(), F.array(x["_v"])
+            ).otherwise(
+                F.concat(
+                    acc["acc"],
+                    F.array(
+                        F.lit(a) * x["_v"]
+                        + F.lit(1.0 - a) * acc["last"]
+                    ),
+                )
+            ).alias("acc"),
+            F.when(acc["acc"].isNull(), x["_v"]).otherwise(
+                F.lit(a) * x["_v"] + F.lit(1.0 - a) * acc["last"]
+            ).alias("last"),
+        ),
+    )["acc"]
+    exploded = packed.select(
+        *key_cols,
+        F.posexplode(F.arrays_zip(F.col("_series"), fold.alias("_e"))).alias(
+            "_i", "_z"
+        ),
+    )
+    out_cols = [
+        F.col("_z._series._ts").alias(ts_col),
+        F.col("_z._series._v").alias(value_col),
+        F.col("_z._e").alias("ewma"),
+    ]
+    if tie_col:
+        out_cols.insert(1, F.col("_z._series._tie").alias(tie_col))
+    return exploded.select(*key_cols, *out_cols)

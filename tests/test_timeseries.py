@@ -97,3 +97,54 @@ def test_gapfill_observed_null_not_marked_filled(spark):
     assert out[3].is_filled is False
     # LOCF still carries through the observed-null row
     assert out[1].v == 10.0 and out[2].v == 10.0 and out[3].v == 30.0
+
+
+def test_ewma_hand_values_and_partition_invariance(spark):
+    """s_t = 0.25 x_t + 0.75 s_{t-1}, seeded with the first value --
+    hand-checked, and identical under any input partitioning (the
+    sequential fold admits no reassociation)."""
+    import datetime as _dt
+
+    from rag_vertex_ai_vector_search_spark.operators.timeseries import ewma
+
+    rows = [
+        (1, _dt.datetime(2024, 1, 1, 0, 0, i), i, float(v))
+        for i, v in enumerate([10.0, 20.0, 10.0, 0.0])
+    ] + [(2, _dt.datetime(2024, 1, 1), 0, 100.0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    got = {
+        (r.user_id, r.event_id): r.ewma
+        for r in ewma(df, tie_col="event_id").collect()
+    }
+    assert got[(1, 0)] == 10.0
+    assert got[(1, 1)] == 12.5
+    assert got[(1, 2)] == 11.875
+    assert got[(1, 3)] == 8.90625
+    assert got[(2, 0)] == 100.0  # singleton series = its own seed
+
+    got2 = {
+        (r.user_id, r.event_id): r.ewma
+        for r in ewma(df.repartition(16), tie_col="event_id").collect()
+    }
+    assert got == got2
+
+
+def test_ewma_ties_break_on_tie_col(spark):
+    """Two events at the SAME timestamp: the tie column fixes the fold
+    order, so the result is deterministic (and order-sensitive: the
+    higher event_id is smoothed against the lower's output)."""
+    import datetime as _dt
+
+    from rag_vertex_ai_vector_search_spark.operators.timeseries import ewma
+
+    t = _dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t, 0, 0.0), (1, t, 1, 100.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    got = {
+        r.event_id: r.ewma for r in ewma(df, tie_col="event_id").collect()
+    }
+    assert got[0] == 0.0 and got[1] == 25.0  # 0.25*100 + 0.75*0
