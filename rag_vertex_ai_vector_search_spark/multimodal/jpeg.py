@@ -5,6 +5,8 @@ dequantize, inverse zigzag, IDCT, chroma upsample, BT.601 YCbCr -> RGB.
 
 Scope (the overwhelming majority of real-world JPEGs):
 - baseline sequential DCT (SOF0/1), 8-bit samples
+- LOSSLESS (SOF3, T.81 Annex H): all 7 predictors, 2..16-bit
+  precision, point transform -- exact encode->decode round-trips
 - PROGRESSIVE DCT (SOF2): spectral selection + successive
   approximation per T.81 G.1.2 (multi-scan coefficient accumulation,
   EOB runs, refinement correction bits) -- the dominant encode mode of
@@ -648,6 +650,8 @@ def decode_jpeg_baseline(content: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}
     sof = None
     progressive = False
+    lossless = False
+    lossless_precision = 8
     coefs: dict[int, np.ndarray] | None = None
     restart_interval = 0
     while pos < len(data):
@@ -684,10 +688,14 @@ def decode_jpeg_baseline(content: bytes) -> np.ndarray:
                 values = list(body[off + 17:off + 17 + nval])
                 htables[(tc, th)] = _decode_table(bits, values)
                 off += 17 + nval
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1, SOF2, SOF3
             precision = body[0]
-            if precision != 8:
+            if marker != 0xC3 and precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG")
+            if marker == 0xC3 and not 2 <= precision <= 16:
+                raise NotImplementedError(
+                    f"{precision}-bit lossless JPEG"
+                )
             hgt, wid = struct.unpack_from(">HH", body, 1)
             ncomp = body[5]
             comps = []
@@ -698,11 +706,13 @@ def decode_jpeg_baseline(content: bytes) -> np.ndarray:
                 )
             sof = (hgt, wid, comps)
             progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            lossless = marker == 0xC3
+            lossless_precision = precision
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0x{marker:02X} (lossless/arithmetic/"
-                "hierarchical) not supported; SOF0/1/2 only"
+                f"JPEG SOF marker 0x{marker:02X} (arithmetic/"
+                "hierarchical) not supported; SOF0/1/2/3 only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -714,6 +724,13 @@ def decode_jpeg_baseline(content: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
+            if lossless:
+                pred_sel = body[1 + 2 * ns]
+                pt_bits = body[3 + 2 * ns] & 0x0F
+                return _decode_lossless_scan(
+                    data, pos + seglen, sof, scan, htables,
+                    pred_sel, pt_bits, lossless_precision,
+                )
             if not progressive:
                 return _decode_scan(
                     data, pos + seglen, sof, scan, qtables, htables,
@@ -1055,3 +1072,171 @@ def _decode_scan(data, pos, sof, scan, qtables, htables, restart_interval):
                         planes[c["id"]][py:py + 8, px:px + 8] = blk
 
     return _assemble_planes(sof, planes)
+
+
+# -- lossless (SOF3) -------------------------------------------------------
+#
+# T.81 Annex H: Huffman-coded prediction residuals, no DCT, no
+# quantization -- the archival/medical JPEG mode (and DNG's raw
+# container). Reuses the shared canonical-Huffman + stuffed-bit IO
+# machinery; residual coding is the DC difference scheme with the one
+# lossless extension (SSSS = 16 carries NO extra bits and means
+# +32768). All sample arithmetic is modulo 2^16 per H.1.2.1, so
+# encode->decode round-trips EXACTLY at any precision 2..16.
+
+# Diff-category table covering SSSS 0..16 (the baseline DC tables stop
+# at 11): three 2-bit codes then one code per length 3..16. Kraft sum
+# 1 - 2^-16, so the all-ones code stays unused as T.81 requires.
+_DC_LOSSLESS = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1],
+    list(range(17)),
+)
+
+_LOSSLESS_PREDICTORS = frozenset(range(1, 8))
+
+
+def _predict(ra: int, rb: int, rc: int, predictor: int) -> int:
+    if predictor == 1:
+        return ra
+    if predictor == 2:
+        return rb
+    if predictor == 3:
+        return rc
+    if predictor == 4:
+        return ra + rb - rc
+    if predictor == 5:
+        return ra + ((rb - rc) >> 1)
+    if predictor == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # predictor 7
+
+
+def encode_jpeg_lossless(
+    img: np.ndarray, *, predictor: int = 4, point_transform: int = 0
+) -> bytes:
+    """Lossless JPEG (SOF3) encoder: (H, W) uint8/uint16 grayscale or
+    (H, W, 3) uint8 RGB (components coded independently, interleaved
+    one sample per MCU). ``predictor`` selects T.81 H.1 predictors
+    1-7 (4 = Ra+Rb-Rc, the common default); ``point_transform``
+    drops Pt low bits before coding (0 = fully lossless)."""
+    img = np.asarray(img)
+    if img.dtype == np.uint16:
+        precision = 16
+    elif img.dtype == np.uint8:
+        precision = 8
+    else:
+        raise ValueError(f"lossless JPEG needs uint8/uint16, got {img.dtype}")
+    if predictor not in _LOSSLESS_PREDICTORS:
+        raise ValueError(f"predictor must be 1..7, got {predictor}")
+    pt = int(point_transform)
+    if not 0 <= pt < precision:
+        raise ValueError(f"point_transform must be in [0, {precision})")
+    h, w = img.shape[0], img.shape[1]
+    planes = (
+        [img.astype(np.int64)] if img.ndim == 2
+        else [img[:, :, c].astype(np.int64) for c in range(img.shape[2])]
+    )
+    planes = [p >> pt for p in planes]
+    ncomp = len(planes)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xc3" + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, precision, h, w, ncomp
+    )
+    for cid in range(1, ncomp + 1):
+        out += bytes([cid, 0x11, 0])  # h=v=1; Tq unused in lossless
+    bits, values = _DC_LOSSLESS
+    out += b"\xff\xc4" + struct.pack(">HB", 19 + len(values), 0x00)
+    out += bytes(bits) + bytes(values)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for cid in range(1, ncomp + 1):
+        out += bytes([cid, 0x00])
+    out += bytes([predictor, 0, pt])  # Ss = predictor, Se = 0, Ah:Al
+
+    codes = _canonical_codes(bits, values)
+    writer = _BitWriter()
+    default_pred = 1 << (precision - pt - 1)
+    for y in range(h):
+        for x in range(w):
+            for p in planes:
+                if y == 0 and x == 0:
+                    px = default_pred
+                elif y == 0:
+                    px = int(p[0, x - 1])
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                else:
+                    px = _predict(
+                        int(p[y, x - 1]), int(p[y - 1, x]),
+                        int(p[y - 1, x - 1]), predictor,
+                    )
+                diff = (int(p[y, x]) - px) & 0xFFFF
+                sdiff = diff - 0x10000 if diff >= 0x8000 else diff
+                if diff == 0x8000:
+                    ln, cd = codes[16]
+                    writer.write(ln, cd)  # SSSS=16: no extra bits
+                    continue
+                s = _size_cat(sdiff)
+                ln, cd = codes[s]
+                writer.write(ln, cd)
+                if s:
+                    writer.write(
+                        s, sdiff if sdiff >= 0 else sdiff + (1 << s) - 1
+                    )
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_lossless_scan(
+    data: bytes, pos: int, sof, scan, htables, predictor: int, pt: int,
+    precision: int,
+) -> np.ndarray:
+    hgt, wid, comps = sof
+    if predictor not in _LOSSLESS_PREDICTORS:
+        raise NotImplementedError(
+            f"lossless predictor {predictor} out of range"
+        )
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        raise NotImplementedError(
+            "subsampled lossless JPEG components not supported"
+        )
+    order = []
+    for cs, td, _ in scan:
+        idx = next(i for i, c in enumerate(comps) if c["id"] == cs)
+        table = htables.get((0, td))
+        if table is None:
+            raise NotImplementedError(f"missing DC huffman table {td}")
+        order.append((idx, table))
+    planes = [np.zeros((hgt, wid), dtype=np.int64) for _ in comps]
+    reader = _BitReader(data, pos)
+    default_pred = 1 << (precision - pt - 1)
+    for y in range(hgt):
+        for x in range(wid):
+            for idx, table in order:
+                p = planes[idx]
+                if y == 0 and x == 0:
+                    px = default_pred
+                elif y == 0:
+                    px = int(p[0, x - 1])
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                else:
+                    px = _predict(
+                        int(p[y, x - 1]), int(p[y - 1, x]),
+                        int(p[y - 1, x - 1]), predictor,
+                    )
+                s = _read_symbol(reader, table)
+                if s == 16:
+                    sdiff = 32768
+                elif s:
+                    sdiff = _extend(reader.receive(s), s)
+                else:
+                    sdiff = 0
+                p[y, x] = (px + sdiff) & 0xFFFF
+    shifted = [(p << pt) & ((1 << 16) - 1) for p in planes]
+    dtype = np.uint8 if precision <= 8 else np.uint16
+    if len(shifted) == 1:
+        return shifted[0].astype(dtype)
+    return np.stack([p.astype(dtype) for p in shifted], axis=2)

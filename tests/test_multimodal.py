@@ -1186,3 +1186,56 @@ def test_synthesize_media_with_defects_statuses_closed_form(spark):
             assert (seed, "audio/mpeg") not in rows, seed
     # item count: 2 per seed + one mpeg per seed%3==0
     assert len(rows) == 2 * 13 + 5
+
+
+def test_jpeg_lossless_roundtrips_all_predictors():
+    """SOF3 lossless: encode->decode must be ARRAY-EQUAL (that's the
+    format's whole contract) for every T.81 predictor, at 8 and
+    16 bits, grayscale and RGB."""
+    from rag_vertex_ai_vector_search_spark.multimodal.jpeg import (
+        decode_jpeg_baseline, encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(7)
+    g8 = rng.randint(0, 256, (24, 32)).astype(np.uint8)
+    g16 = rng.randint(0, 65536, (16, 20)).astype(np.uint16)
+    rgb = rng.randint(0, 256, (12, 17, 3)).astype(np.uint8)
+    for pred in range(1, 8):
+        for img in (g8, g16, rgb):
+            out = decode_jpeg_baseline(
+                encode_jpeg_lossless(img, predictor=pred)
+            )
+            assert out.dtype == img.dtype and np.array_equal(out, img), pred
+
+
+def test_jpeg_lossless_spec_anchors():
+    """Spec-grounded corners, not just self-roundtrip: (1) the very
+    first sample is predicted by 2^(P-Pt-1) (H.1.2.2) -- a 16-bit
+    zero image's first diff is exactly -32768, the SSSS=16
+    no-extra-bits escape (H.1.2.1); (2) point transform codes x>>Pt
+    and restores x<<Pt; (3) a truncated entropy segment surfaces the
+    codec's NotImplementedError contract."""
+    import pytest as _pytest
+
+    from rag_vertex_ai_vector_search_spark.multimodal.jpeg import (
+        decode_jpeg_baseline, encode_jpeg_lossless,
+    )
+
+    z16 = np.zeros((3, 3), dtype=np.uint16)
+    blob = encode_jpeg_lossless(z16, predictor=1)
+    assert np.array_equal(decode_jpeg_baseline(blob), z16)
+
+    g8 = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 251
+    out = decode_jpeg_baseline(
+        encode_jpeg_lossless(g8.astype(np.uint8), point_transform=3)
+    )
+    assert np.array_equal(out, (g8 & 0xF8).astype(np.uint8))
+
+    # truncate inside the (larger) entropy segment: random 8-bit data
+    # codes to well over 8 bytes, so the cut hits entropy bits, and
+    # the reader surfaces the documented contract
+    big = encode_jpeg_lossless(
+        np.random.RandomState(3).randint(0, 256, (16, 16)).astype(np.uint8)
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_baseline(big[: len(big) - 10])
