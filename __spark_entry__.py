@@ -3458,6 +3458,86 @@ FROM sel
 """
 
 
+def q_pii_credit_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated credit-card detection (functions/text.py::
+    credit_card_counts, r7): a bare digit-run regex false-positives on
+    order ids and timestamps, so candidates are checksum-verified with
+    the ISO 7812 mod-10 fold -- pure integer column expressions, no
+    UDF. The fixture has no card numbers, so the query PLANTS them
+    deterministically (valid Visa/Amex test numbers on doc_id%7==0 /
+    %11==0, a Luhn-INVALID near-miss on doc_id%5==0, spaced/dashed
+    separators included) -- both detection branches and the rejection
+    branch are exercised and the oracle predicts every count."""
+    from rag_vertex_ai_vector_search_spark.functions.text import (
+        credit_card_counts,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    i = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(i % 7 == 0, F.lit(" pay 4111 1111 1111 1111 ok")).otherwise(
+            F.lit("")
+        ),
+        F.when(i % 11 == 0, F.lit(" amex 378282246310005 end")).otherwise(
+            F.lit("")
+        ),
+        F.when(i % 5 == 0, F.lit(" ref 4111-1111-1111-1112 x")).otherwise(
+            F.lit("")
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        credit_card_counts(planted).alias("_cc"),
+    ).select(
+        "doc_id",
+        F.col("_cc.n_candidates").alias("n_candidates"),
+        F.col("_cc.n_valid").alias("n_valid"),
+        (F.col("_cc.n_valid") > 0).alias("has_pii_card"),
+    )
+
+
+_SQL_PII_CARDS = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' pay 4111 1111 1111 1111 ok' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' amex 378282246310005 end' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' ref 4111-1111-1111-1112 x' ELSE '' END AS t
+  FROM documents
+),
+cand AS (
+  SELECT doc_id,
+         list_transform(
+           regexp_extract_all(t, '\b\d(?:[ -]?\d){12,18}\b'),
+           c -> replace(replace(c, ' ', ''), '-', '')) AS ds
+  FROM planted
+)
+SELECT doc_id,
+       CAST(len(ds) AS BIGINT) AS n_candidates,
+       CAST(len(list_filter(ds, s ->
+         (list_sum(list_transform(range(1, len(s) + 1), i ->
+            CASE WHEN i % 2 = 0
+                 THEN CAST(s[len(s) - i + 1] AS INT) * 2
+                      - CASE WHEN CAST(s[len(s) - i + 1] AS INT) * 2 > 9
+                             THEN 9 ELSE 0 END
+                 ELSE CAST(s[len(s) - i + 1] AS INT) END)) % 10 = 0)
+         AND len(s) >= 13 AND len(s) <= 19)) AS BIGINT) AS n_valid,
+       len(list_filter(ds, s ->
+         (list_sum(list_transform(range(1, len(s) + 1), i ->
+            CASE WHEN i % 2 = 0
+                 THEN CAST(s[len(s) - i + 1] AS INT) * 2
+                      - CASE WHEN CAST(s[len(s) - i + 1] AS INT) * 2 > 9
+                             THEN 9 ELSE 0 END
+                 ELSE CAST(s[len(s) - i + 1] AS INT) END)) % 10 = 0)
+         AND len(s) >= 13 AND len(s) <= 19)) > 0 AS has_pii_card
+FROM cand
+"""
+
+
 def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE first-iteration merge statistics (operators/tokenizer.py):
     adjacent character-pair frequencies inside words, weighted by word
@@ -6180,6 +6260,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_histogram_quantiles": q_price_histogram_quantiles,
         "lm_kn_bigram_surprisal": q_lm_kn_bigram_surprisal,
         "events_ewma": q_events_ewma,
+        "pii_credit_cards": q_pii_credit_cards,
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "bpe_tokenize_corpus": q_bpe_tokenize_corpus,
         "pagerank_citations": q_pagerank_citations,
@@ -6297,6 +6378,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "price_histogram_quantiles": _SQL_PRICE_HISTOGRAM,
         "lm_kn_bigram_surprisal": _sql_lm_kn_bigram_surprisal(),
         "events_ewma": _SQL_EVENTS_EWMA,
+        "pii_credit_cards": _SQL_PII_CARDS,
         "knn_ivf_full_probe": _SQL_KNN_TOPK,
         "bpe_tokenize_corpus": _sql_bpe_tokenize(8),
         "pagerank_citations": _sql_pagerank(6),

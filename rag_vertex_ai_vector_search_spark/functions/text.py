@@ -592,3 +592,59 @@ def c4_quality_flags(
         has_badword.alias("has_badword"),
         keep.alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# Credit-card detection with Luhn validation (r7). A bare 13-19-digit
+# regex false-positives on order numbers, timestamps and phone
+# strings; the Luhn check (ISO/IEC 7812's checksum, mod-10
+# double-every-second-digit) filters to checksum-consistent numbers --
+# the standard PII-scanner refinement. Pure integer column
+# expressions (no UDF), so counts and verdicts mirror bit-exactly in
+# SQL: integer sums admit no float drift.
+# --------------------------------------------------------------------------
+
+CARD_CANDIDATE_PATTERN = r"\b\d(?:[ -]?\d){12,18}\b"
+
+
+def luhn_valid(col: Column | str) -> Column:
+    """True iff the DIGIT-ONLY string passes the Luhn mod-10 check and
+    has a plausible card length (13-19). Fold: from the right, double
+    every second digit, subtract 9 when the double exceeds 9, sum,
+    check mod 10."""
+    ds = _c(col)
+    length = F.length(ds)
+    total = F.aggregate(
+        F.sequence(F.lit(1), length),
+        F.lit(0),
+        lambda acc, i: acc + F.when(
+            i % 2 == 0,
+            F.substring(ds, (length - i + 1).cast("int"), 1).cast("int") * 2
+            - F.when(
+                F.substring(ds, (length - i + 1).cast("int"), 1).cast("int")
+                * 2 > 9,
+                F.lit(9),
+            ).otherwise(F.lit(0)),
+        ).otherwise(
+            F.substring(ds, (length - i + 1).cast("int"), 1).cast("int")
+        ),
+    )
+    return (total % 10 == 0) & (length >= 13) & (length <= 19)
+
+
+def credit_card_counts(col: Column | str) -> Column:
+    """struct(n_candidates, n_valid) over a text column: candidate =
+    13-19 digits with optional space/dash separators; valid = Luhn-
+    checked after stripping the separators (chained LITERAL replaces,
+    the engine-portable order)."""
+    c = _c(col)
+    cands = F.regexp_extract_all(c, F.lit(CARD_CANDIDATE_PATTERN), F.lit(0))
+    digits_only = lambda x: F.replace(  # noqa: E731
+        F.replace(x, F.lit(" "), F.lit("")), F.lit("-"), F.lit("")
+    )
+    return F.struct(
+        F.size(cands).cast("long").alias("n_candidates"),
+        F.size(
+            F.filter(cands, lambda x: luhn_valid(digits_only(x)))
+        ).cast("long").alias("n_valid"),
+    )

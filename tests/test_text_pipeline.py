@@ -277,3 +277,32 @@ def test_c4_page_rules_individually(spark):
         [("nothing here terminates so all lines go away",)], "t string"
     ).select(c4_quality_flags("t").alias("f")).collect()
     assert empty.f.n_kept_lines == 0 and not empty.f.keep
+
+
+def test_luhn_card_detection_hand_cases(spark):
+    """Valid test numbers (Visa 16, Amex 15, Mastercard 16; spaced and
+    dashed forms) pass; one-digit-off near-misses and plain digit runs
+    fail the checksum or the candidate pattern."""
+    from rag_vertex_ai_vector_search_spark.functions.text import (
+        credit_card_counts,
+    )
+
+    rows = [
+        (1, "pay with 4111111111111111 now", 1, 1),
+        (2, "fake 4111111111111112 number", 1, 0),
+        (3, "card 4539 5787 6362 1486 and 5500-0000-0000-0004", 2, 2),
+        (4, "order 123456 on 2024-01-01", 0, 0),
+        (5, "amex 378282246310005", 1, 1),
+        (6, "short 123456789012 run", 0, 0),  # 12 digits: no candidate
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _, _ in rows], "id long, text string"
+    )
+    got = {
+        r.id: (r.cc.n_candidates, r.cc.n_valid)
+        for r in df.select(
+            "id", credit_card_counts("text").alias("cc")
+        ).collect()
+    }
+    for i, _, nc, nv in rows:
+        assert got[i] == (nc, nv), i
