@@ -276,6 +276,13 @@ BENCH_QUERIES = [
     ("phrase_search_docs", entrymod.q_phrase_search_docs),
     # r7 capstone: domain graph -> weighted PageRank -> Gumbel sampler
     ("authority_weighted_selection", entrymod.q_authority_weighted_selection),
+    # r7 archive-gated operators, benched for cost visibility
+    ("hits_citations", entrymod.q_hits_citations),
+    ("lm_kn_bigram_surprisal", entrymod.q_lm_kn_bigram_surprisal),
+    ("events_ewma", entrymod.q_events_ewma),
+    ("price_histogram_quantiles", entrymod.q_price_histogram_quantiles),
+    ("pii_credit_cards", entrymod.q_pii_credit_cards),
+    ("ann_recall_dim_prefix", entrymod.q_ann_recall_dim_prefix),
     # r7: the streaming subsystem's driver-gated row -- a real
     # micro-batched foreachBatch run + state-table fold (VERDICT r6 #1)
     ("streaming_vocab_maintained", entrymod.q_streaming_vocab_maintained),
