@@ -2665,6 +2665,83 @@ FROM pr_{n_iter}
 """
 
 
+def q_rag_serving_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 serving capstone: the reference's WHOLE request path under
+    one oracle -- corpus ingest (tokenize, token gate 80, surrogate
+    keys, restricts; operators/ingest.py) feeding the full tree-AH
+    serving cascade in its provably-exact configuration (restrict
+    label in (1,2,3) & vec_id >= 100 pushed pre-ADC, IVF probe=100%,
+    corpus-wide rerank, per-label crowding 2, top-5;
+    operators/pq.py::ivf_pq_search), then the id->metadata hydration
+    join against the INGESTED table (firestore_ops.py:90-107 analog).
+    Neighbors whose source document FAILED the token gate hydrate to
+    nulls with accepted=false -- the realistic serving behavior when
+    the metadata store lags the index, and a branch the oracle
+    exercises (the ingest mirror's WHERE token gate reproduces exactly
+    which doc_ids exist). Archive-gated; every stage is a proven
+    mirror nested into one SQL."""
+    from rag_vertex_ai_vector_search_spark.operators.pq import (
+        encode_pq, ivf_pq_search, train_pq,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    meta = ingest_documents(
+        docs, max_tokens=80, extra_restrict_cols=("lang", "source")
+    ).metadata.select(
+        F.col("doc_id").alias("_mid"),
+        F.col("token_count").cast("long").alias("token_count"),
+        F.col("lang").alias("meta_lang"),
+        F.col("source").alias("crowding_attribute"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = build_ivf_index(emb, n_clusters=16)
+    books = train_pq(emb, m=8, ksub=32, iters=4, sample_rows=2048)
+    pq_index = encode_pq(
+        index.assigned, books, keep_cols=("cluster_id", "label")
+    )
+    n = emb.count()
+    served = ivf_pq_search(
+        index, pq_index, _queries_from_embeddings(emb, 8), k=5,
+        probe_percent=100.0, rerank_candidates=n,
+        restrict=_pqrc_restrict(),
+        per_crowding_k=2, crowding_col="label",
+    )
+    return (
+        served.join(meta, served["neighbor_id"] == meta["_mid"], "left")
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            "score",
+            "label",
+            F.col("_mid").isNotNull().alias("accepted"),
+            "token_count",
+            "meta_lang",
+            "crowding_attribute",
+        )
+    )
+
+
+def _sql_rag_serving_pipeline() -> str:
+    """The serving-cascade mirror (restrict -> exact scoring -> crowd
+    -> rank) LEFT JOINed to the token-gated ingest mirror."""
+    return f"""
+WITH served AS ({_SQL_KNN_PQ_RESTRICT_CROWDING_EXACT}),
+meta AS (
+  SELECT doc_id AS _mid,
+         CAST({_SQL_TOKENS} AS BIGINT) AS token_count,
+         lang AS meta_lang,
+         source AS crowding_attribute
+  FROM documents
+  WHERE {_SQL_TOKENS} <= 80
+)
+SELECT s.query_id, s.rank, s.neighbor_id, s.score, s.label,
+       m._mid IS NOT NULL AS accepted,
+       m.token_count, m.meta_lang, m.crowding_attribute
+FROM served s LEFT JOIN meta m ON s.neighbor_id = m._mid
+"""
+
+
 def q_authority_weighted_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r7 capstone composition: doc-level citations -> DOMAIN-level
     link graph (edge weight = inter-domain link count) -> weighted
@@ -6261,6 +6338,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_kn_bigram_surprisal": q_lm_kn_bigram_surprisal,
         "events_ewma": q_events_ewma,
         "pii_credit_cards": q_pii_credit_cards,
+        "rag_serving_pipeline": q_rag_serving_pipeline,
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "bpe_tokenize_corpus": q_bpe_tokenize_corpus,
         "pagerank_citations": q_pagerank_citations,
@@ -6379,6 +6457,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "lm_kn_bigram_surprisal": _sql_lm_kn_bigram_surprisal(),
         "events_ewma": _SQL_EVENTS_EWMA,
         "pii_credit_cards": _SQL_PII_CARDS,
+        "rag_serving_pipeline": _sql_rag_serving_pipeline(),
         "knn_ivf_full_probe": _SQL_KNN_TOPK,
         "bpe_tokenize_corpus": _sql_bpe_tokenize(8),
         "pagerank_citations": _sql_pagerank(6),

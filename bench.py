@@ -283,6 +283,8 @@ BENCH_QUERIES = [
     ("price_histogram_quantiles", entrymod.q_price_histogram_quantiles),
     ("pii_credit_cards", entrymod.q_pii_credit_cards),
     ("ann_recall_dim_prefix", entrymod.q_ann_recall_dim_prefix),
+    # r7 serving capstone: ingest -> exact tree-AH cascade -> hydration
+    ("rag_serving_pipeline", entrymod.q_rag_serving_pipeline),
     # r7: the streaming subsystem's driver-gated row -- a real
     # micro-batched foreachBatch run + state-table fold (VERDICT r6 #1)
     ("streaming_vocab_maintained", entrymod.q_streaming_vocab_maintained),
