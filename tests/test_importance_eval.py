@@ -262,6 +262,7 @@ def test_ranking_metrics_perfect_ranking_is_1(spark):
     assert abs(r.ndcg - 1.0) < 1e-12
 
 
+@pytest.mark.full
 def test_dim_prefix_recall_curve_monotone_anchor(spark):
     """Full-dim row must be exactly 1.0 (approx == truth); the curve
     is monotone non-decreasing in L on nested-structure data."""

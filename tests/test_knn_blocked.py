@@ -1,5 +1,6 @@
 """Blocked-query GEMM kNN must equal the single-shot paths exactly."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from rag_vertex_ai_vector_search_spark.operators.knn import (
@@ -9,6 +10,7 @@ from rag_vertex_ai_vector_search_spark.operators.knn import (
 from rag_vertex_ai_vector_search_spark.sources import load_table
 
 
+@pytest.mark.full
 def test_blocked_equals_fold(spark, sf_smoke):
     emb = load_table(spark, sf_smoke, "embeddings")
     queries = emb.filter(F.col("vec_id") < 40).select(

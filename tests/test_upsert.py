@@ -63,6 +63,7 @@ def test_point_lookup_and_update(spark, sf_smoke):
     )
 
 
+@pytest.mark.full
 def test_merge_into_table_parquet_cow(spark, tmp_path):
     """Storage-level MERGE (parquet copy-on-write): first write lays
     out hash buckets; a second merge replaces matched keys, inserts
