@@ -5,6 +5,8 @@ dequantize, inverse zigzag, IDCT, chroma upsample, BT.601 YCbCr -> RGB.
 
 Scope (the overwhelming majority of real-world JPEGs):
 - baseline sequential DCT (SOF0/1), 8-bit samples
+- 12-bit EXTENDED SEQUENTIAL (SOF1): 16-bit DQT entries (Pq=1),
+  2048 level shift, uint16 output -- the medical/scientific DCT mode
 - LOSSLESS (SOF3, T.81 Annex H): all 7 predictors, 2..16-bit
   precision, point transform -- exact encode->decode round-trips
 - PROGRESSIVE DCT (SOF2): spectral selection + successive
@@ -672,13 +674,17 @@ def decode_jpeg_baseline(content: bytes) -> np.ndarray:
             off = 0
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                tab = np.frombuffer(
-                    body, dtype=np.uint8, count=64, offset=off + 1
-                ).astype(np.int32)
+                if pq == 0:
+                    tab = np.frombuffer(
+                        body, dtype=np.uint8, count=64, offset=off + 1
+                    ).astype(np.int32)
+                    off += 65
+                else:  # pq=1: 16-bit entries (the 12-bit-sample form)
+                    tab = np.frombuffer(
+                        body, dtype=">u2", count=64, offset=off + 1
+                    ).astype(np.int32)
+                    off += 129
                 qtables[tq] = tab[_UNZIGZAG]  # natural order
-                off += 65
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(body):
@@ -690,7 +696,7 @@ def decode_jpeg_baseline(content: bytes) -> np.ndarray:
                 off += 17 + nval
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1, SOF2, SOF3
             precision = body[0]
-            if marker != 0xC3 and precision != 8:
+            if marker != 0xC3 and precision not in (8, 12):
                 raise NotImplementedError(f"{precision}-bit JPEG")
             if marker == 0xC3 and not 2 <= precision <= 16:
                 raise NotImplementedError(
@@ -734,7 +740,7 @@ def decode_jpeg_baseline(content: bytes) -> np.ndarray:
             if not progressive:
                 return _decode_scan(
                     data, pos + seglen, sof, scan, qtables, htables,
-                    restart_interval,
+                    restart_interval, precision=lossless_precision,
                 )
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             a = body[3 + 2 * ns]
@@ -748,7 +754,9 @@ def decode_jpeg_baseline(content: bytes) -> np.ndarray:
             continue
         pos += seglen
     if progressive and coefs is not None:
-        return _reconstruct_progressive(sof, coefs, qtables)
+        return _reconstruct_progressive(
+            sof, coefs, qtables, precision=lossless_precision
+        )
     raise NotImplementedError("JPEG stream had no SOS scan")
 
 
@@ -957,7 +965,7 @@ def _ac_refine_block(reader, blk, ss, se, al, eobrun, ac_tab) -> int:
     return 0
 
 
-def _reconstruct_progressive(sof, coefs, qtables):
+def _reconstruct_progressive(sof, coefs, qtables, precision: int = 8):
     """Dequantize + IDCT the accumulated coefficient store (vectorized
     over all blocks per component), then the same assemble/upsample/
     color path as the baseline decoder."""
@@ -969,19 +977,22 @@ def _reconstruct_progressive(sof, coefs, qtables):
         qt = qtables[c["tq"]]
         flat = arr.reshape(-1, 64).astype(np.float64) * qt
         nat = flat[:, _UNZIGZAG].reshape(-1, 8, 8)
-        blocks = _idct2(nat) + 128.0
+        blocks = _idct2(nat) + float(1 << (precision - 1))
         planes[c["id"]] = (
             blocks.reshape(bh, bw, 8, 8)
             .transpose(0, 2, 1, 3)
             .reshape(bh * 8, bw * 8)
         )
-    return _assemble_planes(sof, planes)
+    return _assemble_planes(sof, planes, precision=precision)
 
 
-def _assemble_planes(sof, planes):
+def _assemble_planes(sof, planes, precision: int = 8):
     hgt, wid, comps = sof
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    center = float(1 << (precision - 1))
+    maxval = (1 << precision) - 1
+    dtype = np.uint8 if precision <= 8 else np.uint16
     out_planes = []
     for c in comps:
         p = planes[c["id"]]
@@ -990,16 +1001,17 @@ def _assemble_planes(sof, planes):
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         out_planes.append(p[:hgt, :wid])
     if len(out_planes) == 1:
-        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.clip(np.round(out_planes[0]), 0, maxval).astype(dtype)
     y, cb, cr = out_planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    b = y + 1.772 * (cb - center)
     rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, maxval).astype(dtype)
 
 
-def _decode_scan(data, pos, sof, scan, qtables, htables, restart_interval):
+def _decode_scan(data, pos, sof, scan, qtables, htables, restart_interval,
+                 precision: int = 8):
     hgt, wid, comps = sof
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -1066,12 +1078,14 @@ def _decode_scan(data, pos, sof, scan, qtables, htables, restart_interval):
                             zz[k] = _extend(reader.receive(s), s)
                             k += 1
                         coef = (zz * qt)[_UNZIGZAG].reshape(8, 8)
-                        blk = _idct2(coef[None])[0] + 128.0
+                        blk = _idct2(coef[None])[0] + float(
+                            1 << (precision - 1)
+                        )
                         py = (my * c["v"] + v) * 8
                         px = (mx * c["h"] + hh) * 8
                         planes[c["id"]][py:py + 8, px:px + 8] = blk
 
-    return _assemble_planes(sof, planes)
+    return _assemble_planes(sof, planes, precision=precision)
 
 
 # -- lossless (SOF3) -------------------------------------------------------
@@ -1240,3 +1254,52 @@ def _decode_lossless_scan(
     if len(shifted) == 1:
         return shifted[0].astype(dtype)
     return np.stack([p.astype(dtype) for p in shifted], axis=2)
+
+
+# -- 12-bit extended sequential (SOF1) -------------------------------------
+
+def encode_jpeg_extended12(
+    img: np.ndarray, *, quality: int = 85
+) -> bytes:
+    """Extended-sequential JPEG (SOF1) at 12-bit precision: (H, W)
+    uint16 grayscale with samples < 4096 -- the medical/scientific
+    DCT mode. Same pipeline as baseline with three precision changes:
+    level shift 2048, quantization tables scaled x16 and emitted as
+    16-bit DQT entries (Pq=1), and a >=32 floor on the scaled entries
+    so every quantized coefficient stays within the standard Huffman
+    tables' size categories (max |DCT coef| ~ 8*2048 -> <= 512 after
+    division, category <= 10) at ANY quality."""
+    img = np.asarray(img)
+    if img.dtype != np.uint16 or img.ndim != 2:
+        raise ValueError("12-bit JPEG needs (H, W) uint16 samples")
+    if int(img.max(initial=0)) > 4095:
+        raise ValueError("12-bit samples must be < 4096")
+    h, w = img.shape
+    qt = np.clip(_quality_scale(_QT_LUMA, quality) * 16, 32, 65535).astype(
+        np.int64
+    )
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 131, 0x10)  # Pq=1, Tq=0
+    for x in qt[_ZIGZAG]:
+        out += struct.pack(">H", int(x))
+    out += b"\xff\xc1" + struct.pack(">HBHHB", 11, 12, h, w, 1)
+    out += bytes([1, 0x11, 0])
+    for tc_th, (bits, values) in ((0x00, _DC_LUMA), (0x10, _AC_LUMA)):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(values), tc_th)
+        out += bytes(bits) + bytes(values)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+    out += bytes([1, 0x00]) + b"\x00\x3f\x00"
+
+    blocks = _blockify(img.astype(np.float64)) - 2048.0
+    coef = _dct2(blocks)
+    qblocks = np.round(coef / qt.reshape(8, 8)).astype(np.int32)
+    writer = _BitWriter()
+    _encode_component(
+        writer, qblocks.reshape(len(qblocks), 64),
+        _canonical_codes(*_DC_LUMA), _canonical_codes(*_AC_LUMA),
+    )
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)

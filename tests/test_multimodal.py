@@ -1239,3 +1239,35 @@ def test_jpeg_lossless_spec_anchors():
     )
     with _pytest.raises(NotImplementedError):
         decode_jpeg_baseline(big[: len(big) - 10])
+
+
+def test_jpeg_12bit_extended_sequential():
+    """12-bit SOF1: smooth 12-bit rasters survive the DCT round-trip
+    at small relative error; the x16-scaled 16-bit quant tables (Pq=1)
+    parse; the >=32 entry floor keeps an adversarial full-range
+    checkerboard inside the standard Huffman size categories at
+    quality 100; 8-bit decode is unchanged."""
+    from rag_vertex_ai_vector_search_spark.multimodal.jpeg import (
+        decode_jpeg_baseline, encode_jpeg_extended12,
+    )
+
+    rng = np.random.RandomState(5)
+    yy, xx = np.meshgrid(np.arange(40), np.arange(48), indexing="ij")
+    smooth = (
+        (xx * 20 + yy * 12) + rng.randint(0, 16, (40, 48))
+    ).clip(0, 4095).astype(np.uint16)
+    out = decode_jpeg_baseline(encode_jpeg_extended12(smooth, quality=95))
+    assert out.dtype == np.uint16 and out.shape == smooth.shape
+    err = np.abs(out.astype(int) - smooth.astype(int))
+    assert err.mean() < 8 and err.max() < 64  # < 0.2% mean of range
+
+    cb = (((xx + yy) % 2) * 4095).astype(np.uint16)
+    out2 = decode_jpeg_baseline(encode_jpeg_extended12(cb, quality=100))
+    assert np.abs(out2.astype(int) - cb.astype(int)).mean() < 16
+
+    with pytest.raises(ValueError, match="uint16"):
+        encode_jpeg_extended12(np.zeros((8, 8), dtype=np.uint8))
+    with pytest.raises(ValueError, match="4096"):
+        encode_jpeg_extended12(
+            np.full((8, 8), 5000, dtype=np.uint16)
+        )
