@@ -2665,6 +2665,60 @@ FROM pr_{n_iter}
 """
 
 
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diffing (operators/snapshot.py, r7): the
+    added/removed/changed/unchanged breakdown an incremental pipeline
+    computes between two crawls before deciding what to re-embed. The
+    fixture is one snapshot, so the "new" side is synthesized
+    deterministically from it IN-QUERY: doc_id%13==0 removed,
+    doc_id%17==0 edited (suffix append -> fingerprint change),
+    doc_id%19==0 duplicated at id+100000 (additions); every status
+    branch is exercised and the oracle predicts each row. Content
+    comparison is by normalized-text sha256, so the diff keys on what
+    exact-dedup keys on. Archive-gated."""
+    from rag_vertex_ai_vector_search_spark.operators.snapshot import (
+        snapshot_diff,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    old = docs.select("doc_id", "text")
+    i = F.col("doc_id")
+    kept = old.filter(i % 13 != 0).select(
+        "doc_id",
+        F.when(i % 17 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    added = old.filter(i % 19 == 0).select(
+        (i + 100000).alias("doc_id"), "text"
+    )
+    new = kept.unionByName(added)
+    return snapshot_diff(old, new)
+
+
+_SQL_SNAPSHOT_DIFF = f"""
+WITH old AS (
+  SELECT doc_id, sha256({_SQL_NORM}) AS old_fingerprint FROM documents
+),
+new_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 != 0
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 19 = 0
+),
+new AS (
+  SELECT doc_id, sha256({_SQL_NORM}) AS new_fingerprint FROM new_docs
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.old_fingerprint IS NULL THEN 'added'
+            WHEN n.new_fingerprint IS NULL THEN 'removed'
+            WHEN o.old_fingerprint <> n.new_fingerprint THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       o.old_fingerprint, n.new_fingerprint
+FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+"""
+
+
 def q_rag_serving_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r7 serving capstone: the reference's WHOLE request path under
     one oracle -- corpus ingest (tokenize, token gate 80, surrogate
@@ -6339,6 +6393,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma": q_events_ewma,
         "pii_credit_cards": q_pii_credit_cards,
         "rag_serving_pipeline": q_rag_serving_pipeline,
+        "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "bpe_tokenize_corpus": q_bpe_tokenize_corpus,
         "pagerank_citations": q_pagerank_citations,
@@ -6458,6 +6513,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "events_ewma": _SQL_EVENTS_EWMA,
         "pii_credit_cards": _SQL_PII_CARDS,
         "rag_serving_pipeline": _sql_rag_serving_pipeline(),
+        "corpus_snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "knn_ivf_full_probe": _SQL_KNN_TOPK,
         "bpe_tokenize_corpus": _sql_bpe_tokenize(8),
         "pagerank_citations": _sql_pagerank(6),

@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.sketch import bloom_sketch, cms_sketch, hll_sketch
+from ..operators.sketch import (
+    bloom_sketch,
+    cms_sketch,
+    histogram_sketch,
+    hll_sketch,
+)
 
 
 def apply_hll_batch(
@@ -239,4 +244,69 @@ def compact_bloom(
     _compact(
         spark, table_path,
         lambda s, t: read_bloom(s, t, group_cols=group_cols),
+    )
+
+
+def apply_histogram_batch(
+    batch_df: DataFrame, epoch_id: int, table_path: str,
+    *, col: str, group_cols: tuple[str, ...] = (),
+    lo: int, hi: int, n_bins: int = 128,
+) -> None:
+    """foreachBatch body: the batch's histogram partial under its
+    epoch partition (additive like CMS: each row lands in exactly one
+    epoch, the read-time fold sums counters)."""
+    (
+        histogram_sketch(
+            batch_df, col, group_cols=group_cols,
+            lo=lo, hi=hi, n_bins=n_bins,
+        )
+        .withColumn("_epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_epoch")
+        .parquet(table_path)
+    )
+
+
+def stream_histogram(
+    stream_df: DataFrame, table_path: str, *, checkpoint_dir: str,
+    col: str, group_cols: tuple[str, ...] = (),
+    lo: int, hi: int, n_bins: int = 128,
+):
+    """Attach equi-width histogram maintenance to a stream -- live
+    distribution monitoring (latency/score/price curves) with the
+    same bounded-counter economics as the batch sketch."""
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda df, eid: apply_histogram_batch(
+                df, eid, table_path, col=col, group_cols=group_cols,
+                lo=lo, hi=hi, n_bins=n_bins,
+            )
+        )
+        .start()
+    )
+
+
+def read_histogram(
+    spark: SparkSession, table_path: str,
+    *, group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fold epoch partials to the current bin table (sum)."""
+    return (
+        spark.read.parquet(table_path)
+        .groupBy(*group_cols, "bin")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def compact_histogram(
+    spark: SparkSession, table_path: str,
+    *, group_cols: tuple[str, ...] = (),
+) -> None:
+    """Histogram compaction: same fold-to-base layout."""
+    _compact(
+        spark, table_path,
+        lambda s, t: read_histogram(s, t, group_cols=group_cols),
     )

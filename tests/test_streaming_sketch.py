@@ -268,3 +268,56 @@ def test_stream_bloom_matches_batch_replay_and_compaction(
         spark.read.parquet(table).select("_epoch").distinct().collect()
     ] == [-1]
     _assert_same(read_bloom(spark, table), batch)
+
+
+def test_stream_histogram_matches_batch_and_compaction(
+    spark, sf_smoke, tmp_path
+):
+    """Streaming histogram maintenance == the batch sketch (counter
+    sums over epoch partials); quantile estimates off the maintained
+    table equal batch estimates; compaction folds to base."""
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        histogram_quantiles, histogram_sketch,
+    )
+    from rag_vertex_ai_vector_search_spark.streaming.sketch_stream import (
+        compact_histogram, read_histogram, stream_histogram,
+    )
+
+    kw = dict(lo=0, hi=12_000_000, n_bins=64)
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents")
+    )
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ckpt")
+    li.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_histogram(
+        stream, table, checkpoint_dir=ckpt, col="cents", **kw
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert spark.read.parquet(table).select("_epoch").distinct().count() >= 2
+    batch = histogram_sketch(li, "cents", **kw)
+    maintained = read_histogram(spark, table)
+    _assert_same(maintained, batch)
+    _assert_same(
+        histogram_quantiles(maintained, quantiles=((1, 2), (9, 10)), **kw),
+        histogram_quantiles(batch, quantiles=((1, 2), (9, 10)), **kw),
+    )
+
+    compact_histogram(spark, table)
+    assert [
+        r[0] for r in
+        spark.read.parquet(table).select("_epoch").distinct().collect()
+    ] == [-1]
+    _assert_same(read_histogram(spark, table), batch)
