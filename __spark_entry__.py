@@ -952,12 +952,17 @@ def _sql_sha60(expr: str) -> str:
     return f"('0x' || substr(sha256({expr}), 1, 15))::BIGINT"
 
 
-def _sql_minhash_lsh() -> str:
-    """DuckDB mirror of minhash_candidate_pairs(shingle_words=3,
-    num_hashes=64, bands=16, jaccard_threshold=0.5, max_bucket_df=64,
-    base_hash='sha60'). Coefficients embedded from the same seeded
-    family the Spark UDF uses; (a*h+b) mod p is computed in HUGEINT so
-    it is the same EXACT affine map as _affine_mod_mersenne."""
+def _sql_minhash_cands(corpus_sql: str = "documents") -> str:
+    """The minhash candidate WITH-chain (shingle sha60 sets ->
+    relational 64-hash signatures -> band keys -> star-capped bucket
+    join -> distinct cand pairs), WITHOUT the jaccard verify: the
+    shared prefix both _sql_minhash_lsh and the dedup tuning sweep
+    compose (returned-helper seam, the advisor-recommended shape --
+    never substring-surgery on generated SQL). ``corpus_sql`` is the
+    (doc_id, text) source relation -- a derived table for planted-
+    corpus callers. Coefficients embedded from the same seeded family
+    the Spark UDF uses; (a*h+b) mod p is computed in HUGEINT so it is
+    the same EXACT affine map as _affine_mod_mersenne."""
     from rag_vertex_ai_vector_search_spark.functions.hashing import (
         MINHASH_PRIME,
         _minhash_coeffs,
@@ -976,7 +981,8 @@ WITH sh AS (
            END,
            s -> {_sql_sha60('s')}
          )) AS hashes
-  FROM (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS w FROM documents)
+  FROM (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS w
+        FROM {corpus_sql})
 ),
 hrows AS (SELECT doc_id, unnest(hashes) AS h FROM sh),
 -- relational minhash: explode gram hashes to rows and min-reduce per
@@ -1014,6 +1020,15 @@ cand AS (
     WHERE df > 64 AND doc_id > hub
   )
 )
+"""
+
+
+def _sql_minhash_lsh() -> str:
+    """DuckDB mirror of minhash_candidate_pairs(shingle_words=3,
+    num_hashes=64, bands=16, jaccard_threshold=0.5, max_bucket_df=64,
+    base_hash='sha60'): the shared candidate chain + the exact
+    jaccard verify."""
+    return f"""{_sql_minhash_cands()}
 SELECT c.id_a, c.id_b,
        CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE)
          / CAST(len(list_distinct(list_concat(x.hashes, y.hashes))) AS DOUBLE)
@@ -1024,6 +1039,191 @@ JOIN sh y ON y.doc_id = c.id_b
 WHERE CAST(len(list_intersect(x.hashes, y.hashes)) AS DOUBLE)
       / CAST(len(list_distinct(list_concat(x.hashes, y.hashes))) AS DOUBLE)
       >= 0.5
+"""
+
+
+def q_dedup_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup tuning sweep (r7): precision/recall of the RAW MinHash
+    band-collision candidate set (verify=False, 64 hashes x 16 bands,
+    star-capped) against EXACT-Jaccard truth at rational thresholds
+    3/10, 5/10, 7/10 -- the dedup counterpart of the ann_recall_*
+    gates (tuning bands/threshold is the same loop as tuning ANN
+    probes). Truth pairs come from the relational exact Jaccard over
+    the same distinct hashed-shingle sets the signatures are built
+    from (|A∩B| via a shared-gram self-join; the threshold test is the
+    INTEGER cross-multiplication i*t_den >= (na+nb-i)*t_num, so no
+    float enters truth membership); candidates and the pair table are
+    cached across the three thresholds. Archive-gated: the oracle
+    composes the shared minhash candidate chain (_sql_minhash_cands)
+    with the same integer truth test."""
+    from rag_vertex_ai_vector_search_spark.functions.text import (
+        sha60_hash, word_shingles,
+    )
+    from rag_vertex_ai_vector_search_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+    from rag_vertex_ai_vector_search_spark.operators.evaluate import (
+        pair_retrieval_metrics,
+    )
+
+    base = fan_out(load_table(spark, sf_dir, "documents"))
+    # The fixture's organic near-dups all sit above jaccard 0.7, which
+    # would make every threshold row identical (vacuous sweep). Plant
+    # GRADED-similarity pairs from synthetic 20-word windows over a
+    # per-group vocabulary: window shift s makes shingle jaccard
+    # exactly (18-s)/(18+s) -- s=2 -> 0.8, s=6 -> exactly 5/10 (the
+    # integer boundary, included by >=), s=9 -> 1/3. Truth membership
+    # then steps down across the thresholds and band-collision recall
+    # is exercised on genuinely marginal pairs.
+    carriers = base.filter(F.col("doc_id") < 24).select("doc_id")
+    shift = F.element_at(
+        F.array(F.lit(2), F.lit(6), F.lit(9)),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+
+    def _wtext(start):
+        return F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(start, start + F.lit(19)),
+                lambda i: F.concat(
+                    F.lit("p"), F.col("doc_id").cast("string"),
+                    F.lit("w"), i.cast("string"),
+                ),
+            ),
+        )
+
+    # Two-step select: inside a higher-order-function lambda, a bare
+    # F.col("doc_id") binds to a SAME-select alias named doc_id (lazy
+    # lambda resolution), not the input column -- compute text against
+    # the carrier id first, rename second.
+    plant_a = carriers.select(
+        "doc_id", _wtext(F.lit(0)).alias("text")
+    ).select((F.col("doc_id") * 2 + 300000).alias("doc_id"), "text")
+    plant_b = carriers.select(
+        "doc_id", _wtext(shift).alias("text")
+    ).select((F.col("doc_id") * 2 + 300001).alias("doc_id"), "text")
+    docs = base.select("doc_id", "text").unionByName(plant_a).unionByName(
+        plant_b
+    )
+    cands = minhash_candidate_pairs(
+        docs, shingle_words=3, num_hashes=64, bands=16,
+        verify=False, max_bucket_df=64, base_hash="sha60",
+    ).cache()
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(word_shingles(F.col("text"), 3)).alias("_g"),
+        )
+        .select("doc_id", sha60_hash(F.col("_g")).alias("_gh"))
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a._gh") == F.col("b._gh"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_i"))
+    )
+    pairs = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("_n", "_na")
+        .join(sizes.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .withColumnRenamed("_n", "_nb")
+        .cache()
+    )
+    out = None
+    for t_num, t_den in ((3, 10), (5, 10), (7, 10)):
+        truth = pairs.filter(
+            F.col("_i") * F.lit(t_den)
+            >= (F.col("_na") + F.col("_nb") - F.col("_i")) * F.lit(t_num)
+        )
+        row = pair_retrieval_metrics(cands, truth).select(
+            F.lit(t_num).cast("int").alias("t_num"),
+            F.lit(t_den).cast("int").alias("t_den"),
+            "*",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _sql_dedup_recall_sweep() -> str:
+    parts = []
+    for t_num, t_den in ((3, 10), (5, 10), (7, 10)):
+        parts.append(f"""
+SELECT CAST({t_num} AS INT) AS t_num, CAST({t_den} AS INT) AS t_den,
+       (SELECT CAST(count(*) AS BIGINT) FROM pairs
+        WHERE i * {t_den} >= (na + nb - i) * {t_num}) AS n_truth,
+       (SELECT CAST(count(*) AS BIGINT) FROM cd) AS n_candidates,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM cd JOIN pairs USING (id_a, id_b)
+        WHERE i * {t_den} >= (na + nb - i) * {t_num}) AS n_hits,
+       CASE WHEN (SELECT count(*) FROM cd) > 0
+            THEN CAST((SELECT count(*)
+                       FROM cd JOIN pairs USING (id_a, id_b)
+                       WHERE i * {t_den} >= (na + nb - i) * {t_num})
+                      AS DOUBLE)
+                 / CAST((SELECT count(*) FROM cd) AS DOUBLE)
+            ELSE 0.0 END AS precision,
+       CASE WHEN (SELECT count(*) FROM pairs
+                  WHERE i * {t_den} >= (na + nb - i) * {t_num}) > 0
+            THEN CAST((SELECT count(*)
+                       FROM cd JOIN pairs USING (id_a, id_b)
+                       WHERE i * {t_den} >= (na + nb - i) * {t_num})
+                      AS DOUBLE)
+                 / CAST((SELECT count(*) FROM pairs
+                         WHERE i * {t_den} >= (na + nb - i) * {t_num})
+                        AS DOUBLE)
+            ELSE 0.0 END AS recall
+""")
+    union = " UNION ALL ".join(parts)
+    planted = (
+        "(SELECT doc_id, text FROM documents"
+        " UNION ALL"
+        " SELECT doc_id * 2 + 300000,"
+        " array_to_string(list_transform(generate_series(0, 19),"
+        " i -> 'p' || CAST(doc_id AS VARCHAR) || 'w' || CAST(i AS VARCHAR)),"
+        " ' ')"
+        " FROM documents WHERE doc_id < 24"
+        " UNION ALL"
+        " SELECT doc_id * 2 + 300001,"
+        " array_to_string(list_transform("
+        " generate_series(s, s + 19),"
+        " i -> 'p' || CAST(doc_id AS VARCHAR) || 'w' || CAST(i AS VARCHAR)),"
+        " ' ')"
+        " FROM (SELECT doc_id,"
+        " (CAST([2, 6, 9] AS BIGINT[]))[CAST(doc_id % 3 + 1 AS INT)] AS s"
+        " FROM documents WHERE doc_id < 24))"
+    )
+    return f"""{_sql_minhash_cands(planted)},
+g AS (SELECT doc_id, unnest(hashes) AS gh FROM sh),
+sizes AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id
+),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS i
+  FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS MATERIALIZED (
+  SELECT id_a, id_b, i, x.n AS na, y.n AS nb
+  FROM inter
+  JOIN sizes x ON id_a = x.doc_id
+  JOIN sizes y ON id_b = y.doc_id
+),
+cd AS MATERIALIZED (SELECT DISTINCT id_a, id_b FROM cand)
+{union}
 """
 
 
@@ -6394,6 +6594,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_credit_cards": q_pii_credit_cards,
         "rag_serving_pipeline": q_rag_serving_pipeline,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
+        "dedup_recall_sweep": q_dedup_recall_sweep,
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "bpe_tokenize_corpus": q_bpe_tokenize_corpus,
         "pagerank_citations": q_pagerank_citations,
@@ -6514,6 +6715,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "pii_credit_cards": _SQL_PII_CARDS,
         "rag_serving_pipeline": _sql_rag_serving_pipeline(),
         "corpus_snapshot_diff": _SQL_SNAPSHOT_DIFF,
+        "dedup_recall_sweep": _sql_dedup_recall_sweep(),
         "knn_ivf_full_probe": _SQL_KNN_TOPK,
         "bpe_tokenize_corpus": _sql_bpe_tokenize(8),
         "pagerank_citations": _sql_pagerank(6),

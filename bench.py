@@ -286,6 +286,7 @@ BENCH_QUERIES = [
     # r7 serving capstone: ingest -> exact tree-AH cascade -> hydration
     ("rag_serving_pipeline", entrymod.q_rag_serving_pipeline),
     ("corpus_snapshot_diff", entrymod.q_corpus_snapshot_diff),
+    ("dedup_recall_sweep", entrymod.q_dedup_recall_sweep),
     # r7: the streaming subsystem's driver-gated row -- a real
     # micro-batched foreachBatch run + state-table fold (VERDICT r6 #1)
     ("streaming_vocab_maintained", entrymod.q_streaming_vocab_maintained),

@@ -273,3 +273,43 @@ def dim_prefix_recall(
         )
         out = summary if out is None else out.unionByName(summary)
     return out
+
+
+def pair_retrieval_metrics(
+    candidates: DataFrame,
+    truth: DataFrame,
+    *,
+    id_a_col: str = "id_a",
+    id_b_col: str = "id_b",
+) -> DataFrame:
+    """One-row precision/recall of a candidate PAIR set against a
+    truth pair set -- the dedup counterpart of recall_summary (tuning
+    MinHash bands/threshold is the same loop as tuning ANN probes).
+    Columns: n_truth, n_candidates, n_hits, precision, recall -- all
+    integer counts with one exact double division each, so the whole
+    report is order-independent and hash-gateable. Pairs must be
+    canonicalized (id_a < id_b) on both sides."""
+    c = candidates.select(id_a_col, id_b_col).distinct()
+    t = truth.select(id_a_col, id_b_col).distinct()
+    hits = c.join(t, [id_a_col, id_b_col], "left_semi")
+    agg = (
+        t.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+        .crossJoin(
+            c.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    )
+    return agg.select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        F.when(
+            F.col("n_candidates") > 0,
+            F.col("n_hits").cast("double")
+            / F.col("n_candidates").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("precision"),
+        F.when(
+            F.col("n_truth") > 0,
+            F.col("n_hits").cast("double") / F.col("n_truth").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("recall"),
+    )
