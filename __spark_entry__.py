@@ -6362,6 +6362,191 @@ FROM rep
 """
 
 
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-edit-distance near-duplicate pairs (prefix + length-band
+    blocking, Spark's banded 3-arg ``levenshtein``), the in-place-edit
+    complement to the shingle-set dedup family. Fixture texts are
+    template-distinct, so per the planted-duplicate rule the query
+    plants BOTH branches in-query: doc_id % 5 == 0 gets a copy with one
+    character substituted at position 20 (beyond the 16-char block
+    prefix -> caught, distance 1), doc_id % 7 == 0 gets a copy with six
+    characters deleted (distance 6 > threshold 2 -> rejected by the
+    banded DP's -1 bail-out, so the rejection branch is non-vacuous).
+    Mutations are closed-form substring surgery, mirrored verbatim in
+    the oracle."""
+    from rag_vertex_ai_vector_search_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 19),
+            F.lit("~"),
+            F.expr("substring(text, 21)"),
+        ).alias("text"),
+    )
+    far = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 19), F.expr("substring(text, 26)")
+        ).alias("text"),
+    )
+    corpus = base.unionByName(near).unionByName(far)
+    return edit_distance_pairs(corpus, threshold=2, prefix_len=16)
+
+
+_SQL_DEDUP_EDIT_DISTANCE = """
+WITH base AS (SELECT doc_id, text FROM documents),
+near AS (
+  SELECT doc_id + 10000 AS doc_id,
+         substr(text, 1, 19) || '~' || substr(text, 21) AS text
+  FROM base WHERE doc_id % 5 = 0),
+far AS (
+  SELECT doc_id + 20000 AS doc_id,
+         substr(text, 1, 19) || substr(text, 26) AS text
+  FROM base WHERE doc_id % 7 = 0),
+corpus AS (
+  SELECT * FROM base
+  UNION ALL SELECT * FROM near
+  UNION ALL SELECT * FROM far),
+sides AS (
+  SELECT doc_id, text, length(text) AS len, substr(text, 1, 16) AS bk
+  FROM corpus)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
+FROM sides a JOIN sides b
+  ON a.bk = b.bk AND a.doc_id < b.doc_id AND abs(a.len - b.len) <= 2
+WHERE levenshtein(a.text, b.text) <= 2
+"""
+
+
+def q_g711_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 µ-law/A-law WAV decode, hash-gated end-to-end via
+    closed-form byte planting (the synthesize_media_with_defects
+    recipe): each doc synthesizes companded codeword streams
+    byte[k] = (doc_id*7 + k*13 + off) % 256, wraps them in REAL RIFF
+    containers (fmt tags 7/6, hand-rolled header + fact chunk), and
+    decodes through the full parser chain (stdlib wave rejects ->
+    G.711 expander, multimodal/g711.py). The oracle predicts every
+    expanded sample with the ITU G.711 integer formula in SQL -- a
+    codec regression flips sample values and breaks the hash. A third
+    variant plants a stereo container whose data chunk cannot
+    frame-align (65 codewords, 2 channels): the Spark side must EARN
+    its 'corrupt' status row through the real frame-align check."""
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        _decode_status_of,
+        decode_audio,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.g711 import (
+        encode_wav_g711_bytes,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 8)
+        .select("doc_id")
+    )
+
+    def _decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        variants = (
+            ("ulaw", 0, 1, 64),
+            ("alaw", 1, 1, 64),
+            ("ulaw_stereo_cut", 2, 2, 65),
+        )
+        for pdf in batches:
+            ids, laws, idxs, vals, stats = [], [], [], [], []
+            for rid in pdf["doc_id"]:
+                seed = int(rid)
+                for law, off, channels, n in variants:
+                    codes = np.array(
+                        [(seed * 7 + k * 13 + off) % 256 for k in range(n)],
+                        dtype=np.uint8,
+                    )
+                    blob = encode_wav_g711_bytes(
+                        codes, law=law.split("_")[0], channels=channels
+                    )
+                    try:
+                        samples, _sr = decode_audio(bytes(blob))
+                        # samples = table_value / 32768.0 exactly
+                        # (dyadic), so the round-trip back to the
+                        # integer codebook value is lossless
+                        pcm = np.rint(samples[:, 0] * 32768.0).astype(
+                            np.int64
+                        )
+                        for k, v in enumerate(pcm):
+                            ids.append(rid)
+                            laws.append(law)
+                            idxs.append(k)
+                            vals.append(int(v))
+                            stats.append("ok")
+                    except Exception as exc:  # noqa: BLE001 -- classified
+                        ids.append(rid)
+                        laws.append(law)
+                        idxs.append(-1)
+                        vals.append(0)
+                        stats.append(_decode_status_of(exc))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "law": laws,
+                    "sample_index": idxs,
+                    "sample_value": vals,
+                    "decode_status": stats,
+                }
+            )
+
+    return fan_out(docs).mapInPandas(
+        _decode,
+        "doc_id bigint, law string, sample_index bigint, "
+        "sample_value bigint, decode_status string",
+    )
+
+
+_SQL_G711_DECODE = """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 8),
+ks AS (SELECT unnest(generate_series(0, 63)) AS k),
+laws AS (SELECT * FROM (VALUES ('ulaw', 0), ('alaw', 1)) t(law, off)),
+cells AS (
+  SELECT doc_id, law, k,
+         CAST((doc_id * 7 + k * 13 + off) % 256 AS BIGINT) AS b
+  FROM ids CROSS JOIN ks CROSS JOIN laws),
+dec AS (
+  SELECT doc_id, law, CAST(k AS BIGINT) AS sample_index,
+    CASE WHEN law = 'ulaw' THEN
+      CASE WHEN (255 - b) >= 128
+           THEN 132 - ((((255 - b) % 16) * 8 + 132)
+                       * (1::BIGINT << (((255 - b) // 16) % 8)))
+           ELSE ((((255 - b) % 16) * 8 + 132)
+                 * (1::BIGINT << (((255 - b) // 16) % 8))) - 132
+      END
+    ELSE
+      (CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END)
+      * (CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+                THEN (xor(b, 85) % 16) * 16 + 8
+              WHEN ((xor(b, 85) // 16) % 8) = 1
+                THEN (xor(b, 85) % 16) * 16 + 264
+              ELSE ((xor(b, 85) % 16) * 16 + 264)
+                   * (1::BIGINT << (((xor(b, 85) // 16) % 8) - 1))
+         END)
+    END AS sample_value
+  FROM cells)
+SELECT doc_id, law, sample_index, sample_value,
+       'ok' AS decode_status
+FROM dec
+UNION ALL
+SELECT doc_id, 'ulaw_stereo_cut' AS law,
+       CAST(-1 AS BIGINT) AS sample_index,
+       CAST(0 AS BIGINT) AS sample_value,
+       'corrupt' AS decode_status
+FROM ids
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------

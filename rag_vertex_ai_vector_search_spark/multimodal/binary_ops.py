@@ -577,6 +577,21 @@ def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
             sw = w.getsampwidth()
             raw = w.readframes(w.getnframes())
     except (wave.Error, EOFError) as e:
+        # stdlib wave only speaks PCM; G.711 µ-law/A-law WAVs (fmt tags
+        # 7/6, one companded byte per sample) land here and get the
+        # in-repo expander.  Anything else stays DECODE_UNSUPPORTED.
+        from .g711 import (
+            WAVE_FORMAT_ALAW, WAVE_FORMAT_MULAW, decode_wav_g711,
+            parse_wav_chunks,
+        )
+
+        try:
+            tag = parse_wav_chunks(data)["format_tag"]
+        except ValueError:
+            tag = None
+        if tag in (WAVE_FORMAT_ALAW, WAVE_FORMAT_MULAW):
+            samples, sr = decode_wav_g711(data)  # ValueError -> corrupt
+            return samples.astype(np.float64) / 32768.0, sr
         raise NotImplementedError(
             f"unsupported audio format (stdlib wave: {e}); plug "
             "soundfile/ffmpeg into extract_audio_features(decoder=...)"

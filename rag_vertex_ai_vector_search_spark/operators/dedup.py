@@ -850,3 +850,62 @@ def minhash_banded_signatures(
             ])
         ).alias("_band"),
     ).select(id_col, "_band.band_id", "_band.band_hash", "sig")
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    threshold: int = 2,
+    prefix_len: int = 16,
+) -> DataFrame:
+    """Near-duplicate pairs within a bounded EDIT DISTANCE (Levenshtein),
+    the classical complement to set-based MinHash/SimHash: it catches
+    small in-place edits (typo fixes, single-token swaps) that keep
+    shingle sets almost identical but also certifies the exact number
+    of edits, which threshold-Jaccard cannot.
+
+    Blocking contract (recall-oriented, like MinHash banding): a pair
+    is compared only if the documents agree on their first
+    ``prefix_len`` characters AND their lengths differ by at most
+    ``threshold`` (a true edit-distance <= threshold pair always
+    passes the length band; prefix-divergent edits escape the block,
+    exactly as band-hash collisions bound MinHash recall).
+
+    Scale shape: one shuffle on the prefix block key; per-key groups
+    are tiny for natural corpora (distinct openings), so the self-join
+    is linear in documents, never all-pairs. The comparison itself
+    uses Spark's BANDED 3-arg ``levenshtein(a, b, threshold)`` --
+    O(len x threshold) DP that bails out at -1 -- so a pathological
+    block of long, unrelated, same-prefix documents costs
+    len x threshold per pair, not len^2.
+    """
+    sides = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        F.length(text_col).alias("_len"),
+        F.substring(text_col, 1, prefix_len).alias("_bk"),
+    )
+    a, b = sides.alias("a"), sides.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a._bk") == F.col("b._bk"),
+                F.col("a._id") < F.col("b._id"),
+                F.abs(F.col("a._len") - F.col("b._len")) <= threshold,
+            ],
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.levenshtein(F.col("a._text"), F.col("b._text"), threshold)
+            .cast("long")
+            .alias("edit_distance"),
+        )
+        .filter(
+            (F.col("edit_distance") >= 0)
+            & (F.col("edit_distance") <= threshold)
+        )
+    )
