@@ -2844,7 +2844,8 @@ shr AS (
   SELECT doc_id AS node_id, CAST(1 + doc_id % 7 AS BIGINT) AS share
   FROM documents WHERE doc_id % 4 = 0
 ),
-ss AS (SELECT CAST(sum(share) AS BIGINT) AS s FROM shr),
+ss AS (SELECT CAST(sum(share) AS BIGINT) AS s FROM shr
+       WHERE node_id IN (SELECT node_id FROM nodes)),
 tele AS MATERIALIZED (
   SELECT n.node_id,
          CAST((150000000::BIGINT * coalesce(s.share, 0))

@@ -588,6 +588,12 @@ def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
         try:
             tag = parse_wav_chunks(data)["format_tag"]
         except ValueError:
+            # The bytes claim RIFF/WAVE but the chunk structure is
+            # broken (e.g. truncated data chunk): that is a CORRUPT
+            # asset, not an unsupported format -- re-raise so the
+            # decode-rate columns count it under DECODE_CORRUPT.
+            if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                raise
             tag = None
         if tag in (WAVE_FORMAT_ALAW, WAVE_FORMAT_MULAW):
             samples, sr = decode_wav_g711(data)  # ValueError -> corrupt

@@ -16,8 +16,8 @@ Scope (the overwhelming majority of real-world JPEGs):
 - grayscale (1 component) and YCbCr 3-component
 - chroma subsampling 4:4:4, 4:2:2 and 4:2:0 (any h/v factors 1-2)
 - restart intervals (DRI / RSTn)
-Arithmetic coding, 12-bit, lossless and hierarchical modes raise
-NotImplementedError.
+Arithmetic coding and hierarchical modes raise NotImplementedError
+(12-bit extended sequential and lossless SOF3 are implemented above).
 
 The encoders exist for round-trip tests and thumbnail sinks: standard
 Annex K quantization + Huffman tables, libjpeg-style quality scaling,

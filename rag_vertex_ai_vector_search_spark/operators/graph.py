@@ -115,6 +115,13 @@ def pagerank(
         shares = personalization.select(
             F.col("node_id"), F.col("share").cast("long").alias("share")
         )
+        # Normalize over ON-GRAPH shares only: off-graph node_ids in the
+        # personalization table would otherwise dilute sum_shares and
+        # silently shrink the total teleport mass below (1-d)*scale
+        # (standard personalized-PageRank renormalizes to the node set).
+        shares = shares.join(
+            nodes, "node_id", "left_semi"
+        ).localCheckpoint(eager=True)
         sum_shares = shares.agg(F.sum("share")).collect()[0][0]
         if not sum_shares or sum_shares <= 0:
             raise ValueError("personalization shares must sum > 0")

@@ -386,6 +386,14 @@ def bloom_contains(
     sketch (filter a grouped table first); the probe set rides a join
     against the bounded word table (broadcast-sized: <= n_bits/32
     rows), never against the data that built it."""
+    if sorted(words.columns) != ["bits", "word"]:
+        raise ValueError(
+            "bloom_contains expects the word table of ONE logical sketch "
+            f"with columns ['word', 'bits']; got {words.columns}. A "
+            "grouped bloom_sketch output must be filtered to a single "
+            "group first (extra group columns would fan the probe join "
+            "out across groups and silently mix filters)."
+        )
     c = F.col(item_col)
     pos = _bloom_positions(c, n_bits=n_bits, k=k, base_hash=base_hash)
     probes = items.select(
