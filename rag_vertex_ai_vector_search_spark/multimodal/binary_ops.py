@@ -592,7 +592,13 @@ def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
             # broken (e.g. truncated data chunk): that is a CORRUPT
             # asset, not an unsupported format -- re-raise so the
             # decode-rate columns count it under DECODE_CORRUPT.
-            if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            # A blob truncated inside the 12-byte RIFF header still
+            # CLAIMS to be a RIFF container -- count it corrupt too
+            # (the short slice would otherwise fail the WAVE check and
+            # silently demote it to DECODE_UNSUPPORTED).
+            if data[:4] == b"RIFF" and (
+                len(data) < 12 or data[8:12] == b"WAVE"
+            ):
                 raise
             tag = None
         if tag in (WAVE_FORMAT_ALAW, WAVE_FORMAT_MULAW):

@@ -88,6 +88,94 @@ def _is_path_not_found(e: Exception) -> bool:
     return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
 
 
+META_FILE = "_merge_meta.json"
+
+
+def _hadoop_path(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _write_merge_meta(spark, path: str, key: str, n_buckets: int) -> None:
+    """Persist the bucket layout next to the data (underscore-prefixed:
+    invisible to the parquet reader). Hadoop FS API so the sidecar
+    follows the table onto any scheme (file://, hdfs://, s3a://...)."""
+    import json
+
+    p, fs = _hadoop_path(spark, f"{path}/{META_FILE}")
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(
+            json.dumps({"key": key, "n_buckets": int(n_buckets)}).encode()
+        ))
+    finally:
+        out.close()
+
+
+def _read_merge_meta(spark, path: str) -> dict | None:
+    import json
+
+    p, fs = _hadoop_path(spark, f"{path}/{META_FILE}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        reader = spark._jvm.java.io.BufferedReader(
+            spark._jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+    finally:
+        stream.close()
+    return json.loads("\n".join(lines))
+
+
+def _validate_bucket_layout(
+    spark, path: str, base: DataFrame, key: str, n_buckets: int
+) -> None:
+    """A merge with the wrong ``n_buckets`` SILENTLY duplicates keys
+    across ``_bucket`` dirs (the update lands in a different bucket
+    than the base row, so keep-latest never sees the collision).
+    The layout is pinned by a ``_merge_meta.json`` sidecar written at
+    table creation; a mismatched later call raises instead of
+    corrupting. Legacy tables without the sidecar get a one-time full
+    verification scan (every row must satisfy the claimed bucket map)
+    and the sidecar is written so subsequent merges are O(1) again."""
+    meta = _read_merge_meta(spark, path)
+    if meta is not None:
+        if int(meta["n_buckets"]) != int(n_buckets) or meta["key"] != key:
+            raise ValueError(
+                f"merge_into_table layout mismatch at {path}: table was "
+                f"created with key={meta['key']!r} n_buckets="
+                f"{meta['n_buckets']}, but this merge passed key={key!r} "
+                f"n_buckets={n_buckets}. Merging would scatter updated "
+                "keys into different _bucket dirs than their base rows "
+                "and silently duplicate them; re-call with the original "
+                "layout (or rewrite the table to re-bucket)."
+            )
+        return
+    mismatched = (
+        base.filter(
+            F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+            != F.col("_bucket")
+        )
+        .limit(1)
+        .count()
+    )
+    if mismatched:
+        raise ValueError(
+            f"merge_into_table at {path}: existing rows do not match "
+            f"_bucket = pmod(xxhash64({key}), {n_buckets}) -- the table "
+            "was laid out with a different n_buckets (or key). Merging "
+            "would silently duplicate keys across _bucket dirs."
+        )
+    _write_merge_meta(spark, path, key, n_buckets)
+
+
 def merge_into_table(
     spark,
     path: str,
@@ -116,6 +204,12 @@ def merge_into_table(
     not in this image; tests skip via importorskip). Size
     ``n_buckets`` so one bucket's rows fit executor memory at the
     target scale.
+
+    The bucket layout is PINNED at table creation (``_merge_meta.json``
+    sidecar): a later merge passing a different ``n_buckets`` or
+    ``key`` raises instead of silently duplicating keys across
+    ``_bucket`` dirs. Legacy tables without the sidecar are verified
+    once (full scan) and then pinned.
     """
     if precedence_col is not None:
         w = Window.partitionBy(key).orderBy(F.col(precedence_col).desc())
@@ -159,7 +253,9 @@ def merge_into_table(
         bucketed.write.mode("errorifexists").partitionBy("_bucket").parquet(
             path
         )
+        _write_merge_meta(spark, path, key, n_buckets)
         return
+    _validate_bucket_layout(spark, path, base, key, n_buckets)
     touched = sorted(
         r[0] for r in bucketed.select("_bucket").distinct().collect()
     )

@@ -1271,3 +1271,52 @@ def test_jpeg_12bit_extended_sequential():
         encode_jpeg_extended12(
             np.full((8, 8), 5000, dtype=np.uint16)
         )
+
+
+def test_decode_skip_malformed_g711_and_short_riff(spark):
+    """Two corrupt-container cases the generic contract tests don't
+    plant: a G.711 WAV whose data chunk does not frame-align (stereo
+    container, odd codeword count) and a blob truncated INSIDE the
+    12-byte RIFF header. Both claim to be RIFF containers, so both
+    must count as DECODE_CORRUPT -- not be demoted to UNSUPPORTED --
+    while a >=12-byte RIFF of a different form (AVI) stays
+    UNSUPPORTED (genuinely another container, not damage)."""
+    from rag_vertex_ai_vector_search_spark.multimodal import (
+        DECODE_CORRUPT,
+        DECODE_OK,
+        DECODE_UNSUPPORTED,
+        extract_audio_spectral_features,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.g711 import (
+        encode_wav_g711, encode_wav_g711_bytes,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        _synth_audio,
+    )
+
+    g711_ok = encode_wav_g711(_synth_audio(3), law="ulaw")
+    # 5 codeword bytes across 2 channels: 2.5 frames -> frame-align error
+    g711_bad = encode_wav_g711_bytes(
+        np.frombuffer(b"\x12\x34\x56\x78\x9a", dtype=np.uint8), channels=2
+    )
+    riff_short = b"RIFF\x04\x00\x00"           # dies inside the header
+    riff_avi = b"RIFF" + b"\x10\x00\x00\x00" + b"AVI " + b"\x00" * 16
+    rows = [
+        ("g_ok", "audio/wav", bytearray(g711_ok)),
+        ("g_bad", "audio/wav", bytearray(g711_bad)),
+        ("r_short", "audio/wav", bytearray(riff_short)),
+        ("r_avi", "audio/wav", bytearray(riff_avi)),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id string, media_type string, content binary"
+    )
+    got = {
+        r.media_id: r.decode_status
+        for r in extract_audio_spectral_features(
+            df, n_bands=4, on_error="skip"
+        ).collect()
+    }
+    assert got["g_ok"] == DECODE_OK
+    assert got["g_bad"] == DECODE_CORRUPT
+    assert got["r_short"] == DECODE_CORRUPT
+    assert got["r_avi"] == DECODE_UNSUPPORTED

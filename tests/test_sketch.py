@@ -359,3 +359,26 @@ def test_histogram_grouped_quantiles(spark):
     }
     assert abs(got[("a", 1, 2)] - 50) <= 2
     assert abs(got[("b", 1, 2)] - 5) <= 2
+
+
+def test_bloom_contains_rejects_grouped_word_table(spark):
+    """bloom_contains guards against a multi-sketch word table (the
+    probe join would fan out across groups and silently OR filters
+    together); filtering to one group first is the documented fix."""
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        bloom_contains, bloom_sketch,
+    )
+
+    kw = dict(n_bits=1 << 14, k=3)
+    g = _ids(spark, 50, "x").withColumn("g", F.lit("g1")).unionByName(
+        _ids(spark, 50, "y").withColumn("g", F.lit("g2"))
+    )
+    grouped = bloom_sketch(g, "val", group_cols=("g",), **kw)
+    probes = _ids(spark, 5, "x").select(F.col("val").alias("item"))
+    with pytest.raises(ValueError, match="ONE logical sketch"):
+        bloom_contains(grouped, probes, **kw)
+    # filtered to a single group the same table probes fine (and keeps
+    # the no-false-negative guarantee for that group's members)
+    one = grouped.filter(F.col("g") == "g1").drop("g")
+    got = bloom_contains(one, probes, **kw).collect()
+    assert len(got) == 5 and all(r.might_contain for r in got)

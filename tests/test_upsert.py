@@ -159,3 +159,45 @@ def test_merge_into_table_delta_seam(spark, tmp_path):
         for r in spark.read.format("delta").load(path).collect()
     }
     assert got == {1: "A", 2: "b"}
+
+def test_merge_into_table_n_buckets_pinned(spark, tmp_path):
+    """A later merge with a different n_buckets (or key) must RAISE,
+    not silently scatter updated keys into different _bucket dirs than
+    their base rows (which keep-latest would never reconcile). The
+    layout is pinned by the _merge_meta.json sidecar; legacy tables
+    without one get a one-time verification scan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rag_vertex_ai_vector_search_spark.operators.upsert import (
+        META_FILE, merge_into_table,
+    )
+
+    path = str(tmp_path / "pinned")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "data_point_id long, val string"
+    )
+    merge_into_table(spark, path, base, n_buckets=8)
+    assert os.path.exists(os.path.join(path, META_FILE))
+
+    ups = spark.createDataFrame([(7, "X")], "data_point_id long, val string")
+    with pytest.raises(ValueError, match="n_buckets"):
+        merge_into_table(spark, path, ups, n_buckets=16)
+    with pytest.raises(ValueError, match="key"):
+        merge_into_table(spark, path, ups, key="val", n_buckets=8)
+    # matching layout still merges; no duplicates ever appear
+    merge_into_table(spark, path, ups, n_buckets=8)
+    got = spark.read.parquet(path)
+    assert got.count() == 50
+    assert got.groupBy("data_point_id").count().filter(
+        F.col("count") > 1
+    ).isEmpty()
+
+    # legacy table (sidecar removed): wrong n_buckets is caught by the
+    # verification scan; the right one passes and re-pins the layout
+    os.remove(os.path.join(path, META_FILE))
+    with pytest.raises(ValueError, match="different n_buckets"):
+        merge_into_table(spark, path, ups, n_buckets=16)
+    merge_into_table(spark, path, ups, n_buckets=8)
+    assert os.path.exists(os.path.join(path, META_FILE))
