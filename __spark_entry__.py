@@ -3908,6 +3908,38 @@ FROM top
 """
 
 
+def _corpus_quality_base(docs: DataFrame) -> DataFrame:
+    """The text-only half of the corpus report (doc counts, token mass,
+    short-doc/dup/lang-mismatch counts) -- split out so the bench can
+    time it WITHOUT the media-decode columns (VERDICT r8 attribution:
+    how much of corpus_quality_report's cost is the r7 media work)."""
+    enriched = docs.select(
+        "lang",
+        "source",
+        token_count("text").cast("long").alias("_ntok"),
+        language_id("text").alias("_lid"),
+        doc_fingerprint("text").alias("_fp"),
+    )
+    fp_df = enriched.groupBy("_fp").agg(F.count(F.lit(1)).alias("_fp_df"))
+    return (
+        enriched.join(fp_df, "_fp")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ntok").alias("total_tokens"),
+            (
+                F.sum("_ntok").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_tokens"),
+            F.sum((F.col("_ntok") < 20).cast("long")).alias("n_short_docs"),
+            F.sum((F.col("_lid") != F.col("lang")).cast("long")).alias(
+                "n_lang_mismatch"
+            ),
+            F.sum((F.col("_fp_df") > 1).cast("long")).alias("n_dup_docs"),
+        )
+    )
+
+
 def q_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) corpus health report: the roll-up a data
     curator reads before training -- doc counts, token mass, short-doc
@@ -3937,31 +3969,7 @@ def q_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    enriched = docs.select(
-        "lang",
-        "source",
-        token_count("text").cast("long").alias("_ntok"),
-        language_id("text").alias("_lid"),
-        doc_fingerprint("text").alias("_fp"),
-    )
-    fp_df = enriched.groupBy("_fp").agg(F.count(F.lit(1)).alias("_fp_df"))
-    base = (
-        enriched.join(fp_df, "_fp")
-        .groupBy("lang", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("_ntok").alias("total_tokens"),
-            (
-                F.sum("_ntok").cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("avg_tokens"),
-            F.sum((F.col("_ntok") < 20).cast("long")).alias("n_short_docs"),
-            F.sum((F.col("_lid") != F.col("lang")).cast("long")).alias(
-                "n_lang_mismatch"
-            ),
-            F.sum((F.col("_fp_df") > 1).cast("long")).alias("n_dup_docs"),
-        )
-    )
+    base = _corpus_quality_base(docs)
 
     media_docs = docs.filter(F.col("doc_id") % 37 == 0).select(
         "doc_id", "lang", "source"

@@ -227,6 +227,15 @@ BENCH_QUERIES = [
     ("dataset_decontaminate", entrymod.q_dataset_decontaminate),
     ("pack_sequences", entrymod.q_pack_sequences),
     ("corpus_quality_report", entrymod.q_corpus_quality_report),
+    # Attribution split (VERDICT r8): the same report WITHOUT the
+    # media-decode columns. report - nomedia = the real cost of the r7
+    # synthesized-media decode path.
+    (
+        "corpus_quality_report_nomedia",
+        lambda spark, sf: entrymod._corpus_quality_base(
+            entrymod.fan_out(load_table(spark, sf, "documents"))
+        ),
+    ),
     ("lm_surprisal", entrymod.q_lm_surprisal),
     ("lm_bigram_surprisal", entrymod.q_lm_bigram_surprisal),
     ("lm_trigram_surprisal", entrymod.q_lm_trigram_surprisal),

@@ -156,6 +156,179 @@ def cluster_drift_report(
     )
 
 
+def recluster_ivf_index(
+    spark,
+    index_path: str,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "feature_vector",
+    id_col: str = "data_point_id",
+    max_leaf_rows: int = 500,
+    max_drift_fraction: float = 0.2,
+    target_leaf_rows: int | None = None,
+    per_leaf_sample: int = 50_000,
+    max_iter: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """The tree-AH REBALANCE: act on ``needs_recluster``'s signal by
+    splitting/retraining ONLY the flagged leaves, copy-on-write.
+
+    The reference's STREAM_UPDATE index (index_manager.py:53) implies
+    rebalancing as part of the live-index contract: sticky assignment
+    plus the leaf cap (leaf_node_embedding_count=500, common/
+    config.py:37) means a long-running ingest stream accumulates
+    oversized leaves and drifted rows, degrading probe pruning and
+    recall until someone re-clusters. A full rebuild rewrites the
+    whole 100 TB layout; this action is the bounded alternative:
+
+    - Each flagged leaf (over ``max_leaf_rows`` or past
+      ``max_drift_fraction``) is retrained LOCALLY: seeded Lloyd's on
+      a bounded per-leaf sample yields ``ceil(n_rows/target)`` (at
+      least 2 when drift-flagged) sub-centroids; sub-centroid 0
+      replaces the old centroid IN PLACE so untouched leaves' ids --
+      and therefore their partition dirs -- never move; the rest
+      append at the end of the matrix.
+    - Rows of flagged leaves are reassigned among their OWN leaf's
+      sub-centroids only (an Arrow-vectorized pandas UDF carrying the
+      tiny per-leaf sub-matrices). Rows never migrate into healthy
+      leaves, so healthy partitions stay byte-identical -- the same
+      O(touched dirs) contract as ``stream_merge``.
+    - The rewrite is a dynamic partition overwrite of the touched
+      (_bucket, cluster_id) dirs, followed by explicit deletion of
+      flagged-leaf dirs that received no rows under the new
+      assignment (dynamic overwrite alone would leave them stale and
+      duplicate their rows).
+    - ``_index_manifest.json`` next to the layout is preserved, with
+      ``n_clusters`` updated to the grown centroid count.
+
+    Returns the new centroid matrix (callers hand it to subsequent
+    ``stream_merge_into_ivf_index`` / ``ivf_search`` calls); returns
+    ``centroids`` unchanged -- and writes NOTHING -- when no leaf is
+    flagged. Search equivalence: a full-probe search returns identical
+    results pre/post (the row set is unchanged; only the partition
+    map refines), while low-probe recall on drifted regions improves
+    because the new sub-centroids sit where the rows actually are
+    (tests/test_recluster.py pins both properties).
+    """
+    import os
+
+    from ..operators.ivf import _kmeans_numpy
+
+    centroids = np.ascontiguousarray(centroids, dtype=np.float64)
+    index = spark.read.parquet(index_path)
+    report = cluster_drift_report(index, centroids, vec_col=vec_col).collect()
+    target = target_leaf_rows or max(1, max_leaf_rows // 2)
+    flagged: dict[int, int] = {}
+    for r in report:
+        over = r.n_rows > max_leaf_rows
+        drifted = r.drift_fraction > max_drift_fraction
+        if over or drifted:
+            k = max(-(-int(r.n_rows) // target), 2 if drifted else 1)
+            flagged[int(r.cluster_id)] = min(k, int(r.n_rows))
+    if not flagged:
+        return centroids
+
+    flagged_ids = sorted(flagged)
+    rows_df = index.filter(F.col("cluster_id").isin(flagged_ids))
+
+    # Bounded per-leaf training sample, ONE Spark job: deterministic
+    # hash-ordered row_number cap per leaf, then a single collect of
+    # <= len(flagged) * per_leaf_sample vectors.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(F.xxhash64(F.col(id_col)))
+    sample_rows = (
+        rows_df.select("cluster_id", F.col(vec_col).alias("_v"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_leaf_sample)
+        .collect()
+    )
+    by_leaf: dict[int, list] = {}
+    for r in sample_rows:
+        by_leaf.setdefault(int(r.cluster_id), []).append(r._v)
+
+    new_cent = centroids.copy()
+    extra: list[np.ndarray] = []
+    next_id = centroids.shape[0]
+    sub_map: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for leaf in flagged_ids:
+        x = np.asarray(by_leaf[leaf], dtype=np.float64)
+        k = min(flagged[leaf], x.shape[0])
+        sub = _kmeans_numpy(x, k, max_iter, seed)
+        ids = [leaf]
+        new_cent[leaf] = sub[0]
+        for j in range(1, k):
+            ids.append(next_id)
+            extra.append(sub[j])
+            next_id += 1
+        sub_map[leaf] = (np.asarray(ids, dtype=np.int64), sub)
+    if extra:
+        new_cent = np.vstack([new_cent, np.asarray(extra)])
+
+    def _reassign(vecs: pd.Series, cids: pd.Series) -> pd.Series:
+        vmat = np.asarray(list(vecs), dtype=np.float64)
+        cid_arr = cids.to_numpy()
+        out = np.empty(len(cids), dtype=np.int32)
+        for leaf in np.unique(cid_arr):
+            ids, sub = sub_map[int(leaf)]
+            mask = cid_arr == leaf
+            vm = vmat[mask]
+            d2 = (
+                (vm ** 2).sum(axis=1, keepdims=True)
+                - 2.0 * vm @ sub.T
+                + (sub ** 2).sum(axis=1)
+            )
+            out[mask] = ids[d2.argmin(axis=1)].astype(np.int32)
+        return pd.Series(out)
+
+    reassign_udf = F.pandas_udf(_reassign, T.IntegerType())
+
+    parts = (
+        ["_bucket", "cluster_id"]
+        if "_bucket" in index.columns
+        else ["cluster_id"]
+    )
+    old_pairs = {
+        tuple(r) for r in rows_df.select(*parts).distinct().collect()
+    }
+    reassigned = rows_df.withColumn(
+        "cluster_id", reassign_udf(F.col(vec_col), F.col("cluster_id"))
+    ).localCheckpoint(eager=True)
+    new_pairs = {
+        tuple(r) for r in reassigned.select(*parts).distinct().collect()
+    }
+    reassigned.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy(*parts).parquet(index_path)
+
+    # Stale flagged-leaf dirs (no rows landed back) would duplicate
+    # their rows against the rewritten partitions: delete them.
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for pair in sorted(old_pairs - new_pairs):
+        sub = "/".join(f"{c}={v}" for c, v in zip(parts, pair))
+        p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/{sub}")
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+    manifest_file = os.path.join(index_path, "_index_manifest.json")
+    if os.path.exists(manifest_file):
+        from ..plans.manifest import load_manifest, save_manifest
+
+        man = load_manifest(index_path)
+        man.n_clusters = int(new_cent.shape[0])
+        man.extra = dict(
+            man.extra,
+            last_recluster={
+                "flagged_leaves": [int(x) for x in flagged_ids],
+                "n_clusters_before": int(centroids.shape[0]),
+            },
+        )
+        save_manifest(man, index_path)
+    return new_cent
+
+
 def needs_recluster(
     report_df: DataFrame,
     *,
