@@ -161,12 +161,60 @@ def _bpe_train_production_1000(spark, sf_dir):
     )
 
 
+_RECLUSTER_CACHE: dict = {}
+
+
+def _recluster_rebalance(spark, sf_dir):
+    """Tree-AH rebalance cost at the ivf_build fixture scale (VERDICT
+    r9 #1): cluster the embeddings into deliberately-few leaves so
+    every leaf exceeds the reference's 500-row cap (common/config.py:
+    37), then time recluster_ivf_index splitting them copy-on-write.
+    The pristine layout is built once and copied per run (recluster
+    mutates it); the copytree is ~35 MB, negligible next to the
+    drift-scan + retrain + rewrite being measured."""
+    import shutil
+    import tempfile
+
+    from rag_vertex_ai_vector_search_spark.streaming.ivf_stream import (
+        recluster_ivf_index,
+    )
+
+    if "pristine" not in _RECLUSTER_CACHE:
+        base = tempfile.mkdtemp(prefix="bench_recluster_")
+        pristine = os.path.join(base, "pristine")
+        emb = load_table(spark, sf_dir, "embeddings")
+        index = build_ivf_index(emb, n_clusters=8)
+        index.assigned.write.mode("overwrite").partitionBy(
+            "cluster_id"
+        ).parquet(pristine)
+        _RECLUSTER_CACHE.update(
+            base=base, pristine=pristine, centroids=index.centroids, n=0
+        )
+    _RECLUSTER_CACHE["n"] += 1
+    work = os.path.join(_RECLUSTER_CACHE["base"], f"run{_RECLUSTER_CACHE['n']}")
+    shutil.copytree(_RECLUSTER_CACHE["pristine"], work)
+    # The fixture has 2000 vectors -> 8 leaves x 250 rows; a cap of 100
+    # (target 50) flags every leaf, so the timed run retrains and
+    # splits all of them (~40 leaves out) -- the worst-case rebalance
+    # for this layout, scaled to the fixture the way 500 is to the
+    # reference's production leaves.
+    n_leaves = recluster_ivf_index(
+        spark, work, _RECLUSTER_CACHE["centroids"],
+        id_col="vec_id", vec_col="embedding", max_leaf_rows=100,
+    ).shape[0]
+    assert n_leaves > _RECLUSTER_CACHE["centroids"].shape[0]
+    return spark.read.parquet(work).groupBy("cluster_id").count()
+
+
 BENCH_QUERIES = [
     ("knn_topk_gemm", _knn_gemm),
     ("knn_topk_gemm_768d", _knn_gemm_768),
     ("knn_topk_gemm_join", _knn_gemm_join),
     ("ivf_build", _ivf_build),
     ("knn_ivf_pruned", _knn_ivf),
+    # r10: the tree-AH rebalance (leaf split + COW rewrite of touched
+    # dirs) on an all-leaves-oversized layout of the same embeddings.
+    ("recluster_rebalance", _recluster_rebalance),
     ("pricing_summary", entrymod.q_pricing_summary),
     ("top_revenue_customers", entrymod.q_top_revenue_customers),
     ("supplier_running_window", entrymod.q_supplier_running_window),

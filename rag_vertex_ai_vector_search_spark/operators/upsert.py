@@ -97,26 +97,26 @@ def _hadoop_path(spark, path: str):
     return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
 
 
-def _write_merge_meta(spark, path: str, key: str, n_buckets: int) -> None:
-    """Persist the bucket layout next to the data (underscore-prefixed:
-    invisible to the parquet reader). Hadoop FS API so the sidecar
-    follows the table onto any scheme (file://, hdfs://, s3a://...)."""
+def write_json_sidecar(spark, path: str, name: str, payload: dict) -> None:
+    """Persist a JSON sidecar next to the data (underscore-prefixed
+    names are invisible to the parquet reader). Hadoop FS API so the
+    sidecar follows the table onto any scheme (file://, hdfs://,
+    s3a://...)."""
     import json
 
-    p, fs = _hadoop_path(spark, f"{path}/{META_FILE}")
+    p, fs = _hadoop_path(spark, f"{path}/{name}")
     out = fs.create(p, True)
     try:
-        out.write(bytearray(
-            json.dumps({"key": key, "n_buckets": int(n_buckets)}).encode()
-        ))
+        out.write(bytearray(json.dumps(payload).encode()))
     finally:
         out.close()
 
 
-def _read_merge_meta(spark, path: str) -> dict | None:
+def read_json_sidecar(spark, path: str, name: str) -> dict | None:
+    """Read a JSON sidecar through the Hadoop FS; None when absent."""
     import json
 
-    p, fs = _hadoop_path(spark, f"{path}/{META_FILE}")
+    p, fs = _hadoop_path(spark, f"{path}/{name}")
     if not fs.exists(p):
         return None
     stream = fs.open(p)
@@ -132,6 +132,22 @@ def _read_merge_meta(spark, path: str) -> dict | None:
     finally:
         stream.close()
     return json.loads("\n".join(lines))
+
+
+def delete_sidecar(spark, path: str, name: str) -> None:
+    p, fs = _hadoop_path(spark, f"{path}/{name}")
+    if fs.exists(p):
+        fs.delete(p, False)
+
+
+def _write_merge_meta(spark, path: str, key: str, n_buckets: int) -> None:
+    write_json_sidecar(
+        spark, path, META_FILE, {"key": key, "n_buckets": int(n_buckets)}
+    )
+
+
+def _read_merge_meta(spark, path: str) -> dict | None:
+    return read_json_sidecar(spark, path, META_FILE)
 
 
 def _validate_bucket_layout(

@@ -156,6 +156,73 @@ def cluster_drift_report(
     )
 
 
+RECLUSTER_PENDING_FILE = "_recluster_pending.json"
+
+
+def _delete_index_subdirs(spark, index_path: str, subdirs) -> None:
+    """Delete partition sub-directories through the Hadoop FS (any
+    scheme). Factored out so tests can monkeypatch it to simulate a
+    crash between the overwrite commit and the stale-dir cleanup."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for sub in subdirs:
+        p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/{sub}")
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+
+def _resume_pending_cleanup(spark, index_path: str) -> None:
+    """Repair a recluster interrupted between its dynamic-partition
+    overwrite and its stale-dir cleanup.
+
+    The marker written before the overwrite records (a) the dirs that
+    must be deleted once the overwrite commits and (b) a WITNESS: one
+    rewritten partition dir plus the part-file names it held BEFORE the
+    overwrite. On entry:
+
+    - witness dir absent, or still holding a pre-overwrite file -> the
+      overwrite never committed (dynamic overwrite replaces a written
+      partition's files atomically at job commit); the pending dirs are
+      still the only copy of their rows -> keep them, drop the marker.
+    - witness files replaced (or a brand-new witness dir exists) -> the
+      overwrite committed and the pending dirs duplicate rewritten
+      rows -> delete them, then drop the marker.
+
+    Corrupt/unreadable marker JSON can only mean a crash DURING the
+    marker write, i.e. before the overwrite started: safe to drop.
+    """
+    from ..operators.upsert import (
+        _hadoop_path,
+        delete_sidecar,
+        read_json_sidecar,
+    )
+
+    try:
+        marker = read_json_sidecar(spark, index_path, RECLUSTER_PENDING_FILE)
+    except ValueError:
+        delete_sidecar(spark, index_path, RECLUSTER_PENDING_FILE)
+        return
+    if marker is None:
+        return
+    witness_dir = marker["witness_dir"]
+    old_files = set(marker["witness_old_files"])
+    p, fs = _hadoop_path(spark, f"{index_path}/{witness_dir}")
+    committed = False
+    if fs.exists(p):
+        current = {
+            st.getPath().getName() for st in fs.listStatus(p)
+        }
+        data_now = {f for f in current if not f.startswith(("_", "."))}
+        if old_files:
+            committed = not (old_files & data_now)
+        else:
+            committed = bool(data_now)
+    if committed:
+        _delete_index_subdirs(spark, index_path, marker["pending_delete"])
+    delete_sidecar(spark, index_path, RECLUSTER_PENDING_FILE)
+
+
 def recluster_ivf_index(
     spark,
     index_path: str,
@@ -167,6 +234,7 @@ def recluster_ivf_index(
     max_drift_fraction: float = 0.2,
     target_leaf_rows: int | None = None,
     per_leaf_sample: int = 50_000,
+    max_sample_rows: int = 1_000_000,
     max_iter: int = 8,
     seed: int = 42,
 ) -> np.ndarray:
@@ -197,9 +265,23 @@ def recluster_ivf_index(
       (_bucket, cluster_id) dirs, followed by explicit deletion of
       flagged-leaf dirs that received no rows under the new
       assignment (dynamic overwrite alone would leave them stale and
-      duplicate their rows).
+      duplicate their rows). A crash between the overwrite commit and
+      that cleanup is REPAIRABLE: the pending-delete set is recorded
+      in a ``_recluster_pending.json`` sidecar (with a witness that
+      distinguishes committed-from-uncommitted overwrites) before the
+      overwrite starts, and the next recluster call -- or an explicit
+      ``_resume_pending_cleanup`` -- finishes or discards the cleanup
+      before reading the index.
+    - The total driver-side training sample is bounded by
+      ``max_sample_rows`` PER INVOCATION, independent of how many
+      leaves are flagged: leaves are processed worst-first (severity =
+      overfill + drift, normalized) and leaves past the budget are
+      DEFERRED -- ``needs_recluster`` keeps signalling, so the caller's
+      maintenance loop converges over a few invocations with flat
+      driver memory instead of one multi-GB collect.
     - ``_index_manifest.json`` next to the layout is preserved, with
-      ``n_clusters`` updated to the grown centroid count.
+      ``n_clusters`` updated to the grown centroid count (read and
+      written through the Hadoop FS, so remote schemes update too).
 
     Returns the new centroid matrix (callers hand it to subsequent
     ``stream_merge_into_ivf_index`` / ``ivf_search`` calls); returns
@@ -210,37 +292,67 @@ def recluster_ivf_index(
     because the new sub-centroids sit where the rows actually are
     (tests/test_recluster.py pins both properties).
     """
-    import os
-
     from ..operators.ivf import _kmeans_numpy
+    from ..operators.upsert import read_json_sidecar, write_json_sidecar
+
+    _resume_pending_cleanup(spark, index_path)
 
     centroids = np.ascontiguousarray(centroids, dtype=np.float64)
     index = spark.read.parquet(index_path)
     report = cluster_drift_report(index, centroids, vec_col=vec_col).collect()
     target = target_leaf_rows or max(1, max_leaf_rows // 2)
     flagged: dict[int, int] = {}
+    severity: dict[int, float] = {}
+    leaf_rows: dict[int, int] = {}
     for r in report:
         over = r.n_rows > max_leaf_rows
         drifted = r.drift_fraction > max_drift_fraction
         if over or drifted:
             k = max(-(-int(r.n_rows) // target), 2 if drifted else 1)
-            flagged[int(r.cluster_id)] = min(k, int(r.n_rows))
+            leaf = int(r.cluster_id)
+            flagged[leaf] = min(k, int(r.n_rows))
+            leaf_rows[leaf] = int(r.n_rows)
+            severity[leaf] = (
+                r.n_rows / max_leaf_rows
+                + (r.drift_fraction / max_drift_fraction
+                   if max_drift_fraction > 0 else float(r.drift_fraction > 0))
+            )
     if not flagged:
         return centroids
 
+    # Driver-memory bound: worst leaves first, total sample rows per
+    # invocation capped at max_sample_rows. Deferred leaves stay
+    # flagged for the next invocation (the maintenance loop iterates).
+    ordered = sorted(flagged, key=lambda c: (-severity[c], c))
+    sample_caps: dict[int, int] = {}
+    budget = max(int(max_sample_rows), 1)
+    for leaf in ordered:
+        need = min(leaf_rows[leaf], per_leaf_sample)
+        if not sample_caps:
+            take = min(need, budget)
+            # never sample fewer rows than sub-centroids to train
+            sample_caps[leaf] = max(take, min(flagged[leaf], need))
+            budget -= sample_caps[leaf]
+        elif need <= budget:
+            sample_caps[leaf] = need
+            budget -= need
+    flagged = {c: flagged[c] for c in sample_caps}
     flagged_ids = sorted(flagged)
     rows_df = index.filter(F.col("cluster_id").isin(flagged_ids))
 
     # Bounded per-leaf training sample, ONE Spark job: deterministic
     # hash-ordered row_number cap per leaf, then a single collect of
-    # <= len(flagged) * per_leaf_sample vectors.
+    # <= max_sample_rows vectors.
     from pyspark.sql import Window
 
+    cap_map = F.create_map(
+        *[F.lit(x) for c in flagged_ids for x in (c, sample_caps[c])]
+    )
     w = Window.partitionBy("cluster_id").orderBy(F.xxhash64(F.col(id_col)))
     sample_rows = (
-        rows_df.select("cluster_id", F.col(vec_col).alias("_v"))
+        rows_df.select("cluster_id", id_col, F.col(vec_col).alias("_v"))
         .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= per_leaf_sample)
+        .filter(F.col("_rn") <= cap_map[F.col("cluster_id")])
         .collect()
     )
     by_leaf: dict[int, list] = {}
@@ -297,35 +409,63 @@ def recluster_ivf_index(
     new_pairs = {
         tuple(r) for r in reassigned.select(*parts).distinct().collect()
     }
+
+    def _subdir(pair) -> str:
+        return "/".join(f"{c}={v}" for c, v in zip(parts, pair))
+
+    # Stale flagged-leaf dirs (no rows landed back under the new
+    # assignment) would duplicate their rows against the rewritten
+    # partitions. Record them BEFORE the overwrite, with a witness
+    # that lets a resumed run tell whether the overwrite committed
+    # (see _resume_pending_cleanup); then overwrite, delete, unmark.
+    pending = sorted(_subdir(p) for p in old_pairs - new_pairs)
+    if pending:
+        from ..operators.upsert import _hadoop_path
+
+        witness_pair = min(new_pairs)
+        witness_dir = _subdir(witness_pair)
+        wp, wfs = _hadoop_path(spark, f"{index_path}/{witness_dir}")
+        witness_old = (
+            sorted(
+                st.getPath().getName()
+                for st in wfs.listStatus(wp)
+                if not st.getPath().getName().startswith(("_", "."))
+            )
+            if wfs.exists(wp)
+            else []
+        )
+        write_json_sidecar(
+            spark, index_path, RECLUSTER_PENDING_FILE,
+            {
+                "pending_delete": pending,
+                "witness_dir": witness_dir,
+                "witness_old_files": witness_old,
+            },
+        )
+
     reassigned.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy(*parts).parquet(index_path)
 
-    # Stale flagged-leaf dirs (no rows landed back) would duplicate
-    # their rows against the rewritten partitions: delete them.
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    for pair in sorted(old_pairs - new_pairs):
-        sub = "/".join(f"{c}={v}" for c, v in zip(parts, pair))
-        p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/{sub}")
-        fs = p.getFileSystem(conf)
-        if fs.exists(p):
-            fs.delete(p, True)
+    if pending:
+        from ..operators.upsert import delete_sidecar
 
-    manifest_file = os.path.join(index_path, "_index_manifest.json")
-    if os.path.exists(manifest_file):
-        from ..plans.manifest import load_manifest, save_manifest
+        _delete_index_subdirs(spark, index_path, pending)
+        delete_sidecar(spark, index_path, RECLUSTER_PENDING_FILE)
 
-        man = load_manifest(index_path)
-        man.n_clusters = int(new_cent.shape[0])
-        man.extra = dict(
-            man.extra,
+    # Manifest through the Hadoop FS: os.path checks are always false
+    # for hdfs:// / s3a:// schemes, silently leaving n_clusters stale.
+    man = read_json_sidecar(spark, index_path, "_index_manifest.json")
+    if man is not None:
+        man["n_clusters"] = int(new_cent.shape[0])
+        man["extra"] = dict(
+            man.get("extra") or {},
             last_recluster={
                 "flagged_leaves": [int(x) for x in flagged_ids],
                 "n_clusters_before": int(centroids.shape[0]),
             },
         )
-        save_manifest(man, index_path)
+        write_json_sidecar(spark, index_path, "_index_manifest.json", man)
     return new_cent
 
 
