@@ -347,6 +347,12 @@ BENCH_QUERIES = [
     # r7: the streaming subsystem's driver-gated row -- a real
     # micro-batched foreachBatch run + state-table fold (VERDICT r6 #1)
     ("streaming_vocab_maintained", entrymod.q_streaming_vocab_maintained),
+    # r10: the second driver-gated streaming row -- online MinHash
+    # near-dup suppression over 3 real micro-batches + state joins
+    (
+        "streaming_dedup_minhash_maintained",
+        entrymod.q_streaming_dedup_minhash_maintained,
+    ),
     # the capstone compositions: one lineage, one oracle each
     ("training_corpus_pipeline", entrymod.q_training_corpus_pipeline),
     ("web_corpus_pipeline", entrymod.q_web_corpus_pipeline),
