@@ -83,6 +83,84 @@ _SQL_FUNCTIONS = {
                  sha2(concat_ws('|', salt, id), 256), 1, 15), 16, 10)
                AS BIGINT), buckets)
     """,
+    # -- r10: the r7 operator surfaces (VERDICT r9 #4) ---------------
+    # Running EWMA fold (operators/timeseries.py::ewma): vals must be
+    # the key's time-ordered series (sort_array a collected struct
+    # list first, exactly like the operator); returns the same-length
+    # running-smoothed array. alpha = an/ad evaluated in DOUBLE, the
+    # identical operation order the DataFrame fold uses.
+    "engine_ewma": """
+        CREATE OR REPLACE TEMPORARY FUNCTION engine_ewma(
+            vals ARRAY<DOUBLE>, an INT, ad INT)
+        RETURNS ARRAY<DOUBLE>
+        RETURN aggregate(
+          vals,
+          struct(CAST(NULL AS ARRAY<DOUBLE>) AS acc,
+                 CAST(NULL AS DOUBLE) AS last),
+          (acc, x) -> struct(
+            CASE WHEN acc.acc IS NULL THEN array(x)
+                 ELSE concat(acc.acc, array(
+                   (CAST(an AS DOUBLE) / CAST(ad AS DOUBLE)) * x
+                   + (1.0D - CAST(an AS DOUBLE) / CAST(ad AS DOUBLE))
+                     * acc.last)) END AS acc,
+            CASE WHEN acc.acc IS NULL THEN x
+                 ELSE (CAST(an AS DOUBLE) / CAST(ad AS DOUBLE)) * x
+                   + (1.0D - CAST(an AS DOUBLE) / CAST(ad AS DOUBLE))
+                     * acc.last END AS last)
+        ).acc
+    """,
+    # Bloom filter primitives (operators/sketch.py, sha60 base hash):
+    # positions -> word/mask rows; build = GROUP BY word + bit_or of
+    # masks, probe = left-join the word table and require all k bits.
+    "engine_bloom_positions": """
+        CREATE OR REPLACE TEMPORARY FUNCTION engine_bloom_positions(
+            item STRING, n_bits INT, k INT)
+        RETURNS ARRAY<BIGINT>
+        RETURN transform(sequence(0, k - 1),
+          d -> pmod(CAST(conv(substring(
+                 sha2(concat(CAST(d AS STRING), ':', item), 256),
+                 1, 15), 16, 10) AS BIGINT), n_bits))
+    """,
+    "engine_bloom_word": """
+        CREATE OR REPLACE TEMPORARY FUNCTION engine_bloom_word(pos BIGINT)
+        RETURNS INT RETURN CAST(shiftright(pos, 5) AS INT)
+    """,
+    "engine_bloom_mask": """
+        CREATE OR REPLACE TEMPORARY FUNCTION engine_bloom_mask(pos BIGINT)
+        RETURNS BIGINT RETURN shiftleft(1L, CAST(pos & 31 AS INT))
+    """,
+    # Equi-width histogram bin (operators/sketch.py::histogram_sketch):
+    # GROUP BY engine_hist_bin(...) reproduces the sketch; the quantile
+    # window composition is plain SQL over the bin table.
+    "engine_hist_bin": """
+        CREATE OR REPLACE TEMPORARY FUNCTION engine_hist_bin(
+            v BIGINT, lo BIGINT, hi BIGINT, nb INT)
+        RETURNS INT
+        RETURN CAST(least(CAST(nb - 1 AS BIGINT),
+                          greatest(0L, ((v - lo) * nb) div (hi - lo)))
+               AS INT)
+    """,
+    # Exact quoted-phrase occurrence count per document
+    # (operators/ranking.py::phrase_occurrences semantics: consecutive
+    # normalized-word sequence; phrase given pre-normalized). The
+    # anchor-counting operator and this slice-equality count agree:
+    # anchor a is a full instance iff words[a..a+P-1] == terms.
+    "engine_phrase_count": """
+        CREATE OR REPLACE TEMPORARY FUNCTION engine_phrase_count(
+            t STRING, phrase STRING)
+        RETURNS BIGINT
+        RETURN CASE
+          WHEN size(split(trim(regexp_replace(lower(t), '\\\\s+', ' ')),
+                          ' ')) < size(split(phrase, ' ')) THEN 0L
+          ELSE CAST(size(filter(
+            sequence(1,
+              size(split(trim(regexp_replace(lower(t), '\\\\s+', ' ')),
+                         ' ')) - size(split(phrase, ' ')) + 1),
+            i -> slice(split(trim(regexp_replace(lower(t), '\\\\s+', ' ')),
+                             ' '),
+                       i, size(split(phrase, ' '))) = split(phrase, ' ')))
+          AS BIGINT) END
+    """,
 }
 
 def _sql_pat(pat: str) -> str:
@@ -203,7 +281,14 @@ def _lang_id_sql() -> str:
 def register_sql_api(
     spark: SparkSession, sf_dir: str | None = None, dim: int = DEFAULT_DIM
 ) -> None:
-    """Register fixture views (when ``sf_dir`` given) + engine functions."""
+    """Register fixture views (when ``sf_dir`` given) + engine functions.
+
+    Corpus-model surfaces that are DataFrame pipelines rather than
+    scalar expressions register as TEMP VIEWS over the fixture views
+    (Catalyst plans views and DataFrames identically, so
+    ``SELECT ... FROM engine_kn_surprisal`` IS the operator):
+    ``engine_kn_surprisal`` -- interpolated Kneser-Ney bigram
+    surprisal per document (operators/lm_quality.py, r7)."""
     if sf_dir is not None:
         register_views(spark, sf_dir)
     for ddl in _SQL_FUNCTIONS.values():
@@ -212,3 +297,9 @@ def register_sql_api(
         spark.sql(ddl)
     spark.sql(_lang_id_sql())
     spark.udf.register("engine_embed", hash_embedding_udf(dim))
+    if sf_dir is not None:
+        from .operators.lm_quality import kneser_ney_bigram_surprisal
+
+        kneser_ney_bigram_surprisal(
+            spark.table("documents")
+        ).createOrReplaceTempView("engine_kn_surprisal")

@@ -96,6 +96,237 @@ def test_sql_hash_bucket_matches_split_assignment(spark, sf_smoke):
     assert sql_rows == df_rows
 
 
+def test_sql_ewma_matches_operator(spark, sf_smoke):
+    """engine_ewma over the sort_array'd per-key series == the ewma
+    operator, bit-for-bit (same fold, same alpha operation order)."""
+    from rag_vertex_ai_vector_search_spark.operators.timeseries import ewma
+
+    register_sql_api(spark, sf_smoke)
+    via_sql = {
+        (r.user_id, r.ts, r.event_id): r.ewma
+        for r in spark.sql("""
+            WITH packed AS (
+              SELECT user_id,
+                     sort_array(collect_list(
+                       struct(ts AS _ts, event_id AS _tie,
+                              CAST(value AS DOUBLE) AS _v))) AS series
+              FROM events GROUP BY user_id
+            ), folded AS (
+              SELECT user_id, series,
+                     engine_ewma(transform(series, s -> s._v), 1, 4) AS ew
+              FROM packed
+            )
+            SELECT user_id, s._ts AS ts, s._tie AS event_id, ew[i] AS ewma
+            FROM folded
+            LATERAL VIEW posexplode(series) AS i, s
+        """).collect()
+    }
+    ev = load_table(spark, sf_smoke, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    via_df = {
+        (r.user_id, r.ts, r.event_id): r.ewma
+        for r in ewma(
+            ev, key_cols=("user_id",), ts_col="ts", value_col="value",
+            alpha_num=1, alpha_den=4, tie_col="event_id",
+        ).collect()
+    }
+    assert via_sql == via_df
+
+
+def test_sql_bloom_matches_operator(spark, sf_smoke):
+    """Bloom build + probe composed from engine_bloom_* in pure SQL ==
+    bloom_sketch / bloom_contains (same words, bits, verdicts)."""
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        bloom_contains,
+        bloom_sketch,
+    )
+
+    register_sql_api(spark, sf_smoke)
+    n_bits, k = 1 << 16, 3
+    words_sql = {
+        (r.word, r.bits)
+        for r in spark.sql(f"""
+            WITH toks AS (
+              SELECT explode(split(trim(regexp_replace(lower(text),
+                       '\\\\s+', ' ')), ' ')) AS w
+              FROM documents
+            ), posarr AS (
+              -- SQL UDFs cannot sit inside a Generate: materialize the
+              -- array column first, then explode it
+              SELECT engine_bloom_positions(w, {n_bits}, {k}) AS ps
+              FROM toks
+            ), pos AS (
+              SELECT explode(ps) AS p FROM posarr
+            )
+            SELECT engine_bloom_word(p) AS word,
+                   CAST(bit_or(engine_bloom_mask(p)) AS BIGINT) AS bits
+            FROM pos GROUP BY engine_bloom_word(p)
+        """).collect()
+    }
+    from rag_vertex_ai_vector_search_spark.functions.text import (
+        normalized_text,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    toks = docs.select(
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("w")
+    )
+    sketch = bloom_sketch(toks, "w", n_bits=n_bits, k=k)
+    words_df = {(r.word, r.bits) for r in sketch.collect()}
+    assert words_sql == words_df
+
+    # probe: planted present + absent items
+    items = spark.createDataFrame(
+        [("the",), ("zzz-not-a-word",)], "item string"
+    )
+    items.createOrReplaceTempView("_probe_items")
+    sketch.createOrReplaceTempView("_bloom_words")
+    probe_sql = {
+        (r.item, r.might_contain)
+        for r in spark.sql(f"""
+            WITH posarr AS (
+              SELECT item,
+                     engine_bloom_positions(item, {n_bits}, {k}) AS ps
+              FROM _probe_items
+            ), pos AS (
+              SELECT item, explode(ps) AS p FROM posarr
+            ), probed AS (
+              SELECT pos.item,
+                     coalesce(w.bits, 0L) & engine_bloom_mask(pos.p) AS hit
+              FROM pos LEFT JOIN _bloom_words w
+                ON w.word = engine_bloom_word(pos.p)
+            )
+            SELECT item,
+                   CAST(min(CAST(hit != 0 AS INT)) AS BOOLEAN)
+                     AS might_contain
+            FROM probed GROUP BY item
+        """).collect()
+    }
+    probe_df = {
+        (r.item, r.might_contain)
+        for r in bloom_contains(
+            sketch, items, n_bits=n_bits, k=k
+        ).collect()
+    }
+    assert probe_sql == probe_df
+    assert ("zzz-not-a-word", False) in probe_df
+
+
+def test_sql_histogram_quantiles_match_operator(spark, sf_smoke):
+    """engine_hist_bin + a plain-SQL cumulative window == the
+    histogram_sketch/histogram_quantiles pipeline (declared
+    price_histogram_quantiles config)."""
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    register_sql_api(spark, sf_smoke)
+    lo, hi, nb = 0, 12_000_000, 256
+    via_sql = {
+        (r.l_returnflag, r.q_num, r.q_den): (r.n_rows, r.q_bin, r.q_value)
+        for r in spark.sql(f"""
+            WITH cents AS (
+              SELECT l_returnflag,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS c
+              FROM lineitem
+            ), hist AS (
+              SELECT l_returnflag,
+                     engine_hist_bin(c, {lo}, {hi}, {nb}) AS bin,
+                     CAST(count(1) AS BIGINT) AS cnt
+              FROM cents GROUP BY l_returnflag, engine_hist_bin(c, {lo}, {hi}, {nb})
+            ), cum AS (
+              SELECT l_returnflag, bin, cnt,
+                     sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin)
+                       AS cm,
+                     sum(cnt) OVER (PARTITION BY l_returnflag) AS total
+              FROM hist
+            ), qs AS (
+              SELECT explode(array(
+                struct(1 AS q_num, 2 AS q_den),
+                struct(9 AS q_num, 10 AS q_den),
+                struct(99 AS q_num, 100 AS q_den))) AS q
+            )
+            SELECT l_returnflag, q.q_num, q.q_den,
+                   CAST(max(total) AS BIGINT) AS n_rows,
+                   CAST(min(bin) AS INT) AS q_bin,
+                   CAST({lo} + (CAST(min(bin) AS BIGINT) * {hi - lo})
+                        div {nb} AS BIGINT) AS q_value
+            FROM cum CROSS JOIN qs
+            WHERE cm * q.q_den >= total * q.q_num
+            GROUP BY l_returnflag, q.q_num, q.q_den
+        """).collect()
+    }
+    li = load_table(spark, sf_smoke, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    hist = histogram_sketch(
+        li.select("l_returnflag", cents.alias("cents")), "cents",
+        group_cols=("l_returnflag",), lo=lo, hi=hi, n_bins=nb,
+    )
+    via_df = {
+        (r.l_returnflag, r.q_num, r.q_den): (r.n_rows, r.q_bin, r.q_value)
+        for r in histogram_quantiles(
+            hist, group_cols=("l_returnflag",), lo=lo, hi=hi, n_bins=nb,
+            quantiles=((1, 2), (9, 10), (99, 100)),
+        ).collect()
+    }
+    assert via_sql == via_df
+
+
+def test_sql_phrase_count_matches_operator(spark, sf_smoke):
+    """engine_phrase_count per doc == phrase_occurrences counts for
+    the same phrases (docs with zero occurrences absent there)."""
+    from rag_vertex_ai_vector_search_spark.operators.ranking import (
+        phrase_occurrences,
+    )
+
+    register_sql_api(spark, sf_smoke)
+    phrases = ["order fast", "stream column", "zz-never-present"]
+    docs = load_table(spark, sf_smoke, "documents")
+    via_df = {
+        (r.phrase, r.doc_id): r.n_occurrences
+        for r in phrase_occurrences(docs, phrases).collect()
+    }
+    in_list = ", ".join(f"'{p}'" for p in phrases)
+    via_sql = {
+        (r.phrase, r.doc_id): r.n
+        for r in spark.sql(f"""
+            SELECT p.phrase, d.doc_id,
+                   engine_phrase_count(d.text, p.phrase) AS n
+            FROM documents d
+            CROSS JOIN (SELECT explode(array({in_list})) AS phrase) p
+            WHERE engine_phrase_count(d.text, p.phrase) > 0
+        """).collect()
+    }
+    assert via_sql == via_df
+    assert via_df  # non-vacuous: some phrase occurs in the fixture
+
+
+def test_sql_kn_surprisal_view_matches_operator(spark, sf_smoke):
+    """SELECT * FROM engine_kn_surprisal == the KN DataFrame builder."""
+    from rag_vertex_ai_vector_search_spark.operators.lm_quality import (
+        kneser_ney_bigram_surprisal,
+    )
+
+    register_sql_api(spark, sf_smoke)
+    via_sql = sorted(
+        tuple(r) for r in spark.sql(
+            "SELECT * FROM engine_kn_surprisal"
+        ).collect()
+    )
+    via_df = sorted(
+        tuple(r)
+        for r in kneser_ney_bigram_surprisal(
+            load_table(spark, sf_smoke, "documents")
+        ).collect()
+    )
+    assert via_sql == via_df
+
+
 def test_sql_html_url_functions_match_builders(spark):
     """engine_html_text / engine_link_density / engine_url_domain /
     engine_url_normalize from spark.sql are bit-identical to the
