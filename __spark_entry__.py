@@ -3170,6 +3170,237 @@ FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
 """
 
 
+def q_incremental_reembed_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r10 capstone (VERDICT r9 #6): the INCREMENTAL RE-EMBEDDING loop
+    the reference's STREAM_UPDATE index exists for
+    (index_manager.py:53 + setup_vector_search.py:147-153), end to end
+    in one lineage:
+
+      snapshot diff (operators/snapshot.py; same planted %13/%17/%19
+      old-vs-new corpus as corpus_snapshot_diff) -> embed ONLY
+      added+changed docs -> layout-pinned merge_into_table (two merges
+      against the same _merge_meta.json-pinned bucket layout: initial
+      full load + the incremental delta) -> the SAME two batches
+      streamed through stream_merge_into_ivf_index as real
+      micro-batches maintaining the clustered IVF layout (sticky
+      leaves for changed keys) -> cluster_drift_report ->
+      recluster_ivf_index (the r10-fixed tree-AH rebalance, forced by
+      an undersized leaf cap) -> final index read-back.
+
+    What the ORACLE gates (embedding VALUES are pandas-UDF floats, not
+    SQL-expressible -- the ingest_datapoints precedent): the final
+    store's exact row set and per-row scalars -- data_point_id
+    (sha256 surrogate), diff status, content_length and token_count of
+    the version that should be stored (v2 for changed docs, v1 for
+    unchanged/removed -- i.e. the oracle PROVES only added+changed
+    were re-embedded and removed docs were retained), dim and the
+    rounded unit norm (the embed UDF really ran on every row). The
+    un-mirrorable float geometry is RUNTIME-asserted in-query instead:
+    merged table and streamed index hold identical id sets, zero
+    duplicate ids, the drift report covers every leaf, recluster
+    preserves the row multiset, splits the oversized leaves under the
+    cap, and grows the centroid matrix."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from rag_vertex_ai_vector_search_spark.operators.snapshot import (
+        snapshot_diff,
+    )
+    from rag_vertex_ai_vector_search_spark.operators.upsert import (
+        merge_into_table,
+    )
+    from rag_vertex_ai_vector_search_spark.streaming.ivf_stream import (
+        cluster_drift_report,
+        needs_recluster,
+        recluster_ivf_index,
+        stream_merge_into_ivf_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text")
+    i = F.col("doc_id")
+    kept = old.filter(i % 13 != 0).select(
+        "doc_id",
+        F.when(i % 17 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    added = old.filter(i % 19 == 0).select(
+        (i + 100000).alias("doc_id"), "text"
+    )
+    new = kept.unionByName(added)
+
+    diff = snapshot_diff(old, new).localCheckpoint(eager=True)
+    to_embed = new.join(
+        diff.filter(F.col("status").isin("added", "changed")).select(
+            "doc_id"
+        ),
+        "doc_id",
+    )
+
+    work = tempfile.mkdtemp(prefix="reembed_")
+    try:
+        table = f"{work}/datapoints"
+        src = f"{work}/src"
+        index_path = f"{work}/ivf"
+        ckpt = f"{work}/ckpt"
+
+        # storage side: full load, then the layout-pinned delta merge
+        dp_old = ingest_documents(old).datapoints.localCheckpoint(
+            eager=True
+        )
+        merge_into_table(
+            spark, table, dp_old, key="data_point_id", n_buckets=8
+        )
+        dp_delta = ingest_documents(to_embed).datapoints
+        merge_into_table(
+            spark, table, dp_delta, key="data_point_id", n_buckets=8
+        )
+
+        # index side: the same two batches as REAL micro-batches into
+        # the clustered layout (pinned centroids; assignment geometry
+        # is runtime-asserted, not oracled)
+        centroids = np.asarray(
+            [
+                r.feature_vector
+                for r in dp_old.orderBy("data_point_id").limit(4).collect()
+            ],
+            dtype=np.float64,
+        )
+        old.write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            src
+        )
+        q = stream_merge_into_ivf_index(
+            stream, index_path, centroids, checkpoint_dir=ckpt, n_buckets=8
+        )
+        try:
+            q.processAllAvailable()
+            to_embed.write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        merged_ids = {
+            r[0]
+            for r in spark.read.parquet(table)
+            .select("data_point_id").collect()
+        }
+        index = spark.read.parquet(index_path)
+        index_ids = [
+            r[0] for r in index.select("data_point_id").collect()
+        ]
+        if set(index_ids) != merged_ids or len(index_ids) != len(merged_ids):
+            raise RuntimeError(
+                "streamed IVF index and merged table diverged: "
+                f"{len(index_ids)} index rows vs {len(merged_ids)} keys"
+            )
+
+        report = cluster_drift_report(index, centroids)
+        if report.count() != index.select("cluster_id").distinct().count():
+            raise RuntimeError("drift report does not cover every leaf")
+        if not needs_recluster(
+            report, max_leaf_rows=64, max_drift_fraction=1.1
+        ):
+            raise RuntimeError(
+                "fixture leaves under the forced 64-row cap; the "
+                "rebalance stage would be vacuous"
+            )
+        new_cent = recluster_ivf_index(
+            spark, index_path, centroids,
+            max_leaf_rows=64, max_drift_fraction=1.1,
+        )
+        if new_cent.shape[0] <= centroids.shape[0]:
+            raise RuntimeError("recluster did not grow the centroid matrix")
+
+        final = spark.read.parquet(index_path)
+        n_final = final.count()
+        if (
+            n_final != len(merged_ids)
+            or final.select("data_point_id").distinct().count() != n_final
+        ):
+            raise RuntimeError(
+                "recluster changed the row multiset or duplicated ids"
+            )
+        max_leaf = (
+            final.groupBy("cluster_id").count()
+            .agg(F.max("count")).collect()[0][0]
+        )
+        if max_leaf > 64:
+            raise RuntimeError(
+                f"oversized leaf survived the rebalance ({max_leaf} rows)"
+            )
+
+        status = diff.select(
+            F.sha2(F.col("doc_id").cast("string"), 256).alias(
+                "data_point_id"
+            ),
+            "status",
+        )
+        vec = F.col("feature_vector").cast("array<double>")
+        result = final.join(status, "data_point_id").select(
+            "data_point_id",
+            "status",
+            F.col("numeric_restricts")["content_length"].alias(
+                "content_length"
+            ),
+            F.col("numeric_restricts")["token_count"].alias("token_count"),
+            F.size("feature_vector").cast("long").alias("dim"),
+            F.round(
+                F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x), 6
+            ).alias("norm_sq"),
+        )
+        out = result.localCheckpoint(eager=True)
+        if out.count() != n_final:
+            raise RuntimeError("status join dropped index rows")
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_SQL_INCREMENTAL_REEMBED = f"""
+WITH old AS (SELECT doc_id, text FROM documents),
+new_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 != 0
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 19 = 0
+),
+o AS (SELECT doc_id, text, sha256({_SQL_NORM}) AS fp FROM old),
+n AS (SELECT doc_id, text, sha256({_SQL_NORM}) AS fp FROM new_docs),
+diff AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.fp IS NULL THEN 'added'
+              WHEN n.fp IS NULL THEN 'removed'
+              WHEN o.fp <> n.fp THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         o.text AS old_text, n.text AS new_text
+  FROM o FULL JOIN n ON o.doc_id = n.doc_id
+),
+-- store contents after the incremental loop: every old doc's v1 ingest
+-- (removed docs are RETAINED -- upsert never deletes), overwritten by
+-- the delta re-embed exactly for added+changed rows (updates win)
+final AS (
+  SELECT doc_id, status,
+         CASE WHEN status IN ('added', 'changed') THEN new_text
+              ELSE old_text END AS text
+  FROM diff
+)
+SELECT sha256(CAST(doc_id AS VARCHAR)) AS data_point_id,
+       status,
+       CAST(length(text) AS BIGINT) AS content_length,
+       CAST({_SQL_TOKENS} AS BIGINT) AS token_count,
+       CAST(64 AS BIGINT) AS dim,
+       CAST(1.0 AS DOUBLE) AS norm_sq
+FROM final
+WHERE {_SQL_TOKENS} <= 2042
+"""
+
+
 def q_rag_serving_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r7 serving capstone: the reference's WHOLE request path under
     one oracle -- corpus ingest (tokenize, token gate 80, surrogate
@@ -7034,6 +7265,13 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     whose visible-text/anchor-text mirrors are embedded verbatim in
     the still-declared web_corpus_pipeline oracle.
 
+    r10-NEW archive entry (never declared -- the window is at
+    capacity): incremental_reembed_pipeline, the STREAM_UPDATE
+    maintenance-loop capstone (snapshot diff -> delta-only re-embed ->
+    layout-pinned merges -> streamed IVF maintenance -> drift report
+    -> recluster), oracled on the final store's row set + per-row
+    scalars with the float geometry runtime-asserted in-query.
+
     r10 rotation (VERDICT r9 #3 + #5):
     streaming_dedup_minhash_maintained displaces dedup_minhash_lsh --
     the full minhash candidate chain stays declared-gated TWICE (it is
@@ -7057,6 +7295,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma": q_events_ewma,
         "pii_credit_cards": q_pii_credit_cards,
         "rag_serving_pipeline": q_rag_serving_pipeline,
+        "incremental_reembed_pipeline": q_incremental_reembed_pipeline,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "dedup_recall_sweep": q_dedup_recall_sweep,
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
@@ -7179,6 +7418,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "events_ewma": _SQL_EVENTS_EWMA,
         "pii_credit_cards": _SQL_PII_CARDS,
         "rag_serving_pipeline": _sql_rag_serving_pipeline(),
+        "incremental_reembed_pipeline": _SQL_INCREMENTAL_REEMBED,
         "corpus_snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "dedup_recall_sweep": _sql_dedup_recall_sweep(),
         "knn_ivf_full_probe": _SQL_KNN_TOPK,

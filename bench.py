@@ -342,6 +342,12 @@ BENCH_QUERIES = [
     ("ann_recall_dim_prefix", entrymod.q_ann_recall_dim_prefix),
     # r7 serving capstone: ingest -> exact tree-AH cascade -> hydration
     ("rag_serving_pipeline", entrymod.q_rag_serving_pipeline),
+    # r10 maintenance-loop capstone: diff -> delta re-embed -> pinned
+    # merges -> streamed IVF -> drift -> recluster, one lineage
+    (
+        "incremental_reembed_pipeline",
+        entrymod.q_incremental_reembed_pipeline,
+    ),
     ("corpus_snapshot_diff", entrymod.q_corpus_snapshot_diff),
     ("dedup_recall_sweep", entrymod.q_dedup_recall_sweep),
     # r7: the streaming subsystem's driver-gated row -- a real
