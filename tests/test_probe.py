@@ -1,0 +1,225 @@
+"""Header-only media probes (multimodal/probe.py): probe metadata must
+match full-decode ground truth on synthesized fixtures; classification
+(ok / unsupported / corrupt) must match the decode path for
+header-level defects, and the documented header-vs-payload asymmetry
+is pinned explicitly."""
+
+import numpy as np
+import pytest
+
+from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+    decode_audio,
+    decode_image,
+    encode_png,
+)
+from rag_vertex_ai_vector_search_spark.multimodal.flac import (
+    decode_flac,
+    encode_flac,
+)
+from rag_vertex_ai_vector_search_spark.multimodal.g711 import (
+    encode_wav_g711,
+)
+from rag_vertex_ai_vector_search_spark.multimodal.gif import encode_gif
+from rag_vertex_ai_vector_search_spark.multimodal.jpeg import (
+    decode_jpeg_baseline,
+    encode_jpeg_baseline,
+    encode_jpeg_extended12,
+    encode_jpeg_lossless,
+    encode_jpeg_progressive,
+)
+from rag_vertex_ai_vector_search_spark.multimodal.mjpeg import (
+    encode_mjpeg_avi,
+)
+from rag_vertex_ai_vector_search_spark.multimodal.probe import (
+    extract_media_probe,
+    probe_flac,
+    probe_jpeg,
+    probe_media,
+    probe_png,
+    probe_wav,
+)
+from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+    encode_wav_pcm,
+)
+
+
+def _img(h=24, w=32, rgb=True, seed=5):
+    rng = np.random.RandomState(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    return rng.randint(0, 255, size=shape, dtype=np.uint8)
+
+
+def test_probe_png_matches_decode():
+    for rgb in (True, False):
+        img = _img(rgb=rgb)
+        data = encode_png(img)
+        meta = probe_png(data)
+        decoded = decode_image(data)
+        assert (meta["height"], meta["width"]) == decoded.shape[:2]
+        assert meta["channels"] == (3 if rgb else 1)
+        assert meta["bit_depth"] == 8
+        assert meta["interlaced"] is False
+
+
+def test_probe_jpeg_modes_match_encoders():
+    img = _img()
+    cases = [
+        (encode_jpeg_baseline(img), "baseline", 8, 3),
+        (encode_jpeg_progressive(img), "progressive", 8, 3),
+        (encode_jpeg_lossless(img[:, :, 0]), "lossless", 8, 1),
+        (
+            encode_jpeg_extended12(
+                (_img(rgb=False).astype(np.uint16) << 4)
+            ),
+            "extended", 12, 1,
+        ),
+    ]
+    for data, mode, precision, n_comp in cases:
+        meta = probe_jpeg(data)
+        assert meta["mode"] == mode
+        assert meta["precision"] == precision
+        assert meta["n_components"] == n_comp
+        assert (meta["height"], meta["width"]) == (24, 32)
+    # dimensions agree with the real decoder on the decodable mode
+    decoded = decode_jpeg_baseline(cases[0][0])
+    m0 = probe_jpeg(cases[0][0])
+    assert (m0["height"], m0["width"]) == decoded.shape[:2]
+
+
+def test_probe_wav_matches_decode():
+    sig = np.sin(np.linspace(0, 20, 480))
+    for sw, ch in ((1, 1), (2, 2), (4, 1)):
+        data = encode_wav_pcm(sig, sr=8000, channels=ch, sampwidth=sw)
+        meta = probe_wav(data)
+        samples, sr = decode_audio(data)
+        assert meta["sample_rate"] == sr == 8000
+        assert meta["channels"] == ch == samples.shape[1]
+        assert meta["n_frames"] == samples.shape[0]
+        assert meta["bits_per_sample"] == sw * 8
+        assert meta["duration_s"] == samples.shape[0] / sr
+
+
+def test_probe_wav_g711_and_unsupported_tags():
+    pcm = (np.sin(np.linspace(0, 20, 320)) * 20000).astype(np.int16)
+    for law, tag in (("ulaw", 7), ("alaw", 6)):
+        data = encode_wav_g711(pcm, law=law, sample_rate=8000)
+        meta = probe_wav(data)
+        samples, sr = decode_audio(data)
+        assert meta["format_tag"] == tag
+        assert meta["n_frames"] == samples.shape[0]
+        assert meta["sample_rate"] == sr
+    # IEEE float tag (3): outside the decode matrix -> unsupported,
+    # matching decode_audio's NotImplementedError
+    import struct
+
+    body = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    data = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(body) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(body)) + body
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError):
+        probe_wav(data)
+    with pytest.raises(NotImplementedError):
+        decode_audio(data)
+
+
+def test_probe_flac_matches_decode():
+    sig = (np.sin(np.linspace(0, 30, 600)) * 12000).astype(np.int32)
+    data = encode_flac(sig.reshape(-1, 1), sample_rate=16000, bps=16)
+    meta = probe_flac(data)
+    samples, sr, bps = decode_flac(data)
+    assert meta["sample_rate"] == sr == 16000
+    assert meta["channels"] == samples.shape[1] == 1
+    assert meta["bits_per_sample"] == bps == 16
+    assert meta["n_frames"] == samples.shape[0]
+
+
+def test_probe_media_dispatch_and_foreign_bytes():
+    img = _img()
+    frames = [_img(seed=s) for s in (1, 2, 3)]
+    gif = encode_gif([np.zeros((4, 4), np.uint8)])
+    containers = {
+        "png": encode_png(img),
+        "jpeg": encode_jpeg_baseline(img),
+        "gif": gif,
+        "avi": encode_mjpeg_avi(frames, fps=10),
+        "wav": encode_wav_pcm(np.zeros(100), sr=8000),
+        "flac": encode_flac(
+            np.zeros((64, 1), np.int32), sample_rate=8000, bps=16
+        ),
+    }
+    for name, data in containers.items():
+        meta = probe_media(data)
+        assert meta["container"] == name, name
+    avi = probe_media(containers["avi"])
+    assert avi["n_frames"] == 3 and avi["width"] == 32
+    with pytest.raises(NotImplementedError):
+        probe_media(b"ID3\x04mp3-ish bytes")
+    with pytest.raises(NotImplementedError):
+        probe_media(b"")
+
+
+def test_probe_header_vs_payload_asymmetry():
+    """Header-level defects classify exactly like the decoder; payload
+    defects are the documented blind spot (probe ok, decode corrupt)."""
+    # header-level: WAV truncated inside the data chunk -> corrupt BOTH
+    wav = encode_wav_pcm(np.zeros(400), sr=8000)
+    trunc = wav[: len(wav) // 3]
+    with pytest.raises(ValueError):
+        probe_wav(trunc)
+    with pytest.raises(Exception) as e:
+        decode_audio(trunc)
+    assert not isinstance(e.value, NotImplementedError)
+    # payload-level: bit-flipped IDAT -> probe OK (header untouched),
+    # full decode corrupt
+    png = bytearray(encode_png(_img()))
+    idat = bytes(png).find(b"IDAT")
+    png[idat + 10] ^= 0xFF
+    assert probe_png(bytes(png))["width"] == 32  # header still parses
+    with pytest.raises(Exception) as e2:
+        decode_image(bytes(png))
+    assert not isinstance(e2.value, NotImplementedError)
+
+
+def test_extract_media_probe_skip_contract(spark):
+    """The Spark cheap mode: mixed clean + defective media through
+    extract_media_probe(on_error='skip') feeds media_decode_report
+    with exact counted statuses."""
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        media_decode_report,
+    )
+
+    img = _img()
+    rows = [
+        (1, "image", bytearray(encode_png(img))),
+        (2, "image", bytearray(encode_jpeg_baseline(img))),
+        (3, "audio", bytearray(encode_wav_pcm(np.zeros(64), sr=8000))),
+        (4, "audio", bytearray(b"ID3\x04not-audio-we-decode")),  # unsupported
+        (5, "audio",
+         bytearray(encode_wav_pcm(np.zeros(400), sr=8000)[:30])),  # corrupt
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media_type string, content binary"
+    )
+    probed = extract_media_probe(df, on_error="skip")
+    got = {r.doc_id: r for r in probed.collect()}
+    assert got[1].container == "png" and got[1].decode_status == "ok"
+    assert got[2].container == "jpeg" and got[2].width == 32
+    assert got[3].sample_rate == 8000 and got[3].n_frames == 64
+    assert got[4].decode_status == "unsupported"
+    assert got[4].container is None
+    assert got[5].decode_status == "corrupt"
+
+    report = {
+        r.media_type: r
+        for r in media_decode_report(probed).collect()
+    }
+    assert report["image"].n_ok == 2 and report["image"].n_items == 2
+    assert report["audio"].n_ok == 1
+    assert report["audio"].n_unsupported == 1
+    assert report["audio"].n_corrupt == 1
+
+    # strict mode raises on the first bad asset
+    with pytest.raises(Exception):
+        extract_media_probe(df, on_error="raise").collect()
