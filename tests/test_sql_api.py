@@ -1,6 +1,7 @@
 """SQL front end: engine functions from spark.sql match the DataFrame
 builders exactly."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from rag_vertex_ai_vector_search_spark.sql_api import register_sql_api
@@ -134,6 +135,7 @@ def test_sql_ewma_matches_operator(spark, sf_smoke):
     assert via_sql == via_df
 
 
+@pytest.mark.full
 def test_sql_bloom_matches_operator(spark, sf_smoke):
     """Bloom build + probe composed from engine_bloom_* in pure SQL ==
     bloom_sketch / bloom_contains (same words, bits, verdicts)."""
@@ -213,6 +215,7 @@ def test_sql_bloom_matches_operator(spark, sf_smoke):
     assert ("zzz-not-a-word", False) in probe_df
 
 
+@pytest.mark.full
 def test_sql_histogram_quantiles_match_operator(spark, sf_smoke):
     """engine_hist_bin + a plain-SQL cumulative window == the
     histogram_sketch/histogram_quantiles pipeline (declared
@@ -277,6 +280,7 @@ def test_sql_histogram_quantiles_match_operator(spark, sf_smoke):
     assert via_sql == via_df
 
 
+@pytest.mark.full
 def test_sql_phrase_count_matches_operator(spark, sf_smoke):
     """engine_phrase_count per doc == phrase_occurrences counts for
     the same phrases (docs with zero occurrences absent there)."""
@@ -306,6 +310,7 @@ def test_sql_phrase_count_matches_operator(spark, sf_smoke):
     assert via_df  # non-vacuous: some phrase occurs in the fixture
 
 
+@pytest.mark.full
 def test_sql_kn_surprisal_view_matches_operator(spark, sf_smoke):
     """SELECT * FROM engine_kn_surprisal == the KN DataFrame builder."""
     from rag_vertex_ai_vector_search_spark.operators.lm_quality import (
