@@ -2698,12 +2698,241 @@ def q_streaming_dedup_minhash_maintained(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_streaming_sketches_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The streaming subsystem's THIRD driver gate: the whole
+    mergeable-sketch family (streaming/sketch_stream.py) maintained by
+    REAL Structured Streaming runs -- one micro-batched file source
+    (documents split into 3 files, one per trigger), three maintenance
+    streams attached in turn (HLL registers p=8 per lang, CMS counters
+    4x64, Bloom words m=2^16/k=3 -- max-, sum- and bit_or-merge, the
+    three distinct fold algebras of the family), each building its
+    epoch-partitioned state table from >= 2 asserted micro-batches,
+    then COMPACTED (fold-to-base static overwrite, the with-stream-
+    paused maintenance action) before the fold that the driver
+    hash-checks. Because all three merges are integer-exact and
+    order-independent (module docstring: stream==batch by
+    construction), the maintained-and-compacted tables must equal the
+    batch sketches of the full corpus -- the oracle is the batch
+    mirror, and a hash match proves the micro-batch partials, the
+    epoch layout, the compaction AND the read-time folds all at once.
+
+    Output is one scalar-only (sketch, k1, k2, v) union: HLL register
+    rows + the floor-quantized HLL estimates (the full
+    hll_token_cardinality surface, whose mirror this oracle embeds --
+    see the r10 rotation ledger), CMS counter rows, Bloom word rows.
+    stream==batch and replay idempotence are additionally
+    pytest-proven in tests/test_streaming_sketch.py."""
+    import shutil
+    import tempfile
+
+    from rag_vertex_ai_vector_search_spark.functions.text import (
+        normalized_text,
+    )
+    from rag_vertex_ai_vector_search_spark.operators.sketch import (
+        hll_estimate,
+    )
+    from rag_vertex_ai_vector_search_spark.streaming.sketch_stream import (
+        compact_bloom,
+        compact_cms,
+        compact_hll,
+        read_bloom,
+        read_cms,
+        read_hll,
+        stream_bloom,
+        stream_cms,
+        stream_hll,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    work = tempfile.mkdtemp(prefix="stream_sketches_")
+    try:
+        src = f"{work}/src"
+        docs.repartition(3).write.parquet(src)
+        words_stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select(
+                "lang",
+                F.explode(
+                    F.split(normalized_text(F.col("text")), " ")
+                ).alias("word"),
+            )
+        )
+        runs = (
+            (
+                "hll",
+                lambda t, c: stream_hll(
+                    words_stream, t, checkpoint_dir=c, col="word",
+                    group_cols=("lang",), p=8,
+                ),
+                compact_hll,
+                {"group_cols": ("lang",)},
+            ),
+            (
+                "cms",
+                lambda t, c: stream_cms(
+                    words_stream, t, checkpoint_dir=c, col="word",
+                    depth=4, width=64,
+                ),
+                compact_cms,
+                {},
+            ),
+            (
+                "bloom",
+                lambda t, c: stream_bloom(
+                    words_stream, t, checkpoint_dir=c, col="word",
+                    n_bits=1 << 16, k=3,
+                ),
+                compact_bloom,
+                {},
+            ),
+        )
+        for name, start, compact, kw in runs:
+            table = f"{work}/{name}"
+            q = start(table, f"{work}/ckpt_{name}")
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            epochs = (
+                spark.read.parquet(table).select("_epoch").distinct()
+            )
+            n_epochs = epochs.count()
+            if n_epochs < 2:
+                raise RuntimeError(
+                    f"{name} stream produced {n_epochs} micro-batch(es); "
+                    "the gate requires the maintained table to be built "
+                    "from >= 2"
+                )
+            compact(spark, table, **kw)
+            post = [
+                r[0]
+                for r in spark.read.parquet(table)
+                .select("_epoch").distinct().collect()
+            ]
+            if post != [-1]:
+                raise RuntimeError(
+                    f"{name} compaction left epochs {post}; expected "
+                    "exactly the _epoch=-1 base partition"
+                )
+        hll_regs = read_hll(spark, f"{work}/hll", group_cols=("lang",))
+        est = hll_estimate(hll_regs, group_cols=("lang",), p=8)
+        out = (
+            hll_regs.select(
+                F.lit("hll").alias("sketch"),
+                F.col("lang").alias("k1"),
+                F.col("bucket").cast("long").alias("k2"),
+                F.col("max_rho").cast("long").alias("v"),
+            )
+            .unionByName(
+                est.select(
+                    F.lit("hll_est").alias("sketch"),
+                    F.col("lang").alias("k1"),
+                    F.col("n_registers").cast("long").alias("k2"),
+                    F.col("estimate").cast("long").alias("v"),
+                )
+            )
+            .unionByName(
+                read_cms(spark, f"{work}/cms").select(
+                    F.lit("cms").alias("sketch"),
+                    F.col("row").cast("string").alias("k1"),
+                    F.col("bucket").cast("long").alias("k2"),
+                    F.col("cnt").cast("long").alias("v"),
+                )
+            )
+            .unionByName(
+                read_bloom(spark, f"{work}/bloom").select(
+                    F.lit("bloom").alias("sketch"),
+                    F.lit("").alias("k1"),
+                    F.col("word").cast("long").alias("k2"),
+                    F.col("bits").cast("long").alias("v"),
+                )
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_SQL_STREAM_SKETCHES = f"""
+WITH words AS (
+  SELECT lang, unnest(string_split({_SQL_NORM}, ' ')) AS word
+  FROM documents
+),
+h AS (
+  SELECT lang, ('0x' || substr(sha256(word), 1, 15))::BIGINT AS hv
+  FROM words
+),
+regs AS (
+  SELECT lang, hv >> 52 AS bucket,
+         max(CASE WHEN (hv & 4503599627370495) = 0 THEN 53
+                  ELSE 53 - length(format('{{:b}}', hv & 4503599627370495))
+             END) AS max_rho
+  FROM h GROUP BY lang, hv >> 52
+),
+est AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_registers,
+         CAST(sum(1::BIGINT << (53 - max_rho)) AS DOUBLE)
+           / {float(1 << 53)!r} + (256 - count(*)) AS harm,
+         256 - count(*) AS v
+  FROM regs GROUP BY lang
+),
+fin AS (
+  SELECT lang, n_registers,
+         CAST(floor(CASE
+           WHEN ({0.7213 / (1.0 + 1.079 / 256) * 256 * 256!r} / harm)
+                  <= 640.0 AND v > 0
+           THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+           ELSE {0.7213 / (1.0 + 1.079 / 256) * 256 * 256!r} / harm
+         END) AS BIGINT) AS estimate
+  FROM est
+),
+counters AS (
+  SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT t.j AS row,
+           CAST((('0x' || substr(sha256(CAST(t.j AS VARCHAR) || ':'
+                                        || word), 1, 15))::BIGINT) % 64
+                AS INT) AS bucket
+    FROM words CROSS JOIN range(4) t(j))
+  GROUP BY row, bucket
+),
+bpos AS (
+  SELECT (('0x' || substr(sha256(CAST(t.j AS VARCHAR) || ':' || word),
+                          1, 15))::BIGINT) % 65536 AS pos
+  FROM words CROSS JOIN range(3) t(j)
+),
+bwords AS (
+  SELECT CAST(pos // 32 AS BIGINT) AS word,
+         CAST(bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS BIGINT)
+           AS bits
+  FROM bpos GROUP BY 1
+)
+SELECT 'hll' AS sketch, lang AS k1, CAST(bucket AS BIGINT) AS k2,
+       CAST(max_rho AS BIGINT) AS v
+FROM regs
+UNION ALL
+SELECT 'hll_est', lang, n_registers, estimate FROM fin
+UNION ALL
+SELECT 'cms', CAST(row AS VARCHAR), CAST(bucket AS BIGINT), cnt
+FROM counters
+UNION ALL
+SELECT 'bloom', '', word, bits FROM bwords
+"""
+
+
 def q_hll_token_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-word cardinality per language
     (operators/sketch.py): the mergeable-sketch answer to "how many
     distinct tokens per group" that at 100 TB replaces an exact
     count(distinct) shuffle with 2^p integer registers per group.
-    Archive-gated (declared window at capacity).
+    Archive-gated since the r10 rotation: its entire mirror is
+    embedded verbatim in the declared streaming_sketches_maintained
+    oracle (hll / hll_est arms).
 
     The full sketch surface is oracled: every (lang, bucket, max_rho)
     register row AND the floor-quantized estimate -- sha60 bucketing,
@@ -7063,6 +7292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (VERDICT r9 #5) ------------------------------------------
         "streaming_dedup_minhash_maintained":
             q_streaming_dedup_minhash_maintained,
+        "streaming_sketches_maintained": q_streaming_sketches_maintained,
         "ann_recall_dim_prefix": q_ann_recall_dim_prefix,
         # -- new in r7: the streaming subsystem's FIRST
         #    driver-gated row (VERDICT r6 #1) -- a real micro-batched
@@ -7075,7 +7305,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    parity-proven at sf0.001 AND sf0.01 before promotion) ----
         "ann_recall_ivf": q_ann_recall_ivf,
         "ann_recall_pq": q_ann_recall_pq,
-        "hll_token_cardinality": q_hll_token_cardinality,
         "cms_word_frequencies": q_cms_word_frequencies,
         "bpe_train_merges": q_bpe_train_merges,
         "semdedup_keep": q_semdedup_keep,
@@ -7283,8 +7512,18 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     machinery stays declared-gated inside hybrid_search_rrf (whose
     oracle embeds the same per-term tf/idf chain for its lexical arm),
     while the standalone ranking query remains bit-gated here.
+
+    Second r10 rotation: streaming_sketches_maintained (the THIRD
+    driver-gated streaming row -- HLL/CMS/Bloom maintenance +
+    compaction under one oracle) displaces hll_token_cardinality,
+    whose ENTIRE mirror (p=8 register rows + integer harmonic sum +
+    floor-quantized estimates) is embedded verbatim as the hll/hll_est
+    arms of the new gate's oracle -- the batch HLL machinery therefore
+    stays declared-gated, now additionally through the streamed and
+    compacted state table; the batch query remains bit-gated here.
     """
     return {
+        "hll_token_cardinality": q_hll_token_cardinality,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "bm25_rank": q_bm25_rank,
         "knn_lsh_bucketed": q_knn_lsh_bucketed,
@@ -7353,11 +7592,11 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "streaming_dedup_minhash_maintained": _sql_streaming_dedup_minhash(),
+        "streaming_sketches_maintained": _SQL_STREAM_SKETCHES,
         "ann_recall_dim_prefix": _sql_ann_recall_dim_prefix(),
         "streaming_vocab_maintained": _SQL_STREAM_VOCAB,
         "ann_recall_ivf": _sql_ann_recall_ivf(),
         "ann_recall_pq": _sql_ann_recall_pq(),
-        "hll_token_cardinality": _SQL_HLL_TOKENS,
         "cms_word_frequencies": _SQL_CMS_WORDS,
         "bpe_train_merges": _sql_bpe_train(8),
         "semdedup_keep": _SQL_SEMDEDUP,
@@ -7408,6 +7647,7 @@ def oracle_sql_archive() -> dict[str, str]:
     """Oracles for queries_archive() -- run by tests/test_oracle_parity.py
     (not the driver) so the rotated queries stay bit-exact-verified."""
     return {
+        "hll_token_cardinality": _SQL_HLL_TOKENS,
         "dedup_minhash_lsh": _sql_minhash_lsh(),
         "bm25_rank": _sql_bm25_rank(),
         "knn_lsh_bucketed": _sql_knn_lsh_bucketed(),

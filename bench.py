@@ -359,6 +359,12 @@ BENCH_QUERIES = [
         "streaming_dedup_minhash_maintained",
         entrymod.q_streaming_dedup_minhash_maintained,
     ),
+    # r10: the third driver-gated streaming row -- HLL/CMS/Bloom
+    # maintenance streams + compaction, folded state tables
+    (
+        "streaming_sketches_maintained",
+        entrymod.q_streaming_sketches_maintained,
+    ),
     # the capstone compositions: one lineage, one oracle each
     ("training_corpus_pipeline", entrymod.q_training_corpus_pipeline),
     ("web_corpus_pipeline", entrymod.q_web_corpus_pipeline),
