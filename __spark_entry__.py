@@ -2925,6 +2925,197 @@ SELECT 'bloom', '', word, bits FROM bwords
 """
 
 
+def q_streaming_lm_models_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The streaming subsystem's FOURTH driver gate: the three
+    incrementally-maintained MODEL tables that the text-quality
+    operators consume -- trigram position counts (streaming/ngram.py),
+    line document frequencies (streaming/linestats.py) and the DSIR
+    hashed-gram raw model (streaming/dsir_stream.py) -- each built by
+    a REAL micro-batched Structured Streaming run (documents split
+    into 3 files, one per trigger, >= 2 asserted epochs), then fed
+    into its REAL batch scorer: trigram_surprisal(counts=...),
+    dedup_boilerplate_lines(line_counts=...),
+    dsir_log_importance(raw_counts=...).
+
+    All three maintained tables are additive integer counts (each doc
+    arrives in exactly one batch), so the folds are bit-equal to the
+    batch models by construction and the scorer outputs must equal the
+    batch self-scored declared queries: the oracle is the UNION of the
+    three batch mirrors, nested verbatim as derived tables (the
+    composite-oracle rule) -- one hash match covers the micro-batch
+    partials, the epoch layout, the folds AND the model-consuming
+    scorer seams end-to-end. stream==batch and replay idempotence are
+    additionally pytest-proven in tests/test_streaming_ngram.py and
+    tests/test_streaming_dsir.py."""
+    import shutil
+    import tempfile
+
+    from rag_vertex_ai_vector_search_spark.operators.dedup import (
+        dedup_boilerplate_lines,
+    )
+    from rag_vertex_ai_vector_search_spark.operators.importance import (
+        dsir_log_importance,
+    )
+    from rag_vertex_ai_vector_search_spark.operators.lm_quality import (
+        trigram_surprisal,
+    )
+    from rag_vertex_ai_vector_search_spark.streaming.dsir_stream import (
+        read_dsir_model,
+        stream_dsir_model,
+    )
+    from rag_vertex_ai_vector_search_spark.streaming.linestats import (
+        read_line_df,
+        stream_line_df,
+    )
+    from rag_vertex_ai_vector_search_spark.streaming.ngram import (
+        read_ngram_counts,
+        stream_ngram_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    # The boilerplate stage counts 8-word segment "lines" (the declared
+    # dedup_boilerplate_lines query's segmentation, fixture text has no
+    # newlines); the SAME transformation runs on the stream.
+    def lined_of(df):
+        ws = F.split(F.col("text"), " ")
+        return df.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor(
+                            (F.size(ws) - F.lit(1)) / F.lit(8)
+                        ).cast("int"),
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(ws, i * F.lit(8) + F.lit(1), F.lit(8)), " "
+                    ),
+                ),
+                "\n",
+            ).alias("text"),
+        )
+
+    work = tempfile.mkdtemp(prefix="stream_lm_models_")
+    try:
+        src = f"{work}/src"
+        docs.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        runs = (
+            (
+                "ngram",
+                lambda t, c: stream_ngram_counts(
+                    stream, t, checkpoint_dir=c
+                ),
+            ),
+            (
+                "linedf",
+                lambda t, c: stream_line_df(
+                    lined_of(stream), t, checkpoint_dir=c
+                ),
+            ),
+            (
+                "dsir",
+                lambda t, c: stream_dsir_model(
+                    stream, t, checkpoint_dir=c, n_buckets=1024
+                ),
+            ),
+        )
+        for name, start in runs:
+            table = f"{work}/{name}"
+            q = start(table, f"{work}/ckpt_{name}")
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            n_epochs = (
+                spark.read.parquet(table)
+                .select("_epoch").distinct().count()
+            )
+            if n_epochs < 2:
+                raise RuntimeError(
+                    f"{name} stream produced {n_epochs} micro-batch(es); "
+                    "the gate requires the maintained model to be built "
+                    "from >= 2"
+                )
+        tri = trigram_surprisal(
+            docs, alpha=0.5, counts=read_ngram_counts(spark, f"{work}/ngram")
+        )
+        boiler = dedup_boilerplate_lines(
+            lined_of(docs),
+            max_line_df=1,
+            line_counts=read_line_df(spark, f"{work}/linedf"),
+        )
+        dsir = dsir_log_importance(
+            docs,
+            docs.filter(F.col("lang") == "en"),
+            n_buckets=1024,
+            alpha=0.5,
+            raw_counts=read_dsir_model(spark, f"{work}/dsir"),
+        )
+        out = (
+            tri.select(
+                F.lit("trigram").alias("part"),
+                F.col("doc_id"),
+                F.col("n_words").cast("long").alias("n"),
+                F.lit(0).cast("long").alias("v1"),
+                F.col("avg_surprisal_nats").cast("double").alias("v2"),
+                F.lit("").alias("s"),
+            )
+            .unionByName(
+                boiler.select(
+                    F.lit("boilerplate").alias("part"),
+                    F.col("doc_id"),
+                    F.col("n_lines").cast("long").alias("n"),
+                    F.col("n_removed").cast("long").alias("v1"),
+                    F.lit(0.0).cast("double").alias("v2"),
+                    F.sha2(F.col("text"), 256).alias("s"),
+                )
+            )
+            .unionByName(
+                dsir.select(
+                    F.lit("dsir").alias("part"),
+                    F.col("doc_id"),
+                    F.col("n_grams").cast("long").alias("n"),
+                    F.col("log_weight_micronats").cast("long").alias("v1"),
+                    F.col("avg_log_weight_nats").cast("double").alias("v2"),
+                    F.lit("").alias("s"),
+                )
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _sql_streaming_lm_models() -> str:
+    """The three batch mirrors nested verbatim as derived tables: the
+    maintained models are bit-equal to the batch models (additive
+    integer folds), so the streamed-then-scored outputs must equal the
+    batch self-scored queries exactly."""
+    return f"""
+SELECT 'trigram' AS part, doc_id, CAST(n_words AS BIGINT) AS n,
+       CAST(0 AS BIGINT) AS v1, avg_surprisal_nats AS v2, '' AS s
+FROM ({_sql_lm_trigram_surprisal()})
+UNION ALL
+SELECT 'boilerplate', doc_id, CAST(n_lines AS BIGINT), n_removed,
+       0.0::DOUBLE, clean_sha
+FROM ({_SQL_DEDUP_BOILERPLATE})
+UNION ALL
+SELECT 'dsir', doc_id, CAST(n_grams AS BIGINT), log_weight_micronats,
+       avg_log_weight_nats, ''
+FROM ({_SQL_DSIR})
+"""
+
+
 def q_hll_token_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-word cardinality per language
     (operators/sketch.py): the mergeable-sketch answer to "how many
@@ -7293,6 +7484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_minhash_maintained":
             q_streaming_dedup_minhash_maintained,
         "streaming_sketches_maintained": q_streaming_sketches_maintained,
+        "streaming_lm_models_maintained": q_streaming_lm_models_maintained,
+        "incremental_reembed_pipeline": q_incremental_reembed_pipeline,
         "ann_recall_dim_prefix": q_ann_recall_dim_prefix,
         # -- new in r7: the streaming subsystem's FIRST
         #    driver-gated row (VERDICT r6 #1) -- a real micro-batched
@@ -7312,7 +7505,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ranking_metrics": q_knn_ranking_metrics,
         # -- new in r5 -------------------------------------------------
         "dedup_span_removal": q_dedup_span_removal,
-        "dsir_importance": q_dsir_importance,
         "ann_recall_lsh": q_ann_recall_lsh,
         "authority_weighted_selection": q_authority_weighted_selection,
         "url_normalize": q_url_normalize,
@@ -7346,7 +7538,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_domain_cap": q_dataset_domain_cap,
         "packed_sequence_texts": q_packed_sequence_texts,
         "corpus_quality_report": q_corpus_quality_report,
-        "lm_trigram_surprisal": q_lm_trigram_surprisal,
         "ccnet_quality_buckets": q_ccnet_quality_buckets,
         "vocab_coverage": q_vocab_coverage,
         "training_corpus_pipeline": q_training_corpus_pipeline,
@@ -7521,9 +7712,24 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     arms of the new gate's oracle -- the batch HLL machinery therefore
     stays declared-gated, now additionally through the streamed and
     compacted state table; the batch query remains bit-gated here.
+
+    Third r10 rotation: streaming_lm_models_maintained (the FOURTH
+    driver-gated streaming row -- trigram / line-df / DSIR model
+    tables maintained by real micro-batches and fed into their REAL
+    batch scorers) displaces lm_trigram_surprisal AND dsir_importance,
+    whose ENTIRE mirrors are nested verbatim as the trigram / dsir
+    arms of the new gate's oracle (the boilerplate arm re-derives the
+    still-declared dedup_boilerplate_lines) -- all three scoring
+    chains stay declared-gated, now additionally through the
+    maintained model-table seams; the batch queries remain bit-gated
+    here. The freed slot promotes incremental_reembed_pipeline (the
+    r10 STREAM_UPDATE maintenance-loop capstone) from the archive
+    into the declared window.
     """
     return {
         "hll_token_cardinality": q_hll_token_cardinality,
+        "lm_trigram_surprisal": q_lm_trigram_surprisal,
+        "dsir_importance": q_dsir_importance,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "bm25_rank": q_bm25_rank,
         "knn_lsh_bucketed": q_knn_lsh_bucketed,
@@ -7534,7 +7740,6 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma": q_events_ewma,
         "pii_credit_cards": q_pii_credit_cards,
         "rag_serving_pipeline": q_rag_serving_pipeline,
-        "incremental_reembed_pipeline": q_incremental_reembed_pipeline,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "dedup_recall_sweep": q_dedup_recall_sweep,
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
@@ -7593,6 +7798,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "streaming_dedup_minhash_maintained": _sql_streaming_dedup_minhash(),
         "streaming_sketches_maintained": _SQL_STREAM_SKETCHES,
+        "streaming_lm_models_maintained": _sql_streaming_lm_models(),
+        "incremental_reembed_pipeline": _SQL_INCREMENTAL_REEMBED,
         "ann_recall_dim_prefix": _sql_ann_recall_dim_prefix(),
         "streaming_vocab_maintained": _SQL_STREAM_VOCAB,
         "ann_recall_ivf": _sql_ann_recall_ivf(),
@@ -7603,7 +7810,6 @@ def oracle_sql() -> dict[str, str]:
         "c4_quality_gate": _SQL_C4_GATE,
         "knn_ranking_metrics": _sql_knn_ranking_metrics(),
         "dedup_span_removal": _SQL_DEDUP_SPAN_REMOVAL,
-        "dsir_importance": _SQL_DSIR,
         "ann_recall_lsh": _sql_ann_recall_lsh(),
         "authority_weighted_selection": _sql_authority_weighted_selection(4),
         "url_normalize": _sql_url_normalize(),
@@ -7632,7 +7838,6 @@ def oracle_sql() -> dict[str, str]:
         "dataset_domain_cap": _SQL_DOMAIN_CAP,
         "packed_sequence_texts": _SQL_PACKED_SEQ_TEXTS,
         "corpus_quality_report": _SQL_CORPUS_REPORT,
-        "lm_trigram_surprisal": _sql_lm_trigram_surprisal(),
         "ccnet_quality_buckets": _sql_ccnet_quality_buckets(),
         "vocab_coverage": _SQL_VOCAB_COVERAGE,
         "training_corpus_pipeline": _SQL_TRAINING_PIPELINE,
@@ -7648,6 +7853,8 @@ def oracle_sql_archive() -> dict[str, str]:
     (not the driver) so the rotated queries stay bit-exact-verified."""
     return {
         "hll_token_cardinality": _SQL_HLL_TOKENS,
+        "lm_trigram_surprisal": _sql_lm_trigram_surprisal(),
+        "dsir_importance": _SQL_DSIR,
         "dedup_minhash_lsh": _sql_minhash_lsh(),
         "bm25_rank": _sql_bm25_rank(),
         "knn_lsh_bucketed": _sql_knn_lsh_bucketed(),
@@ -7658,7 +7865,6 @@ def oracle_sql_archive() -> dict[str, str]:
         "events_ewma": _SQL_EVENTS_EWMA,
         "pii_credit_cards": _SQL_PII_CARDS,
         "rag_serving_pipeline": _sql_rag_serving_pipeline(),
-        "incremental_reembed_pipeline": _SQL_INCREMENTAL_REEMBED,
         "corpus_snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "dedup_recall_sweep": _sql_dedup_recall_sweep(),
         "knn_ivf_full_probe": _SQL_KNN_TOPK,

@@ -365,6 +365,12 @@ BENCH_QUERIES = [
         "streaming_sketches_maintained",
         entrymod.q_streaming_sketches_maintained,
     ),
+    # r10: the fourth driver-gated streaming row -- trigram/line-df/
+    # DSIR model maintenance feeding the real batch scorers
+    (
+        "streaming_lm_models_maintained",
+        entrymod.q_streaming_lm_models_maintained,
+    ),
     # the capstone compositions: one lineage, one oracle each
     ("training_corpus_pipeline", entrymod.q_training_corpus_pipeline),
     ("web_corpus_pipeline", entrymod.q_web_corpus_pipeline),
