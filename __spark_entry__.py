@@ -3116,6 +3116,187 @@ FROM ({_SQL_DSIR})
 """
 
 
+def q_streaming_rollup_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incrementally-maintained events rollup
+    (streaming/rollup.py, the hypertable-continuous-aggregate
+    pattern) under the bit-exact gate: a REAL micro-batched run
+    (events split into 3 files, one per trigger, >= 2 asserted
+    epochs) maintains the (hour, event_type, user_id)-grain partial
+    table, which is then COMPACTED (fold-to-base static overwrite)
+    before `read_rollup` folds it to the (hour, event_type) view.
+    Counts and DECIMAL sums are associative and the user grain keeps
+    the non-additive countDistinct derivable, so the maintained view
+    must equal the batch events_hourly aggregate exactly -- the
+    oracle IS that mirror. Archive-gated (window at capacity);
+    stream==batch and replay idempotence are additionally
+    pytest-proven in tests/test_streaming_rollup.py."""
+    import shutil
+    import tempfile
+
+    from rag_vertex_ai_vector_search_spark.streaming.rollup import (
+        compact_rollup,
+        read_rollup,
+        stream_rollup_events,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "user_id", "value"
+    )
+    work = tempfile.mkdtemp(prefix="stream_rollup_")
+    try:
+        src = f"{work}/src"
+        table = f"{work}/rollup"
+        ev.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_rollup_events(
+            stream, table, checkpoint_dir=f"{work}/ckpt"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        n_epochs = (
+            spark.read.parquet(table).select("_epoch").distinct().count()
+        )
+        if n_epochs < 2:
+            raise RuntimeError(
+                f"rollup stream produced {n_epochs} micro-batch(es); the "
+                "gate requires the maintained table to be built from >= 2"
+            )
+        compact_rollup(spark, table)
+        post = [
+            r[0]
+            for r in spark.read.parquet(table)
+            .select("_epoch").distinct().collect()
+        ]
+        if post != [-1]:
+            raise RuntimeError(
+                f"rollup compaction left epochs {post}; expected exactly "
+                "the _epoch=-1 base partition"
+            )
+        return read_rollup(spark, table).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_streaming_sessionize_stateful(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The custom stateful streaming operator
+    (streaming/stateful.py::sessionize_with_state,
+    applyInPandasWithState with event-time timeout) under the
+    bit-exact gate. Events stream in three TIME-RANGE micro-batches
+    (each range spans ~10 days >> the 30-min gap, so cross-range
+    arrival respects event time and the watermark never drops rows),
+    appended one per processAllAvailable like the minhash gate; a
+    final batch plants one SENTINEL event per user at max(ts) + 1 day,
+    which deterministically gap-closes every user's pending session
+    in-batch -- so the emitted set is exactly ALL real sessions
+    (each emitted once, via gap-close or the event-time timeout,
+    whichever fires first; both emit identical bounds) while the
+    sentinel sessions stay pending and unemitted.
+
+    The oracle is the batch lag+cumsum sessionizer over the SAME
+    corpus (events UNION the closed-form sentinels) minus each user's
+    last session (= the sentinel session, strictly later than
+    everything by construction). Archive-gated (window at capacity);
+    emission semantics additionally pytest-proven in
+    tests/test_streaming_stateful.py."""
+    import datetime as _dt
+    import shutil
+    import tempfile
+    import uuid
+
+    from rag_vertex_ai_vector_search_spark.streaming.stateful import (
+        stream_sessionize,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    tmin, tmax = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = tmax - tmin
+    if span / 3 <= _dt.timedelta(minutes=60):
+        raise RuntimeError(
+            "events span too narrow for time-range micro-batching: "
+            f"{span} / 3 must exceed 2x the 30-min session gap"
+        )
+    t1 = tmin + span / 3
+    t2 = tmin + 2 * (span / 3)
+    sentinel_ts = tmax + _dt.timedelta(days=1)
+    batches = (
+        ev.filter(F.col("ts") < F.lit(t1)),
+        ev.filter((F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2))),
+        ev.filter(F.col("ts") >= F.lit(t2)),
+        ev.select("user_id").distinct().select(
+            "user_id", F.lit(sentinel_ts).alias("ts")
+        ),
+    )
+    qname = f"sessions_{uuid.uuid4().hex}"
+    work = tempfile.mkdtemp(prefix="stream_sessionize_")
+    try:
+        src = f"{work}/src"
+        batches[0].write.parquet(src)
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_sessionize(stream, f"{work}/ckpt", qname)
+        try:
+            q.processAllAvailable()
+            for b in batches[1:]:
+                b.write.mode("append").parquet(src)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.sql(
+            f"SELECT user_id, session_start, session_end, "
+            f"CAST(n_events AS BIGINT) AS n_events FROM {qname}"
+        ).localCheckpoint(eager=True)
+        return out
+    finally:
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_SQL_STREAM_SESSIONIZE = """
+WITH corpus AS (
+  SELECT user_id, ts FROM events
+  UNION ALL
+  SELECT user_id,
+         (SELECT max(ts) + INTERVAL 1 DAY FROM events) AS ts
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1, 0)
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM corpus
+), s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM g
+), sess AS (
+  SELECT user_id, session_seq,
+         CAST(count(*) AS BIGINT) AS n_events,
+         min(ts) AS session_start, max(ts) AS session_end
+  FROM s GROUP BY user_id, session_seq
+)
+SELECT user_id, session_start, session_end, n_events
+FROM sess
+QUALIFY session_seq < max(session_seq) OVER (PARTITION BY user_id)
+"""
+
+
 def q_hll_token_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-word cardinality per language
     (operators/sketch.py): the mergeable-sketch answer to "how many
@@ -7725,11 +7906,23 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     here. The freed slot promotes incremental_reembed_pipeline (the
     r10 STREAM_UPDATE maintenance-loop capstone) from the archive
     into the declared window.
+
+    r10-NEW archive entries (never declared -- the window is at
+    capacity): streaming_rollup_maintained (the incrementally-
+    maintained events rollup run as real micro-batches + compaction,
+    oracled against the batch events_hourly mirror) and
+    streaming_sessionize_stateful (the applyInPandasWithState
+    sessionizer driven by time-range micro-batches with a sentinel
+    final batch that deterministically closes every real session,
+    oracled against the batch lag+cumsum sessionizer over the same
+    planted corpus minus the per-user sentinel session).
     """
     return {
         "hll_token_cardinality": q_hll_token_cardinality,
         "lm_trigram_surprisal": q_lm_trigram_surprisal,
         "dsir_importance": q_dsir_importance,
+        "streaming_rollup_maintained": q_streaming_rollup_maintained,
+        "streaming_sessionize_stateful": q_streaming_sessionize_stateful,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "bm25_rank": q_bm25_rank,
         "knn_lsh_bucketed": q_knn_lsh_bucketed,
@@ -7855,6 +8048,8 @@ def oracle_sql_archive() -> dict[str, str]:
         "hll_token_cardinality": _SQL_HLL_TOKENS,
         "lm_trigram_surprisal": _sql_lm_trigram_surprisal(),
         "dsir_importance": _SQL_DSIR,
+        "streaming_rollup_maintained": _SQL_EVENTS_HOURLY,
+        "streaming_sessionize_stateful": _SQL_STREAM_SESSIONIZE,
         "dedup_minhash_lsh": _sql_minhash_lsh(),
         "bm25_rank": _sql_bm25_rank(),
         "knn_lsh_bucketed": _sql_knn_lsh_bucketed(),

@@ -371,6 +371,13 @@ BENCH_QUERIES = [
         "streaming_lm_models_maintained",
         entrymod.q_streaming_lm_models_maintained,
     ),
+    # r10 archive-gated streaming rows: incremental rollup + the
+    # stateful sessionizer (sentinel-closed, emitted set == batch)
+    ("streaming_rollup_maintained", entrymod.q_streaming_rollup_maintained),
+    (
+        "streaming_sessionize_stateful",
+        entrymod.q_streaming_sessionize_stateful,
+    ),
     # the capstone compositions: one lineage, one oracle each
     ("training_corpus_pipeline", entrymod.q_training_corpus_pipeline),
     ("web_corpus_pipeline", entrymod.q_web_corpus_pipeline),
