@@ -2704,10 +2704,11 @@ def q_streaming_sketches_maintained(
     """The streaming subsystem's THIRD driver gate: the whole
     mergeable-sketch family (streaming/sketch_stream.py) maintained by
     REAL Structured Streaming runs -- one micro-batched file source
-    (documents split into 3 files, one per trigger), three maintenance
+    (documents split into 3 files, one per trigger), four maintenance
     streams attached in turn (HLL registers p=8 per lang, CMS counters
-    4x64, Bloom words m=2^16/k=3 -- max-, sum- and bit_or-merge, the
-    three distinct fold algebras of the family), each building its
+    4x64, Bloom words m=2^16/k=3, word-length histogram 32 bins over
+    [0,64) -- max-, sum- and bit_or-merge, every fold algebra of the
+    family), each building its
     epoch-partitioned state table from >= 2 asserted micro-batches,
     then COMPACTED (fold-to-base static overwrite, the with-stream-
     paused maintenance action) before the fold that the driver
@@ -2721,7 +2722,8 @@ def q_streaming_sketches_maintained(
     Output is one scalar-only (sketch, k1, k2, v) union: HLL register
     rows + the floor-quantized HLL estimates (the full
     hll_token_cardinality surface, whose mirror this oracle embeds --
-    see the r10 rotation ledger), CMS counter rows, Bloom word rows.
+    see the r10 rotation ledger), CMS counter rows, Bloom word rows,
+    histogram bin rows.
     stream==batch and replay idempotence are additionally
     pytest-proven in tests/test_streaming_sketch.py."""
     import shutil
@@ -2736,12 +2738,15 @@ def q_streaming_sketches_maintained(
     from rag_vertex_ai_vector_search_spark.streaming.sketch_stream import (
         compact_bloom,
         compact_cms,
+        compact_histogram,
         compact_hll,
         read_bloom,
         read_cms,
+        read_histogram,
         read_hll,
         stream_bloom,
         stream_cms,
+        stream_histogram,
         stream_hll,
     )
 
@@ -2787,6 +2792,18 @@ def q_streaming_sketches_maintained(
                     n_bits=1 << 16, k=3,
                 ),
                 compact_bloom,
+                {},
+            ),
+            (
+                "hist",
+                lambda t, c: stream_histogram(
+                    words_stream.select(
+                        F.length("word").alias("wlen")
+                    ),
+                    t, checkpoint_dir=c, col="wlen",
+                    lo=0, hi=64, n_bins=32,
+                ),
+                compact_histogram,
                 {},
             ),
         )
@@ -2851,6 +2868,14 @@ def q_streaming_sketches_maintained(
                     F.col("bits").cast("long").alias("v"),
                 )
             )
+            .unionByName(
+                read_histogram(spark, f"{work}/hist").select(
+                    F.lit("hist").alias("sketch"),
+                    F.lit("").alias("k1"),
+                    F.col("bin").cast("long").alias("k2"),
+                    F.col("cnt").cast("long").alias("v"),
+                )
+            )
         )
         return out.localCheckpoint(eager=True)
     finally:
@@ -2911,6 +2936,12 @@ bwords AS (
          CAST(bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS BIGINT)
            AS bits
   FROM bpos GROUP BY 1
+),
+hist AS (
+  SELECT CAST(LEAST(31, GREATEST(0, (length(word) * 32) // 64))
+              AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM words GROUP BY 1
 )
 SELECT 'hll' AS sketch, lang AS k1, CAST(bucket AS BIGINT) AS k2,
        CAST(max_rho AS BIGINT) AS v
@@ -2922,6 +2953,8 @@ SELECT 'cms', CAST(row AS VARCHAR), CAST(bucket AS BIGINT), cnt
 FROM counters
 UNION ALL
 SELECT 'bloom', '', word, bits FROM bwords
+UNION ALL
+SELECT 'hist', '', bin, cnt FROM hist
 """
 
 
