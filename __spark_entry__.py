@@ -2807,17 +2807,26 @@ def q_streaming_sketches_maintained(
                 {},
             ),
         )
-        for name, start, compact, kw in runs:
-            table = f"{work}/{name}"
-            q = start(table, f"{work}/ckpt_{name}")
-            try:
+        # One source, four maintenance sinks, started CONCURRENTLY --
+        # the production shape (and it keeps this gate's wall time at
+        # ~one stream instead of four).
+        started = [
+            (name, start(f"{work}/{name}", f"{work}/ckpt_{name}"),
+             compact, kw)
+            for name, start, compact, kw in runs
+        ]
+        try:
+            for _, q, _, _ in started:
                 q.processAllAvailable()
-            finally:
+        finally:
+            for _, q, _, _ in started:
                 q.stop()
-            epochs = (
-                spark.read.parquet(table).select("_epoch").distinct()
+        for name, _, compact, kw in started:
+            table = f"{work}/{name}"
+            n_epochs = (
+                spark.read.parquet(table)
+                .select("_epoch").distinct().count()
             )
-            n_epochs = epochs.count()
             if n_epochs < 2:
                 raise RuntimeError(
                     f"{name} stream produced {n_epochs} micro-batch(es); "
@@ -3062,15 +3071,21 @@ def q_streaming_lm_models_maintained(
                 ),
             ),
         )
-        for name, start in runs:
-            table = f"{work}/{name}"
-            q = start(table, f"{work}/ckpt_{name}")
-            try:
+        # One source, three maintenance sinks, started CONCURRENTLY
+        # (the production shape; also ~one stream of wall time).
+        started = [
+            (name, start(f"{work}/{name}", f"{work}/ckpt_{name}"))
+            for name, start in runs
+        ]
+        try:
+            for _, q in started:
                 q.processAllAvailable()
-            finally:
+        finally:
+            for _, q in started:
                 q.stop()
+        for name, _ in started:
             n_epochs = (
-                spark.read.parquet(table)
+                spark.read.parquet(f"{work}/{name}")
                 .select("_epoch").distinct().count()
             )
             if n_epochs < 2:
