@@ -3312,6 +3312,108 @@ def q_streaming_sessionize_stateful(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_streaming_interval_join_attrib(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The stream-stream watermarked interval join
+    (streaming/join.py::stream_interval_join) under the bit-exact
+    gate: view -> click attribution over the events fixture run as a
+    GENUINE two-sided streaming join -- each side split into three
+    TIME-RANGE files written in range order (mod-time order is arrival
+    order for the file source, so both sides advance through event
+    time together and the min-watermark never evicts state a future
+    match could need: a buffered view is dropped only once the
+    watermark proves no later click can land in its horizon, which is
+    exactly the inner join's completeness condition). The emitted
+    match set must therefore equal the batch interval join -- the
+    oracle is that plain SQL join. >= 2 micro-batches asserted via the
+    query's progress. Archive-gated (window at capacity);
+    stream==batch on hand-built batches is additionally pytest-proven
+    in tests/test_streaming_join.py."""
+    import datetime as _dt
+    import shutil
+    import tempfile
+    import uuid
+
+    from rag_vertex_ai_vector_search_spark.streaming.join import (
+        stream_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    views = ev.filter(F.col("event_type") == "view")
+    clicks = ev.filter(F.col("event_type") == "click")
+    tmin, tmax = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = tmax - tmin
+    if span / 3 <= _dt.timedelta(minutes=80):
+        raise RuntimeError(
+            "events span too narrow for time-range micro-batching: "
+            f"{span} / 3 must exceed watermark + horizon + slack"
+        )
+    t1 = tmin + span / 3
+    t2 = tmin + 2 * (span / 3)
+
+    def ranges(df):
+        return (
+            df.filter(F.col("ts") < F.lit(t1)),
+            df.filter(
+                (F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2))
+            ),
+            df.filter(F.col("ts") >= F.lit(t2)),
+        )
+
+    qname = f"attrib_{uuid.uuid4().hex}"
+    work = tempfile.mkdtemp(prefix="stream_ivjoin_")
+    try:
+        vsrc, csrc = f"{work}/views", f"{work}/clicks"
+        for src, df in ((vsrc, views), (csrc, clicks)):
+            for part in ranges(df):
+                part.coalesce(1).write.mode("append").parquet(src)
+        vs = (
+            spark.readStream.schema(views.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(vsrc)
+        )
+        cs = (
+            spark.readStream.schema(clicks.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(csrc)
+        )
+        out = stream_interval_join(vs, cs, horizon="30 minutes")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            last = q.lastProgress
+            if last is None or int(last["batchId"]) < 1:
+                raise RuntimeError(
+                    "interval join stream ran fewer than 2 micro-batches"
+                )
+        finally:
+            q.stop()
+        return spark.sql(
+            f"SELECT l_event_id, r_event_id FROM {qname}"
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_SQL_STREAM_INTERVAL_JOIN = """
+SELECT v.event_id AS l_event_id, c.event_id AS r_event_id
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+"""
+
+
 _SQL_STREAM_SESSIONIZE = """
 WITH corpus AS (
   SELECT user_id, ts FROM events
@@ -7963,7 +8065,10 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sessionizer driven by time-range micro-batches with a sentinel
     final batch that deterministically closes every real session,
     oracled against the batch lag+cumsum sessionizer over the same
-    planted corpus minus the per-user sentinel session).
+    planted corpus minus the per-user sentinel session), and
+    streaming_interval_join_attrib (the two-sided stream-stream
+    watermarked interval join driven by time-range-ordered arrival,
+    emitted matches oracled against the plain SQL interval join).
     """
     return {
         "hll_token_cardinality": q_hll_token_cardinality,
@@ -7971,6 +8076,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance": q_dsir_importance,
         "streaming_rollup_maintained": q_streaming_rollup_maintained,
         "streaming_sessionize_stateful": q_streaming_sessionize_stateful,
+        "streaming_interval_join_attrib": q_streaming_interval_join_attrib,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "bm25_rank": q_bm25_rank,
         "knn_lsh_bucketed": q_knn_lsh_bucketed,
@@ -8098,6 +8204,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "dsir_importance": _SQL_DSIR,
         "streaming_rollup_maintained": _SQL_EVENTS_HOURLY,
         "streaming_sessionize_stateful": _SQL_STREAM_SESSIONIZE,
+        "streaming_interval_join_attrib": _SQL_STREAM_INTERVAL_JOIN,
         "dedup_minhash_lsh": _sql_minhash_lsh(),
         "bm25_rank": _sql_bm25_rank(),
         "knn_lsh_bucketed": _sql_knn_lsh_bucketed(),

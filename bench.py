@@ -378,6 +378,10 @@ BENCH_QUERIES = [
         "streaming_sessionize_stateful",
         entrymod.q_streaming_sessionize_stateful,
     ),
+    (
+        "streaming_interval_join_attrib",
+        entrymod.q_streaming_interval_join_attrib,
+    ),
     # the capstone compositions: one lineage, one oracle each
     ("training_corpus_pipeline", entrymod.q_training_corpus_pipeline),
     ("web_corpus_pipeline", entrymod.q_web_corpus_pipeline),
