@@ -3405,6 +3405,128 @@ def q_streaming_interval_join_attrib(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_streaming_dedup_exact_suppression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming exact dedup (streaming/dedup.py::stream_dedup_exact,
+    dropDuplicatesWithinWatermark) under the bit-exact gate, all three
+    behaviors exercised and counted:
+
+    - B0 (t0): even-doc originals (fixture exact-duplicate texts land
+      in-batch dedup);
+    - B1 (t0+5min): odd-doc originals PLUS +8000000 copies of the
+      %10==0 docs -- the copies hit LIVE state from B0 (watermark
+      t0-10min has not passed first-seen + 10min horizon) and are
+      suppressed;
+    - B2 (t0+1h): one unique watermark-pusher doc -- advances the
+      watermark past every B0/B1 fingerprint's expiry so the horizon
+      semantics are deterministic (eviction uses the PREVIOUS batch's
+      watermark);
+    - B3 (t0+2h): +7000000 copies of the same %10==0 docs -- state
+      expired, so they RE-EMIT (the lambda-architecture contract: far
+      apart duplicates pass through for batch reconciliation).
+
+    The emitted multiset is summarized as (fingerprint, n_emitted)
+    (WHICH copy of an in-batch duplicate survives is explicitly
+    unspecified, the count is not): n_emitted = 1 + (fp has a %10==0
+    doc) for corpus fingerprints, 1 for the pusher -- closed-form on
+    both engines. Archive-gated (window at capacity)."""
+    import datetime as _dt
+    import shutil
+    import tempfile
+    import uuid
+
+    from rag_vertex_ai_vector_search_spark.streaming.dedup import (
+        stream_dedup_exact,
+    )
+
+    t0 = _dt.datetime(2024, 6, 1, 0, 0, 0)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    tens = docs.filter(F.col("doc_id") % 10 == 0)
+    batches = (
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", F.lit(t0).alias("ts"), "text"
+        ),
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .unionByName(
+            tens.select(
+                (F.col("doc_id") + 8000000).alias("doc_id"), "text"
+            )
+        )
+        .select(
+            "doc_id",
+            F.lit(t0 + _dt.timedelta(minutes=5)).alias("ts"),
+            "text",
+        ),
+        spark.createDataFrame(
+            [(-1, t0 + _dt.timedelta(hours=1),
+              "watermark pusher sentinel")],
+            "doc_id long, ts timestamp, text string",
+        ),
+        tens.select(
+            (F.col("doc_id") + 7000000).alias("doc_id"),
+            F.lit(t0 + _dt.timedelta(hours=2)).alias("ts"),
+            "text",
+        ),
+    )
+    qname = f"dedupx_{uuid.uuid4().hex}"
+    work = tempfile.mkdtemp(prefix="stream_dedupx_")
+    try:
+        src = f"{work}/src"
+        batches[0].write.parquet(src)
+        stream = (
+            spark.readStream
+            .schema("doc_id long, ts timestamp, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = stream_dedup_exact(stream, horizon="10 minutes")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for b in batches[1:]:
+                b.write.mode("append").parquet(src)
+                q.processAllAvailable()
+            last = q.lastProgress
+            if last is None or int(last["batchId"]) < 3:
+                raise RuntimeError(
+                    "dedup stream ran fewer than 4 micro-batches"
+                )
+        finally:
+            q.stop()
+        return (
+            spark.sql(f"SELECT fingerprint FROM {qname}")
+            .groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_emitted"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_SQL_STREAM_DEDUP_EXACT = f"""
+SELECT sha256({_SQL_NORM}) AS fingerprint,
+       CAST(1 + max(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_emitted
+FROM documents WHERE doc_id < 200
+GROUP BY 1
+UNION ALL
+SELECT sha256('watermark pusher sentinel'), CAST(1 AS BIGINT)
+"""
+
+
 _SQL_STREAM_INTERVAL_JOIN = """
 SELECT v.event_id AS l_event_id, c.event_id AS r_event_id
 FROM events v JOIN events c
@@ -8068,7 +8190,10 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     planted corpus minus the per-user sentinel session), and
     streaming_interval_join_attrib (the two-sided stream-stream
     watermarked interval join driven by time-range-ordered arrival,
-    emitted matches oracled against the plain SQL interval join).
+    emitted matches oracled against the plain SQL interval join), and
+    streaming_dedup_exact_suppression (dropDuplicatesWithinWatermark
+    with in-batch, live-state-suppressed and post-expiry-re-emitted
+    planted duplicates, emission counts oracled closed-form).
     """
     return {
         "hll_token_cardinality": q_hll_token_cardinality,
@@ -8077,6 +8202,8 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_rollup_maintained": q_streaming_rollup_maintained,
         "streaming_sessionize_stateful": q_streaming_sessionize_stateful,
         "streaming_interval_join_attrib": q_streaming_interval_join_attrib,
+        "streaming_dedup_exact_suppression":
+            q_streaming_dedup_exact_suppression,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "bm25_rank": q_bm25_rank,
         "knn_lsh_bucketed": q_knn_lsh_bucketed,
@@ -8205,6 +8332,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "streaming_rollup_maintained": _SQL_EVENTS_HOURLY,
         "streaming_sessionize_stateful": _SQL_STREAM_SESSIONIZE,
         "streaming_interval_join_attrib": _SQL_STREAM_INTERVAL_JOIN,
+        "streaming_dedup_exact_suppression": _SQL_STREAM_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_minhash_lsh(),
         "bm25_rank": _sql_bm25_rank(),
         "knn_lsh_bucketed": _sql_knn_lsh_bucketed(),

@@ -382,6 +382,10 @@ BENCH_QUERIES = [
         "streaming_interval_join_attrib",
         entrymod.q_streaming_interval_join_attrib,
     ),
+    (
+        "streaming_dedup_exact_suppression",
+        entrymod.q_streaming_dedup_exact_suppression,
+    ),
     # the capstone compositions: one lineage, one oracle each
     ("training_corpus_pipeline", entrymod.q_training_corpus_pipeline),
     ("web_corpus_pipeline", entrymod.q_web_corpus_pipeline),
