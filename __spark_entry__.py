@@ -2397,7 +2397,9 @@ def q_lm_trigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     over add-alpha trigram/bigram/unigram orders, double-BOS document
     starts, integer-micronat quantization -- the mixture is evaluated
     in the same left-fold order in both engines, so the oracle is
-    bit-exact."""
+    bit-exact. Archive-gated since the r10 rotation: its entire
+    mirror is the trigram arm of the declared
+    streaming_lm_models_maintained oracle."""
     from rag_vertex_ai_vector_search_spark.operators.lm_quality import (
         trigram_surprisal,
     )
@@ -7315,7 +7317,10 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram+bigram bag model of the TARGET slice (lang='en') over the
     raw-corpus model. Per-distinct-bucket scores quantize to integer
     micronats (the lm_quality determinism trick), so per-doc sums are
-    exact bigint arithmetic -- bit-identical in DuckDB."""
+    exact bigint arithmetic -- bit-identical in DuckDB.
+    Archive-gated since the r10 rotation: its entire mirror is the
+    dsir arm of the declared streaming_lm_models_maintained
+    oracle."""
     from rag_vertex_ai_vector_search_spark.operators.importance import (
         dsir_log_importance,
     )
