@@ -3529,6 +3529,149 @@ SELECT sha256('watermark pusher sentinel'), CAST(1 AS BIGINT)
 """
 
 
+def q_streaming_training_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The streaming training-data filter
+    (streaming/filter.py::stream_training_filter) under the bit-exact
+    gate: quality gate + GramBloom decontamination run on a REAL
+    micro-batched stream of the train split (3 files, one per
+    trigger), with the eval split's (doc_id % 10 == 0) 5-gram Bloom
+    built batch-side and broadcast into the stream's pandas UDF.
+
+    The whole numpy GramBloom is SQL-mirrorable: sha60 gram hashes,
+    Kirsch-Mitzenmacher double hashing (pos_i = (h + i*((h>>17)|1))
+    mod n_bits, i < 7 -- every intermediate fits int64 so numpy
+    uint64 == BIGINT arithmetic), and the data-dependent n_bits
+    (max(1024, round8(10 * n_eval_gram_instances))) as a scalar
+    subquery. A train doc is dropped iff quality <= 0.55 (the
+    text_quality mirror's expression) or ANY of its distinct 5-grams
+    has all 7 probe bits set by the eval side -- false positives
+    included, bit-for-bit. Both branches are non-vacuous on the
+    fixture (69/450 quality-fail at sf0.001; planted exact-duplicate
+    texts overlap the eval split). Archive-gated (window at
+    capacity); stream==batch is additionally pytest-proven in
+    tests/test_streaming_filter.py."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from rag_vertex_ai_vector_search_spark.streaming.filter import (
+        build_gram_bloom,
+        stream_training_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    bloom = build_gram_bloom(ev, n=5)
+
+    qname = f"trainfilter_{uuid.uuid4().hex}"
+    work = tempfile.mkdtemp(prefix="stream_filter_")
+    try:
+        src = f"{work}/src"
+        train.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(train.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        filtered = stream_training_filter(
+            stream, bloom, quality_threshold=0.55, rates=None, n=5
+        )
+        q = (
+            filtered.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            last = q.lastProgress
+            if last is None or int(last["batchId"]) < 2:
+                raise RuntimeError(
+                    "training filter stream ran fewer than 3 micro-batches"
+                )
+        finally:
+            q.stop()
+        return (
+            spark.sql(f"SELECT doc_id, text FROM {qname}")
+            .select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_SQL_STREAM_TRAINING_FILTER = f"""
+WITH w AS (
+  SELECT doc_id, text, string_split({_SQL_NORM}, ' ') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+         ELSE list_transform(range(1, len(w) - 3),
+                             i -> array_to_string(w[i:i+4], ' '))
+    END)) AS gram
+  FROM w
+),
+evh AS (
+  SELECT ('0x' || substr(sha256(gram), 1, 15))::BIGINT AS h
+  FROM g WHERE doc_id % 10 = 0
+),
+nb AS (
+  SELECT CAST(greatest(1024, ((count(*) * 10 + 7) // 8) * 8) AS BIGINT)
+           AS n_bits
+  FROM evh
+),
+setpos AS (
+  SELECT DISTINCT (h + t.i * ((h >> 17) | 1)) % n_bits AS pos
+  FROM evh, range(7) t(i), nb
+),
+tg AS (
+  SELECT doc_id, ('0x' || substr(sha256(gram), 1, 15))::BIGINT AS h
+  FROM g WHERE doc_id % 10 != 0
+),
+ghit AS (
+  SELECT doc_id, h,
+         min(CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END) AS all_set
+  FROM (SELECT doc_id, h, (h + t.i * ((h >> 17) | 1)) % n_bits AS pos
+        FROM tg, range(7) t(i), nb) p
+  LEFT JOIN setpos s USING (pos)
+  GROUP BY doc_id, h
+),
+cont AS (
+  SELECT doc_id, max(all_set) AS contaminated FROM ghit GROUP BY doc_id
+),
+qual AS (
+  SELECT doc_id, text,
+         0.5 * (CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]'))
+                               AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                END)
+           + 0.3 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+           + 0.2 * least(
+               (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+'))
+                           END) = 0 THEN 0.0
+                ELSE CAST(len(regexp_extract_all(lower(text),
+                    '\\b(the|and|of|to|is|in|that|it|a|for|on|with|as)\\b'))
+                    AS DOUBLE)
+                  / CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+'))
+                          END) AS DOUBLE) END) * 4.0,
+               1.0) AS quality
+  FROM documents WHERE doc_id % 10 != 0
+)
+SELECT q.doc_id, sha256(q.text) AS text_sha
+FROM qual q JOIN cont c USING (doc_id)
+WHERE q.quality > 0.55 AND c.contaminated = 0
+"""
+
+
 _SQL_STREAM_INTERVAL_JOIN = """
 SELECT v.event_id AS l_event_id, c.event_id AS r_event_id
 FROM events v JOIN events c
@@ -8209,6 +8352,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join_attrib": q_streaming_interval_join_attrib,
         "streaming_dedup_exact_suppression":
             q_streaming_dedup_exact_suppression,
+        "streaming_training_filter": q_streaming_training_filter,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "bm25_rank": q_bm25_rank,
         "knn_lsh_bucketed": q_knn_lsh_bucketed,
@@ -8338,6 +8482,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "streaming_sessionize_stateful": _SQL_STREAM_SESSIONIZE,
         "streaming_interval_join_attrib": _SQL_STREAM_INTERVAL_JOIN,
         "streaming_dedup_exact_suppression": _SQL_STREAM_DEDUP_EXACT,
+        "streaming_training_filter": _SQL_STREAM_TRAINING_FILTER,
         "dedup_minhash_lsh": _sql_minhash_lsh(),
         "bm25_rank": _sql_bm25_rank(),
         "knn_lsh_bucketed": _sql_knn_lsh_bucketed(),
