@@ -4302,19 +4302,19 @@ def q_incremental_reembed_pipeline(
         finally:
             q.stop()
 
-        merged_ids = {
-            r[0]
-            for r in spark.read.parquet(table)
-            .select("data_point_id").collect()
-        }
+        merged_keys = spark.read.parquet(table).select("data_point_id")
+        n_merged = merged_keys.count()
         index = spark.read.parquet(index_path)
-        index_ids = [
-            r[0] for r in index.select("data_point_id").collect()
-        ]
-        if set(index_ids) != merged_ids or len(index_ids) != len(merged_ids):
+        index_keys = index.select("data_point_id")
+        n_index = index_keys.count()
+        if (
+            n_index != n_merged
+            or index_keys.distinct().count() != n_index
+            or index_keys.exceptAll(merged_keys).count() != 0
+        ):
             raise RuntimeError(
                 "streamed IVF index and merged table diverged: "
-                f"{len(index_ids)} index rows vs {len(merged_ids)} keys"
+                f"{n_index} index rows vs {n_merged} keys"
             )
 
         report = cluster_drift_report(index, centroids)
@@ -4337,7 +4337,7 @@ def q_incremental_reembed_pipeline(
         final = spark.read.parquet(index_path)
         n_final = final.count()
         if (
-            n_final != len(merged_ids)
+            n_final != n_merged
             or final.select("data_point_id").distinct().count() != n_final
         ):
             raise RuntimeError(

@@ -7,7 +7,12 @@ from .tables import (
     write_bucketed,
 )
 from .documents import scan_document_dir
-from .compact import compact_parquet, table_file_stats
+from .compact import (
+    compact_parquet,
+    gc_table_path,
+    resume_pending_compact,
+    table_file_stats,
+)
 from .webdataset import (
     encode_webdataset_shard,
     group_webdataset_samples,
@@ -30,6 +35,8 @@ __all__ = [
     "write_bucketed",
     "scan_document_dir",
     "compact_parquet",
+    "gc_table_path",
+    "resume_pending_compact",
     "table_file_stats",
     "encode_warc",
     "encode_webdataset_shard",

@@ -12,11 +12,25 @@ Spark-first shape: plain ``read -> coalesce(ceil(bytes/target)) ->
 write``. ``coalesce`` (not ``repartition``) merges input splits
 WITHOUT a shuffle -- compaction moves every byte once, network-free.
 The rewrite goes to a temp sibling directory and is swapped in with
-filesystem renames; on HDFS that swap is two atomic metadata ops, on
+filesystem renames; on HDFS each rename is an atomic metadata op, on
 object stores it is not atomic and a transactional table format
 (Delta/Iceberg OPTIMIZE) is the production seam -- the DataFrame body
 is identical. Run with writers paused, same restriction as
 ``compact_rollup``.
+
+Crash safety (r10, the recluster `_recluster_pending.json` lesson
+applied to the dir-level swap): the swap is marker-protocol'd --
+write tmp, write ``<path>.__compact_pending__.json``, rename path ->
+old, rename tmp -> path, delete old, delete marker. Every
+intermediate state is self-describing from which of the four paths
+exist, so ``resume_pending_compact`` can always either roll the swap
+forward or discard the rewrite with the source intact; a crash never
+loses the table (the previous delete-then-rename swap had a window
+that did). ``gc_table_path`` is the maintenance sweep that heals
+pending swaps and removes aged crashed-writer remnants
+(``_temporary`` / ``.spark-staging-*`` job-attempt dirs, orphan
+compact siblings) -- at 100 TB those remnants are real capacity and,
+inside ``_temporary``, silently inflate ``table_file_stats``.
 """
 
 from __future__ import annotations
@@ -26,6 +40,10 @@ import math
 from pyspark.sql import SparkSession
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+TMP_SUFFIX = ".__compact_tmp__"
+OLD_SUFFIX = ".__compact_old__"
+PENDING_MARKER_SUFFIX = ".__compact_pending__.json"
 
 
 def _fs_and_path(spark: SparkSession, path: str):
@@ -70,22 +88,156 @@ def compact_parquet(
     estimate; it errs toward fewer, larger files, which is the cheap
     direction for scans.)
     """
-    n_files, total_bytes = table_file_stats(spark, path)
+    base = path.rstrip("/")
+    resume_pending_compact(spark, base)
+    n_files, total_bytes = table_file_stats(spark, base)
     if n_files < min_files_to_compact:
         return n_files
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
     if n_out >= n_files:
         return n_files
 
-    df = spark.read.parquet(path).coalesce(n_out)
-    tmp = path.rstrip("/") + ".__compact_tmp__"
+    df = spark.read.parquet(base).coalesce(n_out)
+    tmp = base + TMP_SUFFIX
     writer = df.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(tmp)
 
-    fs, jpath = _fs_and_path(spark, path)
+    fs, jpath = _fs_and_path(spark, base)
     _, jtmp = _fs_and_path(spark, tmp)
-    fs.delete(jpath, True)
-    fs.rename(jtmp, jpath)
-    return table_file_stats(spark, path)[0]
+    _, jold = _fs_and_path(spark, base + OLD_SUFFIX)
+    _, jmarker = _fs_and_path(spark, base + PENDING_MARKER_SUFFIX)
+    out = fs.create(jmarker, True)
+    out.write(bytearray(b"{}"))
+    out.close()
+    if not fs.rename(jpath, jold) or not fs.rename(jtmp, jpath):
+        raise RuntimeError(
+            f"compact swap rename failed for {base}; run "
+            "resume_pending_compact to heal"
+        )
+    fs.delete(jold, True)
+    fs.delete(jmarker, False)
+    return table_file_stats(spark, base)[0]
+
+
+def resume_pending_compact(spark: SparkSession, path: str) -> str:
+    """Finish or roll back a ``compact_parquet`` swap interrupted by a
+    crash. The marker file pins which table was mid-swap; the swap's
+    state is then self-describing from which paths exist:
+
+    - table + tmp present: swap never started -> discard the rewrite
+      (source intact; a later compaction redoes it). Returns
+      ``"discarded"``.
+    - table missing, tmp present: crashed between the renames -> roll
+      FORWARD (the rewrite holds the same rows). Returns
+      ``"completed"``.
+    - table missing, tmp missing, old present: roll BACK to the
+      original. Returns ``"restored"``.
+    - table present, tmp missing: swap finished, cleanup pending ->
+      delete old + marker. Returns ``"completed"``.
+
+    Returns ``"none"`` when no marker exists. Raises if the marker
+    exists but no copy of the data survives (cannot happen under the
+    protocol's ordering)."""
+    base = path.rstrip("/")
+    fs, jmarker = _fs_and_path(spark, base + PENDING_MARKER_SUFFIX)
+    if not fs.exists(jmarker):
+        return "none"
+    _, jpath = _fs_and_path(spark, base)
+    _, jtmp = _fs_and_path(spark, base + TMP_SUFFIX)
+    _, jold = _fs_and_path(spark, base + OLD_SUFFIX)
+    if fs.exists(jpath):
+        if fs.exists(jtmp):
+            fs.delete(jtmp, True)
+            outcome = "discarded"
+        else:
+            outcome = "completed"
+    elif fs.exists(jtmp):
+        if not fs.rename(jtmp, jpath):
+            raise RuntimeError(f"resume rename failed for {base}")
+        outcome = "completed"
+    elif fs.exists(jold):
+        if not fs.rename(jold, jpath):
+            raise RuntimeError(f"resume rename failed for {base}")
+        outcome = "restored"
+    else:
+        raise RuntimeError(
+            f"compact marker present but no data found for {base}"
+        )
+    if fs.exists(jold):
+        fs.delete(jold, True)
+    fs.delete(jmarker, False)
+    return outcome
+
+
+def _subtree_stats(fs, jdir) -> tuple[int, int]:
+    """(total_bytes, newest_mtime_millis) of every file under jdir."""
+    it = fs.listFiles(jdir, True)
+    total = 0
+    newest = fs.getFileStatus(jdir).getModificationTime()
+    while it.hasNext():
+        status = it.next()
+        total += status.getLen()
+        newest = max(newest, status.getModificationTime())
+    return total, newest
+
+
+def gc_table_path(
+    spark: SparkSession,
+    path: str,
+    *,
+    min_age_seconds: float = 24 * 3600.0,
+) -> dict:
+    """Garbage-collect crashed-writer remnants around a table path.
+
+    1. Heals any interrupted compact swap (``resume_pending_compact``).
+    2. Deletes aged ``_temporary`` / ``.spark-staging-*`` job-attempt
+       dirs INSIDE the table -- left behind when a Spark write job
+       dies before commit. They are invisible to readers but count as
+       capacity and (under ``_temporary``) inflate
+       ``table_file_stats``.
+    3. Deletes aged orphan ``.__compact_tmp__`` / ``.__compact_old__``
+       siblings that have no pending marker (a crash during the tmp
+       write, before the marker existed).
+
+    ``min_age_seconds`` gates every delete on the subtree's NEWEST
+    file mtime so a live writer's in-flight attempt dir is never
+    raced; pass 0 only when all writers are known stopped. Returns
+    ``{"resumed", "deleted_dirs", "reclaimed_bytes"}``."""
+    import time
+
+    base = path.rstrip("/")
+    resumed = resume_pending_compact(spark, base)
+    fs, jpath = _fs_and_path(spark, base)
+    cutoff = (time.time() - min_age_seconds) * 1000.0
+
+    victims = []
+    if fs.exists(jpath):
+        for status in fs.listStatus(jpath):
+            name = status.getPath().getName()
+            if status.isDirectory() and (
+                name == "_temporary" or name.startswith(".spark-staging")
+            ):
+                victims.append(status.getPath())
+    _, jmarker = _fs_and_path(spark, base + PENDING_MARKER_SUFFIX)
+    if not fs.exists(jmarker):
+        for suffix in (TMP_SUFFIX, OLD_SUFFIX):
+            _, jside = _fs_and_path(spark, base + suffix)
+            if fs.exists(jside):
+                victims.append(jside)
+
+    deleted = 0
+    reclaimed = 0
+    for jdir in victims:
+        size, newest = _subtree_stats(fs, jdir)
+        if newest > cutoff:
+            continue
+        fs.delete(jdir, True)
+        deleted += 1
+        reclaimed += size
+    return {
+        "resumed": resumed,
+        "deleted_dirs": deleted,
+        "reclaimed_bytes": reclaimed,
+    }

@@ -56,3 +56,161 @@ def test_compact_partitioned_table(spark, tmp_path):
     ) == ["0", "1", "2"]
     got = spark.read.parquet(path).select("id", F.col("part").cast("long"))
     _assert_same(got, df)
+
+
+# --- r10: crash-safe swap protocol + orphan GC ----------------------
+
+import os
+import shutil
+
+import pytest
+
+from rag_vertex_ai_vector_search_spark.sources import (
+    gc_table_path,
+    resume_pending_compact,
+)
+from rag_vertex_ai_vector_search_spark.sources import compact as compactmod
+
+
+def _mk_table(spark, tmp_path, n_files=6):
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1_000).withColumn("v", F.col("id") * 3)
+    df.repartition(n_files).write.parquet(path)
+    return path, df
+
+
+class _CrashFS:
+    """Delegating proxy over the Hadoop FS that raises on the Nth
+    rename -- simulates a writer dying mid-swap."""
+
+    def __init__(self, real, state, crash_at):
+        self._real = real
+        self._state = state
+        self._crash_at = crash_at
+
+    def rename(self, a, b):
+        self._state["renames"] += 1
+        if self._state["renames"] == self._crash_at:
+            raise RuntimeError("simulated crash mid-swap")
+        return self._real.rename(a, b)
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+
+def _patch_crash(monkeypatch, crash_at):
+    state = {"renames": 0}
+    real = compactmod._fs_and_path
+
+    def fake(spark, p):
+        fs, jp = real(spark, p)
+        return _CrashFS(fs, state, crash_at), jp
+
+    monkeypatch.setattr(compactmod, "_fs_and_path", fake)
+
+
+@pytest.mark.full
+@pytest.mark.parametrize(
+    "crash_at,outcome", [(1, "discarded"), (2, "completed")]
+)
+def test_compact_crash_mid_swap_is_healed(
+    spark, tmp_path, monkeypatch, crash_at, outcome
+):
+    """Kill the swap (a) before any rename and (b) between the two
+    renames; resume must recover the full row set either way, and the
+    marker/side dirs must be gone."""
+    path, df = _mk_table(spark, tmp_path)
+    _, total = table_file_stats(spark, path)
+    _patch_crash(monkeypatch, crash_at)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_parquet(spark, path, target_file_bytes=total)
+    monkeypatch.undo()
+
+    assert resume_pending_compact(spark, path) == outcome
+    assert resume_pending_compact(spark, path) == "none"
+    _assert_same(spark.read.parquet(path), df)
+    for suffix in (
+        compactmod.TMP_SUFFIX,
+        compactmod.OLD_SUFFIX,
+        compactmod.PENDING_MARKER_SUFFIX,
+    ):
+        assert not os.path.exists(path + suffix)
+    # crash-before-swap keeps the fragments; crash-mid-swap rolls the
+    # compacted rewrite forward
+    n_now = table_file_stats(spark, path)[0]
+    assert n_now == (6 if outcome == "discarded" else 1)
+
+
+def test_compact_heals_pending_on_entry(spark, tmp_path):
+    """A later compact_parquet call self-heals an interrupted swap
+    before compacting (no operator intervention needed)."""
+    path, df = _mk_table(spark, tmp_path)
+    # fabricate the between-renames state: table dir moved aside,
+    # rewrite staged in tmp, marker present
+    tmp = path + compactmod.TMP_SUFFIX
+    old = path + compactmod.OLD_SUFFIX
+    spark.read.parquet(path).coalesce(1).write.parquet(tmp)
+    os.rename(path, old)
+    with open(path + compactmod.PENDING_MARKER_SUFFIX, "w") as f:
+        f.write("{}")
+
+    _, total = table_file_stats(spark, tmp)
+    after = compact_parquet(spark, path, target_file_bytes=total)
+    assert after == 1
+    _assert_same(spark.read.parquet(path), df)
+    assert not os.path.exists(old) and not os.path.exists(tmp)
+
+
+def test_resume_raises_when_no_data_survives(spark, tmp_path):
+    path = str(tmp_path / "t")
+    with open(path + compactmod.PENDING_MARKER_SUFFIX, "w") as f:
+        f.write("{}")
+    with pytest.raises(RuntimeError, match="no data found"):
+        resume_pending_compact(spark, path)
+
+
+def test_gc_removes_aged_remnants_keeps_live(spark, tmp_path):
+    path, df = _mk_table(spark, tmp_path)
+    true_files, true_bytes = table_file_stats(spark, path)
+
+    # crashed-job remnants: an uncommitted attempt dir inside the
+    # table (inflates table_file_stats!) and an orphan compact tmp
+    # sibling with no marker
+    attempt = os.path.join(path, "_temporary", "0", "task_000")
+    os.makedirs(attempt)
+    with open(os.path.join(attempt, "part-0.parquet"), "wb") as f:
+        f.write(b"x" * 4096)
+    orphan = path + compactmod.TMP_SUFFIX
+    spark.read.parquet(path).coalesce(1).write.parquet(orphan)
+    assert table_file_stats(spark, path)[0] == true_files + 1
+
+    # a young remnant is never raced
+    res = gc_table_path(spark, path, min_age_seconds=3600)
+    assert res == {
+        "resumed": "none", "deleted_dirs": 0, "reclaimed_bytes": 0,
+    }
+    assert os.path.exists(attempt) and os.path.exists(orphan)
+
+    res = gc_table_path(spark, path, min_age_seconds=0)
+    assert res["deleted_dirs"] == 2
+    assert res["reclaimed_bytes"] >= 4096
+    assert not os.path.exists(os.path.join(path, "_temporary"))
+    assert not os.path.exists(orphan)
+    assert table_file_stats(spark, path) == (true_files, true_bytes)
+    _assert_same(spark.read.parquet(path), df)
+
+
+def test_gc_never_touches_marked_swap_dirs(spark, tmp_path):
+    """Sibling dirs that belong to a PENDING swap are healed through
+    the protocol (here: rolled forward), never blind-deleted."""
+    path, df = _mk_table(spark, tmp_path)
+    tmp = path + compactmod.TMP_SUFFIX
+    spark.read.parquet(path).coalesce(1).write.parquet(tmp)
+    os.rename(path, path + compactmod.OLD_SUFFIX)
+    with open(path + compactmod.PENDING_MARKER_SUFFIX, "w") as f:
+        f.write("{}")
+
+    res = gc_table_path(spark, path, min_age_seconds=0)
+    assert res["resumed"] == "completed"
+    assert res["deleted_dirs"] == 0
+    _assert_same(spark.read.parquet(path), df)
