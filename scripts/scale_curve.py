@@ -48,7 +48,62 @@ QUERIES = [
     # exactly the regime the scaling cluster count exists to avoid.
     "semdedup_production",
     "bpe_train_merges",
+    # r10-new heavy queries: the streaming maintenance gates run real
+    # micro-batched lineages whose per-batch partials are bounded --
+    # the curve checks the end-to-end run (source write + N sinks +
+    # state-table read-back) stays ~linear. Minhash is measured in its
+    # PRODUCTION configuration (full corpus, xxhash64) -- the declared
+    # gate's doc_id < 120 cap is an oracle device, the semdedup rule.
+    # The reembed capstone is EXCLUDED by design: its forced 64-row
+    # leaf cap is a fixture-relative test device that recluster cannot
+    # (and should not) satisfy at 10x row counts.
+    "streaming_minhash_production",
+    "streaming_sketches_maintained",
 ]
+
+
+def _streaming_minhash_production(spark, sf_dir):
+    """Online MinHash-LSH dedup at production config: the FULL
+    documents table streamed in 3 micro-batches (doc_id % 3 groups)
+    through streaming/dedup_minhash.py, maintaining the banded
+    signature state table across batches."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rag_vertex_ai_vector_search_spark.sources import load_table
+    from rag_vertex_ai_vector_search_spark.streaming.dedup_minhash import (
+        stream_dedup_minhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="scale_stream_mh_")
+    try:
+        src = f"{work}/src"
+        docs.filter(F.col("doc_id") % 3 == 0).write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            src
+        )
+        q = stream_dedup_minhash(
+            stream,
+            state_path=f"{work}/state",
+            out_path=f"{work}/out",
+            checkpoint_dir=f"{work}/ckpt",
+            est_threshold=0.5,
+        )
+        try:
+            q.processAllAvailable()
+            for e in (1, 2):
+                docs.filter(F.col("doc_id") % 3 == e).write.mode(
+                    "append"
+                ).parquet(src)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(f"{work}/out").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _resolve(name, entrymod):
@@ -58,6 +113,8 @@ def _resolve(name, entrymod):
         from bench import _semdedup_production
 
         return _semdedup_production
+    if name == "streaming_minhash_production":
+        return _streaming_minhash_production
     qs = entrymod.queries()
     if name in qs:
         return qs[name]
@@ -129,7 +186,12 @@ def main() -> None:
 
     import math
     results = {}
-    for name in QUERIES:
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
+    names = (
+        [n for n in QUERIES if n in set(only.split(","))]
+        if only else QUERIES
+    )
+    for name in names:
         fn = _resolve(name, entrymod)
         times = {}
         for label, sf_dir in (("base", SRC), ("scaled", DST)):
