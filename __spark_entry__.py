@@ -2549,6 +2549,32 @@ FROM top CROSS JOIN tot t
 """
 
 
+def _scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Scoped spark.sql.shuffle.partitions override for the streaming
+    gates. Stateful operators (stream-stream join,
+    dropDuplicatesWithinWatermark, applyInPandasWithState) commit one
+    state-store file PER SHUFFLE PARTITION PER TRIGGER, so a
+    fixture-scale gate at the bench session's 32 partitions pays 32x
+    the state I/O its rows need -- measured 16.8 s -> 5.9 s on the
+    interval-join gate with identical emitted rows. Partitioning never
+    changes any gate's emitted SET (keys are hash-co-located either
+    way), so parity is unaffected. At production scale the session
+    value (sized to the cluster) is the right one -- this is a
+    fixed-cost amortization, not a plan change."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def scope():
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return scope()
+
+
 def q_streaming_vocab_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming subsystem's driver gate (VERDICT r6 #1): a REAL
     Structured Streaming run -- micro-batched file source, foreachBatch
@@ -3296,14 +3322,15 @@ def q_streaming_sessionize_stateful(
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        q = stream_sessionize(stream, f"{work}/ckpt", qname)
-        try:
-            q.processAllAvailable()
-            for b in batches[1:]:
-                b.write.mode("append").parquet(src)
+        with _scoped_shuffle_partitions(spark, 8):
+            q = stream_sessionize(stream, f"{work}/ckpt", qname)
+            try:
                 q.processAllAvailable()
-        finally:
-            q.stop()
+                for b in batches[1:]:
+                    b.write.mode("append").parquet(src)
+                    q.processAllAvailable()
+            finally:
+                q.stop()
         out = spark.sql(
             f"SELECT user_id, session_start, session_end, "
             f"CAST(n_events AS BIGINT) AS n_events FROM {qname}"
@@ -3383,22 +3410,23 @@ def q_streaming_interval_join_attrib(
             .parquet(csrc)
         )
         out = stream_interval_join(vs, cs, horizon="30 minutes")
-        q = (
-            out.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qname)
-            .option("checkpointLocation", f"{work}/ckpt")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-            last = q.lastProgress
-            if last is None or int(last["batchId"]) < 1:
-                raise RuntimeError(
-                    "interval join stream ran fewer than 2 micro-batches"
-                )
-        finally:
-            q.stop()
+        with _scoped_shuffle_partitions(spark, 8):
+            q = (
+                out.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(qname)
+                .option("checkpointLocation", f"{work}/ckpt")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                last = q.lastProgress
+                if last is None or int(last["batchId"]) < 1:
+                    raise RuntimeError(
+                        "interval join stream ran fewer than 2 micro-batches"
+                    )
+            finally:
+                q.stop()
         return spark.sql(
             f"SELECT l_event_id, r_event_id FROM {qname}"
         ).localCheckpoint(eager=True)
@@ -3488,25 +3516,26 @@ def q_streaming_dedup_exact_suppression(
             .parquet(src)
         )
         out = stream_dedup_exact(stream, horizon="10 minutes")
-        q = (
-            out.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qname)
-            .option("checkpointLocation", f"{work}/ckpt")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-            for b in batches[1:]:
-                b.write.mode("append").parquet(src)
+        with _scoped_shuffle_partitions(spark, 8):
+            q = (
+                out.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(qname)
+                .option("checkpointLocation", f"{work}/ckpt")
+                .start()
+            )
+            try:
                 q.processAllAvailable()
-            last = q.lastProgress
-            if last is None or int(last["batchId"]) < 3:
-                raise RuntimeError(
-                    "dedup stream ran fewer than 4 micro-batches"
-                )
-        finally:
-            q.stop()
+                for b in batches[1:]:
+                    b.write.mode("append").parquet(src)
+                    q.processAllAvailable()
+                last = q.lastProgress
+                if last is None or int(last["batchId"]) < 3:
+                    raise RuntimeError(
+                        "dedup stream ran fewer than 4 micro-batches"
+                    )
+            finally:
+                q.stop()
         return (
             spark.sql(f"SELECT fingerprint FROM {qname}")
             .groupBy("fingerprint")
