@@ -4364,16 +4364,21 @@ def q_incremental_reembed_pipeline(
             raise RuntimeError("recluster did not grow the centroid matrix")
 
         final = spark.read.parquet(index_path)
-        n_final = final.count()
-        if (
-            n_final != n_merged
-            or final.select("data_point_id").distinct().count() != n_final
-        ):
+        # the reclustered layout is MANY small (bucket, leaf) dirs --
+        # checkpoint the 2-column key projection once so the three
+        # assertions below don't re-list it per job
+        final_keys = final.select(
+            "data_point_id", "cluster_id"
+        ).localCheckpoint(eager=True)
+        n_final, n_distinct = final_keys.agg(
+            F.count(F.lit(1)), F.count_distinct("data_point_id")
+        ).collect()[0]
+        if n_final != n_merged or n_distinct != n_final:
             raise RuntimeError(
                 "recluster changed the row multiset or duplicated ids"
             )
         max_leaf = (
-            final.groupBy("cluster_id").count()
+            final_keys.groupBy("cluster_id").count()
             .agg(F.max("count")).collect()[0][0]
         )
         if max_leaf > 64:
