@@ -22,6 +22,7 @@ Example::
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import SparkSession
 
 from .functions.hashing import DEFAULT_DIM, hash_embedding_udf
@@ -278,6 +279,36 @@ def _lang_id_sql() -> str:
     """
 
 
+def _probe_media_udf():
+    """Scalar header probe for the SQL surface (r10):
+    ``engine_probe_media(content)`` returns a struct of
+    (decode_status, container, width, height, channels, bits,
+    sample_rate, n_frames, duration_s). Row errors CLASSIFY instead of
+    raising -- the counted-skip contract of the DataFrame operators
+    (multimodal/probe.py::extract_media_probe), since a SQL user
+    aggregates statuses over a crawl rather than aborting on the first
+    foreign byte."""
+    from pyspark.sql import functions as F
+
+    from .multimodal.binary_ops import _decode_status_of
+    from .multimodal.probe import _PROBE_COLS, _PROBE_SCHEMA, probe_media
+
+    @F.pandas_udf(f"decode_status string, {_PROBE_SCHEMA}")
+    def probe(content: pd.Series) -> pd.DataFrame:
+        rows = []
+        for c in content:
+            try:
+                meta = probe_media(c)
+                status = "ok"
+            except Exception as exc:  # noqa: BLE001 -- counted skip
+                meta = {k: None for k in _PROBE_COLS}
+                status = _decode_status_of(exc)
+            rows.append({"decode_status": status, **meta})
+        return pd.DataFrame(rows, columns=("decode_status", *_PROBE_COLS))
+
+    return probe
+
+
 def register_sql_api(
     spark: SparkSession, sf_dir: str | None = None, dim: int = DEFAULT_DIM
 ) -> None:
@@ -297,6 +328,7 @@ def register_sql_api(
         spark.sql(ddl)
     spark.sql(_lang_id_sql())
     spark.udf.register("engine_embed", hash_embedding_udf(dim))
+    spark.udf.register("engine_probe_media", _probe_media_udf())
     if sf_dir is not None:
         from .operators.lm_quality import kneser_ney_bigram_surprisal
 

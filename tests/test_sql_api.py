@@ -371,3 +371,46 @@ def test_sql_html_url_functions_match_builders(spark):
     assert sql_row.ld == ref.ld
     assert sql_row.dom == ref.dom == "ex.com"
     assert sql_row.norm == ref.norm == "http://user@sub.ex.com/P?q=1"
+
+
+@pytest.mark.full
+def test_sql_probe_media_matches_operator(spark, sf_smoke):
+    """engine_probe_media(binary) == extract_media_probe row for row,
+    including the counted-skip status classification on planted
+    defects."""
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        DECODE_CORRUPT,
+        DECODE_OK,
+        DECODE_UNSUPPORTED,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.probe import (
+        extract_media_probe,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        synthesize_media_with_defects,
+    )
+
+    register_sql_api(spark)
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id").limit(40)
+    media = synthesize_media_with_defects(docs).localCheckpoint(eager=True)
+    media.createOrReplaceTempView("probe_media_fixture")
+
+    cols = (
+        "doc_id", "media_type", "decode_status", "container", "width",
+        "height", "channels", "bits", "sample_rate", "n_frames",
+        "duration_s",
+    )
+    via_op = extract_media_probe(media, on_error="skip").select(*cols)
+    via_sql = spark.sql(
+        "SELECT doc_id, media_type, p.* FROM (SELECT doc_id, media_type, "
+        "engine_probe_media(content) AS p FROM probe_media_fixture)"
+    )
+    assert via_sql.columns == list(cols)
+    a = sorted(tuple(r) for r in via_op.collect())
+    b = sorted(tuple(r) for r in via_sql.collect())
+    assert a == b
+    # planted defects keep every status branch non-vacuous (probe-level:
+    # the bit-flipped IDAT probes ok by design -- header-only contract --
+    # but the truncated WAV and the MP3 bytes classify)
+    statuses = {r[2] for r in a}
+    assert {DECODE_OK, DECODE_CORRUPT, DECODE_UNSUPPORTED} <= statuses
