@@ -116,6 +116,27 @@ def _pq_rerank_cogroup(spark, sf_dir):
     return pq_search_rerank(index, emb, queries, k=50, method="cogroup")
 
 
+def _media_probe_report(spark, sf_dir):
+    """Header-only decode-rate accounting (VERDICT r9 #7 cheap mode):
+    probe the WHOLE synthesized defect corpus -- no sampling knob
+    needed because no entropy decode runs; corpus_quality_report's
+    decode columns pay full decode on a doc_id % 37 sample instead."""
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        media_decode_report,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.probe import (
+        extract_media_probe,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        synthesize_media_with_defects,
+    )
+    from rag_vertex_ai_vector_search_spark.sources import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id"))
+    media = synthesize_media_with_defects(docs)
+    return media_decode_report(extract_media_probe(media, on_error="skip"))
+
+
 def _semdedup_production(spark, sf_dir):
     """SemDeDup in its production shape: n_clusters scales with the
     corpus (~rows/500) so per-cluster pair blocks stay bounded; the
@@ -284,6 +305,11 @@ BENCH_QUERIES = [
             entrymod.fan_out(load_table(spark, sf, "documents"))
         ),
     ),
+    # r10 cheap mode (VERDICT r9 #7): header-only probes over the FULL
+    # synthesized defect corpus -- decode-rate accounting without
+    # entropy decode (the report sampling knob exists BECAUSE full
+    # decode is expensive; the probe path makes full coverage cheap).
+    ("media_probe_report", _media_probe_report),
     ("lm_surprisal", entrymod.q_lm_surprisal),
     ("lm_bigram_surprisal", entrymod.q_lm_bigram_surprisal),
     ("lm_trigram_surprisal", entrymod.q_lm_trigram_surprisal),
