@@ -3701,6 +3701,122 @@ WHERE q.quality > 0.55 AND c.contaminated = 0
 """
 
 
+def q_streaming_merge_upsert_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The continuous-ingest merge sink
+    (streaming/ingest.py::stream_merge_into_index -- the STREAM_UPDATE
+    analog, index_manager.py:53 + setup_vector_search.py:147-153)
+    under the bit-exact gate, the LAST streaming module to get one:
+    three REAL micro-batches (v1 full corpus; v2 updates of the %5
+    keys UNION brand-new +200000 keys from the %7 slice; v3 updates of
+    the %10 keys) merged by foreachBatch into the bucket-pruned COW
+    index table, n_buckets=8.
+
+    The oracle is closed-form last-writer-wins: the stored text per
+    key is v3 for %10 keys (updated twice -- latest batch wins), v2
+    for the remaining %5 keys, v1 otherwise, plus the added keys'
+    v1 -- and the gated scalars are the ingest-mirror set proven on
+    incremental_reembed_pipeline (sha256 surrogate, content_length,
+    regex token_count with the <= 2042 gate, dim, round-6 unit
+    norm_sq = the embed UDF really ran on the WINNER text: a stale v1
+    embedding surviving an update flips content_length/token_count
+    and breaks the hash). >= 3 micro-batches asserted via query
+    progress. Archive-gated (window at capacity); bucket-level
+    byte-identity of untouched dirs is additionally pytest-proven in
+    tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from rag_vertex_ai_vector_search_spark.streaming.ingest import (
+        stream_merge_into_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    batches = (
+        docs,
+        docs.filter(i % 5 == 0).select(
+            "doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text")
+        ).unionByName(
+            docs.filter(i % 7 == 0).select(
+                (i + 200000).alias("doc_id"), "text"
+            )
+        ),
+        docs.filter(i % 10 == 0).select(
+            "doc_id", F.concat(F.col("text"), F.lit(" v3")).alias("text")
+        ),
+    )
+    work = tempfile.mkdtemp(prefix="stream_merge_")
+    try:
+        src = f"{work}/src"
+        index_path = f"{work}/index"
+        batches[0].write.parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_merge_into_index(
+            stream, index_path,
+            checkpoint_dir=f"{work}/ckpt", n_buckets=8,
+        )
+        try:
+            q.processAllAvailable()
+            for b in batches[1:]:
+                b.coalesce(1).write.mode("append").parquet(src)
+                q.processAllAvailable()
+            last = q.lastProgress
+            if last is None or int(last["batchId"]) < 2:
+                raise RuntimeError(
+                    "merge stream ran fewer than 3 micro-batches"
+                )
+        finally:
+            q.stop()
+        vec = F.col("feature_vector").cast("array<double>")
+        return (
+            spark.read.parquet(index_path)
+            .select(
+                "data_point_id",
+                F.col("numeric_restricts")["content_length"].alias(
+                    "content_length"
+                ),
+                F.col("numeric_restricts")["token_count"].alias(
+                    "token_count"
+                ),
+                F.size("feature_vector").cast("long").alias("dim"),
+                F.round(
+                    F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x),
+                    6,
+                ).alias("norm_sq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_SQL_STREAM_MERGE_UPSERT = f"""
+WITH base AS (SELECT doc_id, text FROM documents),
+final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' v3'
+              WHEN doc_id % 5 = 0 THEN text || ' v2'
+              ELSE text END AS text
+  FROM base
+  UNION ALL
+  SELECT doc_id + 200000, text FROM base WHERE doc_id % 7 = 0
+)
+SELECT sha256(CAST(doc_id AS VARCHAR)) AS data_point_id,
+       CAST(length(text) AS BIGINT) AS content_length,
+       CAST({_SQL_TOKENS} AS BIGINT) AS token_count,
+       CAST(64 AS BIGINT) AS dim,
+       CAST(1.0 AS DOUBLE) AS norm_sq
+FROM final
+WHERE {_SQL_TOKENS} <= 2042
+"""
+
+
 _SQL_STREAM_INTERVAL_JOIN = """
 SELECT v.event_id AS l_event_id, c.event_id AS r_event_id
 FROM events v JOIN events c
@@ -8387,6 +8503,8 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_exact_suppression":
             q_streaming_dedup_exact_suppression,
         "streaming_training_filter": q_streaming_training_filter,
+        "streaming_merge_upsert_maintained":
+            q_streaming_merge_upsert_maintained,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "bm25_rank": q_bm25_rank,
         "knn_lsh_bucketed": q_knn_lsh_bucketed,
@@ -8517,6 +8635,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "streaming_interval_join_attrib": _SQL_STREAM_INTERVAL_JOIN,
         "streaming_dedup_exact_suppression": _SQL_STREAM_DEDUP_EXACT,
         "streaming_training_filter": _SQL_STREAM_TRAINING_FILTER,
+        "streaming_merge_upsert_maintained": _SQL_STREAM_MERGE_UPSERT,
         "dedup_minhash_lsh": _sql_minhash_lsh(),
         "bm25_rank": _sql_bm25_rank(),
         "knn_lsh_bucketed": _sql_knn_lsh_bucketed(),

@@ -412,6 +412,14 @@ BENCH_QUERIES = [
         "streaming_dedup_exact_suppression",
         entrymod.q_streaming_dedup_exact_suppression,
     ),
+    # r10-late: the continuous-ingest merge sink (STREAM_UPDATE analog)
+    # and the streaming training filter, the last two modules to get
+    # bit-exact gates
+    (
+        "streaming_merge_upsert_maintained",
+        entrymod.q_streaming_merge_upsert_maintained,
+    ),
+    ("streaming_training_filter", entrymod.q_streaming_training_filter),
     # the capstone compositions: one lineage, one oracle each
     ("training_corpus_pipeline", entrymod.q_training_corpus_pipeline),
     ("web_corpus_pipeline", entrymod.q_web_corpus_pipeline),
