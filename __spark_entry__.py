@@ -2699,9 +2699,13 @@ def q_streaming_dedup_minhash_maintained(
         try:
             q.processAllAvailable()
             for e in (1, 2):
-                corpus.filter(F.col("doc_id") % 3 == e).write.mode(
-                    "append"
-                ).parquet(src)
+                # coalesce(1): a mid-run multi-file append races the
+                # file-source listing (a trigger can see a partially
+                # committed write and split the epoch into two
+                # batches); one file commits atomically
+                corpus.filter(F.col("doc_id") % 3 == e).coalesce(
+                    1
+                ).write.mode("append").parquet(src)
                 q.processAllAvailable()
         finally:
             q.stop()
@@ -3327,7 +3331,9 @@ def q_streaming_sessionize_stateful(
             try:
                 q.processAllAvailable()
                 for b in batches[1:]:
-                    b.write.mode("append").parquet(src)
+                    # single-file append: atomic w.r.t. the source
+                    # listing, so a time-range batch never splits
+                    b.coalesce(1).write.mode("append").parquet(src)
                     q.processAllAvailable()
             finally:
                 q.stop()
@@ -3527,7 +3533,9 @@ def q_streaming_dedup_exact_suppression(
             try:
                 q.processAllAvailable()
                 for b in batches[1:]:
-                    b.write.mode("append").parquet(src)
+                    # single-file append: atomic w.r.t. the source
+                    # listing, so an arrival batch never splits
+                    b.coalesce(1).write.mode("append").parquet(src)
                     q.processAllAvailable()
                 last = q.lastProgress
                 if last is None or int(last["batchId"]) < 3:
@@ -4442,7 +4450,7 @@ def q_incremental_reembed_pipeline(
         )
         try:
             q.processAllAvailable()
-            to_embed.write.mode("append").parquet(src)
+            to_embed.coalesce(1).write.mode("append").parquet(src)
             q.processAllAvailable()
         finally:
             q.stop()
