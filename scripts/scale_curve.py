@@ -59,6 +59,9 @@ QUERIES = [
     # (and should not) satisfy at 10x row counts.
     "streaming_minhash_production",
     "streaming_sketches_maintained",
+    # r10-late: the continuous-ingest merge sink gate embeds + merges
+    # the FULL corpus across 3 micro-batches -- production-shaped
+    "streaming_merge_upsert_maintained",
 ]
 
 
