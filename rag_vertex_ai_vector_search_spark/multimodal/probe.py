@@ -113,10 +113,12 @@ def probe_jpeg(content: bytes) -> dict:
             pos += 1
             continue
         pos += 2
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            continue  # standalone markers
+        if marker in (0xD8, 0x01, 0xD9) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers (EOI included: no length word)
         (seg_len,) = struct.unpack_from(">H", data, pos)
         if marker in _JPEG_MODES:
+            if pos + 8 > len(data):
+                raise ValueError("truncated JPEG header (short SOF)")
             precision, height, width, n_comp = struct.unpack_from(
                 ">BHHB", data, pos + 2
             )

@@ -336,6 +336,11 @@ def recluster_ivf_index(
         elif need <= budget:
             sample_caps[leaf] = need
             budget -= need
+        else:
+            # strict worst-first prefix: once a leaf's need exceeds the
+            # remaining budget, DEFER it and everything less severe --
+            # never let a small low-severity leaf jump a big hot one.
+            break
     flagged = {c: flagged[c] for c in sample_caps}
     flagged_ids = sorted(flagged)
     rows_df = index.filter(F.col("cluster_id").isin(flagged_ids))

@@ -98,13 +98,24 @@ def _streaming_minhash_production(spark, sf_dir):
         try:
             q.processAllAvailable()
             for e in (1, 2):
-                docs.filter(F.col("doc_id") % 3 == e).write.mode(
-                    "append"
-                ).parquet(src)
+                # coalesce(1): a mid-run multi-file append races the
+                # file-source listing (CLAUDE.md streaming-append rule);
+                # one file commits atomically to the listing.
+                docs.filter(F.col("doc_id") % 3 == e).coalesce(
+                    1
+                ).write.mode("append").parquet(src)
                 q.processAllAvailable()
         finally:
             q.stop()
-        return spark.read.parquet(f"{work}/out").localCheckpoint(eager=True)
+        kept = spark.read.parquet(f"{work}/out")
+        n_epochs = kept.select("_epoch").distinct().count()
+        if n_epochs != 3:
+            raise RuntimeError(
+                f"scale-curve stream produced {n_epochs} micro-batches; "
+                "expected exactly 3 (one per doc_id % 3 group) -- a split "
+                "epoch would change the cross-batch dedup workload measured"
+            )
+        return kept.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

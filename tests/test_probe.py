@@ -86,6 +86,22 @@ def test_probe_jpeg_modes_match_encoders():
     assert (m0["height"], m0["width"]) == decoded.shape[:2]
 
 
+def test_probe_jpeg_malformed_headers_raise_valueerror():
+    # EOI before any SOF: 0xD9 is a standalone marker (no length word);
+    # the walk must fall off the end as "no SOF", not struct.error.
+    eoi_first = b"\xff\xd8\xff\xd9" + b"\x00" * 8
+    with pytest.raises(ValueError):
+        probe_jpeg(eoi_first)
+    # Stream truncated inside the SOF segment itself: the declared
+    # length promises bytes the buffer does not have.
+    good = encode_jpeg_baseline(_img())
+    sof = good.find(b"\xff\xc0")
+    assert sof > 0
+    truncated = good[: sof + 5]  # marker + length word + 1 byte
+    with pytest.raises(ValueError):
+        probe_jpeg(truncated)
+
+
 def test_probe_wav_matches_decode():
     sig = np.sin(np.linspace(0, 20, 480))
     for sw, ch in ((1, 1), (2, 2), (4, 1)):
