@@ -2587,7 +2587,16 @@ def q_streaming_vocab_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     it: the documents fixture is split into 3 files, streamed one file
     per trigger (>= 2 micro-batches asserted), and the folded (word, n)
     table is returned. The fold is localCheckpoint'ed so the result
-    outlives the temp working dir."""
+    outlives the temp working dir.
+
+    r11: the lineage now includes a REAL checkpoint restart (VERDICT
+    r10 #1 stretch): lifetime 1 streams two of the three doc_id%3
+    groups and is STOPPED after its commits; the third group is
+    appended and a fresh query resumes from the SAME
+    checkpointLocation. The oracle is unchanged -- recovery must be
+    invisible in the maintained table (exactly-once by layout;
+    restart-vs-uninterrupted bit-equality proven in
+    tests/test_streaming_recovery.py)."""
     import shutil
     import tempfile
 
@@ -2602,13 +2611,33 @@ def q_streaming_vocab_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = f"{work}/src"
         table = f"{work}/vocab"
         ckpt = f"{work}/ckpt"
-        docs.repartition(3).write.parquet(src)
-        stream = (
-            spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
+
+        def _restartable_stream():
+            return (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        # lifetime 1: groups 0 and 1, two files -> two micro-batches
+        docs.filter(F.col("doc_id") % 3 != 2).repartition(2).write.parquet(
+            src
         )
-        q = stream_vocab_counts(stream, table, checkpoint_dir=ckpt)
+        q = stream_vocab_counts(
+            _restartable_stream(), table, checkpoint_dir=ckpt
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # lifetime 2: append group 2 (coalesce(1): single-file atomic
+        # append, CLAUDE.md rule) and RESTART from the same checkpoint.
+        docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = stream_vocab_counts(
+            _restartable_stream(), table, checkpoint_dir=ckpt
+        )
         try:
             q.processAllAvailable()
         finally:
@@ -2616,10 +2645,10 @@ def q_streaming_vocab_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_epochs = (
             spark.read.parquet(table).select("_epoch").distinct().count()
         )
-        if n_epochs < 2:
+        if n_epochs != 3:
             raise RuntimeError(
                 f"stream produced {n_epochs} micro-batch(es); the gate "
-                "requires the maintained table to be built from >= 2"
+                "requires exactly 3 (two pre-restart, one post-restart)"
             )
         return read_vocab(spark, table).localCheckpoint(eager=True)
     finally:
