@@ -70,6 +70,28 @@ def table_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     return n_files, total
 
 
+def _listing_snapshot(spark: SparkSession, path: str) -> frozenset:
+    """Identity of a table dir's data-file set: (relative path, length,
+    mtime) per data file. Two snapshots compare equal iff no writer
+    committed between them."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return frozenset()
+    prefix = jpath.toString()
+    out = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath().toString()
+        name = status.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        out.append(
+            (p[len(prefix):], status.getLen(), status.getModificationTime())
+        )
+    return frozenset(out)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -77,6 +99,7 @@ def compact_parquet(
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     partition_cols: tuple[str, ...] = (),
     min_files_to_compact: int = 2,
+    abort_if_changed: bool = False,
 ) -> int:
     """Rewrite ``path`` with ~``target_file_bytes`` files. Returns the
     file count after compaction (unchanged if below the threshold).
@@ -87,6 +110,19 @@ def compact_parquet(
     compression ratios mean output sizing from input bytes is an
     estimate; it errs toward fewer, larger files, which is the cheap
     direction for scans.)
+
+    ``abort_if_changed=True`` is the LIVE-WRITER mode (optimistic
+    concurrency, r11): the data-file listing is snapshotted before the
+    read, re-checked after the rewrite lands in tmp, and the swap is
+    ABANDONED (tmp discarded, source untouched) if any writer committed
+    in between OR has an attempt dir in flight (``_temporary`` /
+    ``.spark-staging-*`` -- an uncommitted job the listing cannot see)
+    -- a concurrent micro-batch's rows are never lost to a stale
+    rewrite. The residual race window is the marker write plus
+    two metadata renames (milliseconds, no Spark job inside it); a
+    transactional table format (Delta/Iceberg OPTIMIZE) is the seam
+    that closes it entirely. Without the flag, the original contract
+    stands: run with writers paused.
     """
     base = path.rstrip("/")
     resume_pending_compact(spark, base)
@@ -97,6 +133,7 @@ def compact_parquet(
     if n_out >= n_files:
         return n_files
 
+    before = _listing_snapshot(spark, base) if abort_if_changed else None
     df = spark.read.parquet(base).coalesce(n_out)
     tmp = base + TMP_SUFFIX
     writer = df.write.mode("overwrite")
@@ -105,6 +142,12 @@ def compact_parquet(
     writer.parquet(tmp)
 
     fs, jpath = _fs_and_path(spark, base)
+    if abort_if_changed and (
+        _pre_swap_check(spark, base) != before
+        or _has_inflight_staging(spark, base)
+    ):
+        fs.delete(_fs_and_path(spark, tmp)[1], True)
+        return table_file_stats(spark, base)[0]
     _, jtmp = _fs_and_path(spark, tmp)
     _, jold = _fs_and_path(spark, base + OLD_SUFFIX)
     _, jmarker = _fs_and_path(spark, base + PENDING_MARKER_SUFFIX)
@@ -119,6 +162,31 @@ def compact_parquet(
     fs.delete(jold, True)
     fs.delete(jmarker, False)
     return table_file_stats(spark, base)[0]
+
+
+def _pre_swap_check(spark: SparkSession, path: str) -> frozenset:
+    """The just-before-swap re-listing. Module-level (not inlined) so
+    tests can monkeypatch it to inject a concurrent commit into the
+    check window."""
+    return _listing_snapshot(spark, path)
+
+
+def _has_inflight_staging(spark: SparkSession, path: str) -> bool:
+    """True if a writer job is MID-FLIGHT under ``path`` (a
+    ``_temporary`` / ``.spark-staging-*`` attempt dir exists). The
+    listing snapshot only sees COMMITTED files -- an uncommitted job
+    started after the snapshot would otherwise have its staging dir
+    renamed away with the old table and its commit silently lost."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return False
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if status.isDirectory() and (
+            name == "_temporary" or name.startswith(".spark-staging")
+        ):
+            return True
+    return False
 
 
 def resume_pending_compact(spark: SparkSession, path: str) -> str:

@@ -36,6 +36,7 @@ from .dedup_minhash import (
     read_deduped,
     stream_dedup_minhash,
 )
+from .maintenance import maintain_index
 
 __all__ = [
     "stream_merge_into_index",
@@ -64,4 +65,5 @@ __all__ = [
     "apply_minhash_dedup_batch",
     "read_deduped",
     "stream_dedup_minhash",
+    "maintain_index",
 ]

@@ -1,0 +1,180 @@
+"""The nightly maintenance pass, as one idempotent entry point.
+
+The reference's STREAM_UPDATE index is a long-lived serving layout
+under continuous ingest (vector_store/utils/index_manager.py:53,
+common/config.py:44-50: the index stays queryable while updates
+stream). Long-lived plain-parquet layouts accumulate three kinds of
+debt, each with its own repo operator:
+
+- crash remnants + interrupted swaps -> ``gc_table_path`` /
+  ``resume_pending_compact`` / ``_resume_pending_cleanup``
+- small files from per-micro-batch merges -> ``compact_parquet``
+- oversized / drifted leaves from sticky assignment ->
+  ``cluster_drift_report`` + ``recluster_ivf_index``
+
+``maintain_index`` composes them in dependency order (heal -> GC ->
+compact -> observe drift -> recluster) behind ONE idempotent call a
+scheduler can fire nightly. Concurrency contract, by operation:
+
+- **Heal + GC are live-safe**: healing only touches marker-protocol'd
+  state no live writer owns, and every GC delete is age-gated on the
+  victim subtree's newest mtime, so a live writer's in-flight
+  ``_temporary``/staging dir is never raced (pass ``min_age_seconds=0``
+  only with writers known stopped).
+- **Compaction in live mode runs optimistically**
+  (``abort_if_changed``): the rewrite is abandoned if any writer
+  committed between the read and the swap, so a concurrent
+  micro-batch is never lost -- worst case the pass reports
+  ``compacted=False`` and the next pass retries on a colder table.
+- **Recluster is DEFERRED while a writer is active**: its rewrite is a
+  multi-second dynamic-overwrite JOB over the touched leaves, and a
+  merge committing one of those leaves mid-job would be silently
+  undone -- there is no cheap optimistic check around a window that
+  long on plain parquet (the Delta/Iceberg conflict-detection seam is
+  where that becomes safe). The pass still computes and returns the
+  drift signal, so the orchestrator pauses the stream at the NEXT
+  batch boundary and re-runs with ``writer_active=False`` -- exactly
+  the stop -> maintain -> resume-from-checkpoint loop that
+  checkpoint-restart recovery (tests/test_streaming_recovery.py)
+  makes lossless.
+
+Everything here is bounded driver work: listings, n_clusters-sized
+drift rows, and the budget-capped recluster sample -- nothing scales
+with table rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import SparkSession
+
+from ..sources.compact import (
+    DEFAULT_TARGET_FILE_BYTES,
+    compact_parquet,
+    gc_table_path,
+    table_file_stats,
+)
+from .ivf_stream import (
+    _resume_pending_cleanup,
+    cluster_drift_report,
+    needs_recluster,
+    recluster_ivf_index,
+)
+
+
+def maintain_index(
+    spark: SparkSession,
+    index_path: str,
+    centroids: np.ndarray | None = None,
+    *,
+    writer_active: bool = False,
+    min_age_seconds: float = 24 * 3600.0,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    max_leaf_rows: int = 500,
+    max_drift_fraction: float = 0.2,
+    vec_col: str = "feature_vector",
+    id_col: str = "data_point_id",
+    recluster_kwargs: dict | None = None,
+) -> dict:
+    """One idempotent maintenance pass over an IVF index layout.
+
+    Returns a report dict:
+
+    - ``gc``: the ``gc_table_path`` report (healed swaps, deleted
+      remnant dirs, reclaimed bytes).
+    - ``files_before`` / ``files_after``: data-file counts around the
+      compaction step; ``compacted`` is True when the count dropped
+      (False also covers a live-mode optimistic abort -- retried by
+      the next pass).
+    - ``recluster_needed`` / ``recluster_ran`` / ``recluster_deferred``:
+      the drift verdict and what was done about it. Deferral reasons:
+      a live writer (see module docstring) or ``centroids`` not
+      provided (the caller owns the centroid matrix lifecycle).
+    - ``centroids``: the matrix to hand to subsequent
+      ``stream_merge_into_ivf_index`` / search calls -- grown when the
+      recluster ran, the input otherwise.
+
+    Idempotent by construction: every step is a no-op on a table the
+    previous call left healthy (nothing to heal, nothing aged, file
+    count at target, no leaf flagged).
+    """
+    # 1. heal: an interrupted recluster cleanup is repaired before
+    # anything reads the index (the compact-swap heal runs inside gc).
+    _resume_pending_cleanup(spark, index_path)
+
+    # 2. age-gated GC (also resumes a pending compact swap).
+    gc_report = gc_table_path(
+        spark, index_path, min_age_seconds=min_age_seconds
+    )
+
+    # 3. small-file compaction, optimistic when a writer is live. In
+    # live mode ANY failure degrades to no-op (report the error, let
+    # the next pass retry on a colder table): a concurrent dynamic
+    # overwrite can invalidate the scan's file listing mid-job, which
+    # is exactly the "someone committed" case the optimistic abort
+    # exists for -- it just surfaced as an exception instead of a
+    # listing diff.
+    files_before = table_file_stats(spark, index_path)[0]
+    compact_error = None
+    try:
+        index_cols = spark.read.parquet(index_path).columns
+        parts = tuple(
+            c for c in ("_bucket", "cluster_id") if c in index_cols
+        )
+        files_after = compact_parquet(
+            spark,
+            index_path,
+            target_file_bytes=target_file_bytes,
+            partition_cols=parts,
+            abort_if_changed=writer_active,
+        )
+    except Exception:  # noqa: BLE001 -- live-mode optimistic degrade
+        if not writer_active:
+            raise
+        compact_error = "compaction aborted by concurrent writer"
+        files_after = table_file_stats(spark, index_path)[0]
+
+    # 4. drift observation (read-only; same live-mode degrade).
+    needed = False
+    if centroids is not None:
+        try:
+            report_df = cluster_drift_report(
+                spark.read.parquet(index_path), centroids, vec_col=vec_col
+            )
+            needed = needs_recluster(
+                report_df,
+                max_leaf_rows=max_leaf_rows,
+                max_drift_fraction=max_drift_fraction,
+            )
+        except Exception:  # noqa: BLE001 -- live-mode optimistic degrade
+            if not writer_active:
+                raise
+            needed = False
+
+    # 5. rebalance, only in a writer-paused window.
+    ran = False
+    new_centroids = centroids
+    if needed and not writer_active:
+        new_centroids = recluster_ivf_index(
+            spark,
+            index_path,
+            centroids,
+            vec_col=vec_col,
+            id_col=id_col,
+            max_leaf_rows=max_leaf_rows,
+            max_drift_fraction=max_drift_fraction,
+            **(recluster_kwargs or {}),
+        )
+        ran = True
+
+    return {
+        "gc": gc_report,
+        "files_before": int(files_before),
+        "files_after": int(files_after),
+        "compacted": files_after < files_before,
+        "compact_error": compact_error,
+        "recluster_needed": bool(needed),
+        "recluster_ran": ran,
+        "recluster_deferred": bool(needed and not ran),
+        "centroids": new_centroids,
+    }
