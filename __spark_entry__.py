@@ -733,6 +733,93 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_features_lossless(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-gates the LOSSLESS multimodal decode path (VERDICT r10 #5):
+    synthesize PNG/GIF/WAV/FLAC whose decoded content is CLOSED-FORM
+    integer arithmetic in doc_id (multimodal/synthesis.py::
+    synthesize_media_lossless -- no RNG, unlike the rows-only
+    multimodal_features fixtures), decode through the REAL codecs on
+    executors, and emit exact integer per-channel column/frame-band
+    sums (extract_media_block_sums). The DuckDB oracle predicts every
+    value from the generator formula without decoding anything, so a
+    regression anywhere in the four codec pipelines (PNG zlib inflate/
+    unfilter incl. RGB, GIF LZW incl. INTERLACED rasters, WAV PCM
+    stereo framing, FLAC prediction/Rice/stereo decorrelation) flips
+    decoded bytes and breaks the hash. The effectively-ungated
+    multimodal surface shrinks to the lossy JPEG path, which keeps its
+    progressive==baseline equality gate in tests/test_multimodal.py."""
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        extract_media_block_sums,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        synthesize_media_lossless,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 12
+    ).select("doc_id")
+    media = synthesize_media_lossless(fan_out(docs))
+    return extract_media_block_sums(media, n_blocks=8)
+
+
+# The generator formulas of synthesize_media_lossless, restated as SQL
+# over (seed, position) grids. gray(y,x) = (x*(3+s%5) + y*(2+s%3) +
+# 7s) % 256; green = gray at the right-rolled column ((x - s%7 + 32) %
+# 32); blue = 255 - gray. PCM(i) = (i*mult + off) % 4001 - 2000 with
+# per-format multipliers. All operands non-negative, all arithmetic
+# integer -- bit-exact across engines by construction.
+_SQL_MULTIMODAL_LOSSLESS = """
+WITH seeds AS (SELECT doc_id AS s FROM documents WHERE doc_id < 12),
+px AS (
+  SELECT s, y, x, x // 4 AS blk,
+    (x*(3 + s%5) + y*(2 + s%3) + 7*s) % 256 AS r,
+    (((x - s%7 + 32) % 32)*(3 + s%5) + y*(2 + s%3) + 7*s) % 256 AS grn
+  FROM seeds, range(24) _y(y), range(32) _x(x)
+),
+pcm AS (
+  SELECT s, i, i // 200 AS blk,
+    (i*(37 + s%11) + s) % 4001 - 2000 AS pw,
+    (i*(53 + s%13) + s) % 4001 - 2000 AS pf0,
+    (i*(29 + s%7) + 2*s) % 4001 - 2000 AS pf1
+  FROM seeds, range(1600) _i(i)
+),
+cells AS (
+  -- PNG channel 0: gray for odd seeds, R(=gray) for even
+  SELECT s, 'image/png' AS mt, 0 AS ch, blk,
+         CAST(sum(r) AS BIGINT) AS v
+  FROM px GROUP BY s, blk
+  UNION ALL
+  SELECT s, 'image/png', 1, blk, CAST(sum(grn) AS BIGINT)
+  FROM px WHERE s % 2 = 0 GROUP BY s, blk
+  UNION ALL
+  SELECT s, 'image/png', 2, blk, CAST(sum(255 - r) AS BIGINT)
+  FROM px WHERE s % 2 = 0 GROUP BY s, blk
+  UNION ALL
+  -- GIF decodes through the palette to RGB (gif.py:153): a gray
+  -- raster comes back as three identical channels
+  SELECT s, 'image/gif', gc, blk, CAST(sum(r) AS BIGINT)
+  FROM px, range(3) _c(gc) GROUP BY s, gc, blk
+  UNION ALL
+  SELECT s, 'audio/wav', 0, blk, CAST(sum(pw) AS BIGINT)
+  FROM pcm GROUP BY s, blk
+  UNION ALL
+  SELECT s, 'audio/wav', 1, blk, CAST(sum(pw) AS BIGINT)
+  FROM pcm WHERE s % 2 = 1 GROUP BY s, blk
+  UNION ALL
+  SELECT s, 'audio/flac', 0, blk, CAST(sum(pf0) AS BIGINT)
+  FROM pcm GROUP BY s, blk
+  UNION ALL
+  SELECT s, 'audio/flac', 1, blk, CAST(sum(pf1) AS BIGINT)
+  FROM pcm WHERE s % 2 = 1 GROUP BY s, blk
+)
+SELECT s AS doc_id, mt AS media_type, CAST(ch AS BIGINT) AS channel,
+       CAST(blk AS BIGINT) AS block, v AS qvalue
+FROM cells
+"""
+
+
 def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: dense kNN (doc 5's embedding) + lexical BM25
     fused by reciprocal-rank fusion (operators/fusion.py, RRF k=60).
@@ -8310,7 +8397,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_hydrated": q_knn_hydrated,
         "knn_ivf_pruned": q_knn_ivf_pruned,
         "ann_recall_summary": q_ann_recall_summary,
-        "knn_pq_rerank": q_knn_pq_rerank,
+        # -- new in r11: the lossless multimodal decode path becomes a
+        #    hash-green row (VERDICT r10 #5); displaced knn_pq_rerank
+        #    (rows-only by design) to the archive -- its PQ cascade
+        #    machinery stays declared-hash-gated via knn_pq_full_rerank
+        "multimodal_features_lossless": q_multimodal_features_lossless,
         "knn_pq_full_rerank": q_knn_pq_full_rerank,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "ingest_metadata": q_ingest_metadata,
@@ -8529,8 +8620,18 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     streaming_dedup_exact_suppression (dropDuplicatesWithinWatermark
     with in-batch, live-state-suppressed and post-expiry-re-emitted
     planted duplicates, emission counts oracled closed-form).
+
+    r11 rotation: multimodal_features_lossless (closed-form lossless
+    codec gate, VERDICT r10 #5) displaces knn_pq_rerank -- a
+    long-standing rows-only-by-design row whose PQ cascade machinery
+    stays declared-HASH-gated through knn_pq_full_rerank (same
+    codebooks, ADC and rerank chain at exact configuration) and
+    ann_recall_pq; the realistic lossy configuration remains here
+    (rows-only: its pruned ADC ranking is not SQL-decodable by
+    construction) and keeps its bench entry.
     """
     return {
+        "knn_pq_rerank": q_knn_pq_rerank,
         "hll_token_cardinality": q_hll_token_cardinality,
         "lm_trigram_surprisal": q_lm_trigram_surprisal,
         "dsir_importance": q_dsir_importance,
@@ -8636,7 +8737,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_hydrated": _SQL_KNN_HYDRATED,
         # knn_ivf_pruned: approximate + iterative -> rows-only check
         "ann_recall_summary": _sql_ann_recall_summary(),
-        # knn_pq_rerank: lossy ADC shortlist -> rows-only check
+        "multimodal_features_lossless": _SQL_MULTIMODAL_LOSSLESS,
         "knn_pq_full_rerank": _SQL_KNN_TOPK,
         "hybrid_search_rrf": _sql_hybrid_rrf(),
         "ingest_metadata": _SQL_INGEST_METADATA,

@@ -340,6 +340,12 @@ BENCH_QUERIES = [
     ("knn_pq_restrict_crowding", entrymod.q_knn_pq_restrict_crowding),
     # r5: synthesized-media decode + featurize across all 4 modalities
     ("multimodal_features", entrymod.q_multimodal_features),
+    # r11: the closed-form lossless codec gate (PNG/GIF/WAV/FLAC
+    # encode->decode->integer block sums, SQL-predicted end to end)
+    (
+        "multimodal_features_lossless",
+        entrymod.q_multimodal_features_lossless,
+    ),
     # r6: oracled recall gates for the pruned IVF and lossy PQ paths
     # (explicit data-row quantizers, VERDICT r5 #3)
     ("ann_recall_ivf", entrymod.q_ann_recall_ivf),

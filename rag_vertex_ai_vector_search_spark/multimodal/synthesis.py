@@ -166,6 +166,103 @@ def synthesize_media(
     return df.select(id_col).mapInPandas(_synth, out_schema)
 
 
+def _lossless_gray(seed: int) -> np.ndarray:
+    """Closed-form (24, 32) uint8 raster: pure integer arithmetic in
+    (seed, y, x) -- NO RNG -- so a SQL oracle can predict every pixel
+    (unlike _synth_image's seeded-numpy noise)."""
+    yy, xx = np.meshgrid(np.arange(24), np.arange(32), indexing="ij")
+    return (
+        (xx * (3 + seed % 5) + yy * (2 + seed % 3) + 7 * seed) % 256
+    ).astype(np.uint8)
+
+
+def _lossless_rgb(seed: int) -> np.ndarray:
+    """Closed-form RGB: R = gray, G = gray column-rolled by seed % 7
+    (roll right: G[y][x] = gray[y][(x - s%7) mod 32]), B = 255-gray."""
+    g = _lossless_gray(seed)
+    return np.stack(
+        [g, np.roll(g, seed % 7, axis=1), 255 - g], axis=2
+    ).astype(np.uint8)
+
+
+def _lossless_pcm(seed: int, mult: int, offset: int, n: int = 1600):
+    """Closed-form int16 PCM: ((i*mult + offset) % 4001) - 2000."""
+    i = np.arange(n, dtype=np.int64)
+    return (i * mult + offset) % 4001 - 2000
+
+
+LOSSLESS_MODALITIES = (
+    "image/png", "image/gif", "audio/wav", "audio/flac",
+)
+
+
+def synthesize_media_lossless(df: DataFrame, *, id_col: str = "doc_id"):
+    """Lossless-format synthesis whose DECODED content is closed-form
+    in the id (VERDICT r10 #5): every pixel and PCM sample is pure
+    integer arithmetic in (seed, position), so a SQL oracle predicts
+    the decoded values without decoding anything, while the Spark side
+    must EARN them through the real encode->decode codec pipeline --
+    a regression in any of the four lossless codecs (PNG zlib/filter,
+    GIF LZW incl. interlace, WAV PCM framing, FLAC prediction/Rice/
+    stereo decorrelation) changes decoded values and breaks the hash.
+
+    Per seed: PNG (RGB when even -- gates the roll/invert channels --
+    gray when odd), GIF (gray; INTERLACED when odd), WAV (16-bit PCM,
+    stereo when odd, same signal per channel), FLAC (mono when even,
+    TWO-SIGNAL stereo when odd -- gates decorrelation).
+    """
+    from .binary_ops import encode_png
+    from .flac import encode_flac
+    from .gif import encode_gif
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, media_type string, content binary"
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, blobs = [], [], []
+            for rid in pdf[id_col]:
+                seed = int(rid)
+                png = encode_png(
+                    _lossless_rgb(seed) if seed % 2 == 0
+                    else _lossless_gray(seed)
+                )
+                gif = encode_gif(
+                    _lossless_gray(seed), interlace=seed % 2 == 1
+                )
+                pcm_w = _lossless_pcm(seed, 37 + seed % 11, seed)
+                ch = 1 + seed % 2
+                frames = np.repeat(
+                    pcm_w.astype("<i2")[:, None], ch, axis=1
+                ).ravel().tobytes()
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(ch)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(frames)
+                wav = buf.getvalue()
+                pcm_f = _lossless_pcm(seed, 53 + seed % 13, seed)
+                if seed % 2 == 1:
+                    pcm_f = np.stack(
+                        [pcm_f, _lossless_pcm(seed, 29 + seed % 7, 2 * seed)],
+                        axis=1,
+                    )
+                flac = encode_flac(pcm_f, sample_rate=8000)
+                for mt, blob in (
+                    ("image/png", png), ("image/gif", gif),
+                    ("audio/wav", wav), ("audio/flac", flac),
+                ):
+                    ids.append(rid)
+                    types.append(mt)
+                    blobs.append(blob)
+            yield pd.DataFrame(
+                {id_col: ids, "media_type": types, "content": blobs}
+            )
+
+    return df.select(id_col).mapInPandas(_synth, out_schema)
+
+
 # Published MP3 framing bytes: an ID3v2.4 tag header followed by
 # MPEG-1 Layer III frame syncs (0xFFFB) -- enough for any magic-based
 # router to classify the blob, and guaranteed to hit the codecs'
