@@ -116,6 +116,93 @@ def _pq_rerank_cogroup(spark, sf_dir):
     return pq_search_rerank(index, emb, queries, k=50, method="cogroup")
 
 
+_SERVING_CACHE: dict = {}
+
+
+def _serving_warm_index(spark, sf_dir):
+    """Build + persist the serving replica state ONCE per process: a
+    saved partitionBy("cluster_id") tree-AH layout (vectors + PQ
+    codes), read back and cached -- the warm-replica startup cost a
+    deployed endpoint pays before its first query (config.py:44-50),
+    amortized across _serving_single_query invocations."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from rag_vertex_ai_vector_search_spark.operators.ivf import IVFIndex
+    from rag_vertex_ai_vector_search_spark.operators.pq import (
+        PQIndex,
+        encode_pq,
+        train_pq,
+    )
+
+    if "ivf" in _SERVING_CACHE:
+        return
+    base = tempfile.mkdtemp(prefix="bench_serving_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    ivf = build_ivf_index(emb, n_clusters=max(8, n // 500))
+    ivf.save(f"{base}/vectors")
+    books = train_pq(emb, m=8, ksub=16, iters=4, sample_rows=2000)
+    pq = encode_pq(ivf.assigned, books, keep_cols=("cluster_id",))
+    pq.codes.write.partitionBy("cluster_id").parquet(f"{base}/codes")
+    assigned = spark.read.parquet(f"{base}/vectors")
+    codes = spark.read.parquet(f"{base}/codes")
+    assigned.cache().count()
+    codes.cache().count()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    docs.cache().count()
+    _SERVING_CACHE.update(
+        ivf=IVFIndex(
+            assigned=assigned, centroids=ivf.centroids,
+            id_col="vec_id", vec_col="embedding",
+        ),
+        pq=PQIndex(codes=codes, books=books, id_col="vec_id"),
+        docs=docs,
+    )
+
+
+def _serving_single_query(spark, sf_dir):
+    """Interactive serving smoke (VERDICT r10 #7): ONE query
+    end-to-end against the warm replica -- embed one text
+    (ingest_documents, the real batch-embed UDF on a 1-row frame),
+    tree-AH cascade search at the reference's production probe
+    (leaf_nodes_to_search_percent=10, common/config.py:38), hydrate
+    metadata via broadcast join. The timed plan scans ONLY probed leaf
+    partitions of the saved code layout (asserted in
+    tests/test_plan_shapes.py::test_serving_query_scans_only_probed_leaves);
+    the index build/cache cost is warm-replica startup, paid once
+    outside the timing."""
+    from rag_vertex_ai_vector_search_spark.operators.ingest import (
+        ingest_documents,
+    )
+    from rag_vertex_ai_vector_search_spark.operators.pq import ivf_pq_search
+
+    _serving_warm_index(spark, sf_dir)
+    one = spark.createDataFrame(
+        [(900001, "what is the pricing summary of urgent orders")],
+        "doc_id long, text string",
+    )
+    qvec = ingest_documents(one, dim=64).datapoints.select(
+        F.col("data_point_id").alias("query_id"),
+        F.col("feature_vector").alias("query_vector"),
+    )
+    hits = ivf_pq_search(
+        _SERVING_CACHE["ivf"], _SERVING_CACHE["pq"], qvec, k=10,
+        probe_percent=10.0, method="broadcast",
+    )
+    docs = _SERVING_CACHE["docs"]
+    return hits.join(
+        F.broadcast(docs), hits.neighbor_id == docs.doc_id, "left"
+    ).select(
+        "query_id", F.col("rank").cast("long").alias("rank"),
+        "neighbor_id", "score", "lang", "source",
+    )
+
+
 def _media_probe_report(spark, sf_dir):
     """Header-only decode-rate accounting (VERDICT r9 #7 cheap mode):
     probe the WHOLE synthesized defect corpus -- no sampling knob
@@ -248,6 +335,9 @@ BENCH_QUERIES = [
     # r10: the tree-AH rebalance (leaf split + COW rewrite of touched
     # dirs) on an all-leaves-oversized layout of the same embeddings.
     ("recluster_rebalance", _recluster_rebalance),
+    # r11: the deployed-endpoint latency story -- ONE warm-replica
+    # query (embed + cascade at production probe + hydrate).
+    ("serving_single_query", _serving_single_query),
     ("pricing_summary", entrymod.q_pricing_summary),
     ("top_revenue_customers", entrymod.q_top_revenue_customers),
     ("supplier_running_window", entrymod.q_supplier_running_window),

@@ -339,3 +339,55 @@ def test_histogram_single_shuffle_partial_agg(spark, sf_smoke):
     )
     assert plan.count("Exchange") - plan.count("ReusedExchange") == 1, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_serving_query_scans_only_probed_leaves(spark, sf_smoke, tmp_path):
+    """The deployed-endpoint semantic (VERDICT r10 #7; reference
+    config.py:44-50 -- single queries served from a warm replica): a
+    ONE-query tree-AH cascade over a SAVED partitionBy("cluster_id")
+    code layout must show PartitionFilters on cluster_id at the code
+    scan -- probed leaves only, never a full-index scan at query time
+    -- and the ADC shortlist joins must broadcast (no sort-merge on a
+    10-row shortlist)."""
+    from rag_vertex_ai_vector_search_spark.operators.ivf import (
+        IVFIndex,
+        build_ivf_index,
+    )
+    from rag_vertex_ai_vector_search_spark.operators.pq import (
+        PQIndex,
+        encode_pq,
+        ivf_pq_search,
+        train_pq,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    ivf = build_ivf_index(emb, n_clusters=8)
+    path = str(tmp_path / "codes")
+    books = train_pq(emb, m=8, ksub=16, iters=2, sample_rows=300)
+    encode_pq(
+        ivf.assigned, books, keep_cols=("cluster_id",)
+    ).codes.write.partitionBy("cluster_id").parquet(path)
+    codes = spark.read.parquet(path)
+
+    one = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    out = ivf_pq_search(
+        IVFIndex(
+            assigned=ivf.assigned, centroids=ivf.centroids,
+            id_col="vec_id", vec_col="embedding",
+        ),
+        PQIndex(codes=codes, books=books, id_col="vec_id"),
+        one, k=10, probe_percent=10.0, method="broadcast",
+    )
+    plan = _plan(out)
+    scan_lines = [
+        l for l in plan.splitlines() if "FileScan" in l and "codes" in l
+    ]
+    assert scan_lines, plan
+    assert any(
+        "PartitionFilters" in l and "cluster_id" in l for l in scan_lines
+    ), scan_lines
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
