@@ -62,6 +62,16 @@ QUERIES = [
     # r10-late: the continuous-ingest merge sink gate embeds + merges
     # the FULL corpus across 3 micro-batches -- production-shaped
     "streaming_merge_upsert_maintained",
+    # r11 (VERDICT r10 #3): the three STATE-STORE-bound stateful gates,
+    # in production configs -- no sentinel batch, no oracle-device row
+    # caps. Their cost is state-store I/O, the one term least readable
+    # from plan shape; the scaled fixture EXTENDS the event stream by
+    # epoch-shifted time ranges (same 1500-user population, so
+    # sessionizer/join state stays O(active keys in horizon) while
+    # throughput scales -- exactly the economics the curve checks).
+    "streaming_sessionize_production",
+    "streaming_interval_join_attrib",
+    "streaming_dedup_exact_production",
 ]
 
 
@@ -120,6 +130,129 @@ def _streaming_minhash_production(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _streaming_sessionize_production(spark, sf_dir):
+    """applyInPandasWithState sessionizer at production config: the
+    FULL events table in 3 time-range micro-batches, NO sentinel batch
+    (the archive gate's sentinel is an oracle device) -- pending
+    sessions close via the event-time timeout as the watermark
+    advances; the last ones legitimately stay pending."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from rag_vertex_ai_vector_search_spark.sources import load_table
+    from rag_vertex_ai_vector_search_spark.streaming.stateful import (
+        stream_sessionize,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    tmin, tmax = ev.agg(F.min("ts"), F.max("ts")).first()
+    t1 = tmin + (tmax - tmin) / 3
+    t2 = tmin + 2 * ((tmax - tmin) / 3)
+    qname = f"scale_sessions_{uuid.uuid4().hex}"
+    work = tempfile.mkdtemp(prefix="scale_sessionize_")
+    try:
+        src = f"{work}/src"
+        ev.filter(F.col("ts") < F.lit(t1)).coalesce(1).write.parquet(src)
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_sessionize(stream, f"{work}/ckpt", qname)
+        try:
+            q.processAllAvailable()
+            for cond in (
+                (F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2)),
+                F.col("ts") >= F.lit(t2),
+            ):
+                # single-file append: atomic w.r.t. the source listing
+                ev.filter(cond).coalesce(1).write.mode("append").parquet(
+                    src
+                )
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.sql(
+            f"SELECT * FROM {qname}"
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _streaming_dedup_exact_production(spark, sf_dir):
+    """dropDuplicatesWithinWatermark at production config: the FULL
+    documents corpus (no doc_id cap, no planted copies -- the fixture's
+    real exact duplicates are the workload) streamed in 3 micro-batches
+    5 minutes apart, all inside the 10-minute horizon. State-store
+    bound, so shuffle partitions scope to 8 (CLAUDE.md r10 rule)."""
+    import datetime as _dt
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import _scoped_shuffle_partitions
+    from rag_vertex_ai_vector_search_spark.sources import load_table
+    from rag_vertex_ai_vector_search_spark.streaming.dedup import (
+        stream_dedup_exact,
+    )
+
+    t0 = _dt.datetime(2024, 6, 1)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="scale_dedupx_")
+    qname = f"scale_dedupx_{uuid.uuid4().hex}"
+    try:
+        src = f"{work}/src"
+        out = f"{work}/out"
+
+        def batch(e):
+            return docs.filter(F.col("doc_id") % 3 == e).select(
+                "doc_id",
+                F.lit(t0 + _dt.timedelta(minutes=5 * e)).alias("ts"),
+                "text",
+            )
+
+        batch(0).coalesce(1).write.parquet(src)
+        stream = (
+            spark.readStream
+            .schema("doc_id long, ts timestamp, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        with _scoped_shuffle_partitions(spark, 8):
+            q = (
+                stream_dedup_exact(stream, horizon="10 minutes")
+                .select("doc_id", "fingerprint")
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", f"{work}/ckpt")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                for e in (1, 2):
+                    batch(e).coalesce(1).write.mode("append").parquet(src)
+                    q.processAllAvailable()
+            finally:
+                q.stop()
+        return spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_LOCAL_PRODUCTION = {
+    "streaming_minhash_production": _streaming_minhash_production,
+    "streaming_sessionize_production": _streaming_sessionize_production,
+    "streaming_dedup_exact_production": _streaming_dedup_exact_production,
+}
+
+
 def _resolve(name, entrymod):
     if name == "semdedup_production":
         # single definition, shared with the bench harness (r7: the
@@ -127,8 +260,8 @@ def _resolve(name, entrymod):
         from bench import _semdedup_production
 
         return _semdedup_production
-    if name == "streaming_minhash_production":
-        return _streaming_minhash_production
+    if name in _LOCAL_PRODUCTION:
+        return _LOCAL_PRODUCTION[name]
     qs = entrymod.queries()
     if name in qs:
         return qs[name]
@@ -171,9 +304,36 @@ def build_fixture(spark) -> None:
         ),
     ).coalesce(1).write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
 
+    # events: EXTEND the stream rather than stack the same timestamps
+    # -- each epoch shifts by (span + 1 day), so event time keeps
+    # advancing and watermark/state semantics stay in-distribution;
+    # the user population is unchanged (state stays O(active keys in
+    # horizon) while throughput scales -- the stateful-gate economics
+    # the r11 curve rows check). Read via load_table (normalizes the
+    # fixture's NANOS physical type).
+    from rag_vertex_ai_vector_search_spark.sources import load_table
+
+    events = load_table(spark, SRC.rstrip("/"), "events")
+    n_events = events.count()
+    import datetime as _dt
+
+    tmin, tmax = events.agg(F.min("ts"), F.max("ts")).first()
+    shift_days = (tmax - tmin).days + 1
+    union_epochs(
+        events,
+        lambda df, e: df.select(
+            (F.col("event_id") + F.lit(e * n_events)).alias("event_id"),
+            (
+                F.col("ts")
+                + F.expr(f"INTERVAL {e * shift_days} DAYS")
+            ).alias("ts"),
+            *[c for c in df.columns if c not in ("event_id", "ts")],
+        ),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{DST}/events.parquet")
+
     # remaining tables: byte-identical copies (only the hot tables scale)
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events"):
+              "orders", "lineitem"):
         dst = f"{DST}/{t}.parquet"
         if not os.path.exists(dst):
             shutil.copyfile(f"{SRC}/{t}.parquet", dst)
