@@ -359,6 +359,44 @@ def test_driver_sample_budget_defers_leaves_and_converges(spark, tmp_path):
     assert _ids(spark, path) == sorted(r[0] for r in rows)
 
 
+@pytest.mark.full
+def test_budget_is_strict_worst_first_prefix(spark, tmp_path):
+    """r11 (ADVICE): once a leaf's need exceeds the remaining budget,
+    it AND every less-severe leaf defer -- a small low-severity leaf
+    never jumps a big hot one (the docstring's 'worst leaves first'
+    is a strict prefix, not first-fit packing)."""
+    centroids = np.array([
+        _vec([0.0, 0.0], 0, 0), _vec([30.0, 30.0], 0, 0),
+        _vec([60.0, 60.0], 0, 0),
+    ])
+    rows = []
+    # severities (max_leaf_rows=25): leaf0 40/25, leaf1 35/25, leaf2
+    # 30/25. Budget 70: leaf0 takes 40; leaf1 needs 35 > 30 remaining
+    # -> deferred; leaf2 (30 <= 30) WOULD fit but must defer too.
+    for i in range(20):
+        rows.append((f"a{i}", _vec([0.0, 0.0], i), 0))
+        rows.append((f"b{i}", _vec([10.0, 10.0], i), 0))
+    for i in range(35):
+        rows.append((f"c{i}", _vec([30.0 + (i % 2) * 10.0, 30.0], i), 1))
+    for i in range(30):
+        rows.append((f"e{i}", _vec([60.0 + (i % 2) * 10.0, 60.0], i), 2))
+    path = _write_index(spark, str(tmp_path / "idx"), rows)
+
+    recluster_ivf_index(
+        spark, path, centroids, max_leaf_rows=25, max_drift_fraction=1.1,
+        max_sample_rows=70,
+    )
+    sizes = {
+        r.cluster_id: r.n
+        for r in spark.read.parquet(path)
+        .groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes.get(1) == 35  # over-budget leaf deferred
+    assert sizes.get(2) == 30  # less-severe leaf deferred WITH it
+    assert sizes.get(0, 0) < 40  # the worst leaf was split
+    assert _ids(spark, path) == sorted(r[0] for r in rows)
+
+
 def test_manifest_n_clusters_updated(spark, tmp_path):
     from rag_vertex_ai_vector_search_spark.plans.manifest import (
         IndexManifest,
