@@ -115,17 +115,21 @@ def _streaming_minhash_production(spark, sf_dir):
                     1
                 ).write.mode("append").parquet(src)
                 q.processAllAvailable()
+            last = q.lastProgress
         finally:
             q.stop()
-        kept = spark.read.parquet(f"{work}/out")
-        n_epochs = kept.select("_epoch").distinct().count()
-        if n_epochs != 3:
+        # Guard on the BATCH count, not on out-table epochs: at 10x the
+        # epoch-shifted near-dup variants mean batches 1-2 legitimately
+        # keep ZERO rows (every doc near-dups a batch-0 keeper), and an
+        # empty dynamic-overwrite partition writes no epoch dir -- but a
+        # split epoch would still show up as batchId > 2.
+        if last is None or int(last["batchId"]) != 2:
             raise RuntimeError(
-                f"scale-curve stream produced {n_epochs} micro-batches; "
-                "expected exactly 3 (one per doc_id % 3 group) -- a split "
-                "epoch would change the cross-batch dedup workload measured"
+                "scale-curve stream ran "
+                f"{(int(last['batchId']) + 1) if last else 0} micro-"
+                "batches; expected exactly 3 (one per doc_id % 3 group)"
             )
-        return kept.localCheckpoint(eager=True)
+        return spark.read.parquet(f"{work}/out").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
