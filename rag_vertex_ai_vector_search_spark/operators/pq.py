@@ -752,26 +752,82 @@ def ivf_pq_search(
     SparkContext.broadcast (request-scale); "cogroup" keeps queries
     distributed end-to-end (data-scale, no driver collect).
 
+    Probe assignment is path-matched to where the query matrix lives
+    (r11, the ivf_search gemm-path economics applied to the cascade):
+    the broadcast path collects the query set to the driver anyway, so
+    probes compute driver-side in numpy (_probe_assign_np -- the same
+    function the executor UDF wraps, so rankings are identical) and
+    the whole pre-ADC stage is ONE cheap collect instead of two
+    probe-UDF jobs (the old path ran the UDF once for the distinct
+    probed-leaf collect and again inside pq_topk's query collect --
+    at request scale those job launches dominate the serving latency).
+    The cogroup path keeps the executor-side UDF so the query set
+    never touches the driver; its one collect stays the bounded
+    distinct probed-cluster-id set.
+
     Recall compounds (probe recall x ADC recall recovered by rerank) --
     gated in tests/test_pq.py on clustered data.
     """
-    from .ivf import _probe_assign_udf
+    from .ivf import _probe_assign_np, _probe_assign_udf
+    from .knn import _resolve_query_method
 
+    method = _resolve_query_method(
+        queries_df, method, small="broadcast", large="cogroup",
+        threshold=auto_threshold,
+    )
     n_clusters = ivf_index.centroids.shape[0]
     nprobe = max(1, int(round(n_clusters * probe_percent / 100.0)))
-    probed_q = queries_df.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("query_vector"),
-    ).withColumn(
-        "_probe",
-        _probe_assign_udf(ivf_index.centroids, nprobe)(F.col("query_vector")),
-    )
-    # Static prune: union of probed leaves, <= n_clusters ints no
-    # matter the query count (bounded collect, same as ivf_search).
-    all_probed = sorted(
-        r[0] for r in
-        probed_q.select(F.explode("_probe").alias("c")).distinct().collect()
-    )
+    if method == "broadcast":
+        # driver-side probes: one collect, zero probe-UDF jobs. The
+        # float32 -> float64 vector materialization is exact, and the
+        # rerank's fold casts to double anyway, so scores are
+        # bit-identical to the UDF path.
+        rows = queries_df.select(
+            F.col(query_id_col), F.col(query_vec_col)
+        ).collect()
+        spark = queries_df.sparkSession
+        schema = T.StructType([
+            T.StructField(
+                "query_id", queries_df.schema[query_id_col].dataType
+            ),
+            T.StructField(
+                "query_vector", T.ArrayType(T.DoubleType())
+            ),
+            T.StructField("_probe", T.ArrayType(T.IntegerType())),
+        ])
+        if rows:
+            qmat = np.asarray([r[1] for r in rows], dtype=np.float64)
+            probes = _probe_assign_np(qmat, ivf_index.centroids, nprobe)
+            probed_q = spark.createDataFrame(
+                [
+                    (r[0], [float(x) for x in r[1]],
+                     [int(c) for c in p])
+                    for r, p in zip(rows, probes)
+                ],
+                schema,
+            )
+            all_probed = sorted({int(c) for p in probes for c in p})
+        else:
+            probed_q = spark.createDataFrame([], schema)
+            all_probed = []
+    else:
+        probed_q = queries_df.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("query_vector"),
+        ).withColumn(
+            "_probe",
+            _probe_assign_udf(ivf_index.centroids, nprobe)(
+                F.col("query_vector")
+            ),
+        )
+        # Static prune: union of probed leaves, <= n_clusters ints no
+        # matter the query count (bounded collect, same as ivf_search).
+        all_probed = sorted(
+            r[0] for r in
+            probed_q.select(
+                F.explode("_probe").alias("c")
+            ).distinct().collect()
+        )
     candidates = PQIndex(
         codes=pq_index.codes.filter(F.col("cluster_id").isin(all_probed)),
         books=pq_index.books,
