@@ -820,6 +820,80 @@ FROM cells
 """
 
 
+def q_gif_animation_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gates the GIF ANIMATION pipeline (r11, extending the
+    lossless-codec gate family): closed-form frames with deterministic
+    TRANSPARENT pixels (multimodal/synthesis.py::_gif_anim_frames) are
+    encoded as a real GIF89a animation (NETSCAPE loop, per-frame
+    graphic control, disposal=1) and decoded through the real
+    LZW + composition loop (gif.py::iter_gif_frames) -- a transparent
+    pixel must show the PREVIOUS composed frame's value through, so
+    the composed canvas is non-trivial yet exactly SQL-predictable:
+    composed(j) = g_j where opaque else composed(j-1), a 4-stage CASE
+    chain in the mirror. Frame-indexed integer block sums
+    (extract_animation_block_sums) make every output cell scalar and
+    bit-comparable. Archive-gated (window at capacity; the static
+    lossless gate multimodal_features_lossless is the declared
+    sibling)."""
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        extract_animation_block_sums,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        synthesize_gif_animations,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 12
+    ).select("doc_id")
+    media = synthesize_gif_animations(fan_out(docs))
+    return extract_animation_block_sums(media, n_blocks=8)
+
+
+# Mirror of _gif_anim_frames + the disposal-1/transparency composition:
+# g_j(y,x) = (x*(3+s%5) + y*(2+s%3) + 7s + 37j) % 254; for j >= 1 the
+# pixel is TRANSPARENT where (7x + 11y + 13j + s) % 5 = 0, so the
+# composed value chains: c0 = g0, c_j = CASE WHEN transparent_j THEN
+# c_{j-1} ELSE g_j END. GIF decodes through the palette to RGB, so a
+# gray canvas mirrors as three identical channels.
+_SQL_GIF_ANIMATION = """
+WITH seeds AS (SELECT doc_id AS s FROM documents WHERE doc_id < 12),
+px AS (
+  SELECT s, y, x, x // 4 AS blk,
+    (x*(3 + s%5) + y*(2 + s%3) + 7*s) % 254 AS g0,
+    (x*(3 + s%5) + y*(2 + s%3) + 7*s + 37) % 254 AS g1,
+    (x*(3 + s%5) + y*(2 + s%3) + 7*s + 74) % 254 AS g2,
+    (x*(3 + s%5) + y*(2 + s%3) + 7*s + 111) % 254 AS g3,
+    ((7*x + 11*y + 13 + s) % 5 = 0) AS t1,
+    ((7*x + 11*y + 26 + s) % 5 = 0) AS t2,
+    ((7*x + 11*y + 39 + s) % 5 = 0) AS t3
+  FROM seeds, range(24) _y(y), range(32) _x(x)
+),
+comp AS (
+  SELECT s, blk, g0 AS c0,
+    CASE WHEN t1 THEN g0 ELSE g1 END AS c1,
+    CASE WHEN t2 THEN (CASE WHEN t1 THEN g0 ELSE g1 END) ELSE g2 END AS c2,
+    CASE WHEN t3 THEN (
+      CASE WHEN t2 THEN (CASE WHEN t1 THEN g0 ELSE g1 END) ELSE g2 END
+    ) ELSE g3 END AS c3
+  FROM px
+),
+sums AS (
+  SELECT s, 0 AS fi, blk, CAST(sum(c0) AS BIGINT) AS v
+  FROM comp GROUP BY s, blk
+  UNION ALL
+  SELECT s, 1, blk, CAST(sum(c1) AS BIGINT) FROM comp GROUP BY s, blk
+  UNION ALL
+  SELECT s, 2, blk, CAST(sum(c2) AS BIGINT) FROM comp GROUP BY s, blk
+  UNION ALL
+  SELECT s, 3, blk, CAST(sum(c3) AS BIGINT) FROM comp GROUP BY s, blk
+)
+SELECT s AS doc_id, CAST(fi AS BIGINT) AS frame_index,
+       CAST(ch AS BIGINT) AS channel, CAST(blk AS BIGINT) AS block,
+       v AS qvalue
+FROM sums, range(3) _c(ch)
+"""
+
+
 def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: dense kNN (doc 5's embedding) + lexical BM25
     fused by reciprocal-rank fusion (operators/fusion.py, RRF k=60).
@@ -8629,9 +8703,17 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ann_recall_pq; the realistic lossy configuration remains here
     (rows-only: its pruned ADC ranking is not SQL-decodable by
     construction) and keeps its bench entry.
+
+    r11-NEW archive entry (never declared -- the window is at
+    capacity): gif_animation_lossless, the GIF ANIMATION composition
+    gate (closed-form frames with deterministic transparent pixels;
+    the composed canvas -- last opaque frame's value per pixel --
+    mirrors as a 4-stage CASE chain while Spark earns it through the
+    real LZW + disposal-1 composition loop).
     """
     return {
         "knn_pq_rerank": q_knn_pq_rerank,
+        "gif_animation_lossless": q_gif_animation_lossless,
         "hll_token_cardinality": q_hll_token_cardinality,
         "lm_trigram_surprisal": q_lm_trigram_surprisal,
         "dsir_importance": q_dsir_importance,
@@ -8765,6 +8847,7 @@ def oracle_sql_archive() -> dict[str, str]:
     """Oracles for queries_archive() -- run by tests/test_oracle_parity.py
     (not the driver) so the rotated queries stay bit-exact-verified."""
     return {
+        "gif_animation_lossless": _SQL_GIF_ANIMATION,
         "hll_token_cardinality": _SQL_HLL_TOKENS,
         "lm_trigram_surprisal": _sql_lm_trigram_surprisal(),
         "dsir_importance": _SQL_DSIR,

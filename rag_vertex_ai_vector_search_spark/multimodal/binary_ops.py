@@ -1108,3 +1108,55 @@ def extract_media_block_sums(
             )
 
     return df.mapInPandas(_sums, out_schema)
+
+
+def extract_animation_block_sums(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Frame-indexed integer block sums over COMPOSED animation frames
+    (iter_gif_frames: each yielded frame is the canvas after honoring
+    the previous frame's disposal and the current frame's transparent
+    pixels). The animation-composition analog of
+    extract_media_block_sums: for synthesize_gif_animations content
+    every composed pixel is closed-form (last opaque frame's value),
+    so the whole output is SQL-predictable while Spark earns it through
+    the real LZW decode + composition loop."""
+    from .gif import iter_gif_frames
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, frame_index bigint, channel bigint, "
+        "block bigint, qvalue bigint"
+    )
+
+    def _sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rid_o, fr_o, ch_o, blk_o, val_o = [], [], [], [], []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                data = bytes(content) if content is not None else b""
+                for j, frame in enumerate(iter_gif_frames(data)):
+                    arr = np.asarray(frame, dtype=np.int64)
+                    if arr.ndim == 2:
+                        arr = arr[:, :, None]
+                    band = max(1, arr.shape[1] // n_blocks)
+                    for ch in range(arr.shape[2]):
+                        for b in range(n_blocks):
+                            rid_o.append(rid)
+                            fr_o.append(j)
+                            ch_o.append(ch)
+                            blk_o.append(b)
+                            val_o.append(int(
+                                arr[:, b * band:(b + 1) * band, ch].sum()
+                            ))
+            yield pd.DataFrame(
+                {
+                    id_col: rid_o, "frame_index": fr_o, "channel": ch_o,
+                    "block": blk_o, "qvalue": val_o,
+                }
+            )
+
+    return df.mapInPandas(_sums, out_schema)

@@ -195,6 +195,63 @@ LOSSLESS_MODALITIES = (
     "image/png", "image/gif", "audio/wav", "audio/flac",
 )
 
+GIF_ANIM_TRANSPARENT = 255  # reserved gray value -> transparent index
+
+
+def _gif_anim_frames(seed: int, n_frames: int = 4) -> list[np.ndarray]:
+    """Closed-form animation frames for the GIF composition gate:
+    frame j's gray value is (x*(3+s%5) + y*(2+s%3) + 7s + 37j) % 254
+    (range 0..253 -- 255 is the reserved transparent value), and for
+    j >= 1 pixels where (7x + 11y + 13j + s) % 5 == 0 are TRANSPARENT,
+    so the composed frame keeps the previous frame's pixel there --
+    the disposal-1 + transparency composition is non-trivial AND
+    SQL-predictable (composed(j) = last opaque frame's value)."""
+    yy, xx = np.meshgrid(np.arange(24), np.arange(32), indexing="ij")
+    frames = []
+    for j in range(n_frames):
+        g = (
+            xx * (3 + seed % 5) + yy * (2 + seed % 3) + 7 * seed + 37 * j
+        ) % 254
+        g = g.astype(np.uint8)
+        if j >= 1:
+            mask = (7 * xx + 11 * yy + 13 * j + seed) % 5 == 0
+            g = np.where(mask, np.uint8(GIF_ANIM_TRANSPARENT), g)
+        frames.append(g.astype(np.uint8))
+    return frames
+
+
+def synthesize_gif_animations(
+    df: DataFrame, *, id_col: str = "doc_id", n_frames: int = 4
+) -> DataFrame:
+    """One animated GIF per row (closed-form frames + transparency --
+    see _gif_anim_frames): the hash-gateable face of the GIF ANIMATION
+    pipeline (NETSCAPE loop, per-frame graphic control, disposal-1
+    composition with transparent pixels showing through)."""
+    from .gif import encode_gif
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, media_type string, content binary"
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, blobs = [], [], []
+            for rid in pdf[id_col]:
+                blob = encode_gif(
+                    _gif_anim_frames(int(rid), n_frames),
+                    transparent_color=(
+                        GIF_ANIM_TRANSPARENT,
+                    ) * 3,
+                    disposal=1,
+                )
+                ids.append(rid)
+                types.append("image/gif")
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {id_col: ids, "media_type": types, "content": blobs}
+            )
+
+    return df.select(id_col).mapInPandas(_synth, out_schema)
+
 
 def synthesize_media_lossless(df: DataFrame, *, id_col: str = "doc_id"):
     """Lossless-format synthesis whose DECODED content is closed-form
