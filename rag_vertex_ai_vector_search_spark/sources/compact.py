@@ -139,7 +139,17 @@ def compact_parquet(
     writer = df.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
-    writer.parquet(tmp)
+    try:
+        writer.parquet(tmp)
+    except Exception:
+        # Until the pending marker exists, tmp is exclusively ours and
+        # invisible to the resume protocol ("none" -- no marker), so a
+        # failed/aborted rewrite would orphan a table-sized dir until
+        # age-gated GC reaps it. Reap it now.
+        fs, jtmp = _fs_and_path(spark, tmp)
+        if fs.exists(jtmp):
+            fs.delete(jtmp, True)
+        raise
 
     fs, jpath = _fs_and_path(spark, base)
     if abort_if_changed and (
@@ -176,17 +186,29 @@ def _has_inflight_staging(spark: SparkSession, path: str) -> bool:
     ``_temporary`` / ``.spark-staging-*`` attempt dir exists). The
     listing snapshot only sees COMMITTED files -- an uncommitted job
     started after the snapshot would otherwise have its staging dir
-    renamed away with the old table and its commit silently lost."""
+    renamed away with the old table and its commit silently lost.
+
+    Walks the whole subtree (recursive listing of directory names),
+    not just the table root: a writer targeting a partition path
+    directly (``.../table/_bucket=3``) stages its attempt dir one
+    level down, and dynamic-overwrite jobs nest ``_temporary`` under
+    partition dirs."""
     fs, jpath = _fs_and_path(spark, path)
     if not fs.exists(jpath):
         return False
-    for status in fs.listStatus(jpath):
-        name = status.getPath().getName()
-        if status.isDirectory() and (
-            name == "_temporary" or name.startswith(".spark-staging")
-        ):
-            return True
-    return False
+
+    def _walk(jdir) -> bool:
+        for status in fs.listStatus(jdir):
+            if not status.isDirectory():
+                continue
+            name = status.getPath().getName()
+            if name == "_temporary" or name.startswith(".spark-staging"):
+                return True
+            if _walk(status.getPath()):
+                return True
+        return False
+
+    return _walk(jpath)
 
 
 def resume_pending_compact(spark: SparkSession, path: str) -> str:

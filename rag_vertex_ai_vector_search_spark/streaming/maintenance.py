@@ -85,7 +85,10 @@ def maintain_index(
     - ``files_before`` / ``files_after``: data-file counts around the
       compaction step; ``compacted`` is True when the count dropped
       (False also covers a live-mode optimistic abort -- retried by
-      the next pass).
+      the next pass). ``compact_error`` / ``drift_error`` carry the
+      repr of any live-mode swallowed exception (None when clean), so
+      a persistent real fault is distinguishable from an optimistic
+      abort in the report.
     - ``recluster_needed`` / ``recluster_ran`` / ``recluster_deferred``:
       the drift verdict and what was done about it. Deferral reasons:
       a live writer (see module docstring) or ``centroids`` not
@@ -128,14 +131,22 @@ def maintain_index(
             partition_cols=parts,
             abort_if_changed=writer_active,
         )
-    except Exception:  # noqa: BLE001 -- live-mode optimistic degrade
+    except Exception as exc:  # noqa: BLE001 -- live-mode optimistic degrade
         if not writer_active:
             raise
-        compact_error = "compaction aborted by concurrent writer"
+        # Keep the exception text: an optimistic abort (stale listing,
+        # FileNotFound mid-scan) and a persistent real fault (corrupt
+        # footer, permissions) land here alike, and the report is the
+        # only place an operator can tell them apart.
+        compact_error = (
+            f"compaction failed under live writer (aborted, will "
+            f"retry next pass): {exc!r}"
+        )
         files_after = table_file_stats(spark, index_path)[0]
 
     # 4. drift observation (read-only; same live-mode degrade).
     needed = False
+    drift_error = None
     if centroids is not None:
         try:
             report_df = cluster_drift_report(
@@ -146,9 +157,13 @@ def maintain_index(
                 max_leaf_rows=max_leaf_rows,
                 max_drift_fraction=max_drift_fraction,
             )
-        except Exception:  # noqa: BLE001 -- live-mode optimistic degrade
+        except Exception as exc:  # noqa: BLE001 -- live-mode degrade
             if not writer_active:
                 raise
+            # needed=False is a DEGRADED verdict, not a healthy one --
+            # surface the swallowed error so a persistently failing
+            # drift read can't report a healthy index forever.
+            drift_error = f"drift observation failed under live writer: {exc!r}"
             needed = False
 
     # 5. rebalance, only in a writer-paused window.
@@ -173,6 +188,7 @@ def maintain_index(
         "files_after": int(files_after),
         "compacted": files_after < files_before,
         "compact_error": compact_error,
+        "drift_error": drift_error,
         "recluster_needed": bool(needed),
         "recluster_ran": ran,
         "recluster_deferred": bool(needed and not ran),

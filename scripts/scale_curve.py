@@ -196,7 +196,6 @@ def _streaming_dedup_exact_production(spark, sf_dir):
     import datetime as _dt
     import shutil
     import tempfile
-    import uuid
 
     from pyspark.sql import functions as F
 
@@ -209,7 +208,6 @@ def _streaming_dedup_exact_production(spark, sf_dir):
     t0 = _dt.datetime(2024, 6, 1)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     work = tempfile.mkdtemp(prefix="scale_dedupx_")
-    qname = f"scale_dedupx_{uuid.uuid4().hex}"
     try:
         src = f"{work}/src"
         out = f"{work}/out"
