@@ -736,20 +736,24 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features_lossless(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Hash-gates the LOSSLESS multimodal decode path (VERDICT r10 #5):
-    synthesize PNG/GIF/WAV/FLAC whose decoded content is CLOSED-FORM
+    """Hash-gates the LOSSLESS multimodal decode path (VERDICT r10 #5;
+    JPEG SOF3 member added r12 per VERDICT r11 #1): synthesize
+    PNG/GIF/JPEG-SOF3/WAV/FLAC whose decoded content is CLOSED-FORM
     integer arithmetic in doc_id (multimodal/synthesis.py::
     synthesize_media_lossless -- no RNG, unlike the rows-only
     multimodal_features fixtures), decode through the REAL codecs on
     executors, and emit exact integer per-channel column/frame-band
     sums (extract_media_block_sums). The DuckDB oracle predicts every
     value from the generator formula without decoding anything, so a
-    regression anywhere in the four codec pipelines (PNG zlib inflate/
-    unfilter incl. RGB, GIF LZW incl. INTERLACED rasters, WAV PCM
+    regression anywhere in the five codec pipelines (PNG zlib inflate/
+    unfilter incl. RGB, GIF LZW incl. INTERLACED rasters, JPEG SOF3
+    Huffman entropy decode sweeping all seven T.81 H.1 predictors +
+    RGB interleave + 16-bit precision + point-transform shift, WAV PCM
     stereo framing, FLAC prediction/Rice/stereo decorrelation) flips
     decoded bytes and breaks the hash. The effectively-ungated
-    multimodal surface shrinks to the lossy JPEG path, which keeps its
-    progressive==baseline equality gate in tests/test_multimodal.py."""
+    multimodal surface shrinks to the lossy DCT path alone, which
+    keeps its progressive==baseline equality gate in
+    tests/test_multimodal.py."""
     from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
         extract_media_block_sums,
     )
@@ -775,7 +779,11 @@ WITH seeds AS (SELECT doc_id AS s FROM documents WHERE doc_id < 12),
 px AS (
   SELECT s, y, x, x // 4 AS blk,
     (x*(3 + s%5) + y*(2 + s%3) + 7*s) % 256 AS r,
-    (((x - s%7 + 32) % 32)*(3 + s%5) + y*(2 + s%3) + 7*s) % 256 AS grn
+    (((x - s%7 + 32) % 32)*(3 + s%5) + y*(2 + s%3) + 7*s) % 256 AS grn,
+    -- the JPEG member's raster: +11 shift of gray (cross-wiring guard)
+    (x*(3 + s%5) + y*(2 + s%3) + 7*s + 11) % 256 AS rj,
+    (((x - s%7 + 32) % 32)*(3 + s%5) + y*(2 + s%3) + 7*s + 11) % 256
+      AS grnj
   FROM seeds, range(24) _y(y), range(32) _x(x)
 ),
 pcm AS (
@@ -801,6 +809,20 @@ cells AS (
   -- raster comes back as three identical channels
   SELECT s, 'image/gif', gc, blk, CAST(sum(r) AS BIGINT)
   FROM px, range(3) _c(gc) GROUP BY s, gc, blk
+  UNION ALL
+  -- JPEG SOF3 (r12): RGB interleave for even seeds, 8-bit gray for
+  -- s%4==1, 16-bit gray with point_transform=1 for s%4==3 (decoded
+  -- value = v - v%2 with v = gray*257 and 257 odd => v%2 = gray%2)
+  SELECT s, 'image/jpeg', 0, blk,
+         CAST(sum(CASE WHEN s % 4 = 3
+                       THEN rj*257 - rj%2 ELSE rj END) AS BIGINT)
+  FROM px GROUP BY s, blk
+  UNION ALL
+  SELECT s, 'image/jpeg', 1, blk, CAST(sum(grnj) AS BIGINT)
+  FROM px WHERE s % 2 = 0 GROUP BY s, blk
+  UNION ALL
+  SELECT s, 'image/jpeg', 2, blk, CAST(sum(255 - rj) AS BIGINT)
+  FROM px WHERE s % 2 = 0 GROUP BY s, blk
   UNION ALL
   SELECT s, 'audio/wav', 0, blk, CAST(sum(pw) AS BIGINT)
   FROM pcm GROUP BY s, blk

@@ -192,7 +192,7 @@ def _lossless_pcm(seed: int, mult: int, offset: int, n: int = 1600):
 
 
 LOSSLESS_MODALITIES = (
-    "image/png", "image/gif", "audio/wav", "audio/flac",
+    "image/png", "image/gif", "image/jpeg", "audio/wav", "audio/flac",
 )
 
 GIF_ANIM_TRANSPARENT = 255  # reserved gray value -> transparent index
@@ -253,24 +253,40 @@ def synthesize_gif_animations(
     return df.select(id_col).mapInPandas(_synth, out_schema)
 
 
+def _lossless_gray_jpeg(seed: int) -> np.ndarray:
+    """The JPEG member's raster: _lossless_gray shifted by +11 so a
+    content cross-wiring bug (PNG bytes under media_type image/jpeg or
+    vice versa) changes sums and breaks the hash."""
+    yy, xx = np.meshgrid(np.arange(24), np.arange(32), indexing="ij")
+    return (
+        (xx * (3 + seed % 5) + yy * (2 + seed % 3) + 7 * seed + 11) % 256
+    ).astype(np.uint8)
+
+
 def synthesize_media_lossless(df: DataFrame, *, id_col: str = "doc_id"):
     """Lossless-format synthesis whose DECODED content is closed-form
     in the id (VERDICT r10 #5): every pixel and PCM sample is pure
     integer arithmetic in (seed, position), so a SQL oracle predicts
     the decoded values without decoding anything, while the Spark side
     must EARN them through the real encode->decode codec pipeline --
-    a regression in any of the four lossless codecs (PNG zlib/filter,
-    GIF LZW incl. interlace, WAV PCM framing, FLAC prediction/Rice/
-    stereo decorrelation) changes decoded values and breaks the hash.
+    a regression in any of the five lossless codecs (PNG zlib/filter,
+    GIF LZW incl. interlace, JPEG SOF3 Huffman/predictors, WAV PCM
+    framing, FLAC prediction/Rice/stereo decorrelation) changes
+    decoded values and breaks the hash.
 
     Per seed: PNG (RGB when even -- gates the roll/invert channels --
-    gray when odd), GIF (gray; INTERLACED when odd), WAV (16-bit PCM,
-    stereo when odd, same signal per channel), FLAC (mono when even,
-    TWO-SIGNAL stereo when odd -- gates decorrelation).
+    gray when odd), GIF (gray; INTERLACED when odd), JPEG SOF3
+    (predictor = 1 + seed % 7, so 12 seeds sweep all seven T.81 H.1
+    predictors; RGB interleave when even, 8-bit gray when seed%4==1,
+    16-bit gray with point_transform=1 when seed%4==3 -- the Pt shift
+    is closed-form: decoded = v - v%2), WAV (16-bit PCM, stereo when
+    odd, same signal per channel), FLAC (mono when even, TWO-SIGNAL
+    stereo when odd -- gates decorrelation).
     """
     from .binary_ops import encode_png
     from .flac import encode_flac
     from .gif import encode_gif
+    from .jpeg import encode_jpeg_lossless
 
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, media_type string, content binary"
@@ -287,6 +303,23 @@ def synthesize_media_lossless(df: DataFrame, *, id_col: str = "doc_id"):
                 gif = encode_gif(
                     _lossless_gray(seed), interlace=seed % 2 == 1
                 )
+                gj = _lossless_gray_jpeg(seed)
+                if seed % 2 == 0:
+                    jraster = np.stack(
+                        [gj, np.roll(gj, seed % 7, axis=1), 255 - gj],
+                        axis=2,
+                    ).astype(np.uint8)
+                    jpg = encode_jpeg_lossless(
+                        jraster, predictor=1 + seed % 7
+                    )
+                elif seed % 4 == 1:
+                    jpg = encode_jpeg_lossless(gj, predictor=1 + seed % 7)
+                else:  # seed % 4 == 3: 16-bit + point transform
+                    jpg = encode_jpeg_lossless(
+                        (gj.astype(np.uint16) * 257),
+                        predictor=1 + seed % 7,
+                        point_transform=1,
+                    )
                 pcm_w = _lossless_pcm(seed, 37 + seed % 11, seed)
                 ch = 1 + seed % 2
                 frames = np.repeat(
@@ -308,6 +341,7 @@ def synthesize_media_lossless(df: DataFrame, *, id_col: str = "doc_id"):
                 flac = encode_flac(pcm_f, sample_rate=8000)
                 for mt, blob in (
                     ("image/png", png), ("image/gif", gif),
+                    ("image/jpeg", jpg),
                     ("audio/wav", wav), ("audio/flac", flac),
                 ):
                     ids.append(rid)

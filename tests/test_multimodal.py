@@ -1320,3 +1320,41 @@ def test_decode_skip_malformed_g711_and_short_riff(spark):
     assert got["g_bad"] == DECODE_CORRUPT
     assert got["r_short"] == DECODE_CORRUPT
     assert got["r_avi"] == DECODE_UNSUPPORTED
+
+
+def test_lossless_jpeg_member_matches_generator_formula():
+    """The r12 SOF3 member of synthesize_media_lossless: each seed
+    class (RGB even / 8-bit gray s%4==1 / 16-bit+Pt=1 s%4==3) must
+    decode to EXACTLY the closed-form raster the DuckDB oracle
+    predicts -- including the Pt shift (decoded = v - v%2). Pure
+    numpy; the Spark-side e2e gate is the declared
+    multimodal_features_lossless parity row."""
+    from rag_vertex_ai_vector_search_spark.multimodal.jpeg import (
+        decode_jpeg_baseline, encode_jpeg_lossless,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        _lossless_gray_jpeg,
+    )
+
+    for seed in range(12):
+        gj = _lossless_gray_jpeg(seed).astype(np.int64)
+        pred = 1 + seed % 7
+        if seed % 2 == 0:
+            img = np.stack(
+                [gj, np.roll(gj, seed % 7, axis=1), 255 - gj], axis=2
+            ).astype(np.uint8)
+            expect = img.astype(np.int64)
+            blob = encode_jpeg_lossless(img, predictor=pred)
+        elif seed % 4 == 1:
+            blob = encode_jpeg_lossless(
+                gj.astype(np.uint8), predictor=pred
+            )
+            expect = gj
+        else:
+            v = gj * 257
+            blob = encode_jpeg_lossless(
+                v.astype(np.uint16), predictor=pred, point_transform=1
+            )
+            expect = v - v % 2
+        out = decode_jpeg_baseline(blob).astype(np.int64)
+        assert np.array_equal(out, expect), seed
