@@ -550,7 +550,8 @@ def q_knn_pq_full_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of codebook quality -- the knn_topk oracle then checks
     the whole PQ pipeline (training determinism, binary encoding, LUT
     gather scoring, local top-k, broadcast rerank join, fold scoring,
-    window). The lossy realistic config stays rows-only above."""
+    window). The lossy realistic restrict+crowding config carries its
+    own pinned-quantizer hash gate since r12 (knn_pq_restrict_crowding)."""
     from rag_vertex_ai_vector_search_spark.operators.pq import (
         encode_pq, pq_search_rerank, train_pq,
     )
@@ -583,17 +584,39 @@ def q_knn_pq_restrict_crowding(spark: SparkSession, sf_dir: str) -> DataFrame:
     into every datapoint of the index (setup_vector_search.py:43-77),
     so the production query filters and diversifies INSIDE the ANN
     traversal, not over a brute-force scan. Realistic config: 25% leaf
-    probe, lossy ADC shortlist, restrict pushed to the code-table scan,
-    crowding on the exact reranked scores. Approximate -> rows-only
-    check; the provably-exact sibling below carries the hash gate, and
-    batch-composition invariance is tested in tests/test_pq.py."""
+    probe (nprobe=4 of 16), GENUINELY LOSSY ADC shortlist of 100,
+    restrict pushed to the code-table scan, crowding on the exact
+    reranked scores.
+
+    Hash-green since r12 (VERDICT r11 #5): both quantizers are pinned
+    to corpus rows vec_id < 16 (build_ivf_index(centroids=...) +
+    codebooks_from_vectors -- the FAISS pre-trained-quantizer pattern,
+    same recipe as ann_recall_ivf / ann_recall_pq), so coarse
+    assignment, probe ranking, encode, the per-query-masked ADC
+    shortlist, the fold rerank and the two crowding windows are ALL
+    closed-form and the entire lossy serving composition mirrors in
+    one SQL oracle. train_pq's iterative Lloyd's stays declared-gated
+    through knn_pq_full_rerank; the provably-exact sibling below keeps
+    gating the probe=100%/full-shortlist identity."""
+    import numpy as np
+
     from rag_vertex_ai_vector_search_spark.operators.pq import (
-        encode_pq, ivf_pq_search, train_pq,
+        codebooks_from_vectors, encode_pq, ivf_pq_search,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    index = build_ivf_index(emb, n_clusters=16)
-    books = train_pq(emb, m=16, ksub=64, iters=8, sample_rows=4096)
+    seeds = np.asarray(
+        [
+            r[0]
+            for r in emb.filter(F.col("vec_id") < 16)
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    index = build_ivf_index(emb, centroids=seeds)
+    books = codebooks_from_vectors(seeds, m=8)
     pq_index = encode_pq(
         index.assigned, books, keep_cols=("cluster_id", "label")
     )
@@ -607,6 +630,100 @@ def q_knn_pq_restrict_crowding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("rank").cast("long").alias("rank"),
         "neighbor_id", "score", "label",
     )
+
+
+# The lossy restricted+crowded cascade with pinned quantizers, as one
+# mirror: assignment/probes are euclidean argmin against the 16 seed
+# rows (ties toward lower cid == numpy first-minimal-index), encode is
+# per-subspace argmin over the same seeds' 8-dim slices, the ADC
+# shortlist of 100 is per-query masked to its 4 probed leaves AND
+# restrict-filtered pre-ADC (label IN (1,2,3), vec_id >= 100), rerank
+# is the exact fold dot, crowding is the two-window row_number chain.
+_SQL_KNN_PQ_RESTRICT_CROWDING = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+restricted AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS ev
+  FROM embeddings WHERE label IN (1, 2, 3) AND vec_id >= 100
+),
+assign AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT r.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY r.vec_id
+             ORDER BY list_dot_product(c.cv, c.cv)
+                      - 2 * list_dot_product(r.ev, c.cv) ASC,
+                      c.cid ASC) AS rn
+    FROM restricted r CROSS JOIN cents c) WHERE rn = 1
+),
+entries AS (
+  SELECT s.cid, t.j, list_slice(s.cv, t.j * 8 + 1, t.j * 8 + 8) AS ev
+  FROM cents s CROSS JOIN range(8) t(j)
+),
+codes AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT r.vec_id, en.j, en.cid,
+           row_number() OVER (
+             PARTITION BY r.vec_id, en.j
+             ORDER BY list_dot_product(en.ev, en.ev)
+                      - 2 * list_dot_product(
+                          list_slice(r.ev, en.j * 8 + 1, en.j * 8 + 8),
+                          en.ev) ASC,
+                      en.cid ASC) AS rn
+    FROM restricted r CROSS JOIN entries en) WHERE rn = 1
+),
+recon AS (
+  SELECT c.vec_id, flatten(list(en.ev ORDER BY c.j ASC)) AS rv
+  FROM codes c JOIN entries en ON en.cid = c.cid AND en.j = c.j
+  GROUP BY c.vec_id
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 8
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(c.cv, c.cv)
+                      - 2 * list_dot_product(q.qv, c.cv) ASC,
+                      c.cid ASC) AS rn
+    FROM q CROSS JOIN cents c) WHERE rn <= 4
+),
+shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, r.vec_id,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY list_dot_product(q.qv, r.rv) DESC,
+                      r.vec_id ASC) AS rn
+    FROM probes p
+    JOIN assign a ON a.cluster_id = p.cid
+    JOIN recon r ON r.vec_id = a.vec_id
+    JOIN q ON q.query_id = p.query_id) WHERE rn <= 100
+),
+scored AS (
+  SELECT s.query_id, r.vec_id AS neighbor_id, r.label,
+         list_dot_product(q.qv, r.ev) AS score
+  FROM shortlist s
+  JOIN restricted r ON r.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+),
+crowded AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id, label ORDER BY score DESC, neighbor_id ASC) AS crn
+  FROM scored
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM crowded WHERE crn <= 2
+)
+SELECT query_id, rank, neighbor_id, score, label FROM ranked WHERE rank <= 5
+"""
 
 
 def q_knn_pq_restrict_crowding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8835,7 +8952,7 @@ def oracle_sql() -> dict[str, str]:
         "webdataset_roundtrip": _SQL_WEBDATASET_ROUNDTRIP,
         "gopher_quality_gate": _SQL_GOPHER,
         "phrase_search_docs": _sql_phrase_search(),
-        # knn_pq_restrict_crowding: lossy ADC shortlist -> rows-only
+        "knn_pq_restrict_crowding": _SQL_KNN_PQ_RESTRICT_CROWDING,
         "knn_pq_restrict_crowding_exact": _SQL_KNN_PQ_RESTRICT_CROWDING_EXACT,
         "asof_latest_signup": _SQL_ASOF_SIGNUP,
         "knn_hydrated": _SQL_KNN_HYDRATED,
