@@ -93,11 +93,12 @@ def sessionize_with_state(
         })
 
 
-def stream_sessionize(events_stream, checkpoint_dir: str, query_name: str):
-    """Wire the stateful sessionizer onto an events stream
-    (schema: user_id bigint, ts timestamp, ...); returns the started
-    StreamingQuery writing closed sessions to a memory sink."""
-    out = (
+def sessionized(events_stream):
+    """The stateful-sessionizer transformation alone (watermark +
+    applyInPandasWithState), sink-agnostic -- shared by the memory-sink
+    helper below and the fault-tolerant parquet-sink variant the
+    checkpoint-restart gates drive."""
+    return (
         events_stream.withWatermark("ts", "30 minutes")
         .groupBy("user_id")
         .applyInPandasWithState(
@@ -108,10 +109,34 @@ def stream_sessionize(events_stream, checkpoint_dir: str, query_name: str):
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_sessionize(events_stream, checkpoint_dir: str, query_name: str):
+    """Wire the stateful sessionizer onto an events stream
+    (schema: user_id bigint, ts timestamp, ...); returns the started
+    StreamingQuery writing closed sessions to a memory sink."""
     return (
-        out.writeStream.outputMode("append")
+        sessionized(events_stream)
+        .writeStream.outputMode("append")
         .format("memory")
         .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def stream_sessionize_to_parquet(
+    events_stream, out_dir: str, checkpoint_dir: str
+):
+    """Same sessionizer, fault-tolerant parquet sink: the restartable
+    production shape (memory sinks cannot recover across query
+    lifetimes; parquet + checkpoint can, which is what
+    tests/test_streaming_recovery.py proves for the per-user state)."""
+    return (
+        sessionized(events_stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

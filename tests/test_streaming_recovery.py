@@ -274,3 +274,179 @@ def test_dedup_state_survives_restart(spark, tmp_path):
     # of 1 and 2) were suppressed BY RESTORED STATE; 4 and 6 passed.
     ids = [d for d, _ in got]
     assert sorted(ids) == [1, 2, 4, 6]
+
+
+# ---- r12: the remaining two state-store execution styles (VERDICT
+# r11 #4) -- the applyInPandasWithState sessionizer and the
+# stream-stream interval join keep their state in the same HDFS-backed
+# store, but their restart path was untested until now.
+
+_EV_SCHEMA = "user_id bigint, ts timestamp"
+
+_SESSION_BATCHES = [
+    # u1 burst (3 events), u2 single event
+    [
+        (1, _ts("2024-01-01 10:00:00")),
+        (1, _ts("2024-01-01 10:05:00")),
+        (1, _ts("2024-01-01 10:10:00")),
+        (2, _ts("2024-01-01 10:00:00")),
+    ],
+    # 3h-later u1 event closes u1's first session INLINE and advances
+    # the watermark past u2's event-time timeout (10:30)
+    [(1, _ts("2024-01-01 13:00:00"))],
+    # far-future flush closes u1's 13:00 session inline; whatever it
+    # opens stays pending identically in both runs
+    [
+        (1, _ts("2024-01-01 16:00:00")),
+        (2, _ts("2024-01-01 16:00:00")),
+    ],
+]
+
+
+def _session_emitted(spark, out):
+    return sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    )
+
+
+def test_sessionizer_state_survives_restart(spark, tmp_path):
+    """The applyInPandasWithState per-user state (open session start /
+    last-seen / count) must be restored across restarts: u1's burst is
+    committed in lifetime 1, the query stops, and the 3h-later event in
+    lifetime 2 must close the PRE-RESTART session with the pre-restart
+    start/count; emitted set bit-equals one uninterrupted lifetime."""
+    from rag_vertex_ai_vector_search_spark.streaming.stateful import (
+        stream_sessionize_to_parquet,
+    )
+
+    src = str(tmp_path / "ssrc")
+    out = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+    _write_batch(spark, _SESSION_BATCHES[0], _EV_SCHEMA, src)
+    for i in range(3):  # one query lifetime per batch
+        q = stream_sessionize_to_parquet(
+            spark.readStream.schema(_EV_SCHEMA).parquet(src), out, ckpt
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        if i < 2:
+            _write_batch(spark, _SESSION_BATCHES[i + 1], _EV_SCHEMA, src)
+
+    usrc = str(tmp_path / "susrc")
+    uout = str(tmp_path / "suout")
+    uckpt = str(tmp_path / "suckpt")
+    _write_batch(spark, _SESSION_BATCHES[0], _EV_SCHEMA, usrc)
+    q = stream_sessionize_to_parquet(
+        spark.readStream.schema(_EV_SCHEMA).parquet(usrc), uout, uckpt
+    )
+    try:
+        q.processAllAvailable()
+        for rows in _SESSION_BATCHES[1:]:
+            _write_batch(spark, rows, _EV_SCHEMA, usrc)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = _session_emitted(spark, out)
+    want = _session_emitted(spark, uout)
+    assert got == want
+    # the cross-restart closure itself: u1's first session (opened
+    # lifetime 1, closed lifetime 2) carries the PRE-RESTART start and
+    # count -- the state-store payload, not something re-derivable from
+    # lifetime 2's input
+    assert (
+        1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:10:00"), 3
+    ) in got
+
+
+_ATTRIB_SCHEMA = "event_id bigint, user_id bigint, ts timestamp"
+
+_VIEW_BATCHES = [
+    [
+        (10, 1, _ts("2024-01-01 10:00:00")),
+        (11, 2, _ts("2024-01-01 10:00:00")),
+    ],
+    [(12, 1, _ts("2024-01-01 10:15:00"))],
+    [(13, 2, _ts("2024-01-01 10:20:00"))],
+]
+_CLICK_BATCHES = [
+    [(20, 1, _ts("2024-01-01 10:10:00"))],        # matches view 10
+    # arrives AFTER the restart; matches BOTH pre-restart view 10 and
+    # same-lifetime view 12 -- proves the left-side buffered state
+    # (view 10) survived the stop
+    [(21, 1, _ts("2024-01-01 10:25:00"))],
+    [
+        (22, 2, _ts("2024-01-01 10:25:00")),      # matches views 11, 13
+        (23, 1, _ts("2024-01-01 10:44:00")),      # matches 12 (10 expired horizon)
+    ],
+]
+
+
+def _start_attrib(spark, vsrc, csrc, out, ckpt):
+    from rag_vertex_ai_vector_search_spark.streaming.join import (
+        stream_interval_join,
+    )
+
+    vs = spark.readStream.schema(_ATTRIB_SCHEMA).parquet(vsrc)
+    cs = spark.readStream.schema(_ATTRIB_SCHEMA).parquet(csrc)
+    return (
+        stream_interval_join(vs, cs, horizon="30 minutes")
+        .select("l_event_id", "r_event_id")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+
+def _attrib_emitted(spark, out):
+    return sorted(
+        (r.l_event_id, r.r_event_id)
+        for r in spark.read.parquet(out).collect()
+    )
+
+
+def test_interval_join_state_survives_restart(spark, tmp_path):
+    """Both buffered sides of the stream-stream interval join must be
+    restored across restarts: a click arriving in lifetime 2 still
+    joins a view buffered (and committed) in lifetime 1, and the
+    emitted pair set bit-equals an uninterrupted run."""
+    vsrc, csrc = str(tmp_path / "jv"), str(tmp_path / "jc")
+    out, ckpt = str(tmp_path / "jout"), str(tmp_path / "jckpt")
+    _write_batch(spark, _VIEW_BATCHES[0], _ATTRIB_SCHEMA, vsrc)
+    _write_batch(spark, _CLICK_BATCHES[0], _ATTRIB_SCHEMA, csrc)
+    for i in range(3):  # one query lifetime per batch pair
+        q = _start_attrib(spark, vsrc, csrc, out, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        if i < 2:
+            _write_batch(spark, _VIEW_BATCHES[i + 1], _ATTRIB_SCHEMA, vsrc)
+            _write_batch(spark, _CLICK_BATCHES[i + 1], _ATTRIB_SCHEMA, csrc)
+
+    uvsrc, ucsrc = str(tmp_path / "ujv"), str(tmp_path / "ujc")
+    uout, uckpt = str(tmp_path / "ujout"), str(tmp_path / "ujckpt")
+    _write_batch(spark, _VIEW_BATCHES[0], _ATTRIB_SCHEMA, uvsrc)
+    _write_batch(spark, _CLICK_BATCHES[0], _ATTRIB_SCHEMA, ucsrc)
+    q = _start_attrib(spark, uvsrc, ucsrc, uout, uckpt)
+    try:
+        q.processAllAvailable()
+        for i in range(1, 3):
+            _write_batch(spark, _VIEW_BATCHES[i], _ATTRIB_SCHEMA, uvsrc)
+            _write_batch(spark, _CLICK_BATCHES[i], _ATTRIB_SCHEMA, ucsrc)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = _attrib_emitted(spark, out)
+    want = _attrib_emitted(spark, uout)
+    assert got == want
+    # the cross-restart match itself: click 21 (lifetime 2) joined
+    # view 10 (buffered in lifetime 1) -- restored left-side state
+    assert (10, 21) in got
+    assert (12, 21) in got
