@@ -100,7 +100,16 @@ def maintain_index(
     Idempotent by construction: every step is a no-op on a table the
     previous call left healthy (nothing to heal, nothing aged, file
     count at target, no leaf flagged).
+
+    ``timings`` in the report carries per-step wall seconds (heal_gc /
+    compact / drift / recluster) -- the observability a nightly
+    scheduler needs to see WHERE a pass spends its budget (and what
+    the 10x scale curve records as the GC/compact/recluster split).
     """
+    import time as _time
+
+    timings: dict[str, float] = {}
+    _t0 = _time.perf_counter()
     # 1. heal: an interrupted recluster cleanup is repaired before
     # anything reads the index (the compact-swap heal runs inside gc).
     _resume_pending_cleanup(spark, index_path)
@@ -109,6 +118,8 @@ def maintain_index(
     gc_report = gc_table_path(
         spark, index_path, min_age_seconds=min_age_seconds
     )
+    timings["heal_gc"] = round(_time.perf_counter() - _t0, 3)
+    _t0 = _time.perf_counter()
 
     # 3. small-file compaction, optimistic when a writer is live. In
     # live mode ANY failure degrades to no-op (report the error, let
@@ -143,6 +154,8 @@ def maintain_index(
             f"retry next pass): {exc!r}"
         )
         files_after = table_file_stats(spark, index_path)[0]
+    timings["compact"] = round(_time.perf_counter() - _t0, 3)
+    _t0 = _time.perf_counter()
 
     # 4. drift observation (read-only; same live-mode degrade).
     needed = False
@@ -166,6 +179,9 @@ def maintain_index(
             drift_error = f"drift observation failed under live writer: {exc!r}"
             needed = False
 
+    timings["drift"] = round(_time.perf_counter() - _t0, 3)
+    _t0 = _time.perf_counter()
+
     # 5. rebalance, only in a writer-paused window.
     ran = False
     new_centroids = centroids
@@ -181,6 +197,7 @@ def maintain_index(
             **(recluster_kwargs or {}),
         )
         ran = True
+    timings["recluster"] = round(_time.perf_counter() - _t0, 3)
 
     return {
         "gc": gc_report,
@@ -193,4 +210,5 @@ def maintain_index(
         "recluster_ran": ran,
         "recluster_deferred": bool(needed and not ran),
         "centroids": new_centroids,
+        "timings": timings,
     }
