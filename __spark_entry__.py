@@ -4426,6 +4426,211 @@ def q_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE WordPiece training (operators/tokenizer.py::
+    train_wordpiece, r12 / VERDICT r11 #7 -- the second tokenizer
+    family): 8 greedy merge rounds ranked by the LIKELIHOOD score
+    cnt(pair) / (cnt(left) * cnt(right)) (HF WordPieceTrainer
+    semantics) over '##'-prefixed continuation symbols. Archive-gated.
+
+    Oracle recipe = the proven bpe_train_merges chained-CTE pattern
+    plus one twist per round: a symbol-count CTE joins the denominator
+    terms in, and the argmax orders by the score double -- a ratio of
+    exact integers, so both engines compute the identical IEEE double
+    and (score DESC, pair ASC) is engine-portable. Output carries the
+    integer counts, not the float."""
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        train_wordpiece,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_wordpiece(docs, n_merges=8)
+
+
+def _sql_wordpiece_stage_chain(n_merges: int) -> tuple[str, str]:
+    """(prefix, finals) of the WordPiece train mirror: WITH chain
+    (word counts + '##'-symbolized vocab_0 + n scored merge stages)
+    and the per-stage argmax UNION."""
+    stages = []
+    for k in range(n_merges):
+        stages.append(f"""
+pairs_{k} AS MATERIALIZED (
+  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+    SELECT n,
+           unnest(list_transform(range(1, len(string_split(toks, ' '))),
+             i -> string_split(toks, ' ')[i] || chr(1)
+                  || string_split(toks, ' ')[i + 1])) AS pair
+    FROM vocab_{k} WHERE len(string_split(toks, ' ')) >= 2
+  ) GROUP BY pair
+),
+syms_{k} AS MATERIALIZED (
+  SELECT sym, CAST(sum(n) AS BIGINT) AS cnt FROM (
+    SELECT n, unnest(string_split(toks, ' ')) AS sym FROM vocab_{k}
+  ) GROUP BY sym
+),
+best_{k} AS MATERIALIZED (
+  SELECT l, r,
+         CASE WHEN r LIKE '##%' THEN l || substr(r, 3) ELSE l || r END
+           AS m,
+         pcnt, nl, nr
+  FROM (
+    SELECT string_split(p.pair, chr(1))[1] AS l,
+           string_split(p.pair, chr(1))[2] AS r,
+           p.cnt AS pcnt, sl.cnt AS nl, sr.cnt AS nr, p.pair
+    FROM pairs_{k} p
+    JOIN syms_{k} sl ON sl.sym = string_split(p.pair, chr(1))[1]
+    JOIN syms_{k} sr ON sr.sym = string_split(p.pair, chr(1))[2]
+  )
+  ORDER BY CAST(pcnt AS DOUBLE)
+             / (CAST(nl AS DOUBLE) * CAST(nr AS DOUBLE)) DESC,
+           pair ASC
+  LIMIT 1
+),
+vocab_{k + 1} AS MATERIALIZED (
+  SELECT v.word, v.n,
+    list_reduce(string_split(v.toks, ' '), (acc, s) -> CASE
+      WHEN string_split(acc, ' ')[-1] = b.l AND s = b.r
+      THEN (CASE WHEN len(string_split(acc, ' ')) = 1 THEN ''
+            ELSE array_to_string(list_slice(string_split(acc, ' '), 1,
+                   len(string_split(acc, ' ')) - 1), ' ') || ' ' END)
+           || b.m
+      ELSE acc || ' ' || s END) AS toks
+  FROM vocab_{k} v CROSS JOIN best_{k} b
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS merge_rank, l AS \"left\","
+        f" r AS \"right\", m AS merged, pcnt AS n_pair, nl AS n_left,"
+        f" nr AS n_right FROM best_{k}"
+        for k in range(n_merges)
+    )
+    prefix = f"""
+WITH RECURSIVE words AS (
+  SELECT unnest(string_split({_SQL_NORM}, ' ')) AS word FROM documents
+),
+vocab_0 AS MATERIALIZED (
+  SELECT word,
+         substr(word, 1, 1) || CASE WHEN len(word) > 1
+           THEN ' ##' || array_to_string(
+                  string_split(substr(word, 2), ''), ' ##')
+           ELSE '' END AS toks,
+         CAST(count(*) AS BIGINT) AS n
+  FROM words GROUP BY word
+),{",".join(stages)}
+"""
+    return prefix, finals
+
+
+def _sql_wordpiece_train(n_merges: int = 8) -> str:
+    prefix, finals = _sql_wordpiece_stage_chain(n_merges)
+    return prefix + finals + "\n"
+
+
+def _sql_wordpiece_tokenize(n_merges: int = 8) -> str:
+    """Mirror of wordpiece_tokenize(vocab from train): unlike BPE,
+    WordPiece encoding is NOT merge replay -- it is greedy
+    longest-match-first against the final vocabulary, mirrored as a
+    RECURSIVE CTE: each step's match length is the max vocabulary-body
+    length that prefixes the remaining text (correlated scalar
+    subquery; '##' bodies after the first step), exactly BERT's
+    WordpieceTokenizer loop. Self-corpus encoding can never hit [UNK]
+    (every continuation character of every word is in the alphabet by
+    construction), so the mirror omits the UNK branch -- a violated
+    assumption breaks the hash loudly."""
+    prefix, _finals = _sql_wordpiece_stage_chain(n_merges)
+    merged_union = "\n    UNION ALL\n".join(
+        f"    SELECT m AS sym FROM best_{k}" for k in range(n_merges)
+    )
+    return prefix.rstrip() + f""",
+wp_vocab AS MATERIALIZED (
+  SELECT DISTINCT
+    CASE WHEN sym LIKE '##%' THEN substr(sym, 3) ELSE sym END AS body,
+    (sym LIKE '##%') AS is_cont
+  FROM (
+    SELECT unnest(string_split(toks, ' ')) AS sym FROM vocab_0
+    UNION ALL
+{merged_union}
+  )
+),
+dw AS (SELECT DISTINCT word FROM words),
+seg AS (
+  SELECT word, word AS rest, 0 AS k, CAST(NULL AS VARCHAR) AS tok
+  FROM dw
+  UNION ALL
+  SELECT word,
+         substr(rest, 1 + ml) AS rest,
+         k + 1,
+         (CASE WHEN k > 0 THEN '##' ELSE '' END) || substr(rest, 1, ml)
+           AS tok
+  FROM (
+    -- longest match as join + GROUP BY (a correlated scalar subquery
+    -- inside a recursive CTE evaluates to NULL here -- DuckDB planner
+    -- limitation found r12); a word with NO match drops out, which is
+    -- impossible on self-corpus encoding (every continuation char is
+    -- in the alphabet by construction) -- a violated assumption
+    -- surfaces as a loud row-count mismatch
+    SELECT s.word, s.rest, s.k, max(len(v.body)) AS ml
+    FROM seg s
+    JOIN wp_vocab v
+      ON v.is_cont = (s.k > 0)
+     AND v.body = substr(s.rest, 1, len(v.body))
+    WHERE s.rest <> ''
+    GROUP BY s.word, s.rest, s.k
+  )
+),
+wtoks AS MATERIALIZED (
+  SELECT word, string_agg(tok, ' ' ORDER BY k) AS toks
+  FROM seg WHERE k >= 1
+  GROUP BY word
+),
+pos AS (
+  SELECT doc_id,
+         unnest(string_split({_SQL_NORM}, ' ')) AS word,
+         generate_subscripts(string_split({_SQL_NORM}, ' '), 1) AS pos
+  FROM documents
+),
+tok AS (
+  SELECT p.doc_id, p.pos, w.toks
+  FROM pos p JOIN wtoks w USING (word)
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         string_agg(toks, ' ' ORDER BY pos) AS tokens
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, n_words,
+       CAST(len(string_split(tokens, ' ')) AS BIGINT) AS n_tokens,
+       sha256(tokens) AS tokens_sha
+FROM agg
+"""
+
+
+def q_wordpiece_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full WordPiece lifecycle under one oracle: train 8 merges,
+    derive the final vocabulary (corpus alphabet + merged tokens),
+    then ENCODE every document with greedy longest-match-first
+    (operators/tokenizer.py::wordpiece_tokenize -- the per-DISTINCT-
+    word pandas-UDF path joined back onto positions). Archive-gated;
+    token streams sha256-pinned. The mirror's encode half is a
+    recursive longest-match CTE -- segmentation here is vocabulary-
+    driven, not merge replay, so this gate covers semantics the BPE
+    lifecycle gate cannot."""
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        train_wordpiece,
+        wordpiece_tokenize,
+        wordpiece_vocab,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges_df = train_wordpiece(docs, n_merges=8)
+    vocab = wordpiece_vocab(docs, merges_df)
+    out = wordpiece_tokenize(docs, vocab)
+    return out.select(
+        "doc_id", "n_words", "n_tokens",
+        F.sha2(F.col("tokens"), 256).alias("tokens_sha"),
+    )
+
+
 def q_pagerank_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (operators/graph.py) over a synthesized
     deterministic citation graph on the documents table (doc i links
@@ -8878,6 +9083,8 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_recall_sweep": q_dedup_recall_sweep,
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "bpe_tokenize_corpus": q_bpe_tokenize_corpus,
+        "wordpiece_train_merges": q_wordpiece_train_merges,
+        "wordpiece_tokenize_corpus": q_wordpiece_tokenize_corpus,
         "pagerank_citations": q_pagerank_citations,
         "pagerank_weighted": q_pagerank_weighted,
         "hits_citations": q_hits_citations,
@@ -9010,6 +9217,8 @@ def oracle_sql_archive() -> dict[str, str]:
         "dedup_recall_sweep": _sql_dedup_recall_sweep(),
         "knn_ivf_full_probe": _SQL_KNN_TOPK,
         "bpe_tokenize_corpus": _sql_bpe_tokenize(8),
+        "wordpiece_train_merges": _sql_wordpiece_train(8),
+        "wordpiece_tokenize_corpus": _sql_wordpiece_tokenize(8),
         "pagerank_citations": _sql_pagerank(6),
         "pagerank_weighted": _sql_pagerank_weighted(6),
         "hits_citations": _sql_hits(6),

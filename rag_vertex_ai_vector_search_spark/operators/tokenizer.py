@@ -129,22 +129,26 @@ def bpe_merge_pairs_from_counts(
 _PAIR_SEP = "\x01"  # joins (left, right) into one pair key
 
 
-def _merge_fold(toks_col, left, right):
-    """Apply ONE merge (left, right) -> left+right to a space-joined
-    symbol string, greedy left-to-right non-overlapping -- the exact
-    scan semantics of the reference BPE implementation, expressed as a
-    sequential fold: seed with the first symbol, then for each next
-    symbol either merge it into the accumulator's LAST token (when
-    last == left and s == right) or append. A just-merged token equals
-    left+right and can no longer match as ``left``, which reproduces
-    the i += 2 skip of the scanning loop.
+def _merge_fold(toks_col, left, right, merged_tok: str | None = None):
+    """Apply ONE merge (left, right) -> ``merged_tok`` (default
+    left+right, the BPE convention; WordPiece passes the
+    '##'-stripped concatenation) to a space-joined symbol string,
+    greedy left-to-right non-overlapping -- the exact scan semantics
+    of the reference BPE implementation, expressed as a sequential
+    fold: seed with the first symbol, then for each next symbol
+    either merge it into the accumulator's LAST token (when
+    last == left and s == right) or append. A just-merged token can no
+    longer match as ``left`` unless it literally equals it, which
+    reproduces the i += 2 skip of the scanning loop.
 
     The accumulator is a STRING (not an array) so the identical
     lambda runs as DuckDB ``list_reduce`` in the oracle -- same
     algorithm, same types, both engines.
     """
     arr = F.split(toks_col, " ")
-    merged = F.concat(F.lit(left), F.lit(right))
+    merged = F.lit(merged_tok) if merged_tok is not None else F.concat(
+        F.lit(left), F.lit(right)
+    )
 
     def step(acc, s):
         accarr = F.split(acc, " ")
@@ -590,6 +594,260 @@ def bpe_tokenize(
     )
     vocab = apply_bpe_to_words(
         pos.select("word").distinct(), merges, method=method
+    )
+    joined = pos.join(vocab, "word")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_pos"), F.col("toks")))
+                    ),
+                    lambda s: s.getField("toks"),
+                ),
+                " ",
+            ).alias("tokens"),
+        )
+        .withColumn(
+            "n_tokens",
+            F.size(F.split(F.col("tokens"), " ")).cast("long"),
+        )
+        .select(id_col, "n_words", "n_tokens", "tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece (r12, VERDICT r11 #7): the second tokenizer family. Public
+# algorithm: Schuster & Nakajima 2012 / BERT's tokenizer; trainer
+# semantics follow HF tokenizers' WordPieceTrainer -- BPE's greedy
+# merge loop but ranked by the likelihood score
+# count(pair) / (count(left) * count(right)), with continuation
+# symbols '##'-prefixed; encoding is greedy longest-match-first
+# against the final vocabulary (NOT merge replay -- WordPiece's
+# defining difference from BPE).
+# ---------------------------------------------------------------------------
+
+WORDPIECE_UNK = "[UNK]"
+
+
+def _wordpiece_toks(word_col):
+    """Initial WordPiece symbolization: first character plain, every
+    later character '##'-prefixed."""
+    chars = F.split(word_col, "")
+    return F.array_join(
+        F.transform(
+            chars,
+            lambda c, i: F.when(i == 0, c).otherwise(
+                F.concat(F.lit("##"), c)
+            ),
+        ),
+        " ",
+    )
+
+
+def _symbol_counts(vocab: DataFrame) -> DataFrame:
+    """(sym, cnt) over the current symbolized vocabulary, weighted by
+    word frequency -- the denominator terms of the WordPiece score."""
+    return (
+        vocab.select(
+            F.explode(F.split(F.col("toks"), " ")).alias("sym"), "n"
+        )
+        .groupBy("sym")
+        .agg(F.sum("n").cast("long").alias("cnt"))
+    )
+
+
+def _wp_merged(left: str, right: str) -> str:
+    """The token a WordPiece merge creates: right's '##' continuation
+    prefix is absorbed (the pair is adjacent inside one word, so the
+    right symbol is always a continuation in well-formed input)."""
+    return left + (right[2:] if right.startswith("##") else right)
+
+
+def train_wordpiece(
+    df: DataFrame | None,
+    *,
+    text_col: str = "text",
+    n_merges: int = 8,
+    checkpoint_every: int = 4,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Learn ``n_merges`` WordPiece merges: each round scores every
+    adjacent symbol pair by cnt(pair) / (cnt(left) * cnt(right))
+    (the likelihood gain of merging, HF WordPieceTrainer semantics),
+    takes the deterministic argmax (score DESC, pair ASC -- the score
+    is a ratio of exact integers, so both engines compute the
+    identical double and the order is engine-portable), and rewrites
+    the vocabulary with the same sequential merge fold BPE uses
+    (merged token = left + right-without-'##').
+
+    Returns (merge_rank, left, right, merged, n_pair, n_left,
+    n_right) -- integer counts rather than the float score, so every
+    output cell is exactly hashable; the score is reconstructible.
+
+    Scale shape matches train_bpe's one-merge-per-round loop: pair
+    and symbol counting run on the VOCABULARY table (bounded by
+    distinct words x word length, never corpus-sized); driver traffic
+    is one argmax row per round. The corpus-scale half (word counts)
+    is one shuffle, shared via the ``counts`` seam with the
+    streaming-maintained vocabulary."""
+    base = counts if counts is not None else _word_counts(df, text_col)
+    spark = (df if df is not None else base).sparkSession
+    schema = (
+        "merge_rank long, left string, right string, merged string, "
+        "n_pair long, n_left long, n_right long"
+    )
+    vocab = base.select(
+        "word",
+        _wordpiece_toks(F.col("word")).alias("toks"),
+        F.col("n").cast("long").alias("n"),
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for k in range(n_merges):
+        pairs = _pair_counts(vocab)
+        syms = _symbol_counts(vocab)
+        sl = syms.select(
+            F.col("sym").alias("_l"), F.col("cnt").alias("n_left")
+        )
+        sr = syms.select(
+            F.col("sym").alias("_r"), F.col("cnt").alias("n_right")
+        )
+        scored = (
+            pairs.withColumn(
+                "_l", F.split(F.col("pair"), _PAIR_SEP).getItem(0)
+            )
+            .withColumn("_r", F.split(F.col("pair"), _PAIR_SEP).getItem(1))
+            .join(F.broadcast(sl), "_l")
+            .join(F.broadcast(sr), "_r")
+            .withColumn(
+                "score",
+                F.col("cnt").cast("double")
+                / (
+                    F.col("n_left").cast("double")
+                    * F.col("n_right").cast("double")
+                ),
+            )
+        )
+        top = scored.orderBy(
+            F.col("score").desc(), F.col("pair").asc()
+        ).limit(1).collect()
+        if not top:
+            raise ValueError(
+                f"WordPiece pairs exhausted after {len(merges)} merges "
+                f"(requested {n_merges}): every word is one symbol"
+            )
+        row = top[0]
+        left, right = row["_l"], row["_r"]
+        merged = _wp_merged(left, right)
+        vocab = vocab.withColumn(
+            "toks", _merge_fold(F.col("toks"), left, right, merged)
+        )
+        merges.append(
+            (k + 1, left, right, merged,
+             int(row["cnt"]), int(row["n_left"]), int(row["n_right"]))
+        )
+        if (k + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+
+    return spark.createDataFrame(merges, schema)
+
+
+def wordpiece_vocab(df: DataFrame, merges_df: DataFrame,
+                    *, text_col: str = "text") -> list[str]:
+    """The final WordPiece vocabulary: the initial character alphabet
+    of the corpus (first chars plain + '##' continuations) plus every
+    merged token, in no particular order (longest-match encoding is
+    set-driven). Both collects are alphabet/merge-list-sized."""
+    words = df.select(
+        F.explode(
+            F.split(normalized_text(F.col(text_col)), " ")
+        ).alias("word")
+    ).distinct()
+    alpha = [
+        r[0]
+        for r in words.select(
+            F.explode(
+                F.split(_wordpiece_toks(F.col("word")), " ")
+            ).alias("sym")
+        )
+        .distinct()
+        .collect()
+    ]
+    merged = [r["merged"] for r in merges_df.select("merged").collect()]
+    return sorted(set(alpha) | set(merged))
+
+
+def wordpiece_encode_word(word: str, body_sets, unk: str = WORDPIECE_UNK):
+    """Greedy longest-match-first WordPiece encoding of one word
+    (BERT's WordpieceTokenizer algorithm): repeatedly take the longest
+    vocabulary entry matching a prefix of the remaining text (plain
+    entries at word start, '##' entries after); any position with no
+    match maps the WHOLE word to ``unk``. ``body_sets`` is the
+    (initial_bodies, continuation_bodies) pair of frozensets of
+    PREFIX-STRIPPED token bodies."""
+    init_bodies, cont_bodies = body_sets
+    out = []
+    rest = word
+    cont = False
+    while rest:
+        bodies = cont_bodies if cont else init_bodies
+        ln = len(rest)
+        while ln > 0 and rest[:ln] not in bodies:
+            ln -= 1
+        if ln == 0:
+            return [unk]
+        out.append(("##" if cont else "") + rest[:ln])
+        rest = rest[ln:]
+        cont = True
+    return out
+
+
+def wordpiece_tokenize(
+    df: DataFrame,
+    vocab_tokens,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk: str = WORDPIECE_UNK,
+) -> DataFrame:
+    """Tokenize a corpus with a trained WordPiece vocabulary: greedy
+    longest-match per word, per-document ``(id, n_words, n_tokens,
+    tokens)`` with the space-joined token stream in word order.
+
+    Scale shape (the per-DISTINCT-word rule, shared with
+    bpe_tokenize): longest-match runs once per vocabulary entry via
+    an Arrow-batched pandas UDF with the token set broadcast, then
+    one join maps positions back -- encode work is bounded by
+    distinct words x word length however large the corpus."""
+    from pyspark.sql import types as T
+
+    init_bodies = frozenset(
+        t for t in vocab_tokens if not t.startswith("##")
+    )
+    cont_bodies = frozenset(
+        t[2:] for t in vocab_tokens if t.startswith("##")
+    )
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((init_bodies, cont_bodies))
+
+    @F.pandas_udf(T.StringType())
+    def _encode(col):
+        sets = bc.value
+        return col.map(
+            lambda w: " ".join(wordpiece_encode_word(w, sets, unk))
+        )
+
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(normalized_text(F.col(text_col)), " ")
+        ).alias("_pos", "word"),
+    )
+    vocab = pos.select("word").distinct().withColumn(
+        "toks", _encode(F.col("word"))
     )
     joined = pos.join(vocab, "word")
     return (

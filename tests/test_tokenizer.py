@@ -216,3 +216,92 @@ def test_train_bpe_driver_path_equals_sequential(spark, sf_smoke):
             train_bpe(adv, n_merges=60, driver_threshold=1_000_000)
             .orderBy("merge_rank").collect()]
     assert drv2 == seq2
+
+
+# ---- WordPiece (r12) ------------------------------------------------------
+
+
+def test_wordpiece_encode_word_longest_match_and_unk():
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        wordpiece_encode_word,
+    )
+
+    init = frozenset({"h", "he", "hell", "w"})
+    cont = frozenset({"e", "l", "lo", "llo", "o"})
+    # longest-match-first: 'hell' beats 'he' at the word start, then
+    # continuation 'o'; NOT the 'he'+'llo' split a shorter-first or
+    # merge-replay scheme would produce
+    assert wordpiece_encode_word("hello", (init, cont)) == ["hell", "##o"]
+    # a single unmatched position maps the WHOLE word to [UNK]
+    # (BERT WordpieceTokenizer semantics), not a partial stream
+    assert wordpiece_encode_word("hex", (init, cont)) == ["[UNK]"]
+    assert wordpiece_encode_word("xe", (init, cont)) == ["[UNK]"]
+
+
+def test_wordpiece_trainer_score_vs_count(spark):
+    """The WordPiece argmax is likelihood-ranked, not count-ranked:
+    with pair counts (a,##b)=4 of symbols 8x8 (score 1/16) and
+    (c,##d)=3 of symbols 3x3 (score 1/3), WordPiece merges (c,##d)
+    first where BPE would take (a,##b)."""
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        train_wordpiece,
+    )
+
+    docs = spark.createDataFrame(
+        # 'ab' x4 + lone 'a'/'b' occurrences to inflate symbol counts;
+        # 'cd' x3 with no other c/d
+        [(1, "ab ab ab ab a a a a b b b b cd cd cd")],
+        "doc_id long, text string",
+    )
+    m = train_wordpiece(docs, n_merges=1).first()
+    assert (m.left, m.right, m.merged) == ("c", "##d", "cd")
+    assert (m.n_pair, m.n_left, m.n_right) == (3, 3, 3)
+
+
+def test_wordpiece_merged_strips_continuation_prefix(spark, sf_smoke):
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        train_wordpiece,
+    )
+
+    from rag_vertex_ai_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    rows = train_wordpiece(docs, n_merges=4).collect()
+    for r in rows:
+        # the right symbol of an in-word pair is always a continuation
+        assert r.right.startswith("##"), r
+        expect = r.left + r.right[2:]
+        assert r.merged == expect, r
+        # a continuation left keeps its prefix on the merged token
+        assert r.merged.startswith("##") == r.left.startswith("##"), r
+
+
+def test_wordpiece_self_corpus_encode_has_no_unk(spark, sf_smoke):
+    """Encoding the training corpus can never hit [UNK]: every
+    continuation character of every word is in the alphabet by
+    construction -- the assumption the SQL mirror's no-UNK branch
+    leans on."""
+    from pyspark.sql import functions as F
+
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        train_wordpiece,
+        wordpiece_tokenize,
+        wordpiece_vocab,
+    )
+
+    from rag_vertex_ai_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    merges_df = train_wordpiece(docs, n_merges=4)
+    vocab = wordpiece_vocab(docs, merges_df)
+    out = wordpiece_tokenize(docs, vocab)
+    n_unk = out.filter(
+        F.col("tokens").contains("[UNK]")
+    ).count()
+    assert n_unk == 0
+    # and the stream really uses the merged tokens somewhere
+    merged = [r.merged for r in merges_df.collect()]
+    hits = out.filter(
+        F.col("tokens").contains(merged[0])
+    ).count()
+    assert hits > 0
