@@ -8836,7 +8836,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequence_texts": q_packed_sequence_texts,
         "corpus_quality_report": q_corpus_quality_report,
         "ccnet_quality_buckets": q_ccnet_quality_buckets,
-        "vocab_coverage": q_vocab_coverage,
+        # r12 rotation: wordpiece_tokenize_corpus promoted (novel
+        # operator family: likelihood-ranked train + recursive
+        # longest-match encode, one mirror gates both), displacing
+        # vocab_coverage -> archive (its word-count machinery stays
+        # declared-gated via streaming_vocab_maintained; the coverage
+        # windows remain archive-parity-gated at both SFs).
+        "wordpiece_tokenize_corpus": q_wordpiece_tokenize_corpus,
         "training_corpus_pipeline": q_training_corpus_pipeline,
         # -- relational / events surface -------------------------------
         "merge_upsert": q_merge_upsert,
@@ -9054,6 +9060,16 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the composed canvas -- last opaque frame's value per pixel --
     mirrors as a 4-stage CASE chain while Spark earns it through the
     real LZW + disposal-1 composition loop).
+
+    r12 rotation: wordpiece_tokenize_corpus promoted to declared
+    (novel tokenizer family, VERDICT r11 #7 -- its mirror embeds the
+    full 8-stage likelihood-scored train chain AND the recursive
+    longest-match encode, so one row gates both), displacing
+    vocab_coverage here: its word-count half stays declared-gated
+    through streaming_vocab_maintained's batch-mirror oracle, the
+    rank/cum-fraction windows keep full-tier parity at both SFs.
+    wordpiece_train_merges stays archive (its chain is a strict
+    prefix of the promoted row's mirror).
     """
     return {
         "knn_pq_rerank": q_knn_pq_rerank,
@@ -9084,7 +9100,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "bpe_tokenize_corpus": q_bpe_tokenize_corpus,
         "wordpiece_train_merges": q_wordpiece_train_merges,
-        "wordpiece_tokenize_corpus": q_wordpiece_tokenize_corpus,
+        "vocab_coverage": q_vocab_coverage,
         "pagerank_citations": q_pagerank_citations,
         "pagerank_weighted": q_pagerank_weighted,
         "hits_citations": q_hits_citations,
@@ -9180,7 +9196,7 @@ def oracle_sql() -> dict[str, str]:
         "packed_sequence_texts": _SQL_PACKED_SEQ_TEXTS,
         "corpus_quality_report": _SQL_CORPUS_REPORT,
         "ccnet_quality_buckets": _sql_ccnet_quality_buckets(),
-        "vocab_coverage": _SQL_VOCAB_COVERAGE,
+        "wordpiece_tokenize_corpus": _sql_wordpiece_tokenize(8),
         "training_corpus_pipeline": _SQL_TRAINING_PIPELINE,
         "merge_upsert": _SQL_MERGE_UPSERT,
         "events_gapfill_locf": _SQL_EVENTS_GAPFILL,
@@ -9218,7 +9234,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "knn_ivf_full_probe": _SQL_KNN_TOPK,
         "bpe_tokenize_corpus": _sql_bpe_tokenize(8),
         "wordpiece_train_merges": _sql_wordpiece_train(8),
-        "wordpiece_tokenize_corpus": _sql_wordpiece_tokenize(8),
+        "vocab_coverage": _SQL_VOCAB_COVERAGE,
         "pagerank_citations": _sql_pagerank(6),
         "pagerank_weighted": _sql_pagerank_weighted(6),
         "hits_citations": _sql_hits(6),

@@ -445,6 +445,9 @@ BENCH_QUERIES = [
     ("c4_quality_gate", entrymod.q_c4_quality_gate),
     ("knn_ranking_metrics", entrymod.q_knn_ranking_metrics),
     ("bpe_tokenize_corpus", entrymod.q_bpe_tokenize_corpus),
+    # r12: the second tokenizer family -- likelihood-ranked train +
+    # greedy longest-match encode (declared row)
+    ("wordpiece_tokenize_corpus", entrymod.q_wordpiece_tokenize_corpus),
     ("pagerank_citations", entrymod.q_pagerank_citations),
     # r7: weighted + personalized PageRank, and the integer-sum recall
     # summary that replaced the float-avg formulation
