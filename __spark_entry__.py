@@ -4631,6 +4631,61 @@ def q_wordpiece_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key (operators/layout.py, r12): the Morton
+    interleave of (o_custkey, o_orderdate-epoch) after exact integer
+    min-max scaling into 16-bit space -- the multi-dimensional
+    data-skipping key behind Delta OPTIMIZE ZORDER BY, built from
+    plain JVM shift/and/add expressions (no UDF, whole-stage codegen).
+    Archive-gated: scaling is floor() bucket division (the proven
+    parity rule) and the interleave is disjoint-bit addition, so every
+    key mirrors bit-exactly; the LAYOUT effectiveness (per-row-group
+    bounding boxes tight in BOTH dimensions) is gated quantitatively
+    from written parquet footers in tests/test_layout.py."""
+    from rag_vertex_ai_vector_search_spark.operators.layout import (
+        zorder_key,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("long").alias("o_epoch"),
+    )
+    out = zorder_key(orders, ["o_custkey", "o_epoch"], bits=16,
+                     key_col="zval")
+    return out.select("o_orderkey", "zval")
+
+
+def _sql_zorder_curve(bits: int = 16) -> str:
+    terms = " + ".join(
+        t
+        for i in range(bits)
+        for t in (
+            f"(((s1 >> {i}) & 1) << {2 * i})",
+            f"(((s2 >> {i}) & 1) << {2 * i + 1})",
+        )
+    )
+    top = (1 << bits) - 1
+    return f"""
+WITH b AS MATERIALIZED (
+  SELECT CAST(min(o_custkey) AS BIGINT) AS lo1,
+         CAST(max(o_custkey) AS BIGINT) AS hi1,
+         CAST(min(epoch(o_orderdate)) AS BIGINT) AS lo2,
+         CAST(max(epoch(o_orderdate)) AS BIGINT) AS hi2
+  FROM orders
+),
+sc AS (
+  SELECT o_orderkey,
+         CAST(floor(((o_custkey - lo1) * {top}) / (hi1 - lo1))
+              AS BIGINT) AS s1,
+         CAST(floor(((CAST(epoch(o_orderdate) AS BIGINT) - lo2) * {top})
+                    / (hi2 - lo2)) AS BIGINT) AS s2
+  FROM orders CROSS JOIN b
+)
+SELECT o_orderkey, CAST({terms} AS BIGINT) AS zval FROM sc
+"""
+
+
 def q_pagerank_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (operators/graph.py) over a synthesized
     deterministic citation graph on the documents table (doc i links
@@ -9101,6 +9156,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize_corpus": q_bpe_tokenize_corpus,
         "wordpiece_train_merges": q_wordpiece_train_merges,
         "vocab_coverage": q_vocab_coverage,
+        "zorder_curve": q_zorder_curve,
         "pagerank_citations": q_pagerank_citations,
         "pagerank_weighted": q_pagerank_weighted,
         "hits_citations": q_hits_citations,
@@ -9235,6 +9291,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "bpe_tokenize_corpus": _sql_bpe_tokenize(8),
         "wordpiece_train_merges": _sql_wordpiece_train(8),
         "vocab_coverage": _SQL_VOCAB_COVERAGE,
+        "zorder_curve": _sql_zorder_curve(16),
         "pagerank_citations": _sql_pagerank(6),
         "pagerank_weighted": _sql_pagerank_weighted(6),
         "hits_citations": _sql_hits(6),

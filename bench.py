@@ -448,6 +448,10 @@ BENCH_QUERIES = [
     # r12: the second tokenizer family -- likelihood-ranked train +
     # greedy longest-match encode (declared row)
     ("wordpiece_tokenize_corpus", entrymod.q_wordpiece_tokenize_corpus),
+    # r12: Morton-key computation over orders (the layout REWRITE cost
+    # is the compact_parquet envelope + one sort; the key is the new
+    # per-row work, measured here)
+    ("zorder_curve", entrymod.q_zorder_curve),
     ("pagerank_citations", entrymod.q_pagerank_citations),
     # r7: weighted + personalized PageRank, and the integer-sum recall
     # summary that replaced the float-avg formulation

@@ -1,0 +1,131 @@
+"""Z-order (Morton-curve) data layout: multi-dimensional data
+skipping for 100 TB scans.
+
+A table sorted on ONE column gets tight parquet row-group min/max
+stats on that column alone; a conjunctive range query over two or
+more columns still reads almost everything. Interleaving the bits of
+the filter columns into one Morton key and sorting by IT gives every
+row group a small bounding BOX in all keyed dimensions at once, so
+ordinary parquet row-group stats (and, on a lakehouse, file-level
+stats) prune multi-column range queries -- the same mechanism behind
+Delta OPTIMIZE ZORDER BY / Iceberg's sort orders, built here from
+plain Spark primitives:
+
+- ``z_value``: per-row bit interleave, pure JVM integer expressions
+  (2 * bits * n_cols shift/and/or terms inside whole-stage codegen --
+  no UDF), after min-max scaling each column into ``bits``-bit
+  integer space with exact integer arithmetic (engine-portable, so
+  the key is SQL-oracle-able: the ``zorder_curve`` archive row).
+- ``write_zordered``: repartitionByRange + sortWithinPartitions on
+  the key, then a plain parquet write -- range partitioning makes
+  FILES disjoint in z (file-level pruning), the within-file sort
+  makes ROW GROUPS tight (row-group pruning).
+
+The effectiveness claim is tested quantitatively, not argued:
+tests/test_layout.py reads the written footers with pyarrow and
+asserts the mean per-row-group span FRACTION of every keyed dimension
+is far below a single-column sort's (which is tight in one dimension
+and ~1.0 in the others).
+
+At 100 TB: the scaling min/max come from one cheap aggregate (or the
+catalog), the key is one narrow projection, and the sort is the one
+shuffle a layout rewrite pays anyway -- the same cost envelope as
+``compact_parquet`` with a sort key attached.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_Z_BITS = 16
+
+
+def z_value(cols: list[Column], bits: int = DEFAULT_Z_BITS) -> Column:
+    """Morton interleave of pre-scaled ``bits``-bit non-negative
+    integer columns: bit i of column j lands at position
+    i * len(cols) + j. Disjoint target bits, so the combine is a plain
+    sum of shift/and terms -- identical in SQL."""
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(c, i).bitwiseAND(F.lit(1).cast("long")),
+                i * k + j,
+            )
+    return z.cast("long")
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    bits: int = DEFAULT_Z_BITS,
+    bounds: dict[str, tuple[int, int]] | None = None,
+    key_col: str = "_z",
+) -> DataFrame:
+    """Attach the Morton key: min-max scale each (integer) column
+    into ``bits``-bit space, interleave. ``bounds`` pins {col: (lo,
+    hi)} explicitly (the catalog-stats path); otherwise one bounded
+    min/max aggregate computes them (broadcast one-row join, no
+    collect in the row path)."""
+    if bounds is None:
+        row = df.agg(
+            *[F.min(c).alias(f"_lo_{c}") for c in cols],
+            *[F.max(c).alias(f"_hi_{c}") for c in cols],
+        ).first()
+        bounds = {
+            c: (int(row[f"_lo_{c}"]), int(row[f"_hi_{c}"])) for c in cols
+        }
+    scaled = []
+    for c in cols:
+        lo, hi = bounds[c]
+        top = (1 << bits) - 1
+        if hi <= lo:
+            scaled.append(F.lit(0).cast("long"))
+        else:
+            # floor() division on BOTH engines (the proven bucket-
+            # division parity rule; a bare CAST rounds in DuckDB).
+            # Operands stay well under 2^53, so the double division
+            # is exact enough for floor to agree bit-for-bit.
+            scaled.append(
+                F.floor(
+                    (
+                        (F.col(c).cast("long") - F.lit(lo))
+                        * F.lit(top).cast("long")
+                    )
+                    / F.lit(hi - lo).cast("long")
+                ).cast("long")
+            )
+    return df.withColumn(key_col, z_value(scaled, bits=bits))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    bits: int = DEFAULT_Z_BITS,
+    n_files: int | None = None,
+    key_col: str = "_z",
+    write_options: dict | None = None,
+) -> None:
+    """Rewrite ``df`` z-ordered on ``cols``: range-partition by the
+    Morton key (files disjoint in z -> file-level pruning), sort
+    within partitions (tight row-group stats -> row-group pruning),
+    drop the key, write parquet. ``write_options`` pass through to the
+    writer (e.g. a small ``parquet.block.size`` so tests get several
+    row groups per file)."""
+    keyed = zorder_key(df, cols, bits=bits, key_col=key_col)
+    spark = df.sparkSession
+    n = n_files or spark.sparkContext.defaultParallelism
+    writer = (
+        keyed.repartitionByRange(n, key_col)
+        .sortWithinPartitions(key_col)
+        .drop(key_col)
+        .write.mode("overwrite")
+    )
+    for k, v in (write_options or {}).items():
+        writer = writer.option(k, v)
+    writer.parquet(path)

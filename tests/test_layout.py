@@ -1,0 +1,121 @@
+"""Z-order layout (operators/layout.py): key correctness by hand,
+lossless rewrite, and the data-skipping claim measured from REAL
+parquet footers -- per-row-group bounding boxes must be tight in BOTH
+keyed dimensions, where a single-column sort is tight in one and ~1.0
+in the other."""
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from rag_vertex_ai_vector_search_spark.operators.layout import (
+    write_zordered,
+    z_value,
+    zorder_key,
+)
+from rag_vertex_ai_vector_search_spark.sources import load_table
+
+
+def test_z_value_hand_interleave(spark):
+    df = spark.createDataFrame(
+        [(0b101, 0b011), (0, 0), (7, 7)], "x long, y long"
+    )
+    out = df.select(
+        "x", "y",
+        z_value([F.col("x"), F.col("y")], bits=3).alias("z"),
+    ).collect()
+    got = {(r.x, r.y): r.z for r in out}
+    # x bits land at even positions, y at odd:
+    # x=101, y=011 -> z bits (y2 x2 y1 x1 y0 x0) = 0 1 1 0 1 1 = 0b011011
+    assert got[(0b101, 0b011)] == 0b011011
+    assert got[(0, 0)] == 0
+    assert got[(7, 7)] == 0b111111
+
+
+def test_zorder_key_scaling_endpoints(spark):
+    df = spark.createDataFrame(
+        [(0, 100), (50, 150), (100, 200)], "a long, b long"
+    )
+    out = zorder_key(df, ["a", "b"], bits=4).collect()
+    z = {(r.a, r.b): r._z for r in out}
+    # endpoints scale to 0 and 15; midpoint floors to 7
+    assert z[(0, 100)] == 0
+    assert z[(100, 200)] == 0b11111111  # both dims all-ones interleaved
+    # a=50 -> floor(50*15/100)=7 (0111), b=150 -> 7: interleave(7,7)
+    assert z[(50, 150)] == 0b111111  # interleave(7, 7)
+
+
+def _rowgroup_span_fractions(path: str, col: str, lo, hi):
+    """Mean per-row-group (max-min)/(global span) for ``col`` across
+    every file under ``path``."""
+    spans = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            spans.append(st.max - st.min)
+    return sum(s / (hi - lo) for s in spans) / len(spans), len(spans)
+
+
+@pytest.mark.full
+def test_zorder_rowgroup_boxes_tight_in_both_dims(
+    spark, sf_correct, tmp_path
+):
+    """The whole point of the layout, measured: z-ordered row groups
+    carry SMALL min/max spans on BOTH keyed columns; a date-sorted
+    layout is tight on date but spans ~everything on custkey."""
+    # Timestamps are avoided in the measured layouts: Spark's default
+    # INT96 timestamp encoding writes NO min/max stats, so the date
+    # dimension rides its epoch-seconds long twin.
+    orders = load_table(spark, sf_correct, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_orderdate").cast("long").alias("o_epoch"),
+    )
+    lo_c, hi_c, lo_d, hi_d = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_epoch"), F.max("o_epoch"),
+    ).first()
+    opts = {"parquet.block.size": 32 * 1024}  # several row groups/file
+
+    zpath = str(tmp_path / "z")
+    write_zordered(
+        orders, zpath, ["o_custkey", "o_epoch"], bits=16, n_files=8,
+        write_options=opts,
+    )
+    dpath = str(tmp_path / "d")
+    (
+        orders.repartitionByRange(8, "o_epoch")
+        .sortWithinPartitions("o_epoch")
+        .write.mode("overwrite")
+        .options(**opts)
+        .parquet(dpath)
+    )
+
+    z_cust, nz = _rowgroup_span_fractions(zpath, "o_custkey", lo_c, hi_c)
+    z_date, _ = _rowgroup_span_fractions(zpath, "o_epoch", lo_d, hi_d)
+    d_cust, nd = _rowgroup_span_fractions(dpath, "o_custkey", lo_c, hi_c)
+    d_date, _ = _rowgroup_span_fractions(dpath, "o_epoch", lo_d, hi_d)
+
+    assert nz >= 8 and nd >= 8  # the block-size knob actually worked
+    # date-sorted: tight on date, blind on custkey
+    assert d_date < 0.2 and d_cust > 0.8
+    # z-ordered: a contiguous z range fixes the top interleaved bits,
+    # so every row group is a bounding BOX -- bounded in BOTH
+    # dimensions (a one-column sort is ~1.0 in the other), and at
+    # least 2x tighter on custkey than the date sort
+    assert z_cust < 0.5 and z_date < 0.5
+    assert z_cust < d_cust / 2
+
+    # the rewrite is lossless
+    a = sorted(
+        tuple(r) for r in spark.read.parquet(zpath)
+        .select("o_orderkey", "o_custkey", "o_epoch").collect()
+    )
+    b = sorted(
+        tuple(r) for r in orders
+        .select("o_orderkey", "o_custkey", "o_epoch").collect()
+    )
+    assert a == b
