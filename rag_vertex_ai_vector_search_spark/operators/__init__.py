@@ -38,7 +38,16 @@ from .splits import (
     split_assignment,
     split_bounds,
 )
-from .tokenizer import bpe_merge_pairs, vocab_coverage_report
+from .tokenizer import (
+    bpe_merge_pairs,
+    train_bpe,
+    train_wordpiece,
+    vocab_coverage_report,
+    wordpiece_tokenize,
+    wordpiece_vocab,
+)
+from .layout import write_zordered, z_value, zorder_key
+from .serving import ServingReplica, embed_query_text
 from .lm_quality import (
     bigram_surprisal,
     surprisal_buckets,
@@ -66,6 +75,15 @@ from .negatives import mine_hard_negatives
 from .profile import profile_columns
 
 __all__ = [
+    "ServingReplica",
+    "embed_query_text",
+    "train_bpe",
+    "train_wordpiece",
+    "wordpiece_tokenize",
+    "wordpiece_vocab",
+    "write_zordered",
+    "z_value",
+    "zorder_key",
     "bigram_surprisal",
     "trigram_position_counts",
     "trigram_surprisal",
