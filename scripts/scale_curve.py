@@ -82,6 +82,12 @@ QUERIES = [
     # production leaf cap, live-writer off. The per-step split prints
     # from maintain_index's report["timings"].
     "maintain_index_production",
+    # r12-new operators: the WordPiece lifecycle (vocabulary-sized
+    # merge rounds + per-DISTINCT-word longest-match encode + one
+    # positions join) and the z-order layout REWRITE (one sort
+    # shuffle; the Morton key is codegen'd integer terms).
+    "wordpiece_tokenize_corpus",
+    "zorder_write_production",
 ]
 
 
@@ -323,11 +329,42 @@ def _maintain_index_production(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _zorder_write_production(spark, sf_dir):
+    """write_zordered over the orders table: the layout rewrite cost
+    (key projection + repartitionByRange + in-partition sort + write),
+    the compaction envelope with a sort key attached."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rag_vertex_ai_vector_search_spark.operators.layout import (
+        write_zordered,
+    )
+    from rag_vertex_ai_vector_search_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_orderdate").cast("long").alias("o_epoch"),
+    )
+    work = tempfile.mkdtemp(prefix="scale_zorder_")
+    try:
+        write_zordered(
+            orders, f"{work}/z", ["o_custkey", "o_epoch"], bits=16,
+        )
+        return spark.read.parquet(f"{work}/z").groupBy(
+            "o_custkey"
+        ).count().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 _LOCAL_PRODUCTION = {
     "streaming_minhash_production": _streaming_minhash_production,
     "streaming_sessionize_production": _streaming_sessionize_production,
     "streaming_dedup_exact_production": _streaming_dedup_exact_production,
     "maintain_index_production": _maintain_index_production,
+    "zorder_write_production": _zorder_write_production,
 }
 
 

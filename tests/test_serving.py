@@ -131,3 +131,40 @@ def test_replica_broadcast_equals_cogroup(spark, replica):
         ).collect()
     )
     assert a == b
+
+
+def test_replica_restrict_crowding_bit_equal_to_batch(spark, replica):
+    """The replica's pass-through of the full serving contract
+    (restrict + crowding THROUGH the cascade) must also be bit-equal
+    to the direct ivf_pq_search route."""
+    rep, ivf_index, pq_index, _docs = replica
+    pq_l = encode_pq(
+        ivf_index.assigned,
+        pq_index.books,
+        keep_cols=("cluster_id", "label"),
+    )
+    rep2 = ServingReplica(spark, ivf_index, pq_l, None, dim=64)
+    restrict = F.col("label").isin(1, 2, 3)
+    served = sorted(
+        tuple(r) for r in rep2.query(
+            QUERY_TEXT, doc_id=QUERY_ID, k=6, probe_percent=50.0,
+            rerank_candidates=60, restrict=restrict,
+            per_crowding_k=2, crowding_col="label",
+        ).collect()
+    )
+    qvec = rep2.query_vector_df(QUERY_ID, QUERY_TEXT)
+    direct = sorted(
+        tuple(r) for r in ivf_pq_search(
+            ivf_index, pq_l, qvec, 6,
+            probe_percent=50.0, rerank_candidates=60,
+            method="broadcast", restrict=restrict,
+            per_crowding_k=2, crowding_col="label",
+        ).collect()
+    )
+    assert served == direct
+    assert 0 < len(served) <= 6
+    # the crowding cap really bit: no label appears more than twice
+    from collections import Counter
+
+    label_counts = Counter(t[-1] for t in served)
+    assert max(label_counts.values()) <= 2
