@@ -299,19 +299,25 @@ def _apply_merges_udf(toks_col, merges):
     return _apply(toks_col)
 
 
-def _train_bpe_driver(vocab_rows, n_merges: int) -> list:
-    """Exact greedy BPE on a collected (toks, n) vocabulary -- the
-    in-memory phase every production tokenizer trainer ends with
-    (HF tokenizers / SentencePiece train from word counts, not corpus
-    scans). Same algorithm, same (count desc, pair asc) tie-break as
-    the Spark loop: the tuple order (left, right) equals the joined
-    'left\\x01right' string order because \\x01 sorts below every
-    symbol character. Returns [(rank, left, right, merged, cnt)].
+def _scan_merge(syms: list, left: str, right: str, merged: str) -> list:
+    """One greedy left-to-right non-overlapping merge pass over a
+    symbol list -- the scan semantics every BPE path shares."""
+    i = 0
+    out = []
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
 
-    Cost: O(total_symbols) recount per merge -- fine to ~1M vocab
-    symbols x thousands of merges; the classic pair-heap incremental
-    update is a drop-in if ever needed.
-    """
+
+def _train_bpe_driver_recount(vocab_rows, n_merges: int) -> list:
+    """Reference implementation: full O(total_symbols) pair recount
+    per merge. Kept as the equality anchor for the incremental heap
+    trainer below (tests/test_tokenizer.py proves heap == recount)."""
     from collections import Counter
 
     words = [(toks.split(" "), int(n)) for toks, n in vocab_rows]
@@ -331,23 +337,83 @@ def _train_bpe_driver(vocab_rows, n_merges: int) -> list:
         )
         merges.append((len(merges) + 1, left, right, left + right, cnt))
         for wi, (syms, n) in enumerate(words):
-            i = 0
-            out = []
-            changed = False
-            while i < len(syms):
-                if (
-                    i + 1 < len(syms)
-                    and syms[i] == left
-                    and syms[i + 1] == right
-                ):
-                    out.append(left + right)
-                    i += 2
-                    changed = True
-                else:
-                    out.append(syms[i])
-                    i += 1
-            if changed:
+            out = _scan_merge(syms, left, right, left + right)
+            if len(out) != len(syms):
                 words[wi] = (out, n)
+    return merges
+
+
+def _train_bpe_driver(vocab_rows, n_merges: int) -> list:
+    """Exact greedy BPE on a collected (toks, n) vocabulary -- the
+    in-memory phase every production tokenizer trainer ends with
+    (HF tokenizers / SentencePiece train from word counts, not corpus
+    scans). Same algorithm, same (count desc, pair asc) tie-break as
+    the Spark loop: the tuple order (left, right) equals the joined
+    'left\\x01right' string order because \\x01 sorts below every
+    symbol character. Returns [(rank, left, right, merged, cnt)].
+
+    Incremental since r12 (the classic pair-count + lazy max-heap
+    scheme): per merge, only the words CONTAINING the chosen pair are
+    rewritten and only their pairs' counts change, so a merge costs
+    O(affected symbols + heap churn) instead of a full recount. Output
+    is PROVABLY the recount reference's: a popped heap entry is used
+    only when it matches the live count, and every count change pushes
+    a fresh entry, so each pop is the true (count desc, pair asc)
+    argmax (heapq orders (-count, left, right) tuples -- the same
+    total order). Equality is test-pinned against
+    _train_bpe_driver_recount AND the per-merge Spark loop."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    words = [(toks.split(" "), int(n)) for toks, n in vocab_rows]
+    counts: Counter = Counter()
+    where: defaultdict = defaultdict(set)  # pair -> word indices
+    for wi, (syms, n) in enumerate(words):
+        for pair in zip(syms, syms[1:]):
+            counts[pair] += n
+            where[pair].add(wi)
+    heap = [(-c, a, b) for (a, b), c in counts.items()]
+    heapq.heapify(heap)
+
+    merges = []
+    while len(merges) < n_merges:
+        while heap:
+            negc, left, right = heapq.heappop(heap)
+            if counts.get((left, right), 0) == -negc:
+                break
+        else:
+            raise ValueError(
+                f"BPE pairs exhausted after {len(merges)} merges "
+                f"(requested {n_merges}): every word is one symbol"
+            )
+        cnt = -negc
+        merged = left + right
+        merges.append((len(merges) + 1, left, right, merged, cnt))
+
+        changed_pairs = set()
+        for wi in sorted(where[(left, right)]):
+            syms, n = words[wi]
+            out = _scan_merge(syms, left, right, merged)
+            if len(out) == len(syms):
+                continue
+            words[wi] = (out, n)
+            old_pairs = Counter(zip(syms, syms[1:]))
+            new_pairs = Counter(zip(out, out[1:]))
+            for pair in old_pairs.keys() | new_pairs.keys():
+                delta = new_pairs[pair] - old_pairs[pair]
+                if delta:
+                    counts[pair] += delta * n
+                    changed_pairs.add(pair)
+                    if counts[pair] <= 0:
+                        del counts[pair]
+                if pair in new_pairs:
+                    where[pair].add(wi)
+                else:
+                    where[pair].discard(wi)
+        for pair in changed_pairs:
+            c = counts.get(pair, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, pair[0], pair[1]))
     return merges
 
 
@@ -420,6 +486,14 @@ def train_bpe(
 
     n_rows = None
     if driver_threshold > 0 or batch_candidates > 1:
+        # The count feeds the in-memory decision and the collect
+        # follows immediately -- materialize the (bounded,
+        # vocabulary-sized) table ONCE so the corpus-scale lineage
+        # behind it (explode + groupBy over every document) doesn't
+        # execute twice (the CLAUDE.md bounded-intermediate rule; this
+        # was the actual cost of bpe_train_production_1000, not the
+        # greedy loop).
+        vocab = vocab.localCheckpoint(eager=True)
         n_rows = vocab.count()
 
     # The vocabulary row count is FIXED throughout training (merges

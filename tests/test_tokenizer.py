@@ -305,3 +305,39 @@ def test_wordpiece_self_corpus_encode_has_no_unk(spark, sf_smoke):
         F.col("tokens").contains(merged[0])
     ).count()
     assert hits > 0
+
+
+def test_bpe_heap_trainer_equals_recount_reference():
+    """The r12 incremental pair-heap driver trainer must reproduce the
+    full-recount reference EXACTLY -- including tie-breaks and the
+    exhaustion error -- on adversarial small-alphabet corpora (dense
+    collisions: merged tokens equal existing symbols, counts tie
+    constantly)."""
+    import random
+
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        _train_bpe_driver,
+        _train_bpe_driver_recount,
+    )
+
+    for seed, alpha, n_merges in [(1, "ab", 60), (2, "abc", 150)]:
+        rng = random.Random(seed)
+        rows = [
+            (
+                " ".join(
+                    "".join(
+                        rng.choice(alpha)
+                        for _ in range(rng.randint(2, 12))
+                    )
+                ),
+                rng.randint(1, 9),
+            )
+            for _ in range(500)
+        ]
+        def run(fn):
+            try:
+                return fn(list(rows), n_merges)
+            except ValueError as e:
+                return ("exhausted", str(e))
+
+        assert run(_train_bpe_driver) == run(_train_bpe_driver_recount)
