@@ -226,19 +226,28 @@ def _semdedup_production(spark, sf_dir):
     return semdedup(emb, n_clusters=max(16, n // 500), threshold=0.9)
 
 
-def _bpe_train_production_1000(spark, sf_dir):
-    """Production-scale BPE training (VERDICT r6 #2): 1000 merges.
-    Corpus -> (word, n) counts run as one Spark shuffle (the 100 TB
-    half); the Zipf-small vocabulary then trains with the exact
-    in-memory greedy loop (driver_threshold seam) -- identical output
-    to the per-merge Spark loop (proven in tests/test_tokenizer.py).
-    The fixture's 31-word vocabulary is widened to bigram compounds so
-    a four-digit merge count is reachable."""
+def _wordpiece_train_production_1000(spark, sf_dir):
+    """Production-scale WordPiece training, symmetric with the BPE
+    entry below: 1000 likelihood-scored merges over the widened bigram
+    vocabulary via the driver-path seam (vocabulary collected once,
+    exact greedy loop in memory -- proven identical to the per-round
+    Spark loop in tests/test_tokenizer.py)."""
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        train_wordpiece,
+    )
+
+    return train_wordpiece(
+        None, counts=_bigram_counts(spark, sf_dir), n_merges=1000,
+        driver_threshold=2_000_000,
+    )
+
+
+def _bigram_counts(spark, sf_dir):
+    """The widened bigram-compound vocabulary both production trainer
+    entries share (the fixture's 31-word vocabulary is too small for
+    four-digit merge counts)."""
     from rag_vertex_ai_vector_search_spark.functions.text import (
         normalized_text,
-    )
-    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
-        train_bpe,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -249,13 +258,28 @@ def _bpe_train_production_1000(spark, sf_dir):
             F.element_at(arr, i), F.lit("-"), F.element_at(arr, i + 1)
         ),
     )
-    counts = (
+    return (
         docs.select(F.explode(bigrams).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def _bpe_train_production_1000(spark, sf_dir):
+    """Production-scale BPE training (VERDICT r6 #2): 1000 merges.
+    Corpus -> (word, n) counts run as one Spark shuffle (the 100 TB
+    half); the Zipf-small vocabulary then trains with the exact
+    in-memory greedy loop (driver_threshold seam) -- identical output
+    to the per-merge Spark loop (proven in tests/test_tokenizer.py).
+    The fixture's 31-word vocabulary is widened to bigram compounds so
+    a four-digit merge count is reachable."""
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        train_bpe,
+    )
+
     return train_bpe(
-        None, counts=counts, n_merges=1000, driver_threshold=2_000_000
+        None, counts=_bigram_counts(spark, sf_dir), n_merges=1000,
+        driver_threshold=2_000_000,
     )
 
 
@@ -435,6 +459,7 @@ BENCH_QUERIES = [
     ("cms_word_frequencies", entrymod.q_cms_word_frequencies),
     ("bpe_train_merges", entrymod.q_bpe_train_merges),
     ("bpe_train_production_1000", _bpe_train_production_1000),
+    ("wordpiece_train_production_1000", _wordpiece_train_production_1000),
     # semdedup_keep times the ORACLE configuration (fixed 16 data-row
     # centroids -> quadratic per-cluster blocks by construction);
     # semdedup_production is the config a real corpus runs

@@ -740,6 +740,51 @@ def _wp_merged(left: str, right: str) -> str:
     return left + (right[2:] if right.startswith("##") else right)
 
 
+def _train_wordpiece_driver(vocab_rows, n_merges: int) -> list:
+    """Exact greedy WordPiece on a collected (toks, n) vocabulary --
+    the in-memory phase of the production trainer (the BPE
+    driver-path shape). Same likelihood score and (score DESC, pair
+    ASC) tie-break as the Spark round loop; the pair order compares
+    the joined 'left\x01right' string exactly like the Spark path's
+    ORDER BY pair. Proven output-identical to the Spark loop in
+    tests/test_tokenizer.py."""
+    from collections import Counter
+
+    words = [(toks.split(" "), int(n)) for toks, n in vocab_rows]
+    merges = []
+    while len(merges) < n_merges:
+        pair_counts: Counter = Counter()
+        sym_counts: Counter = Counter()
+        for syms, n in words:
+            for sym in syms:
+                sym_counts[sym] += n
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += n
+        if not pair_counts:
+            raise ValueError(
+                f"WordPiece pairs exhausted after {len(merges)} merges "
+                f"(requested {n_merges}): every word is one symbol"
+            )
+        best = min(
+            pair_counts.items(),
+            key=lambda kv: (
+                -(kv[1] / (sym_counts[kv[0][0]] * sym_counts[kv[0][1]])),
+                kv[0][0] + _PAIR_SEP + kv[0][1],
+            ),
+        )
+        (left, right), cnt = best
+        merged = _wp_merged(left, right)
+        merges.append(
+            (len(merges) + 1, left, right, merged, cnt,
+             sym_counts[left], sym_counts[right])
+        )
+        for wi, (syms, n) in enumerate(words):
+            out = _scan_merge(syms, left, right, merged)
+            if len(out) != len(syms):
+                words[wi] = (out, n)
+    return merges
+
+
 def train_wordpiece(
     df: DataFrame | None,
     *,
@@ -747,6 +792,7 @@ def train_wordpiece(
     n_merges: int = 8,
     checkpoint_every: int = 4,
     counts: DataFrame | None = None,
+    driver_threshold: int = 0,
 ) -> DataFrame:
     """Learn ``n_merges`` WordPiece merges: each round scores every
     adjacent symbol pair by cnt(pair) / (cnt(left) * cnt(right))
@@ -778,6 +824,17 @@ def train_wordpiece(
         _wordpiece_toks(F.col("word")).alias("toks"),
         F.col("n").cast("long").alias("n"),
     ).localCheckpoint(eager=True)
+
+    # Production-trainer seam (the train_bpe shape): when the
+    # vocabulary fits the driver, collect (toks, n) once and run the
+    # exact greedy loop in memory -- identical output, proven in
+    # tests/test_tokenizer.py.
+    if driver_threshold > 0 and vocab.count() <= driver_threshold:
+        rows = vocab.select("toks", "n").collect()
+        merges = _train_wordpiece_driver(
+            [(r["toks"], r["n"]) for r in rows], n_merges
+        )
+        return spark.createDataFrame(merges, schema)
 
     merges = []
     for k in range(n_merges):

@@ -341,3 +341,41 @@ def test_bpe_heap_trainer_equals_recount_reference():
                 return ("exhausted", str(e))
 
         assert run(_train_bpe_driver) == run(_train_bpe_driver_recount)
+
+
+@pytest.mark.full
+def test_wordpiece_driver_path_equals_spark_loop(spark, sf_smoke):
+    """train_wordpiece(driver_threshold) collects the vocabulary once
+    and runs the exact greedy loop in memory -- output identical to
+    the per-round Spark loop, on the fixture AND an adversarial
+    corpus with constant score ties."""
+    import random
+
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        train_wordpiece,
+    )
+    from rag_vertex_ai_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    seq = [tuple(r) for r in
+           train_wordpiece(docs, n_merges=12).orderBy("merge_rank").collect()]
+    drv = [tuple(r) for r in
+           train_wordpiece(docs, n_merges=12, driver_threshold=1_000_000)
+           .orderBy("merge_rank").collect()]
+    assert drv == seq
+
+    rng = random.Random(23)
+    words = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(3, 9)))
+        for _ in range(300)
+    ]
+    adv = spark.createDataFrame(
+        [(i, " ".join(words[i * 3:(i + 1) * 3])) for i in range(100)],
+        "doc_id long, text string",
+    )
+    seq2 = [tuple(r) for r in
+            train_wordpiece(adv, n_merges=20).orderBy("merge_rank").collect()]
+    drv2 = [tuple(r) for r in
+            train_wordpiece(adv, n_merges=20, driver_threshold=1_000_000)
+            .orderBy("merge_rank").collect()]
+    assert drv2 == seq2
