@@ -41,6 +41,19 @@ from pyspark.sql import functions as F
 DEFAULT_Z_BITS = 16
 
 
+def z_value_sql(cols: list[str], bits: int = DEFAULT_Z_BITS) -> str:
+    """The Morton interleave as one SQL expression over pre-scaled
+    integer expressions -- shared by the SQL front end
+    (engine_zorder2) and the DuckDB oracle mirror (shift/and/add are
+    identical syntax in both dialects)."""
+    k = len(cols)
+    return " + ".join(
+        f"((({c} >> {i}) & 1) << {i * k + j})"
+        for i in range(bits)
+        for j, c in enumerate(cols)
+    )
+
+
 def z_value(cols: list[Column], bits: int = DEFAULT_Z_BITS) -> Column:
     """Morton interleave of pre-scaled ``bits``-bit non-negative
     integer columns: bit i of column j lands at position

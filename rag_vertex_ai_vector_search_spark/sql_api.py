@@ -38,6 +38,23 @@ _NTOK = (
     "ELSE size(split(trim(t), '\\\\s+')) END"
 )
 
+_SCALE16 = (
+    "CASE WHEN hi <= lo THEN 0L "
+    "ELSE CAST(floor(((v - lo) * 65535) / (hi - lo)) AS BIGINT) END"
+)
+
+
+def _zorder2_body() -> str:
+    from .operators.layout import z_value_sql
+
+    return z_value_sql(
+        ["engine_scale16(a, lo_a, hi_a)", "engine_scale16(b, lo_b, hi_b)"],
+        bits=16,
+    )
+
+
+_ZORDER2_BODY = _zorder2_body()
+
 _SQL_FUNCTIONS = {
     "engine_token_count": f"""
         CREATE OR REPLACE TEMPORARY FUNCTION engine_token_count(t STRING)
@@ -161,6 +178,21 @@ _SQL_FUNCTIONS = {
                              ' '),
                        i, size(split(phrase, ' '))) = split(phrase, ' ')))
           AS BIGINT) END
+    """,
+    # r12: Morton key for multi-column data skipping (operators/
+    # layout.py semantics: exact 16-bit min-max scale, bit interleave)
+    "engine_scale16": f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION engine_scale16(
+            v BIGINT, lo BIGINT, hi BIGINT)
+        RETURNS BIGINT
+        RETURN {_SCALE16}
+    """,
+    "engine_zorder2": f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION engine_zorder2(
+            a BIGINT, b BIGINT,
+            lo_a BIGINT, hi_a BIGINT, lo_b BIGINT, hi_b BIGINT)
+        RETURNS BIGINT
+        RETURN {_ZORDER2_BODY}
     """,
 }
 

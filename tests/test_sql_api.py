@@ -414,3 +414,39 @@ def test_sql_probe_media_matches_operator(spark, sf_smoke):
     # but the truncated WAV and the MP3 bytes classify)
     statuses = {r[2] for r in a}
     assert {DECODE_OK, DECODE_CORRUPT, DECODE_UNSUPPORTED} <= statuses
+
+
+def test_engine_zorder2_matches_dataframe_key(spark, sf_smoke):
+    """The SQL front end's Morton key (engine_zorder2, r12) must equal
+    operators/layout.py::zorder_key bit-for-bit -- one expression
+    generator (z_value_sql) feeds both."""
+    from rag_vertex_ai_vector_search_spark.operators.layout import (
+        zorder_key,
+    )
+    from rag_vertex_ai_vector_search_spark.sources import load_table
+
+    register_sql_api(spark, sf_smoke)
+    orders = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_orderdate").cast("long").alias("o_epoch"),
+    )
+    lo_c, hi_c, lo_e, hi_e = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_epoch"), F.max("o_epoch"),
+    ).first()
+    orders.createOrReplaceTempView("_zorders")
+    got = sorted(
+        (r.o_orderkey, r.z)
+        for r in spark.sql(
+            f"SELECT o_orderkey, engine_zorder2(o_custkey, o_epoch, "
+            f"{lo_c}, {hi_c}, {lo_e}, {hi_e}) AS z FROM _zorders"
+        ).collect()
+    )
+    want = sorted(
+        (r.o_orderkey, r._z)
+        for r in zorder_key(
+            orders, ["o_custkey", "o_epoch"], bits=16,
+            bounds={"o_custkey": (lo_c, hi_c), "o_epoch": (lo_e, hi_e)},
+        ).collect()
+    )
+    assert got == want
