@@ -13,10 +13,12 @@ minimal:
   batch path while a one-row request pays zero Spark jobs for it (the
   UDF route costs a fan-out + Arrow + Python-worker round trip --
   ~0.65 s of pure overhead per request at sf0.1). This mirrors the
-  reference's serving split exactly: its endpoint embeds the query
-  text in-process too (search_similar_documents embeds via a direct
-  model call, vector_search.py), not through the ingest batch
-  pipeline.
+  reference's serving split: queries embed through the same direct
+  model seam the ingest path uses (common/utils/embeddings.py::
+  embed_texts), in-process on the caller, never through a batch job
+  -- its rag/search.py query layer is a stub, so the deployed
+  endpoint's warm-replica semantics (config.py:44-50) are the
+  binding contract.
 - **Token gate + surrogate key driver-side**, same formulas as
   ``ingest_documents`` (regex token count with ASCII classes matching
   Java's ``\\s``; sha256 of the id string == ``F.sha2`` output).
