@@ -54,6 +54,18 @@ def z_value_sql(cols: list[str], bits: int = DEFAULT_Z_BITS) -> str:
     )
 
 
+def z_decode(z: int, k: int, bits: int = DEFAULT_Z_BITS) -> tuple:
+    """Driver-side inverse of ``z_value`` on pre-scaled ints: split a
+    Morton key back into its ``k`` interleaved components (debugging /
+    layout-inspection aid; the interleave is a bijection on
+    [0, 2^bits)^k, property-tested in tests/test_properties.py)."""
+    out = [0] * k
+    for i in range(bits):
+        for j in range(k):
+            out[j] |= ((z >> (i * k + j)) & 1) << i
+    return tuple(out)
+
+
 def z_value(cols: list[Column], bits: int = DEFAULT_Z_BITS) -> Column:
     """Morton interleave of pre-scaled ``bits``-bit non-negative
     integer columns: bit i of column j lands at position

@@ -352,3 +352,80 @@ def test_hll_merge_idempotent_property(n):
     a = sorted((r.bucket, r.max_rho) for r in s.collect())
     b = sorted((r.bucket, r.max_rho) for r in twice.collect())
     assert a == b
+
+
+# ---- r12 operators --------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, (1 << 16) - 1),
+                  st.integers(0, (1 << 16) - 1)),
+        min_size=1, max_size=24, unique=True,
+    ),
+)
+def test_zorder_interleave_is_bijective(spark, vals):
+    """z_value on pre-scaled ints is a bijection on [0, 2^bits)^k:
+    z_decode recovers exactly the inputs, and distinct inputs get
+    distinct keys."""
+    from rag_vertex_ai_vector_search_spark.operators.layout import (
+        z_decode,
+        z_value,
+    )
+
+    df = spark.createDataFrame(vals, "x long, y long")
+    rows = df.select(
+        "x", "y", z_value([F.col("x"), F.col("y")], bits=16).alias("z")
+    ).collect()
+    assert len({r.z for r in rows}) == len(vals)
+    for r in rows:
+        assert z_decode(r.z, 2, bits=16) == (r.x, r.y)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=12),
+        min_size=1, max_size=30,
+    ),
+    n_merges=st.integers(0, 6),
+)
+def test_wordpiece_encode_is_lossless_segmentation(words, n_merges):
+    """Greedy longest-match WordPiece encoding of any in-alphabet word
+    is a SEGMENTATION: stripping the '##' continuation prefixes and
+    concatenating reproduces the word exactly (no drops, no overlaps),
+    for any vocabulary built from an alphabet + trained merges."""
+    from collections import Counter
+
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        _train_wordpiece_driver,
+        wordpiece_encode_word,
+    )
+
+    counts = Counter(words)
+    vocab_rows = [
+        (
+            " ".join([w[0]] + ["##" + c for c in w[1:]]),
+            n,
+        )
+        for w, n in counts.items()
+    ]
+    try:
+        merges = _train_wordpiece_driver(list(vocab_rows), n_merges)
+    except ValueError:
+        merges = []  # pairs exhausted: alphabet-only vocab still valid
+    tokens = {m[3] for m in merges}
+    for w in counts:
+        tokens.add(w[0])
+        tokens.update("##" + c for c in w[1:])
+    init = frozenset(t for t in tokens if not t.startswith("##"))
+    cont = frozenset(t[2:] for t in tokens if t.startswith("##"))
+    for w in counts:
+        toks = wordpiece_encode_word(w, (init, cont))
+        assert toks != ["[UNK]"]
+        rebuilt = "".join(
+            t[2:] if t.startswith("##") else t for t in toks
+        )
+        assert rebuilt == w
