@@ -103,27 +103,37 @@ def zorder_key(
         bounds = {
             c: (int(row[f"_lo_{c}"]), int(row[f"_hi_{c}"])) for c in cols
         }
-    scaled = []
+    scaled_names = []
+    out = df
     for c in cols:
         lo, hi = bounds[c]
         top = (1 << bits) - 1
+        name = f"_zs_{c}"
         if hi <= lo:
-            scaled.append(F.lit(0).cast("long"))
+            expr = F.lit(0).cast("long")
         else:
             # floor() division on BOTH engines (the proven bucket-
             # division parity rule; a bare CAST rounds in DuckDB).
             # Operands stay well under 2^53, so the double division
             # is exact enough for floor to agree bit-for-bit.
-            scaled.append(
-                F.floor(
-                    (
-                        (F.col(c).cast("long") - F.lit(lo))
-                        * F.lit(top).cast("long")
-                    )
-                    / F.lit(hi - lo).cast("long")
-                ).cast("long")
-            )
-    return df.withColumn(key_col, z_value(scaled, bits=bits))
+            expr = F.floor(
+                (
+                    (F.col(c).cast("long") - F.lit(lo))
+                    * F.lit(top).cast("long")
+                )
+                / F.lit(hi - lo).cast("long")
+            ).cast("long")
+        # materialize each scaled column ONCE in its own projection:
+        # the interleave references it 2*bits times, and inlining the
+        # floor-scale into every shift term bloats the plan text
+        # 32-fold (codegen would CSE it, but the clean projection
+        # costs nothing and keeps plans auditable)
+        out = out.withColumn(name, expr)
+        scaled_names.append(name)
+    return out.withColumn(
+        key_col,
+        z_value([F.col(n) for n in scaled_names], bits=bits),
+    ).drop(*scaled_names)
 
 
 def write_zordered(
