@@ -24,6 +24,7 @@ Two representative queries, per the two streaming execution styles:
 from datetime import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from rag_vertex_ai_vector_search_spark.streaming import vocab as vocab_mod
 from rag_vertex_ai_vector_search_spark.streaming.dedup import (
@@ -450,3 +451,54 @@ def test_interval_join_state_survives_restart(spark, tmp_path):
     # view 10 (buffered in lifetime 1) -- restored left-side state
     assert (10, 21) in got
     assert (12, 21) in got
+
+
+def test_file_sink_metadata_log_hides_killed_epoch_orphans(
+    spark, tmp_path
+):
+    """A query killed between the sink's data-file write and the
+    checkpoint commit leaves ORPHAN parquet files in the output dir.
+    The file sink's _spark_metadata log is what makes that safe:
+    readers go through the log, so the orphan's rows are invisible,
+    and the replayed epoch's (new) files are the only committed copy.
+    Simulated deterministically: plant an orphan parquet (poisoned
+    rows) in the out dir after a committed batch, assert readers skip
+    it, then resume from the checkpoint and assert the final emitted
+    set still bit-equals an uninterrupted run."""
+    src = str(tmp_path / "osrc")
+    out = str(tmp_path / "oout")
+    ckpt = str(tmp_path / "ockpt")
+
+    _write_batch(spark, _DEDUP_BATCHES[0], TS_SCHEMA, src)
+    q = _start_dedup(spark, src, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # the killed-epoch orphan: data landed, no metadata commit
+    poison = [(666, _ts("2024-01-01 10:00:10"), "poisoned partial")]
+    spark.createDataFrame(poison, TS_SCHEMA).select(
+        "doc_id", F.sha2(F.lower("text"), 256).alias("fingerprint")
+    ).coalesce(1).write.mode("append").parquet(out)
+    # raw listing sees it; the sink-aware reader must NOT
+    raw = {
+        r.doc_id
+        for r in spark.read.option(
+            "ignoreMissingFiles", "true"
+        ).format("parquet").load(out + "/*.parquet").collect()
+    }
+    assert 666 in raw
+    assert 666 not in {r.doc_id for r in spark.read.parquet(out).collect()}
+
+    # resume and drain the remaining batches from the same checkpoint
+    for rows in _DEDUP_BATCHES[1:]:
+        _write_batch(spark, rows, TS_SCHEMA, src)
+    q = _start_dedup(spark, src, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = _dedup_emitted(spark, out)
+    assert [d for d, _ in got] == [1, 2, 4, 6]  # orphan invisible, no dups
