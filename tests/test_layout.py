@@ -119,3 +119,21 @@ def test_zorder_rowgroup_boxes_tight_in_both_dims(
         .select("o_orderkey", "o_custkey", "o_epoch").collect()
     )
     assert a == b
+
+
+def test_z_value_three_columns(spark):
+    """k=3 interleave: bit i of column j lands at 3i + j (the curve
+    generalizes past pairs; 21 bits x 3 cols fits a BIGINT)."""
+    from rag_vertex_ai_vector_search_spark.operators.layout import z_decode
+
+    df = spark.createDataFrame(
+        [(5, 3, 6), (0, 0, 0), (7, 7, 7)], "x long, y long, w long"
+    )
+    rows = df.select(
+        "x", "y", "w",
+        z_value([F.col("x"), F.col("y"), F.col("w")], bits=3).alias("z"),
+    ).collect()
+    for r in rows:
+        assert z_decode(r.z, 3, bits=3) == (r.x, r.y, r.w)
+    got = {(r.x, r.y, r.w): r.z for r in rows}
+    assert got[(7, 7, 7)] == 0b111111111
