@@ -4686,6 +4686,110 @@ SELECT o_orderkey, CAST({terms} AS BIGINT) AS zval FROM sc
 """
 
 
+def q_unigram_viterbi_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD tokenizer family's decode machinery under a hash gate
+    (r12): unigram-LM Viterbi segmentation (Kudo 2018) of every
+    distinct corpus word, with the float log-probs replaced by the
+    PINNED integer log2 surrogate bit_length(cnt) - bit_length(total)
+    over the corpus substring lattice (max piece length 4, min count 2,
+    alphabet always kept) -- strictly negative scores, so the DP
+    genuinely balances piece count against piece frequency exactly
+    like sum-of-log-probs Viterbi, and the optimal VALUE
+    (seg_key = best_score * 1000 - n_pieces, the lexicographic
+    (score DESC, pieces ASC) key) is engine-exact. The REAL float EM
+    trainer (train_unigram) is property-gated in pytest (monotone
+    corpus log-likelihood, prob normalization, alphabet retention) --
+    the knn_ivf_pruned / ann_recall_ivf split applied to tokenizers.
+    Archive-gated; the DuckDB mirror is a carried-window recursive DP
+    (best[p] from best[p-1..p-4] via a length-range join, the
+    wordpiece recursion's JOIN+GROUP BY rule)."""
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        substring_piece_counts,
+        unigram_piece_score,
+        viterbi_segment_words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = substring_piece_counts(docs).collect()
+    total_bits = int(sum(r.cnt for r in rows)).bit_length()
+    scores = {
+        r.piece: unigram_piece_score(r.cnt, total_bits) for r in rows
+    }
+    words = docs.select(
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                " ",
+            )
+        ).alias("word")
+    ).distinct()
+    return viterbi_segment_words(words, scores).select(
+        "word", "seg_key", "seg_score", "n_pieces"
+    )
+
+
+_SQL_UNIGRAM_VITERBI = f"""
+WITH RECURSIVE words AS (
+  SELECT unnest(string_split({_SQL_NORM}, ' ')) AS word FROM documents
+),
+wc AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY word
+),
+pieces AS MATERIALIZED (
+  SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM (
+    SELECT wc.n, substr(wc.word, i, l) AS piece
+    FROM wc
+    CROSS JOIN range(1, 64) _i(i)
+    CROSS JOIN range(1, 5) _l(l)
+    WHERE i + l - 1 <= len(wc.word)
+  ) GROUP BY piece
+  HAVING sum(n) >= 2 OR len(piece) = 1
+),
+tot AS MATERIALIZED (
+  SELECT CAST(length(format('{{:b}}', CAST(sum(cnt) AS BIGINT)))
+         AS BIGINT) AS tb
+  FROM pieces
+),
+scored AS MATERIALIZED (
+  SELECT piece,
+         CAST(length(format('{{:b}}', cnt)) AS BIGINT) - tot.tb AS sc
+  FROM pieces CROSS JOIN tot
+),
+dw AS (SELECT DISTINCT word FROM words),
+dp AS (
+  SELECT word, 0 AS p,
+         CAST(0 AS BIGINT) AS b0,
+         CAST(NULL AS BIGINT) AS b1,
+         CAST(NULL AS BIGINT) AS b2,
+         CAST(NULL AS BIGINT) AS b3
+  FROM dw
+  UNION ALL
+  SELECT word, p + 1, nb0, b0, b1, b2
+  FROM (
+    SELECT d.word, d.p, d.b0, d.b1, d.b2,
+           max(
+             (CASE t.l WHEN 1 THEN d.b0 WHEN 2 THEN d.b1
+                       WHEN 3 THEN d.b2 ELSE d.b3 END)
+             + s.sc * 1000 - 1
+           ) AS nb0
+    FROM dp d
+    JOIN range(1, 5) t(l)
+      ON t.l <= d.p + 1
+    JOIN scored s
+      ON s.piece = substr(d.word, d.p + 2 - t.l, t.l)
+    WHERE d.p < len(d.word)
+      AND (CASE t.l WHEN 1 THEN d.b0 WHEN 2 THEN d.b1
+                    WHEN 3 THEN d.b2 ELSE d.b3 END) IS NOT NULL
+    GROUP BY d.word, d.p, d.b0, d.b1, d.b2, d.b3
+  )
+)
+SELECT word, b0 AS seg_key,
+       CAST(floor((b0 + 999) / 1000) AS BIGINT) AS seg_score,
+       CAST(floor((b0 + 999) / 1000) AS BIGINT) * 1000 - b0 AS n_pieces
+FROM dp WHERE p = len(word)
+"""
+
+
 def q_pagerank_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (operators/graph.py) over a synthesized
     deterministic citation graph on the documents table (doc i links
@@ -9157,6 +9261,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_train_merges": q_wordpiece_train_merges,
         "vocab_coverage": q_vocab_coverage,
         "zorder_curve": q_zorder_curve,
+        "unigram_viterbi_segments": q_unigram_viterbi_segments,
         "pagerank_citations": q_pagerank_citations,
         "pagerank_weighted": q_pagerank_weighted,
         "hits_citations": q_hits_citations,
@@ -9292,6 +9397,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "wordpiece_train_merges": _sql_wordpiece_train(8),
         "vocab_coverage": _SQL_VOCAB_COVERAGE,
         "zorder_curve": _sql_zorder_curve(16),
+        "unigram_viterbi_segments": _SQL_UNIGRAM_VITERBI,
         "pagerank_citations": _sql_pagerank(6),
         "pagerank_weighted": _sql_pagerank_weighted(6),
         "hits_citations": _sql_hits(6),

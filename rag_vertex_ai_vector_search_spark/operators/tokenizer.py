@@ -1001,3 +1001,313 @@ def wordpiece_tokenize(
         )
         .select(id_col, "n_words", "n_tokens", "tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM (r12, the third tokenizer family): SentencePiece-style
+# (Kudo 2018, "Subword Regularization"). Two halves with the repo's
+# standard gate split:
+# - train_unigram: the REAL EM trainer (driver-side on collected word
+#   counts, the production-trainer shape) -- float forward/backward,
+#   so it is pytest-PROPERTY-gated (corpus log-likelihood must be
+#   non-decreasing across EM steps; probs normalize; the character
+#   alphabet is never pruned), not SQL-hashed.
+# - viterbi_segment: the decode machinery under an INTEGER score
+#   model (piece score = corpus substring count), where the optimal
+#   segmentation VALUE is closed-form and the DuckDB mirror is a
+#   carried-window recursive DP -- the hash-gated sibling that pins
+#   the lattice/DP code path exactly (the knn_ivf_pruned /
+#   ann_recall_ivf pattern applied to tokenizers).
+# ---------------------------------------------------------------------------
+
+UNIGRAM_MAX_PIECE_LEN = 4
+# combined DP key = total_score * _SEG_KEY_BASE - n_pieces: maximizing
+# it is lexicographic (score DESC, n_pieces ASC); the base just has to
+# exceed any word's piece count.
+_SEG_KEY_BASE = 1000
+
+
+def substring_piece_counts(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    max_len: int = UNIGRAM_MAX_PIECE_LEN,
+    min_count: int = 2,
+) -> DataFrame:
+    """(piece, cnt): corpus-weighted counts of every word substring up
+    to ``max_len`` chars -- the unigram seed lattice (and the pinned
+    integer score model of the Viterbi gate). Single-character pieces
+    are ALWAYS kept (the alphabet guarantees segmentability).
+    Enumeration runs on the VOCABULARY table: distinct words x word
+    length x max_len, never corpus-sized."""
+    counts = _word_counts(df, text_col)
+    pieces = counts.select(
+        "n",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(
+                                F.lit(max_len),
+                                F.length("word") - i + 1,
+                            ),
+                        ),
+                        lambda ln: F.col("word").substr(i, ln),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    agg = pieces.groupBy("piece").agg(
+        F.sum("n").cast("long").alias("cnt")
+    )
+    return agg.filter(
+        (F.col("cnt") >= min_count) | (F.length("piece") == 1)
+    )
+
+
+def unigram_piece_score(cnt: int, total_bits: int) -> int:
+    """The pinned integer score of the Viterbi GATE: the bit-length
+    log2 surrogate of the unigram log-prob, bit_length(cnt) -
+    bit_length(total piece mass). Strictly negative (cnt < total), so
+    every extra piece COSTS -- the DP genuinely balances piece count
+    against piece frequency exactly like sum-of-log-probs Viterbi
+    (score = raw cnt degenerates to per-char splits because character
+    counts dominate additively). bit_length is the proven engine-
+    shared integer log (Spark length(bin(x)) == DuckDB
+    length(format('{:b}', x)))."""
+    return int(cnt).bit_length() - int(total_bits)
+
+
+def viterbi_segment_words(
+    words_df: DataFrame,
+    piece_scores: dict,
+    *,
+    word_col: str = "word",
+    max_len: int = UNIGRAM_MAX_PIECE_LEN,
+) -> DataFrame:
+    """Optimal-segmentation DP per word under an integer score model:
+    maximize (sum of piece scores, then fewest pieces) -- the Viterbi
+    decode of a unigram tokenizer with the float log-probs replaced by
+    pinned integers so the optimum VALUE is engine-exact. Returns the
+    input plus ``seg_key`` (= best_score * 1000 - n_pieces, the
+    combined lexicographic key), ``seg_score`` and ``n_pieces``.
+
+    Arrow-batched pandas UDF over DISTINCT words with the score table
+    broadcast; per-word cost O(len * max_len)."""
+    from pyspark.sql import types as T
+
+    spark = words_df.sparkSession
+    bc = spark.sparkContext.broadcast(dict(piece_scores))
+
+    @F.pandas_udf(T.LongType())
+    def _vit(col):
+        scores = bc.value
+
+        def solve(w: str) -> int:
+            neg = float("-inf")
+            best = [neg] * (len(w) + 1)
+            best[0] = 0
+            for p in range(1, len(w) + 1):
+                for ln in range(1, min(max_len, p) + 1):
+                    piece = w[p - ln:p]
+                    sc = scores.get(piece)
+                    if sc is None or best[p - ln] == neg:
+                        continue
+                    cand = best[p - ln] + sc * _SEG_KEY_BASE - 1
+                    if cand > best[p]:
+                        best[p] = cand
+            return int(best[len(w)]) if best[len(w)] != neg else -1
+
+        return col.map(solve)
+
+    out = words_df.withColumn("seg_key", _vit(F.col(word_col)))
+    # key = S*B - P with S >= 1, 1 <= P < B  =>  S = floor((key+B-1)/B)
+    # (floor() on both engines -- the bucket-division parity rule;
+    # % would need sign gymnastics on a negative dividend)
+    b = _SEG_KEY_BASE
+    s_expr = F.floor(
+        (F.col("seg_key") + F.lit(b - 1)) / F.lit(b)
+    ).cast("long")
+    return (
+        out.withColumn("seg_score", s_expr)
+        .withColumn(
+            "n_pieces",
+            (F.col("seg_score") * F.lit(b) - F.col("seg_key"))
+            .cast("long"),
+        )
+    )
+
+
+def _unigram_forward_backward(word: str, n: int, probs: dict,
+                              max_len: int, expected: dict) -> float:
+    """One word's E-step: marginalize over every segmentation
+    (forward/backward over the piece lattice), accumulate expected
+    piece counts weighted by the word's corpus frequency. Returns the
+    word's contribution n * log Z to the corpus log-likelihood."""
+    import math
+
+    L = len(word)
+    alpha = [0.0] * (L + 1)
+    alpha[0] = 1.0
+    for p in range(1, L + 1):
+        for ln in range(1, min(max_len, p) + 1):
+            pr = probs.get(word[p - ln:p])
+            if pr:
+                alpha[p] += alpha[p - ln] * pr
+    z = alpha[L]
+    if z <= 0.0:
+        return 0.0  # unsegmentable (cannot happen with the alphabet kept)
+    beta = [0.0] * (L + 1)
+    beta[L] = 1.0
+    for p in range(L - 1, -1, -1):
+        for ln in range(1, min(max_len, L - p) + 1):
+            pr = probs.get(word[p:p + ln])
+            if pr:
+                beta[p] += pr * beta[p + ln]
+    for p in range(L):
+        for ln in range(1, min(max_len, L - p) + 1):
+            piece = word[p:p + ln]
+            pr = probs.get(piece)
+            if pr:
+                expected[piece] = expected.get(piece, 0.0) + (
+                    n * alpha[p] * pr * beta[p + ln] / z
+                )
+    return n * math.log(z)
+
+
+def train_unigram(
+    df: DataFrame | None,
+    *,
+    text_col: str = "text",
+    vocab_size: int = 64,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    min_count: int = 2,
+    em_iters: int = 2,
+    shrink: float = 0.25,
+    counts: DataFrame | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """SentencePiece-style unigram LM trainer (Kudo 2018): seed the
+    piece lattice with frequent substrings, alternate EM over the
+    full segmentation marginal with expected-count pruning until
+    ``vocab_size`` pieces remain (the character alphabet is never
+    pruned -- segmentability invariant). Driver-side on the collected
+    word counts, the production-trainer shape (Spark does the
+    corpus -> (word, n) shuffle; the Zipf-small vocabulary trains in
+    memory). Float EM -> property-gated in pytest (corpus
+    log-likelihood non-decreasing per EM step at a fixed piece set;
+    probs normalize; alphabet retained), not SQL-hashed; the DECODE
+    machinery is hash-gated separately (viterbi_segment_words with
+    pinned integer scores, the unigram_viterbi archive row).
+
+    Returns (piece, prob) ordered by prob desc, piece asc. ``stats``
+    receives {"ll_trace": [per-EM-step corpus log-likelihoods]}."""
+    base = counts if counts is not None else _word_counts(df, text_col)
+    spark = (df if df is not None else base).sparkSession
+    rows = [(r[0], int(r[1])) for r in base.select("word", "n").collect()]
+
+    from collections import Counter
+
+    seed: Counter = Counter()
+    for word, n in rows:
+        for i in range(len(word)):
+            for ln in range(1, min(max_piece_len, len(word) - i) + 1):
+                seed[word[i:i + ln]] += n
+    alphabet = {p for p in seed if len(p) == 1}
+    pieces = {
+        p: c for p, c in seed.items() if c >= min_count or len(p) == 1
+    }
+    total = float(sum(pieces.values()))
+    probs = {p: c / total for p, c in pieces.items()}
+    ll_trace: list = []
+
+    while True:
+        for _ in range(max(1, em_iters)):
+            expected: dict = {}
+            ll = 0.0
+            for word, n in rows:
+                ll += _unigram_forward_backward(
+                    word, n, probs, max_piece_len, expected
+                )
+            ll_trace.append(ll)
+            tot = sum(expected.values())
+            # The M-step is PURE (p = E/sum E): EM's monotone-
+            # likelihood guarantee requires it (a per-iteration
+            # alphabet floor was a 4x LL drop in development, and even
+            # late-convergence floors cost nats: characters fully
+            # absorbed into longer pieces legitimately converge to
+            # prob 0). Segmentability is restored ONCE at output time
+            # below, SentencePiece's required-chars semantics.
+            probs = {
+                p: c / tot for p, c in expected.items() if c > 0.0
+            }
+        # count the required characters that output-time restoration
+        # will re-add, so the final vocabulary honors vocab_size
+        if len(set(probs) | alphabet) <= vocab_size:
+            break
+        # prune: keep the alphabet + the highest-probability pieces
+        keep = max(
+            vocab_size, int(round(len(probs) * (1.0 - shrink)))
+        )
+        ranked = sorted(
+            ((p, pr) for p, pr in probs.items() if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        kept = dict(ranked[: max(0, keep - len(alphabet))])
+        for a in alphabet:
+            kept[a] = probs.get(a, 0.0)
+        s = sum(kept.values())
+        probs = {p: pr / s for p, pr in kept.items()}
+
+    # required-chars restoration (once, at output): characters whose
+    # probability converged to 0 under EM (fully absorbed by longer
+    # pieces) come back with a floor so ANY string stays segmentable
+    # at decode time -- outside the EM trace, so the monotone-LL
+    # property gate sees only pure steps.
+    missing = [a for a in alphabet if a not in probs]
+    if missing:
+        floor = min(probs.values()) * 0.01 if probs else 1.0
+        for a in missing:
+            probs[a] = floor
+        z = sum(probs.values())
+        probs = {p: v / z for p, v in probs.items()}
+
+    if stats is not None:
+        stats["ll_trace"] = ll_trace
+    out = sorted(probs.items(), key=lambda kv: (-kv[1], kv[0]))
+    return spark.createDataFrame(out, "piece string, prob double")
+
+
+def unigram_tokenize_word(word: str, log_probs: dict,
+                          max_len: int = UNIGRAM_MAX_PIECE_LEN) -> list:
+    """Viterbi decode of one word under trained unigram log-probs
+    (ties broken toward fewer pieces, then the DP's left-scan order);
+    the float-scored production decode -- the integer-scored twin
+    (viterbi_segment_words) carries the SQL hash gate."""
+    L = len(word)
+    neg = float("-inf")
+    best = [neg] * (L + 1)
+    back = [None] * (L + 1)
+    best[0] = 0.0
+    for p in range(1, L + 1):
+        for ln in range(1, min(max_len, p) + 1):
+            lp = log_probs.get(word[p - ln:p])
+            if lp is None or best[p - ln] == neg:
+                continue
+            cand = best[p - ln] + lp
+            if cand > best[p]:
+                best[p] = cand
+                back[p] = ln
+    if best[L] == neg:
+        return [word]  # unsegmentable -> pass through whole
+    out = []
+    p = L
+    while p > 0:
+        ln = back[p]
+        out.append(word[p - ln:p])
+        p -= ln
+    return out[::-1]

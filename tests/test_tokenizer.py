@@ -379,3 +379,71 @@ def test_wordpiece_driver_path_equals_spark_loop(spark, sf_smoke):
             train_wordpiece(adv, n_merges=20, driver_threshold=1_000_000)
             .orderBy("merge_rank").collect()]
     assert drv2 == seq2
+
+
+@pytest.mark.full
+def test_unigram_em_properties(spark, sf_smoke):
+    """The real float EM trainer (train_unigram, Kudo 2018) under its
+    property gates: (1) corpus log-likelihood is NON-DECREASING across
+    EM steps at a fixed piece set (the EM guarantee -- prune steps
+    reset the baseline, so monotonicity is checked within each
+    fixed-vocab stretch); (2) the returned probs normalize; (3) the
+    character alphabet survives pruning (segmentability); (4) Viterbi
+    decode under the trained log-probs reconstructs every corpus word
+    losslessly."""
+    import math
+
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        train_unigram,
+        unigram_tokenize_word,
+    )
+    from rag_vertex_ai_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    stats: dict = {}
+    pieces = train_unigram(
+        docs, vocab_size=48, em_iters=3, stats=stats
+    ).collect()
+
+    # (1) monotone LL within each fixed-vocab EM stretch of 3 steps.
+    # Tolerance is RELATIVE (1e-7): each LL is a sum of thousands of
+    # double terms, so ~1e-8-relative reassociation noise is expected;
+    # a genuine EM violation (the per-iteration alphabet-floor bug this
+    # gate caught in development) shows up as a multiple-percent drop.
+    trace = stats["ll_trace"]
+    assert len(trace) >= 3
+    for s0 in range(0, len(trace) - (len(trace) % 3), 3):
+        chunk = trace[s0:s0 + 3]
+        assert all(
+            b >= a - 1e-7 * abs(a) for a, b in zip(chunk, chunk[1:])
+        ), (s0, chunk)
+
+    # (2) normalization
+    assert abs(sum(r.prob for r in pieces) - 1.0) < 1e-9
+    assert len(pieces) <= 48
+
+    # (3) alphabet retained
+    from pyspark.sql import functions as F
+
+    words = [
+        r.word for r in docs.select(
+            F.explode(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower("text"), r"\s+", " ")
+                    ),
+                    " ",
+                )
+            ).alias("word")
+        ).distinct().collect()
+    ]
+    alphabet = {c for w in words for c in w}
+    have = {r.piece for r in pieces}
+    assert alphabet <= have
+
+    # (4) lossless Viterbi decode of every corpus word
+    lp = {r.piece: math.log(r.prob) for r in pieces if r.prob > 0}
+    for w in words:
+        toks = unigram_tokenize_word(w, lp)
+        assert "".join(toks) == w
+        assert all(t in have for t in toks), (w, toks)
