@@ -473,6 +473,9 @@ BENCH_QUERIES = [
     # r12: the second tokenizer family -- likelihood-ranked train +
     # greedy longest-match encode (declared row)
     ("wordpiece_tokenize_corpus", entrymod.q_wordpiece_tokenize_corpus),
+    # r12: third tokenizer family's hash-gated decode (integer-scored
+    # Viterbi DP over the corpus substring lattice)
+    ("unigram_viterbi_segments", entrymod.q_unigram_viterbi_segments),
     # r12: Morton-key computation over orders (the layout REWRITE cost
     # is the compact_parquet envelope + one sort; the key is the new
     # per-row work, measured here)

@@ -40,8 +40,12 @@ from .splits import (
 )
 from .tokenizer import (
     bpe_merge_pairs,
+    substring_piece_counts,
     train_bpe,
+    train_unigram,
     train_wordpiece,
+    unigram_tokenize_word,
+    viterbi_segment_words,
     vocab_coverage_report,
     wordpiece_tokenize,
     wordpiece_vocab,
@@ -78,7 +82,11 @@ __all__ = [
     "ServingReplica",
     "embed_query_text",
     "train_bpe",
+    "train_unigram",
     "train_wordpiece",
+    "substring_piece_counts",
+    "unigram_tokenize_word",
+    "viterbi_segment_words",
     "wordpiece_tokenize",
     "wordpiece_vocab",
     "write_zordered",
