@@ -4735,13 +4735,23 @@ WITH RECURSIVE words AS (
 wc AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY word
 ),
+positions AS MATERIALIZED (
+  -- bound the start-position enumeration by the ACTUAL corpus max
+  -- word length: the Spark side (substring_piece_counts) uses
+  -- sequence(1, length(word)) unbounded, so a fixed literal bound
+  -- would silently diverge on any 64+-char word (ADVICE r12).
+  -- table-function range() only takes constants, so unnest the
+  -- list-function range() over the one-row max instead.
+  SELECT unnest(range(1, CAST(max(len(word)) AS BIGINT) + 1)) AS i
+  FROM wc
+),
 pieces AS MATERIALIZED (
   SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM (
-    SELECT wc.n, substr(wc.word, i, l) AS piece
+    SELECT wc.n, substr(wc.word, _i.i, l) AS piece
     FROM wc
-    CROSS JOIN range(1, 64) _i(i)
+    CROSS JOIN positions _i
     CROSS JOIN range(1, 5) _l(l)
-    WHERE i + l - 1 <= len(wc.word)
+    WHERE _i.i + l - 1 <= len(wc.word)
   ) GROUP BY piece
   HAVING sum(n) >= 2 OR len(piece) = 1
 ),

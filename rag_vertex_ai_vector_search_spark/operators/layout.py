@@ -41,12 +41,28 @@ from pyspark.sql import functions as F
 DEFAULT_Z_BITS = 16
 
 
+def _check_z_width(k: int, bits: int) -> None:
+    """The interleaved key lives in a signed BIGINT: k * bits must
+    stay <= 63 or the top term lands on the sign bit and the sort
+    order (hence the whole data-skipping benefit) silently inverts
+    for half the keyspace -- the same bit-63 rule the BIGINT bit
+    tables follow (CLAUDE.md r7). Bijectivity would still hold, so
+    nothing downstream fails loudly; fail here instead."""
+    if k * bits > 63:
+        raise ValueError(
+            f"z-order key would need {k * bits} bits but a signed "
+            f"BIGINT holds 63: reduce bits to <= {63 // k} for "
+            f"{k} columns (got bits={bits})"
+        )
+
+
 def z_value_sql(cols: list[str], bits: int = DEFAULT_Z_BITS) -> str:
     """The Morton interleave as one SQL expression over pre-scaled
     integer expressions -- shared by the SQL front end
     (engine_zorder2) and the DuckDB oracle mirror (shift/and/add are
     identical syntax in both dialects)."""
     k = len(cols)
+    _check_z_width(k, bits)
     return " + ".join(
         f"((({c} >> {i}) & 1) << {i * k + j})"
         for i in range(bits)
@@ -72,6 +88,7 @@ def z_value(cols: list[Column], bits: int = DEFAULT_Z_BITS) -> Column:
     i * len(cols) + j. Disjoint target bits, so the combine is a plain
     sum of shift/and terms -- identical in SQL."""
     k = len(cols)
+    _check_z_width(k, bits)
     z = F.lit(0).cast("long")
     for j, c in enumerate(cols):
         for i in range(bits):
@@ -95,6 +112,7 @@ def zorder_key(
     hi)} explicitly (the catalog-stats path); otherwise one bounded
     min/max aggregate computes them (broadcast one-row join, no
     collect in the row path)."""
+    _check_z_width(len(cols), bits)
     if bounds is None:
         row = df.agg(
             *[F.min(c).alias(f"_lo_{c}") for c in cols],

@@ -767,8 +767,20 @@ def _train_wordpiece_driver(vocab_rows, n_merges: int) -> list:
             )
         best = min(
             pair_counts.items(),
+            # float() each count BEFORE multiplying so the rounding
+            # order replicates the engine expression double(cnt) /
+            # (double(nl) * double(nr)) exactly -- an exact Python
+            # integer product rounds once where the engines round
+            # twice, and past 2^53 the last ulp can flip the argmax
+            # (the same-association rule for inlined float constants).
             key=lambda kv: (
-                -(kv[1] / (sym_counts[kv[0][0]] * sym_counts[kv[0][1]])),
+                -(
+                    float(kv[1])
+                    / (
+                        float(sym_counts[kv[0][0]])
+                        * float(sym_counts[kv[0][1]])
+                    )
+                ),
                 kv[0][0] + _PAIR_SEP + kv[0][1],
             ),
         )

@@ -137,3 +137,28 @@ def test_z_value_three_columns(spark):
         assert z_decode(r.z, 3, bits=3) == (r.x, r.y, r.w)
     got = {(r.x, r.y, r.w): r.z for r in rows}
     assert got[(7, 7, 7)] == 0b111111111
+
+
+def test_z_width_guard_rejects_sign_bit(spark):
+    """4 cols x default 16 bits = 64 > 63: the top term would land on
+    the BIGINT sign bit and silently invert the sort order for half
+    the keyspace. All three entry points must refuse loudly
+    (ADVICE r12)."""
+    import pytest as _pytest
+
+    from rag_vertex_ai_vector_search_spark.operators.layout import (
+        z_value_sql,
+    )
+
+    cols4 = ["a", "b", "c", "d"]
+    with _pytest.raises(ValueError, match="63"):
+        z_value_sql(cols4, bits=16)
+    with _pytest.raises(ValueError, match="63"):
+        z_value([F.col(c) for c in cols4], bits=16)
+    df = spark.createDataFrame(
+        [(1, 2, 3, 4)], "a long, b long, c long, d long"
+    )
+    with _pytest.raises(ValueError, match="63"):
+        zorder_key(df, cols4, bits=16)
+    # the documented remedy fits: 15 bits x 4 cols = 60 <= 63
+    assert len(z_value_sql(cols4, bits=15)) > 0
