@@ -959,6 +959,80 @@ FROM cells
 """
 
 
+def q_multimodal_features_dct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-gates the LOSSY-DCT JPEG decode path (VERDICT r12 #1):
+    synthesize flat-block baseline JPEGs at quality 60 whose DECODED
+    pixels are closed-form integer arithmetic in doc_id
+    (multimodal/synthesis.py::synthesize_media_dct -- a solid 8x8
+    block quantizes to a DC-only coefficient, so decode is dequantize
+    -> flat IDCT -> level shift, and the odd luma quantizer 13 makes
+    the chain genuinely lossy with zero rounding ties), decode through
+    the REAL Huffman + dequantize + IDCT pipeline on executors
+    (multimodal/jpeg.py::decode_jpeg_baseline), and emit per-block
+    min/max pixel values (extract_dct_block_stats -- min AND max so a
+    non-flat decode breaks the hash instead of averaging away). Even
+    seeds are equal-channel RGB (full YCbCr forward/inverse + the
+    3-component interleaved MCU path with chroma tables), odd seeds
+    gray SOF0. The DuckDB oracle predicts every pixel from the
+    generator formula via the floor()-arithmetic quantization chain
+    without decoding anything. With this row the rows-only multimodal
+    surface shrinks to chroma-subsampled / progressive content only
+    (both keep the progressive==baseline equality gate in
+    tests/test_multimodal.py)."""
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        extract_dct_block_stats,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        synthesize_media_dct,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 12
+    ).select("doc_id")
+    media = synthesize_media_dct(fan_out(docs))
+    return extract_dct_block_stats(media)
+
+
+# The generator + quantization chain of synthesize_media_dct restated
+# as floor() integer arithmetic (tie-free by the safe-set filter, see
+# the module comment at multimodal/synthesis.py::DCT_QUALITY):
+# quant(v) = floor((16*(v-128)+13)/26) == round(8*(v-128)/13);
+# pixel(v) = floor((13*quant+4)/8)+128 == round(13*quant/8)+128.
+# The safe set is DERIVED in SQL by the same filter Python applies
+# (quant % 8 != 4 -- DuckDB % truncates toward zero on negatives, so
+# mirror Python's floored mod as ((q % 8) + 8) % 8), and index k is a
+# row_number window over it, matching the ascending Python list.
+_SQL_MULTIMODAL_DCT = """
+WITH seeds AS (SELECT doc_id AS s FROM documents WHERE doc_id < 12),
+sv AS MATERIALIZED (
+  SELECT v,
+         CAST(floor((16*(v-128)+13)/26.0) AS BIGINT) AS q,
+         row_number() OVER (ORDER BY v) - 1 AS k
+  FROM range(256) _v(v)
+  WHERE ((CAST(floor((16*(v-128)+13)/26.0) AS BIGINT) % 8) + 8) % 8 <> 4
+),
+nsafe AS (SELECT count(*) AS n FROM sv),
+blocks AS (
+  SELECT s, by, bx,
+         (31*s + 17*(by*4 + bx)) % (SELECT n FROM nsafe) AS k
+  FROM seeds, range(3) _y(by), range(4) _x(bx)
+),
+decd AS (
+  SELECT b.s, b.by, b.bx,
+         greatest(0, least(255,
+           CAST(floor((13*sv.q + 4)/8.0) AS BIGINT) + 128)) AS dec
+  FROM blocks b JOIN sv ON sv.k = b.k
+)
+SELECT s AS doc_id, CAST(ch AS BIGINT) AS channel,
+       CAST(by AS BIGINT) AS block_y, CAST(bx AS BIGINT) AS block_x,
+       dec AS px_min, dec AS px_max
+FROM decd, range(3) _c(ch)
+WHERE s % 2 = 0 OR ch = 0
+"""
+
+
 def q_gif_animation_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-gates the GIF ANIMATION pipeline (r11, extending the
     lossless-codec gate family): closed-form frames with deterministic
@@ -8976,7 +9050,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_gate": q_gopher_quality_gate,
         "phrase_search_docs": q_phrase_search_docs,
         "knn_pq_restrict_crowding": q_knn_pq_restrict_crowding,
-        "knn_pq_restrict_crowding_exact": q_knn_pq_restrict_crowding_exact,
+        # r13 rotation: multimodal_features_dct promoted (the lossy-DCT
+        # JPEG path's closed-form hash gate, VERDICT r12 #1),
+        # displacing knn_pq_restrict_crowding_exact -> archive: its
+        # restrict/crowding/cascade machinery stays declared-HASH-gated
+        # via knn_pq_restrict_crowding (hash-green since r12 with the
+        # same pinned quantizers) and the exact variant keeps full-tier
+        # parity at both SFs in tests/test_oracle_parity.py.
+        "multimodal_features_dct": q_multimodal_features_dct,
         "multimodal_features": q_multimodal_features,
         # -- first driver-gated in r3 ----------------------------------
         "asof_latest_signup": q_asof_latest_signup,
@@ -9241,6 +9322,9 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     prefix of the promoted row's mirror).
     """
     return {
+        # r13 displacement: exact-config sibling of the (hash-green
+        # since r12) realistic knn_pq_restrict_crowding declared row
+        "knn_pq_restrict_crowding_exact": q_knn_pq_restrict_crowding_exact,
         "knn_pq_rerank": q_knn_pq_rerank,
         "gif_animation_lossless": q_gif_animation_lossless,
         "hll_token_cardinality": q_hll_token_cardinality,
@@ -9347,7 +9431,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality_gate": _SQL_GOPHER,
         "phrase_search_docs": _sql_phrase_search(),
         "knn_pq_restrict_crowding": _SQL_KNN_PQ_RESTRICT_CROWDING,
-        "knn_pq_restrict_crowding_exact": _SQL_KNN_PQ_RESTRICT_CROWDING_EXACT,
+        "multimodal_features_dct": _SQL_MULTIMODAL_DCT,
         "asof_latest_signup": _SQL_ASOF_SIGNUP,
         "knn_hydrated": _SQL_KNN_HYDRATED,
         # knn_ivf_pruned: approximate + iterative -> rows-only check
@@ -9380,6 +9464,7 @@ def oracle_sql_archive() -> dict[str, str]:
     """Oracles for queries_archive() -- run by tests/test_oracle_parity.py
     (not the driver) so the rotated queries stay bit-exact-verified."""
     return {
+        "knn_pq_restrict_crowding_exact": _SQL_KNN_PQ_RESTRICT_CROWDING_EXACT,
         "gif_animation_lossless": _SQL_GIF_ANIMATION,
         "hll_token_cardinality": _SQL_HLL_TOKENS,
         "lm_trigram_surprisal": _sql_lm_trigram_surprisal(),

@@ -450,6 +450,10 @@ BENCH_QUERIES = [
         "multimodal_features_lossless",
         entrymod.q_multimodal_features_lossless,
     ),
+    # r13: the lossy-DCT closed-form gate (flat-block baseline JPEG
+    # encode -> real Huffman+dequantize+IDCT decode -> per-block
+    # min/max, SQL-predicted end to end)
+    ("multimodal_features_dct", entrymod.q_multimodal_features_dct),
     # r6: oracled recall gates for the pruned IVF and lossy PQ paths
     # (explicit data-row quantizers, VERDICT r5 #3)
     ("ann_recall_ivf", entrymod.q_ann_recall_ivf),

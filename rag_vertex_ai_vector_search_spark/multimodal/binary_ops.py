@@ -1110,6 +1110,63 @@ def extract_media_block_sums(
     return df.mapInPandas(_sums, out_schema)
 
 
+def extract_dct_block_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    block: int = 8,
+) -> DataFrame:
+    """Per-8x8-block min/max pixel stats through the REAL image decode
+    path -- the hash-gateable face of the lossy-DCT pipeline (VERDICT
+    r12 #1). For ``synthesize_media_dct`` content every block decodes
+    FLAT (a DC-only coefficient block IDCTs to a constant), so the
+    oracle predicts px_min == px_max == the closed-form dequantized
+    value; emitting BOTH bounds makes any non-flat decode (a stray AC
+    coefficient, a block-boundary bug, a Huffman misparse shifting the
+    DC differential chain) break the hash rather than average away.
+    One narrow mapInPandas stage, no shuffle; at 100 TB the same stage
+    maps over a binaryFile/parquet scan of real images."""
+    from . import decode_image
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, channel bigint, block_y bigint, "
+        "block_x bigint, px_min bigint, px_max bigint"
+    )
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rid_o, ch_o, by_o, bx_o, mn_o, mx_o = [], [], [], [], [], []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                arr = decode_image(bytes(content)).astype(np.int64)
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                h, w, nch = arr.shape
+                for ch in range(nch):
+                    for by in range(h // block):
+                        for bx in range(w // block):
+                            blk = arr[
+                                by * block:(by + 1) * block,
+                                bx * block:(bx + 1) * block,
+                                ch,
+                            ]
+                            rid_o.append(rid)
+                            ch_o.append(ch)
+                            by_o.append(by)
+                            bx_o.append(bx)
+                            mn_o.append(int(blk.min()))
+                            mx_o.append(int(blk.max()))
+            yield pd.DataFrame(
+                {
+                    id_col: rid_o, "channel": ch_o, "block_y": by_o,
+                    "block_x": bx_o, "px_min": mn_o, "px_max": mx_o,
+                }
+            )
+
+    return df.mapInPandas(_stats, out_schema)
+
+
 def extract_animation_block_sums(
     df: DataFrame,
     *,

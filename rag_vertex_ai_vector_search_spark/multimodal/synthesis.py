@@ -354,6 +354,105 @@ def synthesize_media_lossless(df: DataFrame, *, id_col: str = "doc_id"):
     return df.select(id_col).mapInPandas(_synth, out_schema)
 
 
+# -- lossy-DCT closed-form synthesis (r13) ---------------------------------
+#
+# A baseline JPEG whose 8x8 blocks are each SOLID-valued quantizes to
+# a DC-only coefficient block (flat-block AC coefficients are exact
+# zeros up to ~1e-15 float noise, far under any quantizer's rounding
+# threshold), so the decode is dequantize -> flat IDCT (DC/8 per
+# sample) -> level shift -> clip: every output sample an integer
+# CLOSED FORM in the block value. At quality 60 the luma DC quantizer
+# is 13 (odd and > 8), which makes the chain genuinely lossy (78 of
+# the 216 safe values decode to a DIFFERENT pixel) with NO rounding
+# ties on either side:
+#   encoder: quant = round(8*(v-128)/13) -- 13 odd => the exact value
+#            never sits on .5, and the nearest fractions (6/13, 7/13)
+#            are ~0.04 from it, 12 orders of magnitude above the DCT's
+#            float noise;
+#   decoder: pixel = round(13*quant/8) + 128 -- ties occur iff
+#            13*quant % 8 == 4, i.e. quant % 8 == 4; those 40 block
+#            values are excluded from the safe set (a tie would put
+#            banker's-rounded float noise in charge of the bit).
+# Both roundings are therefore mirrorable as floor() integer
+# arithmetic: quant = floor((16d+13)/26), pixel = floor((13q+4)/8)+128.
+
+DCT_QUALITY = 60
+_DCT_QDC = 13  # luma DC quantizer at quality 60 (Annex K 16, scale 80)
+
+
+def _dct_quant_dc(v: int) -> int:
+    """round(8*(v-128)/13) via floor((16d+13)/26) -- tie-free, see
+    above; Python floor division matches both engines' floor()."""
+    return (16 * (v - 128) + _DCT_QDC) // (2 * _DCT_QDC)
+
+
+def dct_safe_values() -> list[int]:
+    """Block values whose decode is tie-free: quant % 8 != 4 (216 of
+    256). Sorted ascending, so index k mirrors as a row_number window
+    over the same filter in SQL."""
+    return [v for v in range(256) if _dct_quant_dc(v) % 8 != 4]
+
+
+def dct_decoded_value(v: int) -> int:
+    """The closed-form decoded pixel for a flat block of value v:
+    dequantize -> DC/8 -> +128 -> clip (round = floor(x+1/2), exact
+    because ties are excluded)."""
+    recon = _DCT_QDC * _dct_quant_dc(v)
+    return max(0, min(255, (recon + 4) // 8 + 128))
+
+
+def _dct_flat_raster(seed: int) -> np.ndarray:
+    """(24, 32) raster of 12 solid 8x8 blocks; block b = 4*by+bx gets
+    SAFE[(31*seed + 17*b) % 216] -- pure integer arithmetic in
+    (seed, by, bx), SQL-predictable."""
+    safe = dct_safe_values()
+    n = len(safe)
+    raster = np.zeros((24, 32), dtype=np.uint8)
+    for by in range(3):
+        for bx in range(4):
+            v = safe[(31 * seed + 17 * (by * 4 + bx)) % n]
+            raster[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = v
+    return raster
+
+
+def synthesize_media_dct(df: DataFrame, *, id_col: str = "doc_id"):
+    """Flat-block baseline JPEGs whose DECODED pixels are closed-form
+    in the id (VERDICT r12 #1): gray SOF0 stream for odd seeds,
+    equal-channel RGB for even seeds -- the RGB member routes through
+    the full YCbCr forward/inverse transform and the 3-component
+    interleaved MCU entropy coding with the chroma quantizer/Huffman
+    tables (equal channels put the chroma planes at exactly 128, whose
+    DC quantizes to 0, so color reconstruction returns the luma plane
+    bit-exactly in all three channels). Spark must EARN every pixel
+    through the real Huffman decode + dequantize + IDCT + level-shift
+    path (multimodal/jpeg.py); a SQL oracle predicts them from the
+    generator formula without decoding anything."""
+    from .jpeg import encode_jpeg_baseline
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, media_type string, content binary"
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, blobs = [], [], []
+            for rid in pdf[id_col]:
+                seed = int(rid)
+                g = _dct_flat_raster(seed)
+                raster = (
+                    np.stack([g, g, g], axis=2) if seed % 2 == 0 else g
+                )
+                blobs.append(
+                    encode_jpeg_baseline(raster, quality=DCT_QUALITY)
+                )
+                ids.append(rid)
+                types.append("image/jpeg")
+            yield pd.DataFrame(
+                {id_col: ids, "media_type": types, "content": blobs}
+            )
+
+    return df.select(id_col).mapInPandas(_synth, out_schema)
+
+
 # Published MP3 framing bytes: an ID3v2.4 tag header followed by
 # MPEG-1 Layer III frame syncs (0xFFFB) -- enough for any magic-based
 # router to classify the blob, and guaranteed to hit the codecs'

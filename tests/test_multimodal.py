@@ -1358,3 +1358,67 @@ def test_lossless_jpeg_member_matches_generator_formula():
             expect = v - v % 2
         out = decode_jpeg_baseline(blob).astype(np.int64)
         assert np.array_equal(out, expect), seed
+
+
+def test_dct_flat_block_closed_form_all_safe_values():
+    """The r13 lossy-DCT gate's foundation: for EVERY safe block value
+    (216 of 256), a flat 8x8 block at quality 60 must decode to a FLAT
+    block equal to the closed-form prediction dct_decoded_value(v) --
+    gray SOF0 and equal-channel RGB both. The safe-set exclusion
+    (quant % 8 == 4 decoder ties) and genuine lossiness (78 values
+    decode to a DIFFERENT pixel) are asserted so the gate can't go
+    vacuous. Pure numpy; the Spark e2e gate is the declared
+    multimodal_features_dct parity row."""
+    from rag_vertex_ai_vector_search_spark.multimodal.jpeg import (
+        decode_jpeg_baseline, encode_jpeg_baseline,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        DCT_QUALITY, dct_decoded_value, dct_safe_values,
+    )
+
+    safe = dct_safe_values()
+    assert len(safe) == 216
+    assert sum(1 for v in safe if dct_decoded_value(v) != v) == 78
+
+    for rgb in (False, True):
+        for start in range(0, len(safe), 12):
+            chunk = (safe[start:start + 12] + safe)[:12]
+            g = np.zeros((24, 32), np.uint8)
+            for bi, v in enumerate(chunk):
+                by, bx = divmod(bi, 4)
+                g[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = v
+            raster = np.stack([g, g, g], axis=2) if rgb else g
+            dec = decode_jpeg_baseline(
+                encode_jpeg_baseline(raster, quality=DCT_QUALITY)
+            )
+            for bi, v in enumerate(chunk):
+                by, bx = divmod(bi, 4)
+                blk = dec[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                assert blk.min() == blk.max() == dct_decoded_value(v), (
+                    rgb, v,
+                )
+
+
+def test_synthesize_media_dct_spark_stats(spark):
+    """End-to-end Spark plumbing for the DCT gate: synthesize -> real
+    decode -> per-block min/max; every block flat, values matching the
+    closed form, channel count by seed parity, and at least one block
+    per run lossy (decoded != source value)."""
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        extract_dct_block_stats,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        _dct_flat_raster, dct_decoded_value, synthesize_media_dct,
+    )
+
+    docs = spark.range(8).withColumnRenamed("id", "doc_id")
+    out = extract_dct_block_stats(synthesize_media_dct(docs)).collect()
+    # 4 even seeds x 3 channels x 12 blocks + 4 odd x 1 x 12
+    assert len(out) == 4 * 36 + 4 * 12
+    lossy = 0
+    for r in out:
+        src = int(_dct_flat_raster(int(r.doc_id))[r.block_y * 8, r.block_x * 8])
+        want = dct_decoded_value(src)
+        assert r.px_min == r.px_max == want
+        lossy += int(want != src)
+    assert lossy > 0
