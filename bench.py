@@ -193,6 +193,66 @@ def _serving_single_query(spark, sf_dir):
     )
 
 
+def _serving_throughput(spark, sf_dir):
+    """Concurrent-request serving throughput (VERDICT r12 #2): 128
+    distinct queries answered by ONE warm replica through a 16-thread
+    pool (ServingReplica.query_many) -- the reference endpoint's
+    actual shape (config.py:44-50: one warm replica, a request
+    STREAM). The timed value is wall seconds for all 128; q/s =
+    128 / value. Thread-safety (concurrent == sequential bit-equal)
+    is pinned in tests/test_serving.py; this entry measures that the
+    shared-session path actually OVERLAPS requests instead of
+    serializing them (wall must be far under 128 x single-query
+    latency). Returns a one-row LocalRelation summary so the harness's
+    noop sink costs nothing."""
+    import pandas as pd
+
+    _serving_warm_index(spark, sf_dir)
+    reqs = [
+        (910000 + i, f"pricing summary of urgent orders batch {i}")
+        for i in range(128)
+    ]
+    answers = _SERVING_CACHE["replica"].query_many(
+        reqs, max_workers=16, k=10, probe_percent=10.0,
+    )
+    n_rows = sum(len(rows) for _, rows in answers)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"n_queries": [len(answers)], "n_rows": [n_rows]}
+        ),
+        "n_queries long, n_rows long",
+    )
+
+
+def _serving_throughput_coalesced(spark, sf_dir):
+    """The same 128 requests answered by request COALESCING
+    (ServingReplica.query_batch): one LocalRelation of all embedded
+    vectors, ONE cascade job, results split per query -- the
+    dynamic-batching shape a high-QPS endpoint actually runs. The
+    threaded entry above measures per-request isolation (fixed ~0.6 s
+    driver/job overhead each -> ~4 q/s ceiling); this one amortizes
+    that overhead across the window (~100+ q/s at sf0.1).
+    Per-query answers are bit-equal to query() -- pinned in
+    tests/test_serving.py::test_query_batch_bit_equal."""
+    import pandas as pd
+
+    _serving_warm_index(spark, sf_dir)
+    reqs = [
+        (910000 + i, f"pricing summary of urgent orders batch {i}")
+        for i in range(128)
+    ]
+    answers = _SERVING_CACHE["replica"].query_batch(
+        reqs, k=10, probe_percent=10.0,
+    )
+    n_rows = sum(len(rows) for _, rows in answers)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"n_queries": [len(answers)], "n_rows": [n_rows]}
+        ),
+        "n_queries long, n_rows long",
+    )
+
+
 def _media_probe_report(spark, sf_dir):
     """Header-only decode-rate accounting (VERDICT r9 #7 cheap mode):
     probe the WHOLE synthesized defect corpus -- no sampling knob
@@ -352,6 +412,10 @@ BENCH_QUERIES = [
     # r11: the deployed-endpoint latency story -- ONE warm-replica
     # query (embed + cascade at production probe + hydrate).
     ("serving_single_query", _serving_single_query),
+    # r13: 128 concurrent requests / 16 threads on the same warm
+    # replica (q/s = 128 / seconds)
+    ("serving_throughput", _serving_throughput),
+    ("serving_throughput_coalesced", _serving_throughput_coalesced),
     ("pricing_summary", entrymod.q_pricing_summary),
     ("top_revenue_customers", entrymod.q_top_revenue_customers),
     ("supplier_running_window", entrymod.q_supplier_running_window),

@@ -164,3 +164,110 @@ class ServingReplica:
             "query_id", F.col("rank").cast("long").alias("rank"),
             "neighbor_id", "score", *self.hydrate_cols,
         )
+
+    def query_many(
+        self,
+        requests,
+        *,
+        max_workers: int = 8,
+        **query_kwargs,
+    ) -> list:
+        """Answer a STREAM of concurrent interactive requests sharing
+        this replica's SparkSession (the reference endpoint's premise:
+        one warm replica, many in-flight requests -- config.py:44-50
+        min=max=1 replicas). ``requests`` is an iterable of
+        (doc_id, text); each request runs on its own thread as its own
+        Spark job (SparkSession job submission is thread-safe; collect
+        blocks in py4j socket I/O, releasing the GIL, so requests
+        genuinely overlap on the executor slots). Per-request state is
+        all thread-local -- the replica itself holds only immutable
+        request-INDEPENDENT state -- so concurrent answers are
+        bit-equal to sequential ones (pinned in
+        tests/test_serving.py::test_concurrent_queries_bit_equal).
+
+        Returns ``[(doc_id, [Row, ...]), ...]`` in request order.
+        Request-scale only, like ``query``: a data-scale query SET
+        belongs in one ``ivf_pq_search(method="cogroup")`` job, not a
+        thread pool.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        reqs = list(requests)
+
+        def _one(req):
+            doc_id, text = req
+            return self.query(
+                text, doc_id=doc_id, **query_kwargs
+            ).collect()
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            rows = list(pool.map(_one, reqs))
+        return [(doc_id, r) for (doc_id, _), r in zip(reqs, rows)]
+
+    def query_batch(
+        self,
+        requests,
+        *,
+        k: int = 10,
+        probe_percent: float = 10.0,
+        rerank_candidates: int | None = None,
+        restrict=None,
+        per_crowding_k: int | None = None,
+        crowding_col: str | None = None,
+    ) -> list:
+        """Request COALESCING: answer a window of in-flight requests as
+        ONE Spark job. ``query_many`` isolates requests (one job each)
+        but pays per-job driver overhead -- plan analysis, DAGScheduler
+        round-trips, codegen -- ~0.6 s/request regardless of data size,
+        so a thread pool tops out near 4 q/s. Stacking the embedded
+        query vectors into one LocalRelation and running the SAME
+        cascade once amortizes every fixed cost across the window (the
+        classic serving-system dynamic-batching move); per-query
+        results are bit-equal to ``query`` because ``ivf_pq_search``
+        ranks within query_id partitions by construction.
+
+        Returns ``[(doc_id, [Row, ...]), ...]`` in request order.
+        """
+        import pandas as pd
+
+        from .pq import ivf_pq_search
+
+        reqs = list(requests)
+        keys = [surrogate_key(doc_id) for doc_id, _ in reqs]
+        vecs = [
+            [float(x) for x in embed_query_text(
+                text, dim=self.dim, max_tokens=self.max_tokens
+            )]
+            for _, text in reqs
+        ]
+        qdf = self.spark.createDataFrame(
+            pd.DataFrame({"query_id": keys, "query_vector": vecs}),
+            self._q_schema,
+        )
+        hits = ivf_pq_search(
+            self.ivf, self.pq, qdf, k,
+            probe_percent=probe_percent,
+            rerank_candidates=rerank_candidates,
+            method="broadcast",
+            restrict=restrict,
+            per_crowding_k=per_crowding_k,
+            crowding_col=crowding_col,
+        )
+        if self.docs is not None:
+            docs = self.docs
+            hits = hits.join(
+                F.broadcast(docs),
+                hits.neighbor_id == docs[self.doc_id_col],
+                "left",
+            ).select(
+                "query_id", F.col("rank").cast("long").alias("rank"),
+                "neighbor_id", "score", *self.hydrate_cols,
+            )
+        by_key: dict[str, list] = {key: [] for key in keys}
+        for row in hits.collect():
+            by_key[row.query_id].append(row)
+        for rows in by_key.values():
+            rows.sort(key=lambda r: r.rank)
+        return [
+            (doc_id, by_key[key]) for (doc_id, _), key in zip(reqs, keys)
+        ]
