@@ -151,13 +151,36 @@ def compact_parquet(
             fs.delete(jtmp, True)
         raise
 
+    commit_staged_rewrite(spark, base, before=before)
+    return table_file_stats(spark, base)[0]
+
+
+def commit_staged_rewrite(
+    spark: SparkSession,
+    base: str,
+    *,
+    before: frozenset | None = None,
+) -> bool:
+    """The crash-safe swap COMMIT shared by every in-place rewrite
+    (compaction, z-order layout): given a fully-written
+    ``<base>__compact_tmp__`` dir, write the pending marker, rename
+    base -> old -> tmp into place, clean up. Every step after the
+    marker write is recoverable by ``resume_pending_compact`` (the
+    marker + dir existence states enumerate the crash points).
+
+    ``before`` (a ``_listing_snapshot`` taken before the rewrite read)
+    enables the optimistic live-writer abort: if the committed listing
+    changed or a writer has an attempt dir in flight, the tmp is
+    discarded and the source left untouched (returns False). Returns
+    True when the swap landed."""
+    tmp = base + TMP_SUFFIX
     fs, jpath = _fs_and_path(spark, base)
-    if abort_if_changed and (
+    if before is not None and (
         _pre_swap_check(spark, base) != before
         or _has_inflight_staging(spark, base)
     ):
         fs.delete(_fs_and_path(spark, tmp)[1], True)
-        return table_file_stats(spark, base)[0]
+        return False
     _, jtmp = _fs_and_path(spark, tmp)
     _, jold = _fs_and_path(spark, base + OLD_SUFFIX)
     _, jmarker = _fs_and_path(spark, base + PENDING_MARKER_SUFFIX)
@@ -166,12 +189,12 @@ def compact_parquet(
     out.close()
     if not fs.rename(jpath, jold) or not fs.rename(jtmp, jpath):
         raise RuntimeError(
-            f"compact swap rename failed for {base}; run "
+            f"staged swap rename failed for {base}; run "
             "resume_pending_compact to heal"
         )
     fs.delete(jold, True)
     fs.delete(jmarker, False)
-    return table_file_stats(spark, base)[0]
+    return True
 
 
 def _pre_swap_check(spark: SparkSession, path: str) -> frozenset:

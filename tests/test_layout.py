@@ -5,6 +5,7 @@ keyed dimensions, where a single-column sort is tight in one and ~1.0
 in the other."""
 
 import glob
+import os
 
 import pyarrow.parquet as pq
 import pytest
@@ -162,3 +163,83 @@ def test_z_width_guard_rejects_sign_bit(spark):
         zorder_key(df, cols4, bits=16)
     # the documented remedy fits: 15 bits x 4 cols = 60 <= 63
     assert len(z_value_sql(cols4, bits=15)) > 0
+
+
+def test_zorder_table_in_place_swap(spark, tmp_path):
+    """zorder_table (r13, VERDICT r12 #4): an in-place OPTIMIZE-style
+    rewrite of a LIVE table path must go through the pending-marker
+    swap (not a direct overwrite), be lossless, and leave tighter
+    footer stats on both keyed dims than the incoming random layout."""
+    from rag_vertex_ai_vector_search_spark.operators.layout import (
+        zorder_table,
+    )
+    from rag_vertex_ai_vector_search_spark.sources import compact as cm
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("a"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)).alias("b"),
+    )
+    df.repartition(8).write.parquet(path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    assert zorder_table(
+        spark, path, ["a", "b"], bits=10, n_files=4,
+        write_options={"parquet.block.size": 32 * 1024},
+    )
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before
+    for suffix in (cm.TMP_SUFFIX, cm.OLD_SUFFIX, cm.PENDING_MARKER_SUFFIX):
+        assert not os.path.exists(path + suffix)
+    # footer gate re-asserted post-swap: bounded boxes in BOTH dims
+    fa, n = _rowgroup_span_fractions(path, "a", 0, 999)
+    fb, _ = _rowgroup_span_fractions(path, "b", 0, 999)
+    assert n >= 4
+    # measured ~0.45 / ~0.30 at this size; the incoming random layout
+    # is ~1.0 in both dims
+    assert fa < 0.7 and fb < 0.7
+
+
+@pytest.mark.full
+@pytest.mark.parametrize(
+    "crash_at,outcome", [(1, "discarded"), (2, "completed")]
+)
+def test_zorder_table_crash_mid_swap_is_healed(
+    spark, tmp_path, monkeypatch, crash_at, outcome
+):
+    """Kill the z-order swap before the first rename and between the
+    two renames (the test_compact.py FS-proxy pattern): the shared
+    resume protocol must recover the FULL row set either way -- the
+    exact crash window the old direct-overwrite write_zordered-on-a-
+    live-path usage left open."""
+    from tests.test_compact import _patch_crash
+
+    from rag_vertex_ai_vector_search_spark.operators.layout import (
+        zorder_table,
+    )
+    from rag_vertex_ai_vector_search_spark.sources import compact as cm
+    from rag_vertex_ai_vector_search_spark.sources import (
+        resume_pending_compact,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64("id"), F.lit(100)).alias("a"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100)).alias("b"),
+    )
+    df.repartition(6).write.parquet(path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    _patch_crash(monkeypatch, crash_at)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        zorder_table(spark, path, ["a", "b"], bits=10, n_files=2)
+    monkeypatch.undo()
+
+    assert resume_pending_compact(spark, path) == outcome
+    assert resume_pending_compact(spark, path) == "none"
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before
+    for suffix in (cm.TMP_SUFFIX, cm.OLD_SUFFIX, cm.PENDING_MARKER_SUFFIX):
+        assert not os.path.exists(path + suffix)
