@@ -948,6 +948,39 @@ def wordpiece_encode_word(word: str, body_sets, unk: str = WORDPIECE_UNK):
     return out
 
 
+def wordpiece_encode_words(
+    words_df: DataFrame,
+    vocab_tokens,
+    *,
+    word_col: str = "word",
+    unk: str = WORDPIECE_UNK,
+) -> DataFrame:
+    """Greedy longest-match WordPiece encode per word: input plus a
+    space-joined ``toks`` column. The per-DISTINCT-word half of
+    ``wordpiece_tokenize``, factored out so the SQL front end can
+    register it as a joinable view (engine_wordpiece_encode). Arrow-
+    batched pandas UDF with the prefix-stripped token sets broadcast."""
+    from pyspark.sql import types as T
+
+    init_bodies = frozenset(
+        t for t in vocab_tokens if not t.startswith("##")
+    )
+    cont_bodies = frozenset(
+        t[2:] for t in vocab_tokens if t.startswith("##")
+    )
+    spark = words_df.sparkSession
+    bc = spark.sparkContext.broadcast((init_bodies, cont_bodies))
+
+    @F.pandas_udf(T.StringType())
+    def _encode(col):
+        sets = bc.value
+        return col.map(
+            lambda w: " ".join(wordpiece_encode_word(w, sets, unk))
+        )
+
+    return words_df.withColumn("toks", _encode(F.col(word_col)))
+
+
 def wordpiece_tokenize(
     df: DataFrame,
     vocab_tokens,
@@ -965,32 +998,14 @@ def wordpiece_tokenize(
     an Arrow-batched pandas UDF with the token set broadcast, then
     one join maps positions back -- encode work is bounded by
     distinct words x word length however large the corpus."""
-    from pyspark.sql import types as T
-
-    init_bodies = frozenset(
-        t for t in vocab_tokens if not t.startswith("##")
-    )
-    cont_bodies = frozenset(
-        t[2:] for t in vocab_tokens if t.startswith("##")
-    )
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast((init_bodies, cont_bodies))
-
-    @F.pandas_udf(T.StringType())
-    def _encode(col):
-        sets = bc.value
-        return col.map(
-            lambda w: " ".join(wordpiece_encode_word(w, sets, unk))
-        )
-
     pos = df.select(
         F.col(id_col),
         F.posexplode(
             F.split(normalized_text(F.col(text_col)), " ")
         ).alias("_pos", "word"),
     )
-    vocab = pos.select("word").distinct().withColumn(
-        "toks", _encode(F.col("word"))
+    vocab = wordpiece_encode_words(
+        pos.select("word").distinct(), vocab_tokens, unk=unk
     )
     joined = pos.join(vocab, "word")
     return (

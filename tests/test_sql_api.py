@@ -450,3 +450,71 @@ def test_engine_zorder2_matches_dataframe_key(spark, sf_smoke):
         ).collect()
     )
     assert got == want
+
+
+def test_sql_tokenizer_views_match_dataframe_builders(spark, sf_smoke):
+    """engine_wordpiece_encode / engine_unigram_segment (r13, VERDICT
+    r12 #5): the SQL-only route to the tokenizer families must be
+    bit-equal to the DataFrame builders -- same trained vocabulary,
+    same pinned integer scores, joined per distinct word."""
+    from rag_vertex_ai_vector_search_spark.functions.text import (
+        normalized_text,
+    )
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        substring_piece_counts,
+        train_wordpiece,
+        unigram_piece_score,
+        viterbi_segment_words,
+        wordpiece_encode_words,
+        wordpiece_vocab,
+    )
+
+    register_sql_api(spark, sf_smoke)
+    docs = spark.table("documents")
+    words = docs.select(
+        F.explode(
+            F.split(normalized_text(F.col("text")), " ")
+        ).alias("word")
+    ).distinct()
+
+    got_wp = sorted(
+        tuple(r) for r in spark.sql(
+            "SELECT word, toks FROM engine_wordpiece_encode"
+        ).collect()
+    )
+    vocab = wordpiece_vocab(docs, train_wordpiece(docs, n_merges=8))
+    want_wp = sorted(
+        tuple(r)
+        for r in wordpiece_encode_words(words, vocab)
+        .select("word", "toks").collect()
+    )
+    assert got_wp == want_wp and len(got_wp) > 0
+
+    got_us = sorted(
+        tuple(r) for r in spark.sql(
+            "SELECT word, seg_key, seg_score, n_pieces "
+            "FROM engine_unigram_segment"
+        ).collect()
+    )
+    rows = substring_piece_counts(docs).collect()
+    tb = int(sum(r.cnt for r in rows)).bit_length()
+    scores = {r.piece: unigram_piece_score(r.cnt, tb) for r in rows}
+    want_us = sorted(
+        tuple(r)
+        for r in viterbi_segment_words(words, scores)
+        .select("word", "seg_key", "seg_score", "n_pieces").collect()
+    )
+    assert got_us == want_us and len(got_us) > 0
+    # a SQL user can actually COMPOSE with them: tokens for the
+    # longest word of every document via a plain join
+    joined = spark.sql(
+        """
+        SELECT d.doc_id, w.toks
+        FROM documents d
+        JOIN engine_wordpiece_encode w
+          ON w.word = split(trim(regexp_replace(lower(d.text),
+                     '\\\\s+', ' ')), ' ')[0]
+        LIMIT 5
+        """
+    ).collect()
+    assert len(joined) == 5
