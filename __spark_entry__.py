@@ -4705,6 +4705,148 @@ def q_wordpiece_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_train_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram-LM EM TRAINER under a hash gate (VERDICT r12 #3,
+    closing the last property-gated-only iterative algorithm): run
+    train_unigram_em_quantized -- the REAL _unigram_forward_backward
+    lattice with the per-occurrence expected-count contribution
+    quantized to integer micro-units (floor(contrib * 2^33)) before
+    accumulation -- for 2 EM iterations over the corpus word counts,
+    and return the final integer expected counts per piece. Integer
+    sums are association-free and every float in the chain is a
+    fixed-association expression (see the trainer docstring), so the
+    DuckDB mirror (chained per-iteration recursive forward/backward
+    CTEs over a carried 4-term window, the wordpiece-recursion
+    JOIN+GROUP BY rule) reproduces each floor input bit-exactly. The
+    production trainer (train_unigram, pure float M-step for EM
+    monotonicity) stays property-gated; this is its pinned-config
+    sibling in the ann_recall_* tradition."""
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        train_unigram_em_quantized,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_unigram_em_quantized(docs, em_iters=2)
+
+
+def _sql_unigram_em(iters: int, scale: int, min_count: int = 2) -> str:
+    """The quantized-EM mirror: seed probs p0 from substring counts,
+    then per EM iteration a forward recursion (alpha, carried 4-term
+    window, terms in ascending length order -- skipped terms add exact
+    0.0 so the COALESCE chain is bit-identical to Python's +=), a
+    backward recursion (beta), and an integer contributions GROUP BY
+    (floor of the left-associated n*alpha*pr*beta/z*scale). M-step =
+    CAST(eq AS DOUBLE)/CAST(sum AS DOUBLE), the engine rounding order.
+    Every stage CTE is MATERIALIZED (the r12 WordPiece lesson: 3+
+    references re-inline exponentially)."""
+    parts = [f"""
+WITH RECURSIVE words AS (
+  SELECT unnest(string_split({_SQL_NORM}, ' ')) AS word FROM documents
+),
+wc AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY word
+),
+dw AS MATERIALIZED (SELECT DISTINCT word FROM wc),
+positions AS MATERIALIZED (
+  SELECT unnest(range(1, CAST(max(len(word)) AS BIGINT) + 1)) AS i
+  FROM wc
+),
+seedp AS MATERIALIZED (
+  SELECT piece, CAST(sum(n) AS BIGINT) AS c FROM (
+    SELECT wc.n, substr(wc.word, _i.i, l) AS piece
+    FROM wc
+    CROSS JOIN positions _i
+    CROSS JOIN range(1, 5) _l(l)
+    WHERE _i.i + l - 1 <= len(wc.word)
+  ) GROUP BY piece
+  HAVING sum(n) >= {min_count} OR len(piece) = 1
+),
+p0 AS MATERIALIZED (
+  SELECT piece,
+         CAST(c AS DOUBLE)
+           / (SELECT CAST(sum(c) AS DOUBLE) FROM seedp) AS pr
+  FROM seedp
+)"""]
+    for i in range(1, iters + 1):
+        prev = f"p{i - 1}"
+        parts.append(f""",
+f{i} AS (
+  SELECT word, 0 AS p, CAST(1 AS DOUBLE) AS a0,
+         CAST(NULL AS DOUBLE) AS a1, CAST(NULL AS DOUBLE) AS a2,
+         CAST(NULL AS DOUBLE) AS a3
+  FROM dw
+  UNION ALL
+  SELECT d.word, d.p + 1,
+         ((((0 + COALESCE(d.a0 * s1.pr, 0))
+              + COALESCE(d.a1 * s2.pr, 0))
+              + COALESCE(d.a2 * s3.pr, 0))
+              + COALESCE(d.a3 * s4.pr, 0)),
+         d.a0, d.a1, d.a2
+  FROM f{i} d
+  LEFT JOIN {prev} s1 ON s1.piece = substr(d.word, d.p + 1, 1)
+  LEFT JOIN {prev} s2
+    ON d.p >= 1 AND s2.piece = substr(d.word, d.p, 2)
+  LEFT JOIN {prev} s3
+    ON d.p >= 2 AND s3.piece = substr(d.word, d.p - 1, 3)
+  LEFT JOIN {prev} s4
+    ON d.p >= 3 AND s4.piece = substr(d.word, d.p - 2, 4)
+  WHERE d.p < len(d.word)
+),
+al{i} AS MATERIALIZED (SELECT word, p, a0 AS a FROM f{i}),
+zt{i} AS MATERIALIZED (
+  SELECT word, a AS z FROM al{i} WHERE p = len(word)
+),
+g{i} AS (
+  SELECT word, len(word) AS p, CAST(1 AS DOUBLE) AS b0,
+         CAST(NULL AS DOUBLE) AS b1, CAST(NULL AS DOUBLE) AS b2,
+         CAST(NULL AS DOUBLE) AS b3
+  FROM dw
+  UNION ALL
+  SELECT d.word, d.p - 1,
+         ((((0 + COALESCE(s1.pr * d.b0, 0))
+              + COALESCE(s2.pr * d.b1, 0))
+              + COALESCE(s3.pr * d.b2, 0))
+              + COALESCE(s4.pr * d.b3, 0)),
+         d.b0, d.b1, d.b2
+  FROM g{i} d
+  LEFT JOIN {prev} s1 ON s1.piece = substr(d.word, d.p, 1)
+  LEFT JOIN {prev} s2
+    ON d.p + 1 <= len(d.word)
+   AND s2.piece = substr(d.word, d.p, 2)
+  LEFT JOIN {prev} s3
+    ON d.p + 2 <= len(d.word)
+   AND s3.piece = substr(d.word, d.p, 3)
+  LEFT JOIN {prev} s4
+    ON d.p + 3 <= len(d.word)
+   AND s4.piece = substr(d.word, d.p, 4)
+  WHERE d.p > 0
+),
+bt{i} AS MATERIALIZED (SELECT word, p, b0 AS b FROM g{i}),
+e{i} AS MATERIALIZED (
+  SELECT piece, CAST(sum(q) AS BIGINT) AS eq FROM (
+    SELECT s.piece,
+           CAST(floor(w.n * a.a * s.pr * b.b / z.z * {scale})
+                AS BIGINT) AS q
+    FROM wc w
+    JOIN zt{i} z ON z.word = w.word AND z.z > 0
+    JOIN al{i} a ON a.word = w.word AND a.p < len(w.word)
+    JOIN range(1, 5) t(l) ON a.p + t.l <= len(w.word)
+    JOIN {prev} s ON s.piece = substr(w.word, a.p + 1, t.l)
+    JOIN bt{i} b ON b.word = w.word AND b.p = a.p + t.l
+  ) GROUP BY piece
+),
+p{i} AS MATERIALIZED (
+  SELECT piece,
+         CAST(eq AS DOUBLE)
+           / (SELECT CAST(sum(eq) AS DOUBLE) FROM e{i}) AS pr
+  FROM e{i} WHERE eq > 0
+)""")
+    parts.append(
+        f"\nSELECT piece, eq AS expected_q FROM e{iters}"
+    )
+    return "".join(parts)
+
+
 def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout key (operators/layout.py, r12): the Morton
     interleave of (o_custkey, o_orderdate-epoch) after exact integer
@@ -9356,6 +9498,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "zorder_curve": q_zorder_curve,
         "unigram_viterbi_segments": q_unigram_viterbi_segments,
+        "unigram_train_em": q_unigram_train_em,
         "pagerank_citations": q_pagerank_citations,
         "pagerank_weighted": q_pagerank_weighted,
         "hits_citations": q_hits_citations,
@@ -9493,6 +9636,9 @@ def oracle_sql_archive() -> dict[str, str]:
         "vocab_coverage": _SQL_VOCAB_COVERAGE,
         "zorder_curve": _sql_zorder_curve(16),
         "unigram_viterbi_segments": _SQL_UNIGRAM_VITERBI,
+        "unigram_train_em": _sql_unigram_em(
+            2, 1 << 33
+        ),
         "pagerank_citations": _sql_pagerank(6),
         "pagerank_weighted": _sql_pagerank_weighted(6),
         "hits_citations": _sql_hits(6),

@@ -1170,11 +1170,18 @@ def viterbi_segment_words(
 
 
 def _unigram_forward_backward(word: str, n: int, probs: dict,
-                              max_len: int, expected: dict) -> float:
+                              max_len: int, expected: dict,
+                              accumulate=None) -> float:
     """One word's E-step: marginalize over every segmentation
     (forward/backward over the piece lattice), accumulate expected
     piece counts weighted by the word's corpus frequency. Returns the
-    word's contribution n * log Z to the corpus log-likelihood."""
+    word's contribution n * log Z to the corpus log-likelihood.
+
+    ``accumulate(expected, piece, contrib)`` hooks the per-OCCURRENCE
+    accumulation (default: float +=). The quantized-EM hash gate
+    (train_unigram_em_quantized) passes an integer-floor accumulator
+    through the SAME lattice code path, so the oracle pins this
+    forward/backward exactly."""
     import math
 
     L = len(word)
@@ -1195,13 +1202,17 @@ def _unigram_forward_backward(word: str, n: int, probs: dict,
             pr = probs.get(word[p:p + ln])
             if pr:
                 beta[p] += pr * beta[p + ln]
+    if accumulate is None:
+        def accumulate(acc, piece, contrib):
+            acc[piece] = acc.get(piece, 0.0) + contrib
     for p in range(L):
         for ln in range(1, min(max_len, L - p) + 1):
             piece = word[p:p + ln]
             pr = probs.get(piece)
             if pr:
-                expected[piece] = expected.get(piece, 0.0) + (
-                    n * alpha[p] * pr * beta[p + ln] / z
+                accumulate(
+                    expected, piece,
+                    n * alpha[p] * pr * beta[p + ln] / z,
                 )
     return n * math.log(z)
 
@@ -1307,6 +1318,96 @@ def train_unigram(
         stats["ll_trace"] = ll_trace
     out = sorted(probs.items(), key=lambda kv: (-kv[1], kv[0]))
     return spark.createDataFrame(out, "piece string, prob double")
+
+
+UNIGRAM_EM_SCALE = 1 << 33
+
+
+def train_unigram_em_quantized(
+    df: DataFrame | None,
+    *,
+    text_col: str = "text",
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    min_count: int = 2,
+    em_iters: int = 2,
+    scale: int = UNIGRAM_EM_SCALE,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """The unigram EM trainer's HASH GATE (VERDICT r12 #3): the same
+    seed lattice and the same ``_unigram_forward_backward`` code path
+    as ``train_unigram``, with the per-OCCURRENCE expected-count
+    contribution quantized to integer micro-units
+    (floor(contrib * scale)) before accumulation. That one hook makes
+    the whole EM chain engine-exact:
+
+    - integer per-piece sums are association-free, so the oracle's
+      GROUP BY matches bit-for-bit however DuckDB orders the rows;
+    - every FLOAT in the chain (alpha, beta, z, probabilities, the
+      contribution product) is a fixed-association expression --
+      alpha[p] folds its <= max_piece_len terms in ascending length
+      order (skipped terms add exact 0.0, so a 4-term COALESCE chain
+      in SQL is bit-identical), the contribution is the left-
+      associated n * alpha * pr * beta / z * scale, and the M-step
+      divides float(eq)/float(total) (both operands rounded to double
+      BEFORE the divide -- the engine rounding order, per the r12
+      wordpiece-driver lesson);
+    - so the DuckDB mirror (chained per-iteration recursive
+      forward/backward CTEs, the wordpiece-recursion JOIN rule)
+      reproduces every floor input exactly and the floor can never
+      disagree.
+
+    The production trainer stays ``train_unigram`` (pure float M-step
+    -- per-iteration quantization breaks EM's monotone-likelihood
+    guarantee, see its docstring); this is the pinned-configuration
+    sibling in the ann_recall_* tradition: same machinery, closed
+    form. Returns (piece, expected_q) -- the FINAL iteration's integer
+    expected counts."""
+    base = counts if counts is not None else _word_counts(df, text_col)
+    spark = (df if df is not None else base).sparkSession
+    rows = [(r[0], int(r[1])) for r in base.select("word", "n").collect()]
+
+    from collections import Counter
+    from math import floor
+
+    seed: Counter = Counter()
+    for word, n in rows:
+        for i in range(len(word)):
+            for ln in range(
+                1, min(max_piece_len, len(word) - i) + 1
+            ):
+                seed[word[i:i + ln]] += n
+    pieces = {
+        p: c for p, c in seed.items() if c >= min_count or len(p) == 1
+    }
+    total = float(sum(pieces.values()))
+    probs = {p: float(c) / total for p, c in pieces.items()}
+
+    def _quantize(acc: dict, piece: str, contrib: float) -> None:
+        acc[piece] = acc.get(piece, 0) + floor(contrib * scale)
+
+    eq: dict = {}
+    for _ in range(max(1, em_iters)):
+        eq = {}
+        for word, n in rows:
+            _unigram_forward_backward(
+                word, n, probs, max_piece_len, eq,
+                accumulate=_quantize,
+            )
+        tot = float(sum(eq.values()))
+        probs = {
+            p: float(c) / tot for p, c in eq.items() if c > 0
+        }
+
+    import pandas as pd
+
+    out = sorted(eq.items())
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"piece": [p for p, _ in out],
+             "expected_q": [int(c) for _, c in out]}
+        ),
+        "piece string, expected_q long",
+    )
 
 
 def unigram_tokenize_word(word: str, log_probs: dict,

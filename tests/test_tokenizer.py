@@ -447,3 +447,56 @@ def test_unigram_em_properties(spark, sf_smoke):
         toks = unigram_tokenize_word(w, lp)
         assert "".join(toks) == w
         assert all(t in have for t in toks), (w, toks)
+
+
+def test_unigram_quantized_em_tracks_float_trainer(spark):
+    """train_unigram_em_quantized (r13, the EM hash gate's Spark
+    side) must track the REAL float E-step through the same lattice:
+    eq / scale ~= the float expected counts after one iteration (the
+    only difference is the per-occurrence floor, bounded by one
+    micro-unit per occurrence), and the integer output is
+    deterministic across runs."""
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        UNIGRAM_EM_SCALE,
+        _unigram_forward_backward,
+        _word_counts,
+        train_unigram_em_quantized,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abab cd abcd"), (2, "ab ab cd cd dcba")],
+        "doc_id long, text string",
+    )
+    out1 = {
+        r.piece: r.expected_q
+        for r in train_unigram_em_quantized(docs, em_iters=1).collect()
+    }
+    out1b = {
+        r.piece: r.expected_q
+        for r in train_unigram_em_quantized(docs, em_iters=1).collect()
+    }
+    assert out1 == out1b and len(out1) > 0
+
+    # float reference: same seed probs, one float E-step
+    rows = [
+        (r.word, int(r.n))
+        for r in _word_counts(docs, "text").collect()
+    ]
+    from collections import Counter
+
+    seed: Counter = Counter()
+    for word, n in rows:
+        for i in range(len(word)):
+            for ln in range(1, min(4, len(word) - i) + 1):
+                seed[word[i:i + ln]] += n
+    pieces = {p: c for p, c in seed.items() if c >= 2 or len(p) == 1}
+    total = float(sum(pieces.values()))
+    probs = {p: float(c) / total for p, c in pieces.items()}
+    expected: dict = {}
+    n_occ = 0
+    for word, n in rows:
+        _unigram_forward_backward(word, n, probs, 4, expected)
+    for piece, ev in expected.items():
+        q = out1.get(piece, 0)
+        # floor drops < 1 micro-unit per occurrence
+        assert 0 <= ev - q / UNIGRAM_EM_SCALE < 1e-6 + 64 / UNIGRAM_EM_SCALE, piece
