@@ -219,6 +219,9 @@ def zorder_table(
 
     base = path.rstrip("/")
     resume_pending_compact(spark, base)
+    # stale-listing guard (see compact_parquet): a cached leaf listing
+    # would make the rewrite silently drop a foreign session's commits
+    spark.catalog.refreshByPath(base)
     df = spark.read.parquet(base)
     keyed = zorder_key(df, cols, bits=bits)
     n = n_files or spark.sparkContext.defaultParallelism

@@ -35,6 +35,7 @@ inside ``_temporary``, silently inflate ``table_file_stats``.
 
 from __future__ import annotations
 
+import json
 import math
 
 from pyspark.sql import SparkSession
@@ -53,21 +54,50 @@ def _fs_and_path(spark: SparkSession, path: str):
     return fs, jpath
 
 
+def _retry_listing_race(fn, attempts: int = 5, delay: float = 0.05):
+    """Run a recursive-listing closure, retrying when a FOREIGN
+    writer's transient attempt dir (``_temporary`` task files) vanishes
+    mid-iteration (r13, the two-session contract): Hadoop's
+    LocatedFileStatus iterator stats entries lazily, so a file deleted
+    between listing and stat throws from ``hasNext``. The listing is
+    read-only -- retrying from scratch is always safe."""
+    import time as _time
+
+    last = None
+    for _ in range(attempts):
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 -- match by message, py4j wraps
+            msg = str(exc)
+            if (
+                "No such file or directory" not in msg
+                and "FileNotFoundException" not in msg
+            ):
+                raise
+            last = exc
+            _time.sleep(delay)
+    raise last
+
+
 def table_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     """(data_file_count, total_bytes) under ``path``, recursively,
     ignoring hidden/metadata files (_SUCCESS, .crc, ...)."""
     fs, jpath = _fs_and_path(spark, path)
-    it = fs.listFiles(jpath, True)
-    n_files = 0
-    total = 0
-    while it.hasNext():
-        status = it.next()
-        name = status.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
-            continue
-        n_files += 1
-        total += status.getLen()
-    return n_files, total
+
+    def _scan():
+        it = fs.listFiles(jpath, True)
+        n_files = 0
+        total = 0
+        while it.hasNext():
+            status = it.next()
+            name = status.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            n_files += 1
+            total += status.getLen()
+        return n_files, total
+
+    return _retry_listing_race(_scan)
 
 
 def _listing_snapshot(spark: SparkSession, path: str) -> frozenset:
@@ -77,19 +107,31 @@ def _listing_snapshot(spark: SparkSession, path: str) -> frozenset:
     fs, jpath = _fs_and_path(spark, path)
     if not fs.exists(jpath):
         return frozenset()
-    prefix = jpath.toString()
-    out = []
-    it = fs.listFiles(jpath, True)
-    while it.hasNext():
-        status = it.next()
-        p = status.getPath().toString()
-        name = status.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
-            continue
-        out.append(
-            (p[len(prefix):], status.getLen(), status.getModificationTime())
-        )
-    return frozenset(out)
+    # scheme-consistent slicing (r13): getPath().toString() carries
+    # the "file:"/"hdfs://..." scheme while the input path may not --
+    # compare URI paths on both sides so the relative path is real
+    # (the rescue protocol stores these rels in the pending marker)
+    prefix = jpath.toUri().getPath()
+
+    def _scan():
+        out = []
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            status = it.next()
+            p = status.getPath().toUri().getPath()
+            name = status.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            out.append(
+                (
+                    p[len(prefix):],
+                    status.getLen(),
+                    status.getModificationTime(),
+                )
+            )
+        return frozenset(out)
+
+    return _retry_listing_race(_scan)
 
 
 def compact_parquet(
@@ -134,6 +176,12 @@ def compact_parquet(
         return n_files
 
     before = _listing_snapshot(spark, base) if abort_if_changed else None
+    # Drop any cached leaf-file listing for the path (r13, found by the
+    # two-session test): Spark's shared FileStatusCache can serve a
+    # STALE listing to a path read, so a rewrite would silently omit a
+    # FOREIGN session's committed files -- `before` (a direct Hadoop
+    # listing) wouldn't flag it, and the swap would delete them.
+    spark.catalog.refreshByPath(base)
     df = spark.read.parquet(base).coalesce(n_out)
     tmp = base + TMP_SUFFIX
     writer = df.write.mode("overwrite")
@@ -172,29 +220,86 @@ def commit_staged_rewrite(
     enables the optimistic live-writer abort: if the committed listing
     changed or a writer has an attempt dir in flight, the tmp is
     discarded and the source left untouched (returns False). Returns
-    True when the swap landed."""
+    True when the swap landed.
+
+    APPEND-SAFETY for the residual window (r13, the two-session
+    contract): a second session's commit can land between the pre-swap
+    listing and the rename -- its files ride ``base`` into the renamed
+    old dir. Before deleting old, every data file NOT in the pre-swap
+    listing is MOVED back into the live table (``_rescue_late_commits``),
+    so committed rows survive the rewrite regardless of the race. The
+    remaining exposure is a commit landing between the rescue listing
+    and the delete (sub-ms, no Spark job inside it) -- plus a second
+    session whose job STAGED before the in-flight check, which aborts
+    the swap entirely. A transactional format remains the seam that
+    closes the last sliver."""
     tmp = base + TMP_SUFFIX
     fs, jpath = _fs_and_path(spark, base)
+    pre = _pre_swap_check(spark, base)
     if before is not None and (
-        _pre_swap_check(spark, base) != before
-        or _has_inflight_staging(spark, base)
+        pre != before or _has_inflight_staging(spark, base)
     ):
         fs.delete(_fs_and_path(spark, tmp)[1], True)
         return False
     _, jtmp = _fs_and_path(spark, tmp)
     _, jold = _fs_and_path(spark, base + OLD_SUFFIX)
     _, jmarker = _fs_and_path(spark, base + PENDING_MARKER_SUFFIX)
+    # the marker carries the pre-swap listing so a crash between the
+    # renames and the rescue still rescues late commits on resume
+    marker_doc = json.dumps(
+        {"baseline": sorted(rel for rel, _, _ in pre)}
+    ).encode("utf-8")
     out = fs.create(jmarker, True)
-    out.write(bytearray(b"{}"))
+    out.write(bytearray(marker_doc))
     out.close()
     if not fs.rename(jpath, jold) or not fs.rename(jtmp, jpath):
         raise RuntimeError(
             f"staged swap rename failed for {base}; run "
             "resume_pending_compact to heal"
         )
+    _rescue_late_commits(
+        spark, fs, jold, jpath, {rel for rel, _, _ in pre}
+    )
     fs.delete(jold, True)
     fs.delete(jmarker, False)
     return True
+
+
+def _rescue_late_commits(
+    spark: SparkSession, fs, jold, jbase, baseline_rels: set
+) -> int:
+    """Move data files that a concurrent session committed into the
+    table AFTER the pre-swap listing (they now sit under the renamed
+    old dir) back into the live table. Listed as late as possible --
+    right before old is deleted -- so even a job that committed INTO
+    old mid-swap (its committer holds absolute paths) is caught.
+    Returns the number of files moved."""
+    if not fs.exists(jold):
+        return 0
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    prefix = jold.toUri().getPath()
+    moved = 0
+    it = fs.listFiles(jold, True)
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath()
+        rel = p.toUri().getPath()[len(prefix):]
+        # skip metadata + staging components anywhere on the path
+        if any(
+            seg.startswith("_") or seg.startswith(".")
+            for seg in rel.strip("/").split("/")
+        ):
+            continue
+        if rel in baseline_rels:
+            continue
+        dest = jvm_path(jbase.toString() + rel)
+        fs.mkdirs(dest.getParent())
+        if not fs.rename(p, dest):
+            raise RuntimeError(
+                f"late-commit rescue rename failed for {p}"
+            )
+        moved += 1
+    return moved
 
 
 def _pre_swap_check(spark: SparkSession, path: str) -> frozenset:
@@ -231,7 +336,7 @@ def _has_inflight_staging(spark: SparkSession, path: str) -> bool:
                 return True
         return False
 
-    return _walk(jpath)
+    return _retry_listing_race(lambda: _walk(jpath))
 
 
 def resume_pending_compact(spark: SparkSession, path: str) -> str:
@@ -279,9 +384,38 @@ def resume_pending_compact(spark: SparkSession, path: str) -> str:
             f"compact marker present but no data found for {base}"
         )
     if fs.exists(jold):
+        # the marker carries the pre-swap listing: a concurrent
+        # session's files that committed mid-swap (now stranded in
+        # old) move back into the live table before old is deleted --
+        # the same append-safety commit_staged_rewrite applies when it
+        # survives to do its own cleanup.
+        baseline = _marker_baseline(fs, jmarker)
+        if baseline is not None:
+            _rescue_late_commits(spark, fs, jold, jpath, baseline)
         fs.delete(jold, True)
     fs.delete(jmarker, False)
     return outcome
+
+
+def _marker_baseline(fs, jmarker) -> set | None:
+    """The pre-swap listing recorded in the pending marker; None for
+    markers written before r13 (empty-object body) or unreadable ones
+    (rescue then degrades to the old delete-all behavior)."""
+    try:
+        stream = fs.open(jmarker)
+        try:
+            raw = bytes(
+                stream.readAllBytes()
+                if hasattr(stream, "readAllBytes")
+                else b""
+            )
+        finally:
+            stream.close()
+        doc = json.loads(raw.decode("utf-8") or "{}")
+        rels = doc.get("baseline")
+        return set(rels) if rels is not None else None
+    except Exception:  # noqa: BLE001 -- heal must not fail on a bad marker
+        return None
 
 
 def _subtree_stats(fs, jdir) -> tuple[int, int]:
@@ -343,7 +477,18 @@ def gc_table_path(
     deleted = 0
     reclaimed = 0
     for jdir in victims:
-        size, newest = _subtree_stats(fs, jdir)
+        try:
+            size, newest = _subtree_stats(fs, jdir)
+        except Exception as exc:  # noqa: BLE001 -- py4j-wrapped race
+            msg = str(exc)
+            if (
+                "No such file or directory" in msg
+                or "FileNotFoundException" in msg
+            ):
+                # a LIVE foreign writer's attempt dir vanished (task
+                # commit) mid-stat: by definition too fresh to reap
+                continue
+            raise
         if newest > cutoff:
             continue
         fs.delete(jdir, True)

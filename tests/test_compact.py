@@ -214,3 +214,55 @@ def test_gc_never_touches_marked_swap_dirs(spark, tmp_path):
     assert res["resumed"] == "completed"
     assert res["deleted_dirs"] == 0
     _assert_same(spark.read.parquet(path), df)
+
+
+def test_swap_rescues_late_commit(spark, tmp_path, monkeypatch):
+    """commit_staged_rewrite (r13 append-safety): a file another
+    session committed AFTER the pre-swap listing rides base into the
+    renamed old dir -- it must be MOVED back into the live table, not
+    deleted with old."""
+    path, df = _mk_table(spark, tmp_path)
+    baseline = compactmod._listing_snapshot(spark, path)
+    # the "late" commit: lands after the baseline listing
+    late = spark.range(5000, 5010).withColumn("v", F.col("id") * 3)
+    late.coalesce(1).write.mode("append").parquet(path)
+    # the rewrite's tmp (built from the ORIGINAL rows, as a real
+    # rewrite racing the late commit would have)
+    spark.read.parquet(path).filter(F.col("id") < 5000).coalesce(
+        1
+    ).write.parquet(path + compactmod.TMP_SUFFIX)
+    monkeypatch.setattr(
+        compactmod, "_pre_swap_check", lambda s, p: baseline
+    )
+    assert compactmod.commit_staged_rewrite(spark, path)
+    monkeypatch.undo()
+    got = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert got == sorted([*range(0, 1000), *range(5000, 5010)])
+    for suffix in (compactmod.TMP_SUFFIX, compactmod.OLD_SUFFIX,
+                   compactmod.PENDING_MARKER_SUFFIX):
+        assert not os.path.exists(path + suffix)
+
+
+def test_resume_rescues_late_commit_from_marker(spark, tmp_path):
+    """A crash AFTER the renames but BEFORE cleanup leaves the late
+    commit stranded in old; the marker carries the pre-swap listing,
+    so resume_pending_compact must rescue it too."""
+    import json as _json
+
+    path, df = _mk_table(spark, tmp_path, n_files=2)
+    baseline = compactmod._listing_snapshot(spark, path)
+    late = spark.range(7000, 7008).withColumn("v", F.col("id") * 3)
+    late.coalesce(1).write.mode("append").parquet(path)
+    # simulate the post-rename crash state: table := rewrite of the
+    # original rows; old := original table incl. the late file
+    os.rename(path, path + compactmod.OLD_SUFFIX)
+    spark.read.parquet(path + compactmod.OLD_SUFFIX).filter(
+        F.col("id") < 7000
+    ).coalesce(1).write.parquet(path)
+    with open(path + compactmod.PENDING_MARKER_SUFFIX, "w") as fh:
+        fh.write(_json.dumps(
+            {"baseline": sorted(r for r, _, _ in baseline)}
+        ))
+    assert resume_pending_compact(spark, path) == "completed"
+    got = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert got == sorted([*range(0, 1000), *range(7000, 7008)])

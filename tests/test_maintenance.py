@@ -269,3 +269,107 @@ def test_maintain_index_pause_maintain_resume(spark, tmp_path):
     else:
         pytest.fail("maintenance loop did not converge in 5 passes")
     assert not report2["recluster_ran"]  # the healthy pass is a no-op
+
+
+_WRITER_SCRIPT = r"""
+import sys, time
+from pyspark.sql import SparkSession
+
+path, n_batches, rows_per = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .appName("second-writer")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+for b in range(n_batches):
+    rows = [
+        (f"w{b}_{i}", [float(b % 7), float(i % 5)] + [0.0] * 6, int(b % 2))
+        for i in range(rows_per)
+    ]
+    spark.createDataFrame(
+        rows,
+        "data_point_id string, feature_vector array<double>, "
+        "cluster_id int",
+    ).coalesce(1).write.mode("append").partitionBy(
+        "cluster_id"
+    ).parquet(path)
+    time.sleep(0.05)
+print("WRITER_DONE")
+spark.stop()
+"""
+
+
+def test_maintain_index_second_session_writer(spark, tmp_path):
+    """The two-session contract (VERDICT r12 #7): a SECOND SparkSession
+    in its own JVM appends batches to the index path while this
+    session's maintain_index loops writer_active=True. Across every
+    interleaving -- optimistic aborts, landed compactions, the
+    late-commit rescue -- zero rows lost, zero duplicated. The
+    in-process live-writer test simulates one racing append; this one
+    runs a real foreign writer the listing snapshot cannot coordinate
+    with."""
+    import subprocess
+    import sys as _sys
+
+    index_path = str(tmp_path / "ivf")
+    cents = _centroids()
+    seed_rows = [
+        (f"s{i}", [float(i % 7), float(i % 5)] + [0.0] * 6, i % 2)
+        for i in range(40)
+    ]
+    # the table's layout CONTRACT is partitionBy(cluster_id) -- both
+    # sessions write it; maintain_index's compaction preserves it (a
+    # root-level append into a partitioned table is invisible to
+    # partition discovery, a layout violation rather than a race)
+    spark.createDataFrame(
+        seed_rows,
+        "data_point_id string, feature_vector array<double>, "
+        "cluster_id int",
+    ).repartition(8).write.partitionBy("cluster_id").parquet(index_path)
+
+    script = str(tmp_path / "writer.py")
+    with open(script, "w") as fh:
+        fh.write(_WRITER_SCRIPT)
+    n_batches, rows_per = 24, 5
+    proc = subprocess.Popen(
+        [_sys.executable, script, index_path, str(n_batches),
+         str(rows_per)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    reports = []
+    try:
+        deadline = time.time() + 180
+        while proc.poll() is None and time.time() < deadline:
+            reports.append(
+                maintain_index(
+                    spark, index_path, cents,
+                    writer_active=True,
+                    min_age_seconds=24 * 3600,
+                    target_file_bytes=1 << 20,
+                )
+            )
+        out, _ = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert "WRITER_DONE" in out
+    # one final pass with the writer gone: heals anything pending
+    reports.append(
+        maintain_index(
+            spark, index_path, cents, writer_active=False,
+            min_age_seconds=24 * 3600, target_file_bytes=1 << 20,
+        )
+    )
+    assert len(reports) >= 2  # maintenance genuinely overlapped writes
+
+    spark.catalog.refreshByPath(index_path)  # drop any stale listing
+    final = spark.read.parquet(index_path)
+    ids = sorted(r.data_point_id for r in final.collect())
+    want = sorted(
+        [f"s{i}" for i in range(40)]
+        + [f"w{b}_{i}" for b in range(n_batches) for i in range(rows_per)]
+    )
+    assert ids == want  # zero lost, zero duplicated, both sessions
