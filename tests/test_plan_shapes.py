@@ -208,9 +208,12 @@ def test_pq_restrict_pushed_into_partition_pruned_code_scan(
         method="broadcast",
     )
     plan = _plan(out)
+    # match the codes scan by its (untruncated) ReadSchema, not the
+    # Location path -- plan text truncates Location at a fixed width,
+    # and the pytest tmp dir name length varies with the run counter
     scan_lines = [
         l for l in plan.splitlines()
-        if "FileScan" in l and "codes" in l
+        if "FileScan" in l and "pq_code" in l
     ]
     assert scan_lines, plan
     assert any("PartitionFilters" in l and "cluster_id" in l
@@ -382,8 +385,8 @@ def test_serving_query_scans_only_probed_leaves(spark, sf_smoke, tmp_path):
         one, k=10, probe_percent=10.0, method="broadcast",
     )
     plan = _plan(out)
-    scan_lines = [
-        l for l in plan.splitlines() if "FileScan" in l and "codes" in l
+    scan_lines = [  # ReadSchema match -- Location is width-truncated
+        l for l in plan.splitlines() if "FileScan" in l and "pq_code" in l
     ]
     assert scan_lines, plan
     assert any(
