@@ -219,8 +219,9 @@ def zorder_table(
 
     base = path.rstrip("/")
     resume_pending_compact(spark, base)
-    # stale-listing guard (see compact_parquet): a cached leaf listing
-    # would make the rewrite silently drop a foreign session's commits
+    # defensive listing refresh (see compact_parquet): the rewrite's
+    # input must be the current file set, whatever listing caches the
+    # session's configuration carries
     spark.catalog.refreshByPath(base)
     df = spark.read.parquet(base)
     keyed = zorder_key(df, cols, bits=bits)

@@ -176,11 +176,12 @@ def compact_parquet(
         return n_files
 
     before = _listing_snapshot(spark, base) if abort_if_changed else None
-    # Drop any cached leaf-file listing for the path (r13, found by the
-    # two-session test): Spark's shared FileStatusCache can serve a
-    # STALE listing to a path read, so a rewrite would silently omit a
-    # FOREIGN session's committed files -- `before` (a direct Hadoop
-    # listing) wouldn't flag it, and the swap would delete them.
+    # Defensive listing refresh (r13): the rewrite's input must be the
+    # CURRENT file set -- a cached leaf listing hiding a foreign
+    # session's commit would make the swap delete rows `before` (a
+    # direct Hadoop listing) can't flag. Plain path reads list fresh
+    # today, but catalog/session caching is configuration-dependent
+    # and the refresh costs microseconds next to the rewrite job.
     spark.catalog.refreshByPath(base)
     df = spark.read.parquet(base).coalesce(n_out)
     tmp = base + TMP_SUFFIX

@@ -131,9 +131,9 @@ def maintain_index(
     files_before = table_file_stats(spark, index_path)[0]
     compact_error = None
     try:
-        # stale-listing guard (r13, two-session contract): every read
-        # this pass makes must see the CURRENT file set, not Spark's
-        # shared FileStatusCache entry -- see compact_parquet
+        # defensive listing refresh (r13, two-session contract): every
+        # read this pass makes must see the current file set, whatever
+        # listing caches the session carries -- see compact_parquet
         spark.catalog.refreshByPath(index_path)
         index_cols = spark.read.parquet(index_path).columns
         parts = tuple(
