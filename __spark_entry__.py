@@ -1033,6 +1033,118 @@ WHERE s % 2 = 0 OR ch = 0
 """
 
 
+def q_multimodal_features_dct420(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-gates the 4:2:0 CHROMA-SUBSAMPLED JPEG path (r13, the
+    second DCT member): constant-color 16x16 super-blocks make every
+    Y/Cb/Cr plane DC-only at the subsampled layout (2x2 luma + 1 Cb +
+    1 Cr per MCU), so the full color pipeline -- RGB->YCbCr, 2x2 box
+    mean, DC quantization (qY=13/qC=14 at quality 60), dequantize/8,
+    chroma upsample, inverse transform, final round -- is one
+    fixed-association double chain the DuckDB oracle evaluates
+    literally, while Spark earns each pixel through the real
+    interleaved-MCU entropy decode (multimodal/jpeg.py::
+    encode_jpeg_420 -> decode_jpeg_baseline). Safe-set palette
+    excludes colors near any of the 6 rounding boundaries
+    (multimodal/synthesis.py::dct420_palette; 3936/4096 safe, 3776
+    genuinely lossy). With this row the rows-only multimodal surface
+    is progressive content only."""
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        extract_dct_block_stats,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        synthesize_media_dct420,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 12
+    ).select("doc_id")
+    media = synthesize_media_dct420(fan_out(docs))
+    return extract_dct_block_stats(media)
+
+
+# The dct420 chain restated in SQL: every fractional literal is
+# ::DOUBLE (bare decimals parse DECIMAL in DuckDB and re-round), every
+# expression in the same association as _dct420_chain, floor(x + 0.5)
+# for the tie-free roundings. The palette safe-set filter and the
+# row_number index mirror the Python generator exactly.
+_SQL_MULTIMODAL_DCT420 = """
+WITH seeds AS (SELECT doc_id AS s FROM documents WHERE doc_id < 12),
+cand AS MATERIALIZED (
+  SELECT k, (k*53) % 256 AS r, (k*97 + 31) % 256 AS g,
+         (k*151 + 67) % 256 AS b
+  FROM range(4096) _k(k)
+),
+chain AS MATERIALIZED (
+  SELECT *,
+    0.299::DOUBLE*r + 0.587::DOUBLE*g + 0.114::DOUBLE*b AS y,
+    -0.168736::DOUBLE*r - 0.331264::DOUBLE*g + 0.5::DOUBLE*b
+      + 128.0::DOUBLE AS cb,
+    0.5::DOUBLE*r - 0.418688::DOUBLE*g - 0.081312::DOUBLE*b
+      + 128.0::DOUBLE AS cr
+  FROM cand
+),
+quant AS MATERIALIZED (
+  SELECT *,
+    8*(y - 128)/13 AS ty, 8*(cb - 128)/14 AS tcb, 8*(cr - 128)/14 AS tcr
+  FROM chain
+),
+recon AS MATERIALIZED (
+  SELECT *,
+    (13*floor(ty + 0.5::DOUBLE))/8 + 128 AS yv,
+    (14*floor(tcb + 0.5::DOUBLE))/8 + 128 AS cbv,
+    (14*floor(tcr + 0.5::DOUBLE))/8 + 128 AS crv
+  FROM quant
+),
+rgb AS MATERIALIZED (
+  SELECT *,
+    yv + 1.402::DOUBLE*(crv - 128.0::DOUBLE) AS rd,
+    yv - 0.344136::DOUBLE*(cbv - 128.0::DOUBLE)
+       - 0.714136::DOUBLE*(crv - 128.0::DOUBLE) AS gd,
+    yv + 1.772::DOUBLE*(cbv - 128.0::DOUBLE) AS bd
+  FROM recon
+),
+pal AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY k) - 1 AS idx,
+    CAST(floor(rd + 0.5::DOUBLE) AS BIGINT) AS dr,
+    CAST(floor(gd + 0.5::DOUBLE) AS BIGINT) AS dg,
+    CAST(floor(bd + 0.5::DOUBLE) AS BIGINT) AS db
+  FROM rgb
+  WHERE abs(ty - floor(ty) - 0.5::DOUBLE) >= 0.000001::DOUBLE
+    AND abs(tcb - floor(tcb) - 0.5::DOUBLE) >= 0.000001::DOUBLE
+    AND abs(tcr - floor(tcr) - 0.5::DOUBLE) >= 0.000001::DOUBLE
+    AND abs(rd - floor(rd) - 0.5::DOUBLE) >= 0.000001::DOUBLE
+    AND abs(gd - floor(gd) - 0.5::DOUBLE) >= 0.000001::DOUBLE
+    AND abs(bd - floor(bd) - 0.5::DOUBLE) >= 0.000001::DOUBLE
+    AND rd > 1.0::DOUBLE AND rd < 254.0::DOUBLE
+    AND gd > 1.0::DOUBLE AND gd < 254.0::DOUBLE
+    AND bd > 1.0::DOUBLE AND bd < 254.0::DOUBLE
+),
+np_ AS (SELECT count(*) AS n FROM pal),
+sblocks AS (
+  SELECT s, sy, sx,
+         (31*s + 17*(sy*2 + sx)) % (SELECT n FROM np_) AS idx
+  FROM seeds, range(2) _y(sy), range(2) _x(sx)
+),
+cells AS (
+  SELECT b.s, b.sy*2 + oy AS block_y, b.sx*2 + ox AS block_x,
+         ch,
+         CASE ch WHEN 0 THEN p.dr WHEN 1 THEN p.dg ELSE p.db END AS dec
+  FROM sblocks b
+  JOIN pal p ON p.idx = b.idx
+  CROSS JOIN range(2) _oy(oy)
+  CROSS JOIN range(2) _ox(ox)
+  CROSS JOIN range(3) _c(ch)
+)
+SELECT s AS doc_id, CAST(ch AS BIGINT) AS channel,
+       CAST(block_y AS BIGINT) AS block_y,
+       CAST(block_x AS BIGINT) AS block_x,
+       dec AS px_min, dec AS px_max
+FROM cells
+"""
+
+
 def q_gif_animation_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-gates the GIF ANIMATION pipeline (r11, extending the
     lossless-codec gate family): closed-form frames with deterministic
@@ -9189,7 +9301,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_corpus_pipeline": q_web_corpus_pipeline,
         "warc_roundtrip": q_warc_roundtrip,
         "webdataset_roundtrip": q_webdataset_roundtrip,
-        "gopher_quality_gate": q_gopher_quality_gate,
+        # r13 second rotation: multimodal_features_dct420 promoted (the
+        # 4:2:0 chroma-subsampled closed-form gate -- the full color
+        # pipeline under hash), displacing gopher_quality_gate ->
+        # archive: its ratio-rule machinery stays declared-gated via
+        # c4_quality_gate + corpus_quality_report, and the gopher row
+        # keeps full-tier parity at both SFs.
+        "multimodal_features_dct420": q_multimodal_features_dct420,
         "phrase_search_docs": q_phrase_search_docs,
         "knn_pq_restrict_crowding": q_knn_pq_restrict_crowding,
         # r13 rotation: multimodal_features_dct promoted (the lossy-DCT
@@ -9467,6 +9585,9 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r13 displacement: exact-config sibling of the (hash-green
         # since r12) realistic knn_pq_restrict_crowding declared row
         "knn_pq_restrict_crowding_exact": q_knn_pq_restrict_crowding_exact,
+        # r13 displacement: ratio-rule machinery stays declared-gated
+        # via c4_quality_gate + corpus_quality_report
+        "gopher_quality_gate": q_gopher_quality_gate,
         "knn_pq_rerank": q_knn_pq_rerank,
         "gif_animation_lossless": q_gif_animation_lossless,
         "hll_token_cardinality": q_hll_token_cardinality,
@@ -9571,7 +9692,7 @@ def oracle_sql() -> dict[str, str]:
         "web_corpus_pipeline": _sql_web_pipeline(),
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
         "webdataset_roundtrip": _SQL_WEBDATASET_ROUNDTRIP,
-        "gopher_quality_gate": _SQL_GOPHER,
+        "multimodal_features_dct420": _SQL_MULTIMODAL_DCT420,
         "phrase_search_docs": _sql_phrase_search(),
         "knn_pq_restrict_crowding": _SQL_KNN_PQ_RESTRICT_CROWDING,
         "multimodal_features_dct": _SQL_MULTIMODAL_DCT,
@@ -9608,6 +9729,7 @@ def oracle_sql_archive() -> dict[str, str]:
     (not the driver) so the rotated queries stay bit-exact-verified."""
     return {
         "knn_pq_restrict_crowding_exact": _SQL_KNN_PQ_RESTRICT_CROWDING_EXACT,
+        "gopher_quality_gate": _SQL_GOPHER,
         "gif_animation_lossless": _SQL_GIF_ANIMATION,
         "hll_token_cardinality": _SQL_HLL_TOKENS,
         "lm_trigram_surprisal": _sql_lm_trigram_surprisal(),

@@ -519,6 +519,13 @@ BENCH_QUERIES = [
     # encode -> real Huffman+dequantize+IDCT decode -> per-block
     # min/max, SQL-predicted end to end)
     ("multimodal_features_dct", entrymod.q_multimodal_features_dct),
+    # r13: the 4:2:0 chroma-subsampled closed-form gate (full color
+    # pipeline: subsampled MCU entropy decode -> upsample -> inverse
+    # transform, SQL-predicted end to end)
+    (
+        "multimodal_features_dct420",
+        entrymod.q_multimodal_features_dct420,
+    ),
     # r6: oracled recall gates for the pruned IVF and lossy PQ paths
     # (explicit data-row quantizers, VERDICT r5 #3)
     ("ann_recall_ivf", entrymod.q_ann_recall_ivf),

@@ -432,6 +432,134 @@ def encode_jpeg_baseline(img: np.ndarray, *, quality: int = 85) -> bytes:
     return bytes(out)
 
 
+def _write_entropy_block(writer, zz, pred: int, dc_codes, ac_codes) -> int:
+    """Huffman-write one quantized block (zigzag order); returns the
+    new DC predictor. Identical coding to the baseline encoder's
+    inline loop, factored for the subsampled-MCU encoder."""
+    diff = int(zz[0]) - pred
+    pred = int(zz[0])
+    s = _size_cat(diff)
+    ln, cd = dc_codes[s]
+    writer.write(ln, cd)
+    if s:
+        writer.write(s, diff if diff >= 0 else diff + (1 << s) - 1)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if nz.size else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, cd = ac_codes[0xF0]
+            writer.write(ln, cd)
+            run -= 16
+        s = _size_cat(v)
+        ln, cd = ac_codes[(run << 4) | s]
+        writer.write(ln, cd)
+        writer.write(s, v if v >= 0 else v + (1 << s) - 1)
+        run = 0
+    if last < 63:
+        ln, cd = ac_codes[0x00]
+        writer.write(ln, cd)
+    return pred
+
+
+def encode_jpeg_420(img: np.ndarray, *, quality: int = 85) -> bytes:
+    """Baseline sequential JPEG with 4:2:0 CHROMA SUBSAMPLING -- the
+    wild web's dominant color layout (2x2 luma blocks + one Cb + one
+    Cr per MCU, chroma box-averaged 2x2). (H, W, 3) uint8 RGB with H
+    and W multiples of 16 (no partial-MCU padding -- the synthesized
+    gate rasters are whole-MCU by construction; pad externally for
+    arbitrary sizes). The decoder (`decode_jpeg_baseline`) already
+    handles arbitrary sampling factors; this provides the encode half
+    so the subsampled path is round-trippable hermetically.
+
+    The chroma mean is computed as ((tl + tr) + bl) + br) * 0.25 --
+    a fixed association, exact for the flat super-blocks the DCT gate
+    synthesizes (multimodal_features_dct420's oracle leans on it)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_jpeg_420 takes (H, W, 3) RGB")
+    h, w = img.shape[0], img.shape[1]
+    if h % 16 or w % 16:
+        raise ValueError("H and W must be multiples of 16 (whole MCUs)")
+    qt_l = _quality_scale(_QT_LUMA, quality)
+    qt_c = _quality_scale(_QT_CHROMA, quality)
+
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    # 2x2 box mean, fixed association (see docstring)
+    def _sub(p):
+        return (
+            ((p[0::2, 0::2] + p[0::2, 1::2]) + p[1::2, 0::2])
+            + p[1::2, 1::2]
+        ) * 0.25
+
+    cb_s, cr_s = _sub(cb), _sub(cr)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, qt in ((0, qt_l), (1, qt_c)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(x) for x in qt[_ZIGZAG])
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += bytes([1, 0x22, 0])  # Y: h=v=2
+    out += bytes([2, 0x11, 1])
+    out += bytes([3, 0x11, 1])
+    for tc_th, (bits, values) in (
+        (0x00, _DC_LUMA), (0x10, _AC_LUMA),
+        (0x01, _DC_CHROMA), (0x11, _AC_CHROMA),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(values), tc_th)
+        out += bytes(bits) + bytes(values)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11])
+    out += b"\x00\x3f\x00"
+
+    def _qblocks(plane, qt):
+        blocks = _blockify(plane) - 128.0
+        coef = _dct2(blocks)
+        return np.round(coef / qt.reshape(8, 8)).astype(np.int32)
+
+    qy = _qblocks(y, qt_l).reshape(-1, 64)
+    qcb = _qblocks(cb_s, qt_c).reshape(-1, 64)
+    qcr = _qblocks(cr_s, qt_c).reshape(-1, 64)
+    # _blockify is row-major over (h//8, w//8): index = by * bw + bx
+    bw_y, bw_c = w // 8, w // 16
+
+    writer = _BitWriter()
+    dc_l = _canonical_codes(*_DC_LUMA)
+    ac_l = _canonical_codes(*_AC_LUMA)
+    dc_c = _canonical_codes(*_DC_CHROMA)
+    ac_c = _canonical_codes(*_AC_CHROMA)
+    preds = [0, 0, 0]
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for v in range(2):
+                for hh in range(2):
+                    blk = qy[(my * 2 + v) * bw_y + (mx * 2 + hh)]
+                    preds[0] = _write_entropy_block(
+                        writer, blk[_ZIGZAG], preds[0], dc_l, ac_l
+                    )
+            preds[1] = _write_entropy_block(
+                writer, qcb[my * bw_c + mx][_ZIGZAG], preds[1], dc_c, ac_c
+            )
+            preds[2] = _write_entropy_block(
+                writer, qcr[my * bw_c + mx][_ZIGZAG], preds[2], dc_c, ac_c
+            )
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _emit_sos(out: bytearray, comps, ss: int, se: int, ah: int, al: int):
     """comps: list of (component_id, dc_table_id, ac_table_id)."""
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps), len(comps))

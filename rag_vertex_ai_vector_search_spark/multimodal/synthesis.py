@@ -453,6 +453,117 @@ def synthesize_media_dct(df: DataFrame, *, id_col: str = "doc_id"):
     return df.select(id_col).mapInPandas(_synth, out_schema)
 
 
+# -- 4:2:0 chroma-subsampled closed-form synthesis (r13) --------------------
+#
+# The dct420 gate extends the flat-block recipe to the full color
+# pipeline: a 16x16 super-block of ONE constant RGB color covers 2x2
+# luma blocks and exactly one Cb + one Cr block at 4:2:0, so every
+# plane is flat per block and the whole encode->decode chain is a
+# fixed-association double computation: RGB -> YCbCr (the T.871
+# constants), DC quantization at qY=13 / qC=14 (quality 60), exact
+# dequantize/8 reconstruction, inverse color transform, final round.
+# Colors whose chain passes near any rounding boundary (encoder .5,
+# decoder .5, clip edges) are EXCLUDED from the palette -- the same
+# safe-set rule as the grayscale DCT gate, applied to all 6 roundings.
+
+DCT420_QY = 13
+DCT420_QC = 14
+_DCT420_GUARD = 1e-6
+
+
+def _dct420_chain(r: int, g: int, b: int):
+    """(ok, (R, G, B)): the closed-form decoded color for a flat
+    16x16 super-block of (r, g, b) at quality 60 with 4:2:0 layout,
+    plus the safe-set verdict. Every expression is written in the
+    exact association the SQL mirror uses."""
+    from math import floor
+
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    ok = True
+    qs = {}
+    for name, x, q in (
+        ("y", y, DCT420_QY), ("cb", cb, DCT420_QC), ("cr", cr, DCT420_QC)
+    ):
+        t = 8 * (x - 128) / q
+        if abs(t - floor(t) - 0.5) < _DCT420_GUARD:
+            ok = False
+        qs[name] = floor(t + 0.5)
+    yv = (DCT420_QY * qs["y"]) / 8 + 128
+    cbv = (DCT420_QC * qs["cb"]) / 8 + 128
+    crv = (DCT420_QC * qs["cr"]) / 8 + 128
+    red = yv + 1.402 * (crv - 128.0)
+    grn = yv - 0.344136 * (cbv - 128.0) - 0.714136 * (crv - 128.0)
+    blu = yv + 1.772 * (cbv - 128.0)
+    out = []
+    for x in (red, grn, blu):
+        if abs(x - floor(x) - 0.5) < _DCT420_GUARD or not 1.0 < x < 254.0:
+            ok = False
+        out.append(int(floor(x + 0.5)))
+    return ok, tuple(out)
+
+
+def dct420_palette() -> list:
+    """[(src_rgb, decoded_rgb)] over the deterministic candidate set
+    k in 0..4095 -> ((53k) % 256, (97k+31) % 256, (151k+67) % 256),
+    keeping only safe colors (3936 of 4096; 3776 decode to a DIFFERENT
+    color -- the chain is genuinely lossy). Candidate order ascending
+    in k, so index mirrors as a row_number window in SQL."""
+    out = []
+    for k in range(4096):
+        r, g, b = (k * 53) % 256, (k * 97 + 31) % 256, (k * 151 + 67) % 256
+        ok, dec = _dct420_chain(r, g, b)
+        if ok:
+            out.append(((r, g, b), dec))
+    return out
+
+
+def _dct420_raster(seed: int, palette: list) -> np.ndarray:
+    """(32, 32, 3) raster of 2x2 constant-color 16x16 super-blocks;
+    super-block j = 2*sy+sx gets palette[(31*seed + 17*j) % len]."""
+    n = len(palette)
+    raster = np.zeros((32, 32, 3), dtype=np.uint8)
+    for sy in range(2):
+        for sx in range(2):
+            (r, g, b), _ = palette[(31 * seed + 17 * (sy * 2 + sx)) % n]
+            raster[sy * 16:(sy + 1) * 16, sx * 16:(sx + 1) * 16] = (r, g, b)
+    return raster
+
+
+def synthesize_media_dct420(df: DataFrame, *, id_col: str = "doc_id"):
+    """4:2:0 chroma-subsampled baseline JPEGs whose decoded pixels are
+    closed-form in the id: flat constant-color super-blocks make every
+    Y/Cb/Cr block DC-only, so Spark must EARN each color through the
+    real subsampled decode (interleaved 2x2+1+1 MCU entropy decode,
+    dequantize, IDCT, chroma upsample, inverse color transform) while
+    the oracle predicts it from the fixed-association double chain.
+    With this member the rows-only multimodal surface shrinks to
+    progressive content only."""
+    from .jpeg import encode_jpeg_420
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, media_type string, content binary"
+    palette = dct420_palette()
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, blobs = [], [], []
+            for rid in pdf[id_col]:
+                blobs.append(
+                    encode_jpeg_420(
+                        _dct420_raster(int(rid), palette), quality=60
+                    )
+                )
+                ids.append(rid)
+                types.append("image/jpeg")
+            yield pd.DataFrame(
+                {id_col: ids, "media_type": types, "content": blobs}
+            )
+
+    return df.select(id_col).mapInPandas(_synth, out_schema)
+
+
 # Published MP3 framing bytes: an ID3v2.4 tag header followed by
 # MPEG-1 Layer III frame syncs (0xFFFB) -- enough for any magic-based
 # router to classify the blob, and guaranteed to hit the codecs'

@@ -1422,3 +1422,62 @@ def test_synthesize_media_dct_spark_stats(spark):
         assert r.px_min == r.px_max == want
         lossy += int(want != src)
     assert lossy > 0
+
+
+def test_dct420_flat_superblock_closed_form():
+    """The r13 4:2:0 gate's foundation: every safe palette color's
+    flat 16x16 super-block must decode (through the real subsampled
+    MCU pipeline) to a FLAT block equal to the fixed-association
+    double chain's prediction -- and the palette must be genuinely
+    lossy. Pure numpy; the Spark e2e gate is the declared
+    multimodal_features_dct420 parity row."""
+    from rag_vertex_ai_vector_search_spark.multimodal.jpeg import (
+        decode_jpeg_baseline, encode_jpeg_420,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        dct420_palette,
+    )
+
+    palette = dct420_palette()
+    assert len(palette) == 3936
+    assert sum(1 for src, dec in palette if src != dec) == 3776
+
+    # sample the palette at a coprime stride (fast tier: 128 colors;
+    # the declared parity row sweeps the indexable set every run)
+    sample = [palette[(i * 31) % len(palette)] for i in range(128)]
+    for start in range(0, len(sample), 4):
+        chunk = (sample[start:start + 4] + sample)[:4]
+        img = np.zeros((32, 32, 3), np.uint8)
+        for bi, (src, _) in enumerate(chunk):
+            sy, sx = divmod(bi, 2)
+            img[sy * 16:(sy + 1) * 16, sx * 16:(sx + 1) * 16] = src
+        dec = decode_jpeg_baseline(encode_jpeg_420(img, quality=60))
+        for bi, (_, want) in enumerate(chunk):
+            sy, sx = divmod(bi, 2)
+            blk = dec[sy * 16:(sy + 1) * 16, sx * 16:(sx + 1) * 16]
+            for ch in range(3):
+                pl = blk[:, :, ch]
+                assert pl.min() == pl.max() == want[ch], (
+                    chunk[bi][0], ch,
+                )
+
+
+def test_jpeg_420_roundtrip_smooth_content():
+    """encode_jpeg_420 general-content sanity: a smooth gray gradient
+    survives the subsampled roundtrip within sub-pixel mean error
+    (chroma planes flat at 128 -> no subsampling loss), and the
+    decoder sees the 2x2+1+1 sampling factors (not a 4:4:4 stream)."""
+    from rag_vertex_ai_vector_search_spark.multimodal.jpeg import (
+        decode_jpeg_baseline, encode_jpeg_420,
+    )
+
+    yy, xx = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    g = (xx * 2 + yy).astype(np.uint8)
+    img = np.stack([g, g, g], axis=2)
+    blob = encode_jpeg_420(img, quality=90)
+    # SOF0 component 1 must carry sampling 0x22
+    sof = blob.index(b"\xff\xc0")
+    assert blob[sof + 11] == 0x22
+    dec = decode_jpeg_baseline(blob).astype(int)
+    assert dec.shape == (32, 32, 3)
+    assert np.abs(dec - img.astype(int)).mean() < 1.5
