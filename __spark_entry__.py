@@ -975,12 +975,15 @@ def q_multimodal_features_dct(
     non-flat decode breaks the hash instead of averaging away). Even
     seeds are equal-channel RGB (full YCbCr forward/inverse + the
     3-component interleaved MCU path with chroma tables), odd seeds
-    gray SOF0. The DuckDB oracle predicts every pixel from the
+    gray; seeds with seed % 4 >= 2 encode PROGRESSIVE (SOF2 spectral
+    selection + successive approximation), the rest baseline -- both
+    carry identical quantized coefficients, so one oracle hash-gates
+    both entropy pipelines and NO multimodal decode path remains
+    rows-only. The DuckDB oracle predicts every pixel from the
     generator formula via the floor()-arithmetic quantization chain
     without decoding anything. With this row the rows-only multimodal
-    surface shrinks to chroma-subsampled / progressive content only
-    (both keep the progressive==baseline equality gate in
-    tests/test_multimodal.py)."""
+    surface is fully closed (the dct420 row covers subsampling; this
+    row covers baseline AND progressive)."""
     from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
         extract_dct_block_stats,
     )

@@ -416,18 +416,22 @@ def _dct_flat_raster(seed: int) -> np.ndarray:
 
 
 def synthesize_media_dct(df: DataFrame, *, id_col: str = "doc_id"):
-    """Flat-block baseline JPEGs whose DECODED pixels are closed-form
-    in the id (VERDICT r12 #1): gray SOF0 stream for odd seeds,
-    equal-channel RGB for even seeds -- the RGB member routes through
-    the full YCbCr forward/inverse transform and the 3-component
-    interleaved MCU entropy coding with the chroma quantizer/Huffman
-    tables (equal channels put the chroma planes at exactly 128, whose
-    DC quantizes to 0, so color reconstruction returns the luma plane
-    bit-exactly in all three channels). Spark must EARN every pixel
-    through the real Huffman decode + dequantize + IDCT + level-shift
-    path (multimodal/jpeg.py); a SQL oracle predicts them from the
+    """Flat-block lossy JPEGs whose DECODED pixels are closed-form in
+    the id (VERDICT r12 #1): gray stream for odd seeds, equal-channel
+    RGB for even seeds -- the RGB member routes through the full YCbCr
+    forward/inverse transform and the 3-component interleaved MCU
+    entropy coding with the chroma quantizer/Huffman tables (equal
+    channels put the chroma planes at exactly 128, whose DC quantizes
+    to 0, so color reconstruction returns the luma plane bit-exactly
+    in all three channels). Seeds with seed % 4 >= 2 encode
+    PROGRESSIVE (SOF2 -- spectral selection, successive approximation,
+    DC refinement bits, AC EOB runs), the rest baseline SOF0; both
+    carry identical quantized coefficients, so the SAME closed form
+    predicts every pixel and the one oracle hash-gates BOTH entropy
+    pipelines. Spark must EARN every pixel through the real decode
+    path (multimodal/jpeg.py); the SQL oracle predicts them from the
     generator formula without decoding anything."""
-    from .jpeg import encode_jpeg_baseline
+    from .jpeg import encode_jpeg_baseline, encode_jpeg_progressive
 
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, media_type string, content binary"
@@ -441,9 +445,11 @@ def synthesize_media_dct(df: DataFrame, *, id_col: str = "doc_id"):
                 raster = (
                     np.stack([g, g, g], axis=2) if seed % 2 == 0 else g
                 )
-                blobs.append(
-                    encode_jpeg_baseline(raster, quality=DCT_QUALITY)
+                enc = (
+                    encode_jpeg_progressive if seed % 4 >= 2
+                    else encode_jpeg_baseline
                 )
+                blobs.append(enc(raster, quality=DCT_QUALITY))
                 ids.append(rid)
                 types.append("image/jpeg")
             yield pd.DataFrame(

@@ -1403,7 +1403,9 @@ def test_synthesize_media_dct_spark_stats(spark):
     """End-to-end Spark plumbing for the DCT gate: synthesize -> real
     decode -> per-block min/max; every block flat, values matching the
     closed form, channel count by seed parity, and at least one block
-    per run lossy (decoded != source value)."""
+    per run lossy (decoded != source value). Seeds 2,3,6,7 take the
+    PROGRESSIVE encode branch, so this also drives the SOF2 decode to
+    the same closed form."""
     from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
         extract_dct_block_stats,
     )
@@ -1481,3 +1483,30 @@ def test_jpeg_420_roundtrip_smooth_content():
     dec = decode_jpeg_baseline(blob).astype(int)
     assert dec.shape == (32, 32, 3)
     assert np.abs(dec - img.astype(int)).mean() < 1.5
+
+
+def test_dct_progressive_members_match_closed_form():
+    """The progressive members of the dct gate (seeds % 4 >= 2):
+    flat-block SOF2 streams must decode through the REAL progressive
+    pipeline (spectral selection, successive approximation, DC
+    refinement, AC EOB runs) to the SAME closed-form values as the
+    baseline encode -- identical quantized coefficients by
+    construction. Pure numpy."""
+    from rag_vertex_ai_vector_search_spark.multimodal.jpeg import (
+        decode_jpeg_baseline, encode_jpeg_progressive,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        DCT_QUALITY, _dct_flat_raster, dct_decoded_value,
+    )
+
+    for seed in range(8):
+        g = _dct_flat_raster(seed)
+        raster = np.stack([g, g, g], axis=2) if seed % 2 == 0 else g
+        blob = encode_jpeg_progressive(raster, quality=DCT_QUALITY)
+        assert b"\xff\xc2" in blob  # really SOF2
+        dec = decode_jpeg_baseline(blob)
+        for by in range(3):
+            for bx in range(4):
+                want = dct_decoded_value(int(g[by * 8, bx * 8]))
+                blk = dec[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                assert blk.min() == blk.max() == want, (seed, by, bx)
