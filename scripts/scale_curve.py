@@ -88,6 +88,14 @@ QUERIES = [
     # shuffle; the Morton key is codegen'd integer terms).
     "wordpiece_tokenize_corpus",
     "zorder_write_production",
+    # r13-new operators: multimodal lossy-DCT decode THROUGHPUT over
+    # the full documents table (the declared gates cap doc_id < 12 as
+    # an oracle device; this measures the real decode economics -- a
+    # narrow mapInPandas, no shuffle, alpha ~ 1 expected) and the
+    # request-coalescing serving window against the scaled index
+    # (probed-leaf ADC cost grows with leaf size; window fixed).
+    "multimodal_dct_production",
+    "serving_batch_production",
 ]
 
 
@@ -359,7 +367,81 @@ def _zorder_write_production(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _multimodal_dct_production(spark, sf_dir):
+    """4:2:0 flat-block synthesis + REAL subsampled decode + per-block
+    stats over the FULL documents table -- the decode-throughput
+    economics of the multimodal pipeline (one narrow mapInPandas
+    stage; at 100 TB the same stage maps over a binaryFile scan)."""
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        extract_dct_block_stats,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        synthesize_media_dct420,
+    )
+    from rag_vertex_ai_vector_search_spark.sources import fan_out, load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return extract_dct_block_stats(
+        synthesize_media_dct420(fan_out(docs))
+    )
+
+
+_SERVING_SCALE_CACHE: dict = {}
+
+
+def _serving_batch_production(spark, sf_dir):
+    """Request-coalescing serving window (ServingReplica.query_batch,
+    256 requests, ONE cascade job) against an IVF-PQ index over the
+    SCALED embeddings table; the warm-replica build is cached per
+    sf_dir (startup cost, paid outside the timing like bench.py's
+    serving entries)."""
+    from pyspark.sql import functions as F
+
+    from rag_vertex_ai_vector_search_spark.operators.ivf import (
+        IVFIndex,
+        build_ivf_index,
+    )
+    from rag_vertex_ai_vector_search_spark.operators.pq import (
+        PQIndex,
+        encode_pq,
+        train_pq,
+    )
+    from rag_vertex_ai_vector_search_spark.operators.serving import (
+        ServingReplica,
+    )
+    from rag_vertex_ai_vector_search_spark.sources import load_table
+
+    rep = _SERVING_SCALE_CACHE.get(sf_dir)
+    if rep is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = emb.count()
+        ivf = build_ivf_index(emb, n_clusters=max(8, n // 500))
+        ivf.assigned.cache().count()
+        books = train_pq(emb, m=8, ksub=16, iters=4, sample_rows=2000)
+        pq = encode_pq(ivf.assigned, books, keep_cols=("cluster_id",))
+        pq.codes.cache().count()
+        rep = ServingReplica(
+            spark,
+            IVFIndex(
+                assigned=ivf.assigned, centroids=ivf.centroids,
+                id_col="vec_id", vec_col="embedding",
+            ),
+            PQIndex(codes=pq.codes, books=books, id_col="vec_id"),
+            None,
+            dim=64,
+        )
+        _SERVING_SCALE_CACHE[sf_dir] = rep
+    answers = rep.query_batch(
+        [(920000 + i, f"scale window {i}") for i in range(256)],
+        k=10, probe_percent=10.0,
+    )
+    assert sum(len(r) for _, r in answers) > 0
+    return spark.range(1).select(F.lit(len(answers)).alias("n"))
+
+
 _LOCAL_PRODUCTION = {
+    "multimodal_dct_production": _multimodal_dct_production,
+    "serving_batch_production": _serving_batch_production,
     "streaming_minhash_production": _streaming_minhash_production,
     "streaming_sessionize_production": _streaming_sessionize_production,
     "streaming_dedup_exact_production": _streaming_dedup_exact_production,
