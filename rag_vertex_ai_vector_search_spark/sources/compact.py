@@ -285,10 +285,17 @@ def _rescue_late_commits(
         status = it.next()
         p = status.getPath()
         rel = p.toUri().getPath()[len(prefix):]
-        # skip metadata + staging components anywhere on the path
+        segs = rel.strip("/").split("/")
+        # skip metadata FILES (_SUCCESS, .crc -- the basename rule
+        # _listing_snapshot uses) and anything under an in-flight
+        # attempt dir; partition DIRS may legitimately start with "_"
+        # (the layout's `_bucket=N`), so only the exact staging names
+        # disqualify an ancestor segment
+        if segs[-1].startswith("_") or segs[-1].startswith("."):
+            continue
         if any(
-            seg.startswith("_") or seg.startswith(".")
-            for seg in rel.strip("/").split("/")
+            seg == "_temporary" or seg.startswith(".spark-staging")
+            for seg in segs[:-1]
         ):
             continue
         if rel in baseline_rels:

@@ -266,3 +266,36 @@ def test_resume_rescues_late_commit_from_marker(spark, tmp_path):
     assert resume_pending_compact(spark, path) == "completed"
     got = sorted(r.id for r in spark.read.parquet(path).collect())
     assert got == sorted([*range(0, 1000), *range(7000, 7008)])
+
+
+def test_swap_rescues_late_commit_under_bucket_partition(
+    spark, tmp_path, monkeypatch
+):
+    """The rescue must move late commits that live under partition
+    dirs whose NAMES start with an underscore (the streaming index
+    layout's `_bucket=N`): only metadata file basenames and staging
+    ancestor dirs disqualify a path, never partition segments."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") % 4).alias("_bucket")
+    )
+    df.write.partitionBy("_bucket").parquet(path)
+    baseline = compactmod._listing_snapshot(spark, path)
+    late = spark.range(9000, 9010).select(
+        F.col("id"), (F.col("id") % 4).alias("_bucket")
+    )
+    late.coalesce(1).write.mode("append").partitionBy(
+        "_bucket"
+    ).parquet(path)
+    spark.catalog.refreshByPath(path)
+    spark.read.parquet(path).filter(F.col("id") < 9000).write.partitionBy(
+        "_bucket"
+    ).parquet(path + compactmod.TMP_SUFFIX)
+    monkeypatch.setattr(
+        compactmod, "_pre_swap_check", lambda s, p: baseline
+    )
+    assert compactmod.commit_staged_rewrite(spark, path)
+    monkeypatch.undo()
+    spark.catalog.refreshByPath(path)
+    got = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert got == sorted([*range(0, 400), *range(9000, 9010)])
