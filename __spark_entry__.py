@@ -9300,7 +9300,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_removal": q_dedup_span_removal,
         "ann_recall_lsh": q_ann_recall_lsh,
         "authority_weighted_selection": q_authority_weighted_selection,
-        "url_normalize": q_url_normalize,
+        # r13 third rotation: unigram_train_em promoted (the novel
+        # quantized-EM iterative oracle -- forward/backward marginals
+        # under hash), displacing url_normalize -> archive: its
+        # normalize/split regex machinery is embedded verbatim in the
+        # declared web_corpus_pipeline mirror, and the row keeps
+        # full-tier parity at both SFs.
+        "unigram_train_em": q_unigram_train_em,
         "web_corpus_pipeline": q_web_corpus_pipeline,
         "warc_roundtrip": q_warc_roundtrip,
         "webdataset_roundtrip": q_webdataset_roundtrip,
@@ -9622,7 +9628,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "zorder_curve": q_zorder_curve,
         "unigram_viterbi_segments": q_unigram_viterbi_segments,
-        "unigram_train_em": q_unigram_train_em,
+        "url_normalize": q_url_normalize,
         "pagerank_citations": q_pagerank_citations,
         "pagerank_weighted": q_pagerank_weighted,
         "hits_citations": q_hits_citations,
@@ -9691,7 +9697,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_span_removal": _SQL_DEDUP_SPAN_REMOVAL,
         "ann_recall_lsh": _sql_ann_recall_lsh(),
         "authority_weighted_selection": _sql_authority_weighted_selection(4),
-        "url_normalize": _sql_url_normalize(),
+        "unigram_train_em": _sql_unigram_em(2, 1 << 33),
         "web_corpus_pipeline": _sql_web_pipeline(),
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
         "webdataset_roundtrip": _SQL_WEBDATASET_ROUNDTRIP,
@@ -9761,9 +9767,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "vocab_coverage": _SQL_VOCAB_COVERAGE,
         "zorder_curve": _sql_zorder_curve(16),
         "unigram_viterbi_segments": _SQL_UNIGRAM_VITERBI,
-        "unigram_train_em": _sql_unigram_em(
-            2, 1 << 33
-        ),
+        "url_normalize": _sql_url_normalize(),
         "pagerank_citations": _sql_pagerank(6),
         "pagerank_weighted": _sql_pagerank_weighted(6),
         "hits_citations": _sql_hits(6),
