@@ -209,6 +209,14 @@ def zorder_table(
     Cost envelope at 100 TB: identical to ``compact_parquet`` with a
     sort key attached -- the range-partition shuffle IS the one shuffle
     any layout rewrite pays; the marker swap adds two metadata renames.
+
+    Note: the rewrite emits an UNPARTITIONED layout (z-order replaces
+    directory partitioning as the pruning mechanism); rewriting a
+    hive-partitioned table folds the partition column back into the
+    data files. Keep directory partitioning instead where a consumer
+    requires it (e.g. the streaming index's cluster_id layout) and
+    z-order within partitions via ``write_zordered`` per partition
+    path.
     """
     from ..sources.compact import (
         TMP_SUFFIX,

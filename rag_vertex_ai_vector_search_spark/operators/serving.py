@@ -234,6 +234,16 @@ class ServingReplica:
 
         reqs = list(requests)
         keys = [surrogate_key(doc_id) for doc_id, _ in reqs]
+        if len(set(keys)) != len(keys):
+            # two requests sharing a doc_id would share a query_id,
+            # and the cascade ranks WITHIN query_id -- their neighbor
+            # lists would silently merge. Request ids must be unique
+            # per window (the isolation path query_many has no such
+            # constraint -- each request is its own job).
+            raise ValueError(
+                "duplicate doc_id in query_batch window; request ids "
+                "must be unique per batch"
+            )
         vecs = [
             [float(x) for x in embed_query_text(
                 text, dim=self.dim, max_tokens=self.max_tokens

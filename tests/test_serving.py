@@ -216,3 +216,14 @@ def test_query_batch_bit_equal(spark, replica):
         assert [r.rank for r in got_rows] == sorted(
             r.rank for r in got_rows
         )
+
+
+def test_query_batch_rejects_duplicate_request_ids(spark, replica):
+    """Two requests sharing a doc_id would share a surrogate query_id
+    and the cascade would merge their neighbor lists -- the window
+    must refuse loudly."""
+    rep, _ivf, _pq, _docs = replica
+    with pytest.raises(ValueError, match="duplicate doc_id"):
+        rep.query_batch(
+            [(1, "text a"), (1, "text b")], k=3, probe_percent=50.0
+        )
