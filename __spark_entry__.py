@@ -5827,6 +5827,74 @@ LIMIT 50
 """
 
 
+def q_dataset_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (r13, the LLaMA/GPT-pipeline
+    sampling rule): sources are sampled proportional to n^alpha
+    (alpha = 0.5), i.e. each DOCUMENT carries weight n_source^(alpha-1)
+    -- big sources down-weighted per doc, small sources amplified --
+    then 100 docs are drawn reproducibly via the proven hash-Gumbel
+    top-k (operators/importance.py::dsir_gumbel_select). The
+    log-weight bridges to integer micronats BEFORE the key
+    (floor(-500000 * ln(n)), the pr_units-div-1000 rule), so the
+    selected SET is engine-portable; ln parity across engines at 1e-6
+    quantization is the established Gumbel-noise precedent
+    (authority_weighted_selection, hash-green since r7).
+    Archive-gated at both SFs."""
+    from rag_vertex_ai_vector_search_spark.operators.importance import (
+        dsir_gumbel_select,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("source_docs")
+    )
+    scored = docs.join(counts, "source").select(
+        "doc_id", "source", "source_docs",
+        F.floor(
+            F.lit(-500000.0)
+            * F.log(F.col("source_docs").cast("double"))
+        ).cast("long").alias("log_weight_micronats"),
+    )
+    sel = dsir_gumbel_select(scored, 100, salt="tmix")
+    return sel.select(
+        "doc_id", "source", "source_docs", "log_weight_micronats",
+        "gumbel_key_micronats",
+    )
+
+
+def _sql_dataset_temperature_mix() -> str:
+    gum = _sql_sha60("'tmix:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH counts AS MATERIALIZED (
+  SELECT source, CAST(count(*) AS BIGINT) AS source_docs
+  FROM documents GROUP BY source
+),
+scored AS (
+  SELECT d.doc_id, d.source, c.source_docs,
+         CAST(floor((-500000.0::DOUBLE)
+              * ln(CAST(c.source_docs AS DOUBLE))) AS BIGINT)
+           AS log_weight_micronats
+  FROM documents d JOIN counts c ON c.source = d.source
+),
+keys AS (
+  SELECT *,
+         CAST(floor(
+           CAST(log_weight_micronats AS DOUBLE)
+           + (-ln(-ln(({gum} + 1.0) / (power(2, 60) + 1.0))))
+             * 1000000.0
+         ) AS BIGINT) AS gumbel_key_micronats
+  FROM scored
+)
+SELECT doc_id, source, source_docs, log_weight_micronats,
+       gumbel_key_micronats
+FROM keys
+ORDER BY gumbel_key_micronats DESC, doc_id ASC
+LIMIT 100
+"""
+
+
 def q_hits_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact HITS hubs/authorities (operators/graph.py::hits,
     r7) over the same synthesized citation graph as pagerank_citations
@@ -9629,6 +9697,8 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_curve": q_zorder_curve,
         "unigram_viterbi_segments": q_unigram_viterbi_segments,
         "url_normalize": q_url_normalize,
+        # r13-new: LLaMA-style n^alpha temperature source mixing
+        "dataset_temperature_mix": q_dataset_temperature_mix,
         "pagerank_citations": q_pagerank_citations,
         "pagerank_weighted": q_pagerank_weighted,
         "hits_citations": q_hits_citations,
@@ -9768,6 +9838,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "zorder_curve": _sql_zorder_curve(16),
         "unigram_viterbi_segments": _SQL_UNIGRAM_VITERBI,
         "url_normalize": _sql_url_normalize(),
+        "dataset_temperature_mix": _sql_dataset_temperature_mix(),
         "pagerank_citations": _sql_pagerank(6),
         "pagerank_weighted": _sql_pagerank_weighted(6),
         "hits_citations": _sql_hits(6),
