@@ -203,7 +203,7 @@ def _serving_throughput(spark, sf_dir):
     ceiling; the coalesced entry below is the throughput path). Thread-safety (concurrent == sequential bit-equal)
     is pinned in tests/test_serving.py; this entry measures that the
     shared-session path actually OVERLAPS requests instead of
-    serializing them (wall must be far under 128 x single-query
+    serializing them (wall must be far under 32 x single-query
     latency). Returns a one-row LocalRelation summary so the harness's
     noop sink costs nothing."""
     import pandas as pd
@@ -226,13 +226,15 @@ def _serving_throughput(spark, sf_dir):
 
 
 def _serving_throughput_coalesced(spark, sf_dir):
-    """The same 128 requests answered by request COALESCING
+    """128 requests answered by request COALESCING
     (ServingReplica.query_batch): one LocalRelation of all embedded
     vectors, ONE cascade job, results split per query -- the
-    dynamic-batching shape a high-QPS endpoint actually runs. The
-    threaded entry above measures per-request isolation (fixed ~0.6 s
-    driver/job overhead each -> ~4 q/s ceiling); this one amortizes
-    that overhead across the window (~100+ q/s at sf0.1).
+    dynamic-batching shape a high-QPS endpoint actually runs; q/s =
+    128 / seconds. The threaded entry above measures per-request
+    isolation on its own 32-request window (fixed ~0.6 s driver/job
+    overhead each -> ~4 q/s ceiling; q/s = 32 / seconds); this one
+    amortizes that overhead across a 4x larger window (~100+ q/s at
+    sf0.1).
     Per-query answers are bit-equal to query() -- pinned in
     tests/test_serving.py::test_query_batch_bit_equal."""
     import pandas as pd
@@ -413,8 +415,12 @@ BENCH_QUERIES = [
     # r11: the deployed-endpoint latency story -- ONE warm-replica
     # query (embed + cascade at production probe + hydrate).
     ("serving_single_query", _serving_single_query),
-    # r13: 128 concurrent requests / 16 threads on the same warm
-    # replica (q/s = 128 / seconds)
+    # r13: concurrent requests on the same warm replica. The threaded
+    # entry runs 32 requests / 16 threads (q/s = 32 / seconds, the
+    # per-job driver-overhead ceiling); the coalesced entry runs 128
+    # requests in ONE cascade job (q/s = 128 / seconds, the production
+    # path). Window sizes differ on purpose: the thread pool's value is
+    # documenting the ceiling, not racing the coalescer.
     ("serving_throughput", _serving_throughput),
     ("serving_throughput_coalesced", _serving_throughput_coalesced),
     ("pricing_summary", entrymod.q_pricing_summary),

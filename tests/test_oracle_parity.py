@@ -112,3 +112,22 @@ def test_declared_surface_fits_driver_window():
 def test_entry_runs(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_duckdb_ln_matches_python_libm():
+    """dataset_temperature_mix (r14): the per-source micronat weight is
+    computed with CPython math.log and mirrored with DuckDB ln -- both
+    must be the SAME double for every integer source count the fixtures
+    can produce (bounded by row count; 200k covers sf0.1 with margin).
+    JVM Math.log never participates (the r6 cross-engine log rule)."""
+    import struct
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT i, ln(CAST(i AS DOUBLE)) FROM range(1, 200001) t(i)"
+    ).fetchall()
+    assert len(rows) == 200000
+    for i, v in rows:
+        assert struct.pack("<d", v) == struct.pack(
+            "<d", math.log(float(i))
+        ), f"ln({i}) differs: duckdb {v!r} vs libm {math.log(float(i))!r}"
