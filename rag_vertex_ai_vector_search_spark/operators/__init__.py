@@ -51,7 +51,7 @@ from .tokenizer import (
     wordpiece_vocab,
 )
 from .layout import write_zordered, z_value, zorder_key
-from .serving import ServingReplica, embed_query_text
+from .serving import ReplicaSource, ServingReplica, embed_query_text
 from .lm_quality import (
     bigram_surprisal,
     surprisal_buckets,
@@ -79,6 +79,7 @@ from .negatives import mine_hard_negatives
 from .profile import profile_columns
 
 __all__ = [
+    "ReplicaSource",
     "ServingReplica",
     "embed_query_text",
     "train_bpe",

@@ -41,7 +41,58 @@ class IVFIndex:
     vec_col: str
 
     def save(self, path: str) -> None:
+        """Persist the layout AND the centroid matrix: the sidecar is
+        what lets a later process (a ServingReplica, a resumed
+        maintenance loop) rebuild probe state without retraining --
+        the STREAM_UPDATE index's centroids are part of its durable
+        state, not a per-process artifact (r14)."""
         self.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+        save_centroids(self.assigned.sparkSession, path, self.centroids)
+
+
+CENTROIDS_SUBDIR = "_centroids"
+
+
+def save_centroids(spark, index_path: str, centroids: np.ndarray) -> None:
+    """Write the centroid matrix as a parquet sidecar dir under the
+    layout (``<index>/_centroids``; the leading underscore hides it
+    from data scans, like ``_index_manifest.json``). Written through a
+    pandas LocalRelation -- one tiny single-file job, remote-scheme
+    safe. Maintenance that changes centroids (``recluster_ivf_index``)
+    rewrites it, so ``load_centroids`` is always the probe matrix the
+    on-disk layout was assigned under."""
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "cluster_id": list(range(cent.shape[0])),
+            "centroid": [[float(x) for x in row] for row in cent],
+        }),
+        "cluster_id int, centroid array<double>",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        index_path.rstrip("/") + "/" + CENTROIDS_SUBDIR
+    )
+
+
+def load_centroids(spark, index_path: str) -> np.ndarray:
+    """Read back ``save_centroids``'s sidecar as (n_clusters, dim)
+    float64, ordered by cluster_id."""
+    rows = (
+        spark.read.parquet(index_path.rstrip("/") + "/" + CENTROIDS_SUBDIR)
+        .orderBy("cluster_id")
+        .collect()
+    )
+    return np.asarray([r.centroid for r in rows], dtype=np.float64)
+
+
+def has_centroids(spark, index_path: str) -> bool:
+    """True when the layout carries a ``_centroids`` sidecar."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(
+        index_path.rstrip("/") + "/" + CENTROIDS_SUBDIR
+    )
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
 
 
 def _kmeans_numpy(

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from dataclasses import dataclass, field
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -72,6 +73,54 @@ def embed_query_text(
     return hash_embedding_numpy("" if text is None else text, dim)
 
 
+@dataclass
+class ReplicaSource:
+    """Durable-layout descriptor a ``ServingReplica`` can (re)build its
+    resident state from -- the missing half of the reference's
+    STREAM_UPDATE serving contract (index_manager.py:53: the deployed
+    index keeps mutating AFTER deploy via upsert_datapoints,
+    setup_vector_search.py:147-153, and the endpoint's sync state is
+    observable, index_manager.py:140-166). A replica built from plain
+    DataFrames is a snapshot; one built from a source can detect that
+    maintenance (``merge_into_table`` / ``stream_merge_into_ivf_index``
+    / ``recluster_ivf_index``) moved the on-disk layout and re-warm
+    itself without a process restart.
+
+    - ``vectors_path``: the saved IVF layout (``partitionBy
+      ("cluster_id")`` or the streaming ``(_bucket, cluster_id)``).
+    - ``codes_path``: the PQ code layout (``encode_pq`` output written
+      ``partitionBy("cluster_id")``); None = no-ADC replica.
+    - ``centroids``: a (n, dim) matrix, a zero-arg callable returning
+      one, or None to read the layout's ``_centroids`` sidecar
+      (``operators/ivf.py::save_centroids``; ``recluster_ivf_index``
+      keeps that sidecar current, so None is the right default for a
+      maintained index).
+    - ``books``: PQCodebooks or a zero-arg callable (callable when
+      maintenance may retrain them).
+    - ``docs``: hydration-table loader -- a callable(spark) returning
+      a DataFrame (re-invoked and re-cached on every refresh), a
+      static DataFrame (never refreshed), or None.
+    - ``extra_paths``: additional table paths (e.g. the docs table)
+      folded into the staleness fingerprint.
+    """
+
+    vectors_path: str
+    codes_path: str | None = None
+    centroids: object = None
+    books: object = None
+    docs: object = None
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+    extra_paths: tuple[str, ...] = field(default_factory=tuple)
+
+    def snapshot_paths(self) -> tuple[str, ...]:
+        paths = [self.vectors_path]
+        if self.codes_path:
+            paths.append(self.codes_path)
+        paths.extend(self.extra_paths)
+        return tuple(paths)
+
+
 class ServingReplica:
     """Request-independent serving state, built once per process.
 
@@ -79,6 +128,21 @@ class ServingReplica:
     saved ``partitionBy("cluster_id")`` layout (the warm-replica
     startup cost, paid outside any request); ``docs`` is the cached
     hydration table keyed by ``doc_id_col``.
+
+    A replica constructed with a ``ReplicaSource`` (or via
+    ``from_source``) additionally supports the live-index lifecycle:
+    ``is_stale()`` fingerprints the layout's data-file listing against
+    the one captured at the last (re)build, and ``refresh()`` re-reads
+    + re-caches the layout, codebooks, centroids and hydration table
+    in place -- the warm replica sees post-startup
+    ``merge_into_table`` / ``stream_merge_into_ivf_index`` /
+    ``recluster_ivf_index`` results without a restart, closing the
+    reference's STREAM_UPDATE serving semantic. Call ``refresh`` from
+    the maintenance thread between request windows: in-flight queries
+    keep the OLD cached plans, and if the maintenance pass physically
+    replaced files (dynamic partition overwrite), a concurrent query
+    that misses cache can fail on a vanished file -- the same exposure
+    any file-level swap has (the ACID-format seam closes it).
     """
 
     def __init__(
@@ -92,6 +156,7 @@ class ServingReplica:
         max_tokens: int = MAX_TOKENS_PER_TEXT,
         doc_id_col: str = "doc_id",
         hydrate_cols: tuple[str, ...] = ("lang", "source"),
+        source: ReplicaSource | None = None,
     ) -> None:
         self.spark = spark
         self.ivf = ivf_index
@@ -101,10 +166,149 @@ class ServingReplica:
         self.max_tokens = max_tokens
         self.doc_id_col = doc_id_col
         self.hydrate_cols = hydrate_cols
+        self.source = source
+        self._layout_fingerprint: tuple | None = None
+        self._owned_cached: list[DataFrame] = []
         # The one-row query relation's schema, fixed per replica.
         self._q_schema = (
             "query_id string, query_vector array<float>"
         )
+
+    @classmethod
+    def from_source(
+        cls,
+        spark: SparkSession,
+        source: ReplicaSource,
+        **kwargs,
+    ) -> "ServingReplica":
+        """Build a warm replica from a durable layout: reads, caches
+        and fingerprints everything ``source`` describes (the startup
+        cost a deployed endpoint pays once, config.py:44-50)."""
+        replica = cls(spark, None, None, None, source=source, **kwargs)
+        replica.refresh()
+        return replica
+
+    def _current_fingerprint(self) -> tuple:
+        from ..sources.compact import _listing_snapshot
+
+        return tuple(
+            _listing_snapshot(self.spark, p)
+            for p in self.source.snapshot_paths()
+        )
+
+    def is_stale(self) -> bool:
+        """True when any source path's committed data-file listing
+        differs from the fingerprint captured at the last refresh --
+        the engine's ``index_sync_time`` probe (index_manager.py:
+        140-166: deployment state is derived from sync observability,
+        not assumed)."""
+        if self.source is None:
+            raise ValueError(
+                "is_stale() needs a ReplicaSource; this replica was "
+                "built from static DataFrames"
+            )
+        return self._current_fingerprint() != self._layout_fingerprint
+
+    def refresh(self) -> dict:
+        """Re-warm the resident state from the source layout: re-read
+        (listing-cache refreshed) + re-cache the vectors, codes and
+        hydration table, re-resolve centroids and codebooks, then swap
+        all references at once and unpersist the previous generation.
+        The fingerprint is taken BEFORE the reads, so a writer
+        committing mid-refresh leaves ``is_stale()`` True and the next
+        maintenance tick re-warms again (never a silently-missed
+        update). Returns ``{"n_vectors", "n_codes", "n_clusters"}``
+        -- refresh cost is one read+cache pass, a fraction of the cold
+        build (no KMeans/PQ training, no encode)."""
+        if self.source is None:
+            raise ValueError(
+                "refresh() needs a ReplicaSource; this replica was "
+                "built from static DataFrames"
+            )
+        from .ivf import IVFIndex, load_centroids
+        from .pq import PQIndex
+
+        src = self.source
+        spark = self.spark
+        fingerprint = self._current_fingerprint()
+
+        owned: list[DataFrame] = []
+        spark.catalog.refreshByPath(src.vectors_path)
+        assigned = spark.read.parquet(src.vectors_path).cache()
+        n_vectors = assigned.count()
+        owned.append(assigned)
+        if callable(src.centroids):
+            centroids = np.ascontiguousarray(
+                src.centroids(), dtype=np.float64
+            )
+        elif src.centroids is not None:
+            centroids = np.ascontiguousarray(
+                src.centroids, dtype=np.float64
+            )
+        else:
+            centroids = load_centroids(spark, src.vectors_path)
+        new_ivf = IVFIndex(
+            assigned=assigned, centroids=centroids,
+            id_col=src.id_col, vec_col=src.vec_col,
+        )
+
+        new_pq = None
+        n_codes = 0
+        if src.codes_path:
+            spark.catalog.refreshByPath(src.codes_path)
+            codes = spark.read.parquet(src.codes_path).cache()
+            n_codes = codes.count()
+            owned.append(codes)
+            books = src.books() if callable(src.books) else src.books
+            new_pq = PQIndex(codes=codes, books=books, id_col=src.id_col)
+
+        new_docs = None
+        if callable(src.docs):
+            new_docs = src.docs(spark).cache()
+            new_docs.count()
+            owned.append(new_docs)
+        elif src.docs is not None:
+            new_docs = src.docs
+
+        previous = self._owned_cached
+        self.ivf = new_ivf
+        self.pq = new_pq
+        self.docs = new_docs
+        self._owned_cached = owned
+        self._layout_fingerprint = fingerprint
+        # Unpersist the previous generation UNLESS it shares a cache
+        # entry with the new one: Spark's CacheManager keys on the
+        # CANONICALIZED plan, and a re-read of the same path
+        # canonicalizes equal to the old read (refreshByPath already
+        # swapped that entry's file listing in place) -- unpersisting
+        # the old DataFrame would evict the cache the NEW replica is
+        # using, silently de-warming every subsequent query.
+        for df in previous:
+            try:
+                old_plan = df._jdf.queryExecution().analyzed()
+                if any(
+                    old_plan.sameResult(
+                        nw._jdf.queryExecution().analyzed()
+                    )
+                    for nw in owned
+                ):
+                    continue
+            except Exception:  # noqa: BLE001 -- eviction is best-effort
+                pass
+            df.unpersist(blocking=False)
+        return {
+            "n_vectors": int(n_vectors),
+            "n_codes": int(n_codes),
+            "n_clusters": int(centroids.shape[0]),
+        }
+
+    def refresh_if_stale(self) -> bool:
+        """One maintenance tick: re-warm only when the layout moved.
+        Returns True when a refresh ran."""
+        if self.is_stale():
+            self.refresh()
+            return True
+        return False
 
     def query_vector_df(self, doc_id, text: str) -> DataFrame:
         """(query_id, query_vector) as a LOCAL one-row relation --

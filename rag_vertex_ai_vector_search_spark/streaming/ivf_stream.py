@@ -471,6 +471,15 @@ def recluster_ivf_index(
             },
         )
         write_json_sidecar(spark, index_path, "_index_manifest.json", man)
+    # Layouts that persist their centroid matrix (_centroids sidecar,
+    # operators/ivf.py::save_centroids) get it rewritten to the grown
+    # matrix: a ServingReplica.refresh() -- or any later process --
+    # must probe with the centroids the on-disk assignment was made
+    # under, not the pre-recluster matrix it started with (r14).
+    from ..operators.ivf import has_centroids, save_centroids
+
+    if has_centroids(spark, index_path):
+        save_centroids(spark, index_path, new_cent)
     return new_cent
 
 

@@ -23,6 +23,7 @@ from rag_vertex_ai_vector_search_spark.operators.pq import (
     train_pq,
 )
 from rag_vertex_ai_vector_search_spark.operators.serving import (
+    ReplicaSource,
     ServingReplica,
     embed_query_text,
     surrogate_key,
@@ -227,3 +228,222 @@ def test_query_batch_rejects_duplicate_request_ids(spark, replica):
         rep.query_batch(
             [(1, "text a"), (1, "text b")], k=3, probe_percent=50.0
         )
+
+
+def test_replica_refresh_sees_appended_vector(spark, sf_smoke, tmp_path):
+    """STREAM_UPDATE serving semantic (r14, VERDICT r13 #1): a warm
+    replica built from a durable layout must detect a post-startup
+    index mutation (is_stale) and, after refresh(), answer bit-equal
+    to a freshly built replica -- here the mutation plants the query's
+    own embedding as a new vector, so the refreshed answer must rank
+    it first while the stale fingerprint proves the layout moved."""
+    import pandas as pd
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    ivf = build_ivf_index(emb, n_clusters=8)
+    books = train_pq(emb, m=8, ksub=16, iters=2, sample_rows=300)
+    vectors_path = str(tmp_path / "vectors")
+    codes_path = str(tmp_path / "codes")
+    ivf.save(vectors_path)  # persists the _centroids sidecar too
+    encode_pq(
+        spark.read.parquet(vectors_path), books,
+        keep_cols=("cluster_id",),
+    ).codes.write.partitionBy("cluster_id").parquet(codes_path)
+
+    src = ReplicaSource(
+        vectors_path=vectors_path, codes_path=codes_path, books=books,
+    )
+    rep = ServingReplica.from_source(spark, src, dim=64)
+    # centroids came from the sidecar ivf.save wrote
+    assert np.array_equal(rep.ivf.centroids, ivf.centroids)
+    q0 = sorted(
+        tuple(r) for r in rep.query(
+            QUERY_TEXT, doc_id=QUERY_ID, k=5, probe_percent=25.0
+        ).collect()
+    )
+    assert not rep.is_stale()
+
+    qvec = embed_query_text(QUERY_TEXT, dim=64)
+    cid = int(
+        ((qvec.astype(np.float64)[None, :] - rep.ivf.centroids) ** 2)
+        .sum(axis=1).argmin()
+    )
+    plant = spark.createDataFrame(
+        pd.DataFrame({
+            "vec_id": [999999],
+            "embedding": [[float(x) for x in qvec]],
+            "label": [0],
+            "cluster_id": [cid],
+        }),
+        "vec_id long, embedding array<float>, label int, cluster_id int",
+    )
+    plant.coalesce(1).write.mode("append").partitionBy(
+        "cluster_id"
+    ).parquet(vectors_path)
+    # repartition, not coalesce: a pandas UDF below a coalesce pays
+    # one Arrow-runner setup per parent partition (see bench.py r14)
+    encode_pq(
+        plant.repartition(1), books, keep_cols=("cluster_id",)
+    ).codes.write.mode("append").partitionBy(
+        "cluster_id"
+    ).parquet(codes_path)
+
+    assert rep.is_stale()
+    report = rep.refresh()
+    assert not rep.is_stale()
+    assert report["n_vectors"] == emb.count() + 1
+
+    got = rep.query(
+        QUERY_TEXT, doc_id=QUERY_ID, k=5, probe_percent=25.0
+    ).collect()
+    assert got[0].neighbor_id == 999999  # the planted exact match wins
+    fresh = ServingReplica.from_source(spark, src, dim=64)
+    want = fresh.query(
+        QUERY_TEXT, doc_id=QUERY_ID, k=5, probe_percent=25.0
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert sorted(map(tuple, got)) != q0
+
+
+@pytest.mark.full
+def test_replica_refresh_stream_update_and_recluster(
+    spark, sf_smoke, tmp_path
+):
+    """The full live-index lifecycle against ONE warm replica: stream
+    batch -> warm replica -> second stream batch (changed + planted
+    docs) -> refresh sees it -> forced recluster (grown centroid
+    matrix, sidecar auto-updated, codes re-encoded) -> refresh probes
+    with the NEW centroids and answers bit-equal to a freshly built
+    replica; full-probe results are invariant across the rebalance
+    (the row set is unchanged, only the partition map refines)."""
+    from rag_vertex_ai_vector_search_spark.operators.ivf import (
+        load_centroids,
+        save_centroids,
+    )
+    from rag_vertex_ai_vector_search_spark.streaming.ivf_stream import (
+        recluster_ivf_index,
+        stream_merge_into_ivf_index,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text"
+    )
+    index_path = str(tmp_path / "ivf")
+    codes_path = str(tmp_path / "codes")
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    dp = ingest_documents(docs).datapoints
+    centroids = np.asarray(
+        [
+            r.feature_vector
+            for r in dp.orderBy("data_point_id").limit(4).collect()
+        ],
+        dtype=np.float64,
+    )
+    books = train_pq(
+        dp, vec_col="feature_vector", m=8, ksub=16, iters=2,
+        sample_rows=300,
+    )
+
+    def run_stream():
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).parquet(src_dir)
+        q = stream_merge_into_ivf_index(
+            stream, index_path, centroids,
+            checkpoint_dir=ckpt, n_buckets=4,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def encode_codes():
+        assigned = spark.read.parquet(index_path)
+        encode_pq(
+            assigned, books,
+            id_col="data_point_id", vec_col="feature_vector",
+            keep_cols=("cluster_id",),
+        ).codes.write.mode("overwrite").partitionBy(
+            "cluster_id"
+        ).parquet(codes_path)
+
+    docs.write.parquet(src_dir)
+    run_stream()
+    save_centroids(spark, index_path, centroids)
+    encode_codes()
+
+    src = ReplicaSource(
+        vectors_path=index_path, codes_path=codes_path, books=books,
+        id_col="data_point_id", vec_col="feature_vector",
+    )
+    rep = ServingReplica.from_source(spark, src, dim=64)
+    q0 = sorted(
+        tuple(r) for r in rep.query(
+            QUERY_TEXT, doc_id=QUERY_ID, k=5, probe_percent=50.0
+        ).collect()
+    )
+    assert not rep.is_stale()
+
+    # STREAM_UPDATE batch 2: changed docs + a planted exact match
+    i = F.col("doc_id")
+    delta = docs.filter(i % 17 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text")
+    ).unionByName(
+        spark.createDataFrame(
+            [(990001, QUERY_TEXT)], "doc_id long, text string"
+        )
+    )
+    delta.coalesce(1).write.mode("append").parquet(src_dir)
+    run_stream()
+    encode_codes()
+
+    assert rep.is_stale()
+    rep.refresh()
+    got = rep.query(
+        QUERY_TEXT, doc_id=QUERY_ID, k=5, probe_percent=50.0
+    ).collect()
+    assert got[0].neighbor_id == surrogate_key(990001)
+    fresh = ServingReplica.from_source(spark, src, dim=64)
+    want = fresh.query(
+        QUERY_TEXT, doc_id=QUERY_ID, k=5, probe_percent=50.0
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert sorted(map(tuple, got)) != q0
+
+    full_pre = sorted(
+        (r.neighbor_id, r.score) for r in rep.query(
+            QUERY_TEXT, doc_id=QUERY_ID, k=5, probe_percent=100.0,
+            rerank_candidates=50,
+        ).collect()
+    )
+
+    # forced tree-AH rebalance: 500 docs / 4 leaves >> the 64-row cap
+    new_cent = recluster_ivf_index(
+        spark, index_path, load_centroids(spark, index_path),
+        max_leaf_rows=64, max_drift_fraction=1.1,
+    )
+    assert new_cent.shape[0] > centroids.shape[0]
+    assert np.array_equal(load_centroids(spark, index_path), new_cent)
+    encode_codes()
+
+    assert rep.is_stale()
+    rep.refresh()
+    assert rep.ivf.centroids.shape[0] == new_cent.shape[0]
+    got2 = rep.query(
+        QUERY_TEXT, doc_id=QUERY_ID, k=5, probe_percent=50.0
+    ).collect()
+    fresh2 = ServingReplica.from_source(spark, src, dim=64)
+    want2 = fresh2.query(
+        QUERY_TEXT, doc_id=QUERY_ID, k=5, probe_percent=50.0
+    ).collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, want2))
+
+    full_post = sorted(
+        (r.neighbor_id, r.score) for r in rep.query(
+            QUERY_TEXT, doc_id=QUERY_ID, k=5, probe_percent=100.0,
+            rerank_candidates=50,
+        ).collect()
+    )
+    assert full_post == full_pre
