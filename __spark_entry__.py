@@ -1036,6 +1036,220 @@ WHERE s % 2 = 0 OR ch = 0
 """
 
 
+def q_video_frames_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gates the VIDEO decode path (r14, VERDICT r13 #2 -- the
+    last rows-only modality value surface besides FFT audio):
+    synthesize MJPEG AVIs whose every frame is a flat-block baseline
+    JPEG with closed-form decoded pixels (multimodal/synthesis.py::
+    synthesize_media_video_dct -- frame f of doc s is the r13 DCT
+    raster at frame-seed 3*s+f), then make Spark EARN each pixel
+    through the REAL pipeline: slice_video_frames walks the RIFF
+    container ONCE per video (the scale-critical one-walk contract)
+    and emits per-frame JPEG payloads, and extract_dct_block_stats
+    decodes each frame through the real Huffman + dequantize + IDCT
+    path, emitting frame-indexed per-block min/max. Even frame-seeds
+    are equal-channel RGB (interleaved 3-component MCUs inside a
+    video), odd gray. The DuckDB oracle predicts every pixel of every
+    frame from the generator formula via the tie-free floor-arithmetic
+    quantization chain -- it never touches a byte of the container."""
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        extract_dct_block_stats,
+        slice_video_frames,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        synthesize_media_video_dct,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 8
+    ).select("doc_id")
+    media = synthesize_media_video_dct(fan_out(docs))
+    frames = slice_video_frames(media, every_k=1)
+    stats = extract_dct_block_stats(
+        frames.select(
+            "doc_id", "frame_index",
+            F.col("frame_payload").alias("content"),
+        ),
+        passthrough_cols=("frame_index",),
+    )
+    return stats.select(
+        "doc_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        "channel", "block_y", "block_x", "px_min", "px_max",
+    )
+
+
+# The video oracle composes the proven _SQL_MULTIMODAL_DCT chain with a
+# frames dimension: frame-seed 3*s+f replaces s in the block formula
+# and the channel parity test; everything else (safe-value derivation,
+# tie-free floor quantization, clip) is identical.
+_SQL_VIDEO_FRAMES_DCT = """
+WITH seeds AS (SELECT doc_id AS s FROM documents WHERE doc_id < 8),
+sv AS MATERIALIZED (
+  SELECT v,
+         CAST(floor((16*(v-128)+13)/26.0) AS BIGINT) AS q,
+         row_number() OVER (ORDER BY v) - 1 AS k
+  FROM range(256) _v(v)
+  WHERE ((CAST(floor((16*(v-128)+13)/26.0) AS BIGINT) % 8) + 8) % 8 <> 4
+),
+nsafe AS (SELECT count(*) AS n FROM sv),
+blocks AS (
+  SELECT s, f, by, bx,
+         (31*(3*s + f) + 17*(by*4 + bx)) % (SELECT n FROM nsafe) AS k
+  FROM seeds, range(3) _f(f), range(3) _y(by), range(4) _x(bx)
+),
+decd AS (
+  SELECT b.s, b.f, b.by, b.bx,
+         greatest(0, least(255,
+           CAST(floor((13*sv.q + 4)/8.0) AS BIGINT) + 128)) AS dec
+  FROM blocks b JOIN sv ON sv.k = b.k
+)
+SELECT s AS doc_id, CAST(f AS BIGINT) AS frame_index,
+       CAST(ch AS BIGINT) AS channel,
+       CAST(by AS BIGINT) AS block_y, CAST(bx AS BIGINT) AS block_x,
+       dec AS px_min, dec AS px_max
+FROM decd, range(3) _c(ch)
+WHERE (3*s + f) % 2 = 0 OR ch = 0
+"""
+
+
+def q_audio_spectral_closed_form(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-gates the FFT spectral-audio path (r14, VERDICT r13 #3 --
+    the last rows-only modality value surface): synthesize bin-exact
+    three-tone PCM WAVs (multimodal/synthesis.py::
+    synthesize_audio_spectral -- DC + quarter-rate cosine + Nyquist
+    alternation, integer samples, stereo for even seeds) and run the
+    REAL pipeline: stdlib-wave decode, channel mean, numpy.fft.rfft,
+    centroid/rolloff/16-band log-energy profile
+    (multimodal/binary_ops.py::extract_audio_spectral_features). The
+    signal's spectrum is exactly three bins, so every feature is
+    closed-form in s % 16:
+
+    - rolloff is a SELECTED frequency value -- bit-exact; the oracle
+      rebuilds numpy.rfftfreq's exact float expression
+      (i * (1/(800*(1/8000)))) and the crossing CASE on exact integer
+      powers against the same 0.85*total double threshold.
+    - centroid quantizes to milli-Hz: the ideal rational
+      (2000*P1 + 4000*P2)/total is exact integer arithmetic in double;
+      FFT leakage perturbs the measured value by ~1e-13 relative while
+      the worst class sits 0.056 quanta from a floor boundary
+      (asserted over the exhaustive 16-class domain in
+      tests/test_multimodal.py).
+    - band energies quantize to 1e-6 after the float32 cast; the three
+      mass bands' log1p values inline as Python-repr literals (the
+      discount-literals rule -- no engine-shared log exists), the
+      normalization/division/cast stay live SQL; leakage bands measure
+      ~1e-29 and floor to the oracle's literal 0.
+
+    Per-band rows (doc_id, centroid_mhz, rolloff_hz, band, feat_micro)
+    -- scalar-only schema per the r6 canonicalizer rule."""
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        extract_audio_spectral_features,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        synthesize_audio_spectral,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 32
+    ).select("doc_id")
+    media = synthesize_audio_spectral(fan_out(docs))
+    feats = extract_audio_spectral_features(media)
+    ex = feats.select(
+        "doc_id",
+        F.floor(
+            F.col("spectral_centroid_hz") * F.lit(1000.0) + F.lit(0.5)
+        ).cast("long").alias("centroid_mhz"),
+        F.col("spectral_rolloff_hz").alias("rolloff_hz"),
+        F.posexplode("features").alias("band", "feat"),
+    )
+    return ex.select(
+        "doc_id", "centroid_mhz", "rolloff_hz",
+        F.col("band").cast("long").alias("band"),
+        F.floor(
+            F.col("feat").cast("double") * F.lit(1000000.0) + F.lit(0.5)
+        ).cast("long").alias("feat_micro"),
+    )
+
+
+def _sql_audio_spectral() -> str:
+    """The spectral oracle: exact integer powers -> centroid/rolloff in
+    live SQL; per-class log1p literals (computed here with Python
+    math.log1p == numpy's libm) -> normalization + float32 cast +
+    quantization in live SQL. Class key is s % 16 (parity rides on
+    it), so 16 VALUES rows cover every document at any SF."""
+    import math
+
+    vals = []
+    for m in range(16):
+        from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+            audio_spectral_amps,
+            audio_spectral_amps_right,
+        )
+
+        left = audio_spectral_amps(m)
+        if m % 2 == 0:
+            right = audio_spectral_amps_right(m)
+            eff = tuple((x + y) / 2.0 for x, y in zip(left, right))
+        else:
+            eff = tuple(float(x) for x in left)
+        adc, aq, any_ = eff
+        l0 = math.log1p((800.0 * adc) ** 2 / 2.0 ** 30)
+        l8 = math.log1p((400.0 * aq) ** 2 / 2.0 ** 30)
+        l15 = math.log1p((800.0 * any_) ** 2 / 2.0 ** 30)
+        vals.append(
+            f"({m}, {adc!r}::DOUBLE, {aq!r}::DOUBLE, {any_!r}::DOUBLE, "
+            f"{l0!r}::DOUBLE, {l8!r}::DOUBLE, {l15!r}::DOUBLE)"
+        )
+    values_sql = ",\n    ".join(vals)
+    return f"""
+WITH seeds AS (SELECT doc_id AS s FROM documents WHERE doc_id < 32),
+classes(m, adc, aq, a_ny, l0, l8, l15) AS (
+  VALUES
+    {values_sql}
+),
+pw AS (
+  SELECT s, m, l0, l8, l15,
+         (800.0::DOUBLE*adc)*(800.0::DOUBLE*adc) AS p0,
+         (400.0::DOUBLE*aq)*(400.0::DOUBLE*aq) AS p1,
+         (800.0::DOUBLE*a_ny)*(800.0::DOUBLE*a_ny) AS p2
+  FROM seeds JOIN classes ON classes.m = seeds.s % 16
+),
+scalars AS (
+  SELECT s, l0, l8, l15,
+         CAST(floor(
+           1000.0::DOUBLE
+           * ((2000.0::DOUBLE*p1 + 4000.0::DOUBLE*p2)
+              / (p0 + (p1 + p2)))
+           + 0.5::DOUBLE
+         ) AS BIGINT) AS centroid_mhz,
+         (CASE
+            WHEN p0 >= 0.85::DOUBLE * (p0 + (p1 + p2)) THEN 0
+            WHEN p0 + p1 >= 0.85::DOUBLE * (p0 + (p1 + p2)) THEN 200
+            ELSE 400
+          END)
+         * (1.0::DOUBLE / (800.0::DOUBLE * (1.0::DOUBLE / 8000.0::DOUBLE)))
+           AS rolloff_hz,
+         sqrt(l0*l0 + (l8*l8 + l15*l15)) AS nrm
+  FROM pw
+)
+SELECT s AS doc_id, centroid_mhz, rolloff_hz,
+       CAST(b AS BIGINT) AS band,
+       CASE WHEN b IN (0, 8, 15) THEN
+         CAST(floor(
+           1000000.0::DOUBLE
+           * CAST(CAST(
+               (CASE b WHEN 0 THEN l0 WHEN 8 THEN l8 ELSE l15 END) / nrm
+             AS FLOAT4) AS DOUBLE)
+           + 0.5::DOUBLE
+         ) AS BIGINT)
+       ELSE 0 END AS feat_micro
+FROM scalars, range(16) _b(b)
+"""
+
+
 def q_multimodal_features_dct420(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -9399,7 +9613,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_train_em": q_unigram_train_em,
         "web_corpus_pipeline": q_web_corpus_pipeline,
         "warc_roundtrip": q_warc_roundtrip,
-        "webdataset_roundtrip": q_webdataset_roundtrip,
+        # r14 rotation (VERDICT r13 #7): dataset_temperature_mix
+        # promoted (n^alpha source mixing, archive-gated green at both
+        # SFs since r13; per-source ln now Python-side per the r14
+        # advice), displacing webdataset_roundtrip -> archive: its
+        # tar-container member walk follows the same synthesize ->
+        # container write -> member-walk read-back pattern the
+        # still-declared warc_roundtrip gates, and the row keeps
+        # full-tier parity at both SFs.
+        "dataset_temperature_mix": q_dataset_temperature_mix,
         # r13 second rotation: multimodal_features_dct420 promoted (the
         # 4:2:0 chroma-subsampled closed-form gate -- the full color
         # pipeline under hash), displacing gopher_quality_gate ->
@@ -9417,12 +9639,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same pinned quantizers) and the exact variant keeps full-tier
         # parity at both SFs in tests/test_oracle_parity.py.
         "multimodal_features_dct": q_multimodal_features_dct,
-        "multimodal_features": q_multimodal_features,
+        # r14 rotation (VERDICT r13 #2 + #4): video_frames_dct promoted
+        # -- the video modality's hash gate (real RIFF walk + per-frame
+        # Huffman/IDCT decode against the closed-form DCT oracle),
+        # displacing the rows-only multimodal_features umbrella ->
+        # archive: every modality it touches now has a hash-gated
+        # declared sibling (lossless / dct / dct420 / video / audio
+        # spectral), and the umbrella keeps its rows-only run in the
+        # full-tier suite.
+        "video_frames_dct": q_video_frames_dct,
         # -- first driver-gated in r3 ----------------------------------
         "asof_latest_signup": q_asof_latest_signup,
         # -- vector search surface -------------------------------------
         "knn_hydrated": q_knn_hydrated,
-        "knn_ivf_pruned": q_knn_ivf_pruned,
+        # r14 rotation (VERDICT r13 #3 + #4): audio_spectral_closed_form
+        # promoted -- the FFT spectral path's hash gate (bin-exact
+        # three-tone WAVs; real decode + numpy FFT vs the
+        # fixed-association closed form), displacing knn_ivf_pruned ->
+        # archive: rows-only BY DESIGN (production KMeans centroids are
+        # float-trained, not SQL-decodable); its IVF probe/prune
+        # machinery stays declared-HASH-gated via ann_recall_ivf
+        # (pinned-centroid config) and archive-gated via
+        # knn_ivf_full_probe, and it keeps its bench entry.
+        "audio_spectral_closed_form": q_audio_spectral_closed_form,
         "ann_recall_summary": q_ann_recall_summary,
         # -- new in r11: the lossless multimodal decode path becomes a
         #    hash-green row (VERDICT r10 #5); displaced knn_pq_rerank
@@ -9719,8 +9958,15 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_curve": q_zorder_curve,
         "unigram_viterbi_segments": q_unigram_viterbi_segments,
         "url_normalize": q_url_normalize,
-        # r13-new: LLaMA-style n^alpha temperature source mixing
-        "dataset_temperature_mix": q_dataset_temperature_mix,
+        # r14 displacements (see queries() for the three rotation
+        # rationales): container member-walk machinery stays declared
+        # via warc_roundtrip; the rows-only multimodal umbrella's every
+        # modality has a hash-gated declared sibling; the production-
+        # KMeans IVF row is rows-only by design with its machinery
+        # declared-gated via ann_recall_ivf.
+        "webdataset_roundtrip": q_webdataset_roundtrip,
+        "multimodal_features": q_multimodal_features,
+        "knn_ivf_pruned": q_knn_ivf_pruned,
         "pagerank_citations": q_pagerank_citations,
         "pagerank_weighted": q_pagerank_weighted,
         "hits_citations": q_hits_citations,
@@ -9792,14 +10038,15 @@ def oracle_sql() -> dict[str, str]:
         "unigram_train_em": _sql_unigram_em(2, 1 << 33),
         "web_corpus_pipeline": _sql_web_pipeline(),
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
-        "webdataset_roundtrip": _SQL_WEBDATASET_ROUNDTRIP,
+        "dataset_temperature_mix": _sql_dataset_temperature_mix(),
         "multimodal_features_dct420": _SQL_MULTIMODAL_DCT420,
         "phrase_search_docs": _sql_phrase_search(),
         "knn_pq_restrict_crowding": _SQL_KNN_PQ_RESTRICT_CROWDING,
         "multimodal_features_dct": _SQL_MULTIMODAL_DCT,
+        "video_frames_dct": _SQL_VIDEO_FRAMES_DCT,
         "asof_latest_signup": _SQL_ASOF_SIGNUP,
         "knn_hydrated": _SQL_KNN_HYDRATED,
-        # knn_ivf_pruned: approximate + iterative -> rows-only check
+        "audio_spectral_closed_form": _sql_audio_spectral(),
         "ann_recall_summary": _sql_ann_recall_summary(),
         "multimodal_features_lossless": _SQL_MULTIMODAL_LOSSLESS,
         "knn_pq_full_rerank": _SQL_KNN_TOPK,
@@ -9860,7 +10107,10 @@ def oracle_sql_archive() -> dict[str, str]:
         "zorder_curve": _sql_zorder_curve(16),
         "unigram_viterbi_segments": _SQL_UNIGRAM_VITERBI,
         "url_normalize": _sql_url_normalize(),
-        "dataset_temperature_mix": _sql_dataset_temperature_mix(),
+        "webdataset_roundtrip": _SQL_WEBDATASET_ROUNDTRIP,
+        # multimodal_features / knn_ivf_pruned: rows-only (no oracle);
+        # covered by test_all_queries_run_and_nonempty + their
+        # hash-gated declared siblings.
         "pagerank_citations": _sql_pagerank(6),
         "pagerank_weighted": _sql_pagerank_weighted(6),
         "hits_citations": _sql_hits(6),

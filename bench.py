@@ -635,6 +635,15 @@ BENCH_QUERIES = [
         "multimodal_features_dct420",
         entrymod.q_multimodal_features_dct420,
     ),
+    # r14: the video modality's closed-form gate (MJPEG AVI synth ->
+    # one RIFF walk per video -> per-frame Huffman+IDCT decode ->
+    # frame-indexed block min/max, SQL-predicted end to end)
+    ("video_frames_dct", entrymod.q_video_frames_dct),
+    # r14: the FFT spectral audio gate (bin-exact three-tone WAVs ->
+    # real decode + numpy rfft -> quantized centroid/rolloff/bands)
+    ("audio_spectral_closed_form", entrymod.q_audio_spectral_closed_form),
+    # r14: n^alpha temperature source mixing (promoted to declared)
+    ("dataset_temperature_mix", entrymod.q_dataset_temperature_mix),
     # r6: oracled recall gates for the pruned IVF and lossy PQ paths
     # (explicit data-row quantizers, VERDICT r5 #3)
     ("ann_recall_ivf", entrymod.q_ann_recall_ivf),

@@ -459,6 +459,144 @@ def synthesize_media_dct(df: DataFrame, *, id_col: str = "doc_id"):
     return df.select(id_col).mapInPandas(_synth, out_schema)
 
 
+# -- closed-form spectral audio synthesis (r14) -----------------------------
+#
+# The FFT feature gate needs signals whose spectrum is EXACTLY three
+# bins. x[t] = a_dc + a_q*cyc4[t] + a_ny*(-1)^t (cyc4 = [1,0,-1,0]) is
+# integer-valued and bin-exact: DC lands at bin 0 (sum = N*a_dc), the
+# quarter-rate cosine at bin N/4 (PURELY REAL, 400*a_q -- the sine
+# projection cancels, so np.abs never routes through hypot), the
+# alternation at Nyquist (800*a_ny). All other bins are ideally zero;
+# the real FFT leaves ~1e-16-relative noise there, which the gate's
+# quantization floors away. Amplitudes are functions of s % 16 ONLY,
+# so the whole feature domain is 16 classes -- exhaustively checkable.
+
+AUDIO_SPECTRAL_SR = 8000
+AUDIO_SPECTRAL_N = 800
+_AUDIO_CYC4 = (1, 0, -1, 0)
+
+
+def audio_spectral_amps(s: int) -> tuple[int, int, int]:
+    """Left-channel (a_dc, a_q, a_ny) for seed s -- pure integer
+    arithmetic in s % 16, mirrored literally in the SQL oracle."""
+    return (
+        40 + 11 * (s % 16),
+        90 + 7 * ((s * 3 + 1) % 16),
+        30 + 5 * ((s * 5 + 2) % 16),
+    )
+
+
+def audio_spectral_amps_right(s: int) -> tuple[int, int, int]:
+    """Right-channel amplitudes for the stereo (even-seed) members --
+    a different rotation of the same class index, so the mono mean
+    (exact .5 halves) still depends only on s % 16."""
+    return (
+        40 + 11 * ((s + 5) % 16),
+        90 + 7 * ((s * 3 + 9) % 16),
+        30 + 5 * ((s * 5 + 11) % 16),
+    )
+
+
+def _audio_spectral_signal(amps: tuple[int, int, int]) -> np.ndarray:
+    a_dc, a_q, a_ny = amps
+    t = np.arange(AUDIO_SPECTRAL_N)
+    cyc = np.array(_AUDIO_CYC4, dtype=np.int64)[t % 4]
+    alt = np.where(t % 2 == 0, 1, -1)
+    return (a_dc + a_q * cyc + a_ny * alt).astype(np.int64)
+
+
+def synthesize_audio_spectral(df: DataFrame, *, id_col: str = "doc_id"):
+    """Bin-exact three-tone PCM WAVs whose spectral features are
+    closed-form in the id (r14, VERDICT r13 #3): even seeds stereo
+    (the decoder's channel-mean path, exact .5 halves), odd mono.
+    PCM is written as exact int16 (no float scale round-trip -- the
+    encode_wav_pcm [-1,1] path multiplies by 32767 and could flip a
+    sample by one ulp), so the decoded samples are exactly
+    int/32768 and every downstream float is a deterministic function
+    of the class index."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, media_type string, content binary"
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, blobs = [], [], []
+            for rid in pdf[id_col]:
+                seed = int(rid)
+                chans = [_audio_spectral_signal(audio_spectral_amps(seed))]
+                if seed % 2 == 0:
+                    chans.append(
+                        _audio_spectral_signal(
+                            audio_spectral_amps_right(seed)
+                        )
+                    )
+                frames = (
+                    np.stack(chans, axis=1).astype("<i2").ravel().tobytes()
+                )
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(len(chans))
+                    w.setsampwidth(2)
+                    w.setframerate(AUDIO_SPECTRAL_SR)
+                    w.writeframes(frames)
+                blobs.append(buf.getvalue())
+                ids.append(rid)
+                types.append("audio/wav")
+            yield pd.DataFrame(
+                {id_col: ids, "media_type": types, "content": blobs}
+            )
+
+    return df.select(id_col).mapInPandas(_synth, out_schema)
+
+
+VIDEO_DCT_FRAMES = 3
+
+
+def synthesize_media_video_dct(
+    df: DataFrame, *, id_col: str = "doc_id",
+    n_frames: int = VIDEO_DCT_FRAMES,
+):
+    """MJPEG AVIs whose every FRAME is a flat-block lossy JPEG with
+    closed-form decoded pixels (r14, VERDICT r13 #2 -- the video
+    modality's hash gate): frame f of doc s reuses the r13 DCT recipe
+    with frame-seed ``n_frames*s + f``, so the SAME floor-arithmetic
+    oracle predicts every pixel of every frame while Spark must earn
+    them through the REAL RIFF container walk (mjpeg.py::
+    iter_mjpeg_frames / slice_video_frames) plus the per-frame
+    baseline Huffman + dequantize + IDCT decode. Even frame-seeds are
+    equal-channel RGB (the 3-component interleaved MCU path inside a
+    video stream), odd gray -- MJPEG payloads are baseline SOF0 by
+    container convention, so no progressive member here (the image
+    dct row covers SOF2)."""
+    from .mjpeg import encode_mjpeg_avi
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, media_type string, content binary"
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, blobs = [], [], []
+            for rid in pdf[id_col]:
+                seed = int(rid)
+                frames = []
+                for f in range(n_frames):
+                    fseed = n_frames * seed + f
+                    g = _dct_flat_raster(fseed)
+                    frames.append(
+                        np.stack([g, g, g], axis=2)
+                        if fseed % 2 == 0 else g
+                    )
+                blobs.append(
+                    encode_mjpeg_avi(frames, fps=10, quality=DCT_QUALITY)
+                )
+                ids.append(rid)
+                types.append("video/avi")
+            yield pd.DataFrame(
+                {id_col: ids, "media_type": types, "content": blobs}
+            )
+
+    return df.select(id_col).mapInPandas(_synth, out_schema)
+
+
 # -- 4:2:0 chroma-subsampled closed-form synthesis (r13) --------------------
 #
 # The dct420 gate extends the flat-block recipe to the full color

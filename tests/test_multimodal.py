@@ -1510,3 +1510,132 @@ def test_dct_progressive_members_match_closed_form():
                 want = dct_decoded_value(int(g[by * 8, bx * 8]))
                 blk = dec[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
                 assert blk.min() == blk.max() == want, (seed, by, bx)
+
+
+def test_video_dct_frames_closed_form():
+    """video_frames_dct's premise (r14): every frame of the synthesized
+    MJPEG AVI decodes through the real RIFF walk + baseline JPEG path
+    to the flat blocks the floor-arithmetic closed form predicts --
+    frame-seed 3*s+f, even seeds RGB with all three channels equal."""
+    from rag_vertex_ai_vector_search_spark.multimodal.jpeg import (
+        decode_jpeg_baseline,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.mjpeg import (
+        iter_mjpeg_frames,
+        encode_mjpeg_avi,
+        probe_mjpeg_avi,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        DCT_QUALITY,
+        _dct_flat_raster,
+        dct_decoded_value,
+        dct_safe_values,
+    )
+
+    safe = dct_safe_values()
+    for s in (0, 1, 5):
+        frames = []
+        for f in range(3):
+            fseed = 3 * s + f
+            g = _dct_flat_raster(fseed)
+            frames.append(
+                np.stack([g, g, g], axis=2) if fseed % 2 == 0 else g
+            )
+        avi = encode_mjpeg_avi(frames, fps=10, quality=DCT_QUALITY)
+        meta = probe_mjpeg_avi(avi)
+        assert meta["n_frames"] == 3 and meta["width"] == 32
+        for f, payload in enumerate(iter_mjpeg_frames(avi)):
+            fseed = 3 * s + f
+            dec = decode_jpeg_baseline(payload)
+            arr = dec if dec.ndim == 3 else dec[:, :, None]
+            assert arr.shape[2] == (3 if fseed % 2 == 0 else 1)
+            for by in range(3):
+                for bx in range(4):
+                    want = dct_decoded_value(
+                        safe[(31 * fseed + 17 * (by * 4 + bx)) % len(safe)]
+                    )
+                    blk = arr[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, :]
+                    assert blk.min() == blk.max() == want, (s, f, by, bx)
+
+
+def test_audio_spectral_exhaustive_class_domain():
+    """audio_spectral_closed_form's safety argument, checked over the
+    ENTIRE class domain (features are functions of s % 16; 0..31
+    covers each class twice): the real decode + numpy FFT pipeline
+    must agree with the oracle's fixed-association closed form on
+    every quantized value, the rolloff double must be bit-equal, and
+    the ideal centroid must sit >= 0.01 quanta from its floor boundary
+    (measured FFT leakage perturbs it by ~1e-7 quanta)."""
+    import io as _io
+    import math
+    import wave as _wave
+
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        _spectral_feature_row,
+        decode_audio,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        AUDIO_SPECTRAL_N,
+        AUDIO_SPECTRAL_SR,
+        _audio_spectral_signal,
+        audio_spectral_amps,
+        audio_spectral_amps_right,
+    )
+
+    assert AUDIO_SPECTRAL_N == 800 and AUDIO_SPECTRAL_SR == 8000
+
+    def wav_bytes(s):
+        chans = [_audio_spectral_signal(audio_spectral_amps(s))]
+        if s % 2 == 0:
+            chans.append(
+                _audio_spectral_signal(audio_spectral_amps_right(s))
+            )
+        frames = np.stack(chans, axis=1).astype("<i2").ravel().tobytes()
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(len(chans))
+            w.setsampwidth(2)
+            w.setframerate(AUDIO_SPECTRAL_SR)
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    for s in range(32):
+        left = audio_spectral_amps(s)
+        if s % 2 == 0:
+            right = audio_spectral_amps_right(s)
+            eff = tuple((x + y) / 2.0 for x, y in zip(left, right))
+        else:
+            eff = tuple(float(x) for x in left)
+        adc, aq, a_ny = eff
+        p0 = (800.0 * adc) ** 2
+        p1 = (400.0 * aq) ** 2
+        p2 = (800.0 * a_ny) ** 2
+        total = p0 + (p1 + p2)
+        centroid = (2000.0 * p1 + 4000.0 * p2) / total
+        thr = 0.85 * total
+        idx = 0 if p0 >= thr else (200 if p0 + p1 >= thr else 400)
+        rolloff = idx * (1.0 / (800.0 * (1.0 / 8000.0)))
+        l0 = math.log1p(p0 / 2.0 ** 30)
+        l8 = math.log1p(p1 / 2.0 ** 30)
+        l15 = math.log1p(p2 / 2.0 ** 30)
+        nrm = math.sqrt(l0 * l0 + (l8 * l8 + l15 * l15))
+        want_micro = {
+            b: math.floor(
+                1e6 * np.float64(np.float32(lv / nrm)) + 0.5
+            )
+            for b, lv in ((0, l0), (8, l8), (15, l15))
+        }
+
+        # boundary margin of the ideal centroid (quanta)
+        frac = abs((centroid * 1000.0) % 1.0 - 0.5)
+        assert frac >= 0.01, (s, centroid)
+
+        samples, sr = decode_audio(wav_bytes(s))
+        c, r, fv = _spectral_feature_row(samples, sr, 16)
+        assert r == rolloff, (s, repr(r), repr(rolloff))
+        assert math.floor(c * 1000.0 + 0.5) == math.floor(
+            centroid * 1000.0 + 0.5
+        ), (s, c, centroid)
+        for b in range(16):
+            got = math.floor(1e6 * np.float64(fv[b]) + 0.5)
+            assert got == want_micro.get(b, 0), (s, b, got)
