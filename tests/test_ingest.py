@@ -186,3 +186,48 @@ def test_embed_retry_policy():
         assert isinstance(e.__cause__, IOError)
     # 3 calls interleaved with exactly 2 delays: no sleep after the last
     assert sleeps2 == ["call", 1.0, "call", 1.0, "call"]
+
+
+def test_surrogate_key_uuid_escape_hatch(spark):
+    """surrogate_key="uuid" (r14, VERDICT r13 #8) restores the
+    reference's RFC-4122 random keys (setup_vector_search.py:39);
+    the default stays the deterministic sha2 so re-runs are
+    MERGE-idempotent."""
+    import re
+    import uuid as uuidlib
+
+    from rag_vertex_ai_vector_search_spark.operators.ingest import (
+        ingest_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], "doc_id long, text string"
+    )
+    keys = [
+        r.data_point_id
+        for r in ingest_documents(docs, surrogate_key="uuid")
+        .datapoints.select("data_point_id").collect()
+    ]
+    assert len(set(keys)) == 20
+    rfc4122 = re.compile(
+        r"^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-"
+        r"[0-9a-f]{12}$"
+    )
+    for k in keys:
+        assert rfc4122.match(k), k
+        assert uuidlib.UUID(k).version == 4
+
+    # the default is unchanged: deterministic sha2 of the natural key
+    import hashlib
+
+    got = {
+        r.data_point_id
+        for r in ingest_documents(docs)
+        .datapoints.select("data_point_id").collect()
+    }
+    assert got == {
+        hashlib.sha256(str(i).encode()).hexdigest() for i in range(20)
+    }
+
+    with pytest.raises(ValueError, match="surrogate_key"):
+        ingest_documents(docs, surrogate_key="ulid")

@@ -518,3 +518,70 @@ def test_sql_tokenizer_views_match_dataframe_builders(spark, sf_smoke):
         """
     ).collect()
     assert len(joined) == 5
+
+
+def test_sql_knn_search_view_bit_equal_to_serving(spark, sf_smoke):
+    """engine_knn_search (r14, VERDICT r13 #6): a SQL-only user's
+    headline query -- embedded query table -> probe-pruned PQ cascade
+    -> exact rerank -> hydrated top-k -- must be BIT-EQUAL per request
+    to the DataFrame serving route (ServingReplica.query_batch over
+    the identical built index) and to ivf_pq_search directly."""
+    from rag_vertex_ai_vector_search_spark.operators.pq import (
+        ivf_pq_search,
+    )
+    from rag_vertex_ai_vector_search_spark.operators.serving import (
+        ServingReplica,
+        surrogate_key,
+    )
+    from rag_vertex_ai_vector_search_spark.sql_api import (
+        DEFAULT_KNN_QUERY_TEXTS,
+        register_knn_search_view,
+    )
+
+    register_sql_api(spark, sf_smoke)
+    state = register_knn_search_view(spark)  # cached default build
+
+    via_sql = sorted(
+        tuple(r)
+        for r in spark.sql("SELECT * FROM engine_knn_search").collect()
+    )
+    assert len(via_sql) == 10 * len(DEFAULT_KNN_QUERY_TEXTS)
+
+    # route 1: the same cascade through ivf_pq_search + hydration
+    hits = ivf_pq_search(
+        state["ivf_index"], state["pq_index"],
+        state["queries_df"].select("query_id", "query_vector"),
+        10, probe_percent=10.0, method="broadcast",
+    )
+    docs = state["docs"]
+    via_df = sorted(
+        tuple(r) for r in hits.join(
+            F.broadcast(docs), hits.neighbor_id == docs.doc_id, "left"
+        ).select(
+            "query_id", F.col("rank").cast("long").alias("rank"),
+            "neighbor_id", "score", "lang", "source",
+        ).collect()
+    )
+    assert via_sql == via_df
+
+    # route 2: the warm-replica coalesced window over the same state
+    rep = ServingReplica(
+        spark, state["ivf_index"], state["pq_index"], docs, dim=64
+    )
+    batched = rep.query_batch(
+        list(DEFAULT_KNN_QUERY_TEXTS), k=10, probe_percent=10.0
+    )
+    via_replica = sorted(
+        tuple(row)
+        for _qid, rows in batched
+        for row in rows
+    )
+    assert via_sql == via_replica
+
+    # the embedded query table is registered too, keyed like serving
+    qrows = spark.sql(
+        "SELECT query_id, query_text FROM engine_knn_queries"
+    ).collect()
+    assert {r.query_id for r in qrows} == {
+        surrogate_key(q) for q, _ in DEFAULT_KNN_QUERY_TEXTS
+    }
