@@ -6131,6 +6131,106 @@ LIMIT 100
 """
 
 
+def q_doremi_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (r14-new; Xie et al., NeurIPS
+    2023, operators/doremi.py): per-domain EXCESS loss -- reference
+    unigram surprisal minus the domain's own model's surprisal, each
+    word floor-quantized to integer micronats so the sums are
+    association-free -- drives an exponentiated-gradient update that
+    lives entirely in LOG space (exp never evaluates: multiplicative
+    weight updates are additive log-weight terms,
+    floor(eta * excess_t / tokens_t) per hash-bucketed minibatch
+    round), and the final per-domain log-weights feed the proven
+    hash-Gumbel top-k for an exact softmax draw of 100 documents.
+    Every stage reuses bit-proven machinery: the lm_quality micronat
+    quantization, per-DISTINCT-(domain, word) scoring joined back to
+    positions once, the dataset_split sha60 round buckets, and the
+    dsir_gumbel_select key. Archive-gated at both SFs (the r13
+    new-operator policy; promotion candidate for r15)."""
+    from rag_vertex_ai_vector_search_spark.operators.doremi import (
+        doremi_select,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    sel = doremi_select(fan_out(docs), 100)
+    return sel.select(
+        "doc_id", "source", "n_tokens", "excess_micronats",
+        "log_weight_micronats", "gumbel_key_micronats",
+    )
+
+
+def _sql_doremi_domain_mix() -> str:
+    gum = _sql_sha60("'doremi:' || CAST(doc_id AS VARCHAR)")
+    rnd = _sql_sha60("'doremi:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH words AS (
+  SELECT doc_id, source,
+         CAST({rnd} % 4 AS INT) AS rnd,
+         unnest(string_split({_SQL_NORM}, ' ')) AS word
+  FROM documents
+),
+refc AS MATERIALIZED (
+  SELECT word, count(*) AS nr FROM words GROUP BY word
+),
+tot AS (
+  SELECT CAST(sum(nr) AS DOUBLE) AS N, CAST(count(*) AS DOUBLE) AS V
+  FROM refc
+),
+domc AS MATERIALIZED (
+  SELECT source, word, count(*) AS nd FROM words GROUP BY source, word
+),
+domt AS (
+  SELECT source, CAST(sum(nd) AS DOUBLE) AS Nd,
+         CAST(count(*) AS DOUBLE) AS Vd
+  FROM domc GROUP BY source
+),
+vocab AS MATERIALIZED (
+  SELECT d.source, d.word,
+    CAST(floor(-ln((CAST(r.nr AS DOUBLE) + 0.5) / (t.N + 0.5 * t.V))
+               * 1000000.0) AS BIGINT) AS s_ref,
+    CAST(floor(-ln((CAST(d.nd AS DOUBLE) + 0.5) / (dt.Nd + 0.5 * dt.Vd))
+               * 1000000.0) AS BIGINT) AS s_dom
+  FROM domc d JOIN refc r USING (word) JOIN domt dt USING (source)
+  CROSS JOIN tot t
+),
+perround AS (
+  SELECT w.source, w.rnd, count(*) AS tokens,
+         CAST(sum(v.s_ref - v.s_dom) AS BIGINT) AS excess
+  FROM words w JOIN vocab v ON v.source = w.source AND v.word = w.word
+  GROUP BY w.source, w.rnd
+),
+wt AS (
+  SELECT source, CAST(sum(tokens) AS BIGINT) AS n_tokens,
+         CAST(sum(excess) AS BIGINT) AS excess_micronats,
+         CAST(sum(CAST(floor(
+           CAST(excess * 1 AS DOUBLE) / CAST(tokens * 4 AS DOUBLE)
+         ) AS BIGINT)) AS BIGINT) AS log_weight_micronats
+  FROM perround GROUP BY source
+),
+scored AS (
+  SELECT d.doc_id, d.source, w.n_tokens, w.excess_micronats,
+         w.log_weight_micronats
+  FROM documents d JOIN wt w USING (source)
+),
+keys AS (
+  SELECT *,
+         CAST(floor(
+           CAST(log_weight_micronats AS DOUBLE)
+           + (-ln(-ln(({gum} + 1.0) / (power(2, 60) + 1.0))))
+             * 1000000.0
+         ) AS BIGINT) AS gumbel_key_micronats
+  FROM scored
+)
+SELECT doc_id, source, n_tokens, excess_micronats,
+       log_weight_micronats, gumbel_key_micronats
+FROM keys
+ORDER BY gumbel_key_micronats DESC, doc_id ASC
+LIMIT 100
+"""
+
+
 def q_hits_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact HITS hubs/authorities (operators/graph.py::hits,
     r7) over the same synthesized citation graph as pagerank_citations
@@ -9967,6 +10067,8 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webdataset_roundtrip": q_webdataset_roundtrip,
         "multimodal_features": q_multimodal_features,
         "knn_ivf_pruned": q_knn_ivf_pruned,
+        # r14-new: DoReMi-style Group-DRO domain reweighting
+        "doremi_domain_mix": q_doremi_domain_mix,
         "pagerank_citations": q_pagerank_citations,
         "pagerank_weighted": q_pagerank_weighted,
         "hits_citations": q_hits_citations,
@@ -10111,6 +10213,7 @@ def oracle_sql_archive() -> dict[str, str]:
         # multimodal_features / knn_ivf_pruned: rows-only (no oracle);
         # covered by test_all_queries_run_and_nonempty + their
         # hash-gated declared siblings.
+        "doremi_domain_mix": _sql_doremi_domain_mix(),
         "pagerank_citations": _sql_pagerank(6),
         "pagerank_weighted": _sql_pagerank_weighted(6),
         "hits_citations": _sql_hits(6),

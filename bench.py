@@ -667,6 +667,9 @@ BENCH_QUERIES = [
     ("audio_spectral_closed_form", entrymod.q_audio_spectral_closed_form),
     # r14: n^alpha temperature source mixing (promoted to declared)
     ("dataset_temperature_mix", entrymod.q_dataset_temperature_mix),
+    # r14-new: DoReMi-style Group-DRO domain reweighting (per-domain
+    # excess loss -> log-space exponentiated gradient -> Gumbel draw)
+    ("doremi_domain_mix", entrymod.q_doremi_domain_mix),
     # r6: oracled recall gates for the pruned IVF and lossy PQ paths
     # (explicit data-row quantizers, VERDICT r5 #3)
     ("ann_recall_ivf", entrymod.q_ann_recall_ivf),

@@ -74,6 +74,7 @@ from .importance import (
     dsir_log_importance,
     hashed_gram_bucket_counts,
 )
+from .doremi import doremi_domain_log_weights, doremi_select
 from .evaluate import recall_report, recall_summary
 from .negatives import mine_hard_negatives
 from .profile import profile_columns
@@ -109,6 +110,8 @@ __all__ = [
     "bpe_merge_pairs",
     "duplicate_span_stats",
     "remove_duplicate_spans",
+    "doremi_domain_log_weights",
+    "doremi_select",
     "dsir_gumbel_select",
     "dsir_log_importance",
     "hashed_gram_bucket_counts",
