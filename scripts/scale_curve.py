@@ -96,6 +96,15 @@ QUERIES = [
     # (probed-leaf ADC cost grows with leaf size; window fixed).
     "multimodal_dct_production",
     "serving_batch_production",
+    # r14-new operators: video decode throughput over the FULL
+    # documents table (container walk O(videos) + per-frame decode,
+    # narrow mapInPandas; the declared gate caps doc_id < 8 as an
+    # oracle device), the FFT audio featurizer over the full table
+    # (decode + rfft per doc, shuffle-free), and the DoReMi mixture
+    # (one corpus explode -> vocabulary-sized everything).
+    "video_dct_production",
+    "audio_spectral_production",
+    "doremi_domain_mix",
 ]
 
 
@@ -439,7 +448,53 @@ def _serving_batch_production(spark, sf_dir):
     return spark.range(1).select(F.lit(len(answers)).alias("n"))
 
 
+def _video_dct_production(spark, sf_dir):
+    """MJPEG AVI synthesis + ONE RIFF walk per video + per-frame real
+    decode + block stats over the FULL documents table (the r14 video
+    gate's machinery at decode-throughput scale)."""
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        extract_dct_block_stats,
+        slice_video_frames,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        synthesize_media_video_dct,
+    )
+    from rag_vertex_ai_vector_search_spark.sources import fan_out, load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    frames = slice_video_frames(
+        synthesize_media_video_dct(fan_out(docs)), every_k=1
+    )
+    return extract_dct_block_stats(
+        frames.select(
+            "doc_id", "frame_index",
+            F.col("frame_payload").alias("content"),
+        ),
+        passthrough_cols=("frame_index",),
+    )
+
+
+def _audio_spectral_production(spark, sf_dir):
+    """Three-tone WAV synthesis + real decode + numpy rfft + spectral
+    features over the FULL documents table."""
+    from rag_vertex_ai_vector_search_spark.multimodal.binary_ops import (
+        extract_audio_spectral_features,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        synthesize_audio_spectral,
+    )
+    from rag_vertex_ai_vector_search_spark.sources import fan_out, load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return extract_audio_spectral_features(
+        synthesize_audio_spectral(fan_out(docs))
+    ).drop("features")
+
+
 _LOCAL_PRODUCTION = {
+    "video_dct_production": _video_dct_production,
+    "audio_spectral_production": _audio_spectral_production,
     "multimodal_dct_production": _multimodal_dct_production,
     "serving_batch_production": _serving_batch_production,
     "streaming_minhash_production": _streaming_minhash_production,

@@ -56,6 +56,7 @@ def test_headroom_domain_upweighted(planted):
     assert per_tok_jargon > 4 * max(per_tok_common, 1)
 
 
+@pytest.mark.full
 def test_selection_tilts_toward_headroom(planted):
     sel = doremi_select(planted, 30).collect()
     assert len(sel) == 30
@@ -70,6 +71,7 @@ def test_selection_tilts_toward_headroom(planted):
     )
 
 
+@pytest.mark.full
 def test_eta_scales_log_weights(planted):
     base = {
         r.domain: r.log_weight_micronats
@@ -89,6 +91,7 @@ def test_eta_scales_log_weights(planted):
         assert abs(hot[d] - 4 * base[d]) < 16
 
 
+@pytest.mark.full
 def test_rounds_partition_tokens(planted):
     w4 = {
         r.domain: r.n_tokens

@@ -394,3 +394,24 @@ def test_serving_query_scans_only_probed_leaves(spark, sf_smoke, tmp_path):
     ), scan_lines
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_video_gate_single_exchange(spark, sf_smoke):
+    """video_frames_dct's scale claim (SCALE.md r14): after the
+    fan_out repartition, the whole pipeline -- synthesize -> one RIFF
+    walk per video -> per-frame decode/stats -- is NARROW mapInPandas
+    stages. Exactly one Exchange in the executed plan; a second one
+    would mean frame rows shuffle before the stats output."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.q_video_frames_dct(spark, sf_smoke))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_audio_spectral_gate_single_exchange(spark, sf_smoke):
+    """audio_spectral_closed_form: synthesis -> decode/FFT ->
+    posexplode is shuffle-free past the fan_out (one Exchange)."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.q_audio_spectral_closed_form(spark, sf_smoke))
+    assert plan.count("Exchange") == 1, plan
