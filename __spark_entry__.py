@@ -9695,7 +9695,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    parity-proven at sf0.001 AND sf0.01 before promotion) ----
         "ann_recall_ivf": q_ann_recall_ivf,
         "ann_recall_pq": q_ann_recall_pq,
-        "cms_word_frequencies": q_cms_word_frequencies,
+        # r14 mid-round promotion (the r6/r13 policy: parity proven at
+        # both SFs first): doremi_domain_mix -- the round's novel
+        # operator (Group-DRO exponentiated-gradient domain mixture,
+        # whole chain under one mirror) -- displaces
+        # cms_word_frequencies -> archive: the CMS machinery stays
+        # declared-gated through streaming_sketches_maintained, whose
+        # oracle carries a verbatim 'cms' arm, and the batch row keeps
+        # full-tier parity at both SFs.
+        "doremi_domain_mix": q_doremi_domain_mix,
         "bpe_train_merges": q_bpe_train_merges,
         "semdedup_keep": q_semdedup_keep,
         "c4_quality_gate": q_c4_quality_gate,
@@ -10067,8 +10075,9 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webdataset_roundtrip": q_webdataset_roundtrip,
         "multimodal_features": q_multimodal_features,
         "knn_ivf_pruned": q_knn_ivf_pruned,
-        # r14-new: DoReMi-style Group-DRO domain reweighting
-        "doremi_domain_mix": q_doremi_domain_mix,
+        # r14 mid-round displacement: CMS batch row (machinery stays
+        # declared via streaming_sketches_maintained's 'cms' arm)
+        "cms_word_frequencies": q_cms_word_frequencies,
         "pagerank_citations": q_pagerank_citations,
         "pagerank_weighted": q_pagerank_weighted,
         "hits_citations": q_hits_citations,
@@ -10129,7 +10138,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_vocab_maintained": _SQL_STREAM_VOCAB,
         "ann_recall_ivf": _sql_ann_recall_ivf(),
         "ann_recall_pq": _sql_ann_recall_pq(),
-        "cms_word_frequencies": _SQL_CMS_WORDS,
+        "doremi_domain_mix": _sql_doremi_domain_mix(),
         "bpe_train_merges": _sql_bpe_train(8),
         "semdedup_keep": _SQL_SEMDEDUP,
         "c4_quality_gate": _SQL_C4_GATE,
@@ -10213,7 +10222,7 @@ def oracle_sql_archive() -> dict[str, str]:
         # multimodal_features / knn_ivf_pruned: rows-only (no oracle);
         # covered by test_all_queries_run_and_nonempty + their
         # hash-gated declared siblings.
-        "doremi_domain_mix": _sql_doremi_domain_mix(),
+        "cms_word_frequencies": _SQL_CMS_WORDS,
         "pagerank_citations": _sql_pagerank(6),
         "pagerank_weighted": _sql_pagerank_weighted(6),
         "hits_citations": _sql_hits(6),
