@@ -287,3 +287,84 @@ def test_zorder_table_crash_mid_swap_is_healed(
     assert after == before
     for suffix in (cm.TMP_SUFFIX, cm.OLD_SUFFIX, cm.PENDING_MARKER_SUFFIX):
         assert not os.path.exists(path + suffix)
+
+
+_ZORDER_WRITER_SCRIPT = """
+import sys, time
+from pyspark.sql import SparkSession
+
+path, n_batches, rows_per = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .appName("zorder-foreign-writer").getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+for b in range(n_batches):
+    rows = [
+        (9000 + b * rows_per + i, (b * 31 + i) % 100, (b * 17 + i) % 100)
+        for i in range(rows_per)
+    ]
+    spark.createDataFrame(rows, "k long, a long, b long").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    time.sleep(0.05)
+print("WRITER_DONE")
+spark.stop()
+"""
+
+
+@pytest.mark.full
+def test_zorder_table_second_session_writer(spark, tmp_path):
+    """The r14 fix under a REAL foreign writer (the r13 two-session
+    contract applied to layout rewrites): a second JVM appends batches
+    while this session loops zorder_table. Every rewrite either lands
+    on a quiet window or ABORTS (returns False) -- never deletes a
+    foreign commit. Final row set: zero lost, zero duplicated."""
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    from rag_vertex_ai_vector_search_spark.operators.layout import (
+        zorder_table,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64("id"), F.lit(100)).alias("a"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100)).alias("b"),
+    ).repartition(6).write.parquet(path)
+
+    script = str(tmp_path / "writer.py")
+    with open(script, "w") as fh:
+        fh.write(_ZORDER_WRITER_SCRIPT)
+    n_batches, rows_per = 20, 5
+    proc = subprocess.Popen(
+        [_sys.executable, script, path, str(n_batches), str(rows_per)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    outcomes = []
+    try:
+        deadline = _time.time() + 180
+        while proc.poll() is None and _time.time() < deadline:
+            outcomes.append(
+                zorder_table(spark, path, ["a", "b"], bits=10, n_files=2)
+            )
+        out, _ = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert "WRITER_DONE" in out
+    assert outcomes  # rewrites genuinely overlapped the writer
+    # quiet filesystem: the final rewrite must LAND
+    assert zorder_table(spark, path, ["a", "b"], bits=10, n_files=2)
+
+    spark.catalog.refreshByPath(path)
+    ids = sorted(r.k for r in spark.read.parquet(path).collect())
+    want = sorted(
+        list(range(0, 2000))
+        + [9000 + b * rows_per + i
+           for b in range(n_batches) for i in range(rows_per)]
+    )
+    assert ids == want
