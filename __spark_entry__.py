@@ -6231,6 +6231,107 @@ LIMIT 100
 """
 
 
+def q_streaming_doremi_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DoReMi's sufficient statistics maintained by a REAL Structured
+    Streaming run (r14-new; streaming/doremi_stream.py): the corpus
+    arrives as 3 micro-batches (one file per trigger, with a
+    checkpoint RESTART between groups 2 and 3 -- the r11 recovery
+    lineage), each batch's (domain, round, word) partial counts land
+    epoch-partitioned with dynamic overwrite (replay-idempotent), the
+    accumulated epochs are COMPACTED into a base partition (re-read
+    equality runtime-asserted), and the folded table routes through
+    the SAME weight math + Gumbel draw as the batch operator. The
+    oracle IS the batch doremi_domain_mix mirror: maintained == batch
+    is the module's design invariant, and this row makes the driver
+    enforce it end to end."""
+    import shutil
+    import tempfile
+
+    from rag_vertex_ai_vector_search_spark.operators.importance import (
+        dsir_gumbel_select,
+    )
+    from rag_vertex_ai_vector_search_spark.streaming.doremi_stream import (
+        compact_doremi,
+        doremi_weights_from_stream,
+        read_doremi_base,
+        stream_doremi_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    work = tempfile.mkdtemp(prefix="stream_doremi_")
+    try:
+        src = f"{work}/src"
+        table = f"{work}/stats"
+        ckpt = f"{work}/ckpt"
+
+        def _restartable_stream():
+            return (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        docs.filter(F.col("doc_id") % 3 != 2).repartition(2).write.parquet(
+            src
+        )
+        q = stream_doremi_counts(
+            _restartable_stream(), table, checkpoint_dir=ckpt
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = stream_doremi_counts(
+            _restartable_stream(), table, checkpoint_dir=ckpt
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        n_epochs = (
+            spark.read.parquet(table).select("_epoch").distinct().count()
+        )
+        if n_epochs != 3:
+            raise RuntimeError(
+                f"stream produced {n_epochs} micro-batch(es); the gate "
+                "requires exactly 3 (two pre-restart, one post-restart)"
+            )
+        pre = sorted(
+            tuple(r) for r in read_doremi_base(spark, table).collect()
+        )
+        compact_doremi(spark, table)
+        spark.catalog.refreshByPath(table)
+        post = sorted(
+            tuple(r) for r in read_doremi_base(spark, table).collect()
+        )
+        if pre != post:
+            raise RuntimeError(
+                "compaction changed the folded statistic table"
+            )
+        weights = doremi_weights_from_stream(spark, table)
+        scored = docs.select("doc_id", "source").join(
+            F.broadcast(weights),
+            F.col("source") == F.col("domain"),
+        ).select(
+            "doc_id", "source", "n_tokens", "excess_micronats",
+            "log_weight_micronats",
+        )
+        sel = dsir_gumbel_select(scored, 100, salt="doremi")
+        return sel.select(
+            "doc_id", "source", "n_tokens", "excess_micronats",
+            "log_weight_micronats", "gumbel_key_micronats",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_hits_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact HITS hubs/authorities (operators/graph.py::hits,
     r7) over the same synthesized citation graph as pagerank_citations
@@ -10078,6 +10179,10 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r14 mid-round displacement: CMS batch row (machinery stays
         # declared via streaming_sketches_maintained's 'cms' arm)
         "cms_word_frequencies": q_cms_word_frequencies,
+        # r14-new: DoReMi statistics under streaming maintenance
+        # (micro-batched partials + restart + compaction; oracle = the
+        # batch mirror, so maintained == batch is driver-enforceable)
+        "streaming_doremi_maintained": q_streaming_doremi_maintained,
         "pagerank_citations": q_pagerank_citations,
         "pagerank_weighted": q_pagerank_weighted,
         "hits_citations": q_hits_citations,
@@ -10223,6 +10328,7 @@ def oracle_sql_archive() -> dict[str, str]:
         # covered by test_all_queries_run_and_nonempty + their
         # hash-gated declared siblings.
         "cms_word_frequencies": _SQL_CMS_WORDS,
+        "streaming_doremi_maintained": _sql_doremi_domain_mix(),
         "pagerank_citations": _sql_pagerank(6),
         "pagerank_weighted": _sql_pagerank_weighted(6),
         "hits_citations": _sql_hits(6),

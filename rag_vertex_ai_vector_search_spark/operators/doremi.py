@@ -102,7 +102,24 @@ def doremi_domain_log_weights(
         .agg(F.count(F.lit(1)).alias("_c"))
         .localCheckpoint(eager=True)
     )
+    return doremi_weights_from_base(
+        base, alpha=alpha, eta_num=eta_num, eta_den=eta_den
+    )
 
+
+def doremi_weights_from_base(
+    base: DataFrame,
+    *,
+    alpha: float = 0.5,
+    eta_num: int = DEFAULT_ETA_NUM,
+    eta_den: int = DEFAULT_ETA_DEN,
+) -> DataFrame:
+    """Weight table from the (``_domain``, ``_round``, ``word``,
+    ``_c``) sufficient-statistic table. Separate seam on purpose: the
+    batch operator builds the table from one corpus pass, the
+    STREAMING maintenance (streaming/doremi_stream.py) folds it from
+    epoch-partitioned micro-batch partials -- both route through this
+    identical math, so maintained == batch holds structurally."""
     # reference model: whole-corpus counts; the two totals are the one
     # bounded driver collect (two scalars -- the DSIR precedent)
     ref_counts = base.groupBy("word").agg(F.sum("_c").alias("_nr"))

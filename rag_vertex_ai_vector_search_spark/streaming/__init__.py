@@ -12,6 +12,12 @@ from .vocab import (
     read_vocab,
     stream_vocab_counts,
 )
+from .doremi_stream import (
+    compact_doremi,
+    doremi_weights_from_stream,
+    read_doremi_base,
+    stream_doremi_counts,
+)
 from .ngram import (
     apply_ngram_batch,
     compact_ngrams,
@@ -46,8 +52,12 @@ __all__ = [
     "read_rollup",
     "compact_rollup",
     "apply_vocab_batch",
+    "compact_doremi",
     "compact_vocab",
+    "doremi_weights_from_stream",
+    "read_doremi_base",
     "read_vocab",
+    "stream_doremi_counts",
     "stream_vocab_counts",
     "apply_ngram_batch",
     "compact_ngrams",
