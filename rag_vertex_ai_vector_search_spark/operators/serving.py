@@ -159,9 +159,13 @@ class ServingReplica:
         source: ReplicaSource | None = None,
     ) -> None:
         self.spark = spark
-        self.ivf = ivf_index
-        self.pq = pq_index
-        self.docs = docs
+        # Serving state lives in ONE tuple swapped by a single
+        # reference assignment (atomic in CPython): a request thread
+        # racing refresh() reads either the old generation or the new
+        # one, never a MIXED (new ivf, old pq) pair -- cluster ids
+        # would silently disagree. The ivf/pq/docs attributes are
+        # properties over it for compatibility.
+        self._state = (ivf_index, pq_index, docs)
         self.dim = dim
         self.max_tokens = max_tokens
         self.doc_id_col = doc_id_col
@@ -173,6 +177,18 @@ class ServingReplica:
         self._q_schema = (
             "query_id string, query_vector array<float>"
         )
+
+    @property
+    def ivf(self):
+        return self._state[0]
+
+    @property
+    def pq(self):
+        return self._state[1]
+
+    @property
+    def docs(self):
+        return self._state[2]
 
     @classmethod
     def from_source(
@@ -271,9 +287,7 @@ class ServingReplica:
             new_docs = src.docs
 
         previous = self._owned_cached
-        self.ivf = new_ivf
-        self.pq = new_pq
-        self.docs = new_docs
+        self._state = (new_ivf, new_pq, new_docs)  # single atomic swap
         self._owned_cached = owned
         self._layout_fingerprint = fingerprint
         # Unpersist the previous generation UNLESS it shares a cache
@@ -347,9 +361,10 @@ class ServingReplica:
         [, hydrate_cols...])."""
         from .pq import ivf_pq_search
 
+        ivf, pq, docs = self._state  # one generation, racing refresh
         qvec = self.query_vector_df(doc_id, text)
         hits = ivf_pq_search(
-            self.ivf, self.pq, qvec, k,
+            ivf, pq, qvec, k,
             probe_percent=probe_percent,
             rerank_candidates=rerank_candidates,
             method="broadcast",
@@ -357,9 +372,8 @@ class ServingReplica:
             per_crowding_k=per_crowding_k,
             crowding_col=crowding_col,
         )
-        if self.docs is None:
+        if docs is None:
             return hits
-        docs = self.docs
         return hits.join(
             F.broadcast(docs),
             hits.neighbor_id == docs[self.doc_id_col],
@@ -458,8 +472,9 @@ class ServingReplica:
             pd.DataFrame({"query_id": keys, "query_vector": vecs}),
             self._q_schema,
         )
+        ivf, pq, docs = self._state  # one generation, racing refresh
         hits = ivf_pq_search(
-            self.ivf, self.pq, qdf, k,
+            ivf, pq, qdf, k,
             probe_percent=probe_percent,
             rerank_candidates=rerank_candidates,
             method="broadcast",
@@ -467,8 +482,7 @@ class ServingReplica:
             per_crowding_k=per_crowding_k,
             crowding_col=crowding_col,
         )
-        if self.docs is not None:
-            docs = self.docs
+        if docs is not None:
             hits = hits.join(
                 F.broadcast(docs),
                 hits.neighbor_id == docs[self.doc_id_col],
