@@ -356,6 +356,51 @@ def _serving_replica_refresh(spark, sf_dir):
     )
 
 
+def _ingest_4x_corpus(spark, sf_dir):
+    """The duplication-heavy ingest workload: the documents table
+    replicated 4x under fresh ids (75% exact-duplicate text -- web
+    corpora run 20-30%, this exaggerates to make the contrast
+    readable)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionByName(
+        docs.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    ).unionByName(
+        docs.select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
+    )
+
+
+def _ingest_embed_per_row_4x(spark, sf_dir):
+    """Baseline: the embedding UDF runs once per ROW of the 4x corpus
+    (every duplicate text pays the model call)."""
+    from rag_vertex_ai_vector_search_spark.operators.ingest import (
+        ingest_documents,
+    )
+
+    return ingest_documents(
+        _ingest_4x_corpus(spark, sf_dir)
+    ).datapoints.select("data_point_id", "feature_vector")
+
+
+def _ingest_embed_distinct_4x(spark, sf_dir):
+    """embed_distinct=True (r14): the UDF runs once per DISTINCT
+    content and joins back -- bit-equal output (test_ingest.py), model
+    calls cut 4x on this 75%-duplicate workload. With the hermetic
+    hash embedder the WALL times tie (~1.6 s both: the per-call cost
+    is ~zero, so the extra content shuffle cancels the saving); the
+    entry exists to price that shuffle, because with a real model
+    seam (functions/embed_client.py, ~10 texts/RPC) the 4x call cut
+    IS the pipeline's dominant cost at 100 TB."""
+    from rag_vertex_ai_vector_search_spark.operators.ingest import (
+        ingest_documents,
+    )
+
+    return ingest_documents(
+        _ingest_4x_corpus(spark, sf_dir), embed_distinct=True
+    ).datapoints.select("data_point_id", "feature_vector")
+
+
 def _sql_knn_search(spark, sf_dir):
     """The SQL front end's headline query (r14, VERDICT r13 #6): a
     SQL-only user's `SELECT * FROM engine_knn_search` -- embedded
@@ -549,6 +594,12 @@ BENCH_QUERIES = [
     # r14: the SQL-only user's headline query through the registered
     # cascade view (build cached; timed = the view's plan).
     ("sql_knn_search", _sql_knn_search),
+    # r14: dedup-aware embedding -- per-row vs per-distinct-content on
+    # a 75%-duplicate corpus (bit-equal outputs; wall ~ties under the
+    # free hash embedder, the entry prices the extra shuffle that buys
+    # a 4x model-call cut under a real embedder).
+    ("ingest_embed_per_row_4x", _ingest_embed_per_row_4x),
+    ("ingest_embed_distinct_4x", _ingest_embed_distinct_4x),
     ("pricing_summary", entrymod.q_pricing_summary),
     ("top_revenue_customers", entrymod.q_top_revenue_customers),
     ("supplier_running_window", entrymod.q_supplier_running_window),

@@ -61,6 +61,7 @@ def ingest_documents(
     crowding_col: str | None = None,
     token_counter=None,
     surrogate_key: str = "sha2",
+    embed_distinct: bool = False,
 ) -> IngestResult:
     """Build the datapoints + metadata tables from a document table.
 
@@ -83,6 +84,18 @@ def ingest_documents(
     setup_vector_search.py:39) -- WARNING: non-deterministic by
     definition; a re-run inserts duplicates instead of updating, and
     no test-oracle parity is possible over the key column.
+
+    ``embed_distinct=True`` (r14): run the embedding UDF once per
+    DISTINCT content and broadcast-or-shuffle-join the vectors back to
+    every carrying document. Web corpora run 20-30% exact-duplicate
+    text; the model call is the pipeline's dominant cost at 100 TB, so
+    paying it per distinct string instead of per row is a direct
+    20-30% cut -- and because the embedder is a pure function of the
+    content, the result is BIT-EQUAL to the per-row path (pinned in
+    tests/test_ingest.py::test_embed_distinct_bit_equal; the distinct
+    aggregate sits below the UDF, asserted in test_plan_shapes.py).
+    The trade is one extra content-keyed shuffle; skip it for corpora
+    already deduplicated upstream.
     """
     if surrogate_key not in ("sha2", "uuid"):
         raise ValueError(
@@ -122,7 +135,20 @@ def ingest_documents(
         F.length(text_col).alias("content_length"),
         *[F.col(c) for c in extra_restrict_cols],
         *( [F.col(crowding_col).alias("_crowd")] if crowding_col else [] ),
-    ).withColumn("feature_vector", embed(F.col("content")))
+    )
+    if embed_distinct:
+        # embed once per distinct content, join vectors back: the UDF
+        # runs above the distinct aggregate, so duplicate texts never
+        # reach the model. The join key is the content itself -- at
+        # scale swap in its sha256 to keep shuffle rows narrow (the
+        # vectors dominate either way).
+        vectors = (
+            base.select("content").distinct()
+            .withColumn("feature_vector", embed(F.col("content")))
+        )
+        base = base.join(vectors, "content")
+    else:
+        base = base.withColumn("feature_vector", embed(F.col("content")))
 
     restricts = F.create_map(
         F.lit("file_type"), F.array(F.lit(file_type)),

