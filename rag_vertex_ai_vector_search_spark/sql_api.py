@@ -365,11 +365,19 @@ def register_sql_api(
     spark.udf.register("engine_embed", hash_embedding_udf(dim))
     spark.udf.register("engine_probe_media", _probe_media_udf())
     if sf_dir is not None:
+        from .operators.doremi import doremi_domain_log_weights
         from .operators.lm_quality import kneser_ney_bigram_surprisal
 
         kneser_ney_bigram_surprisal(
             spark.table("documents")
         ).createOrReplaceTempView("engine_kn_surprisal")
+        # the Group-DRO mixture's weight table (r14): a SQL user JOINs
+        # documents on source to read each domain's headroom and
+        # log-weight -- same lazy-DataFrame-view convention as the
+        # surprisal view (plan captured at registration)
+        doremi_domain_log_weights(
+            spark.table("documents")
+        ).createOrReplaceTempView("engine_doremi_weights")
         _register_tokenizer_views(spark)
         register_knn_search_view(spark)
 

@@ -447,3 +447,53 @@ def test_replica_refresh_stream_update_and_recluster(
         ).collect()
     )
     assert full_post == full_pre
+
+
+@pytest.mark.full
+def test_replica_extra_paths_staleness(spark, sf_smoke, tmp_path):
+    """ReplicaSource.extra_paths (r14): a mutation of the HYDRATION
+    table path -- not the index -- must flip is_stale() when the path
+    is folded into the fingerprint, and refresh() must re-invoke the
+    docs loader so post-refresh answers carry the new metadata."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    ivf = build_ivf_index(emb, n_clusters=8)
+    books = train_pq(emb, m=8, ksub=16, iters=2, sample_rows=300)
+    vectors_path = str(tmp_path / "vectors")
+    codes_path = str(tmp_path / "codes")
+    docs_path = str(tmp_path / "docs")
+    ivf.save(vectors_path)
+    encode_pq(
+        spark.read.parquet(vectors_path), books,
+        keep_cols=("cluster_id",),
+    ).codes.write.partitionBy("cluster_id").parquet(codes_path)
+    docs = load_table(spark, sf_smoke, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang", "source"
+    )
+    docs.write.parquet(docs_path)
+
+    def load_docs(s):
+        s.catalog.refreshByPath(docs_path)
+        return s.read.parquet(docs_path)
+
+    src = ReplicaSource(
+        vectors_path=vectors_path, codes_path=codes_path, books=books,
+        docs=load_docs, extra_paths=(docs_path,),
+    )
+    rep = ServingReplica.from_source(
+        spark, src, dim=64, doc_id_col="vec_id",
+        hydrate_cols=("lang", "source"),
+    )
+    q0 = rep.query(QUERY_TEXT, doc_id=QUERY_ID, k=3, probe_percent=50.0)
+    assert all(r.source != "updated" for r in q0.collect())
+    assert not rep.is_stale()
+
+    docs.withColumn("source", F.lit("updated")).write.mode(
+        "overwrite"
+    ).parquet(docs_path)
+    assert rep.is_stale()
+    rep.refresh()
+    got = rep.query(
+        QUERY_TEXT, doc_id=QUERY_ID, k=3, probe_percent=50.0
+    ).collect()
+    assert got and all(r.source == "updated" for r in got)
+    assert not rep.is_stale()

@@ -585,3 +585,31 @@ def test_sql_knn_search_view_bit_equal_to_serving(spark, sf_smoke):
     assert {r.query_id for r in qrows} == {
         surrogate_key(q) for q, _ in DEFAULT_KNN_QUERY_TEXTS
     }
+
+
+def test_sql_doremi_weights_view_matches_operator(spark, sf_smoke):
+    """engine_doremi_weights (r14): the Group-DRO weight table from
+    spark.sql matches the DataFrame operator row-for-row."""
+    from rag_vertex_ai_vector_search_spark.operators.doremi import (
+        doremi_domain_log_weights,
+    )
+
+    register_sql_api(spark, sf_smoke)
+    via_sql = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT domain, n_tokens, excess_micronats, "
+            "log_weight_micronats FROM engine_doremi_weights"
+        ).collect()
+    )
+    via_df = sorted(
+        tuple(r)
+        for r in doremi_domain_log_weights(
+            load_table(spark, sf_smoke, "documents")
+        ).select(
+            "domain", "n_tokens", "excess_micronats",
+            "log_weight_micronats",
+        ).collect()
+    )
+    assert via_sql == via_df
+    assert len(via_sql) >= 2
