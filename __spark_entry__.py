@@ -6145,8 +6145,10 @@ def q_doremi_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stage reuses bit-proven machinery: the lm_quality micronat
     quantization, per-DISTINCT-(domain, word) scoring joined back to
     positions once, the dataset_split sha60 round buckets, and the
-    dsir_gumbel_select key. Archive-gated at both SFs (the r13
-    new-operator policy; promotion candidate for r15)."""
+    dsir_gumbel_select key. Mid-round-PROMOTED into the declared
+    window in r14 (displacing cms_word_frequencies, whose machinery
+    stays declared via streaming_sketches_maintained's verbatim 'cms'
+    oracle arm); its oracle is wired into oracle_sql()."""
     from rag_vertex_ai_vector_search_spark.operators.doremi import (
         doremi_select,
     )

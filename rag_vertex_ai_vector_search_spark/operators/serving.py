@@ -280,6 +280,12 @@ class ServingReplica:
 
         new_docs = None
         if callable(src.docs):
+            # the docs loader reads paths OUTSIDE vectors/codes: refresh
+            # their listing caches too, or the loader can re-read a
+            # stale listing after is_stale() correctly flagged the
+            # change and re-cache the old rows (r15, ADVICE r14 low)
+            for p in src.extra_paths:
+                spark.catalog.refreshByPath(p)
             new_docs = src.docs(spark).cache()
             new_docs.count()
             owned.append(new_docs)

@@ -270,6 +270,7 @@ def commit_staged_rewrite(
     _rescue_late_commits(
         spark, fs, jold, jpath, {rel for rel, _, _ in pre}
     )
+    _rescue_sidecars(spark, fs, jold, jpath)
     fs.delete(jold, True)
     fs.delete(jmarker, False)
     return True
@@ -314,6 +315,42 @@ def _rescue_late_commits(
         if not fs.rename(p, dest):
             raise RuntimeError(
                 f"late-commit rescue rename failed for {p}"
+            )
+        moved += 1
+    return moved
+
+
+def _rescue_sidecars(spark, fs, jold, jbase) -> int:
+    """Move top-level metadata sidecars (underscore-prefixed non-
+    partition entries: ``_centroids``, ``_index_manifest.json``,
+    ``_merge_meta.json``, ``_txlog``, ...) from the renamed old dir
+    back into the live table before old is deleted. The staged rewrite
+    reads the table through ``spark.read.parquet``, which HIDES
+    underscore entries, so tmp never carries them -- without this move
+    one compaction pass over a saved IVF layout silently destroys the
+    probe matrix that ``load_centroids`` / ``ServingReplica.refresh``
+    need, and ``has_centroids()`` gating stops ``recluster_ivf_index``
+    from persisting updated centroids (r15, ADVICE r14 medium).
+    Partition dirs (``_bucket=N`` -- names containing ``=``) are DATA
+    and stay with the rewrite; ``_SUCCESS`` / staging dirs are
+    job-attempt metadata and are left to die with old. Returns the
+    number of entries moved."""
+    if not fs.exists(jold):
+        return 0
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    moved = 0
+    for status in fs.listStatus(jold):
+        name = status.getPath().getName()
+        if not name.startswith("_") or "=" in name:
+            continue
+        if name in ("_SUCCESS", "_temporary"):
+            continue
+        dest = jvm_path(jbase, name)
+        if fs.exists(dest):
+            continue
+        if not fs.rename(status.getPath(), dest):
+            raise RuntimeError(
+                f"sidecar rescue rename failed for {name}"
             )
         moved += 1
     return moved
@@ -409,6 +446,7 @@ def resume_pending_compact(spark: SparkSession, path: str) -> str:
         baseline = _marker_baseline(spark, fs, jmarker)
         if baseline is not None:
             _rescue_late_commits(spark, fs, jold, jpath, baseline)
+        _rescue_sidecars(spark, fs, jold, jpath)
         fs.delete(jold, True)
     fs.delete(jmarker, False)
     return outcome

@@ -365,19 +365,12 @@ def register_sql_api(
     spark.udf.register("engine_embed", hash_embedding_udf(dim))
     spark.udf.register("engine_probe_media", _probe_media_udf())
     if sf_dir is not None:
-        from .operators.doremi import doremi_domain_log_weights
         from .operators.lm_quality import kneser_ney_bigram_surprisal
 
         kneser_ney_bigram_surprisal(
             spark.table("documents")
         ).createOrReplaceTempView("engine_kn_surprisal")
-        # the Group-DRO mixture's weight table (r14): a SQL user JOINs
-        # documents on source to read each domain's headroom and
-        # log-weight -- same lazy-DataFrame-view convention as the
-        # surprisal view (plan captured at registration)
-        doremi_domain_log_weights(
-            spark.table("documents")
-        ).createOrReplaceTempView("engine_doremi_weights")
+        _register_doremi_view(spark)
         _register_tokenizer_views(spark)
         register_knn_search_view(spark)
 
@@ -505,6 +498,30 @@ def register_knn_search_view(
 # hit the cache and silently skip registering the views; the weak dict
 # also evicts dead sessions instead of leaking entries. Two Python
 # wrappers over one JVM session at worst re-register (idempotent).
+_DOREMI_VIEW_DONE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def _register_doremi_view(spark: SparkSession) -> None:
+    """The Group-DRO mixture's weight table (r14): a SQL user JOINs
+    documents on source to read each domain's headroom and log-weight.
+    UNLIKE the lazy surprisal view, ``doremi_domain_log_weights``
+    eagerly localCheckpoints the (domain, round, word) table and
+    collect()s the reference totals before the view exists, so the
+    registration is cached per (session, documents source) like the
+    tokenizer views -- repeated ``register_sql_api`` calls must not
+    re-pay a corpus-scale Spark job (r15, ADVICE r14 low)."""
+    from .operators.doremi import doremi_domain_log_weights
+
+    docs = spark.table("documents")
+    src = docs.inputFiles()[0] if docs.inputFiles() else "documents"
+    if src in _DOREMI_VIEW_DONE.get(spark, set()):
+        return
+    doremi_domain_log_weights(docs).createOrReplaceTempView(
+        "engine_doremi_weights"
+    )
+    _DOREMI_VIEW_DONE.setdefault(spark, set()).add(src)
+
+
 _TOKENIZER_VIEWS_DONE: weakref.WeakKeyDictionary = (
     weakref.WeakKeyDictionary()
 )

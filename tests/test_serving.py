@@ -497,3 +497,72 @@ def test_replica_extra_paths_staleness(spark, sf_smoke, tmp_path):
     ).collect()
     assert got and all(r.source == "updated" for r in got)
     assert not rep.is_stale()
+
+
+def test_compaction_preserves_sidecars_and_replica_refresh(
+    spark, sf_smoke, tmp_path
+):
+    """One maintenance compaction over a saved IVF layout must PRESERVE
+    the underscore sidecars (r15, ADVICE r14 medium): the staged
+    rewrite reads through spark.read.parquet, which HIDES underscore
+    entries, so before the sidecar rescue commit_staged_rewrite deleted
+    ``_centroids`` / ``_index_manifest.json`` with the old dir --
+    breaking load_centroids, has_centroids recluster gating, and
+    ServingReplica.refresh() on a ReplicaSource-backed replica whose
+    centroids come from the sidecar (the maintained-index default)."""
+    from rag_vertex_ai_vector_search_spark.operators.ivf import (
+        has_centroids,
+        load_centroids,
+    )
+    from rag_vertex_ai_vector_search_spark.operators.upsert import (
+        read_json_sidecar,
+        write_json_sidecar,
+    )
+    from rag_vertex_ai_vector_search_spark.sources import (
+        compact_parquet,
+        table_file_stats,
+    )
+
+    from rag_vertex_ai_vector_search_spark.operators.ivf import (
+        save_centroids,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    ivf = build_ivf_index(emb, n_clusters=8)
+    vectors_path = str(tmp_path / "vectors")
+    # fragmented layout, as a streaming merge leaves it (several files
+    # per cluster dir) so the compaction threshold actually trips
+    ivf.assigned.repartition(4).write.partitionBy("cluster_id").parquet(
+        vectors_path
+    )
+    save_centroids(spark, vectors_path, ivf.centroids)
+    write_json_sidecar(
+        spark, vectors_path, "_index_manifest.json", {"dim": 64}
+    )
+    src = ReplicaSource(vectors_path=vectors_path)  # centroids=sidecar
+    rep = ServingReplica.from_source(spark, src, dim=64)
+
+    n_before, total = table_file_stats(spark, vectors_path)
+    assert n_before > 1
+    n_after = compact_parquet(
+        spark,
+        vectors_path,
+        target_file_bytes=total,
+        partition_cols=("cluster_id",),
+    )
+    assert n_after < n_before  # the rewrite actually ran
+
+    # sidecars survived the swap
+    assert has_centroids(spark, vectors_path)
+    assert np.array_equal(
+        load_centroids(spark, vectors_path), ivf.centroids
+    )
+    assert read_json_sidecar(
+        spark, vectors_path, "_index_manifest.json"
+    ) == {"dim": 64}
+
+    # a refresh through the compacted layout still resolves centroids
+    assert rep.is_stale()  # the rewrite changed the data-file listing
+    report = rep.refresh()
+    assert report["n_clusters"] == 8
+    assert np.array_equal(rep.ivf.centroids, ivf.centroids)
