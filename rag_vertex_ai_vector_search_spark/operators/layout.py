@@ -237,8 +237,17 @@ def zorder_table(
         commit_staged_rewrite,
         resume_pending_compact,
     )
+    from ..sources.txlog import TxLog, tx_zorder
 
     base = path.rstrip("/")
+    # tx tables: the manifest commit replaces the marker protocol, and
+    # a concurrent append SURVIVES the rewrite (rebase) instead of
+    # aborting it -- strictly better than the listing-snapshot abort
+    if TxLog(spark, base).exists():
+        return tx_zorder(
+            spark, base, cols,
+            bits=bits, n_files=n_files, write_options=write_options,
+        )
     resume_pending_compact(spark, base)
     # abort baseline taken BEFORE the read: the rewrite's rows are
     # frozen at read time, so any commit after this listing is NOT in

@@ -206,11 +206,21 @@ class ServingReplica:
 
     def _current_fingerprint(self) -> tuple:
         from ..sources.compact import _listing_snapshot
+        from ..sources.txlog import TxLog
 
-        return tuple(
-            _listing_snapshot(self.spark, p)
-            for p in self.source.snapshot_paths()
-        )
+        def _one(p):
+            # a tx table's identity is its committed version -- O(1)
+            # to probe (one small-dir listing) vs the recursive
+            # data-file walk, and immune to unvacuumed garbage
+            try:
+                log = TxLog(self.spark, p)
+                if log.exists():
+                    return ("txv", log.current_version())
+            except NotImplementedError:
+                pass
+            return _listing_snapshot(self.spark, p)
+
+        return tuple(_one(p) for p in self.source.snapshot_paths())
 
     def is_stale(self) -> bool:
         """True when any source path's committed data-file listing
@@ -248,9 +258,10 @@ class ServingReplica:
         spark = self.spark
         fingerprint = self._current_fingerprint()
 
+        from ..sources.txlog import read_table_any
+
         owned: list[DataFrame] = []
-        spark.catalog.refreshByPath(src.vectors_path)
-        assigned = spark.read.parquet(src.vectors_path).cache()
+        assigned = read_table_any(spark, src.vectors_path).cache()
         n_vectors = assigned.count()
         owned.append(assigned)
         if callable(src.centroids):
@@ -271,8 +282,7 @@ class ServingReplica:
         new_pq = None
         n_codes = 0
         if src.codes_path:
-            spark.catalog.refreshByPath(src.codes_path)
-            codes = spark.read.parquet(src.codes_path).cache()
+            codes = read_table_any(spark, src.codes_path).cache()
             n_codes = codes.count()
             owned.append(codes)
             books = src.books() if callable(src.books) else src.books

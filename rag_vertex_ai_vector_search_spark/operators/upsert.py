@@ -83,6 +83,18 @@ def point_update(
     return out
 
 
+def _table_is_tx(spark, path: str) -> bool:
+    """True when the table carries a ``_txlog`` commit log (then every
+    mutation must go through it -- mixing listing-based writes into a
+    tx table would commit files no manifest references)."""
+    try:
+        from ..sources.txlog import TxLog
+
+        return TxLog(spark, path).exists()
+    except NotImplementedError:  # remote scheme: no local txlog
+        return False
+
+
 def _is_path_not_found(e: Exception) -> bool:
     msg = str(e)
     return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
@@ -234,6 +246,31 @@ def merge_into_table(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+    if fmt == "txlog" or (
+        fmt == "parquet" and _table_is_tx(spark, path)
+    ):
+        # self-built transactional path (r15, VERDICT r14 #1): the
+        # bucket surgery is identical, but the commit is a manifest
+        # publish with optimistic conflict detection instead of a
+        # dynamic partition overwrite -- safe under concurrent writers
+        # (sources/txlog.py::tx_merge). fmt="txlog" creates the log on
+        # first call; an existing tx table auto-routes from
+        # fmt="parquet" so call sites don't fork.
+        from ..sources.txlog import TxLog, tx_merge
+
+        meta = _read_merge_meta(spark, path)
+        if meta is not None and (
+            int(meta["n_buckets"]) != int(n_buckets) or meta["key"] != key
+        ):
+            raise ValueError(
+                f"merge_into_table layout mismatch at {path}: table was "
+                f"created with key={meta['key']!r} n_buckets="
+                f"{meta['n_buckets']}, got key={key!r} n_buckets={n_buckets}"
+            )
+        tx_merge(spark, path, updates, key=key, n_buckets=n_buckets)
+        if meta is None:
+            _write_merge_meta(spark, path, key, n_buckets)
+        return
     if fmt == "delta":
         try:
             from delta.tables import DeltaTable
@@ -256,7 +293,9 @@ def merge_into_table(
         )
         return
     if fmt != "parquet":
-        raise ValueError(f"fmt must be 'parquet' or 'delta', got {fmt!r}")
+        raise ValueError(
+            f"fmt must be 'parquet', 'txlog' or 'delta', got {fmt!r}"
+        )
 
     bucketed = updates.withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")

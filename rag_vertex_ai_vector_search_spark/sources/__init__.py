@@ -13,6 +13,18 @@ from .compact import (
     resume_pending_compact,
     table_file_stats,
 )
+from .txlog import (
+    TxConflict,
+    TxLog,
+    TxRewriteAborted,
+    read_table_any,
+    tx_append,
+    tx_compact,
+    tx_merge,
+    tx_overwrite,
+    tx_vacuum,
+    tx_zorder,
+)
 from .webdataset import (
     encode_webdataset_shard,
     group_webdataset_samples,
@@ -36,6 +48,16 @@ __all__ = [
     "scan_document_dir",
     "compact_parquet",
     "gc_table_path",
+    "TxConflict",
+    "TxLog",
+    "TxRewriteAborted",
+    "read_table_any",
+    "tx_append",
+    "tx_compact",
+    "tx_merge",
+    "tx_overwrite",
+    "tx_vacuum",
+    "tx_zorder",
     "resume_pending_compact",
     "table_file_stats",
     "encode_warc",

@@ -167,6 +167,20 @@ def compact_parquet(
     stands: run with writers paused.
     """
     base = path.rstrip("/")
+    # tx tables route through the commit log: the optimistic listing
+    # dance below becomes unnecessary (the manifest commit IS the
+    # conflict check, and concurrent appends survive by rebase, not
+    # rescue) -- see sources/txlog.py
+    from .txlog import TxLog, tx_compact
+
+    if TxLog(spark, base).exists():
+        return tx_compact(
+            spark,
+            base,
+            target_file_bytes=target_file_bytes,
+            partition_cols=partition_cols,
+            min_files_to_compact=min_files_to_compact,
+        )
     resume_pending_compact(spark, base)
     n_files, total_bytes = table_file_stats(spark, base)
     if n_files < min_files_to_compact:

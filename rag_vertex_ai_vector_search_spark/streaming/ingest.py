@@ -51,6 +51,7 @@ def stream_merge_into_index(
     text_col: str = "text",
     trigger_seconds: int | None = None,
     n_buckets: int = DEFAULT_MERGE_BUCKETS,
+    txlog: bool = False,
 ):
     """Start a streaming query that upserts each micro-batch of documents
     into the bucket-partitioned datapoints table at ``index_path``.
@@ -62,6 +63,15 @@ def stream_merge_into_index(
     Size ``n_buckets`` so one bucket's rows fit executor memory at the
     target scale (~ index_rows / n_buckets rows per merge task); the
     key->bucket map is a pure hash, so buckets never need rebalancing.
+
+    ``txlog=True`` (r15) commits each epoch's bucket surgery through
+    the transactional log (``sources/txlog.py``) instead of a dynamic
+    partition overwrite: concurrent maintenance (compaction, z-order)
+    can run WITHOUT pausing the stream -- the manifest publish is the
+    conflict point, a lost race surfaces as an epoch retry, and the
+    (checkpoint_dir, epoch_id) txn meta makes replays exactly-once at
+    the storage layer, not just the checkpoint layer. Readers of a tx
+    index must use ``read_table_any``.
     """
 
     def _merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -71,6 +81,21 @@ def stream_merge_into_index(
         result = ingest_documents(
             batch_df, id_source_col=id_source_col, text_col=text_col, dim=dim
         )
+        if txlog:
+            from ..sources.txlog import tx_merge
+
+            tx_merge(
+                spark,
+                index_path,
+                result.datapoints,
+                key="data_point_id",
+                n_buckets=n_buckets,
+                meta={
+                    "txn_app": checkpoint_dir,
+                    "txn_batch": int(epoch_id),
+                },
+            )
+            return
         updates = result.datapoints.withColumn(
             "_bucket", _bucket_expr("data_point_id", n_buckets)
         )

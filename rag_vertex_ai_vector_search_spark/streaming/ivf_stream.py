@@ -70,6 +70,7 @@ def stream_merge_into_ivf_index(
     text_col: str = "text",
     trigger_seconds: int | None = None,
     n_buckets: int = DEFAULT_MERGE_BUCKETS,
+    txlog: bool = False,
 ):
     """Streaming upsert that maintains the clustered IVF layout.
 
@@ -77,6 +78,15 @@ def stream_merge_into_ivf_index(
     keyed idempotent merge); each batch additionally assigns new keys a
     ``cluster_id`` from ``centroids`` and preserves existing keys'
     assignments (sticky — see module docstring).
+
+    ``txlog=True`` (r15): each epoch's bucket surgery commits through
+    the transactional log -- the touched buckets' live files are
+    replaced in ONE manifest publish with optimistic conflict
+    re-validation, so concurrent maintenance (tx compaction / z-order /
+    recluster) no longer requires pausing the stream; a lost race
+    raises, Structured Streaming retries the epoch, and the
+    (checkpoint_dir, epoch_id) txn meta makes the retry exactly-once.
+    Readers of a tx index must use ``sources.txlog.read_table_any``.
     """
     assign = nearest_cluster_udf(centroids)
 
@@ -90,6 +100,16 @@ def stream_merge_into_ivf_index(
         updates = result.datapoints.withColumn(
             "_bucket", _bucket_expr("data_point_id", n_buckets)
         ).withColumn("cluster_id", assign(F.col("feature_vector")))
+
+        if txlog:
+            _tx_merge_sticky_batch(
+                spark, index_path, updates,
+                meta={
+                    "txn_app": checkpoint_dir,
+                    "txn_batch": int(epoch_id),
+                },
+            )
+            return
         try:
             base = spark.read.parquet(index_path)
         except AnalysisException as e:
@@ -104,21 +124,7 @@ def stream_merge_into_ivf_index(
             r[0] for r in updates.select("_bucket").distinct().collect()
         )
         base_touched = base.filter(F.col("_bucket").isin(touched))
-        merged = merge_by_key(base_touched, updates, key="data_point_id")
-        # Sticky assignment: a key already in the index keeps its leaf
-        # even if its vector changed (no cross-partition moves under
-        # copy-on-write); new keys take the nearest-centroid id.
-        prior = base_touched.select(
-            "data_point_id", F.col("cluster_id").alias("_prior_cluster")
-        )
-        merged = (
-            merged.join(prior, "data_point_id", "left")
-            .withColumn(
-                "cluster_id",
-                F.coalesce(F.col("_prior_cluster"), F.col("cluster_id")),
-            )
-            .drop("_prior_cluster")
-        )
+        merged = _sticky_merge(base_touched, updates)
         merged.localCheckpoint(eager=True).write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("_bucket", "cluster_id").parquet(index_path)
@@ -129,6 +135,84 @@ def stream_merge_into_ivf_index(
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def _sticky_merge(base_touched: DataFrame, updates: DataFrame) -> DataFrame:
+    """Keyed keep-latest merge where a key already in the index keeps
+    its leaf even if its vector changed (no cross-partition moves
+    under copy-on-write); new keys take the nearest-centroid id."""
+    merged = merge_by_key(base_touched, updates, key="data_point_id")
+    prior = base_touched.select(
+        "data_point_id", F.col("cluster_id").alias("_prior_cluster")
+    )
+    return (
+        merged.join(prior, "data_point_id", "left")
+        .withColumn(
+            "cluster_id",
+            F.coalesce(F.col("_prior_cluster"), F.col("cluster_id")),
+        )
+        .drop("_prior_cluster")
+    )
+
+
+def _tx_merge_sticky_batch(
+    spark, index_path: str, updates: DataFrame, *, meta: dict
+) -> int:
+    """One epoch's sticky IVF merge committed through the commit log:
+    read the snapshot's touched-bucket files, sticky-merge, stage the
+    replacement partitioned (_bucket, cluster_id), publish. The replay
+    guard makes a retried epoch a no-op; a conflicting concurrent
+    rewrite raises and lets the streaming engine retry the epoch on
+    the fresh snapshot."""
+    import posixpath
+
+    from ..sources.txlog import (
+        TxLog,
+        _delete_files,
+        _stage_and_move_in,
+    )
+
+    log = TxLog(spark, index_path)
+    if log.exists():
+        done = log.find_txn(meta["txn_app"], meta["txn_batch"])
+        if done is not None:
+            return done
+    v = log.ensure()
+    live = log.live_files(v)
+    parts = ("_bucket", "cluster_id")
+    if not live:
+        new = _stage_and_move_in(
+            spark, index_path, updates, partition_cols=parts
+        )
+        try:
+            return log.append_files(new, action="merge-init", meta=meta)
+        except BaseException:
+            _delete_files(index_path, new)
+            raise
+    touched = {
+        f"_bucket={r[0]}"
+        for r in updates.select("_bucket").distinct().collect()
+    }
+    inputs = [r for r in live if r.split("/", 1)[0] in touched]
+    if inputs:
+        files = [posixpath.join(log.table, r) for r in inputs]
+        base_touched = spark.read.option(
+            "basePath", log.table
+        ).parquet(*files)
+        merged = _sticky_merge(base_touched, updates)
+    else:
+        merged = updates
+    new = _stage_and_move_in(
+        spark,
+        index_path,
+        merged.localCheckpoint(eager=True),
+        partition_cols=parts,
+    )
+    try:
+        return log.replace_files(inputs, new, action="merge", meta=meta)
+    except BaseException:
+        _delete_files(index_path, new)
+        raise
 
 
 def cluster_drift_report(
@@ -297,8 +381,19 @@ def recluster_ivf_index(
 
     _resume_pending_cleanup(spark, index_path)
 
+    from ..sources.txlog import TxLog
+    from ..sources.txlog import read_table as _tx_read
+
+    txlog = TxLog(spark, index_path)
+    is_tx = txlog.exists()
+    read_version = txlog.current_version() if is_tx else None
+
     centroids = np.ascontiguousarray(centroids, dtype=np.float64)
-    index = spark.read.parquet(index_path)
+    index = (
+        _tx_read(spark, index_path, version=read_version)
+        if is_tx
+        else spark.read.parquet(index_path)
+    )
     report = cluster_drift_report(index, centroids, vec_col=vec_col).collect()
     target = target_leaf_rows or max(1, max_leaf_rows // 2)
     flagged: dict[int, int] = {}
@@ -418,6 +513,33 @@ def recluster_ivf_index(
     def _subdir(pair) -> str:
         return "/".join(f"{c}={v}" for c, v in zip(parts, pair))
 
+    if is_tx:
+        # Transactional rewrite (r15): the flagged leaves' live files
+        # are replaced in ONE manifest publish -- the stale-dir /
+        # witness protocol below becomes unnecessary (an emptied leaf
+        # simply has no files in the new manifest), and a concurrent
+        # tx append to a touched leaf aborts this rewrite instead of
+        # being silently undone, closing the "recluster is deferred
+        # while a writer is active" restriction by protocol.
+        from ..sources.txlog import _delete_files, _stage_and_move_in
+
+        touched_dirs = {_subdir(p) for p in old_pairs}
+        inputs = [
+            rel
+            for rel in txlog.live_files(read_version)
+            if rel.rsplit("/", 1)[0] in touched_dirs
+        ]
+        new_files = _stage_and_move_in(
+            spark, index_path, reassigned, partition_cols=tuple(parts)
+        )
+        try:
+            txlog.replace_files(inputs, new_files, action="recluster")
+        except BaseException:
+            _delete_files(index_path, new_files)
+            raise
+        _finish_recluster_metadata(spark, index_path, new_cent, centroids, flagged_ids)
+        return new_cent
+
     # Stale flagged-leaf dirs (no rows landed back under the new
     # assignment) would duplicate their rows against the rewritten
     # partitions. Record them BEFORE the overwrite, with a witness
@@ -458,8 +580,28 @@ def recluster_ivf_index(
         _delete_index_subdirs(spark, index_path, pending)
         delete_sidecar(spark, index_path, RECLUSTER_PENDING_FILE)
 
-    # Manifest through the Hadoop FS: os.path checks are always false
-    # for hdfs:// / s3a:// schemes, silently leaving n_clusters stale.
+    _finish_recluster_metadata(
+        spark, index_path, new_cent, centroids, flagged_ids
+    )
+    return new_cent
+
+
+def _finish_recluster_metadata(
+    spark, index_path: str, new_cent, old_cent, flagged_ids
+) -> None:
+    """Post-rewrite sidecar maintenance shared by the legacy and tx
+    recluster commits.
+
+    Manifest through the Hadoop FS: os.path checks are always false
+    for hdfs:// / s3a:// schemes, silently leaving n_clusters stale.
+    Layouts that persist their centroid matrix (``_centroids`` sidecar,
+    operators/ivf.py::save_centroids) get it rewritten to the grown
+    matrix: a ServingReplica.refresh() -- or any later process --
+    must probe with the centroids the on-disk assignment was made
+    under, not the pre-recluster matrix it started with (r14)."""
+    from ..operators.ivf import has_centroids, save_centroids
+    from ..operators.upsert import read_json_sidecar, write_json_sidecar
+
     man = read_json_sidecar(spark, index_path, "_index_manifest.json")
     if man is not None:
         man["n_clusters"] = int(new_cent.shape[0])
@@ -467,20 +609,12 @@ def recluster_ivf_index(
             man.get("extra") or {},
             last_recluster={
                 "flagged_leaves": [int(x) for x in flagged_ids],
-                "n_clusters_before": int(centroids.shape[0]),
+                "n_clusters_before": int(old_cent.shape[0]),
             },
         )
         write_json_sidecar(spark, index_path, "_index_manifest.json", man)
-    # Layouts that persist their centroid matrix (_centroids sidecar,
-    # operators/ivf.py::save_centroids) get it rewritten to the grown
-    # matrix: a ServingReplica.refresh() -- or any later process --
-    # must probe with the centroids the on-disk assignment was made
-    # under, not the pre-recluster matrix it started with (r14).
-    from ..operators.ivf import has_centroids, save_centroids
-
     if has_centroids(spark, index_path):
         save_centroids(spark, index_path, new_cent)
-    return new_cent
 
 
 def needs_recluster(

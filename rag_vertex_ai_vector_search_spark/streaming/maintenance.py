@@ -108,16 +108,42 @@ def maintain_index(
     """
     import time as _time
 
+    from ..sources.txlog import TxLog, read_table_any, tx_vacuum
+
+    try:
+        is_tx = TxLog(spark, index_path).exists()
+    except NotImplementedError:
+        is_tx = False
+
+    def _file_count() -> int:
+        # a tx table's dir legitimately holds replaced-but-unvacuumed
+        # files: the MANIFEST is the truth a scan pays for, so it is
+        # what compaction reasons about
+        if is_tx:
+            return TxLog(spark, index_path).table_stats()[0]
+        return table_file_stats(spark, index_path)[0]
+
     timings: dict[str, float] = {}
     _t0 = _time.perf_counter()
     # 1. heal: an interrupted recluster cleanup is repaired before
     # anything reads the index (the compact-swap heal runs inside gc).
+    # Tx tables have nothing to heal BY CONSTRUCTION (uncommitted
+    # state is invisible); their GC is the version-retention vacuum.
     _resume_pending_cleanup(spark, index_path)
 
-    # 2. age-gated GC (also resumes a pending compact swap).
+    # 2. age-gated GC (also resumes a pending compact swap); for tx
+    # tables additionally vacuum files no retained version references
+    # (same age gate, so a live writer's staged files are never raced).
     gc_report = gc_table_path(
         spark, index_path, min_age_seconds=min_age_seconds
     )
+    if is_tx:
+        gc_report = dict(
+            gc_report,
+            vacuum=tx_vacuum(
+                spark, index_path, min_age_seconds=min_age_seconds
+            ),
+        )
     timings["heal_gc"] = round(_time.perf_counter() - _t0, 3)
     _t0 = _time.perf_counter()
 
@@ -128,14 +154,14 @@ def maintain_index(
     # is exactly the "someone committed" case the optimistic abort
     # exists for -- it just surfaced as an exception instead of a
     # listing diff.
-    files_before = table_file_stats(spark, index_path)[0]
+    files_before = _file_count()
     compact_error = None
     try:
         # defensive listing refresh (r13, two-session contract): every
         # read this pass makes must see the current file set, whatever
         # listing caches the session carries -- see compact_parquet
         spark.catalog.refreshByPath(index_path)
-        index_cols = spark.read.parquet(index_path).columns
+        index_cols = read_table_any(spark, index_path).columns
         parts = tuple(
             c for c in ("_bucket", "cluster_id") if c in index_cols
         )
@@ -157,7 +183,7 @@ def maintain_index(
             f"compaction failed under live writer (aborted, will "
             f"retry next pass): {exc!r}"
         )
-        files_after = table_file_stats(spark, index_path)[0]
+        files_after = _file_count()
     timings["compact"] = round(_time.perf_counter() - _t0, 3)
     _t0 = _time.perf_counter()
 
@@ -167,7 +193,8 @@ def maintain_index(
     if centroids is not None:
         try:
             report_df = cluster_drift_report(
-                spark.read.parquet(index_path), centroids, vec_col=vec_col
+                read_table_any(spark, index_path), centroids,
+                vec_col=vec_col,
             )
             needed = needs_recluster(
                 report_df,
@@ -186,21 +213,34 @@ def maintain_index(
     timings["drift"] = round(_time.perf_counter() - _t0, 3)
     _t0 = _time.perf_counter()
 
-    # 5. rebalance, only in a writer-paused window.
+    # 5. rebalance. Plain-parquet tables only in a writer-paused
+    # window (see module docstring); TX tables may rebalance UNDER a
+    # live writer -- the manifest publish re-validates the rewrite's
+    # input files, so a racing epoch aborts the recluster loudly
+    # (deferred + error in the report, retried next pass) instead of
+    # being silently undone. That closes the stop-the-stream
+    # restriction by protocol.
+    from ..sources.txlog import TxRewriteAborted
+
     ran = False
     new_centroids = centroids
-    if needed and not writer_active:
-        new_centroids = recluster_ivf_index(
-            spark,
-            index_path,
-            centroids,
-            vec_col=vec_col,
-            id_col=id_col,
-            max_leaf_rows=max_leaf_rows,
-            max_drift_fraction=max_drift_fraction,
-            **(recluster_kwargs or {}),
-        )
-        ran = True
+    if needed and (not writer_active or is_tx):
+        try:
+            new_centroids = recluster_ivf_index(
+                spark,
+                index_path,
+                centroids,
+                vec_col=vec_col,
+                id_col=id_col,
+                max_leaf_rows=max_leaf_rows,
+                max_drift_fraction=max_drift_fraction,
+                **(recluster_kwargs or {}),
+            )
+            ran = True
+        except TxRewriteAborted as exc:
+            if not writer_active:
+                raise
+            drift_error = f"recluster lost the commit race: {exc!r}"
     timings["recluster"] = round(_time.perf_counter() - _t0, 3)
 
     return {

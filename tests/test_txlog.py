@@ -1,0 +1,333 @@
+"""Transactional commit log (sources/txlog.py): snapshot-isolation
+readers, optimistic writers, and the crash/race matrix -- the listing
+race that the staged-swap protocol only DOCUMENTED is closed here by
+protocol (VERDICT r14 #1).
+
+The key invariants, each pinned below:
+- readers resolve the manifest, never a listing: uncommitted /
+  mid-move / logically-deleted files are invisible at every instant;
+- the version slot is claimed atomically (hard-link publish), so two
+  writers can never both commit the same version;
+- a rewrite re-validates its inputs at commit time: concurrent appends
+  always survive a concurrent compaction (no lost update, no abort),
+  and two overlapping rewrites resolve to one winner;
+- a crash at ANY step of a write leaves a readable table and garbage
+  that vacuum reaps.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_vertex_ai_vector_search_spark.sources import txlog as tx
+from rag_vertex_ai_vector_search_spark.sources.txlog import (
+    TxConflict,
+    TxLog,
+    TxRewriteAborted,
+    read_table,
+    tx_append,
+    tx_compact,
+    tx_merge,
+    tx_overwrite,
+    tx_vacuum,
+    tx_zorder,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _range_df(spark, lo, hi, parts=4):
+    return (
+        spark.range(lo, hi)
+        .withColumn("v", F.col("id") * 2)
+        .repartition(parts)
+    )
+
+
+def test_append_read_roundtrip_and_versions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v1 = tx_append(spark, path, _range_df(spark, 0, 100))
+    v2 = tx_append(spark, path, _range_df(spark, 100, 150))
+    assert (v1, v2) == (1, 2)  # v0 = init
+    assert read_table(spark, path).count() == 150
+    # time travel: the v1 snapshot still reads exactly the first batch
+    assert read_table(spark, path, version=1).count() == 100
+    log = TxLog(spark, path)
+    n_files, total = log.table_stats()
+    assert n_files == len(log.live_files()) and total > 0
+
+
+def test_adopts_existing_plain_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _range_df(spark, 0, 60)
+    df.write.parquet(path)
+    tx_append(spark, path, _range_df(spark, 60, 90))
+    got = read_table(spark, path)
+    assert got.count() == 90
+    # plain (listing) readers still see a superset-consistent dir
+    assert spark.read.parquet(path).count() == 90
+
+
+def test_partitioned_append_keeps_partition_columns(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(0, 90).select(
+        "id", (F.col("id") % 3).alias("part")
+    )
+    tx_append(spark, path, df, partition_cols=("part",))
+    got = read_table(spark, path)
+    assert "part" in got.columns
+    assert _rows(got.select("id", F.col("part").cast("long"))) == _rows(df)
+    # partition pruning still prunes: only part=1 files are read
+    pruned = got.filter(F.col("part") == 1)
+    assert pruned.count() == 30
+
+
+def test_snapshot_reader_pinned_across_commits(spark, tmp_path):
+    path = str(tmp_path / "t")
+    tx_append(spark, path, _range_df(spark, 0, 50))
+    pinned = read_table(spark, path)  # plan resolves v1's file list
+    tx_append(spark, path, _range_df(spark, 50, 80))
+    assert pinned.count() == 50  # later commits never shift a plan
+    assert read_table(spark, path).count() == 80
+
+
+def test_publish_is_atomic_one_winner(spark, tmp_path):
+    path = str(tmp_path / "t")
+    tx_append(spark, path, _range_df(spark, 0, 10))
+    log = TxLog(spark, path)
+    v = log.current_version()
+    doc = log.snapshot(v)
+    log._publish(v + 1, doc)
+    with pytest.raises(TxConflict):
+        log._publish(v + 1, doc)
+
+
+def test_concurrent_append_survives_compaction(spark, tmp_path, monkeypatch):
+    """THE race the staged-swap protocol documented: a foreign append
+    lands inside the compactor's commit window. Under the log the
+    append's files are not among the rewrite's inputs, so the rebase
+    keeps them -- zero rows lost, no abort, by construction."""
+    path = str(tmp_path / "t")
+    tx_append(spark, path, _range_df(spark, 0, 1000, parts=8))
+    base_rows = _rows(read_table(spark, path))
+
+    late = _range_df(spark, 1000, 1040, parts=1)
+    real_replace = TxLog.replace_files
+
+    def inject_then_commit(self, inputs, outputs, **k):
+        # the foreign append commits AFTER the compactor read its
+        # snapshot and staged its rewrite, RIGHT BEFORE its commit --
+        # the exact window the staged-swap protocol could only rescue
+        monkeypatch.undo()
+        tx_append(spark, path, late)
+        return real_replace(self, inputs, outputs, **k)
+
+    monkeypatch.setattr(TxLog, "replace_files", inject_then_commit)
+    n_after = tx_compact(
+        spark, path, target_file_bytes=1 << 30, min_files_to_compact=2
+    )
+    got = _rows(read_table(spark, path))
+    assert len(got) == 1040  # compacted rows + the late append, both live
+    assert set(_rows(late.select("id", "v"))) <= set(got)
+    assert set(base_rows) <= set(got)
+    assert n_after < 8 + 1  # the rewrite landed too
+
+
+def test_conflicting_rewrites_one_winner(spark, tmp_path):
+    path = str(tmp_path / "t")
+    tx_append(spark, path, _range_df(spark, 0, 500, parts=6))
+    log = TxLog(spark, path)
+    v = log.current_version()
+    inputs = log.live_files(v)
+    df = read_table(spark, path, version=v)
+
+    # two rewrites race over the same inputs: stage both, commit both
+    out_a = tx._stage_and_move_in(spark, path, df.coalesce(1))
+    out_b = tx._stage_and_move_in(spark, path, df.coalesce(2))
+    log.replace_files(inputs, out_a, action="compact")
+    with pytest.raises(TxRewriteAborted):
+        log.replace_files(inputs, out_b, action="compact")
+    tx._delete_files(path, out_b)  # the loser reaps its outputs
+    assert read_table(spark, path).count() == 500
+    assert len(log.live_files()) == 1
+
+
+def test_crash_matrix_reader_never_corrupted(spark, tmp_path, monkeypatch):
+    """Kill the writer at each protocol step; the table must read
+    exactly the pre-crash content every time, and vacuum must reap the
+    garbage the crash left."""
+    path = str(tmp_path / "t")
+    tx_append(spark, path, _range_df(spark, 0, 100))
+    want = _rows(read_table(spark, path))
+    log = TxLog(spark, path)
+
+    # (a) crash after the scratch write, before any move-in
+    real_walk = os.walk
+
+    def boom_walk(top, *a, **k):
+        if tx._STAGE_PREFIX in str(top):
+            raise RuntimeError("killed before move-in")
+        return real_walk(top, *a, **k)
+
+    monkeypatch.setattr(tx.os, "walk", boom_walk)
+    with pytest.raises(RuntimeError, match="before move-in"):
+        tx_append(spark, path, _range_df(spark, 100, 120))
+    monkeypatch.undo()
+    assert _rows(read_table(spark, path)) == want
+
+    # (b) crash after move-in, before the manifest commit
+    def boom_append(self, new, **k):
+        raise RuntimeError("killed before commit")
+
+    monkeypatch.setattr(TxLog, "append_files", boom_append)
+    with pytest.raises(RuntimeError, match="before commit"):
+        # bypass tx_append's own cleanup by driving the layers directly
+        new = tx._stage_and_move_in(
+            spark, path, _range_df(spark, 100, 120)
+        )
+        TxLog(spark, path).append_files(new)
+    monkeypatch.undo()
+    assert _rows(read_table(spark, path)) == want  # files invisible
+    n_live = len(log.live_files())
+
+    # the uncommitted files exist physically but are manifest-invisible
+    phys = sum(
+        1
+        for r, d, fs_ in os.walk(log.table)
+        if "_txlog" not in r and tx._STAGE_PREFIX not in r
+        for f in fs_
+        if not f.startswith(("_", "."))
+    )
+    assert phys > n_live
+
+    # (c) vacuum reaps exactly the orphans (age gate dropped: writers
+    # in this test are known stopped)
+    rep = tx_vacuum(spark, path, retain_versions=100, min_age_seconds=0)
+    assert rep["deleted_files"] == phys - n_live
+    assert _rows(read_table(spark, path)) == want
+
+    # (d) crash between commit and scratch cleanup is a non-event: the
+    # commit already landed, scratch is dot-prefixed and aged out
+    stage = os.path.join(log.table, tx._STAGE_PREFIX + "deadbeef")
+    os.makedirs(stage)
+    with open(os.path.join(stage, "part-0.parquet"), "wb") as f:
+        f.write(b"junk")
+    assert _rows(read_table(spark, path)) == want
+    rep = tx_vacuum(spark, path, retain_versions=100, min_age_seconds=0)
+    assert rep["deleted_dirs"] == 1 and not os.path.exists(stage)
+
+    # (e) a torn commit file can never be observed: the publish links a
+    # fully-fsynced tmp, and a LOSING publish leaves no tmp behind
+    leftovers = [
+        n for n in os.listdir(log.log_dir) if n.startswith(".tmp-")
+    ]
+    assert leftovers == []
+
+
+def test_vacuum_respects_retention_and_age(spark, tmp_path):
+    path = str(tmp_path / "t")
+    tx_append(spark, path, _range_df(spark, 0, 100, parts=4))
+    tx_compact(spark, path, target_file_bytes=1 << 30)
+    log = TxLog(spark, path)
+    # retain both versions: the pre-compaction files stay readable
+    rep = tx_vacuum(spark, path, retain_versions=10, min_age_seconds=0)
+    assert rep["deleted_files"] == 0
+    assert read_table(spark, path, version=1).count() == 100
+    # age gate: fresh garbage is never raced
+    orphan = os.path.join(log.table, "tx-orphan-part-9.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    rep = tx_vacuum(spark, path, retain_versions=1, min_age_seconds=3600)
+    assert os.path.exists(orphan)
+    # retain only the head: older version's replaced files go
+    rep = tx_vacuum(spark, path, retain_versions=1, min_age_seconds=0)
+    assert rep["deleted_files"] > 0 and not os.path.exists(orphan)
+    assert read_table(spark, path).count() == 100
+    with pytest.raises(Exception):
+        read_table(spark, path, version=1).count()  # vacuumed away
+
+
+def test_idempotent_streaming_txn_replay(spark, tmp_path):
+    """The foreachBatch replay guard: committing the same
+    (txn_app, txn_batch) twice lands the rows exactly once."""
+    path = str(tmp_path / "t")
+    df = _range_df(spark, 0, 40, parts=2)
+    meta = {"txn_app": "q-123", "txn_batch": 7}
+    v1 = tx_append(spark, path, df, meta=meta)
+    v2 = tx_append(spark, path, df, meta=meta)  # sink retry
+    assert v1 == v2
+    assert read_table(spark, path).count() == 40
+    v3 = tx_append(spark, path, df, meta={"txn_app": "q-123", "txn_batch": 8})
+    assert v3 > v2
+    assert read_table(spark, path).count() == 80
+
+
+def test_tx_merge_upsert_semantics_and_bucket_surgery(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.range(0, 200).select(
+        F.col("id").alias("data_point_id"),
+        F.lit("old").alias("payload"),
+    )
+    tx_merge(spark, path, base, n_buckets=8)
+    log = TxLog(spark, path)
+    files_v1 = set(log.live_files())
+
+    updates = spark.range(150, 260).select(
+        F.col("id").alias("data_point_id"),
+        F.lit("new").alias("payload"),
+    )
+    tx_merge(spark, path, updates, n_buckets=8)
+    got = read_table(spark, path)
+    assert got.count() == 260  # 200 base + 60 inserts, 50 replaced
+    assert got.filter(
+        (F.col("data_point_id") >= 150) & (F.col("payload") != "new")
+    ).count() == 0
+    assert got.filter(
+        (F.col("data_point_id") < 150) & (F.col("payload") != "old")
+    ).count() == 0
+    # bucket surgery: untouched buckets' files survive IDENTICALLY
+    doc = log.snapshot()
+    untouched_kept = files_v1 & {f["path"] for f in doc["files"]}
+    touched_buckets = {p.split("/")[0] for p in doc["removed"]}
+    assert all(
+        f.split("/")[0] not in touched_buckets for f in untouched_kept
+    )
+    # merge is idempotent: replaying the same updates changes nothing
+    tx_merge(spark, path, updates, n_buckets=8)
+    assert _rows(read_table(spark, path)) == _rows(got)
+
+
+def test_tx_overwrite_and_zorder(spark, tmp_path):
+    path = str(tmp_path / "t")
+    tx_append(spark, path, _range_df(spark, 0, 100))
+    tx_overwrite(spark, path, _range_df(spark, 500, 550))
+    assert read_table(spark, path).count() == 50
+    df = spark.range(0, 4000).select(
+        "id",
+        (F.col("id") % 97).alias("a"),
+        (F.col("id") % 89).alias("b"),
+    )
+    zpath = str(tmp_path / "z")
+    tx_append(spark, zpath, df)
+    assert tx_zorder(spark, zpath, ["a", "b"], n_files=4)
+    got = read_table(spark, zpath)
+    assert _rows(got.select("id", "a", "b")) == _rows(df)
+    assert len(TxLog(spark, zpath).live_files()) <= 4
+
+
+def test_commit_log_contents_are_auditable(spark, tmp_path):
+    path = str(tmp_path / "t")
+    tx_append(spark, path, _range_df(spark, 0, 10, parts=4))
+    tx_compact(spark, path, target_file_bytes=1 << 30)
+    log = TxLog(spark, path)
+    with open(
+        os.path.join(log.log_dir, f"v{log.current_version():020d}.json")
+    ) as f:
+        doc = json.load(f)
+    assert doc["action"] == "compact"
+    assert doc["base_version"] == doc["version"] - 1
+    assert all({"path", "size"} <= set(e) for e in doc["files"])
