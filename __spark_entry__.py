@@ -3278,6 +3278,47 @@ def _scoped_shuffle_partitions(spark: SparkSession, n: int):
     return scope()
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def _scoped_stateful_store(spark: SparkSession, n_partitions: int = 8):
+    """Scoped config for the STATEFUL streaming gates (stream-stream
+    join, dropDuplicatesWithinWatermark, applyInPandasWithState):
+    shuffle partitions down to 8 (see _scoped_shuffle_partitions) AND
+    the state store on RocksDB (r15, VERDICT r14 #2 -- measured on
+    sf0.1, two runs per cell, per-cell minima: sessionize 13.9 ->
+    12.6 s, exact-dedup suppression 8.2 -> 7.8 s, emitted sets
+    bit-equal under both providers; scripts/rocksdb_eval.py). The
+    fixture-scale win is modest because state is small; the 100 TB
+    rationale is categorical: HDFSBackedStateStoreProvider keeps every
+    partition's ENTIRE state map in executor heap and rewrites the
+    full snapshot per maintenance pass, while RocksDB keeps state on
+    local disk with incremental changelog checkpointing -- the
+    production choice once per-partition state outgrows heap.
+    foreachBatch MAINTENANCE gates must NOT use this (their per-batch
+    shuffles carry real compute; r10 measured 1.7x slower at 8)."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def scope():
+        key = "spark.sql.streaming.stateStore.providerClass"
+        old = spark.conf.get(key, None)
+        spark.conf.set(key, _ROCKSDB_PROVIDER)
+        try:
+            with _scoped_shuffle_partitions(spark, n_partitions):
+                yield
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+
+    return scope()
+
+
 def q_streaming_vocab_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming subsystem's driver gate (VERDICT r6 #1): a REAL
     Structured Streaming run -- micro-batched file source, foreachBatch
@@ -4058,7 +4099,7 @@ def q_streaming_sessionize_stateful(
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        with _scoped_shuffle_partitions(spark, 8):
+        with _scoped_stateful_store(spark, 8):
             q = stream_sessionize(stream, f"{work}/ckpt", qname)
             try:
                 q.processAllAvailable()
@@ -4148,7 +4189,7 @@ def q_streaming_interval_join_attrib(
             .parquet(csrc)
         )
         out = stream_interval_join(vs, cs, horizon="30 minutes")
-        with _scoped_shuffle_partitions(spark, 8):
+        with _scoped_stateful_store(spark, 8):
             q = (
                 out.writeStream.outputMode("append")
                 .format("memory")
@@ -4254,7 +4295,7 @@ def q_streaming_dedup_exact_suppression(
             .parquet(src)
         )
         out = stream_dedup_exact(stream, horizon="10 minutes")
-        with _scoped_shuffle_partitions(spark, 8):
+        with _scoped_stateful_store(spark, 8):
             q = (
                 out.writeStream.outputMode("append")
                 .format("memory")
