@@ -7197,7 +7197,16 @@ def q_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     defect rules are closed-form in doc_id, so the oracle predicts
     the counts without decoding -- while the Spark side must EARN
     them through the codecs; a decoder regression flips statuses and
-    breaks the hash."""
+    breaks the hash.
+
+    r15 (VERDICT r14 #3) adds the HEADER-PROBE columns for the
+    crawl-dominant formats full decode will never cover: the media
+    corpus now plants valid MP3 (MPEG1 L3, 36 ms/frame) and MP4
+    (mvhd ms timescale) containers whose durations are closed-form
+    integers in doc_id; ``extract_media_probe`` walks the real
+    frame/box headers and the report prices them as
+    ``n_media_probe_ok`` / ``media_probe_ms`` -- a probe regression
+    (tables, frame-size math, box walk) breaks the hash."""
     from rag_vertex_ai_vector_search_spark.multimodal import (
         decode_image,
         extract_audio_spectral_features,
@@ -7237,12 +7246,51 @@ def q_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_mc"),
         )
     )
-    return base.join(mstats, ["lang", "source"], "left").select(
-        base["*"],
-        F.coalesce("_mi", F.lit(0)).cast("long").alias("n_media_items"),
-        F.coalesce("_mo", F.lit(0)).cast("long").alias("n_media_ok"),
-        F.coalesce("_mu", F.lit(0)).cast("long").alias("n_media_unsupported"),
-        F.coalesce("_mc", F.lit(0)).cast("long").alias("n_media_corrupt"),
+    from rag_vertex_ai_vector_search_spark.multimodal.probe import (
+        extract_media_probe,
+    )
+
+    probed = extract_media_probe(media, on_error="skip").select(
+        "doc_id", "decode_status", "duration_s"
+    )
+    pstats = (
+        probed.join(media_docs, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.sum(
+                (F.col("decode_status") == "ok").cast("long")
+            ).alias("_po"),
+            F.sum(
+                F.when(
+                    F.col("decode_status") == "ok",
+                    F.round(
+                        F.coalesce(F.col("duration_s"), F.lit(0.0))
+                        * 1000.0
+                    ).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("_pms"),
+        )
+    )
+    return (
+        base.join(mstats, ["lang", "source"], "left")
+        .join(pstats, ["lang", "source"], "left")
+        .select(
+            base["*"],
+            F.coalesce("_mi", F.lit(0)).cast("long").alias("n_media_items"),
+            F.coalesce("_mo", F.lit(0)).cast("long").alias("n_media_ok"),
+            F.coalesce("_mu", F.lit(0)).cast("long").alias(
+                "n_media_unsupported"
+            ),
+            F.coalesce("_mc", F.lit(0)).cast("long").alias(
+                "n_media_corrupt"
+            ),
+            F.coalesce("_po", F.lit(0)).cast("long").alias(
+                "n_media_probe_ok"
+            ),
+            F.coalesce("_pms", F.lit(0)).cast("long").alias(
+                "media_probe_ms"
+            ),
+        )
     )
 
 
@@ -7296,7 +7344,20 @@ m AS (
          CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_media_unsupported,
          CAST(sum(CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_media_corrupt
+           AS n_media_corrupt,
+         -- r15 header probes: png always probes ok (payload defects
+         -- are below header level), truncated wav probes corrupt, and
+         -- the planted MP3/MP4 containers carry closed-form durations
+         -- (36 ms/frame MPEG1-L3; mvhd ticks at ms timescale)
+         CAST(sum(1 + (CASE WHEN doc_id % 4 = 1 THEN 0 ELSE 1 END)
+                  + (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END)) AS BIGINT)
+           AS n_media_probe_ok,
+         CAST(sum((CASE WHEN doc_id % 4 = 1 THEN 0 ELSE 200 END)
+                  + (CASE WHEN doc_id % 3 = 0
+                          THEN 36 * (10 + doc_id % 5)
+                               + 250 * (5 + doc_id % 7)
+                          ELSE 0 END)) AS BIGINT)
+           AS media_probe_ms
   FROM documents WHERE doc_id % 37 = 0
   GROUP BY lang, source
 )
@@ -7304,7 +7365,9 @@ SELECT base.*,
        coalesce(m.n_media_items, 0) AS n_media_items,
        coalesce(m.n_media_ok, 0) AS n_media_ok,
        coalesce(m.n_media_unsupported, 0) AS n_media_unsupported,
-       coalesce(m.n_media_corrupt, 0) AS n_media_corrupt
+       coalesce(m.n_media_corrupt, 0) AS n_media_corrupt,
+       coalesce(m.n_media_probe_ok, 0) AS n_media_probe_ok,
+       coalesce(m.media_probe_ms, 0) AS media_probe_ms
 FROM base LEFT JOIN m USING (lang, source)
 """
 

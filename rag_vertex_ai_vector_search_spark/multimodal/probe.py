@@ -216,6 +216,234 @@ def probe_flac(content: bytes) -> dict:
             raise NotImplementedError("FLAC stream missing STREAMINFO")
 
 
+# MPEG audio frame tables (ISO/IEC 11172-3 / 13818-3): indexed by
+# [version][layer]; kbps, 0 = free-format (unsupported here), None
+# slot = the reserved index 15 (invalid -> corrupt).
+_MP3_BITRATES = {
+    # MPEG1: layer 1, 2, 3
+    (3, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+             384, 416, 448),
+    (3, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384),
+    (3, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320),
+    # MPEG2 / 2.5 share tables: layer 1 vs layer 2+3
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+
+
+def _mp3_skip_id3v2(data: bytes) -> int:
+    """Offset past a leading ID3v2 tag (syncsafe 28-bit size), 0 when
+    absent."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    size = 0
+    for b in data[6:10]:
+        if b & 0x80:
+            raise ValueError("ID3v2 size bytes must be syncsafe")
+        size = (size << 7) | b
+    return 10 + size
+
+
+def probe_mp3(content: bytes) -> dict:
+    """MPEG-audio metadata from a frame-header walk -- version, layer,
+    bitrate/samplerate per the public ISO 11172-3 header tables, frame
+    count and an exact duration from samples-per-frame x frames (no
+    Xing/VBRI shortcut needed: the walk IS the exact count; per frame
+    it is a handful of integer ops on ~26-36 ms of audio, so even a
+    podcast-hour probes in microseconds). A leading ID3v2 tag is
+    skipped by its syncsafe size. Classification follows the repo
+    contract: no sync/ID3 magic -> NotImplementedError (foreign
+    bytes); sync present but reserved version/layer, invalid
+    bitrate/samplerate index, free-format bitrate, or zero complete
+    frames -> ValueError (corrupt). Trailing garbage after the last
+    complete frame (an ID3v1 tag, a truncated final frame) stops the
+    walk without invalidating the counted frames -- the tolerant
+    behavior every real-world MP3 consumer implements."""
+    data = bytes(content or b"")
+    start = _mp3_skip_id3v2(data)
+    if start == 0 and not (
+        len(data) >= 2
+        and data[0] == 0xFF
+        and (data[1] & 0xE0) == 0xE0
+    ):
+        raise NotImplementedError("not an MPEG audio stream")
+    pos = start
+    n_frames = 0
+    first = None
+    total_samples = 0
+    while pos + 4 <= len(data):
+        if not (data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0):
+            break  # trailing non-frame bytes end the walk
+        b1, b2, b3 = data[pos + 1], data[pos + 2], data[pos + 3]
+        version_bits = (b1 >> 3) & 0x03  # 0=2.5, 2=MPEG2, 3=MPEG1
+        layer_bits = (b1 >> 1) & 0x03    # 1=III, 2=II, 3=I
+        if version_bits == 1 or layer_bits == 0:
+            raise ValueError("reserved MPEG version/layer bits")
+        layer = 4 - layer_bits            # 1, 2, 3
+        vkey = 3 if version_bits == 3 else 2
+        br_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 0x03
+        if br_idx == 15 or sr_idx == 3:
+            raise ValueError("invalid MPEG bitrate/samplerate index")
+        bitrate = _MP3_BITRATES[(vkey, layer)][br_idx] * 1000
+        if bitrate == 0:
+            raise ValueError("free-format MPEG bitrate not supported")
+        sample_rate = _MP3_RATES[version_bits][sr_idx]
+        padding = (b2 >> 1) & 0x01
+        if layer == 1:
+            frame_bytes = (12 * bitrate // sample_rate + padding) * 4
+            samples = 384
+        else:
+            samples = (
+                1152 if (layer == 2 or version_bits == 3) else 576
+            )
+            frame_bytes = samples * bitrate // (8 * sample_rate) + padding
+        if pos + frame_bytes > len(data):
+            break  # truncated final frame: count only complete frames
+        if first is None:
+            first = {
+                "mpeg_version": {3: "1", 2: "2", 0: "2.5"}[version_bits],
+                "layer": layer,
+                "bitrate": bitrate,
+                "sample_rate": sample_rate,
+                "channels": 1 if ((b3 >> 6) & 0x03) == 3 else 2,
+            }
+        n_frames += 1
+        total_samples += samples
+        pos += frame_bytes
+    if n_frames == 0:
+        raise ValueError("no complete MPEG audio frame")
+    return {
+        **first,
+        "n_frames": int(n_frames),
+        "duration_s": total_samples / first["sample_rate"],
+    }
+
+
+def probe_mp4(content: bytes) -> dict:
+    """ISO-BMFF (MP4/MOV/M4A) metadata from a box walk: ftyp major
+    brand, mvhd timescale/duration, per-trak handler + first stsd
+    sample-entry fourcc, tkhd presentation dims (16.16 fixed point),
+    stsz/stz2 sample counts, and mp4a channel/rate from the audio
+    sample entry -- headers only, no mdat byte is touched. A box whose
+    declared size overruns the buffer (or undershoots its own header)
+    raises ValueError -> DECODE_CORRUPT; absent moov/mvhd likewise
+    (streaming-fragmented files without a movie box are not
+    statistics-probeable). Non-ftyp leading bytes raise
+    NotImplementedError (foreign container)."""
+    data = bytes(content or b"")
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise NotImplementedError("not an ISO-BMFF stream")
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos < hi:
+            if pos + 8 > hi:
+                raise ValueError("truncated ISO-BMFF box header")
+            (size,) = struct.unpack_from(">I", data, pos)
+            btype = data[pos + 4:pos + 8]
+            body = pos + 8
+            if size == 1:
+                if pos + 16 > hi:
+                    raise ValueError("truncated largesize box header")
+                (size,) = struct.unpack_from(">Q", data, pos + 8)
+                body = pos + 16
+            elif size == 0:
+                size = hi - pos
+            if size < body - pos or pos + size > hi:
+                raise ValueError(
+                    f"ISO-BMFF box {btype!r} size {size} overruns"
+                )
+            yield btype, body, pos + size
+            pos += size
+
+    major_brand = data[8:12].decode("latin-1")
+    out = {
+        "major_brand": major_brand, "timescale": None,
+        "duration_s": None, "tracks": [],
+    }
+    moov = None
+    for btype, body, end in walk(0, len(data)):
+        if btype == b"moov":
+            moov = (body, end)
+    if moov is None:
+        raise ValueError("ISO-BMFF stream has no moov box")
+
+    def full_box(body):
+        version = data[body]
+        return version, body + 4
+
+    def find(lo, hi, *names):
+        for btype, body, end in walk(lo, hi):
+            if btype in names:
+                yield btype, body, end
+
+    for btype, body, end in walk(*moov):
+        if btype == b"mvhd":
+            version, p = full_box(body)
+            if version == 1:
+                ts, dur = struct.unpack_from(">IQ", data, p + 16)
+            else:
+                ts, dur = struct.unpack_from(">II", data, p + 8)
+            out["timescale"] = int(ts)
+            out["duration_s"] = dur / ts if ts else None
+        elif btype == b"trak":
+            track = {
+                "handler": None, "codec": None, "width": None,
+                "height": None, "n_samples": None, "channels": None,
+                "sample_rate": None,
+            }
+            for t2, b2, e2 in walk(body, end):
+                if t2 == b"tkhd":
+                    version, p = full_box(b2)
+                    # width/height are the LAST 8 bytes (16.16 fixed)
+                    w, h = struct.unpack_from(">II", data, e2 - 8)
+                    track["width"] = w >> 16 or None
+                    track["height"] = h >> 16 or None
+                elif t2 == b"mdia":
+                    for t3, b3, e3 in walk(b2, e2):
+                        if t3 == b"hdlr":
+                            track["handler"] = data[b3 + 8:b3 + 12].decode(
+                                "latin-1"
+                            )
+                        elif t3 == b"minf":
+                            for _, b4, e4 in find(b3, e3, b"stbl"):
+                                for t5, b5, e5 in walk(b4, e4):
+                                    if t5 == b"stsd":
+                                        # entry_count @ +4, first entry
+                                        # header: size(4) + fourcc(4)
+                                        p = b5 + 8
+                                        track["codec"] = data[
+                                            p + 4:p + 8
+                                        ].decode("latin-1")
+                                        if track["codec"] == "mp4a":
+                                            ch, _ss = struct.unpack_from(
+                                                ">HH", data, p + 24
+                                            )
+                                            (srf,) = struct.unpack_from(
+                                                ">I", data, p + 32
+                                            )
+                                            track["channels"] = int(ch)
+                                            track["sample_rate"] = (
+                                                srf >> 16
+                                            )
+                                    elif t5 in (b"stsz", b"stz2"):
+                                        (cnt,) = struct.unpack_from(
+                                            ">I", data, b5 + 8
+                                        )
+                                        track["n_samples"] = int(cnt)
+            out["tracks"].append(track)
+    return out
+
+
 def probe_media(content: bytes) -> dict:
     """Magic-sniffing dispatcher over every in-repo container. Returns
     a NORMALIZED scalar dict: container, width, height, channels,
@@ -267,6 +495,35 @@ def probe_media(content: bytes) -> dict:
             container="flac", channels=m["channels"],
             bits=m["bits_per_sample"], sample_rate=m["sample_rate"],
             n_frames=m["n_frames"], duration_s=m["duration_s"],
+        )
+    elif len(data) >= 12 and data[4:8] == b"ftyp":
+        m = probe_mp4(data)
+        video = next(
+            (t for t in m["tracks"] if t["handler"] == "vide"), None
+        )
+        audio = next(
+            (t for t in m["tracks"] if t["handler"] == "soun"), None
+        )
+        out.update(
+            container="mp4", duration_s=m["duration_s"],
+            width=video["width"] if video else None,
+            height=video["height"] if video else None,
+            n_frames=video["n_samples"] if video else (
+                audio["n_samples"] if audio else None
+            ),
+            channels=audio["channels"] if audio else None,
+            sample_rate=audio["sample_rate"] if audio else None,
+        )
+    elif data[:3] == b"ID3" or (
+        len(data) >= 2
+        and data[0] == 0xFF
+        and (data[1] & 0xE0) == 0xE0
+    ):
+        m = probe_mp3(data)
+        out.update(
+            container="mp3", channels=m["channels"],
+            sample_rate=m["sample_rate"], n_frames=m["n_frames"],
+            duration_s=m["duration_s"],
         )
     else:
         raise NotImplementedError("unrecognized media container")

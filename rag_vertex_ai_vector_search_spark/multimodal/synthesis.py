@@ -715,6 +715,83 @@ def synthesize_media_dct420(df: DataFrame, *, id_col: str = "doc_id"):
 MP3_STUB = b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\xff\xfb\x90\x00" * 40
 
 
+def encode_mp3_stub(seed: int) -> bytes:
+    """A VALID MPEG1 Layer III container (64 kbps mono @ 32 kHz,
+    ``10 + seed % 5`` frames of zeroed payload behind an empty ID3v2
+    tag). Frame size is exactly 144 * 64000 / 32000 = 288 bytes, and
+    each frame carries 1152 samples = EXACTLY 36 ms, so the probed
+    duration is the closed-form integer ``36 * (10 + seed % 5)`` ms --
+    the corpus_quality_report oracle predicts it from doc_id alone.
+    The payload is not a meaningful bitstream: a FULL decode still
+    classifies audio/mpeg as DECODE_UNSUPPORTED (no MP3 synthesis
+    filterbank in-repo), while the header walk (probe_mp3) earns real
+    frame counts/duration -- the header-probe/decode split VERDICT r14
+    #3 asks for."""
+    n_frames = 10 + int(seed) % 5
+    frame = b"\xff\xfb\x58\xc0" + b"\x00" * 284
+    return b"ID3\x04\x00\x00\x00\x00\x00\x00" + frame * n_frames
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    import struct as _struct
+
+    return _struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def encode_mp4_stub(seed: int) -> bytes:
+    """A VALID minimal ISO-BMFF movie header (ftyp + moov/mvhd + one
+    soun trak with an mp4a sample entry and an stsz count) with NO
+    media data: timescale 1000, duration ``250 * (5 + seed % 7)``
+    ticks = the same value in integer MILLISECONDS -- closed-form in
+    the seed for the report oracle. Full decode of mp4 is out of
+    scope (DECODE_UNSUPPORTED); only the box walk (probe_mp4) reads
+    this."""
+    import struct as _struct
+
+    dur = 250 * (5 + int(seed) % 7)
+    n_samples = 20 + int(seed) % 3
+    ftyp = _box(b"ftyp", b"isom" + _struct.pack(">I", 512) + b"isommp41")
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"            # version/flags
+        + _struct.pack(">II", 0, 0)     # creation/modification
+        + _struct.pack(">II", 1000, dur)  # timescale, duration
+        + b"\x00" * 80,                  # rate..next_track_id
+    )
+    tkhd = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"
+        + _struct.pack(">IIII", 0, 0, 1, 0)  # times, track_id, rsvd
+        + _struct.pack(">I", dur)
+        + b"\x00" * 52                       # rsvd/layer/matrix
+        + _struct.pack(">II", 0, 0),         # width/height (audio)
+    )
+    hdlr = _box(
+        b"hdlr",
+        b"\x00\x00\x00\x00" + b"\x00" * 4 + b"soun" + b"\x00" * 12
+        + b"aud\x00",
+    )
+    mp4a = _box(
+        b"mp4a",
+        b"\x00" * 6 + _struct.pack(">H", 1)   # reserved + dref index
+        + b"\x00" * 8                          # reserved
+        + _struct.pack(">HH", 1, 16)           # channels, sample size
+        + b"\x00" * 4                          # pre_defined/reserved
+        + _struct.pack(">I", 8000 << 16),      # samplerate 16.16
+    )
+    stsd = _box(b"stsd", b"\x00\x00\x00\x00" + _struct.pack(">I", 1) + mp4a)
+    stsz = _box(
+        b"stsz",
+        b"\x00\x00\x00\x00" + _struct.pack(">II", 0, n_samples),
+    )
+    stbl = _box(b"stbl", stsd + stsz)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + moov
+
+
 def synthesize_media_with_defects(
     df: DataFrame,
     *,
@@ -732,7 +809,12 @@ def synthesize_media_with_defects(
     - seed % corrupt_every == 1: the WAV is truncated to a third
       (container error -> DECODE_CORRUPT);
     - seed % unsupported_every == 0: an EXTRA ``audio/mpeg`` item with
-      real MP3 header bytes (NotImplementedError -> DECODE_UNSUPPORTED).
+      a VALID MPEG1 Layer III container (``encode_mp3_stub``) and an
+      EXTRA ``video/mp4`` item (``encode_mp4_stub``) -- both
+      DECODE_UNSUPPORTED through the full-decode path (no MP3/AAC
+      synthesis in-repo), but header-PROBEABLE with closed-form
+      durations (r15, VERDICT r14 #3): the crawl-dominant formats
+      show up in probe statistics even though they never decode.
 
     Every decode_status is therefore a CLOSED-FORM function of the
     seed: a SQL oracle can predict per-group decode rates without
@@ -772,7 +854,8 @@ def synthesize_media_with_defects(
                     wav = wav[: (len(wav) // 3) | 1]
                 items = [("image/png", png), ("audio/wav", wav)]
                 if seed % unsupported_every == 0:
-                    items.append(("audio/mpeg", MP3_STUB))
+                    items.append(("audio/mpeg", encode_mp3_stub(seed)))
+                    items.append(("video/mp4", encode_mp4_stub(seed)))
                 for mt, blob in items:
                     ids.append(rid)
                     types.append(mt)

@@ -170,8 +170,12 @@ def test_probe_media_dispatch_and_foreign_bytes():
         assert meta["container"] == name, name
     avi = probe_media(containers["avi"])
     assert avi["n_frames"] == 3 and avi["width"] == 32
+    # ID3-tagged bytes are a RECOGNIZED container since r15: tag with
+    # no complete frame behind it classifies corrupt, not foreign
+    with pytest.raises(ValueError):
+        probe_media(b"ID3\x04\x00\x00\x00\x00\x00\x00mp3-ish bytes")
     with pytest.raises(NotImplementedError):
-        probe_media(b"ID3\x04mp3-ish bytes")
+        probe_media(b"totally foreign bytes")
     with pytest.raises(NotImplementedError):
         probe_media(b"")
 
@@ -211,7 +215,7 @@ def test_extract_media_probe_skip_contract(spark):
         (1, "image", bytearray(encode_png(img))),
         (2, "image", bytearray(encode_jpeg_baseline(img))),
         (3, "audio", bytearray(encode_wav_pcm(np.zeros(64), sr=8000))),
-        (4, "audio", bytearray(b"ID3\x04not-audio-we-decode")),  # unsupported
+        (4, "audio", bytearray(b"\x00no-container-we-know")),  # unsupported
         (5, "audio",
          bytearray(encode_wav_pcm(np.zeros(400), sr=8000)[:30])),  # corrupt
     ]
@@ -239,3 +243,128 @@ def test_extract_media_probe_skip_contract(spark):
     # strict mode raises on the first bad asset
     with pytest.raises(Exception):
         extract_media_probe(df, on_error="raise").collect()
+
+
+def test_probe_mp3_matrix():
+    """MP3 frame-header walk (r15, VERDICT r14 #3): valid container ->
+    exact frame count / duration / codec params; truncated and
+    header-damaged -> ValueError (corrupt); foreign -> Not
+    ImplementedError. The synthesized stub is MPEG1 Layer III 64 kbps
+    mono @ 32 kHz: 288-byte frames, 36 ms each -- closed-form."""
+    from rag_vertex_ai_vector_search_spark.multimodal.probe import (
+        probe_mp3,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        encode_mp3_stub,
+    )
+
+    for seed in range(7):
+        mp3 = encode_mp3_stub(seed)
+        m = probe_mp3(mp3)
+        n = 10 + seed % 5
+        assert m["n_frames"] == n
+        assert m["duration_s"] == pytest.approx(0.036 * n)
+        assert (m["mpeg_version"], m["layer"]) == ("1", 3)
+        assert m["bitrate"] == 64000 and m["sample_rate"] == 32000
+        assert m["channels"] == 1
+        # a truncated final frame is tolerated; the count drops by one
+        assert probe_mp3(mp3[:-10])["n_frames"] == n - 1
+        # normalized dispatch
+        meta = probe_media(mp3)
+        assert meta["container"] == "mp3"
+        assert meta["duration_s"] == pytest.approx(0.036 * n)
+
+    frame = encode_mp3_stub(0)[10:10 + 288]
+    # bare frames with no ID3 tag probe fine (sync sniff)
+    assert probe_mp3(frame * 3)["n_frames"] == 3
+    # reserved layer bits / invalid bitrate index -> corrupt
+    with pytest.raises(ValueError):
+        probe_mp3(b"\xff\xf9" + frame[2:])  # layer bits 00
+    with pytest.raises(ValueError):
+        probe_mp3(b"\xff\xfb\xf0\xc0" + frame[4:])  # bitrate idx 15
+    # sync present but no complete frame -> corrupt
+    with pytest.raises(ValueError):
+        probe_mp3(frame[:100])
+    # non-syncsafe ID3 size -> corrupt
+    with pytest.raises(ValueError):
+        probe_mp3(b"ID3\x04\x00\x00\xff\xff\xff\xff" + frame)
+    with pytest.raises(NotImplementedError):
+        probe_mp3(b"RIFF not mpeg audio")
+
+
+def test_probe_mp4_matrix():
+    """ISO-BMFF box walk (r15, VERDICT r14 #3): valid movie header ->
+    brand / timescale / duration / track codec + rate; box-size
+    overruns and missing moov -> ValueError; foreign bytes ->
+    NotImplementedError."""
+    import struct
+
+    from rag_vertex_ai_vector_search_spark.multimodal.probe import (
+        probe_mp4,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        encode_mp4_stub,
+    )
+
+    for seed in range(9):
+        mp4 = encode_mp4_stub(seed)
+        m = probe_mp4(mp4)
+        assert m["major_brand"] == "isom"
+        assert m["timescale"] == 1000
+        dur_ms = 250 * (5 + seed % 7)
+        assert m["duration_s"] == pytest.approx(dur_ms / 1000.0)
+        (track,) = m["tracks"]
+        assert track["handler"] == "soun" and track["codec"] == "mp4a"
+        assert track["channels"] == 1 and track["sample_rate"] == 8000
+        assert track["n_samples"] == 20 + seed % 3
+        meta = probe_media(mp4)
+        assert meta["container"] == "mp4"
+        assert meta["sample_rate"] == 8000
+        assert meta["n_frames"] == 20 + seed % 3
+        assert meta["duration_s"] == pytest.approx(dur_ms / 1000.0)
+
+    mp4 = encode_mp4_stub(1)
+    # truncated inside moov: declared box size overruns -> corrupt
+    with pytest.raises(ValueError):
+        probe_mp4(mp4[: len(mp4) - 40])
+    # ftyp alone (no moov) -> corrupt
+    ftyp_len = struct.unpack_from(">I", mp4, 0)[0]
+    with pytest.raises(ValueError):
+        probe_mp4(mp4[:ftyp_len])
+    with pytest.raises(NotImplementedError):
+        probe_mp4(b"\x00\x00\x00\x08free not bmff")
+
+
+def test_extract_media_probe_covers_mp3_mp4(spark):
+    """The Spark cheap mode over the crawl-dominant formats: the
+    defect-synthesis corpus now carries probeable audio/mpeg and
+    video/mp4 items whose FULL decode stays unsupported -- the probe
+    report prices them (duration, rates) instead of a bare skip."""
+    from rag_vertex_ai_vector_search_spark.multimodal.probe import (
+        extract_media_probe,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        synthesize_media_with_defects,
+    )
+    from pyspark.sql import functions as F
+
+    ids = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    media = synthesize_media_with_defects(ids)
+    probed = extract_media_probe(media, on_error="skip")
+    rows = {
+        (r.doc_id, r.media_type): r for r in probed.collect()
+    }
+    for seed in range(12):
+        # PNG header survives the payload bit-flip: probe always ok
+        assert rows[(seed, "image/png")].decode_status == "ok"
+        wav = rows[(seed, "audio/wav")]
+        assert wav.decode_status == (
+            "corrupt" if seed % 4 == 1 else "ok"
+        )
+        if seed % 3 == 0:
+            mp3 = rows[(seed, "audio/mpeg")]
+            assert mp3.decode_status == "ok" and mp3.container == "mp3"
+            assert round(mp3.duration_s * 1000) == 36 * (10 + seed % 5)
+            mp4 = rows[(seed, "video/mp4")]
+            assert mp4.decode_status == "ok" and mp4.container == "mp4"
+            assert round(mp4.duration_s * 1000) == 250 * (5 + seed % 7)
