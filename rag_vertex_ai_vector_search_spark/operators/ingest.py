@@ -62,6 +62,7 @@ def ingest_documents(
     token_counter=None,
     surrogate_key: str = "sha2",
     embed_distinct: bool = False,
+    embed_cache_path: str | None = None,
 ) -> IngestResult:
     """Build the datapoints + metadata tables from a document table.
 
@@ -95,7 +96,19 @@ def ingest_documents(
     tests/test_ingest.py::test_embed_distinct_bit_equal; the distinct
     aggregate sits below the UDF, asserted in test_plan_shapes.py).
     The trade is one extra content-keyed shuffle; skip it for corpora
-    already deduplicated upstream.
+    already deduplicated upstream. The vectors join back on
+    ``sha2(content, 256)`` (r15), never on the raw content string.
+
+    ``embed_cache_path`` (r15, VERDICT r14 #4): a persistent
+    content-hash -> vector cache table. Distinct contents whose hash
+    already holds a stored vector are NEVER re-embedded -- a re-ingest
+    or an incremental re-embed pays the model only for genuinely new
+    text; new vectors are appended to the cache through the
+    transactional log (concurrent ingests commute). Implies the
+    embed-distinct plan shape. The cache is valid as long as the
+    embedder is the pure content function it is declared to be; bump
+    the cache path on a model upgrade (the hash does not encode the
+    model version).
     """
     if surrogate_key not in ("sha2", "uuid"):
         raise ValueError(
@@ -136,17 +149,31 @@ def ingest_documents(
         *[F.col(c) for c in extra_restrict_cols],
         *( [F.col(crowding_col).alias("_crowd")] if crowding_col else [] ),
     )
-    if embed_distinct:
+    if embed_distinct or embed_cache_path is not None:
         # embed once per distinct content, join vectors back: the UDF
         # runs above the distinct aggregate, so duplicate texts never
-        # reach the model. The join key is the content itself -- at
-        # scale swap in its sha256 to keep shuffle rows narrow (the
-        # vectors dominate either way).
-        vectors = (
-            base.select("content").distinct()
-            .withColumn("feature_vector", embed(F.col("content")))
+        # reach the model. The join key is sha2(content) (r15, VERDICT
+        # r14 #1-minor): a 64-char hash instead of a document-sized
+        # string -- the distinct aggregate necessarily shuffles each
+        # content ONCE (the model needs the text), but the join-back,
+        # which carries every document row, compares and serializes
+        # only the narrow key. first() per hash group is safe: all
+        # contents in a group are identical by construction.
+        base = base.withColumn(
+            "_chash", F.sha2(F.col("content"), 256)
         )
-        base = base.join(vectors, "content")
+        distinct = base.groupBy("_chash").agg(
+            F.first("content").alias("content")
+        )
+        if embed_cache_path is not None:
+            vectors = _cached_vectors(
+                distinct, embed, embed_cache_path
+            )
+        else:
+            vectors = distinct.withColumn(
+                "feature_vector", embed(F.col("content"))
+            ).select("_chash", "feature_vector")
+        base = base.join(vectors, "_chash").drop("_chash")
     else:
         base = base.withColumn("feature_vector", embed(F.col("content")))
 
@@ -193,6 +220,45 @@ def ingest_documents(
         metadata=metadata,
         rejected=rejected,
         total_tokens_expr=F.sum("token_count"),
+    )
+
+
+def _cached_vectors(
+    distinct: DataFrame, embed, cache_path: str
+) -> DataFrame:
+    """(_chash, feature_vector) for every distinct content, embedding
+    ONLY hashes missing from the persistent cache table and appending
+    the new vectors to it (tx commit, so concurrent ingests commute
+    and a replayed job can at worst re-append an identical vector --
+    the join-back takes one row per hash via max(), so duplicates in
+    the cache are harmless). The returned vectors are read back FROM
+    the cache files: one embed execution per new content, ever."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from ..sources.txlog import TxLog, read_table_any, tx_append
+
+    spark = distinct.sparkSession
+    log = TxLog(spark, cache_path)
+    if log.exists():
+        cached = read_table_any(spark, cache_path)
+        missing = distinct.join(
+            cached.select("_chash"), "_chash", "left_anti"
+        )
+    else:
+        missing = distinct
+    if not missing.isEmpty():  # probe BEFORE attaching the UDF
+        new_vecs = missing.select(
+            "_chash", embed(F.col("content")).alias("feature_vector")
+        )
+        tx_append(spark, cache_path, new_vecs)
+    elif not log.exists():
+        # empty input on a fresh cache: still create the (empty) log
+        TxLog(spark, cache_path).ensure()
+    full = read_table_any(spark, cache_path)
+    # one vector per hash even if a concurrent/replayed append landed
+    # a duplicate row (identical vectors: max over identical = identity)
+    return full.groupBy("_chash").agg(
+        F.max("feature_vector").alias("feature_vector")
     )
 
 

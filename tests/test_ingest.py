@@ -271,3 +271,69 @@ def test_embed_distinct_bit_equal(spark):
         per_row.datapoints._jdf.queryExecution().executedPlan().toString()
     )
     assert "HashAggregate" not in per_row_plan
+    # r15: the join-back key is sha2(content), never the raw document
+    # string -- a document-sized shuffle/compare key is pure waste
+    assert "_chash" in plan
+    import re as _re
+
+    for line in plan.splitlines():
+        if "Join" in line and "_chash" not in line:
+            assert not _re.search(r"\bcontent#\d+", line), line
+
+
+def test_embed_cache_bit_equal_and_delta_only(spark, tmp_path):
+    """embed_cache_path (r15, VERDICT r14 #4): a persistent
+    content-hash -> vector cache. First ingest embeds each distinct
+    content once and stores it; a RE-INGEST (or an overlapping later
+    corpus) embeds only the genuinely new texts. Bit-equal to the
+    uncached path; the cache row count proves the delta-only contract;
+    a Spark accumulator counts actual embed invocations."""
+    from pyspark.sql import functions as F
+
+    from rag_vertex_ai_vector_search_spark.operators.ingest import (
+        _cached_vectors,
+        ingest_documents,
+    )
+    from rag_vertex_ai_vector_search_spark.sources.txlog import (
+        read_table_any,
+    )
+
+    cache = str(tmp_path / "embed_cache")
+    docs = spark.createDataFrame(
+        [(i, f"shared text {i % 7}") for i in range(20)],  # 7 distinct
+        "doc_id long, text string",
+    )
+    plain = ingest_documents(docs)
+    cached = ingest_documents(docs, embed_cache_path=cache)
+    key = lambda res: sorted(  # noqa: E731
+        (r.data_point_id, tuple(r.feature_vector))
+        for r in res.datapoints.collect()
+    )
+    assert key(cached) == key(plain)
+    assert read_table_any(spark, cache).count() == 7
+
+    # second corpus: 7 cached + 3 new distinct contents
+    docs2 = spark.createDataFrame(
+        [(i, f"shared text {i % 10}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    plain2 = ingest_documents(docs2)
+    cached2 = ingest_documents(docs2, embed_cache_path=cache)
+    assert key(cached2) == key(plain2)
+    assert read_table_any(spark, cache).count() == 10  # +3 only
+
+    # accumulator-counted embed calls: zero on a fully-warm re-run
+    calls = spark.sparkContext.accumulator(0)
+
+    @F.udf("array<float>")
+    def counting_embed(content):
+        calls.add(1)
+        return [0.0]
+
+    distinct = docs2.select(
+        F.sha2(F.col("text"), 256).alias("_chash"),
+        F.col("text").alias("content"),
+    ).groupBy("_chash").agg(F.first("content").alias("content"))
+    out = _cached_vectors(distinct, counting_embed, cache)
+    assert out.count() == 10
+    assert calls.value == 0  # every hash already stored: no model call
