@@ -435,6 +435,25 @@ def _ingest_embed_cache_reingest(spark, sf_dir):
     ).datapoints.select("data_point_id", "feature_vector")
 
 
+def _sql_dedup_candidates(spark, sf_dir):
+    """The SQL-only user's dedup query (r15, VERDICT r14 #7):
+    `SELECT ... FROM engine_dedup_candidates` -- the MinHash band
+    candidate chain + exact-Jaccard verify as a registered view,
+    bit-equal to minhash_candidate_pairs (tests/test_sql_api.py).
+    Registration is lazy (plan capture, no job); the timed cost IS the
+    view's plan, i.e. the same shuffles the DataFrame route pays."""
+    from rag_vertex_ai_vector_search_spark.sources import register_views
+    from rag_vertex_ai_vector_search_spark.sql_api import (
+        _register_pipeline_views,
+    )
+
+    register_views(spark, sf_dir)
+    _register_pipeline_views(spark)
+    return spark.sql(
+        "SELECT id_a, id_b, jaccard FROM engine_dedup_candidates"
+    )
+
+
 def _sql_knn_search(spark, sf_dir):
     """The SQL front end's headline query (r14, VERDICT r13 #6): a
     SQL-only user's `SELECT * FROM engine_knn_search` -- embedded
@@ -628,6 +647,8 @@ BENCH_QUERIES = [
     # r14: the SQL-only user's headline query through the registered
     # cascade view (build cached; timed = the view's plan).
     ("sql_knn_search", _sql_knn_search),
+    # r15: the SQL route to the dedup surface (lazy view; timed = plan).
+    ("sql_dedup_candidates", _sql_dedup_candidates),
     # r14: dedup-aware embedding -- per-row vs per-distinct-content on
     # a 75%-duplicate corpus (bit-equal outputs; wall ~ties under the
     # free hash embedder, the entry prices the extra shuffle that buys

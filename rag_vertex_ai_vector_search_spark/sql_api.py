@@ -371,8 +371,56 @@ def register_sql_api(
             spark.table("documents")
         ).createOrReplaceTempView("engine_kn_surprisal")
         _register_doremi_view(spark)
+        _register_pipeline_views(spark)
         _register_tokenizer_views(spark)
         register_knn_search_view(spark)
+
+
+def _register_pipeline_views(spark: SparkSession) -> None:
+    """SQL access to the dedup/decontamination half of the pipeline
+    surface (r15, VERDICT r14 #7) -- until now a SQL-only user could
+    run the full search cascade (``engine_knn_search``) but none of
+    the corpus-curation operators. Three lazy DataFrame-backed views
+    over the registered ``documents`` view (plans captured at
+    registration, zero jobs until queried -- the kn_surprisal
+    convention, so no memoization is needed):
+
+    - ``engine_dedup_candidates`` (id_a, id_b, jaccard): MinHash band
+      candidates with exact-Jaccard verdicts above the declared
+      threshold, the ``dedup_minhash_lsh`` configuration (3-word
+      shingles, 64 hashes, 16 bands, star-capped hot buckets).
+    - ``engine_contamination_pairs`` (train_id, eval_id,
+      shared_grams): GPT-3-style n-gram overlap between the standard
+      train/eval split (doc_id % 10), the declared
+      ``dataset_decontaminate`` configuration.
+    - ``engine_decontaminate``: the TRAIN TABLE with contaminated
+      documents removed -- what a SQL user actually feeds a trainer.
+
+    Bit-equality to the DataFrame builders is pinned in
+    tests/test_sql_api.py."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from .operators.decontaminate import (
+        contamination_pairs,
+        decontaminate,
+    )
+    from .operators.dedup import minhash_candidate_pairs
+
+    docs = spark.table("documents")
+    minhash_candidate_pairs(
+        docs, shingle_words=3, num_hashes=64, bands=16,
+        jaccard_threshold=0.5,
+    ).createOrReplaceTempView("engine_dedup_candidates")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    contamination_pairs(
+        train, ev, n=5, min_shared=1, max_gram_df=64
+    ).select("train_id", "eval_id", "shared_grams").createOrReplaceTempView(
+        "engine_contamination_pairs"
+    )
+    decontaminate(
+        train, ev, n=5, min_shared=1, max_gram_df=64
+    ).createOrReplaceTempView("engine_decontaminate")
 
 
 DEFAULT_KNN_QUERY_TEXTS = (

@@ -613,3 +613,73 @@ def test_sql_doremi_weights_view_matches_operator(spark, sf_smoke):
     )
     assert via_sql == via_df
     assert len(via_sql) >= 2
+
+
+def test_sql_pipeline_views_match_dataframe_builders(spark, sf_smoke):
+    """engine_dedup_candidates / engine_contamination_pairs /
+    engine_decontaminate (r15, VERDICT r14 #7): the SQL-only route to
+    the corpus-curation half of the pipeline must be bit-equal to the
+    DataFrame builders in their declared configurations."""
+    from pyspark.sql import functions as F
+
+    from rag_vertex_ai_vector_search_spark.operators.decontaminate import (
+        contamination_pairs,
+        decontaminate,
+    )
+    from rag_vertex_ai_vector_search_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    register_sql_api(spark, sf_smoke)
+    docs = load_table(spark, sf_smoke, "documents")
+
+    via_sql = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT id_a, id_b, jaccard FROM engine_dedup_candidates"
+        ).collect()
+    )
+    via_df = sorted(
+        tuple(r)
+        for r in minhash_candidate_pairs(
+            docs, shingle_words=3, num_hashes=64, bands=16,
+            jaccard_threshold=0.5,
+        ).collect()
+    )
+    assert via_sql == via_df and len(via_sql) > 0
+
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    pairs_sql = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT train_id, eval_id, shared_grams "
+            "FROM engine_contamination_pairs"
+        ).collect()
+    )
+    pairs_df = sorted(
+        tuple(r)
+        for r in contamination_pairs(
+            train, ev, n=5, min_shared=1, max_gram_df=64
+        ).select("train_id", "eval_id", "shared_grams").collect()
+    )
+    assert pairs_sql == pairs_df and len(pairs_sql) > 0
+
+    clean_sql = sorted(
+        r.doc_id
+        for r in spark.sql(
+            "SELECT doc_id FROM engine_decontaminate"
+        ).collect()
+    )
+    clean_df = sorted(
+        r.doc_id
+        for r in decontaminate(
+            train, ev, n=5, min_shared=1, max_gram_df=64
+        ).select("doc_id").collect()
+    )
+    assert clean_sql == clean_df
+    # the flags and the clean table agree: removed = flagged train ids
+    flagged = {t for t, _, _ in pairs_df}
+    assert flagged == set(
+        r.doc_id for r in train.select("doc_id").collect()
+    ) - set(clean_df)
