@@ -392,7 +392,18 @@ def test_sql_probe_media_matches_operator(spark, sf_smoke):
 
     register_sql_api(spark)
     docs = load_table(spark, sf_smoke, "documents").select("doc_id").limit(40)
-    media = synthesize_media_with_defects(docs).localCheckpoint(eager=True)
+    # r15: the planted MP3/MP4 items PROBE ok now (that's the point of
+    # the header probes) -- plant one genuinely foreign blob so the
+    # unsupported branch stays non-vacuous
+    foreign = spark.createDataFrame(
+        [(999999, "application/unknown", bytearray(b"\x01no container"))],
+        "doc_id long, media_type string, content binary",
+    )
+    media = (
+        synthesize_media_with_defects(docs)
+        .unionByName(foreign)
+        .localCheckpoint(eager=True)
+    )
     media.createOrReplaceTempView("probe_media_fixture")
 
     cols = (
