@@ -9902,15 +9902,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    parity-proven at sf0.001 AND sf0.01 before promotion) ----
         "ann_recall_ivf": q_ann_recall_ivf,
         "ann_recall_pq": q_ann_recall_pq,
-        # r14 mid-round promotion (the r6/r13 policy: parity proven at
-        # both SFs first): doremi_domain_mix -- the round's novel
-        # operator (Group-DRO exponentiated-gradient domain mixture,
-        # whole chain under one mirror) -- displaces
-        # cms_word_frequencies -> archive: the CMS machinery stays
-        # declared-gated through streaming_sketches_maintained, whose
-        # oracle carries a verbatim 'cms' arm, and the batch row keeps
-        # full-tier parity at both SFs.
-        "doremi_domain_mix": q_doremi_domain_mix,
+        # r15 rotation (VERDICT r14 #8): streaming_doremi_maintained
+        # promoted -- the r14-new Group-DRO maintenance machinery
+        # (micro-batched per-domain partials, restart recovery, state
+        # compaction) was the only r14 machinery not driver-gated
+        # end-to-end; archive-green at both SFs since mid-r14. It
+        # displaces its own BATCH sibling doremi_domain_mix -> archive:
+        # both rows hash against the SAME mirror (_sql_doremi_domain_mix
+        # -- maintained == batch is the gate's design invariant), so
+        # the batch machinery stays declared-gated THROUGH the
+        # streaming row (the cms_word_frequencies precedent), and the
+        # batch row keeps full-tier parity at both SFs.
+        "streaming_doremi_maintained": q_streaming_doremi_maintained,
         "bpe_train_merges": q_bpe_train_merges,
         "semdedup_keep": q_semdedup_keep,
         "c4_quality_gate": q_c4_quality_gate,
@@ -10285,10 +10288,10 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r14 mid-round displacement: CMS batch row (machinery stays
         # declared via streaming_sketches_maintained's 'cms' arm)
         "cms_word_frequencies": q_cms_word_frequencies,
-        # r14-new: DoReMi statistics under streaming maintenance
-        # (micro-batched partials + restart + compaction; oracle = the
-        # batch mirror, so maintained == batch is driver-enforceable)
-        "streaming_doremi_maintained": q_streaming_doremi_maintained,
+        # r15 displacement: the batch DoReMi row (machinery stays
+        # declared THROUGH streaming_doremi_maintained, whose oracle
+        # is this row's mirror verbatim)
+        "doremi_domain_mix": q_doremi_domain_mix,
         "pagerank_citations": q_pagerank_citations,
         "pagerank_weighted": q_pagerank_weighted,
         "hits_citations": q_hits_citations,
@@ -10349,7 +10352,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_vocab_maintained": _SQL_STREAM_VOCAB,
         "ann_recall_ivf": _sql_ann_recall_ivf(),
         "ann_recall_pq": _sql_ann_recall_pq(),
-        "doremi_domain_mix": _sql_doremi_domain_mix(),
+        "streaming_doremi_maintained": _sql_doremi_domain_mix(),
         "bpe_train_merges": _sql_bpe_train(8),
         "semdedup_keep": _SQL_SEMDEDUP,
         "c4_quality_gate": _SQL_C4_GATE,
@@ -10434,7 +10437,7 @@ def oracle_sql_archive() -> dict[str, str]:
         # covered by test_all_queries_run_and_nonempty + their
         # hash-gated declared siblings.
         "cms_word_frequencies": _SQL_CMS_WORDS,
-        "streaming_doremi_maintained": _sql_doremi_domain_mix(),
+        "doremi_domain_mix": _sql_doremi_domain_mix(),
         "pagerank_citations": _sql_pagerank(6),
         "pagerank_weighted": _sql_pagerank_weighted(6),
         "hits_citations": _sql_hits(6),

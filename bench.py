@@ -779,6 +779,11 @@ BENCH_QUERIES = [
     # r14-new: DoReMi-style Group-DRO domain reweighting (per-domain
     # excess loss -> log-space exponentiated gradient -> Gumbel draw)
     ("doremi_domain_mix", entrymod.q_doremi_domain_mix),
+    # r15: the declared streaming sibling (promoted per VERDICT r14 #8)
+    (
+        "streaming_doremi_maintained",
+        entrymod.q_streaming_doremi_maintained,
+    ),
     # r6: oracled recall gates for the pruned IVF and lossy PQ paths
     # (explicit data-row quantizers, VERDICT r5 #3)
     ("ann_recall_ivf", entrymod.q_ann_recall_ivf),
