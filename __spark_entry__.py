@@ -9870,6 +9870,81 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_knn_hydrated(spark, "/root/testdata/sf0.001")
 
 
+def q_txlog_compaction_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The transactional storage layer under a content hash gate (r15,
+    VERDICT r14 #1): the documents corpus lands in a tx table as two
+    optimistic APPENDS (manifest versions claimed by atomic
+    publish-if-absent), the table is COMPACTED through the log (the
+    rewrite replaces exactly the files it read; a concurrent append
+    would rebase through), and the final snapshot read resolves the
+    manifest -- never a directory listing, so the replaced pre-compact
+    files still physically present in the dir CANNOT double-count.
+
+    The oracle is the plain per-(lang, source) aggregate over
+    documents plus the protocol's closed-form version number (v0 init
+    + two appends + compact = 3): losing a batch, double-counting a
+    replaced file, or mis-sequencing a commit all flip the hash.
+    Archive-gated (window at capacity); the crash/race matrix is
+    pytest-gated in tests/test_txlog.py."""
+    import shutil
+    import tempfile
+
+    from rag_vertex_ai_vector_search_spark.sources.txlog import (
+        TxLog,
+        read_table,
+        tx_append,
+        tx_compact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    work = tempfile.mkdtemp(prefix="txlog_roundtrip_")
+    try:
+        path = f"{work}/t"
+        tx_append(
+            spark, path, docs.filter(F.col("doc_id") % 2 == 0).repartition(8)
+        )
+        tx_append(
+            spark, path, docs.filter(F.col("doc_id") % 2 == 1).repartition(8)
+        )
+        log = TxLog(spark, path)
+        n_before = log.table_stats()[0]
+        tx_compact(spark, path, target_file_bytes=1 << 30)
+        if log.table_stats()[0] >= n_before:
+            raise RuntimeError("tx compaction did not reduce file count")
+        out = (
+            read_table(spark, path)
+            .groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("doc_id").cast("long").alias("sum_doc_id"),
+                F.sum(F.length("text")).cast("long").alias("sum_text_len"),
+            )
+            .withColumn(
+                "final_version",
+                F.lit(int(log.current_version())).cast("long"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_SQL_TXLOG_ROUNDTRIP = """
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+       CAST(3 AS BIGINT) AS final_version
+FROM documents
+GROUP BY lang, source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 declared queries (the driver gates the first 50 dict
     entries, VERDICT r2 #1). Ordering: the 9 entries that never got a
@@ -10292,6 +10367,10 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # declared THROUGH streaming_doremi_maintained, whose oracle
         # is this row's mirror verbatim)
         "doremi_domain_mix": q_doremi_domain_mix,
+        # r15-new: the transactional storage layer's content gate
+        # (append x2 -> tx compaction -> snapshot read + closed-form
+        # version number)
+        "txlog_compaction_roundtrip": q_txlog_compaction_roundtrip,
         "pagerank_citations": q_pagerank_citations,
         "pagerank_weighted": q_pagerank_weighted,
         "hits_citations": q_hits_citations,
@@ -10438,6 +10517,7 @@ def oracle_sql_archive() -> dict[str, str]:
         # hash-gated declared siblings.
         "cms_word_frequencies": _SQL_CMS_WORDS,
         "doremi_domain_mix": _sql_doremi_domain_mix(),
+        "txlog_compaction_roundtrip": _SQL_TXLOG_ROUNDTRIP,
         "pagerank_citations": _sql_pagerank(6),
         "pagerank_weighted": _sql_pagerank_weighted(6),
         "hits_citations": _sql_hits(6),
