@@ -302,3 +302,127 @@ def test_merge_into_table_txlog_matches_parquet_route(spark, tmp_path):
     # layout pinning still enforced on the tx route
     with pytest.raises(ValueError, match="layout mismatch"):
         merge_into_table(spark, p_tx, ups, fmt="parquet", n_buckets=16)
+
+
+_TX_WRITER_SCRIPT = r"""
+import sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+path, n_batches, rows_per = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .appName("second-tx-writer")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+from rag_vertex_ai_vector_search_spark.sources.txlog import tx_append
+
+for b in range(n_batches):
+    rows = [
+        (f"w{b}_{i}", [float(b % 7), float(i % 5)] + [0.0] * 6, int(b % 2))
+        for i in range(rows_per)
+    ]
+    tx_append(
+        spark,
+        path,
+        spark.createDataFrame(
+            rows,
+            "data_point_id string, feature_vector array<double>, "
+            "cluster_id int",
+        ).coalesce(1),
+        partition_cols=("cluster_id",),
+    )
+    time.sleep(0.05)
+print("WRITER_DONE")
+spark.stop()
+"""
+
+
+def test_tx_two_session_writer_never_loses_a_commit(spark, tmp_path):
+    """The two-session contract on the TX protocol: a second
+    SparkSession in its own JVM runs real tx appends while this
+    session loops maintenance (compaction + vacuum) against the same
+    table. Unlike the legacy listing protocol -- whose live-mode
+    compactions could only optimistically ABORT when the foreign
+    writer committed mid-rewrite -- the tx rewrite re-validates and
+    REBASES through concurrent appends, so compactions land under
+    load and zero rows are lost or duplicated across every
+    interleaving, including hard publish races between two JVMs on
+    the same version slot (one hard-link wins, the loser rebases)."""
+    import subprocess
+    import sys as _sys
+    import time
+
+    from rag_vertex_ai_vector_search_spark.streaming.maintenance import (
+        maintain_index,
+    )
+
+    path = str(tmp_path / "t")
+    seed = spark.createDataFrame(
+        [
+            (f"s{i}", [float(i % 7), float(i % 5)] + [0.0] * 6, i % 2)
+            for i in range(40)
+        ],
+        "data_point_id string, feature_vector array<double>, "
+        "cluster_id int",
+    )
+    tx_append(
+        spark, path, seed.repartition(8), partition_cols=("cluster_id",)
+    )
+
+    script = str(tmp_path / "writer.py")
+    with open(script, "w") as fh:
+        fh.write(_TX_WRITER_SCRIPT)
+    n_batches, rows_per = 24, 5
+    proc = subprocess.Popen(
+        [_sys.executable, script, path, str(n_batches), str(rows_per)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    reports = []
+    try:
+        deadline = time.time() + 180
+        while proc.poll() is None and time.time() < deadline:
+            reports.append(
+                maintain_index(
+                    spark, path, None,
+                    writer_active=True,
+                    min_age_seconds=24 * 3600,
+                    target_file_bytes=1 << 20,
+                )
+            )
+        out, _ = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert "WRITER_DONE" in out
+    assert len(reports) >= 2  # maintenance genuinely overlapped writes
+    reports.append(
+        maintain_index(
+            spark, path, None, writer_active=False,
+            min_age_seconds=24 * 3600, target_file_bytes=1 << 20,
+        )
+    )
+
+    final = read_table_any(spark, path)
+    ids = sorted(r.data_point_id for r in final.collect())
+    want = sorted(
+        [f"s{i}" for i in range(40)]
+        + [f"w{b}_{i}" for b in range(n_batches) for i in range(rows_per)]
+    )
+    assert ids == want  # zero lost, zero duplicated, both sessions
+    # manifest consistency: every live file exists, stats agree
+    import os
+
+    log = TxLog(spark, path)
+    rels = log.live_files()
+    assert all(os.path.exists(os.path.join(log.table, r)) for r in rels)
+    assert log.table_stats()[0] == len(rels)
+    # compaction genuinely landed under the live writer at least once
+    actions = [
+        log.snapshot(v)["action"]
+        for v in range(0, log.current_version() + 1)
+    ]
+    assert "compact" in actions
