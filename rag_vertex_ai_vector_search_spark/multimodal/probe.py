@@ -444,6 +444,134 @@ def probe_mp4(content: bytes) -> dict:
     return out
 
 
+def probe_webp(content: bytes) -> dict:
+    """WebP dimensions/format from the RIFF chunk walk (public
+    container spec): ``VP8 `` lossy (frame tag + 0x9D012A start code,
+    14-bit LE dims), ``VP8L`` lossless (0x2F signature, 14+14-bit
+    packed dims-minus-one), ``VP8X`` extended (24-bit LE
+    dims-minus-one, feature flags). Headers only -- no entropy
+    decode. Truncated/missing bitstream chunks raise ValueError."""
+    data = bytes(content or b"")
+    if not (
+        data[:4] == b"RIFF" and len(data) >= 12 and data[8:12] == b"WEBP"
+    ):
+        raise NotImplementedError("not a WebP stream")
+    pos = 12
+    while pos + 8 <= len(data):
+        fourcc = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if body + size > len(data):
+            raise ValueError("WebP chunk overruns the buffer")
+        if fourcc == b"VP8 ":
+            if size < 10 or data[body + 3:body + 6] != b"\x9d\x01\x2a":
+                raise ValueError("bad VP8 key-frame start code")
+            w, h = struct.unpack_from("<HH", data, body + 6)
+            return {
+                "format": "lossy", "width": w & 0x3FFF,
+                "height": h & 0x3FFF,
+            }
+        if fourcc == b"VP8L":
+            if size < 5 or data[body] != 0x2F:
+                raise ValueError("bad VP8L signature byte")
+            (bits,) = struct.unpack_from("<I", data, body + 1)
+            return {
+                "format": "lossless",
+                "width": (bits & 0x3FFF) + 1,
+                "height": ((bits >> 14) & 0x3FFF) + 1,
+            }
+        if fourcc == b"VP8X":
+            if size < 10:
+                raise ValueError("short VP8X chunk")
+            w = int.from_bytes(data[body + 4:body + 7], "little") + 1
+            h = int.from_bytes(data[body + 7:body + 10], "little") + 1
+            return {
+                "format": "extended", "width": w, "height": h,
+                "has_animation": bool(data[body] & 0x02),
+                "has_alpha": bool(data[body] & 0x10),
+            }
+        pos = body + size + (size & 1)  # chunks are 2-byte aligned
+    raise ValueError("WebP stream has no VP8/VP8L/VP8X chunk")
+
+
+def _ogg_pages(data: bytes):
+    """Yield (granule_position, header_type, first_packet_head, page
+    body slice bounds) per Ogg page; raises ValueError on a malformed
+    page header (short header, bad version)."""
+    pos = 0
+    while pos + 27 <= len(data):
+        if data[pos:pos + 4] != b"OggS":
+            raise ValueError("Ogg page sync lost")
+        if data[pos + 4] != 0:
+            raise ValueError(f"Ogg stream version {data[pos + 4]}")
+        header_type = data[pos + 5]
+        (granule,) = struct.unpack_from("<q", data, pos + 6)
+        n_segs = data[pos + 26]
+        seg_table = data[pos + 27:pos + 27 + n_segs]
+        if len(seg_table) < n_segs:
+            raise ValueError("truncated Ogg segment table")
+        body = pos + 27 + n_segs
+        body_len = sum(seg_table)
+        if body + body_len > len(data):
+            raise ValueError("truncated Ogg page body")
+        yield granule, header_type, body, body + body_len
+        pos = body + body_len
+
+
+def probe_ogg(content: bytes) -> dict:
+    """Ogg audio metadata from the page walk: codec identification
+    from the first packet (Vorbis identification header per the
+    public Xiph spec: channels + rate at fixed offsets; ``OpusHead``
+    per RFC 7845), EXACT duration from the LAST page's granule
+    position (PCM sample count for Vorbis; 48 kHz ticks minus
+    pre-skip for Opus). Page headers only -- no codec setup parse, no
+    audio decode. Foreign bytes -> NotImplementedError; recognized
+    Ogg with a non-audio or unknown first packet -> NotImplementedError
+    (the counted-skip 'unsupported' classification); malformed pages
+    -> ValueError."""
+    data = bytes(content or b"")
+    if data[:4] != b"OggS":
+        raise NotImplementedError("not an Ogg stream")
+    pages = _ogg_pages(data)
+    try:
+        _, _, b0, e0 = next(pages)
+    except StopIteration:
+        raise ValueError("empty Ogg stream") from None
+    first = data[b0:e0]
+    if first[:7] == b"\x01vorbis":
+        if len(first) < 16:
+            raise ValueError("short Vorbis identification header")
+        channels = first[11]
+        (rate,) = struct.unpack_from("<I", first, 12)
+        codec = "vorbis"
+        tick_rate = rate
+        pre_skip = 0
+    elif first[:8] == b"OpusHead":
+        if len(first) < 19:
+            raise ValueError("short OpusHead")
+        channels = first[9]
+        (pre_skip,) = struct.unpack_from("<H", first, 10)
+        (rate,) = struct.unpack_from("<I", first, 12)
+        codec = "opus"
+        tick_rate = 48000  # granule ticks are always 48 kHz for Opus
+    else:
+        raise NotImplementedError(
+            "Ogg stream with unrecognized first packet"
+        )
+    if not channels or not rate:
+        raise ValueError("zero channels/rate in Ogg id header")
+    last_granule = 0
+    for granule, _, _, _ in pages:
+        if granule >= 0:
+            last_granule = granule
+    samples = max(0, last_granule - pre_skip)
+    return {
+        "codec": codec, "channels": int(channels),
+        "sample_rate": int(rate), "n_frames": int(samples),
+        "duration_s": samples / tick_rate,
+    }
+
+
 def probe_media(content: bytes) -> dict:
     """Magic-sniffing dispatcher over every in-repo container. Returns
     a NORMALIZED scalar dict: container, width, height, channels,
@@ -481,6 +609,19 @@ def probe_media(content: bytes) -> dict:
             duration_s=(
                 m["n_frames"] / m["fps"] if m.get("fps") else None
             ),
+        )
+    elif data[:4] == b"RIFF" and len(data) >= 12 and data[8:12] == b"WEBP":
+        m = probe_webp(data)
+        out.update(
+            container="webp", width=m["width"], height=m["height"],
+            n_frames=1,
+        )
+    elif data[:4] == b"OggS":
+        m = probe_ogg(data)
+        out.update(
+            container=f"ogg-{m['codec']}", channels=m["channels"],
+            sample_rate=m["sample_rate"], n_frames=m["n_frames"],
+            duration_s=m["duration_s"],
         )
     elif data[:4] == b"RIFF" and (len(data) < 12 or data[8:12] == b"WAVE"):
         m = probe_wav(data)

@@ -368,3 +368,114 @@ def test_extract_media_probe_covers_mp3_mp4(spark):
             mp4 = rows[(seed, "video/mp4")]
             assert mp4.decode_status == "ok" and mp4.container == "mp4"
             assert round(mp4.duration_s * 1000) == 250 * (5 + seed % 7)
+
+
+def _ogg_page(body: bytes, *, granule: int, htype: int, seq: int) -> bytes:
+    import struct as _s
+
+    segs = []
+    n = len(body)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)
+    return (
+        b"OggS\x00" + bytes([htype]) + _s.pack("<q", granule)
+        + _s.pack("<III", 1234, seq, 0) + bytes([len(segs)])
+        + bytes(segs) + body
+    )
+
+
+def test_probe_webp_matrix():
+    """WebP chunk walk (r15): lossy / lossless / extended dims,
+    truncation and bad start codes classify corrupt, foreign bytes
+    classify unsupported."""
+    import struct as _s
+
+    from rag_vertex_ai_vector_search_spark.multimodal.probe import (
+        probe_webp,
+    )
+
+    def riff(payload):
+        return b"RIFF" + _s.pack("<I", 4 + len(payload)) + b"WEBP" + payload
+
+    lossy = riff(
+        b"VP8 " + _s.pack("<I", 10)
+        + b"\x00\x00\x00" + b"\x9d\x01\x2a" + _s.pack("<HH", 320, 240)
+    )
+    m = probe_webp(lossy)
+    assert (m["format"], m["width"], m["height"]) == ("lossy", 320, 240)
+    assert probe_media(lossy)["container"] == "webp"
+    assert probe_media(lossy)["width"] == 320
+
+    bits = ((240 - 1) << 14) | (320 - 1)
+    lossless = riff(b"VP8L" + _s.pack("<I", 5) + b"\x2f" + _s.pack("<I", bits))
+    m = probe_webp(lossless)
+    assert (m["format"], m["width"], m["height"]) == ("lossless", 320, 240)
+
+    vp8x = riff(
+        b"VP8X" + _s.pack("<I", 10) + bytes([0x10, 0, 0, 0])
+        + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+    )
+    m = probe_webp(vp8x)
+    assert (m["width"], m["height"]) == (640, 480)
+    assert m["has_alpha"] and m["has_animation"] is False
+
+    with pytest.raises(ValueError):
+        probe_webp(lossy[:-6])  # chunk overruns the buffer
+    with pytest.raises(ValueError):
+        bad = bytearray(lossy)
+        bad[23] ^= 0xFF  # corrupt the 0x9d012a start code
+        probe_webp(bytes(bad))
+    with pytest.raises(NotImplementedError):
+        probe_webp(b"RIFF\x04\x00\x00\x00WAVE")  # wrong RIFF form
+
+
+def test_probe_ogg_matrix():
+    """Ogg page walk (r15): Vorbis and Opus identification headers,
+    exact duration from the final granule, corrupt/foreign
+    classification."""
+    import struct as _s
+
+    from rag_vertex_ai_vector_search_spark.multimodal.probe import (
+        probe_ogg,
+    )
+
+    vorbis_id = (
+        b"\x01vorbis" + _s.pack("<I", 0) + bytes([2])
+        + _s.pack("<I", 44100) + b"\x00" * 12 + b"\xb8\x01"
+    )
+    ogg = (
+        _ogg_page(vorbis_id, granule=0, htype=0x02, seq=0)
+        + _ogg_page(b"\x00" * 10, granule=22050, htype=0x00, seq=1)
+        + _ogg_page(b"\x00" * 10, granule=88200, htype=0x04, seq=2)
+    )
+    m = probe_ogg(ogg)
+    assert m["codec"] == "vorbis" and m["channels"] == 2
+    assert m["sample_rate"] == 44100 and m["n_frames"] == 88200
+    assert m["duration_s"] == pytest.approx(2.0)
+    meta = probe_media(ogg)
+    assert meta["container"] == "ogg-vorbis"
+    assert meta["duration_s"] == pytest.approx(2.0)
+
+    opus_id = (
+        b"OpusHead" + bytes([1, 1]) + _s.pack("<H", 312)
+        + _s.pack("<I", 16000) + _s.pack("<h", 0) + bytes([0])
+    )
+    opus = (
+        _ogg_page(opus_id, granule=0, htype=0x02, seq=0)
+        + _ogg_page(b"\x00" * 8, granule=48000 + 312, htype=0x04, seq=1)
+    )
+    m = probe_ogg(opus)
+    assert m["codec"] == "opus" and m["sample_rate"] == 16000
+    assert m["n_frames"] == 48000  # pre-skip subtracted
+    assert m["duration_s"] == pytest.approx(1.0)  # 48 kHz ticks
+
+    # truncated page body -> corrupt
+    with pytest.raises(ValueError):
+        probe_ogg(ogg[:-5])
+    # recognized Ogg, unknown first packet -> unsupported
+    with pytest.raises(NotImplementedError):
+        probe_ogg(_ogg_page(b"\x80theora-ish", granule=0, htype=2, seq=0))
+    with pytest.raises(NotImplementedError):
+        probe_ogg(b"not ogg at all")
