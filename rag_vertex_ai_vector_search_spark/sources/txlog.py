@@ -73,6 +73,12 @@ from pyspark.sql import DataFrame, SparkSession
 TXLOG_DIR = "_txlog"
 _STAGE_PREFIX = ".tx-stage-"
 _MAX_COMMIT_ATTEMPTS = 100
+# Every Nth commit is a CHECKPOINT carrying the full live-file list;
+# the commits between carry only their add/remove delta (O(delta)
+# JSON, the Delta-Lake economics). Readers resolve a snapshot by
+# walking back to the nearest checkpoint and replaying deltas forward
+# -- at most N-1 small files, independent of table size.
+CHECKPOINT_INTERVAL = 10
 
 
 class TxConflict(Exception):
@@ -129,12 +135,43 @@ class TxLog:
         versions = self._version_files()
         return versions[-1][0] if versions else -1
 
+    def _read_commit(self, v: int) -> dict:
+        with open(os.path.join(self.log_dir, f"v{v:020d}.json")) as f:
+            return json.load(f)
+
     def snapshot(self, version: int | None = None) -> dict:
+        """The commit doc at ``version`` with its ``files`` list
+        RESOLVED: checkpoint commits carry it verbatim; delta commits
+        are reconstructed by replaying add/remove deltas forward from
+        the nearest earlier checkpoint (<= CHECKPOINT_INTERVAL - 1
+        delta reads, independent of table size)."""
         v = self.current_version() if version is None else int(version)
         if v < 0:
             raise ValueError(f"no committed version at {self.table}")
-        with open(os.path.join(self.log_dir, f"v{v:020d}.json")) as f:
-            return json.load(f)
+        doc = self._read_commit(v)
+        if doc.get("files") is not None:
+            return doc
+        base = v - 1
+        chain = [doc]
+        while base >= 0:
+            d = self._read_commit(base)
+            chain.append(d)
+            if d.get("files") is not None:
+                break
+            base -= 1
+        else:
+            raise ValueError(
+                f"no checkpoint commit at or below v{v} at {self.table}"
+            )
+        files = {f["path"]: f for f in chain[-1]["files"]}
+        for d in reversed(chain[:-1]):
+            for rel in d.get("removed") or []:
+                files.pop(rel, None)
+            for f in d.get("added") or []:
+                files[f["path"]] = f
+        return {**doc, "files": sorted(
+            files.values(), key=lambda f: f["path"]
+        )}
 
     def live_files(self, version: int | None = None) -> list[str]:
         """Relative paths of the data files live at ``version``."""
@@ -190,19 +227,28 @@ class TxLog:
         meta: dict | None = None,
     ) -> int:
         """Publish ``base_version + 1``; raises ``TxConflict`` when the
-        slot is taken (caller re-reads and retries)."""
+        slot is taken (caller re-reads and retries). Checkpoint
+        versions (every ``CHECKPOINT_INTERVAL``-th, plus v0) persist
+        the full ``files`` list; the rest persist only their
+        add/remove delta -- ``snapshot()`` reconstructs. The delta is
+        exact by construction: every writer derives ``files`` as
+        (previous snapshot - removed + added)."""
         version = int(base_version) + 1
         doc = {
             "version": version,
             "base_version": int(base_version),
             "action": action,
-            "files": sorted(files, key=lambda f: f["path"]),
             "added": sorted(
                 (added or []), key=lambda f: f["path"]
             ),
             "removed": sorted(removed or []),
             "meta": meta or {},
         }
+        doc["files"] = (
+            sorted(files, key=lambda f: f["path"])
+            if version % CHECKPOINT_INTERVAL == 0
+            else None
+        )
         self._publish(version, doc)
         return version
 

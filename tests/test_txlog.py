@@ -330,4 +330,53 @@ def test_commit_log_contents_are_auditable(spark, tmp_path):
         doc = json.load(f)
     assert doc["action"] == "compact"
     assert doc["base_version"] == doc["version"] - 1
-    assert all({"path", "size"} <= set(e) for e in doc["files"])
+    # non-checkpoint commits persist only their delta (O(delta) JSON)
+    assert doc["files"] is None
+    assert all({"path", "size"} <= set(e) for e in doc["added"])
+    assert doc["removed"]  # the compacted inputs
+    # snapshot() reconstructs the full list from the v0 checkpoint
+    assert all(
+        {"path", "size"} <= set(e)
+        for e in log.snapshot()["files"]
+    )
+
+
+def test_checkpoint_interval_and_delta_replay(spark, tmp_path):
+    """Commits between checkpoints are O(delta); snapshot() replays
+    deltas forward from the nearest checkpoint and must agree with
+    physical truth at EVERY version across appends, a mid-chain
+    rewrite, and vacuum."""
+    import os as _os
+
+    from rag_vertex_ai_vector_search_spark.sources import txlog as _tx
+
+    path = str(tmp_path / "t")
+    # 23 single-file appends -> versions 1..23 over checkpoints 0/10/20
+    for i in range(23):
+        tx_append(spark, path, _range_df(spark, i * 10, i * 10 + 10, parts=1))
+    log = TxLog(spark, path)
+    assert log.current_version() == 23
+    for v in range(24):
+        raw = json.load(
+            open(_os.path.join(log.log_dir, f"v{v:020d}.json"))
+        )
+        if v % _tx.CHECKPOINT_INTERVAL == 0:
+            assert raw["files"] is not None
+        else:
+            assert raw["files"] is None
+    # reconstruction correct at an arbitrary mid-chain version
+    assert len(log.live_files(17)) == 17
+    assert read_table(spark, path, version=17).count() == 170
+    assert read_table(spark, path).count() == 230
+    # rewrite on a delta version: conflict validation + replay both
+    # run over reconstructed snapshots
+    n = tx_compact(spark, path, target_file_bytes=1 << 30)
+    assert n == 1 and log.current_version() == 24
+    assert read_table(spark, path).count() == 230
+    assert log.table_stats() == (
+        1,
+        sum(f["size"] for f in log.snapshot()["files"]),
+    )
+    rep = tx_vacuum(spark, path, retain_versions=1, min_age_seconds=0)
+    assert rep["deleted_files"] == 23
+    assert read_table(spark, path).count() == 230
