@@ -649,6 +649,10 @@ BENCH_QUERIES = [
     ("sql_knn_search", _sql_knn_search),
     # r15: the SQL route to the dedup surface (lazy view; timed = plan).
     ("sql_dedup_candidates", _sql_dedup_candidates),
+    # r15: the transactional storage lifecycle (append x2 -> tx
+    # compaction -> snapshot read) -- prices the manifest-commit
+    # overhead against the table-scale work it coordinates.
+    ("txlog_compaction_roundtrip", entrymod.q_txlog_compaction_roundtrip),
     # r14: dedup-aware embedding -- per-row vs per-distinct-content on
     # a 75%-duplicate corpus (bit-equal outputs; wall ~ties under the
     # free hash embedder, the entry prices the extra shuffle that buys

@@ -696,16 +696,24 @@ def tx_vacuum(
     *,
     retain_versions: int = 2,
     min_age_seconds: float = 3600.0,
+    prune_log: bool = False,
 ) -> dict:
     """Physical GC: delete data files referenced by NONE of the last
     ``retain_versions`` manifests, plus aged scratch dirs. Both deletes
     are age-gated on mtime so an in-flight writer's moved-in-but-not-
     yet-committed files are never raced (its commit would reference
-    them); pass ``min_age_seconds=0`` only with writers stopped. Old
-    commit JSONs beyond the retained window stay (they are bytes, and
-    they are the table's history/time-travel index); readers pinned to
-    a vacuumed-away version fail loudly on open, the standard
-    time-travel-retention contract."""
+    them); pass ``min_age_seconds=0`` only with writers stopped.
+
+    ``prune_log=True`` additionally deletes commit JSONs the retained
+    window can no longer need: everything below the newest CHECKPOINT
+    at or below the oldest retained version (so every retained
+    version's delta-replay chain stays intact). A per-epoch streaming
+    sink commits ~10^5 versions/day -- without pruning the log dir
+    listing (``current_version``) and the ``find_txn`` replay probe
+    degrade linearly with table AGE instead of table size. Readers
+    pinned to a pruned version fail loudly on open, the standard
+    time-travel-retention contract; with ``prune_log=False`` (default)
+    the full history stays as the table's time-travel index."""
     log = TxLog(spark, path)
     current = log.current_version()
     if current < 0:
@@ -752,8 +760,19 @@ def tx_vacuum(
             continue
         shutil.rmtree(full, ignore_errors=True)
         dirs += 1
+    pruned = 0
+    if prune_log:
+        oldest_retained = max(0, current - retain_versions + 1)
+        cutoff = (
+            oldest_retained // CHECKPOINT_INTERVAL
+        ) * CHECKPOINT_INTERVAL
+        for v, name in log._version_files():
+            if v < cutoff:
+                os.unlink(os.path.join(log.log_dir, name))
+                pruned += 1
     return {
         "deleted_files": deleted,
         "deleted_dirs": dirs,
         "reclaimed_bytes": reclaimed,
+        "pruned_commits": pruned,
     }

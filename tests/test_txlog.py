@@ -380,3 +380,29 @@ def test_checkpoint_interval_and_delta_replay(spark, tmp_path):
     rep = tx_vacuum(spark, path, retain_versions=1, min_age_seconds=0)
     assert rep["deleted_files"] == 23
     assert read_table(spark, path).count() == 230
+
+
+def test_vacuum_prunes_commit_log_keeping_replay_chains(spark, tmp_path):
+    """prune_log=True bounds the log dir by table RETENTION instead of
+    table age: commits below the newest checkpoint at-or-below the
+    oldest retained version go; every retained version must still
+    snapshot() (its checkpoint + delta chain survives)."""
+    import os as _os
+
+    path = str(tmp_path / "t")
+    for i in range(25):  # versions 1..25, checkpoints at 0/10/20
+        tx_append(spark, path, _range_df(spark, i * 10, i * 10 + 10, parts=1))
+    log = TxLog(spark, path)
+    rep = tx_vacuum(
+        spark, path, retain_versions=4, min_age_seconds=0, prune_log=True
+    )
+    # oldest retained = 22 -> cutoff checkpoint 20 -> v0..v19 pruned
+    assert rep["pruned_commits"] == 20
+    remaining = [v for v, _ in log._version_files()]
+    assert remaining == list(range(20, 26))
+    assert log.current_version() == 25
+    for v in range(22, 26):  # every retained version still resolves
+        assert len(log.live_files(v)) == v
+    assert read_table(spark, path).count() == 250
+    with pytest.raises(Exception):
+        log.snapshot(5)  # pruned history fails loudly
