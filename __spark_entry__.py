@@ -4506,6 +4506,12 @@ def q_streaming_merge_upsert_maintained(
     progress. Archive-gated (window at capacity); bucket-level
     byte-identity of untouched dirs is additionally pytest-proven in
     tests/test_streaming.py."""
+    return _streaming_merge_upsert(spark, sf_dir, txlog=False)
+
+
+def _streaming_merge_upsert(
+    spark: SparkSession, sf_dir: str, *, txlog: bool
+) -> DataFrame:
     import shutil
     import tempfile
 
@@ -4540,7 +4546,7 @@ def q_streaming_merge_upsert_maintained(
         )
         q = stream_merge_into_index(
             stream, index_path,
-            checkpoint_dir=f"{work}/ckpt", n_buckets=8,
+            checkpoint_dir=f"{work}/ckpt", n_buckets=8, txlog=txlog,
         )
         try:
             q.processAllAvailable()
@@ -4554,9 +4560,34 @@ def q_streaming_merge_upsert_maintained(
                 )
         finally:
             q.stop()
+        if txlog:
+            from rag_vertex_ai_vector_search_spark.sources.txlog import (
+                TxLog,
+                read_table_any,
+            )
+
+            log = TxLog(spark, index_path)
+            # one manifest commit per epoch, in epoch order, each
+            # carrying its (checkpoint, epoch) replay txn
+            metas = [
+                log.snapshot(v).get("meta") or {}
+                for v in range(1, log.current_version() + 1)
+            ]
+            if [m.get("txn_batch") for m in metas] != [0, 1, 2]:
+                raise RuntimeError(
+                    f"unexpected epoch commit sequence: {metas}"
+                )
+            stored = read_table_any(spark, index_path)
+            extra = [
+                F.lit(int(log.current_version()))
+                .cast("long").alias("final_version")
+            ]
+        else:
+            stored = spark.read.parquet(index_path)
+            extra = []
         vec = F.col("feature_vector").cast("array<double>")
         return (
-            spark.read.parquet(index_path)
+            stored
             .select(
                 "data_point_id",
                 F.col("numeric_restricts")["content_length"].alias(
@@ -4570,11 +4601,29 @@ def q_streaming_merge_upsert_maintained(
                     F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x),
                     6,
                 ).alias("norm_sq"),
+                *extra,
             )
             .localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def q_streaming_tx_merge_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The continuous-ingest merge sink COMMITTED THROUGH THE
+    TRANSACTIONAL LOG (r15, VERDICT r14 #1): the same three real
+    micro-batches and last-writer-wins semantics as
+    streaming_merge_upsert_maintained, but each epoch's bucket surgery
+    publishes one manifest version with (checkpoint, epoch) replay txn
+    meta, and the final table is resolved by SNAPSHOT READ -- replaced
+    bucket files physically present in the dir cannot double-count.
+    The oracle adds the protocol's closed-form version number (v0
+    init + three epoch merges = 3): a missed epoch, a split epoch, a
+    double-applied replay, or a listing-based read all flip the hash.
+    Archive-gated (window at capacity)."""
+    return _streaming_merge_upsert(spark, sf_dir, txlog=True)
 
 
 _SQL_STREAM_MERGE_UPSERT = f"""
@@ -4596,6 +4645,14 @@ SELECT sha256(CAST(doc_id AS VARCHAR)) AS data_point_id,
 FROM final
 WHERE {_SQL_TOKENS} <= 2042
 """
+
+# the tx sink's mirror: the same last-writer-wins content plus the
+# protocol's closed-form version number (v0 init + 3 epoch merges)
+_SQL_STREAM_MERGE_TX = (
+    "SELECT *, CAST(3 AS BIGINT) AS final_version FROM ("
+    + _SQL_STREAM_MERGE_UPSERT
+    + ")"
+)
 
 
 _SQL_STREAM_INTERVAL_JOIN = """
@@ -10367,10 +10424,11 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # declared THROUGH streaming_doremi_maintained, whose oracle
         # is this row's mirror verbatim)
         "doremi_domain_mix": q_doremi_domain_mix,
-        # r15-new: the transactional storage layer's content gate
-        # (append x2 -> tx compaction -> snapshot read + closed-form
-        # version number)
+        # r15-new: the transactional storage layer's content gates
+        # (batch: append x2 -> tx compaction -> snapshot read;
+        # streaming: per-epoch manifest merges with replay txns)
         "txlog_compaction_roundtrip": q_txlog_compaction_roundtrip,
+        "streaming_tx_merge_maintained": q_streaming_tx_merge_maintained,
         "pagerank_citations": q_pagerank_citations,
         "pagerank_weighted": q_pagerank_weighted,
         "hits_citations": q_hits_citations,
@@ -10518,6 +10576,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "cms_word_frequencies": _SQL_CMS_WORDS,
         "doremi_domain_mix": _sql_doremi_domain_mix(),
         "txlog_compaction_roundtrip": _SQL_TXLOG_ROUNDTRIP,
+        "streaming_tx_merge_maintained": _SQL_STREAM_MERGE_TX,
         "pagerank_citations": _sql_pagerank(6),
         "pagerank_weighted": _sql_pagerank_weighted(6),
         "hits_citations": _sql_hits(6),
