@@ -75,6 +75,8 @@ def maintain_index(
     vec_col: str = "feature_vector",
     id_col: str = "data_point_id",
     recluster_kwargs: dict | None = None,
+    tx_retain_versions: int = 2,
+    tx_prune_log: bool = False,
 ) -> dict:
     """One idempotent maintenance pass over an IVF index layout.
 
@@ -138,10 +140,18 @@ def maintain_index(
         spark, index_path, min_age_seconds=min_age_seconds
     )
     if is_tx:
+        # tx_prune_log=True additionally bounds the COMMIT LOG by the
+        # retention window -- the right default for a per-epoch
+        # streaming sink's table once time travel beyond
+        # tx_retain_versions is not needed (see txlog.tx_vacuum).
         gc_report = dict(
             gc_report,
             vacuum=tx_vacuum(
-                spark, index_path, min_age_seconds=min_age_seconds
+                spark,
+                index_path,
+                retain_versions=tx_retain_versions,
+                min_age_seconds=min_age_seconds,
+                prune_log=tx_prune_log,
             ),
         )
     timings["heal_gc"] = round(_time.perf_counter() - _t0, 3)

@@ -406,3 +406,30 @@ def test_vacuum_prunes_commit_log_keeping_replay_chains(spark, tmp_path):
     assert read_table(spark, path).count() == 250
     with pytest.raises(Exception):
         log.snapshot(5)  # pruned history fails loudly
+
+
+def test_tx_snapshot_read_keeps_pruning_and_pushdown(spark, tmp_path):
+    """The explicit-file-list snapshot read must not cost Catalyst
+    anything: hive partition columns survive (basePath), partition
+    filters prune to the matching files, and data predicates still
+    push to the parquet scan."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 9000).select(
+        "id", (F.col("id") % 3).alias("part"), (F.col("id") * 2).alias("v")
+    )
+    tx_append(spark, path, df.repartition(6), partition_cols=("part",))
+    got = read_table(spark, path).filter(
+        (F.col("part") == 1) & (F.col("v") > 100)
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "part" in plan.split(
+        "PartitionFilters:"
+    )[1][:80]
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters:")[1][:120]
+    assert "GreaterThan(v,100" in pushed
+    assert got.count() == df.filter(
+        (F.col("part") == 1) & (F.col("v") > 100)
+    ).count()
+    # (inputFiles() reports the PRE-pruning index, so the pruning
+    # evidence is the PartitionFilters entry above plus the count)
