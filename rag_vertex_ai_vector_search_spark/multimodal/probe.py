@@ -444,6 +444,52 @@ def probe_mp4(content: bytes) -> dict:
     return out
 
 
+def probe_tiff(content: bytes) -> dict:
+    """TIFF dimensions/sample layout from the first IFD (public TIFF 6
+    spec): endianness from the II/MM magic, 12-byte directory entries,
+    tags 256/257 (dims), 277 (samples/pixel), 259 (compression code).
+    Inline SHORT/LONG values only -- offset-stored arrays (multi-sample
+    BitsPerSample) are skipped, dims/samples are always inline in
+    practice. Truncated headers/IFDs raise ValueError."""
+    data = bytes(content or b"")
+    if data[:4] == b"II*\x00":
+        endian = "<"
+    elif data[:4] == b"MM\x00*":
+        endian = ">"
+    else:
+        raise NotImplementedError("not a TIFF stream")
+    if len(data) < 8:
+        raise ValueError("truncated TIFF header")
+    (ifd_off,) = struct.unpack_from(endian + "I", data, 4)
+    if ifd_off + 2 > len(data):
+        raise ValueError("TIFF IFD offset overruns the buffer")
+    (n_entries,) = struct.unpack_from(endian + "H", data, ifd_off)
+    if ifd_off + 2 + 12 * n_entries > len(data):
+        raise ValueError("truncated TIFF IFD")
+    out = {
+        "width": None, "height": None, "samples_per_pixel": 1,
+        "compression": 1, "byte_order": "little" if endian == "<"
+        else "big",
+    }
+    tag_map = {256: "width", 257: "height", 277: "samples_per_pixel",
+               259: "compression"}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        tag, vtype, count = struct.unpack_from(endian + "HHI", data, base)
+        if tag not in tag_map or count != 1:
+            continue
+        if vtype == 3:  # SHORT, left-justified in the value word
+            (val,) = struct.unpack_from(endian + "H", data, base + 8)
+        elif vtype == 4:  # LONG
+            (val,) = struct.unpack_from(endian + "I", data, base + 8)
+        else:
+            continue
+        out[tag_map[tag]] = int(val)
+    if out["width"] is None or out["height"] is None:
+        raise ValueError("TIFF IFD lacks ImageWidth/ImageLength")
+    return out
+
+
 def probe_webp(content: bytes) -> dict:
     """WebP dimensions/format from the RIFF chunk walk (public
     container spec): ``VP8 `` lossy (frame tag + 0x9D012A start code,
@@ -615,6 +661,12 @@ def probe_media(content: bytes) -> dict:
         out.update(
             container="webp", width=m["width"], height=m["height"],
             n_frames=1,
+        )
+    elif data[:4] in (b"II*\x00", b"MM\x00*"):
+        m = probe_tiff(data)
+        out.update(
+            container="tiff", width=m["width"], height=m["height"],
+            channels=m["samples_per_pixel"], n_frames=1,
         )
     elif data[:4] == b"OggS":
         m = probe_ogg(data)

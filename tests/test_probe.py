@@ -479,3 +479,50 @@ def test_probe_ogg_matrix():
         probe_ogg(_ogg_page(b"\x80theora-ish", granule=0, htype=2, seq=0))
     with pytest.raises(NotImplementedError):
         probe_ogg(b"not ogg at all")
+
+
+def test_probe_tiff_matrix():
+    """TIFF first-IFD walk (r15): both byte orders, SHORT and LONG
+    dims, truncation/missing-dims corrupt, foreign unsupported."""
+    import struct as _s
+
+    from rag_vertex_ai_vector_search_spark.multimodal.probe import (
+        probe_tiff,
+    )
+
+    def tiff(endian, entries):
+        e = "<" if endian == "II" else ">"
+        magic = b"II*\x00" if endian == "II" else b"MM\x00*"
+        body = _s.pack(e + "H", len(entries))
+        for tag, vtype, count, val in entries:
+            word = (
+                _s.pack(e + "H", val) + b"\x00\x00"
+                if vtype == 3 else _s.pack(e + "I", val)
+            )
+            body += _s.pack(e + "HHI", tag, vtype, count) + word
+        body += _s.pack(e + "I", 0)  # next-IFD pointer
+        return magic + _s.pack(e + "I", 8) + body
+
+    little = tiff("II", [
+        (256, 3, 1, 640), (257, 4, 1, 480), (277, 3, 1, 3),
+        (259, 3, 1, 1),
+    ])
+    m = probe_tiff(little)
+    assert (m["width"], m["height"], m["samples_per_pixel"]) == (
+        640, 480, 3,
+    )
+    assert m["byte_order"] == "little" and m["compression"] == 1
+    big = tiff("MM", [(256, 4, 1, 12), (257, 3, 1, 34)])
+    m = probe_tiff(big)
+    assert (m["width"], m["height"]) == (12, 34)
+    assert m["byte_order"] == "big"
+    meta = probe_media(little)
+    assert meta["container"] == "tiff" and meta["width"] == 640
+    assert meta["channels"] == 3
+
+    with pytest.raises(ValueError):
+        probe_tiff(little[:14])  # truncated IFD
+    with pytest.raises(ValueError):
+        probe_tiff(tiff("II", [(259, 3, 1, 1)]))  # no dims
+    with pytest.raises(NotImplementedError):
+        probe_tiff(b"not a tiff")

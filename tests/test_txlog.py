@@ -433,3 +433,30 @@ def test_tx_snapshot_read_keeps_pruning_and_pushdown(spark, tmp_path):
     ).count()
     # (inputFiles() reports the PRE-pruning index, so the pruning
     # evidence is the PartitionFilters entry above plus the count)
+
+
+def test_many_threads_append_all_commits_land(spark, tmp_path):
+    """In-process hard-race stress: 4 threads x 6 tx appends against
+    one table. Every commit must land (the publish loop rebases
+    losers), versions must be CONTIGUOUS (the atomic hard-link claims
+    exactly one slot each), and the final snapshot must hold every
+    row exactly once."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "t")
+    TxLog(spark, path).ensure()
+
+    def writer(w):
+        for b in range(6):
+            lo = (w * 6 + b) * 10
+            tx_append(spark, path, _range_df(spark, lo, lo + 10, parts=1))
+        return w
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        assert sorted(ex.map(writer, range(4))) == [0, 1, 2, 3]
+
+    log = TxLog(spark, path)
+    assert log.current_version() == 24  # v0 init + 24 appends, no gaps
+    got = read_table(spark, path)
+    assert got.count() == 240
+    assert got.select("id").distinct().count() == 240
