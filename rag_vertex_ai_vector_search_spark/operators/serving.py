@@ -212,12 +212,9 @@ class ServingReplica:
             # a tx table's identity is its committed version -- O(1)
             # to probe (one small-dir listing) vs the recursive
             # data-file walk, and immune to unvacuumed garbage
-            try:
-                log = TxLog(self.spark, p)
-                if log.exists():
-                    return ("txv", log.current_version())
-            except NotImplementedError:
-                pass
+            log = TxLog(self.spark, p)
+            if log.exists():
+                return ("txv", log.current_version())
             return _listing_snapshot(self.spark, p)
 
         return tuple(_one(p) for p in self.source.snapshot_paths())

@@ -86,13 +86,12 @@ def point_update(
 def _table_is_tx(spark, path: str) -> bool:
     """True when the table carries a ``_txlog`` commit log (then every
     mutation must go through it -- mixing listing-based writes into a
-    tx table would commit files no manifest references)."""
-    try:
-        from ..sources.txlog import TxLog
+    tx table would commit files no manifest references). The probe
+    works on any Hadoop-supported scheme (r16) -- an unreadable scheme
+    fails loudly instead of silently downgrading to listing writes."""
+    from ..sources.txlog import TxLog
 
-        return TxLog(spark, path).exists()
-    except NotImplementedError:  # remote scheme: no local txlog
-        return False
+    return TxLog(spark, path).exists()
 
 
 def _is_path_not_found(e: Exception) -> bool:

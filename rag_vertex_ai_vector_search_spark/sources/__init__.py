@@ -15,6 +15,7 @@ from .compact import (
 )
 from .txlog import (
     TxConflict,
+    TxIdempotentReplay,
     TxLog,
     TxRewriteAborted,
     read_table_any,

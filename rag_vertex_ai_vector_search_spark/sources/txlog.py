@@ -16,15 +16,24 @@ principles on primitives the repo already owns):
   and the writer's ``base_version``. The underscore dir is invisible to
   plain ``spark.read.parquet`` scans, so a tx table still reads as a
   (possibly stale/superset) plain directory for legacy consumers.
-- **Atomic commit = publish-if-absent of the next version file.** On a
-  local filesystem this is ``os.link(tmp, v{N}.json)`` -- a POSIX hard
-  link fails with EEXIST atomically, so exactly ONE writer wins each
-  version slot (rename(2) would silently overwrite). On HDFS the
-  fallback is ``fs.rename`` (atomic, fails when the destination
-  exists). Object stores without atomic put-if-absent need a LogStore
-  coordinator (DynamoDB for S3 in Delta's design) -- that is the one
-  deployment seam, and it is the SAME seam every transactional format
-  has on S3.
+- **Atomic commit = publish-if-absent of the next version file.** The
+  claim primitive is the ONE scheme-dispatched operation (r16):
+  scheme-less local paths and ``file:`` URIs claim via
+  ``os.link(tmp, v{N}.json)`` -- a POSIX hard link fails with EEXIST
+  atomically, so exactly ONE writer wins each version slot (rename(2)
+  would silently overwrite). HDFS-family schemes (``hdfs:``,
+  ``viewfs:``, ...) claim via ``fs.rename(tmp, final)`` -- atomic at
+  the namenode, returns false when the destination exists (the same
+  primitive Delta's HDFSLogStore uses). Object stores without an
+  atomic put-if-absent (``s3a:``, ``gs:``, ``abfs:``, ...) raise
+  ``NotImplementedError`` AT COMMIT TIME with the LogStore guidance
+  (a DynamoDB-style coordinator, Delta's S3 design) -- reads and
+  snapshot resolution still work on any Hadoop-supported scheme, only
+  the claim needs the coordinator. Everything else (manifest IO,
+  listings, staging moves, vacuum walks) goes through the Hadoop
+  FileSystem API whenever the path carries a scheme, so the whole
+  protocol runs unchanged on remote filesystems; scheme-less paths
+  keep the direct-POSIX fast path.
 - **Snapshot-isolation readers.** ``read_table`` resolves the highest
   committed version and reads the explicit file list
   (``option("basePath", table)`` keeps hive partition columns), never
@@ -40,18 +49,35 @@ principles on primitives the repo already owns):
   of them are still live -- a concurrent append rides through (the
   rebase keeps every file the rewrite didn't read), while two rewrites
   of overlapping files conflict and the loser aborts with its outputs
-  reaped. Lost updates are impossible by construction: the version
-  slot is claimed atomically AFTER validation, and a loser re-validates
-  against the winner's snapshot.
+  reaped. A rewrite may additionally pass ``guard_prefixes`` (r16):
+  any file ADDED under a guarded prefix between the read version and
+  the commit attempt aborts the rewrite too -- this is how ``tx_merge``
+  keeps a concurrent append to a TOUCHED bucket from bypassing the
+  keep-latest merge (the epoch retries on the fresh snapshot). Lost
+  updates are impossible by construction: the version slot is claimed
+  atomically AFTER validation, and a loser re-validates against the
+  winner's snapshot.
+- **Exactly-once streaming replay.** Commits may carry
+  ``(txn_app, txn_batch)`` meta; a replayed epoch whose pair is
+  already recorded is skipped. The guard is re-checked after EVERY
+  lost slot race inside the commit loops (r16, not just before them),
+  so two concurrent replays of the same epoch -- the zombie-driver
+  scenario -- resolve to one application: the loser observes the
+  winner's txn record and raises ``TxIdempotentReplay`` (callers reap
+  their staged outputs and return the winner's version). Pruned
+  commits keep their txn records in a ``_txlog/_txn_index.json``
+  sidecar so a long-delayed replay of a pruned epoch is still skipped.
 
-Scale notes (100 TB): a full file list per commit is O(files) JSON --
-fine to ~10^5 files; past that the production refinement is Delta's
-add/remove action log + periodic checkpoints so a commit is O(delta).
-The snapshot read hands Spark an explicit file list, which is exactly
-what Delta/Iceberg readers do (no listing; the driver holds the
-manifest). ``vacuum`` bounds physical garbage: files referenced by no
-retained version are deleted age-gated, so an in-flight writer's
-just-moved-in (not yet committed) files are never raced.
+Scale notes (100 TB): the log is O(delta) per commit -- every
+``CHECKPOINT_INTERVAL``-th version persists the full live-file list,
+the versions between persist only their add/remove delta, and
+``snapshot()`` replays deltas forward from the nearest checkpoint
+(<= N-1 small reads, independent of table size). The snapshot read
+hands Spark an explicit file list, which is exactly what Delta/Iceberg
+readers do (no listing; the driver holds the manifest). ``vacuum``
+bounds physical garbage: files referenced by no retained version are
+deleted age-gated, so an in-flight writer's just-moved-in (not yet
+committed) files are never raced.
 
 Reference anchor: the engine's mutation surface is an atomic batch
 commit (firestore_ops.py:65-83) over a live STREAM_UPDATE index
@@ -64,6 +90,7 @@ from __future__ import annotations
 import json
 import os
 import posixpath
+import re
 import shutil
 import time
 import uuid
@@ -71,8 +98,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 TXLOG_DIR = "_txlog"
+TXN_INDEX = "_txn_index.json"
 _STAGE_PREFIX = ".tx-stage-"
 _MAX_COMMIT_ATTEMPTS = 100
+_MAX_MERGE_RETRIES = 8
 # Every Nth commit is a CHECKPOINT carrying the full live-file list;
 # the commits between carry only their add/remove delta (O(delta)
 # JSON, the Delta-Lake economics). Readers resolve a snapshot by
@@ -80,30 +109,352 @@ _MAX_COMMIT_ATTEMPTS = 100
 # -- at most N-1 small files, independent of table size.
 CHECKPOINT_INTERVAL = 10
 
+# Hadoop schemes whose rename(2) analog is atomic AND fails when the
+# destination exists (single-namespace metadata services).
+_ATOMIC_RENAME_SCHEMES = frozenset(
+    {"hdfs", "viewfs", "webhdfs", "swebhdfs", "ofs", "o3fs"}
+)
+_SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*):")
+
 
 class TxConflict(Exception):
     """Another writer claimed the version slot (retryable)."""
 
 
 class TxRewriteAborted(Exception):
-    """A concurrent commit removed one of this rewrite's input files:
-    the rewrite's outputs are stale and must not be published."""
+    """A concurrent commit invalidated this rewrite (an input file was
+    removed, or a file landed under a guarded prefix): the rewrite's
+    outputs are stale and must not be published."""
 
 
-def _local_path(path: str) -> str:
-    """Strip a ``file:`` scheme; raise for remote schemes (the HDFS /
-    object-store branch goes through the Hadoop FS seam documented in
-    the module docstring -- not exercised in this sandbox)."""
+class TxIdempotentReplay(Exception):
+    """A concurrent replay of the same (txn_app, txn_batch) already
+    committed this epoch. Carries the winner's ``version``; the caller
+    must reap its own staged outputs and return that version."""
+
+    def __init__(self, version: int):
+        super().__init__(f"epoch already committed at version {version}")
+        self.version = int(version)
+
+
+def _scheme_of(path: str) -> str | None:
+    m = _SCHEME_RE.match(path)
+    return m.group(1) if m else None
+
+
+def _strip_file_scheme(path: str) -> str:
     if path.startswith("file://"):
-        return path[len("file://"):]
+        return path[len("file://"):] or "/"
     if path.startswith("file:"):
         return path[len("file:"):]
-    if "://" in path:
-        raise NotImplementedError(
-            f"txlog on remote scheme {path!r}: route the publish through "
-            "fs.rename (HDFS) or a LogStore coordinator (object stores)"
-        )
     return path
+
+
+# ---- filesystem adapters ------------------------------------------------
+#
+# The protocol is filesystem-agnostic; these adapters carry the few
+# primitives it needs. Scheme-less paths use direct POSIX calls (the
+# fast path, zero JVM round-trips); any ``scheme:`` path routes
+# through the Hadoop FileSystem API (``file:`` included -- that is how
+# the remote branch is proven in-sandbox, see tests/test_txlog_hadoop.py).
+
+
+class _LocalTxFs:
+    """Direct-POSIX adapter for scheme-less local paths."""
+
+    scheme = None
+
+    def normalize(self, path: str) -> str:
+        return _strip_file_scheme(path).rstrip("/")
+
+    def join(self, *parts: str) -> str:
+        return os.path.join(*parts)
+
+    def relpath(self, full: str, root: str) -> str:
+        return os.path.relpath(full, root).replace(os.sep, "/")
+
+    def exists(self, p: str) -> bool:
+        return os.path.exists(p)
+
+    def isdir(self, p: str) -> bool:
+        return os.path.isdir(p)
+
+    def listdir(self, p: str) -> list[str]:
+        return os.listdir(p)
+
+    def read_bytes(self, p: str) -> bytes:
+        with open(p, "rb") as f:
+            return f.read()
+
+    def makedirs(self, p: str) -> None:
+        os.makedirs(p, exist_ok=True)
+
+    def getsize(self, p: str) -> int:
+        return os.path.getsize(p)
+
+    def mtime(self, p: str) -> float:
+        return os.stat(p).st_mtime
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def unlink(self, p: str) -> None:
+        try:
+            os.unlink(p)
+        except FileNotFoundError:
+            pass
+
+    def delete_dir(self, p: str) -> None:
+        shutil.rmtree(p, ignore_errors=True)
+
+    def walk_files(self, root: str, *, prune_hidden: bool = True):
+        """Yield ``(full_path, size, mtime)`` for every file under
+        ``root``. ``prune_hidden`` skips underscore/dot DIRS except
+        hive partition dirs (``name=value``); file-name filtering is
+        the caller's concern."""
+        for r, dnames, names in os.walk(root):
+            if prune_hidden:
+                dnames[:] = [
+                    d for d in dnames
+                    if ("=" in d) or not (
+                        d.startswith("_") or d.startswith(".")
+                    )
+                ]
+            for n in names:
+                full = os.path.join(r, n)
+                try:
+                    st = os.stat(full)
+                except FileNotFoundError:
+                    continue
+                yield full, st.st_size, st.st_mtime
+
+    def publish_if_absent(
+        self, log_dir: str, final: str, payload: bytes
+    ) -> None:
+        """Write-tmp + fsync + hard-link: the link either creates the
+        commit file (win) or fails EEXIST (lose, TxConflict). The tmp
+        is fully durable before the link, so a reader can never open a
+        half-written commit."""
+        self.makedirs(log_dir)
+        tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, payload)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise TxConflict(
+                f"version file {final} already committed"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        # durability of the directory entry itself
+        dfd = os.open(log_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
+    def write_replace(self, p: str, payload: bytes) -> None:
+        """Overwrite ``p`` atomically-enough for single-writer
+        maintenance sidecars (tmp + rename)."""
+        tmp = f"{p}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)
+
+
+class _HadoopTxFs:
+    """Hadoop FileSystem adapter for ``scheme:`` paths. All manifest
+    IO, listings and staging moves go through the JVM ``FileSystem``;
+    only the publish claim is scheme-dispatched (module docstring).
+    ``file:`` uses the RawLocalFileSystem (no .crc sidecars) so the
+    whole branch is exercisable in-sandbox."""
+
+    def __init__(self, spark: SparkSession | None, path: str):
+        if spark is None:
+            spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError(
+                f"txlog on {path!r} needs an active SparkSession for "
+                "Hadoop FileSystem access"
+            )
+        jvm = spark._jvm
+        self._jvm = jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        conf = spark._jsc.hadoopConfiguration()
+        self.scheme = _scheme_of(path)
+        if self.scheme == "file":
+            self._fs = (
+                jvm.org.apache.hadoop.fs.FileSystem
+                .getLocal(conf).getRawFileSystem()
+            )
+        else:
+            self._fs = self._Path(path).getFileSystem(conf)
+
+    @staticmethod
+    def _is_fnf(e: Exception) -> bool:
+        je = getattr(e, "java_exception", None)
+        if je is None:
+            return False
+        name = je.getClass().getName()
+        return "FileNotFoundException" in name or "PathNotFound" in name
+
+    def normalize(self, path: str) -> str:
+        return self._Path(path.rstrip("/")).toString()
+
+    def join(self, *parts: str) -> str:
+        return posixpath.join(*parts)
+
+    def relpath(self, full: str, root: str) -> str:
+        root = root.rstrip("/")
+        if full == root:
+            return "."
+        if not full.startswith(root + "/"):
+            raise ValueError(f"{full!r} is not under {root!r}")
+        return full[len(root) + 1:]
+
+    def exists(self, p: str) -> bool:
+        return bool(self._fs.exists(self._Path(p)))
+
+    def isdir(self, p: str) -> bool:
+        try:
+            return bool(self._fs.getFileStatus(self._Path(p)).isDirectory())
+        except Exception as e:  # noqa: BLE001
+            if self._is_fnf(e):
+                return False
+            raise
+
+    def listdir(self, p: str) -> list[str]:
+        try:
+            sts = self._fs.listStatus(self._Path(p))
+        except Exception as e:  # noqa: BLE001
+            if self._is_fnf(e):
+                raise FileNotFoundError(p) from None
+            raise
+        return [st.getPath().getName() for st in sts]
+
+    def read_bytes(self, p: str) -> bytes:
+        try:
+            stream = self._fs.open(self._Path(p))
+        except Exception as e:  # noqa: BLE001
+            if self._is_fnf(e):
+                raise FileNotFoundError(p) from None
+            raise
+        try:
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                stream
+            )
+        finally:
+            stream.close()
+        return bytes(data)
+
+    def makedirs(self, p: str) -> None:
+        self._fs.mkdirs(self._Path(p))
+
+    def getsize(self, p: str) -> int:
+        return int(self._fs.getFileStatus(self._Path(p)).getLen())
+
+    def mtime(self, p: str) -> float:
+        return (
+            self._fs.getFileStatus(self._Path(p)).getModificationTime()
+            / 1000.0
+        )
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs.rename(self._Path(src), self._Path(dst)):
+            raise OSError(f"rename {src!r} -> {dst!r} failed")
+
+    def unlink(self, p: str) -> None:
+        self._fs.delete(self._Path(p), False)
+
+    def delete_dir(self, p: str) -> None:
+        self._fs.delete(self._Path(p), True)
+
+    def walk_files(self, root: str, *, prune_hidden: bool = True):
+        try:
+            sts = self._fs.listStatus(self._Path(root))
+        except Exception as e:  # noqa: BLE001
+            if self._is_fnf(e):
+                return
+            raise
+        for st in sts:
+            name = st.getPath().getName()
+            full = st.getPath().toString()
+            if st.isDirectory():
+                if prune_hidden and ("=" not in name) and (
+                    name.startswith("_") or name.startswith(".")
+                ):
+                    continue
+                yield from self.walk_files(full, prune_hidden=prune_hidden)
+            else:
+                yield full, int(st.getLen()), (
+                    st.getModificationTime() / 1000.0
+                )
+
+    def _write_stream(self, p: str, payload: bytes, overwrite: bool) -> None:
+        out = self._fs.create(self._Path(p), overwrite)
+        try:
+            out.write(bytearray(payload))
+            try:
+                out.hsync()
+            except Exception:  # noqa: BLE001 -- hsync unsupported on some FS
+                pass
+        finally:
+            out.close()
+
+    def publish_if_absent(
+        self, log_dir: str, final: str, payload: bytes
+    ) -> None:
+        """The scheme-dispatched atomic claim (module docstring):
+        ``file:`` -> POSIX hard link; HDFS-family -> ``fs.rename``
+        (atomic at the namenode, false when the destination exists);
+        object stores -> the LogStore seam, loud."""
+        self.makedirs(log_dir)
+        tmp = posixpath.join(log_dir, f".tmp-{uuid.uuid4().hex}")
+        self._write_stream(tmp, payload, overwrite=False)
+        if self.scheme == "file":
+            try:
+                os.link(_strip_file_scheme(tmp), _strip_file_scheme(final))
+            except FileExistsError:
+                raise TxConflict(
+                    f"version file {final} already committed"
+                ) from None
+            finally:
+                self.unlink(tmp)
+            return
+        if self.scheme in _ATOMIC_RENAME_SCHEMES:
+            if not self._fs.rename(self._Path(tmp), self._Path(final)):
+                self.unlink(tmp)
+                raise TxConflict(
+                    f"version file {final} already committed"
+                )
+            return
+        self.unlink(tmp)
+        raise NotImplementedError(
+            f"txlog commit on scheme {self.scheme!r} needs an atomic "
+            "put-if-absent the filesystem cannot provide: plug a "
+            "LogStore coordinator (e.g. a DynamoDB-backed mutex per "
+            "version slot, Delta's S3 design) into "
+            "publish_if_absent. Reads, snapshot resolution and "
+            "staging all work on this scheme -- only the claim needs "
+            "the coordinator."
+        )
+
+    def write_replace(self, p: str, payload: bytes) -> None:
+        self._write_stream(p, payload, overwrite=True)
+
+
+def _fs_for(spark: SparkSession | None, path: str):
+    scheme = _scheme_of(path)
+    if scheme is None:
+        return _LocalTxFs()
+    return _HadoopTxFs(spark, path)
 
 
 class TxLog:
@@ -111,8 +462,9 @@ class TxLog:
 
     def __init__(self, spark: SparkSession, table_path: str):
         self.spark = spark
-        self.table = _local_path(table_path.rstrip("/"))
-        self.log_dir = os.path.join(self.table, TXLOG_DIR)
+        self.fs = _fs_for(spark, table_path.rstrip("/"))
+        self.table = self.fs.normalize(table_path.rstrip("/"))
+        self.log_dir = self.fs.join(self.table, TXLOG_DIR)
 
     # ---- log inspection -------------------------------------------------
 
@@ -120,10 +472,10 @@ class TxLog:
         return self.current_version() >= 0
 
     def _version_files(self) -> list[tuple[int, str]]:
-        if not os.path.isdir(self.log_dir):
+        if not self.fs.isdir(self.log_dir):
             return []
         out = []
-        for name in os.listdir(self.log_dir):
+        for name in self.fs.listdir(self.log_dir):
             if name.startswith("v") and name.endswith(".json"):
                 try:
                     out.append((int(name[1:-5]), name))
@@ -136,8 +488,11 @@ class TxLog:
         return versions[-1][0] if versions else -1
 
     def _read_commit(self, v: int) -> dict:
-        with open(os.path.join(self.log_dir, f"v{v:020d}.json")) as f:
-            return json.load(f)
+        return json.loads(
+            self.fs.read_bytes(
+                self.fs.join(self.log_dir, f"v{v:020d}.json")
+            )
+        )
 
     def snapshot(self, version: int | None = None) -> dict:
         """The commit doc at ``version`` with its ``files`` list
@@ -186,35 +541,11 @@ class TxLog:
     # ---- commit ----------------------------------------------------------
 
     def _publish(self, version: int, doc: dict) -> None:
-        """Atomically claim version slot ``version`` with ``doc``.
-        Write-tmp + fsync + hard-link: the link either creates the
-        commit file (win) or fails EEXIST (lose, TxConflict). The tmp
-        is fully durable before the link, so a reader can never open a
-        half-written commit."""
-        os.makedirs(self.log_dir, exist_ok=True)
-        final = os.path.join(self.log_dir, f"v{version:020d}.json")
-        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
+        """Atomically claim version slot ``version`` with ``doc`` via
+        the adapter's publish-if-absent (TxConflict on a taken slot)."""
         payload = json.dumps(doc, sort_keys=True).encode("utf-8")
-        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        try:
-            os.write(fd, payload)
-            os.fsync(fd)
-        finally:
-            os.close(fd)
-        try:
-            os.link(tmp, final)
-        except FileExistsError:
-            raise TxConflict(
-                f"version {version} already committed at {self.table}"
-            ) from None
-        finally:
-            os.unlink(tmp)
-        # durability of the directory entry itself
-        dfd = os.open(self.log_dir, os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+        final = self.fs.join(self.log_dir, f"v{version:020d}.json")
+        self.fs.publish_if_absent(self.log_dir, final, payload)
 
     def commit(
         self,
@@ -259,25 +590,15 @@ class TxLog:
         in place; False starts an empty table. Concurrent double-init
         resolves through the same atomic publish (one v0 wins)."""
         files: list[dict] = []
-        if adopt_listing and os.path.isdir(self.table):
-            for root, dirs, names in os.walk(self.table):
-                dirs[:] = [
-                    d for d in dirs
-                    if ("=" in d) or not (
-                        d.startswith("_") or d.startswith(".")
-                    )
-                ]
-                for name in names:
-                    if name.startswith("_") or name.startswith("."):
-                        continue
-                    full = os.path.join(root, name)
-                    rel = os.path.relpath(full, self.table)
-                    files.append(
-                        {
-                            "path": rel.replace(os.sep, "/"),
-                            "size": os.path.getsize(full),
-                        }
-                    )
+        if adopt_listing and self.fs.isdir(self.table):
+            for full, size, _mtime in self.fs.walk_files(
+                self.table, prune_hidden=True
+            ):
+                name = posixpath.basename(full)
+                if name.startswith("_") or name.startswith("."):
+                    continue
+                rel = self.fs.relpath(full, self.table)
+                files.append({"path": rel, "size": size})
         return self.commit(
             files=files, base_version=-1, action="init"
         )
@@ -295,6 +616,17 @@ class TxLog:
 
     # ---- optimistic write loops -------------------------------------------
 
+    def _replayed_since(self, meta: dict | None, since: int) -> int | None:
+        """The r16 zombie-replay re-check: after a lost slot race, did
+        the winner (or any commit above ``since``) already record this
+        (txn_app, txn_batch)? Scans only versions > ``since`` -- the
+        pre-loop full probe covered the rest."""
+        if not (meta and "txn_app" in meta and "txn_batch" in meta):
+            return None
+        return self.find_txn(
+            meta["txn_app"], meta["txn_batch"], since=since
+        )
+
     def append_files(
         self, new: list[dict], *, action: str = "append",
         meta: dict | None = None,
@@ -306,7 +638,12 @@ class TxLog:
         carries ``txn_app`` + ``txn_batch`` and some committed version
         already recorded the same pair, the commit is SKIPPED (returns
         that version) -- a foreachBatch retry after a sink crash lands
-        its rows exactly once, the same replay guard Delta sinks use."""
+        its rows exactly once, the same replay guard Delta sinks use.
+        Two CONCURRENT replays of the same pair resolve to one
+        application: the conflict loop re-probes the pair against every
+        version committed since its last look and raises
+        ``TxIdempotentReplay`` when the other replay won (the caller
+        reaps its staged files and returns the winner's version)."""
         if meta and "txn_app" in meta and "txn_batch" in meta:
             done = self.find_txn(meta["txn_app"], meta["txn_batch"])
             if done is not None:
@@ -323,6 +660,9 @@ class TxLog:
                     meta=meta,
                 )
             except TxConflict:
+                done = self._replayed_since(meta, v)
+                if done is not None:
+                    raise TxIdempotentReplay(done) from None
                 continue
         raise TxConflict(
             f"append at {self.table} lost {_MAX_COMMIT_ATTEMPTS} races"
@@ -335,13 +675,21 @@ class TxLog:
         *,
         action: str = "rewrite",
         meta: dict | None = None,
+        guard_prefixes: tuple[str, ...] = (),
     ) -> int:
         """Commit a rewrite that replaces exactly ``inputs`` (relative
         paths, as read) with ``outputs``. Re-validates at every attempt
         that all inputs are STILL live: a concurrent append rebases
         through (its files are kept -- it did not touch the inputs),
         while a concurrent rewrite that removed any input aborts this
-        one with ``TxRewriteAborted`` (the caller reaps the outputs)."""
+        one with ``TxRewriteAborted`` (the caller reaps the outputs).
+
+        ``guard_prefixes`` additionally aborts when any live file
+        OUTSIDE ``inputs`` sits under one of the prefixes -- i.e. a
+        concurrent append landed in a region this rewrite claims to
+        have fully read (``tx_merge``'s touched buckets). Without the
+        guard such an append would commute through the rebase and its
+        rows would silently bypass the rewrite's semantics."""
         inputs_set = set(inputs)
         for _ in range(_MAX_COMMIT_ATTEMPTS):
             v = self.current_version()
@@ -353,6 +701,16 @@ class TxLog:
                     f"rewrite inputs no longer live at {self.table} "
                     f"(v{v}): {sorted(missing)[:3]}..."
                 )
+            if guard_prefixes:
+                foreign = {
+                    p for p in live_paths
+                    if p.startswith(tuple(guard_prefixes))
+                } - inputs_set
+                if foreign:
+                    raise TxRewriteAborted(
+                        f"concurrent append under guarded prefixes at "
+                        f"{self.table} (v{v}): {sorted(foreign)[:3]}..."
+                    )
             kept = [f for f in live if f["path"] not in inputs_set]
             try:
                 return self.commit(
@@ -364,19 +722,48 @@ class TxLog:
                     meta=meta,
                 )
             except TxConflict:
+                done = self._replayed_since(meta, v)
+                if done is not None:
+                    raise TxIdempotentReplay(done) from None
                 continue
         raise TxConflict(
             f"rewrite at {self.table} lost {_MAX_COMMIT_ATTEMPTS} races"
         )
 
-    def find_txn(self, app: str, batch) -> int | None:
+    # ---- txn replay records ------------------------------------------------
+
+    @staticmethod
+    def _txn_key(app: str, batch) -> str:
+        return json.dumps([app, batch], sort_keys=True)
+
+    def _txn_index_path(self) -> str:
+        return self.fs.join(self.log_dir, TXN_INDEX)
+
+    def _read_txn_index(self) -> dict:
+        try:
+            return json.loads(self.fs.read_bytes(self._txn_index_path()))
+        except FileNotFoundError:
+            return {}
+
+    def find_txn(self, app: str, batch, *, since: int = -1) -> int | None:
         """Highest version whose meta recorded (txn_app, txn_batch) --
-        the idempotent-replay probe."""
+        the idempotent-replay probe. ``since`` restricts the scan to
+        versions strictly above it (the conflict-loop re-check).
+        Records of PRUNED commits survive in the ``_txn_index.json``
+        sidecar (written by ``tx_vacuum(prune_log=True)``), so a
+        long-delayed replay of a pruned epoch is still skipped."""
         for v, name in reversed(self._version_files()):
-            with open(os.path.join(self.log_dir, name)) as f:
-                m = json.load(f).get("meta") or {}
+            if v <= since:
+                break
+            m = json.loads(
+                self.fs.read_bytes(self.fs.join(self.log_dir, name))
+            ).get("meta") or {}
             if m.get("txn_app") == app and m.get("txn_batch") == batch:
                 return v
+        if since < 0:
+            got = self._read_txn_index().get(self._txn_key(app, batch))
+            if got is not None:
+                return int(got)
         return None
 
 
@@ -398,9 +785,10 @@ def _stage_and_move_in(
     any committed file list), so this whole function is crash-safe by
     default -- a kill at any point leaves garbage for vacuum, never a
     wrong read. Returns the moved files as manifest entries."""
-    table = _local_path(table.rstrip("/"))
+    fs = _fs_for(spark, table)
+    table = fs.normalize(table.rstrip("/"))
     u = uuid.uuid4().hex[:12]
-    stage = os.path.join(table, f"{_STAGE_PREFIX}{u}")
+    stage = fs.join(table, f"{_STAGE_PREFIX}{u}")
     writer = df.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
@@ -409,34 +797,31 @@ def _stage_and_move_in(
     try:
         writer.parquet(stage)
         moved: list[dict] = []
-        for root, dirs, names in os.walk(stage):
-            for name in names:
-                if name.startswith("_") or name.startswith("."):
-                    continue
-                src = os.path.join(root, name)
-                rel_dir = os.path.relpath(root, stage)
-                dest_dir = (
-                    table if rel_dir == "." else os.path.join(table, rel_dir)
-                )
-                os.makedirs(dest_dir, exist_ok=True)
-                dest_name = f"tx-{u}-{name}"
-                dest = os.path.join(dest_dir, dest_name)
-                size = os.path.getsize(src)
-                os.rename(src, dest)
-                rel = os.path.relpath(dest, table).replace(os.sep, "/")
-                moved.append({"path": rel, "size": size})
+        for full, size, _mtime in fs.walk_files(stage, prune_hidden=False):
+            name = posixpath.basename(full)
+            if name.startswith("_") or name.startswith("."):
+                continue
+            rel = fs.relpath(full, stage)
+            rel_dir = posixpath.dirname(rel)
+            dest_dir = fs.join(table, rel_dir) if rel_dir else table
+            fs.makedirs(dest_dir)
+            dest = fs.join(dest_dir, f"tx-{u}-{name}")
+            fs.rename(full, dest)
+            moved.append(
+                {"path": fs.relpath(dest, table), "size": size}
+            )
         return moved
     finally:
-        shutil.rmtree(stage, ignore_errors=True)
+        fs.delete_dir(stage)
 
 
-def _delete_files(table: str, entries: list[dict]) -> None:
-    table = _local_path(table.rstrip("/"))
+def _delete_files(
+    table: str, entries: list[dict], spark: SparkSession | None = None
+) -> None:
+    fs = _fs_for(spark, table)
+    table = fs.normalize(table.rstrip("/"))
     for e in entries:
-        try:
-            os.unlink(os.path.join(table, e["path"]))
-        except FileNotFoundError:
-            pass
+        fs.unlink(fs.join(table, e["path"]))
 
 
 # ---- public operations --------------------------------------------------
@@ -470,13 +855,12 @@ def read_table_any(spark: SparkSession, path: str) -> DataFrame:
     otherwise. Every consumer of a MUTABLE table path should read
     through this -- on a tx table the data dir legitimately holds
     not-yet-vacuumed replaced files and not-yet-committed staged
-    files, so a listing read would double-count rows."""
-    try:
-        log = TxLog(spark, path)
-        if log.exists():
-            return read_table(spark, path)
-    except NotImplementedError:
-        pass
+    files, so a listing read would double-count rows. There is no
+    silent downgrade (r16): an unreadable scheme fails loudly from the
+    Hadoop FS layer instead of falling back to a listing read."""
+    log = TxLog(spark, path)
+    if log.exists():
+        return read_table(spark, path)
     spark.catalog.refreshByPath(path)
     return spark.read.parquet(path)
 
@@ -492,7 +876,9 @@ def tx_append(
     """Transactional append: stage, move in, commit (rebasing through
     any concurrent commit). Returns the committed version. With
     ``meta={"txn_app": ..., "txn_batch": ...}`` the append is
-    idempotent under replay (see ``TxLog.append_files``)."""
+    idempotent under replay (see ``TxLog.append_files``) -- including
+    against a CONCURRENT replay of the same epoch, whose winner's
+    version is returned after reaping this replay's staged files."""
     log = TxLog(spark, path)
     log.ensure()
     if meta and "txn_app" in meta and "txn_batch" in meta:
@@ -502,8 +888,11 @@ def tx_append(
     new = _stage_and_move_in(spark, path, df, partition_cols)
     try:
         return log.append_files(new, meta=meta)
+    except TxIdempotentReplay as r:
+        _delete_files(path, new, spark)
+        return r.version
     except BaseException:
-        _delete_files(path, new)
+        _delete_files(path, new, spark)
         raise
 
 
@@ -525,9 +914,29 @@ def tx_overwrite(
         return log.replace_files(
             inputs, new, action="overwrite", meta=meta
         )
+    except TxIdempotentReplay as r:
+        _delete_files(path, new, spark)
+        return r.version
     except BaseException:
-        _delete_files(path, new)
+        _delete_files(path, new, spark)
         raise
+
+
+def _derive_partition_cols(rels: list[str]) -> tuple[str, ...]:
+    """Partition column names from the deepest hive-partitioned live
+    path -- the r16 guard against a default-``partition_cols=()``
+    compaction silently flattening a partitioned (e.g. merge-bucketed)
+    layout into root-level files."""
+    best: tuple[str, ...] = ()
+    for rel in rels:
+        segs = tuple(
+            s.split("=", 1)[0]
+            for s in rel.split("/")[:-1]
+            if "=" in s
+        )
+        if len(segs) > len(best):
+            best = segs
+    return best
 
 
 def tx_compact(
@@ -543,9 +952,14 @@ def tx_compact(
     list, coalesce, move in, replace exactly the files that were read.
     A concurrent append LANDS SAFELY (the rebase keeps its files); a
     concurrent rewrite aborts this one (outputs reaped, TxRewriteAborted
-    surfaces as a report-level retry in maintenance). Returns the live
-    file count after the pass -- the same contract as
-    ``compact_parquet``, with the listing race closed by protocol."""
+    surfaces as a report-level retry in maintenance). When
+    ``partition_cols`` is left empty on a hive-partitioned snapshot,
+    the layout's columns are re-derived from the live paths instead of
+    silently flattening the table (r16; a flattened merge-bucketed
+    table would make every later ``tx_merge`` miss its root-level
+    files). Returns the live file count after the pass -- the same
+    contract as ``compact_parquet``, with the listing race closed by
+    protocol."""
     import math
 
     log = TxLog(spark, path)
@@ -558,12 +972,18 @@ def tx_compact(
     n_out = max(1, math.ceil(total / target_file_bytes))
     if n_out >= len(inputs):
         return len(inputs)
-    df = read_table(spark, path, version=v).coalesce(n_out)
+    if not partition_cols:
+        partition_cols = _derive_partition_cols(inputs)
+    df = read_table(spark, path, version=v)
+    if partition_cols:
+        df = df.repartition(n_out, *partition_cols)
+    else:
+        df = df.coalesce(n_out)
     new = _stage_and_move_in(spark, path, df, partition_cols)
     try:
         log.replace_files(inputs, new, action="compact", meta=meta)
     except BaseException:
-        _delete_files(path, new)
+        _delete_files(path, new, spark)
         raise
     return log.table_stats()[0]
 
@@ -584,7 +1004,10 @@ def tx_zorder(
     survives BY CONSTRUCTION (kept by the rebase, visible to the next
     snapshot read) instead of aborting the whole rewrite; only a
     concurrent REWRITE of the same files aborts. Returns True when the
-    layout swap landed."""
+    layout swap landed. NOTE: the rewrite flattens hive partition dirs
+    into a z-ordered flat layout by design -- do not z-order a
+    merge-bucketed table (``tx_merge`` would fall back to full-table
+    merges afterwards)."""
     from ..operators.layout import DEFAULT_Z_BITS, zorder_key
 
     log = TxLog(spark, path)
@@ -607,10 +1030,10 @@ def tx_zorder(
     try:
         log.replace_files(inputs, new, action="zorder", meta=meta)
     except TxRewriteAborted:
-        _delete_files(path, new)
+        _delete_files(path, new, spark)
         return False
     except BaseException:
-        _delete_files(path, new)
+        _delete_files(path, new, spark)
         raise
     return True
 
@@ -627,14 +1050,33 @@ def tx_merge(
     """Bucket-pruned keyed MERGE under the log (the tx analog of
     ``merge_into_table(fmt="parquet")``): only the ``_bucket=`` files
     holding updated keys are read, keep-latest-merged and replaced; all
-    other buckets' files ride the manifest untouched. The dynamic
-    partition overwrite this replaces was job-atomic but lost to any
-    concurrent writer; here a concurrent append to an UNTOUCHED bucket
-    commutes, and one to a touched bucket aborts the merge (retry on
-    the fresh snapshot). Returns the committed version."""
+    other buckets' files ride the manifest untouched. Concurrency (r16,
+    closing the ADVICE r15 gaps):
+
+    - a concurrent append to an UNTOUCHED bucket commutes through the
+      rebase;
+    - a concurrent append to a TOUCHED bucket ABORTS the commit
+      (``guard_prefixes`` on the touched ``_bucket=`` dirs) and the
+      merge retries on the fresh snapshot, so no appended row ever
+      bypasses keep-latest;
+    - live files OUTSIDE the ``_bucket=`` layout (an adopted plain
+      table, a flattening rewrite) trigger a FULL-TABLE merge that
+      re-buckets everything -- their stale key rows can never survive
+      a merge silently;
+    - the (key, n_buckets) layout is pinned by the same
+      ``_merge_meta.json`` sidecar ``merge_into_table`` uses, written
+      on the first merge (streaming sinks included) and validated on
+      every call, so a later merge with a different bucket map raises
+      instead of scattering keys across mismatched ``_bucket`` dirs.
+
+    Returns the committed version."""
     from pyspark.sql import functions as F
 
-    from ..operators.upsert import merge_by_key
+    from ..operators.upsert import (
+        _read_merge_meta,
+        _write_merge_meta,
+        merge_by_key,
+    )
 
     log = TxLog(spark, path)
     # idempotent replay guard for streaming foreachBatch sinks: a
@@ -643,51 +1085,93 @@ def tx_merge(
         done = log.find_txn(meta["txn_app"], meta["txn_batch"])
         if done is not None:
             return done
-    bucketed = updates.withColumn(
-        "_bucket",
-        F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int"),
-    )
-    # ensure the log exists BEFORE staging: ensure() adopts the current
-    # plain-directory listing, and staging first would make the adopt
-    # snapshot include the not-yet-committed moved-in files (they'd
-    # count once at v0 and again at the append -- double rows)
-    v = log.ensure()
-    if not log.live_files(v):
-        new = _stage_and_move_in(
-            spark, path, bucketed, partition_cols=("_bucket",)
+    side = _read_merge_meta(spark, path)
+    if side is not None and (
+        int(side["n_buckets"]) != int(n_buckets) or side["key"] != key
+    ):
+        raise ValueError(
+            f"tx_merge layout mismatch at {path}: table was created "
+            f"with key={side['key']!r} n_buckets={side['n_buckets']}, "
+            f"got key={key!r} n_buckets={n_buckets}. Merging would "
+            "scatter updated keys into different _bucket dirs than "
+            "their base rows and silently duplicate them."
         )
-        try:
-            return log.append_files(new, action="merge-init", meta=meta)
-        except BaseException:
-            _delete_files(path, new)
-            raise
+    bucket_expr = F.pmod(
+        F.xxhash64(F.col(key)), F.lit(n_buckets)
+    ).cast("int")
+    bucketed = updates.withColumn("_bucket", bucket_expr)
+    # the touched-bucket set depends only on the updates -- compute once
     touched = sorted(
         r[0] for r in bucketed.select("_bucket").distinct().collect()
     )
     prefixes = tuple(f"_bucket={b}/" for b in touched)
-    inputs = [
-        rel for rel in log.live_files(v) if rel.startswith(prefixes)
-    ]
-    base_touched = None
-    if inputs:
-        files = [posixpath.join(log.table, r) for r in inputs]
-        base_touched = spark.read.option(
-            "basePath", log.table
-        ).parquet(*files)
-    merged = (
-        merge_by_key(base_touched, bucketed, key=key)
-        if base_touched is not None
-        else bucketed
+
+    def _commit_cycle() -> int | None:
+        """One read-stage-commit attempt; None = lost a rewrite race
+        (retry on the fresh snapshot)."""
+        # ensure the log exists BEFORE staging: ensure() adopts the
+        # current plain-directory listing, and staging first would make
+        # the adopt snapshot include the not-yet-committed moved-in
+        # files (they'd count once at v0 and again at the append --
+        # double rows)
+        v = log.ensure()
+        live = log.live_files(v)
+        non_bucket = [r for r in live if not r.startswith("_bucket=")]
+        if live and not non_bucket:
+            inputs = [r for r in live if r.startswith(prefixes)]
+            guard = prefixes
+            if inputs:
+                files = [posixpath.join(log.table, r) for r in inputs]
+                base_touched = spark.read.option(
+                    "basePath", log.table
+                ).parquet(*files)
+                merged = merge_by_key(base_touched, bucketed, key=key)
+            else:
+                merged = bucketed
+        else:
+            # empty table (merge-init) or stray non-bucket files: a
+            # full-table pass re-buckets everything so no stale key
+            # row can hide outside the _bucket= layout
+            inputs = live
+            guard = ("",)  # ANY concurrent add aborts -- we read it all
+            if live:
+                base = read_table(spark, path, version=v)
+                if "_bucket" in base.columns:
+                    base = base.drop("_bucket")
+                merged = merge_by_key(base, updates, key=key).withColumn(
+                    "_bucket", bucket_expr
+                )
+            else:
+                merged = bucketed
+        new = _stage_and_move_in(
+            spark, path, merged.localCheckpoint(eager=True),
+            partition_cols=("_bucket",),
+        )
+        try:
+            return log.replace_files(
+                inputs, new,
+                action="merge" if live else "merge-init",
+                meta=meta, guard_prefixes=guard,
+            )
+        except TxIdempotentReplay as r:
+            _delete_files(path, new, spark)
+            return r.version
+        except TxRewriteAborted:
+            _delete_files(path, new, spark)
+            return None
+        except BaseException:
+            _delete_files(path, new, spark)
+            raise
+
+    for _ in range(_MAX_MERGE_RETRIES):
+        ver = _commit_cycle()
+        if ver is not None:
+            if side is None:
+                _write_merge_meta(spark, path, key, n_buckets)
+            return ver
+    raise TxRewriteAborted(
+        f"tx_merge at {path} lost {_MAX_MERGE_RETRIES} rewrite races"
     )
-    new = _stage_and_move_in(
-        spark, path, merged.localCheckpoint(eager=True),
-        partition_cols=("_bucket",),
-    )
-    try:
-        return log.replace_files(inputs, new, action="merge", meta=meta)
-    except BaseException:
-        _delete_files(path, new)
-        raise
 
 
 def tx_vacuum(
@@ -710,11 +1194,17 @@ def tx_vacuum(
     version's delta-replay chain stays intact). A per-epoch streaming
     sink commits ~10^5 versions/day -- without pruning the log dir
     listing (``current_version``) and the ``find_txn`` replay probe
-    degrade linearly with table AGE instead of table size. Readers
-    pinned to a pruned version fail loudly on open, the standard
-    time-travel-retention contract; with ``prune_log=False`` (default)
-    the full history stays as the table's time-travel index."""
+    degrade linearly with table AGE instead of table size. The
+    (txn_app, txn_batch) replay records of pruned commits are FOLDED
+    into ``_txlog/_txn_index.json`` before deletion (r16), so a
+    long-delayed replay of a pruned epoch is still recognized and
+    skipped -- pruning bounds the log without weakening storage-level
+    exactly-once. Readers pinned to a pruned version fail loudly on
+    open, the standard time-travel-retention contract; with
+    ``prune_log=False`` (default) the full history stays as the
+    table's time-travel index."""
     log = TxLog(spark, path)
+    fs = log.fs
     current = log.current_version()
     if current < 0:
         return {"deleted_files": 0, "deleted_dirs": 0, "reclaimed_bytes": 0}
@@ -726,50 +1216,60 @@ def tx_vacuum(
             continue
     cutoff = time.time() - min_age_seconds
     deleted = reclaimed = dirs = 0
-    for root, dnames, names in os.walk(log.table):
-        dnames[:] = [
-            d for d in dnames
-            if ("=" in d) or not (d.startswith("_") or d.startswith("."))
-        ]
-        for name in names:
-            if name.startswith("_") or name.startswith("."):
-                continue
-            full = os.path.join(root, name)
-            rel = os.path.relpath(full, log.table).replace(os.sep, "/")
-            if rel in keep:
-                continue
-            st = os.stat(full)
-            if st.st_mtime > cutoff:
-                continue
-            os.unlink(full)
-            deleted += 1
-            reclaimed += st.st_size
-    for name in os.listdir(log.table):
+    for full, size, mtime in fs.walk_files(log.table, prune_hidden=True):
+        name = posixpath.basename(full)
+        if name.startswith("_") or name.startswith("."):
+            continue
+        rel = fs.relpath(full, log.table)
+        if rel in keep:
+            continue
+        if mtime > cutoff:
+            continue
+        fs.unlink(full)
+        deleted += 1
+        reclaimed += size
+    for name in fs.listdir(log.table):
         if not name.startswith(_STAGE_PREFIX):
             continue
-        full = os.path.join(log.table, name)
+        full = fs.join(log.table, name)
         newest = max(
             (
-                os.stat(os.path.join(r, f)).st_mtime
-                for r, _, fs_ in os.walk(full)
-                for f in fs_
+                m for _p, _s, m in fs.walk_files(full, prune_hidden=False)
             ),
-            default=os.stat(full).st_mtime,
+            default=fs.mtime(full),
         )
         if newest > cutoff:
             continue
-        shutil.rmtree(full, ignore_errors=True)
+        fs.delete_dir(full)
         dirs += 1
     pruned = 0
     if prune_log:
         oldest_retained = max(0, current - retain_versions + 1)
-        cutoff = (
+        vcut = (
             oldest_retained // CHECKPOINT_INTERVAL
         ) * CHECKPOINT_INTERVAL
-        for v, name in log._version_files():
-            if v < cutoff:
-                os.unlink(os.path.join(log.log_dir, name))
-                pruned += 1
+        txn_index = log._read_txn_index()
+        grew = False
+        to_prune = [
+            (v, name) for v, name in log._version_files() if v < vcut
+        ]
+        for v, name in to_prune:
+            m = json.loads(
+                fs.read_bytes(fs.join(log.log_dir, name))
+            ).get("meta") or {}
+            if "txn_app" in m and "txn_batch" in m:
+                k = TxLog._txn_key(m["txn_app"], m["txn_batch"])
+                if int(txn_index.get(k, -1)) < v:
+                    txn_index[k] = v
+                    grew = True
+        if grew:
+            fs.write_replace(
+                log._txn_index_path(),
+                json.dumps(txn_index, sort_keys=True).encode("utf-8"),
+            )
+        for v, name in to_prune:
+            fs.unlink(fs.join(log.log_dir, name))
+            pruned += 1
     return {
         "deleted_files": deleted,
         "deleted_dirs": dirs,

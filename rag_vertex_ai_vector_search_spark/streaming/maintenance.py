@@ -112,10 +112,7 @@ def maintain_index(
 
     from ..sources.txlog import TxLog, read_table_any, tx_vacuum
 
-    try:
-        is_tx = TxLog(spark, index_path).exists()
-    except NotImplementedError:
-        is_tx = False
+    is_tx = TxLog(spark, index_path).exists()
 
     def _file_count() -> int:
         # a tx table's dir legitimately holds replaced-but-unvacuumed

@@ -460,3 +460,229 @@ def test_many_threads_append_all_commits_land(spark, tmp_path):
     got = read_table(spark, path)
     assert got.count() == 240
     assert got.select("id").distinct().count() == 240
+
+
+# ---- r16 ADVICE closures ---------------------------------------------------
+
+
+def test_merge_aborts_on_concurrent_append_to_touched_bucket(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r15 #1 (medium): an append landing in a TOUCHED bucket
+    between the merge's read and its commit used to commute through
+    the rebase and bypass keep-latest. Now the guarded prefixes abort
+    the commit and the merge retries on the fresh snapshot -- the
+    appended row becomes base, the update wins, exactly one row per
+    key."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("data_point_id"), F.lit("old").alias("payload")
+    )
+    tx_merge(spark, path, base, n_buckets=4)
+
+    updates = spark.range(0, 50).select(
+        F.col("id").alias("data_point_id"), F.lit("new").alias("payload")
+    )
+    # a foreign append that targets keys the merge is updating -- with
+    # n_buckets=4 its bucket is certainly among the touched prefixes
+    foreign = spark.range(0, 50).select(
+        F.col("data_point_id"),
+        F.lit("foreign").alias("payload"),
+        F.pmod(F.xxhash64(F.col("data_point_id")), F.lit(4))
+        .cast("int").alias("_bucket"),
+    ) if False else spark.range(0, 50).select(
+        F.col("id").alias("data_point_id"),
+        F.lit("foreign").alias("payload"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(4))
+        .cast("int").alias("_bucket"),
+    )
+
+    real_replace = TxLog.replace_files
+    state = {"injected": False, "aborts": 0}
+
+    def inject_then_commit(self, inputs, outputs, **k):
+        if not state["injected"]:
+            state["injected"] = True
+            tx_append(
+                spark, path, foreign, partition_cols=("_bucket",)
+            )
+        try:
+            return real_replace(self, inputs, outputs, **k)
+        except TxRewriteAborted:
+            state["aborts"] += 1
+            raise
+
+    monkeypatch.setattr(TxLog, "replace_files", inject_then_commit)
+    tx_merge(spark, path, updates, n_buckets=4)
+    monkeypatch.undo()
+
+    got = read_table(spark, path)
+    assert state["aborts"] >= 1  # the stale commit really aborted
+    assert got.count() == 100  # one row per key, no duplicates
+    assert got.groupBy("data_point_id").count().filter(
+        "count > 1"
+    ).count() == 0
+    # the merge retried on the snapshot INCLUDING the foreign append,
+    # so updates still won keep-latest over it
+    assert got.filter(
+        (F.col("data_point_id") < 50) & (F.col("payload") != "new")
+    ).count() == 0
+
+
+def test_zombie_replay_after_lost_race_not_double_applied(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r15 #2 (medium): two concurrent replays of the same
+    (txn_app, txn_batch) -- the loser passes the pre-check, stages,
+    loses the slot race, and must then OBSERVE the winner's txn record
+    instead of committing again."""
+    path = str(tmp_path / "t")
+    meta = {"txn_app": "q-zombie", "txn_batch": 3}
+    TxLog(spark, path).ensure()
+    df = _range_df(spark, 0, 20, parts=1)
+
+    # replay A stages its files and passes the pre-check (table has no
+    # txn record yet) ...
+    new_a = tx._stage_and_move_in(spark, path, df)
+    log = TxLog(spark, path)
+    real_commit = TxLog.commit
+    state = {"winner": None, "fired": False}
+
+    def winner_lands_first(self, **k):
+        if not state["fired"]:
+            state["fired"] = True
+            state["winner"] = tx_append(spark, path, df, meta=meta)
+        return real_commit(self, **k)
+
+    monkeypatch.setattr(TxLog, "commit", winner_lands_first)
+    with pytest.raises(tx.TxIdempotentReplay) as ei:
+        log.append_files(new_a, meta=meta)
+    monkeypatch.undo()
+    assert ei.value.version == state["winner"]
+    tx._delete_files(path, new_a, spark)
+    # exactly one application of the epoch
+    assert read_table(spark, path).count() == 20
+    # and the public wrapper does the reap-and-return dance itself
+    v = tx_append(spark, path, df, meta=meta)
+    assert v == state["winner"]
+    assert read_table(spark, path).count() == 20
+
+
+def test_pruned_epoch_replay_still_skipped(spark, tmp_path):
+    """ADVICE r15 #3 (low): prune_log folds the pruned commits'
+    (txn_app, txn_batch) records into _txn_index.json, so a
+    long-delayed replay of a pruned epoch is recognized and skipped."""
+    path = str(tmp_path / "t")
+    df = _range_df(spark, 0, 30, parts=1)
+    meta = {"txn_app": "sink-ckpt", "txn_batch": 0}
+    v_epoch = tx_append(spark, path, df, meta=meta)
+    for i in range(1, 25):  # push checkpoints past the epoch's commit
+        tx_append(spark, path, _range_df(spark, i * 30, i * 30 + 30, parts=1))
+    rep = tx_vacuum(
+        spark, path, retain_versions=2, min_age_seconds=0, prune_log=True
+    )
+    assert rep["pruned_commits"] > v_epoch  # the epoch's commit is gone
+    log = TxLog(spark, path)
+    assert log.find_txn("sink-ckpt", 0) == v_epoch  # via the index
+    n_before = read_table(spark, path).count()
+    got = tx_append(spark, path, df, meta=meta)  # the delayed replay
+    assert got == v_epoch
+    assert read_table(spark, path).count() == n_before  # not re-applied
+
+
+def test_tx_merge_pins_bucket_layout(spark, tmp_path):
+    """ADVICE r15 #4 (low): the first tx_merge writes the same
+    _merge_meta.json sidecar merge_into_table uses (streaming sinks
+    included, they call tx_merge directly); a later merge with a
+    different bucket map raises instead of scattering keys."""
+    from pyspark.sql import functions as F
+
+    from rag_vertex_ai_vector_search_spark.operators.upsert import (
+        _read_merge_meta,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 50).select(
+        F.col("id").alias("data_point_id"), F.lit("x").alias("payload")
+    )
+    tx_merge(spark, path, base, n_buckets=8)
+    meta = _read_merge_meta(spark, path)
+    assert meta == {"key": "data_point_id", "n_buckets": 8}
+    with pytest.raises(ValueError, match="layout mismatch"):
+        tx_merge(spark, path, base, n_buckets=16)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        tx_merge(spark, path, base, key="payload", n_buckets=8)
+
+
+def test_tx_merge_full_merges_non_bucket_files(spark, tmp_path):
+    """ADVICE r15 #5 (low): live files OUTSIDE the _bucket= layout (an
+    adopted plain table) used to be invisible to every merge -- their
+    stale key rows survived forever. Now they trigger a full-table
+    re-bucketing merge."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    plain = spark.range(0, 80).select(
+        F.col("id").alias("data_point_id"), F.lit("stale").alias("payload")
+    )
+    tx_append(spark, path, plain)  # root-level (non-bucket) files
+    updates = spark.range(0, 40).select(
+        F.col("id").alias("data_point_id"), F.lit("fresh").alias("payload")
+    )
+    tx_merge(spark, path, updates, n_buckets=4)
+    got = read_table(spark, path)
+    assert got.count() == 80  # 40 replaced + 40 untouched, no dupes
+    assert got.filter(
+        (F.col("data_point_id") < 40) & (F.col("payload") != "fresh")
+    ).count() == 0
+    assert got.groupBy("data_point_id").count().filter(
+        "count > 1"
+    ).count() == 0
+    # the whole table is re-bucketed: nothing lives at root level
+    log = TxLog(spark, path)
+    assert all(r.startswith("_bucket=") for r in log.live_files())
+    # and a second merge takes the pruned (bucket-surgery) path again
+    tx_merge(spark, path, updates, n_buckets=4)
+    assert read_table(spark, path).count() == 80
+
+
+def test_tx_compact_rederives_partition_layout(spark, tmp_path):
+    """ADVICE r15 #5 (low), compaction half: a default-partition_cols
+    tx_compact on a hive-partitioned snapshot re-derives the layout
+    from the live paths instead of flattening it into root files
+    (which would break every later bucket-pruned merge)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 200).select(
+        F.col("id").alias("data_point_id"), F.lit("a").alias("payload")
+    )
+    tx_merge(spark, path, base, n_buckets=4)
+    # fragment the buckets with two layout-correct appends of NEW keys
+    # (new keys cannot duplicate, so appending is merge-safe here)
+    for lo in (200, 250):
+        extra = spark.range(lo, lo + 50).select(
+            F.col("id").alias("data_point_id"),
+            F.lit("b").alias("payload"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(4))
+            .cast("int").alias("_bucket"),
+        )
+        tx_append(spark, path, extra, partition_cols=("_bucket",))
+    log = TxLog(spark, path)
+    assert len(log.live_files()) > 4
+    tx_compact(spark, path, target_file_bytes=1 << 30)
+    # layout preserved: every live file still under _bucket=
+    assert all(r.startswith("_bucket=") for r in log.live_files())
+    assert len(log.live_files()) == 4  # one file per bucket
+    # and merges keep working with bucket surgery afterwards
+    upd = spark.range(0, 10).select(
+        F.col("id").alias("data_point_id"), F.lit("c").alias("payload")
+    )
+    tx_merge(spark, path, upd, n_buckets=4)
+    got = read_table(spark, path)
+    assert got.count() == 300
+    assert got.filter(
+        (F.col("data_point_id") < 10) & (F.col("payload") != "c")
+    ).count() == 0
