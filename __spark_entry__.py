@@ -2864,7 +2864,12 @@ def q_dataset_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic sha60 hash order -- an unbiased but fully
     reproducible shuffle that stays stable under corpus growth. The
     oracle reproduces the hash ranking bit-exactly via the proven
-    sha60 mirror."""
+    sha60 mirror. ARCHIVED r16 (displaced by
+    txlog_compaction_roundtrip per the ledger): the deterministic
+    hash-rank machinery stays declared via
+    authority_weighted_selection, and the mixing category keeps two
+    declared rows (dataset_temperature_mix,
+    streaming_doremi_maintained)."""
     from rag_vertex_ai_vector_search_spark.operators.splits import (
         cap_per_group,
     )
@@ -9943,8 +9948,13 @@ def q_txlog_compaction_roundtrip(
     documents plus the protocol's closed-form version number (v0 init
     + two appends + compact = 3): losing a batch, double-counting a
     replaced file, or mis-sequencing a commit all flip the hash.
-    Archive-gated (window at capacity); the crash/race matrix is
-    pytest-gated in tests/test_txlog.py."""
+    DECLARED r16 (VERDICT r15 #2), displacing dataset_domain_cap per
+    the ledger. The table path carries a ``file:`` scheme, so every
+    manifest read/write, listing, staging move and the snapshot read
+    run through the Hadoop FileSystem branch (r16, VERDICT r15 #1) --
+    the same code path a remote deployment uses; the crash/race
+    matrix is pytest-gated in tests/test_txlog.py +
+    tests/test_txlog_hadoop.py."""
     import shutil
     import tempfile
 
@@ -9960,7 +9970,7 @@ def q_txlog_compaction_roundtrip(
     )
     work = tempfile.mkdtemp(prefix="txlog_roundtrip_")
     try:
-        path = f"{work}/t"
+        path = f"file:{work}/t"
         tx_append(
             spark, path, docs.filter(F.col("doc_id") % 2 == 0).repartition(8)
         )
@@ -10130,7 +10140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- text / training-data pipeline -----------------------------
         "chunk_sentences": q_chunk_sentences,
         "dataset_decontaminate": q_dataset_decontaminate,
-        "dataset_domain_cap": q_dataset_domain_cap,
+        "txlog_compaction_roundtrip": q_txlog_compaction_roundtrip,
         "packed_sequence_texts": q_packed_sequence_texts,
         "corpus_quality_report": q_corpus_quality_report,
         "ccnet_quality_buckets": q_ccnet_quality_buckets,
@@ -10427,7 +10437,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r15-new: the transactional storage layer's content gates
         # (batch: append x2 -> tx compaction -> snapshot read;
         # streaming: per-epoch manifest merges with replay txns)
-        "txlog_compaction_roundtrip": q_txlog_compaction_roundtrip,
+        "dataset_domain_cap": q_dataset_domain_cap,
         "streaming_tx_merge_maintained": q_streaming_tx_merge_maintained,
         "pagerank_citations": q_pagerank_citations,
         "pagerank_weighted": q_pagerank_weighted,
@@ -10521,7 +10531,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_cc": _sql_dedup_clusters_cc(),
         "chunk_sentences": _SQL_CHUNK_SENTENCES,
         "dataset_decontaminate": _SQL_DECONTAMINATE,
-        "dataset_domain_cap": _SQL_DOMAIN_CAP,
+        "txlog_compaction_roundtrip": _SQL_TXLOG_ROUNDTRIP,
         "packed_sequence_texts": _SQL_PACKED_SEQ_TEXTS,
         "corpus_quality_report": _SQL_CORPUS_REPORT,
         "ccnet_quality_buckets": _sql_ccnet_quality_buckets(),
@@ -10575,7 +10585,7 @@ def oracle_sql_archive() -> dict[str, str]:
         # hash-gated declared siblings.
         "cms_word_frequencies": _SQL_CMS_WORDS,
         "doremi_domain_mix": _sql_doremi_domain_mix(),
-        "txlog_compaction_roundtrip": _SQL_TXLOG_ROUNDTRIP,
+        "dataset_domain_cap": _SQL_DOMAIN_CAP,
         "streaming_tx_merge_maintained": _SQL_STREAM_MERGE_TX,
         "pagerank_citations": _sql_pagerank(6),
         "pagerank_weighted": _sql_pagerank_weighted(6),
