@@ -100,6 +100,132 @@ def table_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     return _retry_listing_race(_scan)
 
 
+def partition_file_stats(
+    spark: SparkSession, path: str
+) -> dict[str, tuple[int, int]]:
+    """Per-partition-dir ``(n_files, total_bytes)`` under ``path``,
+    keyed by the relative dir ("" for root-level files). One recursive
+    listing -- the same cost ``table_file_stats`` already pays."""
+    import posixpath
+
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return {}
+    prefix = jpath.toUri().getPath()
+
+    def _scan():
+        out: dict[str, tuple[int, int]] = {}
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            status = it.next()
+            name = status.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            p = status.getPath().toUri().getPath()
+            rel = p[len(prefix):].lstrip("/")
+            if "/_" in f"/{rel}" or "/." in f"/{rel}":
+                continue  # inside a hidden dir (_temporary, staging)
+            d = posixpath.dirname(rel)
+            n, b = out.get(d, (0, 0))
+            out[d] = (n + 1, b + status.getLen())
+        return out
+
+    return _retry_listing_race(_scan)
+
+
+def fragmented_partitions(
+    stats: dict[str, tuple[int, int]],
+    *,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    min_files_to_compact: int = 2,
+) -> list[str]:
+    """Partition dirs carrying more files than their bytes justify:
+    ``n_files > max(1, ceil(bytes / target))`` -- the fragment
+    threshold a maintenance pass scopes its rewrite to. Root-level
+    files ("" key) are never selected (an unpartitioned table is the
+    full-compaction case, not a scoped one)."""
+    return sorted(
+        d
+        for d, (n, b) in stats.items()
+        if d
+        and n >= min_files_to_compact
+        and n > max(1, math.ceil(b / target_file_bytes))
+    )
+
+
+def compact_fragmented(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    min_files_to_compact: int = 2,
+) -> dict:
+    """Fragmentation-SCOPED compaction of a hive-partitioned table
+    (r16, VERDICT r15 #3): only the partitions past the fragment
+    threshold are read and rewritten; every healthy partition's files
+    are untouched bytes. Per-micro-batch merge debt concentrates in
+    the hot buckets/leaves, so a nightly pass over a 100 TB layout
+    should pay for the fragmented fraction, not a full-table rewrite
+    (the r15 100x curve showed 93% of ``maintain_index`` was the
+    unscoped rewrite).
+
+    Plain tables rewrite via dynamic partition overwrite (job-atomic,
+    writers paused -- same contract as ``compact_parquet``); tx tables
+    route through ``tx_compact_fragmented`` (manifest replace of
+    exactly the fragmented partitions' files; concurrent appends
+    commute). Output sizing: one file per fragmented partition value
+    (leaves are sized well under ``target_file_bytes`` by design; a
+    partition larger than target keeps one file and shows up in the
+    next drift report instead).
+
+    Returns ``{"partitions_total", "partitions_fragmented",
+    "files_before", "files_after"}``.
+    """
+    base = path.rstrip("/")
+    from .txlog import TxLog, tx_compact_fragmented
+
+    if TxLog(spark, base).exists():
+        return tx_compact_fragmented(
+            spark,
+            base,
+            target_file_bytes=target_file_bytes,
+            min_files_to_compact=min_files_to_compact,
+        )
+    stats = partition_file_stats(spark, base)
+    frag = fragmented_partitions(
+        stats,
+        target_file_bytes=target_file_bytes,
+        min_files_to_compact=min_files_to_compact,
+    )
+    files_before = sum(n for n, _b in stats.values())
+    report = {
+        "partitions_total": sum(1 for d in stats if d),
+        "partitions_fragmented": len(frag),
+        "files_before": files_before,
+        "files_after": files_before,
+    }
+    if not frag:
+        return report
+    part_cols = tuple(
+        s.split("=", 1)[0] for s in frag[0].split("/") if "=" in s
+    )
+    spark.catalog.refreshByPath(base)
+    df = spark.read.option("basePath", base).parquet(
+        *[f"{base}/{d}" for d in frag]
+    )
+    # one task per fragmented partition value -> one output file each;
+    # localCheckpoint cuts lineage before overwriting paths the plan
+    # reads from (the same discipline the streaming merge uses)
+    out = df.repartition(max(1, len(frag)), *part_cols)
+    out.localCheckpoint(eager=True).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy(*part_cols).parquet(base)
+    spark.catalog.refreshByPath(base)
+    after = partition_file_stats(spark, base)
+    report["files_after"] = sum(n for n, _b in after.values())
+    return report
+
+
 def _listing_snapshot(spark: SparkSession, path: str) -> frozenset:
     """Identity of a table dir's data-file set: (relative path, length,
     mtime) per data file. Two snapshots compare equal iff no writer

@@ -988,6 +988,69 @@ def tx_compact(
     return log.table_stats()[0]
 
 
+def tx_compact_fragmented(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+    meta: dict | None = None,
+) -> dict:
+    """Fragmentation-scoped compaction UNDER THE LOG (r16, VERDICT r15
+    #3): group the snapshot's live files by partition dir, select only
+    the dirs carrying more files than their bytes justify
+    (``n > max(1, ceil(bytes/target))``), read exactly those files and
+    replace exactly them -- every healthy partition rides the manifest
+    untouched, and a concurrent append (any partition) commutes through
+    the rebase. Report shape matches ``compact_fragmented``."""
+    import math
+
+    log = TxLog(spark, path)
+    v = log.ensure()
+    snap = log.snapshot(v)
+    by_dir: dict[str, list[dict]] = {}
+    for f in snap["files"]:
+        by_dir.setdefault(posixpath.dirname(f["path"]), []).append(f)
+    frag = sorted(
+        d
+        for d, fs_ in by_dir.items()
+        if d
+        and len(fs_) >= min_files_to_compact
+        and len(fs_) > max(
+            1,
+            math.ceil(
+                sum(int(f.get("size", 0)) for f in fs_)
+                / target_file_bytes
+            ),
+        )
+    )
+    files_before = len(snap["files"])
+    report = {
+        "partitions_total": sum(1 for d in by_dir if d),
+        "partitions_fragmented": len(frag),
+        "files_before": files_before,
+        "files_after": files_before,
+    }
+    if not frag:
+        return report
+    inputs = [f["path"] for d in frag for f in by_dir[d]]
+    part_cols = _derive_partition_cols(inputs)
+    df = spark.read.option("basePath", log.table).parquet(
+        *[posixpath.join(log.table, r) for r in inputs]
+    )
+    out = df.repartition(max(1, len(frag)), *part_cols)
+    new = _stage_and_move_in(spark, path, out, partition_cols=part_cols)
+    try:
+        log.replace_files(
+            inputs, new, action="compact-fragmented", meta=meta
+        )
+    except BaseException:
+        _delete_files(path, new, spark)
+        raise
+    report["files_after"] = log.table_stats()[0]
+    return report
+
+
 def tx_zorder(
     spark: SparkSession,
     path: str,

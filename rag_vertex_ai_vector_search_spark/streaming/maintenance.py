@@ -50,6 +50,7 @@ from pyspark.sql import SparkSession
 
 from ..sources.compact import (
     DEFAULT_TARGET_FILE_BYTES,
+    compact_fragmented,
     compact_parquet,
     gc_table_path,
     table_file_stats,
@@ -163,6 +164,7 @@ def maintain_index(
     # listing diff.
     files_before = _file_count()
     compact_error = None
+    compact_scope = None
     try:
         # defensive listing refresh (r13, two-session contract): every
         # read this pass makes must see the current file set, whatever
@@ -172,13 +174,26 @@ def maintain_index(
         parts = tuple(
             c for c in ("_bucket", "cluster_id") if c in index_cols
         )
-        files_after = compact_parquet(
-            spark,
-            index_path,
-            target_file_bytes=target_file_bytes,
-            partition_cols=parts,
-            abort_if_changed=writer_active,
-        )
+        if parts and (is_tx or not writer_active):
+            # fragmentation-SCOPED pass (r16, VERDICT r15 #3): only
+            # partitions past the fragment threshold are rewritten --
+            # merge debt concentrates in hot buckets/leaves, so the
+            # nightly cost tracks the fragmented fraction, not the
+            # table. Tx tables run it live-safely (manifest replace of
+            # exactly the fragmented files; concurrent appends
+            # commute); plain tables only with the writer paused.
+            compact_scope = compact_fragmented(
+                spark, index_path, target_file_bytes=target_file_bytes
+            )
+            files_after = compact_scope["files_after"]
+        else:
+            files_after = compact_parquet(
+                spark,
+                index_path,
+                target_file_bytes=target_file_bytes,
+                partition_cols=parts,
+                abort_if_changed=writer_active,
+            )
     except Exception as exc:  # noqa: BLE001 -- live-mode optimistic degrade
         if not writer_active:
             raise
@@ -255,6 +270,7 @@ def maintain_index(
         "files_before": int(files_before),
         "files_after": int(files_after),
         "compacted": files_after < files_before,
+        "compact_scope": compact_scope,
         "compact_error": compact_error,
         "drift_error": drift_error,
         "recluster_needed": bool(needed),

@@ -288,12 +288,17 @@ def _maintain_index_production(spark, sf_dir):
     """One orchestrated nightly maintenance pass over a production-
     shaped IVF layout (leaves ~500 rows: n_clusters = n/500). The
     trained index is cached per sf_dir (warm-build cost is not the
-    operator under test); each timed call writes the layout FRESHLY
-    FRAGMENTED (16 files per leaf dir -- per-micro-batch merge debt)
-    plus a crash-remnant _temporary dir, then pays the full
-    heal -> GC -> compact -> drift -> recluster pass with the writer
-    paused. max_leaf_rows = 1.1x the mean leaf flags the KMeans
-    imbalance tail, so the recluster step genuinely runs."""
+    operator under test); each timed call writes the layout with
+    REALISTIC merge debt -- per-micro-batch merges concentrate in hot
+    leaves, so the HOT QUARTER of leaves lands freshly fragmented
+    (~16 files each) while cold leaves stay at one file (r16; the r15
+    shape fragmented every leaf, which forced the compaction to be a
+    full-table rewrite by construction and hid the scoped-compaction
+    lever) -- plus a crash-remnant _temporary dir. Then it pays the
+    full heal -> GC -> scoped-compact -> drift -> recluster pass with
+    the writer paused, and asserts row-set equality (count + distinct
+    ids) across the pass. max_leaf_rows = 1.1x the mean leaf flags the
+    KMeans imbalance tail, so the recluster step genuinely runs."""
     import shutil
     import tempfile
 
@@ -324,11 +329,17 @@ def _maintain_index_production(spark, sf_dir):
 
     work = tempfile.mkdtemp(prefix="scale_maintain_")
     try:
+        from pyspark.sql import functions as F
+
         path = f"{work}/index"
-        assigned.repartition(16).write.partitionBy("cluster_id").parquet(
-            path
-        )
+        hot = assigned.filter(F.col("cluster_id") % 4 == 0)
+        cold = assigned.filter(F.col("cluster_id") % 4 != 0)
+        hot.repartition(16).write.partitionBy("cluster_id").parquet(path)
+        cold.repartition(1).write.mode("append").partitionBy(
+            "cluster_id"
+        ).parquet(path)
         os.makedirs(f"{path}/_temporary/0", exist_ok=True)
+        n_rows = assigned.count()
         report = maintain_index(
             spark, path, centroids,
             writer_active=False, min_age_seconds=0.0,
@@ -337,11 +348,21 @@ def _maintain_index_production(spark, sf_dir):
         print(
             f"# maintain_index split ({sf_dir}): {report['timings']} "
             f"files {report['files_before']}->{report['files_after']} "
+            f"scope={report['compact_scope']} "
             f"recluster_ran={report['recluster_ran']}",
             file=sys.stderr,
         )
-        return spark.read.parquet(path).groupBy("cluster_id").count(
-        ).localCheckpoint(eager=True)
+        spark.catalog.refreshByPath(path)
+        after = spark.read.parquet(path)
+        got = after.agg(
+            F.count(F.lit(1)), F.countDistinct("vec_id")
+        ).collect()[0]
+        assert (got[0], got[1]) == (n_rows, n_rows), (
+            f"maintenance changed the row set: {got} != {n_rows}"
+        )
+        return after.groupBy("cluster_id").count().localCheckpoint(
+            eager=True
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -299,3 +299,131 @@ def test_swap_rescues_late_commit_under_bucket_partition(
     spark.catalog.refreshByPath(path)
     got = sorted(r.id for r in spark.read.parquet(path).collect())
     assert got == sorted([*range(0, 400), *range(9000, 9010)])
+
+
+# ---- r16: fragmentation-scoped compaction (VERDICT r15 #3) ------------------
+
+
+def _hot_cold_layout(spark, path, n_parts=3, hot_part=0, rows=900):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, rows).select(
+        "id", (F.col("id") % n_parts).alias("part")
+    )
+    hot = df.filter(F.col("part") == hot_part)
+    cold = df.filter(F.col("part") != hot_part)
+    hot.repartition(8).write.partitionBy("part").parquet(path)
+    cold.repartition(1).write.mode("append").partitionBy("part").parquet(
+        path
+    )
+    return df
+
+
+def test_compact_fragmented_rewrites_only_hot_partitions(spark, tmp_path):
+    """Only the partition past the fragment threshold is rewritten;
+    every cold partition's files survive byte-identically (path, size
+    AND mtime), and the row set is unchanged."""
+    from pyspark.sql import functions as F
+
+    from rag_vertex_ai_vector_search_spark.sources.compact import (
+        _listing_snapshot,
+        compact_fragmented,
+        fragmented_partitions,
+        partition_file_stats,
+    )
+
+    path = str(tmp_path / "t")
+    df = _hot_cold_layout(spark, path)
+    stats = partition_file_stats(spark, path)
+    assert fragmented_partitions(
+        stats, target_file_bytes=1 << 30
+    ) == ["part=0"]
+    snap_before = _listing_snapshot(spark, path)
+    rep = compact_fragmented(spark, path, target_file_bytes=1 << 30)
+    assert rep["partitions_total"] == 3
+    assert rep["partitions_fragmented"] == 1
+    assert rep["files_after"] == rep["files_before"] - 8 + 1
+    cold_before = {
+        e for e in snap_before
+        if not e[0].lstrip("/").startswith("part=0/")
+    }
+    assert cold_before <= _listing_snapshot(spark, path)
+    spark.catalog.refreshByPath(path)
+    got = spark.read.parquet(path)
+    assert sorted(
+        (r["id"], r["part"]) for r in got.collect()
+    ) == sorted((r["id"], r["part"]) for r in df.collect())
+    # idempotent: a healthy layout is a no-op
+    rep2 = compact_fragmented(spark, path, target_file_bytes=1 << 30)
+    assert rep2["partitions_fragmented"] == 0
+    assert rep2["files_after"] == rep2["files_before"]
+
+
+def test_compact_fragmented_tx_route(spark, tmp_path):
+    """On a tx table the scoped pass replaces exactly the fragmented
+    partitions' manifest entries in ONE commit; untouched partitions'
+    file paths ride the manifest, and the snapshot read agrees."""
+    from pyspark.sql import functions as F
+
+    from rag_vertex_ai_vector_search_spark.sources.compact import (
+        compact_fragmented,
+    )
+    from rag_vertex_ai_vector_search_spark.sources.txlog import (
+        TxLog,
+        read_table,
+        tx_append,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 600).select(
+        "id", (F.col("id") % 3).alias("part")
+    )
+    hot = df.filter(F.col("part") == 1)
+    cold = df.filter(F.col("part") != 1)
+    tx_append(spark, path, hot.repartition(6), partition_cols=("part",))
+    tx_append(spark, path, cold.repartition(1), partition_cols=("part",))
+    log = TxLog(spark, path)
+    v_before = log.current_version()
+    cold_files = {
+        r for r in log.live_files() if not r.startswith("part=1/")
+    }
+    rep = compact_fragmented(spark, path, target_file_bytes=1 << 30)
+    assert rep["partitions_fragmented"] == 1
+    assert log.current_version() == v_before + 1
+    live = set(log.live_files())
+    assert cold_files <= live  # untouched partitions ride the manifest
+    assert len(live) == len(cold_files) + 1  # hot folded to one file
+    got = read_table(spark, path)
+    assert sorted(
+        (r["id"], int(r["part"])) for r in got.collect()
+    ) == sorted((r["id"], r["part"]) for r in df.collect())
+
+
+def test_maintain_index_uses_scoped_compaction(spark, tmp_path):
+    """The nightly pass reports the scoped-compaction split for a
+    partitioned layout and leaves the row set intact."""
+    from pyspark.sql import functions as F
+
+    from rag_vertex_ai_vector_search_spark.streaming.maintenance import (
+        maintain_index,
+    )
+
+    path = str(tmp_path / "idx")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("data_point_id"),
+        (F.col("id") % 4).alias("cluster_id"),
+    )
+    hot = df.filter(F.col("cluster_id") == 2)
+    cold = df.filter(F.col("cluster_id") != 2)
+    hot.repartition(8).write.partitionBy("cluster_id").parquet(path)
+    cold.repartition(1).write.mode("append").partitionBy(
+        "cluster_id"
+    ).parquet(path)
+    rep = maintain_index(
+        spark, path, None, writer_active=False, min_age_seconds=0.0
+    )
+    assert rep["compact_scope"] is not None
+    assert rep["compact_scope"]["partitions_fragmented"] == 1
+    assert rep["compacted"] and rep["files_after"] < rep["files_before"]
+    spark.catalog.refreshByPath(path)
+    assert spark.read.parquet(path).count() == 400

@@ -425,4 +425,4 @@ def test_tx_two_session_writer_never_loses_a_commit(spark, tmp_path):
         log.snapshot(v)["action"]
         for v in range(0, log.current_version() + 1)
     ]
-    assert "compact" in actions
+    assert any(a in ("compact", "compact-fragmented") for a in actions)
