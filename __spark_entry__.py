@@ -7268,7 +7268,10 @@ def q_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers in doc_id; ``extract_media_probe`` walks the real
     frame/box headers and the report prices them as
     ``n_media_probe_ok`` / ``media_probe_ms`` -- a probe regression
-    (tables, frame-size math, box walk) breaks the hash."""
+    (tables, frame-size math, box walk) breaks the hash. r16
+    (VERDICT r15 #4) adds planted WebM containers (doc_id % 5 == 0,
+    1 ms-tick Duration = closed-form integer ms) earned through the
+    real EBML walk (``probe_mkv``)."""
     from rag_vertex_ai_vector_search_spark.multimodal import (
         decode_image,
         extract_audio_spectral_features,
@@ -7412,12 +7415,16 @@ m AS (
          -- the planted MP3/MP4 containers carry closed-form durations
          -- (36 ms/frame MPEG1-L3; mvhd ticks at ms timescale)
          CAST(sum(1 + (CASE WHEN doc_id % 4 = 1 THEN 0 ELSE 1 END)
-                  + (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END)) AS BIGINT)
+                  + (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END)
+                  + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)) AS BIGINT)
            AS n_media_probe_ok,
          CAST(sum((CASE WHEN doc_id % 4 = 1 THEN 0 ELSE 200 END)
                   + (CASE WHEN doc_id % 3 = 0
                           THEN 36 * (10 + doc_id % 5)
                                + 250 * (5 + doc_id % 7)
+                          ELSE 0 END)
+                  + (CASE WHEN doc_id % 5 = 0
+                          THEN 40 * (8 + doc_id % 6)
                           ELSE 0 END)) AS BIGINT)
            AS media_probe_ms
   FROM documents WHERE doc_id % 37 = 0

@@ -618,6 +618,179 @@ def probe_ogg(content: bytes) -> dict:
     }
 
 
+# Matroska/WebM element IDs (public EBML + Matroska specs, RFC 8794):
+_EBML_HEADER = 0x1A45DFA3
+_EBML_DOCTYPE = 0x4282
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TIMESTAMP_SCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACK_ENTRY = 0xAE
+_MKV_TRACK_TYPE = 0x83
+_MKV_CODEC_ID = 0x86
+_MKV_VIDEO = 0xE0
+_MKV_PIXEL_WIDTH = 0xB0
+_MKV_PIXEL_HEIGHT = 0xBA
+_MKV_AUDIO = 0xE1
+_MKV_SAMPLING_FREQ = 0xB5
+_MKV_CHANNELS = 0x9F
+
+
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool):
+    """One EBML variable-length integer at ``pos``: returns
+    (value, next_pos, octet_length). Element IDs keep the length
+    marker bit (the spec's ID space); sizes strip it."""
+    if pos >= len(data):
+        raise ValueError("truncated EBML varint")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("invalid EBML varint (>8 octets)")
+    mask = 0x80
+    length = 1
+    while not (first & mask):
+        mask >>= 1
+        length += 1
+    if pos + length > len(data):
+        raise ValueError("truncated EBML varint")
+    if keep_marker:
+        value = int.from_bytes(data[pos:pos + length], "big")
+    else:
+        value = first & (mask - 1)
+        for b in data[pos + 1:pos + length]:
+            value = (value << 8) | b
+    return value, pos + length, length
+
+
+def _ebml_walk(data: bytes, lo: int, hi: int):
+    """Yield (element_id, body_lo, body_hi) over [lo, hi). An
+    unknown-size element (all size bits set -- legal for Segment in
+    live-muxed files) extends to ``hi``. Overruns raise ValueError."""
+    pos = lo
+    while pos < hi:
+        eid, p, _ = _ebml_vint(data, pos, keep_marker=True)
+        size, body, slen = _ebml_vint(data, p, keep_marker=False)
+        if size == (1 << (7 * slen)) - 1:  # unknown-size element
+            end = hi
+        else:
+            end = body + size
+        if end > hi:
+            raise ValueError(
+                f"EBML element 0x{eid:X} overruns its parent"
+            )
+        yield eid, body, end
+        pos = end
+
+
+def _ebml_uint(data: bytes, lo: int, hi: int) -> int:
+    return int.from_bytes(data[lo:hi], "big")
+
+
+def _ebml_float(data: bytes, lo: int, hi: int) -> float:
+    n = hi - lo
+    if n == 0:
+        return 0.0
+    if n == 4:
+        return struct.unpack_from(">f", data, lo)[0]
+    if n == 8:
+        return struct.unpack_from(">d", data, lo)[0]
+    raise ValueError(f"EBML float of width {n}")
+
+
+def probe_mkv(content: bytes) -> dict:
+    """Matroska/WebM metadata from an EBML walk (public EBML spec,
+    RFC 8794, + the Matroska element registry): DocType from the EBML
+    header, duration from Info (Duration x TimestampScale, exact
+    seconds), and per-track type/codec/dims/audio params from the
+    Tracks element -- headers only, no Cluster byte is touched (the
+    walk stops descending at the first level below Segment, so a
+    100 GB file costs the same as a 1 KB one given the leading bytes).
+    Foreign bytes raise NotImplementedError; an EBML stream whose
+    DocType is not matroska/webm likewise (recognized EBML, foreign
+    schema -> counted-skip 'unsupported'); truncated/overrunning
+    elements and a Segment without Info raise ValueError ->
+    DECODE_CORRUPT."""
+    data = bytes(content or b"")
+    if data[:4] != b"\x1a\x45\xdf\xa3":
+        raise NotImplementedError("not an EBML stream")
+    doc_type = None
+    segment = None
+    for eid, lo, hi in _ebml_walk(data, 0, len(data)):
+        if eid == _EBML_HEADER:
+            for e2, l2, h2 in _ebml_walk(data, lo, hi):
+                if e2 == _EBML_DOCTYPE:
+                    doc_type = data[l2:h2].rstrip(b"\x00").decode(
+                        "latin-1"
+                    )
+        elif eid == _MKV_SEGMENT and segment is None:
+            segment = (lo, hi)
+    if doc_type not in ("matroska", "webm"):
+        raise NotImplementedError(
+            f"EBML stream with foreign DocType {doc_type!r}"
+        )
+    if segment is None:
+        raise ValueError("Matroska stream has no Segment element")
+    out = {
+        "doc_type": doc_type, "timestamp_scale_ns": 1_000_000,
+        "duration_s": None, "tracks": [],
+    }
+    saw_info = False
+    for eid, lo, hi in _ebml_walk(data, *segment):
+        if eid == _MKV_INFO:
+            saw_info = True
+            raw_duration = None
+            for e2, l2, h2 in _ebml_walk(data, lo, hi):
+                if e2 == _MKV_TIMESTAMP_SCALE:
+                    out["timestamp_scale_ns"] = _ebml_uint(data, l2, h2)
+                elif e2 == _MKV_DURATION:
+                    raw_duration = _ebml_float(data, l2, h2)
+            if raw_duration is not None:
+                out["duration_s"] = (
+                    raw_duration * out["timestamp_scale_ns"] / 1e9
+                )
+        elif eid == _MKV_TRACKS:
+            for e2, l2, h2 in _ebml_walk(data, lo, hi):
+                if e2 != _MKV_TRACK_ENTRY:
+                    continue
+                track = {
+                    "type": None, "codec": None, "width": None,
+                    "height": None, "channels": None,
+                    "sample_rate": None,
+                }
+                for e3, l3, h3 in _ebml_walk(data, l2, h2):
+                    if e3 == _MKV_TRACK_TYPE:
+                        t = _ebml_uint(data, l3, h3)
+                        track["type"] = {1: "video", 2: "audio"}.get(
+                            t, f"type{t}"
+                        )
+                    elif e3 == _MKV_CODEC_ID:
+                        track["codec"] = data[l3:h3].rstrip(
+                            b"\x00"
+                        ).decode("latin-1")
+                    elif e3 == _MKV_VIDEO:
+                        for e4, l4, h4 in _ebml_walk(data, l3, h3):
+                            if e4 == _MKV_PIXEL_WIDTH:
+                                track["width"] = _ebml_uint(data, l4, h4)
+                            elif e4 == _MKV_PIXEL_HEIGHT:
+                                track["height"] = _ebml_uint(
+                                    data, l4, h4
+                                )
+                    elif e3 == _MKV_AUDIO:
+                        for e4, l4, h4 in _ebml_walk(data, l3, h3):
+                            if e4 == _MKV_SAMPLING_FREQ:
+                                track["sample_rate"] = int(
+                                    _ebml_float(data, l4, h4)
+                                )
+                            elif e4 == _MKV_CHANNELS:
+                                track["channels"] = _ebml_uint(
+                                    data, l4, h4
+                                )
+                out["tracks"].append(track)
+    if not saw_info:
+        raise ValueError("Matroska Segment has no Info element")
+    return out
+
+
 def probe_media(content: bytes) -> dict:
     """Magic-sniffing dispatcher over every in-repo container. Returns
     a NORMALIZED scalar dict: container, width, height, channels,
@@ -704,6 +877,22 @@ def probe_media(content: bytes) -> dict:
             n_frames=video["n_samples"] if video else (
                 audio["n_samples"] if audio else None
             ),
+            channels=audio["channels"] if audio else None,
+            sample_rate=audio["sample_rate"] if audio else None,
+        )
+    elif data[:4] == b"\x1a\x45\xdf\xa3":
+        m = probe_mkv(data)
+        video = next(
+            (t for t in m["tracks"] if t["type"] == "video"), None
+        )
+        audio = next(
+            (t for t in m["tracks"] if t["type"] == "audio"), None
+        )
+        out.update(
+            container=m["doc_type"],  # "webm" or "matroska"
+            duration_s=m["duration_s"],
+            width=video["width"] if video else None,
+            height=video["height"] if video else None,
             channels=audio["channels"] if audio else None,
             sample_rate=audio["sample_rate"] if audio else None,
         )

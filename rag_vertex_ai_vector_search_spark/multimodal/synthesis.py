@@ -792,12 +792,70 @@ def encode_mp4_stub(seed: int) -> bytes:
     return ftyp + moov
 
 
+def _ebml_size_enc(n: int) -> bytes:
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            return ((1 << (7 * length)) | n).to_bytes(length, "big")
+    raise ValueError(f"EBML size {n} too large")
+
+
+def _ebml_el(eid: int, payload: bytes) -> bytes:
+    id_bytes = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    return id_bytes + _ebml_size_enc(len(payload)) + payload
+
+
+def encode_webm_stub(seed: int) -> bytes:
+    """A VALID minimal WebM container (EBML header with DocType
+    ``webm`` + Segment with Info and one V_VP9 video TrackEntry, no
+    Cluster): TimestampScale is the 1 ms default (1e6 ns) and Duration
+    is ``40 * (8 + seed % 6)`` ticks = the same value in integer
+    MILLISECONDS -- closed-form in the seed for the report oracle.
+    Full decode of VP9 is out of scope (DECODE_UNSUPPORTED); only the
+    EBML walk (probe_mkv) reads this. Element IDs per the public
+    Matroska registry / RFC 8794."""
+    dur_ms = 40 * (8 + int(seed) % 6)
+    header = _ebml_el(
+        0x1A45DFA3,
+        _ebml_el(0x4286, b"\x01")          # EBMLVersion
+        + _ebml_el(0x42F7, b"\x01")        # EBMLReadVersion
+        + _ebml_el(0x42F2, b"\x04")        # EBMLMaxIDLength
+        + _ebml_el(0x42F3, b"\x08")        # EBMLMaxSizeLength
+        + _ebml_el(0x4282, b"webm")        # DocType
+        + _ebml_el(0x4287, b"\x04")        # DocTypeVersion
+        + _ebml_el(0x4285, b"\x02"),       # DocTypeReadVersion
+    )
+    import struct as _struct
+
+    info = _ebml_el(
+        0x1549A966,
+        _ebml_el(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+        + _ebml_el(0x4489, _struct.pack(">d", float(dur_ms))),
+    )
+    video = _ebml_el(
+        0xE0,
+        _ebml_el(0xB0, (320).to_bytes(2, "big"))
+        + _ebml_el(0xBA, (180).to_bytes(1, "big")),
+    )
+    track = _ebml_el(
+        0xAE,
+        _ebml_el(0xD7, b"\x01")            # TrackNumber
+        + _ebml_el(0x73C5, b"\x01")        # TrackUID
+        + _ebml_el(0x83, b"\x01")          # TrackType video
+        + _ebml_el(0x86, b"V_VP9")         # CodecID
+        + video,
+    )
+    tracks = _ebml_el(0x1654AE6B, track)
+    segment = _ebml_el(0x18538067, info + tracks)
+    return header + segment
+
+
 def synthesize_media_with_defects(
     df: DataFrame,
     *,
     id_col: str = "doc_id",
     unsupported_every: int = 3,
     corrupt_every: int = 4,
+    webm_every: int = 5,
 ) -> DataFrame:
     """Deterministic media synthesis WITH planted defects, so the
     counted-skip decode contract can be exercised (and oracled) at
@@ -814,7 +872,11 @@ def synthesize_media_with_defects(
       DECODE_UNSUPPORTED through the full-decode path (no MP3/AAC
       synthesis in-repo), but header-PROBEABLE with closed-form
       durations (r15, VERDICT r14 #3): the crawl-dominant formats
-      show up in probe statistics even though they never decode.
+      show up in probe statistics even though they never decode;
+    - seed % webm_every == 0: an EXTRA ``video/webm`` item
+      (``encode_webm_stub``, r16 -- VERDICT r15 #4) completing the
+      crawl-video coverage: probeable through the EBML walk with a
+      closed-form duration, DECODE_UNSUPPORTED to full decode.
 
     Every decode_status is therefore a CLOSED-FORM function of the
     seed: a SQL oracle can predict per-group decode rates without
@@ -856,6 +918,8 @@ def synthesize_media_with_defects(
                 if seed % unsupported_every == 0:
                     items.append(("audio/mpeg", encode_mp3_stub(seed)))
                     items.append(("video/mp4", encode_mp4_stub(seed)))
+                if seed % webm_every == 0:
+                    items.append(("video/webm", encode_webm_stub(seed)))
                 for mt, blob in items:
                     ids.append(rid)
                     types.append(mt)

@@ -526,3 +526,78 @@ def test_probe_tiff_matrix():
         probe_tiff(tiff("II", [(259, 3, 1, 1)]))  # no dims
     with pytest.raises(NotImplementedError):
         probe_tiff(b"not a tiff")
+
+
+def test_probe_mkv_matrix():
+    """Matroska/WebM EBML walk (r16, VERDICT r15 #4): valid WebM ->
+    doc type / closed-form duration / track codec + dims; truncated
+    and overrunning elements -> ValueError; EBML with a foreign
+    DocType and non-EBML bytes -> NotImplementedError."""
+    from rag_vertex_ai_vector_search_spark.multimodal.probe import (
+        probe_mkv,
+    )
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        _ebml_el,
+        encode_webm_stub,
+    )
+
+    for seed in range(11):
+        webm = encode_webm_stub(seed)
+        m = probe_mkv(webm)
+        assert m["doc_type"] == "webm"
+        assert m["timestamp_scale_ns"] == 1_000_000
+        dur_ms = 40 * (8 + seed % 6)
+        assert m["duration_s"] == pytest.approx(dur_ms / 1000.0)
+        (track,) = m["tracks"]
+        assert track["type"] == "video" and track["codec"] == "V_VP9"
+        assert (track["width"], track["height"]) == (320, 180)
+        meta = probe_media(webm)
+        assert meta["container"] == "webm"
+        assert (meta["width"], meta["height"]) == (320, 180)
+        assert meta["duration_s"] == pytest.approx(dur_ms / 1000.0)
+        assert meta["channels"] is None  # no audio track in the stub
+
+    webm = encode_webm_stub(3)
+    # truncated mid-Segment: a child element overruns -> corrupt
+    with pytest.raises(ValueError):
+        probe_mkv(webm[: len(webm) - 10])
+    # EBML header alone (no Segment) -> corrupt
+    hdr_end = len(encode_webm_stub(3)) - len(
+        webm[webm.index(b"\x18\x53\x80\x67"):]
+    )
+    with pytest.raises(ValueError):
+        probe_mkv(webm[:hdr_end])
+    # recognized EBML, foreign schema -> unsupported
+    foreign = _ebml_el(
+        0x1A45DFA3, _ebml_el(0x4282, b"notmatroska")
+    ) + _ebml_el(0x18538067, b"")
+    with pytest.raises(NotImplementedError):
+        probe_mkv(foreign)
+    # garbage -> foreign container
+    with pytest.raises(NotImplementedError):
+        probe_mkv(b"\x00\x01\x02\x03 junk")
+    with pytest.raises(NotImplementedError):
+        probe_media(b"\x00\x01\x02\x03 junk")
+
+
+def test_extract_media_probe_covers_webm(spark):
+    """The defect-synthesis corpus plants video/webm for seed%5==0;
+    the Spark probe path earns its closed-form duration through the
+    real EBML walk (the declared corpus_quality_report columns count
+    it)."""
+    from pyspark.sql import functions as F
+
+    from rag_vertex_ai_vector_search_spark.multimodal.synthesis import (
+        synthesize_media_with_defects,
+    )
+
+    ids = spark.range(0, 15).select(F.col("id").alias("doc_id"))
+    media = synthesize_media_with_defects(ids)
+    probed = extract_media_probe(
+        media.filter(F.col("media_type") == "video/webm"),
+        on_error="skip",
+    ).collect()
+    assert {r.doc_id for r in probed} == {0, 5, 10}
+    for r in probed:
+        assert r.decode_status == "ok" and r.container == "webm"
+        assert round(r.duration_s * 1000) == 40 * (8 + r.doc_id % 6)
