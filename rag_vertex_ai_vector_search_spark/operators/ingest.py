@@ -63,6 +63,7 @@ def ingest_documents(
     surrogate_key: str = "sha2",
     embed_distinct: bool = False,
     embed_cache_path: str | None = None,
+    embed_model_id: str | None = None,
 ) -> IngestResult:
     """Build the datapoints + metadata tables from a document table.
 
@@ -106,9 +107,18 @@ def ingest_documents(
     text; new vectors are appended to the cache through the
     transactional log (concurrent ingests commute). Implies the
     embed-distinct plan shape. The cache is valid as long as the
-    embedder is the pure content function it is declared to be; bump
-    the cache path on a model upgrade (the hash does not encode the
-    model version).
+    embedder is the pure content function it is declared to be.
+
+    ``embed_model_id`` (r16, VERDICT r15 #6): the embedder's declared
+    identity, a PATH COMPONENT of the cache
+    (``<cache>/model=<id>/``) -- defaults to the built-in hash
+    embedder's ``hash_embedding:dim=<dim>``. A model upgrade (new id,
+    or a dim change under the default) therefore re-embeds
+    STRUCTURALLY instead of serving stale vectors: the new identity
+    reads an empty model directory. Pass the real model's
+    version-qualified name when plugging
+    ``embed_client.model_embedding_udf`` in. Prior models' vectors
+    stay in their own dirs for rollback; vacuum them per-dir.
     """
     if surrogate_key not in ("sha2", "uuid"):
         raise ValueError(
@@ -167,7 +177,10 @@ def ingest_documents(
         )
         if embed_cache_path is not None:
             vectors = _cached_vectors(
-                distinct, embed, embed_cache_path
+                distinct,
+                embed,
+                embed_cache_path,
+                model_id=embed_model_id or f"hash_embedding:dim={dim}",
             )
         else:
             vectors = distinct.withColumn(
@@ -223,8 +236,21 @@ def ingest_documents(
     )
 
 
+def _model_cache_dir(cache_path: str, model_id: str) -> str:
+    """The model-scoped cache subdirectory: the embedder's declared
+    identity is a PATH COMPONENT, so a model upgrade structurally
+    reads an empty cache instead of serving stale vectors (r16,
+    VERDICT r15 #6). The id is slugged to filesystem-safe chars."""
+    import re as _re
+
+    slug = _re.sub(r"[^A-Za-z0-9._-]+", "_", str(model_id)).strip("_")
+    if not slug:
+        raise ValueError(f"empty embed model id {model_id!r}")
+    return f"{cache_path.rstrip('/')}/model={slug}"
+
+
 def _cached_vectors(
-    distinct: DataFrame, embed, cache_path: str
+    distinct: DataFrame, embed, cache_path: str, *, model_id: str
 ) -> DataFrame:
     """(_chash, feature_vector) for every distinct content, embedding
     ONLY hashes missing from the persistent cache table and appending
@@ -232,12 +258,14 @@ def _cached_vectors(
     and a replayed job can at worst re-append an identical vector --
     the join-back takes one row per hash via max(), so duplicates in
     the cache are harmless). The returned vectors are read back FROM
-    the cache files: one embed execution per new content, ever."""
+    the cache files: one embed execution per new content, PER MODEL
+    IDENTITY (the cache table lives under ``model=<id>/``)."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     from ..sources.txlog import TxLog, read_table_any, tx_append
 
     spark = distinct.sparkSession
+    cache_path = _model_cache_dir(cache_path, model_id)
     log = TxLog(spark, cache_path)
     if log.exists():
         cached = read_table_any(spark, cache_path)

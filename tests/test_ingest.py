@@ -292,6 +292,7 @@ def test_embed_cache_bit_equal_and_delta_only(spark, tmp_path):
 
     from rag_vertex_ai_vector_search_spark.operators.ingest import (
         _cached_vectors,
+        _model_cache_dir,
         ingest_documents,
     )
     from rag_vertex_ai_vector_search_spark.sources.txlog import (
@@ -299,6 +300,7 @@ def test_embed_cache_bit_equal_and_delta_only(spark, tmp_path):
     )
 
     cache = str(tmp_path / "embed_cache")
+    model_dir = _model_cache_dir(cache, "hash_embedding:dim=64")
     docs = spark.createDataFrame(
         [(i, f"shared text {i % 7}") for i in range(20)],  # 7 distinct
         "doc_id long, text string",
@@ -310,7 +312,7 @@ def test_embed_cache_bit_equal_and_delta_only(spark, tmp_path):
         for r in res.datapoints.collect()
     )
     assert key(cached) == key(plain)
-    assert read_table_any(spark, cache).count() == 7
+    assert read_table_any(spark, model_dir).count() == 7
 
     # second corpus: 7 cached + 3 new distinct contents
     docs2 = spark.createDataFrame(
@@ -320,7 +322,7 @@ def test_embed_cache_bit_equal_and_delta_only(spark, tmp_path):
     plain2 = ingest_documents(docs2)
     cached2 = ingest_documents(docs2, embed_cache_path=cache)
     assert key(cached2) == key(plain2)
-    assert read_table_any(spark, cache).count() == 10  # +3 only
+    assert read_table_any(spark, model_dir).count() == 10  # +3 only
 
     # accumulator-counted embed calls: zero on a fully-warm re-run
     calls = spark.sparkContext.accumulator(0)
@@ -334,6 +336,69 @@ def test_embed_cache_bit_equal_and_delta_only(spark, tmp_path):
         F.sha2(F.col("text"), 256).alias("_chash"),
         F.col("text").alias("content"),
     ).groupBy("_chash").agg(F.first("content").alias("content"))
-    out = _cached_vectors(distinct, counting_embed, cache)
+    out = _cached_vectors(
+        distinct, counting_embed, cache, model_id="hash_embedding:dim=64"
+    )
     assert out.count() == 10
     assert calls.value == 0  # every hash already stored: no model call
+
+
+def test_embed_cache_model_bump_reembeds(spark, tmp_path):
+    """embed_model_id (r16, VERDICT r15 #6): the embedder identity is
+    a path component of the cache, so a MODEL UPGRADE structurally
+    re-embeds every content instead of serving the old model's
+    vectors; the prior model's vectors stay in their own dir."""
+    from pyspark.sql import functions as F
+
+    from rag_vertex_ai_vector_search_spark.operators.ingest import (
+        _cached_vectors,
+        _model_cache_dir,
+        ingest_documents,
+    )
+    from rag_vertex_ai_vector_search_spark.sources.txlog import (
+        read_table_any,
+    )
+
+    cache = str(tmp_path / "embed_cache")
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 5}") for i in range(15)],  # 5 distinct
+        "doc_id long, text string",
+    )
+    ingest_documents(docs, embed_cache_path=cache)
+    v1_dir = _model_cache_dir(cache, "hash_embedding:dim=64")
+    assert read_table_any(spark, v1_dir).count() == 5
+
+    # a dim change under the default identity is a model bump: the new
+    # identity reads an empty dir and re-embeds (different vector len)
+    out16 = ingest_documents(docs, dim=16, embed_cache_path=cache)
+    v16_dir = _model_cache_dir(cache, "hash_embedding:dim=16")
+    vecs16 = read_table_any(spark, v16_dir)
+    assert vecs16.count() == 5
+    assert all(
+        len(r.feature_vector) == 16 for r in vecs16.collect()
+    )
+    assert all(
+        len(r.feature_vector) == 16
+        for r in out16.datapoints.select("feature_vector").collect()
+    )
+    # the old model dir is untouched (rollback stays possible)
+    assert read_table_any(spark, v1_dir).count() == 5
+
+    # an explicit model id bump with the SAME dim also re-embeds: the
+    # warm v1 cache cannot serve the "v2" identity
+    calls = spark.sparkContext.accumulator(0)
+
+    @F.udf("array<float>")
+    def counting_embed(content):
+        calls.add(1)
+        return [1.0]
+
+    distinct = docs.select(
+        F.sha2(F.col("text"), 256).alias("_chash"),
+        F.col("text").alias("content"),
+    ).groupBy("_chash").agg(F.first("content").alias("content"))
+    out = _cached_vectors(
+        distinct, counting_embed, cache, model_id="real-model-v2"
+    )
+    assert out.count() == 5
+    assert calls.value == 5  # every content re-embedded for v2
