@@ -454,6 +454,26 @@ def _sql_dedup_candidates(spark, sf_dir):
     )
 
 
+def _sql_pack_sequences(spark, sf_dir):
+    """The SQL-only user's packing query (r16, VERDICT r15 #7):
+    `SELECT ... FROM engine_pack_sequences` -- within-language greedy
+    512-token packing + ordered concatenation as a registered view,
+    bit-equal to pack_sequences/concat_sequences
+    (tests/test_sql_api.py). Registration is lazy for this view; the
+    timed cost is the packing plan itself."""
+    from rag_vertex_ai_vector_search_spark.sources import register_views
+    from rag_vertex_ai_vector_search_spark.sql_api import (
+        _register_mixing_views,
+    )
+
+    register_views(spark, sf_dir)
+    _register_mixing_views(spark)
+    return spark.sql(
+        "SELECT pack_group, seq_id, n_docs, seq_chars, seq_sha256 "
+        "FROM engine_pack_sequences"
+    )
+
+
 def _sql_knn_search(spark, sf_dir):
     """The SQL front end's headline query (r14, VERDICT r13 #6): a
     SQL-only user's `SELECT * FROM engine_knn_search` -- embedded
@@ -649,6 +669,7 @@ BENCH_QUERIES = [
     ("sql_knn_search", _sql_knn_search),
     # r15: the SQL route to the dedup surface (lazy view; timed = plan).
     ("sql_dedup_candidates", _sql_dedup_candidates),
+    ("sql_pack_sequences", _sql_pack_sequences),
     # r15: the transactional storage lifecycle (append x2 -> tx
     # compaction -> snapshot read) -- prices the manifest-commit
     # overhead against the table-scale work it coordinates.

@@ -372,6 +372,7 @@ def register_sql_api(
         ).createOrReplaceTempView("engine_kn_surprisal")
         _register_doremi_view(spark)
         _register_pipeline_views(spark)
+        _register_mixing_views(spark)
         _register_tokenizer_views(spark)
         register_knn_search_view(spark)
 
@@ -421,6 +422,97 @@ def _register_pipeline_views(spark: SparkSession) -> None:
     decontaminate(
         train, ev, n=5, min_shared=1, max_gram_df=64
     ).createOrReplaceTempView("engine_decontaminate")
+
+
+_MIXING_VIEWS_DONE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def _register_mixing_views(spark: SparkSession) -> None:
+    """SQL access to the mixing/packing half of the pipeline surface
+    (r16, VERDICT r15 #7) -- a SQL user can now draw a
+    temperature-scaled sample, cap domains and pack training
+    sequences without touching the DataFrame API:
+
+    - ``engine_temperature_mix`` (doc_id, source, source_docs,
+      log_weight_micronats, gumbel_key_micronats): the n^alpha
+      source-mixing draw (alpha = 0.5, 100 docs via hash-Gumbel
+      top-k) in the declared ``dataset_temperature_mix``
+      configuration.
+    - ``engine_domain_cap`` (doc_id, source): at most 10 docs per
+      source by deterministic sha60 hash order -- the RefinedWeb
+      per-domain cap (archive ``dataset_domain_cap`` configuration).
+    - ``engine_pack_sequences`` (pack_group, seq_id, n_docs,
+      seq_chars, seq_sha256): greedy within-language packing into
+      512-token sequences with the concatenated text's sha256 --
+      the ``packed_sequence_texts`` configuration.
+
+    The cap and pack views are lazy plans (zero jobs until queried);
+    the temperature view needs the per-source counts collect (a
+    bounded driver scalar -- sources are few), so registration is
+    memoized per (session, documents source) like the tokenizer
+    views. Bit-equality to the DataFrame builders is pinned in
+    tests/test_sql_api.py."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from .functions.text import token_count
+    from .operators.importance import dsir_gumbel_select
+    from .operators.pack import concat_sequences, pack_sequences
+    from .operators.splits import cap_per_group
+
+    docs = spark.table("documents")
+    src = docs.inputFiles()[0] if docs.inputFiles() else "documents"
+    if src in _MIXING_VIEWS_DONE.get(spark, set()):
+        return
+    cap_per_group(
+        docs.select("doc_id", "source"),
+        group_col="source", id_col="doc_id",
+        max_per_group=10, salt="cap1",
+    ).select("doc_id", "source").createOrReplaceTempView(
+        "engine_domain_cap"
+    )
+    packed = pack_sequences(
+        docs.select(
+            "doc_id", "lang", "text",
+            token_count(F.col("text")).alias("n_tokens"),
+        ),
+        token_col="n_tokens", budget=512, group_col="lang",
+    )
+    concat_sequences(packed).select(
+        "pack_group", "seq_id", "n_docs",
+        F.length("seq_text").alias("seq_chars"),
+        F.sha2("seq_text", 256).alias("seq_sha256"),
+    ).createOrReplaceTempView("engine_pack_sequences")
+    # per-source ln in PYTHON (the r14 rule: JVM Math.log drifts a ulp
+    # vs libm); the counts collect is bounded by the source vocabulary
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("source_docs")
+    ).collect()
+    mapping = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "source": [r.source for r in counts],
+                "source_docs": [int(r.source_docs) for r in counts],
+                "log_weight_micronats": [
+                    int(math.floor(
+                        -500000.0 * math.log(float(r.source_docs))
+                    ))
+                    for r in counts
+                ],
+            }
+        ),
+        "source string, source_docs long, log_weight_micronats long",
+    )
+    scored = docs.select("doc_id", "source").join(
+        F.broadcast(mapping), "source"
+    ).select("doc_id", "source", "source_docs", "log_weight_micronats")
+    dsir_gumbel_select(scored, 100, salt="tmix").select(
+        "doc_id", "source", "source_docs", "log_weight_micronats",
+        "gumbel_key_micronats",
+    ).createOrReplaceTempView("engine_temperature_mix")
+    _MIXING_VIEWS_DONE.setdefault(spark, set()).add(src)
 
 
 DEFAULT_KNN_QUERY_TEXTS = (

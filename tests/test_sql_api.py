@@ -694,3 +694,103 @@ def test_sql_pipeline_views_match_dataframe_builders(spark, sf_smoke):
     assert flagged == set(
         r.doc_id for r in train.select("doc_id").collect()
     ) - set(clean_df)
+
+
+def test_sql_mixing_views_match_dataframe_builders(spark, sf_smoke):
+    """r16 (VERDICT r15 #7): the mixing/packing half of the pipeline
+    from pure SQL -- engine_temperature_mix / engine_domain_cap /
+    engine_pack_sequences are bit-equal to the DataFrame builders in
+    the gated configurations."""
+    import math
+
+    import pandas as pd
+
+    from rag_vertex_ai_vector_search_spark.operators.importance import (
+        dsir_gumbel_select,
+    )
+    from rag_vertex_ai_vector_search_spark.operators.pack import (
+        concat_sequences,
+        pack_sequences,
+    )
+    from rag_vertex_ai_vector_search_spark.operators.splits import (
+        cap_per_group,
+    )
+
+    register_sql_api(spark, sf_smoke)
+    docs = load_table(spark, sf_smoke, "documents")
+
+    # domain cap
+    via_sql = sorted(
+        tuple(r) for r in spark.sql(
+            "SELECT doc_id, source FROM engine_domain_cap"
+        ).collect()
+    )
+    via_df = sorted(
+        tuple(r) for r in cap_per_group(
+            docs.select("doc_id", "source"),
+            group_col="source", id_col="doc_id",
+            max_per_group=10, salt="cap1",
+        ).select("doc_id", "source").collect()
+    )
+    assert via_sql == via_df and via_sql
+
+    # pack sequences
+    via_sql = sorted(
+        tuple(r) for r in spark.sql(
+            "SELECT pack_group, seq_id, n_docs, seq_chars, seq_sha256 "
+            "FROM engine_pack_sequences"
+        ).collect()
+    )
+    packed = pack_sequences(
+        docs.select(
+            "doc_id", "lang", "text",
+            token_count(F.col("text")).alias("n_tokens"),
+        ),
+        token_col="n_tokens", budget=512, group_col="lang",
+    )
+    via_df = sorted(
+        tuple(r) for r in concat_sequences(packed).select(
+            "pack_group", "seq_id", "n_docs",
+            F.length("seq_text").alias("seq_chars"),
+            F.sha2("seq_text", 256).alias("seq_sha256"),
+        ).collect()
+    )
+    assert via_sql == via_df and via_sql
+
+    # temperature mix (the declared dataset_temperature_mix config)
+    via_sql = sorted(
+        tuple(r) for r in spark.sql(
+            "SELECT doc_id, source, source_docs, log_weight_micronats, "
+            "gumbel_key_micronats FROM engine_temperature_mix"
+        ).collect()
+    )
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("source_docs")
+    ).collect()
+    mapping = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "source": [r.source for r in counts],
+                "source_docs": [int(r.source_docs) for r in counts],
+                "log_weight_micronats": [
+                    int(math.floor(
+                        -500000.0 * math.log(float(r.source_docs))
+                    ))
+                    for r in counts
+                ],
+            }
+        ),
+        "source string, source_docs long, log_weight_micronats long",
+    )
+    scored = docs.select("doc_id", "source").join(
+        F.broadcast(mapping), "source"
+    ).select("doc_id", "source", "source_docs", "log_weight_micronats")
+    via_df = sorted(
+        tuple(r) for r in dsir_gumbel_select(
+            scored, 100, salt="tmix"
+        ).select(
+            "doc_id", "source", "source_docs", "log_weight_micronats",
+            "gumbel_key_micronats",
+        ).collect()
+    )
+    assert via_sql == via_df and len(via_sql) == 100
