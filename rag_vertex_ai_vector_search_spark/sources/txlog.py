@@ -457,6 +457,53 @@ def _fs_for(spark: SparkSession | None, path: str):
     return _HadoopTxFs(spark, path)
 
 
+# Process-local snapshot cache: ONE resolved (version, file-map) per
+# table, LRU-bounded. Commit JSONs are immutable once published, so a
+# cached map is always a correct replay base for later versions; it is
+# never served as a final answer without reading the requested
+# version's own commit file (pruned history still fails loudly).
+_SNAPSHOT_CACHE_MAX_TABLES = 8
+_snapshot_cache: "dict[str, tuple[int, dict]]" = {}
+# per-table incremental txn-meta scan: [max_scanned_version,
+# {txn_key: version}] -- commit files are immutable, so each is read
+# once per process however many find_txn probes run. The entry is
+# mutated in place; concurrent probes can only re-add identical facts
+# from immutable files, so thread interleavings are harmless.
+_txn_scan_cache: "dict[str, list]" = {}
+
+
+def _cache_snapshot(table: str, version: int, files_by: dict) -> None:
+    _snapshot_cache.pop(table, None)
+    while len(_snapshot_cache) >= _SNAPSHOT_CACHE_MAX_TABLES:
+        _snapshot_cache.pop(next(iter(_snapshot_cache)))
+    _snapshot_cache[table] = (version, dict(files_by))
+
+
+def _cached_snapshot(table: str, version: int) -> dict | None:
+    hit = _snapshot_cache.get(table)
+    if hit is not None and hit[0] == version:
+        return dict(hit[1])
+    return None
+
+
+def _advance_cache(
+    table: str, base_v: int, new_v: int,
+    added: list[dict], removed: list[str],
+) -> None:
+    """After a successful commit, roll the cached map forward by the
+    just-committed delta so the next commit replays zero deltas."""
+    hit = _snapshot_cache.get(table)
+    if hit is None or hit[0] != base_v:
+        return
+    m = dict(hit[1])
+    for rel in removed:
+        m.pop(rel, None)
+    for f in added:
+        m[f["path"]] = f
+    _snapshot_cache.pop(table, None)
+    _snapshot_cache[table] = (new_v, m)
+
+
 class TxLog:
     """The per-table commit log. Cheap to construct; all state on disk."""
 
@@ -499,34 +546,71 @@ class TxLog:
         RESOLVED: checkpoint commits carry it verbatim; delta commits
         are reconstructed by replaying add/remove deltas forward from
         the nearest earlier checkpoint (<= CHECKPOINT_INTERVAL - 1
-        delta reads, independent of table size)."""
+        delta reads, independent of table size) -- or, cheaper, from
+        the process-local SNAPSHOT CACHE (r16, the 10^5-file
+        microbench lever): commit files are immutable once published,
+        so the last resolved (version, file-map) per table is a valid
+        replay base and a steady writer pays one delta read per
+        commit instead of re-parsing the nearest checkpoint's
+        O(files) JSON every time. The REQUESTED version's own commit
+        file is always read (a pruned version still fails loudly)."""
         v = self.current_version() if version is None else int(version)
+        doc = self._read_commit(self._require_version(v))
+        if doc.get("files") is not None:
+            _cache_snapshot(
+                self.table, v, {f["path"]: f for f in doc["files"]}
+            )
+            return doc
+        files_by = self._files_map(v, head_doc=doc)
+        return {**doc, "files": sorted(
+            files_by.values(), key=lambda f: f["path"]
+        )}
+
+    def _require_version(self, v: int) -> int:
         if v < 0:
             raise ValueError(f"no committed version at {self.table}")
-        doc = self._read_commit(v)
+        return v
+
+    def _files_map(
+        self, version: int | None = None, *, head_doc: dict | None = None
+    ) -> dict[str, dict]:
+        """The live path->entry map at ``version`` -- the unsorted
+        core of ``snapshot()``, what the commit loops consume. Served
+        from the process-local cache (one delta replay per steady
+        commit) whenever a cached base version is on the replay
+        path; the requested version's own commit file is always read
+        first, so pruned history still fails loudly."""
+        v = self.current_version() if version is None else int(version)
+        doc = head_doc or self._read_commit(self._require_version(v))
         if doc.get("files") is not None:
-            return doc
+            files_by = {f["path"]: f for f in doc["files"]}
+            _cache_snapshot(self.table, v, files_by)
+            return dict(files_by)
+        deltas = [doc]
         base = v - 1
-        chain = [doc]
+        files_by = None
         while base >= 0:
-            d = self._read_commit(base)
-            chain.append(d)
-            if d.get("files") is not None:
+            cached = _cached_snapshot(self.table, base)
+            if cached is not None:
+                files_by = cached
                 break
+            d = self._read_commit(base)
+            if d.get("files") is not None:
+                files_by = {f["path"]: f for f in d["files"]}
+                break
+            deltas.append(d)
             base -= 1
-        else:
+        if files_by is None:
             raise ValueError(
                 f"no checkpoint commit at or below v{v} at {self.table}"
             )
-        files = {f["path"]: f for f in chain[-1]["files"]}
-        for d in reversed(chain[:-1]):
+        for d in reversed(deltas):
             for rel in d.get("removed") or []:
-                files.pop(rel, None)
+                files_by.pop(rel, None)
             for f in d.get("added") or []:
-                files[f["path"]] = f
-        return {**doc, "files": sorted(
-            files.values(), key=lambda f: f["path"]
-        )}
+                files_by[f["path"]] = f
+        _cache_snapshot(self.table, v, files_by)
+        return files_by
 
     def live_files(self, version: int | None = None) -> list[str]:
         """Relative paths of the data files live at ``version``."""
@@ -650,15 +734,25 @@ class TxLog:
                 return done
         for _ in range(_MAX_COMMIT_ATTEMPTS):
             v = self.ensure()
-            live = self.snapshot(v)["files"]
+            # O(delta) commit economics (r16, the 10^5-file microbench
+            # lever): the full live list is only MATERIALIZED when the
+            # slot being claimed is a checkpoint version -- a steady
+            # delta commit reads one prior delta (cache replay) and
+            # serializes only its own add list.
+            if (v + 1) % CHECKPOINT_INTERVAL == 0:
+                files = list(self._files_map(v).values()) + list(new)
+            else:
+                files = []
             try:
-                return self.commit(
-                    files=live + list(new),
+                ver = self.commit(
+                    files=files,
                     base_version=v,
                     action=action,
                     added=list(new),
                     meta=meta,
                 )
+                _advance_cache(self.table, v, ver, list(new), [])
+                return ver
             except TxConflict:
                 done = self._replayed_since(meta, v)
                 if done is not None:
@@ -693,9 +787,8 @@ class TxLog:
         inputs_set = set(inputs)
         for _ in range(_MAX_COMMIT_ATTEMPTS):
             v = self.current_version()
-            live = self.snapshot(v)["files"]
-            live_paths = {f["path"] for f in live}
-            missing = inputs_set - live_paths
+            fmap = self._files_map(v)
+            missing = [p for p in inputs_set if p not in fmap]
             if missing:
                 raise TxRewriteAborted(
                     f"rewrite inputs no longer live at {self.table} "
@@ -703,7 +796,7 @@ class TxLog:
                 )
             if guard_prefixes:
                 foreign = {
-                    p for p in live_paths
+                    p for p in fmap
                     if p.startswith(tuple(guard_prefixes))
                 } - inputs_set
                 if foreign:
@@ -711,16 +804,25 @@ class TxLog:
                         f"concurrent append under guarded prefixes at "
                         f"{self.table} (v{v}): {sorted(foreign)[:3]}..."
                     )
-            kept = [f for f in live if f["path"] not in inputs_set]
+            if (v + 1) % CHECKPOINT_INTERVAL == 0:
+                files = [
+                    e for p, e in fmap.items() if p not in inputs_set
+                ] + list(outputs)
+            else:
+                files = []
             try:
-                return self.commit(
-                    files=kept + list(outputs),
+                ver = self.commit(
+                    files=files,
                     base_version=v,
                     action=action,
                     added=list(outputs),
                     removed=sorted(inputs_set),
                     meta=meta,
                 )
+                _advance_cache(
+                    self.table, v, ver, list(outputs), list(inputs_set)
+                )
+                return ver
             except TxConflict:
                 done = self._replayed_since(meta, v)
                 if done is not None:
@@ -749,21 +851,37 @@ class TxLog:
         """Highest version whose meta recorded (txn_app, txn_batch) --
         the idempotent-replay probe. ``since`` restricts the scan to
         versions strictly above it (the conflict-loop re-check).
-        Records of PRUNED commits survive in the ``_txn_index.json``
-        sidecar (written by ``tx_vacuum(prune_log=True)``), so a
-        long-delayed replay of a pruned epoch is still skipped."""
-        for v, name in reversed(self._version_files()):
-            if v <= since:
-                break
+        Commit files are immutable, so the scan is INCREMENTAL per
+        process (r16, the 10^5-file microbench lever): each version's
+        txn meta is read once ever and folded into a per-table map --
+        a steady sink's pre-commit probe reads only the commits that
+        landed since its last look, not the whole history. Records of
+        PRUNED commits survive in the ``_txn_index.json`` sidecar
+        (written by ``tx_vacuum(prune_log=True)``), so a long-delayed
+        replay of a pruned epoch is still skipped."""
+        entry = _txn_scan_cache.setdefault(self.table, [-1, {}])
+        scanned, seen = entry[0], entry[1]
+        new_max = scanned
+        for v, name in self._version_files():
+            if v <= scanned:
+                continue
             m = json.loads(
                 self.fs.read_bytes(self.fs.join(self.log_dir, name))
             ).get("meta") or {}
-            if m.get("txn_app") == app and m.get("txn_batch") == batch:
-                return v
+            if "txn_app" in m and "txn_batch" in m:
+                k = self._txn_key(m["txn_app"], m["txn_batch"])
+                if v > seen.get(k, -1):
+                    seen[k] = v
+            new_max = max(new_max, v)
+        if new_max > scanned:
+            entry[0] = new_max
+        got = seen.get(self._txn_key(app, batch))
+        if got is not None and got > since:
+            return got
         if since < 0:
-            got = self._read_txn_index().get(self._txn_key(app, batch))
-            if got is not None:
-                return int(got)
+            idx = self._read_txn_index().get(self._txn_key(app, batch))
+            if idx is not None:
+                return int(idx)
         return None
 
 
