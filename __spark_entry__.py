@@ -9939,6 +9939,97 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_knn_hydrated(spark, "/root/testdata/sf0.001")
 
 
+def q_txlog_scoped_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fragmentation-SCOPED compaction under the log (r16, VERDICT r15
+    #3) as a content hash gate: the documents corpus lands lang-
+    partitioned in a tx table via two appends -- the second re-appends
+    ONLY the 'en' rows, so exactly one partition dir carries two files
+    (fragmented: 2 > max(1, ceil(bytes/target))) while every other
+    lang dir holds one. ``compact_fragmented`` must then select
+    EXACTLY that partition (the report count is a returned column),
+    fold it to one file, leave every cold partition untouched, and
+    preserve the row multiset (en rows counted twice).
+
+    Closed form in the corpus: per-(lang, source) aggregates with a
+    x2 multiplier on en; partitions_fragmented = 1; live files after
+    the pass = count(DISTINCT lang) (one per dir); final version =
+    v0 init + 2 appends + 1 scoped replace = 3. Archive-gated (window
+    at capacity); the byte-identity of untouched partitions is pinned
+    in tests/test_compact.py."""
+    import shutil
+    import tempfile
+
+    from rag_vertex_ai_vector_search_spark.sources.compact import (
+        compact_fragmented,
+    )
+    from rag_vertex_ai_vector_search_spark.sources.txlog import (
+        TxLog,
+        read_table,
+        tx_append,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    work = tempfile.mkdtemp(prefix="txlog_scoped_")
+    try:
+        path = f"{work}/t"
+        tx_append(
+            spark, path, docs.repartition(1), partition_cols=("lang",)
+        )
+        tx_append(
+            spark, path,
+            docs.filter(F.col("lang") == "en").repartition(1),
+            partition_cols=("lang",),
+        )
+        rep = compact_fragmented(spark, path, target_file_bytes=1 << 30)
+        log = TxLog(spark, path)
+        out = (
+            read_table(spark, path)
+            .groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("doc_id").cast("long").alias("sum_doc_id"),
+                F.sum(F.length("text")).cast("long").alias("sum_text_len"),
+            )
+            .withColumn(
+                "partitions_fragmented",
+                F.lit(int(rep["partitions_fragmented"])).cast("long"),
+            )
+            .withColumn(
+                "n_live_files",
+                F.lit(int(log.table_stats()[0])).cast("long"),
+            )
+            .withColumn(
+                "final_version",
+                F.lit(int(log.current_version())).cast("long"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_SQL_TXLOG_SCOPED = """
+SELECT lang, source,
+       CAST(count(*) * (CASE WHEN lang = 'en' THEN 2 ELSE 1 END)
+            AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) * (CASE WHEN lang = 'en' THEN 2 ELSE 1 END)
+            AS BIGINT) AS sum_doc_id,
+       CAST(sum(length(text)) * (CASE WHEN lang = 'en' THEN 2 ELSE 1 END)
+            AS BIGINT) AS sum_text_len,
+       CAST(1 AS BIGINT) AS partitions_fragmented,
+       CAST((SELECT count(DISTINCT lang) FROM documents) AS BIGINT)
+         AS n_live_files,
+       CAST(3 AS BIGINT) AS final_version
+FROM documents
+GROUP BY lang, source
+"""
+
+
 def q_txlog_compaction_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -10445,6 +10536,7 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (batch: append x2 -> tx compaction -> snapshot read;
         # streaming: per-epoch manifest merges with replay txns)
         "dataset_domain_cap": q_dataset_domain_cap,
+        "txlog_scoped_compaction": q_txlog_scoped_compaction,
         "streaming_tx_merge_maintained": q_streaming_tx_merge_maintained,
         "pagerank_citations": q_pagerank_citations,
         "pagerank_weighted": q_pagerank_weighted,
@@ -10593,6 +10685,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "cms_word_frequencies": _SQL_CMS_WORDS,
         "doremi_domain_mix": _sql_doremi_domain_mix(),
         "dataset_domain_cap": _SQL_DOMAIN_CAP,
+        "txlog_scoped_compaction": _SQL_TXLOG_SCOPED,
         "streaming_tx_merge_maintained": _SQL_STREAM_MERGE_TX,
         "pagerank_citations": _sql_pagerank(6),
         "pagerank_weighted": _sql_pagerank_weighted(6),
