@@ -488,11 +488,6 @@ def test_merge_aborts_on_concurrent_append_to_touched_bucket(
     # a foreign append that targets keys the merge is updating -- with
     # n_buckets=4 its bucket is certainly among the touched prefixes
     foreign = spark.range(0, 50).select(
-        F.col("data_point_id"),
-        F.lit("foreign").alias("payload"),
-        F.pmod(F.xxhash64(F.col("data_point_id")), F.lit(4))
-        .cast("int").alias("_bucket"),
-    ) if False else spark.range(0, 50).select(
         F.col("id").alias("data_point_id"),
         F.lit("foreign").alias("payload"),
         F.pmod(F.xxhash64(F.col("id")), F.lit(4))
