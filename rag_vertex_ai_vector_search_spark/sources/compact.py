@@ -123,8 +123,16 @@ def partition_file_stats(
                 continue
             p = status.getPath().toUri().getPath()
             rel = p[len(prefix):].lstrip("/")
-            if "/_" in f"/{rel}" or "/." in f"/{rel}":
-                continue  # inside a hidden dir (_temporary, staging)
+            segs = rel.split("/")
+            # hidden-DIR rule, identical to the txlog walks: an
+            # underscore/dot dir is metadata (_temporary, staging)
+            # UNLESS it is a hive partition dir ("=" in the name) --
+            # `_bucket=N` is the merge layout, not a hidden dir
+            if any(
+                ("=" not in s) and (s.startswith("_") or s.startswith("."))
+                for s in segs[:-1]
+            ):
+                continue
             d = posixpath.dirname(rel)
             n, b = out.get(d, (0, 0))
             out[d] = (n + 1, b + status.getLen())

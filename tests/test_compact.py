@@ -427,3 +427,38 @@ def test_maintain_index_uses_scoped_compaction(spark, tmp_path):
     assert rep["compacted"] and rep["files_after"] < rep["files_before"]
     spark.catalog.refreshByPath(path)
     assert spark.read.parquet(path).count() == 400
+
+
+def test_compact_fragmented_handles_bucket_layout(spark, tmp_path):
+    """Regression (r16): `_bucket=N` partition dirs start with an
+    underscore but are HIVE DIRS, not hidden metadata -- the scoped
+    pass must see them (a filter that treated them as hidden silently
+    no-op'd scoped compaction on every plain merge-bucketed table)."""
+    from pyspark.sql import functions as F
+
+    from rag_vertex_ai_vector_search_spark.sources.compact import (
+        compact_fragmented,
+        partition_file_stats,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 400).select(
+        "id", (F.col("id") % 4).alias("_bucket")
+    )
+    hot = df.filter(F.col("_bucket") == 1)
+    cold = df.filter(F.col("_bucket") != 1)
+    hot.repartition(8).write.partitionBy("_bucket").parquet(path)
+    cold.repartition(1).write.mode("append").partitionBy(
+        "_bucket"
+    ).parquet(path)
+    stats = partition_file_stats(spark, path)
+    assert set(stats) == {f"_bucket={b}" for b in range(4)}
+    rep = compact_fragmented(spark, path, target_file_bytes=1 << 30)
+    assert rep["partitions_fragmented"] == 1
+    assert rep["files_after"] < rep["files_before"]
+    spark.catalog.refreshByPath(path)
+    got = spark.read.parquet(path)
+    assert got.count() == 400
+    assert sorted(
+        (r["id"], int(r["_bucket"])) for r in got.collect()
+    ) == sorted((r["id"], r["_bucket"]) for r in df.collect())
