@@ -865,9 +865,13 @@ class TxLog:
         for v, name in self._version_files():
             if v <= scanned:
                 continue
-            m = json.loads(
-                self.fs.read_bytes(self.fs.join(self.log_dir, name))
-            ).get("meta") or {}
+            try:
+                raw = self.fs.read_bytes(self.fs.join(self.log_dir, name))
+            except FileNotFoundError:
+                # a concurrent prune_log deleted it between the listing
+                # and the read; its replay facts live in _txn_index.json
+                continue
+            m = json.loads(raw).get("meta") or {}
             if "txn_app" in m and "txn_batch" in m:
                 k = self._txn_key(m["txn_app"], m["txn_batch"])
                 if v > seen.get(k, -1):
@@ -1344,7 +1348,17 @@ def tx_merge(
             _delete_files(path, new, spark)
             raise
 
-    for _ in range(_MAX_MERGE_RETRIES):
+    for attempt in range(_MAX_MERGE_RETRIES):
+        if attempt and meta and "txn_app" in meta and "txn_batch" in meta:
+            # re-check the replay guard on EVERY retry: a zombie replay
+            # of the same epoch that loses its rewrite race (the winner
+            # replaced its inputs, or appended into a guarded bucket)
+            # must observe the winner instead of re-merging -- the
+            # merge is content-idempotent, but exactly-once means the
+            # epoch commits once (incremental scan, so this is cheap)
+            done = log.find_txn(meta["txn_app"], meta["txn_batch"])
+            if done is not None:
+                return done
         ver = _commit_cycle()
         if ver is not None:
             if side is None:

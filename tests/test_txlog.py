@@ -681,3 +681,46 @@ def test_tx_compact_rederives_partition_layout(spark, tmp_path):
     assert got.filter(
         (F.col("data_point_id") < 10) & (F.col("payload") != "c")
     ).count() == 0
+
+
+def test_zombie_merge_replay_not_double_committed(
+    spark, tmp_path, monkeypatch
+):
+    """r16 hardening: two concurrent tx_merge replays of the same
+    (txn_app, txn_batch). The loser's rewrite aborts (the winner
+    replaced its input files); its retry must OBSERVE the winner's txn
+    record and return that version instead of committing the epoch a
+    second time."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 80).select(
+        F.col("id").alias("data_point_id"), F.lit("old").alias("payload")
+    )
+    tx_merge(spark, path, base, n_buckets=4)
+    updates = spark.range(0, 40).select(
+        F.col("id").alias("data_point_id"), F.lit("new").alias("payload")
+    )
+    meta = {"txn_app": "merge-q", "txn_batch": 5}
+    real_replace = TxLog.replace_files
+    state = {"fired": False, "winner": None}
+
+    def winner_lands_first(self, inputs, outputs, **k):
+        if not state["fired"]:
+            state["fired"] = True
+            state["winner"] = tx_merge(
+                spark, path, updates, n_buckets=4, meta=meta
+            )
+        return real_replace(self, inputs, outputs, **k)
+
+    monkeypatch.setattr(TxLog, "replace_files", winner_lands_first)
+    got = tx_merge(spark, path, updates, n_buckets=4, meta=meta)
+    monkeypatch.undo()
+    assert got == state["winner"]
+    log = TxLog(spark, path)
+    assert log.current_version() == state["winner"]  # no second commit
+    table = read_table(spark, path)
+    assert table.count() == 80
+    assert table.filter(
+        (F.col("data_point_id") < 40) & (F.col("payload") != "new")
+    ).count() == 0
