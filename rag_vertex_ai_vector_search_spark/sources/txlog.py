@@ -450,6 +450,38 @@ class _HadoopTxFs:
         self._write_stream(p, payload, overwrite=True)
 
 
+def _files_to_parquet_bytes(files: list[dict]) -> bytes:
+    """Serialize a live-file list as a two-column zstd parquet blob
+    (driver-side pyarrow, no Spark job). Raises ImportError without
+    pyarrow -- the caller falls back to embedding JSON."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "path": [f["path"] for f in files],
+            "size": [int(f.get("size", 0)) for f in files],
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="zstd")
+    return buf.getvalue()
+
+
+def _files_from_parquet_bytes(payload: bytes) -> dict[str, dict]:
+    import io
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(io.BytesIO(payload))
+    return {
+        p: {"path": p, "size": int(s)}
+        for p, s in zip(t["path"].to_pylist(), t["size"].to_pylist())
+    }
+
+
 def _fs_for(spark: SparkSession | None, path: str):
     scheme = _scheme_of(path)
     if scheme is None:
@@ -582,8 +614,8 @@ class TxLog:
         first, so pruned history still fails loudly."""
         v = self.current_version() if version is None else int(version)
         doc = head_doc or self._read_commit(self._require_version(v))
-        if doc.get("files") is not None:
-            files_by = {f["path"]: f for f in doc["files"]}
+        if self._is_full(doc):
+            files_by = self._read_checkpoint(doc)
             _cache_snapshot(self.table, v, files_by)
             return dict(files_by)
         deltas = [doc]
@@ -595,8 +627,8 @@ class TxLog:
                 files_by = cached
                 break
             d = self._read_commit(base)
-            if d.get("files") is not None:
-                files_by = {f["path"]: f for f in d["files"]}
+            if self._is_full(d):
+                files_by = self._read_checkpoint(d)
                 break
             deltas.append(d)
             base -= 1
@@ -647,7 +679,18 @@ class TxLog:
         the full ``files`` list; the rest persist only their
         add/remove delta -- ``snapshot()`` reconstructs. The delta is
         exact by construction: every writer derives ``files`` as
-        (previous snapshot - removed + added)."""
+        (previous snapshot - removed + added).
+
+        Checkpoints are PARQUET SIDECARS (r16, the 10^6-file knee --
+        Delta's parquet-checkpoint motivation): the full list goes to
+        ``v{N}.{uuid}.checkpoint.parquet`` (zstd, columnar; ~20x
+        smaller and ~10x faster to write/parse than the JSON embed at
+        10^6 files) and the commit JSON records the sidecar's name.
+        The sidecar name is COMMIT-UNIQUE and written BEFORE the
+        atomic JSON claim, so a losing writer's orphan sidecar is
+        inert garbage (reaped by ``tx_vacuum``), never readable state.
+        Tables whose checkpoints embed ``files`` in the JSON (pre-r16)
+        keep resolving unchanged."""
         version = int(base_version) + 1
         doc = {
             "version": version,
@@ -658,14 +701,43 @@ class TxLog:
             ),
             "removed": sorted(removed or []),
             "meta": meta or {},
+            "files": None,
         }
-        doc["files"] = (
-            sorted(files, key=lambda f: f["path"])
-            if version % CHECKPOINT_INTERVAL == 0
-            else None
-        )
+        if version % CHECKPOINT_INTERVAL == 0:
+            try:
+                # no sort: the sidecar is keyed storage, not
+                # deterministic-bytes JSON (readers build a map)
+                payload = _files_to_parquet_bytes(files)
+            except ImportError:
+                # pyarrow-less fallback: embed, sorted for stable JSON
+                doc["files"] = sorted(files, key=lambda f: f["path"])
+            else:
+                name = (
+                    f"v{version:020d}.{uuid.uuid4().hex[:12]}"
+                    ".checkpoint.parquet"
+                )
+                self.fs.makedirs(self.log_dir)
+                self.fs.write_replace(
+                    self.fs.join(self.log_dir, name), payload
+                )
+                doc["checkpoint_file"] = name
         self._publish(version, doc)
         return version
+
+    def _read_checkpoint(self, doc: dict) -> dict[str, dict]:
+        """The path->entry map of a checkpoint commit, from either
+        format: parquet sidecar (r16) or the embedded JSON list."""
+        if doc.get("files") is not None:
+            return {f["path"]: f for f in doc["files"]}
+        return _files_from_parquet_bytes(
+            self.fs.read_bytes(
+                self.fs.join(self.log_dir, doc["checkpoint_file"])
+            )
+        )
+
+    @staticmethod
+    def _is_full(doc: dict) -> bool:
+        return doc.get("files") is not None or "checkpoint_file" in doc
 
     def init(self, *, adopt_listing: bool = True) -> int:
         """Bootstrap v0. ``adopt_listing=True`` snapshots the current
@@ -1437,6 +1509,26 @@ def tx_vacuum(
             continue
         fs.delete_dir(full)
         dirs += 1
+    # orphan checkpoint sidecars: a writer that LOST its slot race (or
+    # crashed between sidecar write and claim) leaves a sidecar no
+    # commit references -- inert by protocol, reaped age-gated here
+    committed = dict(log._version_files())
+    for name in fs.listdir(log.log_dir):
+        if not name.endswith(".checkpoint.parquet"):
+            continue
+        try:
+            v = int(name[1:21])
+        except ValueError:
+            continue
+        full = fs.join(log.log_dir, name)
+        if v in committed:
+            doc = log._read_commit(v)
+            if doc.get("checkpoint_file") == name:
+                continue  # the live checkpoint
+        if fs.mtime(full) > cutoff:
+            continue
+        fs.unlink(full)
+        deleted += 1
     pruned = 0
     if prune_log:
         oldest_retained = max(0, current - retain_versions + 1)
@@ -1465,6 +1557,16 @@ def tx_vacuum(
         for v, name in to_prune:
             fs.unlink(fs.join(log.log_dir, name))
             pruned += 1
+        # pruned checkpoints' parquet sidecars go with their commits
+        for name in fs.listdir(log.log_dir):
+            if not name.endswith(".checkpoint.parquet"):
+                continue
+            try:
+                sv = int(name[1:21])
+            except ValueError:
+                continue
+            if sv < vcut:
+                fs.unlink(fs.join(log.log_dir, name))
     return {
         "deleted_files": deleted,
         "deleted_dirs": dirs,

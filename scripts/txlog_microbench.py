@@ -37,8 +37,9 @@ from rag_vertex_ai_vector_search_spark.sources.txlog import (  # noqa: E402
     tx_vacuum,
 )
 
-BATCH = 1000
-N_BATCHES = 100  # -> 10^5 manifest entries over 100 versions
+BATCH = int(os.environ.get("TXLOG_UBENCH_BATCH", "1000"))
+N_BATCHES = int(os.environ.get("TXLOG_UBENCH_BATCHES", "100"))
+# default -> 10^5 manifest entries over 100 versions; BATCH=10000 -> 10^6
 
 
 def main() -> None:
@@ -66,6 +67,8 @@ def main() -> None:
         (ckpt_ms if v % CHECKPOINT_INTERVAL == 0 else delta_ms).append(
             (size, ms)
         )
+
+    TOTAL = N_BATCHES * BATCH
 
     def _at(points, lo, hi):
         sel = [m for s, m in points if lo <= s <= hi]
@@ -110,14 +113,14 @@ def main() -> None:
         "files": N_BATCHES * BATCH,
         "versions": N_BATCHES,
         "delta_commit_ms": {
-            "at_1k-10k": _at(delta_ms, 1_000, 10_000),
-            "at_40k-60k": _at(delta_ms, 40_000, 60_000),
-            "at_90k-100k": _at(delta_ms, 90_000, 100_000),
+            "early": _at(delta_ms, 0.01 * TOTAL, 0.10 * TOTAL),
+            "mid": _at(delta_ms, 0.40 * TOTAL, 0.60 * TOTAL),
+            "late": _at(delta_ms, 0.90 * TOTAL, 1.00 * TOTAL),
         },
         "checkpoint_commit_ms": {
-            "at_10k": _at(ckpt_ms, 1, 15_000),
-            "at_50k": _at(ckpt_ms, 45_000, 55_000),
-            "at_100k": _at(ckpt_ms, 95_000, 100_000),
+            "early": _at(ckpt_ms, 1, 0.15 * TOTAL),
+            "mid": _at(ckpt_ms, 0.45 * TOTAL, 0.55 * TOTAL),
+            "late": _at(ckpt_ms, 0.90 * TOTAL, 1.00 * TOTAL),
         },
         "snapshot_resolve_ms": snapshot_ms,
         "find_txn_full_history_ms": find_txn_ms,

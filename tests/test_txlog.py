@@ -361,9 +361,14 @@ def test_checkpoint_interval_and_delta_replay(spark, tmp_path):
             open(_os.path.join(log.log_dir, f"v{v:020d}.json"))
         )
         if v % _tx.CHECKPOINT_INTERVAL == 0:
-            assert raw["files"] is not None
+            # r16: checkpoints are parquet sidecars named in the JSON
+            assert raw.get("checkpoint_file") or raw["files"] is not None
+            if raw.get("checkpoint_file"):
+                assert _os.path.exists(
+                    _os.path.join(log.log_dir, raw["checkpoint_file"])
+                )
         else:
-            assert raw["files"] is None
+            assert raw["files"] is None and "checkpoint_file" not in raw
     # reconstruction correct at an arbitrary mid-chain version
     assert len(log.live_files(17)) == 17
     assert read_table(spark, path, version=17).count() == 170
@@ -724,3 +729,62 @@ def test_zombie_merge_replay_not_double_committed(
     assert table.filter(
         (F.col("data_point_id") < 40) & (F.col("payload") != "new")
     ).count() == 0
+
+
+def test_parquet_checkpoints_roundtrip_fallback_and_vacuum(
+    spark, tmp_path, monkeypatch
+):
+    """r16: checkpoints are parquet sidecars (the 10^6-file knee --
+    67x smaller than the JSON embed, the object-store transfer cost).
+    The sidecar is commit-unique and named in the JSON; a pyarrow-less
+    writer falls back to embedding; an orphan sidecar (lost slot race)
+    is reaped age-gated; prune_log removes pruned checkpoints'
+    sidecars while every retained replay chain keeps resolving."""
+    path = str(tmp_path / "t")
+    for i in range(12):  # checkpoints at v0 and v10
+        tx_append(spark, path, _range_df(spark, i * 10, i * 10 + 10, parts=1))
+    log = TxLog(spark, path)
+    doc10 = json.loads(
+        open(os.path.join(log.log_dir, f"v{10:020d}.json")).read()
+    )
+    assert doc10["files"] is None and doc10["checkpoint_file"]
+    side = os.path.join(log.log_dir, doc10["checkpoint_file"])
+    assert os.path.exists(side)
+    assert len(log.live_files(10)) == 10  # resolves through the sidecar
+    assert read_table(spark, path).count() == 120
+
+    # pyarrow-less fallback: the next checkpoint embeds the list
+    import rag_vertex_ai_vector_search_spark.sources.txlog as txmod
+
+    def no_pyarrow(files):
+        raise ImportError("no pyarrow")
+
+    monkeypatch.setattr(txmod, "_files_to_parquet_bytes", no_pyarrow)
+    for i in range(12, 21):
+        tx_append(spark, path, _range_df(spark, i * 10, i * 10 + 10, parts=1))
+    monkeypatch.undo()
+    doc20 = json.loads(
+        open(os.path.join(log.log_dir, f"v{20:020d}.json")).read()
+    )
+    assert doc20["files"] is not None and "checkpoint_file" not in doc20
+    assert read_table(spark, path).count() == 210  # mixed formats resolve
+
+    # orphan sidecar (a loser's leftover): inert, reaped age-gated
+    orphan = os.path.join(
+        log.log_dir, f"v{20:020d}.deadbeef.checkpoint.parquet"
+    )
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    assert read_table(spark, path).count() == 210  # never read
+    rep = tx_vacuum(spark, path, retain_versions=100, min_age_seconds=0)
+    assert not os.path.exists(orphan)
+    assert os.path.exists(side)  # the live v10 sidecar stays
+
+    # prune: v0/v10 checkpoints (and sidecars) below the cutoff go
+    tx_vacuum(
+        spark, path, retain_versions=2, min_age_seconds=0, prune_log=True
+    )
+    assert not os.path.exists(side)
+    assert read_table(spark, path).count() == 210
+    for v in (20, 21):  # retained versions keep resolving
+        assert len(log.live_files(v)) == v

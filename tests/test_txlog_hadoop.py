@@ -286,7 +286,10 @@ def test_hdfs_rename_claim_path_executes(spark, tmp_path, monkeypatch):
     raw = json.loads(
         open(str(tmp_path / "t" / tx.TXLOG_DIR / f"v{0:020d}.json")).read()
     )
-    assert raw["action"] == "init" and raw["files"] == []
+    assert raw["action"] == "init"
+    # v0 is a checkpoint: parquet sidecar (r16) or embedded empty list
+    assert raw.get("checkpoint_file") or raw["files"] == []
+    assert log.live_files(0) == []
 
 
 def test_read_table_any_never_silently_downgrades(spark, tmp_path):
