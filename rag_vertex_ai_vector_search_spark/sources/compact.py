@@ -217,6 +217,29 @@ def compact_fragmented(
     part_cols = tuple(
         s.split("=", 1)[0] for s in frag[0].split("/") if "=" in s
     )
+    # Guard (r17, ADVICE r16 medium): the plain-path rewrite commits
+    # via DYNAMIC partition overwrite, which is only dynamic when the
+    # write is partitionBy'd. Non-hive fragmented dirs (an adopted
+    # date-tree layout, no "=" segments) would derive ZERO partition
+    # columns, degrade the overwrite to a STATIC overwrite of the
+    # table root containing only the fragmented partitions' rows, and
+    # DELETE every healthy partition. Same hazard if the fragmented
+    # dirs disagree on their hive columns (a mixed layout). Refuse
+    # loudly -- such layouts need a full compact_parquet pass (or a tx
+    # log, whose manifest replace has no partitionBy dependence).
+    if not part_cols or any(
+        tuple(s.split("=", 1)[0] for s in d.split("/") if "=" in s)
+        != part_cols
+        for d in frag
+    ):
+        raise ValueError(
+            f"compact_fragmented at {base}: fragmented dirs are not a "
+            f"consistent hive layout ({frag[:3]}...); a dynamic "
+            "partition overwrite cannot scope the rewrite and would "
+            "statically overwrite the table root. Use compact_parquet "
+            "(full rewrite) or adopt a _txlog (manifest-scoped "
+            "replace) for this table."
+        )
     spark.catalog.refreshByPath(base)
     df = spark.read.option("basePath", base).parquet(
         *[f"{base}/{d}" for d in frag]

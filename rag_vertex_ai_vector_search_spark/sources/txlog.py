@@ -198,6 +198,15 @@ class _LocalTxFs:
     def rename(self, src: str, dst: str) -> None:
         os.rename(src, dst)
 
+    def stat_fingerprint(self, p: str) -> tuple | None:
+        """(size, mtime_ns) of ``p``, or None when absent -- the cheap
+        immutable-file identity probe the cache guards use."""
+        try:
+            st = os.stat(p)
+        except (FileNotFoundError, NotADirectoryError):
+            return None
+        return (st.st_size, st.st_mtime_ns)
+
     def unlink(self, p: str) -> None:
         try:
             os.unlink(p)
@@ -370,6 +379,19 @@ class _HadoopTxFs:
         if not self._fs.rename(self._Path(src), self._Path(dst)):
             raise OSError(f"rename {src!r} -> {dst!r} failed")
 
+    def stat_fingerprint(self, p: str) -> tuple | None:
+        """(size, mtime_millis) of ``p``, or None when absent. Hadoop
+        mtimes are millisecond-resolution -- two table recreations
+        inside the same millisecond with a byte-identical v0 are
+        indistinguishable (documented; local paths use nanoseconds)."""
+        try:
+            st = self._fs.getFileStatus(self._Path(p))
+        except Exception as e:  # noqa: BLE001
+            if self._is_fnf(e):
+                return None
+            raise
+        return (int(st.getLen()), int(st.getModificationTime()))
+
     def unlink(self, p: str) -> None:
         self._fs.delete(self._Path(p), False)
 
@@ -502,6 +524,18 @@ _snapshot_cache: "dict[str, tuple[int, dict]]" = {}
 # mutated in place; concurrent probes can only re-add identical facts
 # from immutable files, so thread interleavings are harmless.
 _txn_scan_cache: "dict[str, list]" = {}
+# per-table identity = the v0 commit file's stat fingerprint (r17,
+# ADVICE r16: a table dropped and RECREATED at the same path in a
+# long-lived process breaks the 'commit files are immutable' premise
+# for the two caches above -- a cached old-table file map could serve
+# as a replay base for same-numbered new-table versions, and stale txn
+# records could falsely skip new epochs). v0 is immutable for the life
+# of a table and prune_log retains it (r17), so a fingerprint change
+# <=> recreation; both caches are purged on change. Legacy tables
+# whose v0 was pruned pre-r17 report None -- a recreated table always
+# HAS a v0, so the None->fingerprint transition still purges.
+_identity_memo: "dict[str, tuple | None]" = {}
+_MISSING = object()
 
 
 def _cache_snapshot(table: str, version: int, files_by: dict) -> None:
@@ -546,6 +580,21 @@ class TxLog:
         self.log_dir = self.fs.join(self.table, TXLOG_DIR)
 
     # ---- log inspection -------------------------------------------------
+
+    def _check_identity(self) -> None:
+        """Purge this table's process-local caches when the v0 commit
+        file's stat fingerprint changed since the last look -- i.e. the
+        table was dropped and recreated at the same path (r17, ADVICE
+        r16 low). One stat per guarded operation; the memo keeps the
+        steady path read-free."""
+        fp = self.fs.stat_fingerprint(
+            self.fs.join(self.log_dir, f"v{0:020d}.json")
+        )
+        memo = _identity_memo.get(self.table, _MISSING)
+        if memo is not _MISSING and memo != fp:
+            _snapshot_cache.pop(self.table, None)
+            _txn_scan_cache.pop(self.table, None)
+        _identity_memo[self.table] = fp
 
     def exists(self) -> bool:
         return self.current_version() >= 0
@@ -612,6 +661,7 @@ class TxLog:
         commit) whenever a cached base version is on the replay
         path; the requested version's own commit file is always read
         first, so pruned history still fails loudly."""
+        self._check_identity()
         v = self.current_version() if version is None else int(version)
         doc = head_doc or self._read_commit(self._require_version(v))
         if self._is_full(doc):
@@ -755,8 +805,12 @@ class TxLog:
                     continue
                 rel = self.fs.relpath(full, self.table)
                 files.append({"path": rel, "size": size})
+        # table_id: a per-creation uuid in v0 (r17) -- the cache guards
+        # key off v0's stat fingerprint; the uuid is the debuggable
+        # identity a human (or a future LogStore) can read back
         return self.commit(
-            files=files, base_version=-1, action="init"
+            files=files, base_version=-1, action="init",
+            meta={"table_id": uuid.uuid4().hex},
         )
 
     def ensure(self) -> int:
@@ -792,20 +846,25 @@ class TxLog:
 
         Idempotent replay (the streaming-sink contract): when ``meta``
         carries ``txn_app`` + ``txn_batch`` and some committed version
-        already recorded the same pair, the commit is SKIPPED (returns
-        that version) -- a foreachBatch retry after a sink crash lands
-        its rows exactly once, the same replay guard Delta sinks use.
-        Two CONCURRENT replays of the same pair resolve to one
-        application: the conflict loop re-probes the pair against every
-        version committed since its last look and raises
-        ``TxIdempotentReplay`` when the other replay won (the caller
-        reaps its staged files and returns the winner's version)."""
-        if meta and "txn_app" in meta and "txn_batch" in meta:
-            done = self.find_txn(meta["txn_app"], meta["txn_batch"])
-            if done is not None:
-                return done
+        already recorded the same pair, ``TxIdempotentReplay`` is
+        raised carrying that version -- a foreachBatch retry after a
+        sink crash lands its rows exactly once, the same replay guard
+        Delta sinks use (the caller reaps its staged files and returns
+        the winner's version). The probe runs INSIDE the commit loop
+        AFTER the base version is read (r17, ADVICE r16 medium): a
+        concurrent replay committing between a pre-loop probe and the
+        base-version read would be rebased over cleanly -- probing
+        after the read makes the guard airtight, because any replay
+        landing later forces ``TxConflict`` on the claimed slot and the
+        conflict handler re-probes."""
+        has_txn = bool(meta and "txn_app" in meta and "txn_batch" in meta)
+        self._check_identity()
         for _ in range(_MAX_COMMIT_ATTEMPTS):
             v = self.ensure()
+            if has_txn:
+                done = self.find_txn(meta["txn_app"], meta["txn_batch"])
+                if done is not None:
+                    raise TxIdempotentReplay(done)
             # O(delta) commit economics (r16, the 10^5-file microbench
             # lever): the full live list is only MATERIALIZED when the
             # slot being claimed is a checkpoint version -- a steady
@@ -855,10 +914,20 @@ class TxLog:
         concurrent append landed in a region this rewrite claims to
         have fully read (``tx_merge``'s touched buckets). Without the
         guard such an append would commute through the rebase and its
-        rows would silently bypass the rewrite's semantics."""
+        rows would silently bypass the rewrite's semantics.
+
+        The (txn_app, txn_batch) replay probe runs inside the loop
+        after the base-version read, same airtight ordering as
+        ``append_files`` (r17)."""
+        has_txn = bool(meta and "txn_app" in meta and "txn_batch" in meta)
+        self._check_identity()
         inputs_set = set(inputs)
         for _ in range(_MAX_COMMIT_ATTEMPTS):
             v = self.current_version()
+            if has_txn:
+                done = self.find_txn(meta["txn_app"], meta["txn_batch"])
+                if done is not None:
+                    raise TxIdempotentReplay(done)
             fmap = self._files_map(v)
             missing = [p for p in inputs_set if p not in fmap]
             if missing:
@@ -931,6 +1000,7 @@ class TxLog:
         PRUNED commits survive in the ``_txn_index.json`` sidecar
         (written by ``tx_vacuum(prune_log=True)``), so a long-delayed
         replay of a pruned epoch is still skipped."""
+        self._check_identity()
         entry = _txn_scan_cache.setdefault(self.table, [-1, {}])
         scanned, seen = entry[0], entry[1]
         new_max = scanned
@@ -1337,22 +1407,38 @@ def tx_merge(
 
     log = TxLog(spark, path)
     # idempotent replay guard for streaming foreachBatch sinks: a
-    # retried epoch whose commit already landed is a no-op
+    # retried epoch whose commit already landed is a no-op (the
+    # airtight in-loop probe lives in _commit_cycle, after the base
+    # version read -- this one just skips the staging work)
     if meta and "txn_app" in meta and "txn_batch" in meta:
         done = log.find_txn(meta["txn_app"], meta["txn_batch"])
         if done is not None:
             return done
-    side = _read_merge_meta(spark, path)
-    if side is not None and (
-        int(side["n_buckets"]) != int(n_buckets) or side["key"] != key
-    ):
-        raise ValueError(
-            f"tx_merge layout mismatch at {path}: table was created "
-            f"with key={side['key']!r} n_buckets={side['n_buckets']}, "
-            f"got key={key!r} n_buckets={n_buckets}. Merging would "
-            "scatter updated keys into different _bucket dirs than "
-            "their base rows and silently duplicate them."
-        )
+
+    def _validate_layout() -> dict | None:
+        """Read + validate the pinned (key, n_buckets) sidecar. Called
+        at the top of EVERY attempt (r17, ADVICE r16 low): two
+        concurrent FIRST merges with different layouts both pass the
+        absent-sidecar check once, but the loser's retry re-reads the
+        winner's pin and aborts instead of scattering keys across a
+        mismatched bucket map. (Two first merges that both commit
+        before either writes the sidecar remain serialized by the
+        guard_prefixes/full-table aborts below.)"""
+        side = _read_merge_meta(spark, path)
+        if side is not None and (
+            int(side["n_buckets"]) != int(n_buckets)
+            or side["key"] != key
+        ):
+            raise ValueError(
+                f"tx_merge layout mismatch at {path}: table was created "
+                f"with key={side['key']!r} n_buckets={side['n_buckets']}, "
+                f"got key={key!r} n_buckets={n_buckets}. Merging would "
+                "scatter updated keys into different _bucket dirs than "
+                "their base rows and silently duplicate them."
+            )
+        return side
+
+    side = _validate_layout()
     bucket_expr = F.pmod(
         F.xxhash64(F.col(key)), F.lit(n_buckets)
     ).cast("int")
@@ -1372,6 +1458,14 @@ def tx_merge(
         # files (they'd count once at v0 and again at the append --
         # double rows)
         v = log.ensure()
+        # replay probe AFTER the base-version read (r17, ADVICE r16
+        # medium): a replay committing between the pre-loop probe and
+        # this read is visible here; one landing later conflicts on
+        # the claimed slot and replace_files' in-loop probe catches it
+        if meta and "txn_app" in meta and "txn_batch" in meta:
+            done = log.find_txn(meta["txn_app"], meta["txn_batch"])
+            if done is not None:
+                return done
         live = log.live_files(v)
         non_bucket = [r for r in live if not r.startswith("_bucket=")]
         if live and not non_bucket:
@@ -1421,6 +1515,11 @@ def tx_merge(
             raise
 
     for attempt in range(_MAX_MERGE_RETRIES):
+        if attempt:
+            # re-read the layout pin on EVERY retry (r17): a winner's
+            # first-merge sidecar written since our pre-loop read must
+            # abort a mismatched loser before it stages anything
+            side = _validate_layout()
         if attempt and meta and "txn_app" in meta and "txn_batch" in meta:
             # re-check the replay guard on EVERY retry: a zombie replay
             # of the same epoch that loses its rewrite race (the winner
@@ -1480,6 +1579,13 @@ def tx_vacuum(
         try:
             keep.update(log.live_files(v))
         except FileNotFoundError:
+            # pruned-history tolerance applies ONLY strictly below the
+            # head (r17, ADVICE r16 low): a resolution failure of the
+            # CURRENT version (e.g. its checkpoint sidecar lost) must
+            # abort the vacuum loudly -- swallowing it would leave the
+            # keep-set empty of every live file and delete the table
+            if v == current:
+                raise
             continue
     cutoff = time.time() - min_age_seconds
     deleted = reclaimed = dirs = 0
@@ -1537,8 +1643,13 @@ def tx_vacuum(
         ) * CHECKPOINT_INTERVAL
         txn_index = log._read_txn_index()
         grew = False
+        # v0 is retained forever (r17): it is the table's identity
+        # anchor (the recreated-table cache guard stats its
+        # fingerprint) and costs ~200 bytes -- its checkpoint sidecar
+        # is still pruned below, so only the tiny JSON stays
         to_prune = [
-            (v, name) for v, name in log._version_files() if v < vcut
+            (v, name) for v, name in log._version_files()
+            if 0 < v < vcut
         ]
         for v, name in to_prune:
             m = json.loads(

@@ -167,6 +167,7 @@ def _tx_merge_sticky_batch(
     import posixpath
 
     from ..sources.txlog import (
+        TxIdempotentReplay,
         TxLog,
         _delete_files,
         _stage_and_move_in,
@@ -186,6 +187,11 @@ def _tx_merge_sticky_batch(
         )
         try:
             return log.append_files(new, action="merge-init", meta=meta)
+        except TxIdempotentReplay as r:
+            # a concurrent replay of this epoch won: reap our staged
+            # files and report the winner's version (r17)
+            _delete_files(index_path, new)
+            return r.version
         except BaseException:
             _delete_files(index_path, new)
             raise
@@ -210,6 +216,9 @@ def _tx_merge_sticky_batch(
     )
     try:
         return log.replace_files(inputs, new, action="merge", meta=meta)
+    except TxIdempotentReplay as r:
+        _delete_files(index_path, new)
+        return r.version
     except BaseException:
         _delete_files(index_path, new)
         raise

@@ -401,10 +401,11 @@ def test_vacuum_prunes_commit_log_keeping_replay_chains(spark, tmp_path):
     rep = tx_vacuum(
         spark, path, retain_versions=4, min_age_seconds=0, prune_log=True
     )
-    # oldest retained = 22 -> cutoff checkpoint 20 -> v0..v19 pruned
-    assert rep["pruned_commits"] == 20
+    # oldest retained = 22 -> cutoff checkpoint 20 -> v1..v19 pruned
+    # (v0 is retained forever as the table's identity anchor, r17)
+    assert rep["pruned_commits"] == 19
     remaining = [v for v, _ in log._version_files()]
-    assert remaining == list(range(20, 26))
+    assert remaining == [0] + list(range(20, 26))
     assert log.current_version() == 25
     for v in range(22, 26):  # every retained version still resolves
         assert len(log.live_files(v)) == v
