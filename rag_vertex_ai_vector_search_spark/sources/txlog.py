@@ -25,11 +25,14 @@ principles on primitives the repo already owns):
   ``viewfs:``, ...) claim via ``fs.rename(tmp, final)`` -- atomic at
   the namenode, returns false when the destination exists (the same
   primitive Delta's HDFSLogStore uses). Object stores without an
-  atomic put-if-absent (``s3a:``, ``gs:``, ``abfs:``, ...) raise
-  ``NotImplementedError`` AT COMMIT TIME with the LogStore guidance
-  (a DynamoDB-style coordinator, Delta's S3 design) -- reads and
-  snapshot resolution still work on any Hadoop-supported scheme, only
-  the claim needs the coordinator. Everything else (manifest IO,
+  atomic put-if-absent (``s3a:``, ``gs:``, ``abfs:``, ...) claim
+  through a PLUGGABLE ``LogStore`` coordinator (r17,
+  ``sources/logstore.py`` -- ``SingleDriverLogStore`` ships with
+  Delta-S3SingleDriverLogStore semantics, a distributed-mutex
+  subclass is the multi-driver seam); an UNCONFIGURED scheme raises
+  ``NotImplementedError`` AT COMMIT TIME -- reads and snapshot
+  resolution still work on any Hadoop-supported scheme, only the
+  claim needs the coordinator. Everything else (manifest IO,
   listings, staging moves, vacuum walks) goes through the Hadoop
   FileSystem API whenever the path carries a scheme, so the whole
   protocol runs unchanged on remote filesystems; scheme-less paths
@@ -96,6 +99,8 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .logstore import log_store_for
 
 TXLOG_DIR = "_txlog"
 TXN_INDEX = "_txn_index.json"
@@ -436,7 +441,12 @@ class _HadoopTxFs:
         """The scheme-dispatched atomic claim (module docstring):
         ``file:`` -> POSIX hard link; HDFS-family -> ``fs.rename``
         (atomic at the namenode, false when the destination exists);
-        object stores -> the LogStore seam, loud."""
+        object stores -> a configured ``LogStore`` coordinator (r17,
+        ``sources/logstore.py``), loud ``NotImplementedError`` when
+        none is configured for the scheme."""
+        if self.scheme != "file" and self.scheme not in _ATOMIC_RENAME_SCHEMES:
+            _claim_via_log_store(self, log_dir, final, payload)
+            return
         self.makedirs(log_dir)
         tmp = posixpath.join(log_dir, f".tmp-{uuid.uuid4().hex}")
         self._write_stream(tmp, payload, overwrite=False)
@@ -450,23 +460,11 @@ class _HadoopTxFs:
             finally:
                 self.unlink(tmp)
             return
-        if self.scheme in _ATOMIC_RENAME_SCHEMES:
-            if not self._fs.rename(self._Path(tmp), self._Path(final)):
-                self.unlink(tmp)
-                raise TxConflict(
-                    f"version file {final} already committed"
-                )
-            return
-        self.unlink(tmp)
-        raise NotImplementedError(
-            f"txlog commit on scheme {self.scheme!r} needs an atomic "
-            "put-if-absent the filesystem cannot provide: plug a "
-            "LogStore coordinator (e.g. a DynamoDB-backed mutex per "
-            "version slot, Delta's S3 design) into "
-            "publish_if_absent. Reads, snapshot resolution and "
-            "staging all work on this scheme -- only the claim needs "
-            "the coordinator."
-        )
+        if not self._fs.rename(self._Path(tmp), self._Path(final)):
+            self.unlink(tmp)
+            raise TxConflict(
+                f"version file {final} already committed"
+            )
 
     def write_replace(self, p: str, payload: bytes) -> None:
         self._write_stream(p, payload, overwrite=True)
@@ -504,10 +502,51 @@ def _files_from_parquet_bytes(payload: bytes) -> dict[str, dict]:
     }
 
 
+def _claim_via_log_store(fs, log_dir: str, final: str, payload: bytes) -> None:
+    """The object-store claim (r17): delegate the put-if-absent to the
+    ``LogStore`` configured for this scheme; a False return means the
+    slot was taken (TxConflict, the caller rebases). No LogStore
+    configured -> the loud r16 contract: reads, snapshot resolution
+    and staging all work on the scheme, only the claim needs the
+    coordinator."""
+    store = log_store_for(fs.scheme)
+    if store is None:
+        raise NotImplementedError(
+            f"txlog commit on scheme {fs.scheme!r} needs an atomic "
+            "put-if-absent the filesystem cannot provide: configure a "
+            "LogStore coordinator for the scheme "
+            "(sources/logstore.py -- configure_log_store"
+            f"({fs.scheme!r}, SingleDriverLogStore()) for all-writers-"
+            "in-one-driver deployments, or a distributed-mutex "
+            "subclass for multi-driver, Delta's S3 design). Reads, "
+            "snapshot resolution and staging all work on this scheme "
+            "-- only the claim needs the coordinator."
+        )
+    if not store.put_if_absent(fs, log_dir, final, payload):
+        raise TxConflict(f"version file {final} already committed")
+
+
+# Per-scheme FS adapter factories (r17): lets a deployment (or a test
+# double -- the S3-semantics shim in tests/test_txlog_logstore.py)
+# install a custom adapter for a scheme instead of the Hadoop default.
+_FS_FACTORIES: "dict[str, object]" = {}
+
+
+def register_tx_fs(scheme: str, factory) -> None:
+    """Install ``factory(spark, path) -> adapter`` for ``scheme``."""
+    _FS_FACTORIES[scheme] = factory
+
+
+def unregister_tx_fs(scheme: str) -> None:
+    _FS_FACTORIES.pop(scheme, None)
+
+
 def _fs_for(spark: SparkSession | None, path: str):
     scheme = _scheme_of(path)
     if scheme is None:
         return _LocalTxFs()
+    if scheme in _FS_FACTORIES:
+        return _FS_FACTORIES[scheme](spark, path)
     return _HadoopTxFs(spark, path)
 
 
@@ -1399,13 +1438,29 @@ def tx_merge(
     Returns the committed version."""
     from pyspark.sql import functions as F
 
-    from ..operators.upsert import (
-        _read_merge_meta,
-        _write_merge_meta,
-        merge_by_key,
-    )
+    from ..operators.upsert import META_FILE, merge_by_key
 
     log = TxLog(spark, path)
+
+    # sidecar IO through the table's OWN fs adapter (r17): a direct
+    # Hadoop call would bypass a registered custom adapter (e.g. the
+    # S3-semantics test shim) and fail on schemes the JVM lacks
+    def _read_merge_meta_fs() -> dict | None:
+        try:
+            return json.loads(
+                log.fs.read_bytes(log.fs.join(log.table, META_FILE))
+            )
+        except FileNotFoundError:
+            return None
+
+    def _write_merge_meta_fs() -> None:
+        log.fs.makedirs(log.table)
+        log.fs.write_replace(
+            log.fs.join(log.table, META_FILE),
+            json.dumps(
+                {"key": key, "n_buckets": int(n_buckets)}
+            ).encode("utf-8"),
+        )
     # idempotent replay guard for streaming foreachBatch sinks: a
     # retried epoch whose commit already landed is a no-op (the
     # airtight in-loop probe lives in _commit_cycle, after the base
@@ -1424,7 +1479,7 @@ def tx_merge(
         mismatched bucket map. (Two first merges that both commit
         before either writes the sidecar remain serialized by the
         guard_prefixes/full-table aborts below.)"""
-        side = _read_merge_meta(spark, path)
+        side = _read_merge_meta_fs()
         if side is not None and (
             int(side["n_buckets"]) != int(n_buckets)
             or side["key"] != key
@@ -1533,7 +1588,7 @@ def tx_merge(
         ver = _commit_cycle()
         if ver is not None:
             if side is None:
-                _write_merge_meta(spark, path, key, n_buckets)
+                _write_merge_meta_fs()
             return ver
     raise TxRewriteAborted(
         f"tx_merge at {path} lost {_MAX_MERGE_RETRIES} rewrite races"
