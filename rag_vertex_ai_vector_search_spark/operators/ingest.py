@@ -290,12 +290,100 @@ def _cached_vectors(
     )
 
 
-def write_ingest(result: IngestResult, out_dir: str, mode: str = "overwrite") -> None:
+def write_ingest(
+    result: IngestResult,
+    out_dir: str,
+    mode: str = "overwrite",
+    *,
+    transactional: bool = True,
+) -> int | None:
     """Dual sink: index table + metadata table (O10 + O16).
 
-    Parquet writes are atomic per job via the Hadoop commit protocol --
-    the analog of the reference's firestore batch.commit()
-    (firestore_ops.py:83).
+    The reference writes its two sides as two independent RPCs (vector
+    upsert setup_vector_search.py:147-153, Firestore batch put
+    firestore_ops.py:60-88) -- a crash between them leaves the joined
+    model (every search is a top-k scan + key join on
+    ``data_point_id``, SURVEY §1.1) permanently inconsistent. This
+    engine owns a commit log, so the default is ATOMIC ACROSS BOTH
+    TABLES (r17, VERDICT r16 #2): one parent-scope ``_txlog`` over
+    ``out_dir`` whose manifest lists the files of ``datapoints/`` AND
+    ``metadata/``; both sides are staged invisibly and published by a
+    single commit, so a reader (``read_ingest_table``) sees either
+    both sides of an ingest or neither, no matter where a writer
+    crashes. ``mode="overwrite"`` replaces both prefixes in one
+    commit; ``mode="append"`` adds both sides' files in one commit.
+    Returns the committed version.
+
+    ``transactional=False`` restores the legacy two-independent-jobs
+    write (each job atomic via the Hadoop commit protocol, the pair
+    not) for consumers that insist on plain directory reads. Never mix
+    the two on one ``out_dir``: once the parent log exists, plain
+    listing reads can double-count unvacuumed replaced files.
     """
-    result.datapoints.write.mode(mode).parquet(f"{out_dir}/datapoints")
-    result.metadata.write.mode(mode).parquet(f"{out_dir}/metadata")
+    if not transactional:
+        result.datapoints.write.mode(mode).parquet(f"{out_dir}/datapoints")
+        result.metadata.write.mode(mode).parquet(f"{out_dir}/metadata")
+        return None
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite/append, got {mode!r}")
+    from ..sources.txlog import (
+        TxLog,
+        _delete_files,
+        _stage_and_move_in,
+    )
+
+    spark = result.datapoints.sparkSession
+    log = TxLog(spark, out_dir)
+    base = log.ensure()
+    staged: list[dict] = []
+    try:
+        for side, df in (
+            ("datapoints", result.datapoints),
+            ("metadata", result.metadata),
+        ):
+            staged += _stage_and_move_in(
+                spark, out_dir, df, dest_prefix=side
+            )
+        if mode == "append":
+            return log.append_files(staged, action="ingest-append")
+        inputs = [
+            r for r in log.live_files(base)
+            if r.startswith(("datapoints/", "metadata/"))
+        ]
+        return log.replace_files(
+            inputs,
+            staged,
+            action="ingest",
+            guard_prefixes=("datapoints/", "metadata/"),
+        )
+    except BaseException:
+        _delete_files(out_dir, staged, spark)
+        raise
+
+
+def read_ingest_table(spark, out_dir: str, side: str, version: int | None = None):
+    """Snapshot read of one side of an atomic dual-sink ingest: the
+    parent manifest's files under ``<side>/``, pinned to one committed
+    version -- both sides read at the same ``version`` are GUARANTEED
+    to come from the same ingest commit (the both-or-neither
+    contract). Falls back to a plain directory read for legacy
+    (non-transactional) layouts."""
+    import posixpath
+
+    from ..sources.txlog import TxLog
+
+    if side not in ("datapoints", "metadata"):
+        raise ValueError(f"side must be datapoints/metadata, got {side!r}")
+    log = TxLog(spark, out_dir)
+    if not log.exists():
+        return spark.read.parquet(f"{out_dir}/{side}")
+    v = log.current_version() if version is None else int(version)
+    rels = [r for r in log.live_files(v) if r.startswith(side + "/")]
+    if not rels:
+        raise ValueError(
+            f"no committed {side!r} files at {out_dir} version {v}"
+        )
+    files = [posixpath.join(log.table, r) for r in rels]
+    return spark.read.option(
+        "basePath", posixpath.join(log.table, side)
+    ).parquet(*files)

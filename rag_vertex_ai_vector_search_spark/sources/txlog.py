@@ -1079,6 +1079,7 @@ def _stage_and_move_in(
     df: DataFrame,
     partition_cols: tuple[str, ...] = (),
     write_options: dict | None = None,
+    dest_prefix: str = "",
 ) -> list[dict]:
     """Write ``df`` to a dot-prefixed scratch dir under the table, then
     rename every data file into its final (partition-preserving)
@@ -1087,7 +1088,14 @@ def _stage_and_move_in(
     moved-in files are INVISIBLE to snapshot readers (they are not in
     any committed file list), so this whole function is crash-safe by
     default -- a kill at any point leaves garbage for vacuum, never a
-    wrong read. Returns the moved files as manifest entries."""
+    wrong read. Returns the moved files as manifest entries.
+
+    ``dest_prefix`` (r17) places the moved files under a subdirectory
+    of the table -- the multi-table-commit primitive: two DataFrames
+    staged under ``datapoints/`` and ``metadata/`` of one parent log
+    publish in ONE manifest commit (``write_ingest``). The scratch dir
+    stays at the table ROOT so ``tx_vacuum``'s aged-stage reaper sees
+    a crashed write regardless of prefix."""
     fs = _fs_for(spark, table)
     table = fs.normalize(table.rstrip("/"))
     u = uuid.uuid4().hex[:12]
@@ -1106,7 +1114,8 @@ def _stage_and_move_in(
                 continue
             rel = fs.relpath(full, stage)
             rel_dir = posixpath.dirname(rel)
-            dest_dir = fs.join(table, rel_dir) if rel_dir else table
+            parts = [p for p in (dest_prefix, rel_dir) if p]
+            dest_dir = fs.join(table, *parts) if parts else table
             fs.makedirs(dest_dir)
             dest = fs.join(dest_dir, f"tx-{u}-{name}")
             fs.rename(full, dest)
