@@ -27,6 +27,7 @@ def merge_by_key(
     updates: DataFrame,
     key: str = "data_point_id",
     precedence_col: str | None = None,
+    allow_missing_columns: bool = False,
 ) -> DataFrame:
     """Insert-or-replace rows of ``updates`` into ``base`` by ``key``.
 
@@ -35,9 +36,15 @@ def merge_by_key(
     later ``precedence_col`` wins when given; otherwise inputs are
     assumed key-unique (the reference generates one uuid per row,
     setup_vector_search.py:39).
+
+    ``allow_missing_columns=True`` is the schema-evolution mode (r17):
+    columns present on one side only are null-filled on the other
+    (``tx_merge(merge_schema=True)`` null-backfills base rows for
+    added columns). The strict default catches column typos loudly.
     """
     tagged = base.withColumn("_src", F.lit(0)).unionByName(
-        updates.withColumn("_src", F.lit(1))
+        updates.withColumn("_src", F.lit(1)),
+        allowMissingColumns=allow_missing_columns,
     )
     order = [F.col("_src").desc()]
     if precedence_col is not None:
@@ -212,6 +219,7 @@ def merge_into_table(
     fmt: str = "parquet",
     precedence_col: str | None = None,
     n_buckets: int = 64,
+    merge_schema: bool = False,
 ) -> None:
     """Transactional-style MERGE of ``updates`` into the keyed table at
     ``path`` -- the storage-level counterpart of ``merge_by_key``.
@@ -266,10 +274,21 @@ def merge_into_table(
                 f"created with key={meta['key']!r} n_buckets="
                 f"{meta['n_buckets']}, got key={key!r} n_buckets={n_buckets}"
             )
-        tx_merge(spark, path, updates, key=key, n_buckets=n_buckets)
+        tx_merge(
+            spark, path, updates, key=key, n_buckets=n_buckets,
+            merge_schema=merge_schema,
+        )
         if meta is None:
             _write_merge_meta(spark, path, key, n_buckets)
         return
+    if merge_schema:
+        raise ValueError(
+            "merge_schema needs the transactional route: pass "
+            "fmt='txlog' (or merge into an existing tx table). The "
+            "plain copy-on-write path cannot version schemas for time "
+            "travel, and the delta route carries its own mergeSchema "
+            "option."
+        )
     if fmt == "delta":
         try:
             from delta.tables import DeltaTable

@@ -502,6 +502,33 @@ def _files_from_parquet_bytes(payload: bytes) -> dict[str, dict]:
     }
 
 
+def _union_schema(base, new):
+    """Base fields (in order) + new fields absent from base appended
+    (the ``mergeSchema`` union). Shared columns must agree on dataType
+    EXACTLY -- a type mismatch is a loud abort (r17, VERDICT r16 #3),
+    never a silent cast; nullability differences are tolerated (the
+    union is nullable wherever either side is)."""
+    from pyspark.sql.types import StructField, StructType
+
+    base_by = {f.name: f for f in base.fields}
+    out = list(base.fields)
+    for f in new.fields:
+        b = base_by.get(f.name)
+        if b is None:
+            # new columns are nullable by construction: every file
+            # written before this commit lacks them
+            out.append(StructField(f.name, f.dataType, True))
+        elif b.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution type mismatch on column {f.name!r}: "
+                f"table has {b.dataType.simpleString()}, write has "
+                f"{f.dataType.simpleString()}. Adding columns is "
+                "supported; changing a column's type needs an explicit "
+                "table rewrite."
+            )
+    return StructType(out)
+
+
 def _claim_via_log_store(fs, log_dir: str, final: str, payload: bytes) -> None:
     """The object-store claim (r17): delegate the put-if-absent to the
     ``LogStore`` configured for this scheme; a False return means the
@@ -557,11 +584,12 @@ def _fs_for(spark: SparkSession | None, path: str):
 # version's own commit file (pruned history still fails loudly).
 _SNAPSHOT_CACHE_MAX_TABLES = 8
 _snapshot_cache: "dict[str, tuple[int, dict]]" = {}
-# per-table incremental txn-meta scan: [max_scanned_version,
-# {txn_key: version}] -- commit files are immutable, so each is read
-# once per process however many find_txn probes run. The entry is
-# mutated in place; concurrent probes can only re-add identical facts
-# from immutable files, so thread interleavings are harmless.
+# per-table incremental commit-meta scan: [max_scanned_version,
+# {txn_key: version}, [(version, schema_json), ...]] -- commit files
+# are immutable, so each is read once per process however many
+# find_txn/schema_at probes run. The entry is mutated in place;
+# concurrent probes can only re-add identical facts from immutable
+# files, so thread interleavings are harmless.
 _txn_scan_cache: "dict[str, list]" = {}
 # per-table identity = the v0 commit file's stat fingerprint (r17,
 # ADVICE r16: a table dropped and RECREATED at the same path in a
@@ -919,7 +947,7 @@ class TxLog:
                     base_version=v,
                     action=action,
                     added=list(new),
-                    meta=meta,
+                    meta=self._rebase_schema_meta(meta, v),
                 )
                 _advance_cache(self.table, v, ver, list(new), [])
                 return ver
@@ -997,7 +1025,7 @@ class TxLog:
                     action=action,
                     added=list(outputs),
                     removed=sorted(inputs_set),
-                    meta=meta,
+                    meta=self._rebase_schema_meta(meta, v),
                 )
                 _advance_cache(
                     self.table, v, ver, list(outputs), list(inputs_set)
@@ -1027,21 +1055,16 @@ class TxLog:
         except FileNotFoundError:
             return {}
 
-    def find_txn(self, app: str, batch, *, since: int = -1) -> int | None:
-        """Highest version whose meta recorded (txn_app, txn_batch) --
-        the idempotent-replay probe. ``since`` restricts the scan to
-        versions strictly above it (the conflict-loop re-check).
-        Commit files are immutable, so the scan is INCREMENTAL per
-        process (r16, the 10^5-file microbench lever): each version's
-        txn meta is read once ever and folded into a per-table map --
-        a steady sink's pre-commit probe reads only the commits that
-        landed since its last look, not the whole history. Records of
-        PRUNED commits survive in the ``_txn_index.json`` sidecar
-        (written by ``tx_vacuum(prune_log=True)``), so a long-delayed
-        replay of a pruned epoch is still skipped."""
+    def _scan_metas(self) -> list:
+        """Advance the per-table incremental commit-meta scan: read
+        every version file above the scanned watermark ONCE and fold
+        its (txn_app, txn_batch) replay record and its ``schema``
+        record (r17) into the process-local entry. Returns the entry
+        ``[max_scanned, {txn_key: version}, [(version, schema_json)]]``
+        -- the shared substrate of ``find_txn`` and ``schema_at``."""
         self._check_identity()
-        entry = _txn_scan_cache.setdefault(self.table, [-1, {}])
-        scanned, seen = entry[0], entry[1]
+        entry = _txn_scan_cache.setdefault(self.table, [-1, {}, []])
+        scanned, seen, schemas = entry[0], entry[1], entry[2]
         new_max = scanned
         for v, name in self._version_files():
             if v <= scanned:
@@ -1057,9 +1080,77 @@ class TxLog:
                 k = self._txn_key(m["txn_app"], m["txn_batch"])
                 if v > seen.get(k, -1):
                     seen[k] = v
+            if "schema" in m:
+                schemas.append((v, m["schema"]))
+                schemas.sort(key=lambda t: t[0])
             new_max = max(new_max, v)
         if new_max > scanned:
             entry[0] = new_max
+        return entry
+
+    def schema_at(self, version: int | None = None):
+        """The table's recorded Spark schema at ``version`` (r17,
+        schema evolution): the newest ``schema`` commit-meta record at
+        or below it, falling back to the ``__schema__`` floor that
+        ``tx_vacuum(prune_log=True)`` folds into the txn index before
+        pruning schema-carrying commits. None when the table never
+        evolved -- readers then keep the plain parquet-inference path
+        (every snapshot's files share one schema)."""
+        from pyspark.sql.types import StructType
+
+        v = self.current_version() if version is None else int(version)
+        if v < 0:
+            return None
+        entry = self._scan_metas()
+        best = None
+        for sv, sj in entry[2]:
+            if sv <= v:
+                best = sj
+        if best is None:
+            floor = self._read_txn_index().get("__schema__")
+            if floor is not None and int(floor["version"]) <= v:
+                best = floor["schema"]
+        if best is None:
+            return None
+        return StructType.fromJson(json.loads(best))
+
+    def _rebase_schema_meta(self, meta: dict | None, v: int) -> dict | None:
+        """Re-derive a commit's ``schema`` meta against the schema
+        already recorded at base version ``v`` -- called inside the
+        commit loops on every attempt, so a conflict rebase UNIONS
+        concurrent column additions instead of letting the loser's
+        record hide the winner's new column. Drops the record entirely
+        when the base already covers it (no-op evolution)."""
+        if not (meta and "schema" in meta):
+            return meta
+        from pyspark.sql.types import StructType
+
+        cur = self.schema_at(v)
+        if cur is None:
+            return meta
+        mine = StructType.fromJson(json.loads(meta["schema"]))
+        merged = _union_schema(cur, mine)
+        m = dict(meta)
+        if merged.jsonValue() == cur.jsonValue():
+            m.pop("schema")
+            return m or None
+        m["schema"] = merged.json()
+        return m
+
+    def find_txn(self, app: str, batch, *, since: int = -1) -> int | None:
+        """Highest version whose meta recorded (txn_app, txn_batch) --
+        the idempotent-replay probe. ``since`` restricts the scan to
+        versions strictly above it (the conflict-loop re-check).
+        Commit files are immutable, so the scan is INCREMENTAL per
+        process (r16, the 10^5-file microbench lever): each version's
+        txn meta is read once ever and folded into a per-table map --
+        a steady sink's pre-commit probe reads only the commits that
+        landed since its last look, not the whole history. Records of
+        PRUNED commits survive in the ``_txn_index.json`` sidecar
+        (written by ``tx_vacuum(prune_log=True)``), so a long-delayed
+        replay of a pruned epoch is still skipped."""
+        entry = self._scan_metas()
+        seen = entry[1]
         got = seen.get(self._txn_key(app, batch))
         if got is not None and got > since:
             return got
@@ -1146,7 +1237,13 @@ def read_table(
     explicit file list, never a directory listing. ``basePath`` keeps
     hive partition columns. The returned plan is PINNED to the
     snapshot's files -- later commits never shift it mid-query, and a
-    time-travel read is just ``version=N``."""
+    time-travel read is just ``version=N``.
+
+    An EVOLVED table (r17, ``merge_schema``) reads through the schema
+    recorded at the requested version: files written before a column
+    existed null-fill it, no ``mergeSchema`` footer sweep needed, and
+    time travel to a pre-evolution version resolves the OLD schema.
+    Tables that never evolved keep the plain inference path."""
     log = TxLog(spark, path)
     v = log.current_version() if version is None else int(version)
     rels = log.live_files(v)
@@ -1156,9 +1253,11 @@ def read_table(
             "to synthesize an empty DataFrame from)"
         )
     files = [posixpath.join(log.table, r) for r in rels]
-    return (
-        spark.read.option("basePath", log.table).parquet(*files)
-    )
+    reader = spark.read.option("basePath", log.table)
+    schema = log.schema_at(v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*files)
 
 
 def read_table_any(spark: SparkSession, path: str) -> DataFrame:
@@ -1184,19 +1283,34 @@ def tx_append(
     *,
     partition_cols: tuple[str, ...] = (),
     meta: dict | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Transactional append: stage, move in, commit (rebasing through
     any concurrent commit). Returns the committed version. With
     ``meta={"txn_app": ..., "txn_batch": ...}`` the append is
     idempotent under replay (see ``TxLog.append_files``) -- including
     against a CONCURRENT replay of the same epoch, whose winner's
-    version is returned after reaping this replay's staged files."""
+    version is returned after reaping this replay's staged files.
+
+    ``merge_schema=True`` (r17, VERDICT r16 #3 -- Delta's
+    ``mergeSchema`` semantics, opt-in like Delta's): columns of ``df``
+    absent from the table are ADDED (recorded in the commit meta;
+    snapshot reads null-backfill the old files), shared columns must
+    match dataType exactly (loud ValueError otherwise), and time
+    travel below this commit still resolves the old schema. The
+    default leaves the hot append path untouched: no schema resolve,
+    no recording -- the reference's schemaless metadata side
+    (firestore_ops.py:78-79) absorbs new keys silently; this is the
+    explicit, validated version of that."""
     log = TxLog(spark, path)
     log.ensure()
     if meta and "txn_app" in meta and "txn_batch" in meta:
         done = log.find_txn(meta["txn_app"], meta["txn_batch"])
         if done is not None:
             return done
+    if merge_schema:
+        meta = dict(meta or {})
+        meta["schema"] = _evolved_schema_json(spark, log, df)
     new = _stage_and_move_in(spark, path, df, partition_cols)
     try:
         return log.append_files(new, meta=meta)
@@ -1232,6 +1346,21 @@ def tx_overwrite(
     except BaseException:
         _delete_files(path, new, spark)
         raise
+
+
+def _evolved_schema_json(spark: SparkSession, log: TxLog, df: DataFrame) -> str:
+    """The merge-schema union of the table's current schema and
+    ``df``'s, as the JSON the commit meta records. The base comes from
+    the recorded schema when the table already evolved, else from one
+    snapshot-read analysis (all files share a schema pre-evolution).
+    Raises loudly on a shared-column type mismatch."""
+    v = log.current_version()
+    base = log.schema_at(v)
+    if base is None and v >= 0 and log.live_files(v):
+        base = read_table(spark, log.table, version=v).schema
+    if base is None:
+        return df.schema.json()
+    return _union_schema(base, df.schema).json()
 
 
 def _derive_partition_cols(rels: list[str]) -> tuple[str, ...]:
@@ -1421,6 +1550,7 @@ def tx_merge(
     key: str = "data_point_id",
     n_buckets: int = 64,
     meta: dict | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Bucket-pruned keyed MERGE under the log (the tx analog of
     ``merge_into_table(fmt="parquet")``): only the ``_bucket=`` files
@@ -1443,6 +1573,15 @@ def tx_merge(
       on the first merge (streaming sinks included) and validated on
       every call, so a later merge with a different bucket map raises
       instead of scattering keys across mismatched ``_bucket`` dirs.
+
+    ``merge_schema=True`` (r17, VERDICT r16 #3): columns of ``updates``
+    absent from the table are ADDED -- base rows null-backfill them,
+    the evolved schema is recorded in the commit meta, shared columns
+    must match dataType exactly (loud abort), and because the merge is
+    whole-row replace, updates must still carry EVERY existing column.
+    Once a table has evolved, every merge reads its touched buckets
+    through the recorded schema, so pre-evolution bucket files
+    null-fill the new columns transparently.
 
     Returns the committed version."""
     from pyspark.sql import functions as F
@@ -1507,6 +1646,27 @@ def tx_merge(
         F.xxhash64(F.col(key)), F.lit(n_buckets)
     ).cast("int")
     bucketed = updates.withColumn("_bucket", bucket_expr)
+    if merge_schema:
+        v0 = log.current_version()
+        base_schema = log.schema_at(v0)
+        if base_schema is None and v0 >= 0 and log.live_files(v0):
+            base_schema = read_table(spark, path, version=v0).schema
+        if base_schema is not None:
+            missing = [
+                c for c in base_schema.names
+                if c != "_bucket" and c not in updates.columns
+            ]
+            if missing:
+                raise ValueError(
+                    "merge_schema updates must carry every existing "
+                    f"column (the merge is whole-row replace); missing "
+                    f"{missing} at {path}"
+                )
+            evolved = _union_schema(base_schema, bucketed.schema)
+        else:
+            evolved = bucketed.schema
+        meta = dict(meta or {})
+        meta["schema"] = evolved.json()
     # the touched-bucket set depends only on the updates -- compute once
     touched = sorted(
         r[0] for r in bucketed.select("_bucket").distinct().collect()
@@ -1537,10 +1697,18 @@ def tx_merge(
             guard = prefixes
             if inputs:
                 files = [posixpath.join(log.table, r) for r in inputs]
-                base_touched = spark.read.option(
-                    "basePath", log.table
-                ).parquet(*files)
-                merged = merge_by_key(base_touched, bucketed, key=key)
+                reader = spark.read.option("basePath", log.table)
+                # an evolved table's pre-evolution bucket files lack
+                # the added columns: read them through the recorded
+                # schema so they null-fill (r17)
+                rschema = log.schema_at(v)
+                if rschema is not None:
+                    reader = reader.schema(rschema)
+                base_touched = reader.parquet(*files)
+                merged = merge_by_key(
+                    base_touched, bucketed, key=key,
+                    allow_missing_columns=merge_schema,
+                )
             else:
                 merged = bucketed
         else:
@@ -1553,9 +1721,10 @@ def tx_merge(
                 base = read_table(spark, path, version=v)
                 if "_bucket" in base.columns:
                     base = base.drop("_bucket")
-                merged = merge_by_key(base, updates, key=key).withColumn(
-                    "_bucket", bucket_expr
-                )
+                merged = merge_by_key(
+                    base, updates, key=key,
+                    allow_missing_columns=merge_schema,
+                ).withColumn("_bucket", bucket_expr)
             else:
                 merged = bucketed
         new = _stage_and_move_in(
@@ -1723,6 +1892,16 @@ def tx_vacuum(
                 k = TxLog._txn_key(m["txn_app"], m["txn_batch"])
                 if int(txn_index.get(k, -1)) < v:
                     txn_index[k] = v
+                    grew = True
+            if "schema" in m:
+                # fold the newest pruned schema record into the index
+                # (r17): every retained version's schema_at() keeps
+                # resolving after its recording commit is pruned
+                floor = txn_index.get("__schema__")
+                if floor is None or int(floor["version"]) < v:
+                    txn_index["__schema__"] = {
+                        "version": v, "schema": m["schema"],
+                    }
                     grew = True
         if grew:
             fs.write_replace(
