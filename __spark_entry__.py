@@ -4627,7 +4627,9 @@ def q_streaming_tx_merge_maintained(
     The oracle adds the protocol's closed-form version number (v0
     init + three epoch merges = 3): a missed epoch, a split epoch, a
     double-applied replay, or a listing-based read all flip the hash.
-    Archive-gated (window at capacity)."""
+    DECLARED since r17 (VERDICT r16 #4): the tx layer's streaming
+    exactly-once half gets a driver row next to the batch-lifecycle
+    txlog_compaction_roundtrip."""
     return _streaming_merge_upsert(spark, sf_dir, txlog=True)
 
 
@@ -10250,8 +10252,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # windows remain archive-parity-gated at both SFs).
         "wordpiece_tokenize_corpus": q_wordpiece_tokenize_corpus,
         "training_corpus_pipeline": q_training_corpus_pipeline,
+        # r17 rotation (VERDICT r16 #4): streaming_tx_merge_maintained
+        # promoted -- the tx layer's STREAMING exactly-once half (per-
+        # epoch manifest commits with replay txn meta, zombie closure,
+        # snapshot-read resolution, closed-form final version) gets a
+        # driver row next to the batch-lifecycle txlog_compaction_
+        # roundtrip. It displaces merge_upsert -> archive: the
+        # keep-latest merge_by_key machinery stays declared-gated
+        # THROUGH this row (tx_merge's bucket surgery IS merge_by_key)
+        # and through incremental_reembed_pipeline's merges, and the
+        # batch row keeps full-tier parity at both SFs.
+        "streaming_tx_merge_maintained": q_streaming_tx_merge_maintained,
         # -- relational / events surface -------------------------------
-        "merge_upsert": q_merge_upsert,
         "events_gapfill_locf": q_events_gapfill_locf,
         "events_salted_dim_join": q_events_salted_dim_join,
         "events_sessionize": q_events_sessionize,
@@ -10537,7 +10549,10 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming: per-epoch manifest merges with replay txns)
         "dataset_domain_cap": q_dataset_domain_cap,
         "txlog_scoped_compaction": q_txlog_scoped_compaction,
-        "streaming_tx_merge_maintained": q_streaming_tx_merge_maintained,
+        # r17: merge_upsert rotated here (displaced by the promoted
+        # streaming_tx_merge_maintained; keep-latest machinery stays
+        # declared-gated through that row + incremental_reembed)
+        "merge_upsert": q_merge_upsert,
         "pagerank_citations": q_pagerank_citations,
         "pagerank_weighted": q_pagerank_weighted,
         "hits_citations": q_hits_citations,
@@ -10636,7 +10651,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_quality_buckets": _sql_ccnet_quality_buckets(),
         "wordpiece_tokenize_corpus": _sql_wordpiece_tokenize(8),
         "training_corpus_pipeline": _SQL_TRAINING_PIPELINE,
-        "merge_upsert": _SQL_MERGE_UPSERT,
+        "streaming_tx_merge_maintained": _SQL_STREAM_MERGE_TX,
         "events_gapfill_locf": _SQL_EVENTS_GAPFILL,
         "events_salted_dim_join": _SQL_SALTED_JOIN,
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
@@ -10686,7 +10701,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "doremi_domain_mix": _sql_doremi_domain_mix(),
         "dataset_domain_cap": _SQL_DOMAIN_CAP,
         "txlog_scoped_compaction": _SQL_TXLOG_SCOPED,
-        "streaming_tx_merge_maintained": _SQL_STREAM_MERGE_TX,
+        "merge_upsert": _SQL_MERGE_UPSERT,
         "pagerank_citations": _sql_pagerank(6),
         "pagerank_weighted": _sql_pagerank_weighted(6),
         "hits_citations": _sql_hits(6),
