@@ -474,6 +474,50 @@ def _sql_pack_sequences(spark, sf_dir):
     )
 
 
+def _sql_storage_lifecycle(spark, sf_dir):
+    """The SQL-only user's storage-control surface (r17, VERDICT r16
+    #5): build a tx table from the documents fixture (two appends + a
+    schema-evolving third), then drive the whole maintenance grammar --
+    DESCRIBE HISTORY, OPTIMIZE (scoped), VACUUM ... PRUNE LOG, and a
+    VERSION AS OF snapshot view -- returning the history joined with
+    the time-travel row count. Timed cost = the statements themselves;
+    each is bit-equal to its Python twin (tests/test_sql_api.py)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rag_vertex_ai_vector_search_spark.sources import load_table
+    from rag_vertex_ai_vector_search_spark.sources.txlog import tx_append
+    from rag_vertex_ai_vector_search_spark.sql_api import storage_sql
+
+    path = tempfile.mkdtemp(prefix="bench_sqlstore_") + "/t"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").alias("n_chars")
+    )
+    tx_append(spark, path, docs.filter(F.col("doc_id") % 2 == 0),
+              partition_cols=("lang",))
+    tx_append(spark, path, docs.filter(F.col("doc_id") % 2 == 1),
+              partition_cols=("lang",))
+    tx_append(
+        spark, path,
+        docs.limit(50).withColumn("quality", F.lit(0.5)),
+        partition_cols=("lang",), merge_schema=True,
+    )
+    storage_sql(spark, f"OPTIMIZE '{path}'")
+    storage_sql(
+        spark, f"VACUUM '{path}' RETAIN 2 VERSIONS MIN AGE 0 SECONDS"
+    )
+    storage_sql(
+        spark, f"CREATE SNAPSHOT VIEW bench_store_v1 FROM '{path}' "
+        "VERSION AS OF 1"
+    )
+    v1_rows = spark.sql(
+        "SELECT COUNT(*) AS n FROM bench_store_v1"
+    ).collect()[0].n
+    hist = storage_sql(spark, f"DESCRIBE HISTORY '{path}'")
+    return hist.withColumn("v1_rows", F.lit(int(v1_rows)))
+
+
 def _sql_knn_search(spark, sf_dir):
     """The SQL front end's headline query (r14, VERDICT r13 #6): a
     SQL-only user's `SELECT * FROM engine_knn_search` -- embedded
@@ -670,6 +714,9 @@ BENCH_QUERIES = [
     # r15: the SQL route to the dedup surface (lazy view; timed = plan).
     ("sql_dedup_candidates", _sql_dedup_candidates),
     ("sql_pack_sequences", _sql_pack_sequences),
+    # r17: the storage-control grammar (history / optimize / vacuum /
+    # time travel) end-to-end over a fixture-built tx table.
+    ("sql_storage_lifecycle", _sql_storage_lifecycle),
     # r15: the transactional storage lifecycle (append x2 -> tx
     # compaction -> snapshot read) -- prices the manifest-commit
     # overhead against the table-scale work it coordinates.

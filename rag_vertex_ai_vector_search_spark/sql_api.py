@@ -662,6 +662,168 @@ def _register_doremi_view(spark: SparkSession) -> None:
     _DOREMI_VIEW_DONE.setdefault(spark, set()).add(src)
 
 
+# ---- storage-layer SQL surface (r17, VERDICT r16 #5) -------------------
+#
+# A SQL-only user could run Q1-Q7 and the curation pipeline but could
+# not touch the transactional storage layer. Spark SQL has no
+# parameterizable table-valued functions and no DDL hooks for a custom
+# commit log, so the surface follows Delta's SQL shapes through a tiny
+# statement front end (storage_sql) plus snapshot views:
+#
+#   DESCRIBE HISTORY '<path>'                       -> commit table
+#   CREATE SNAPSHOT VIEW v FROM '<path>'
+#       [VERSION AS OF n]                           -> time travel view
+#   VACUUM '<path>' [RETAIN n VERSIONS]
+#       [MIN AGE s SECONDS] [PRUNE LOG]             -> GC report row
+#   OPTIMIZE '<path>' [FULL]                        -> compaction report
+#
+# Each statement is BIT-EQUAL to its Python twin (read_table(version=),
+# tx_vacuum, tx_compact_fragmented/tx_compact) -- it calls it; pinned
+# in tests/test_sql_api.py.
+
+import re as _re
+
+_STORAGE_STATEMENTS = (
+    (
+        "history",
+        _re.compile(r"(?is)^\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*$"),
+    ),
+    (
+        "snapshot_view",
+        _re.compile(
+            r"(?is)^\s*CREATE\s+SNAPSHOT\s+VIEW\s+([A-Za-z_]\w*)\s+"
+            r"FROM\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*$"
+        ),
+    ),
+    (
+        "vacuum",
+        _re.compile(
+            r"(?is)^\s*VACUUM\s+'([^']+)'"
+            r"(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?"
+            r"(?:\s+MIN\s+AGE\s+(\d+(?:\.\d+)?)\s+SECONDS)?"
+            r"(\s+PRUNE\s+LOG)?\s*$"
+        ),
+    ),
+    (
+        "optimize",
+        _re.compile(r"(?is)^\s*OPTIMIZE\s+'([^']+)'(\s+FULL)?\s*$"),
+    ),
+)
+
+
+def table_history(spark: SparkSession, path: str):
+    """One row per commit of the tx table at ``path`` -- the
+    DESCRIBE HISTORY table (version, base_version, action, delta
+    sizes, replay txn identity, schema-change flag). Driver-side over
+    the commit JSONs (the log IS driver-sized by design; pruned
+    commits are simply absent). Plan is a LocalRelation snapshot of
+    registration time -- re-run after new commits."""
+    from .sources.txlog import TxLog
+
+    log = TxLog(spark, path)
+    rows = []
+    for v, _name in log._version_files():
+        try:
+            doc = log._read_commit(v)
+        except FileNotFoundError:
+            continue  # concurrent prune
+        m = doc.get("meta") or {}
+        rows.append({
+            "version": int(v),
+            "base_version": int(doc.get("base_version", v - 1)),
+            "action": str(doc.get("action", "")),
+            "n_added": len(doc.get("added") or []),
+            "n_removed": len(doc.get("removed") or []),
+            "is_checkpoint": bool(
+                doc.get("files") is not None or "checkpoint_file" in doc
+            ),
+            "txn_app": m.get("txn_app"),
+            "txn_batch": (
+                str(m["txn_batch"]) if "txn_batch" in m else None
+            ),
+            "schema_change": "schema" in m,
+        })
+    schema = (
+        "version long, base_version long, action string, n_added long, "
+        "n_removed long, is_checkpoint boolean, txn_app string, "
+        "txn_batch string, schema_change boolean"
+    )
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "version", "base_version", "action", "n_added",
+                "n_removed", "is_checkpoint", "txn_app", "txn_batch",
+                "schema_change",
+            ],
+        ),
+        schema,
+    )
+
+
+def _report_df(spark: SparkSession, report: dict):
+    cols = sorted(report)
+    return spark.createDataFrame(
+        pd.DataFrame([{c: report[c] for c in cols}], columns=cols),
+        ", ".join(f"{c} long" for c in cols),
+    )
+
+
+def storage_sql(spark: SparkSession, statement: str):
+    """Execute one storage-layer statement (grammar above) and return
+    its result DataFrame. Unrecognized statements raise with the
+    grammar -- this front end covers ONLY what Spark SQL cannot plan;
+    everything queryable goes through the registered views."""
+    from .sources.txlog import (
+        read_table,
+        tx_compact,
+        tx_compact_fragmented,
+        tx_vacuum,
+    )
+
+    for kind, pat in _STORAGE_STATEMENTS:
+        m = pat.match(statement)
+        if m is None:
+            continue
+        if kind == "history":
+            return table_history(spark, m.group(1))
+        if kind == "snapshot_view":
+            name, path, version = m.group(1), m.group(2), m.group(3)
+            df = read_table(
+                spark, path,
+                version=int(version) if version is not None else None,
+            )
+            df.createOrReplaceTempView(name)
+            return df
+        if kind == "vacuum":
+            path, retain, age, prune = m.groups()
+            report = tx_vacuum(
+                spark, path,
+                retain_versions=int(retain) if retain else 2,
+                min_age_seconds=float(age) if age else 3600.0,
+                prune_log=bool(prune),
+            )
+            return _report_df(spark, report)
+        if kind == "optimize":
+            path, full = m.groups()
+            if full:
+                n = tx_compact(spark, path)
+                return _report_df(spark, {"files_after": int(n)})
+            return _report_df(
+                spark, tx_compact_fragmented(spark, path)
+            )
+    raise ValueError(
+        "unrecognized storage statement; supported grammar:\n"
+        "  DESCRIBE HISTORY '<path>'\n"
+        "  CREATE SNAPSHOT VIEW <name> FROM '<path>' "
+        "[VERSION AS OF <n>]\n"
+        "  VACUUM '<path>' [RETAIN <n> VERSIONS] "
+        "[MIN AGE <s> SECONDS] [PRUNE LOG]\n"
+        "  OPTIMIZE '<path>' [FULL]\n"
+        f"got: {statement!r}"
+    )
+
+
 _TOKENIZER_VIEWS_DONE: weakref.WeakKeyDictionary = (
     weakref.WeakKeyDictionary()
 )

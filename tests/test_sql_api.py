@@ -794,3 +794,151 @@ def test_sql_mixing_views_match_dataframe_builders(spark, sf_smoke):
         ).collect()
     )
     assert via_sql == via_df and len(via_sql) == 100
+
+
+# ---- storage-layer SQL surface (r17, VERDICT r16 #5) -------------------
+
+
+def _tx_table(spark, tmp_path, name="t"):
+    from rag_vertex_ai_vector_search_spark.sources.txlog import tx_append
+
+    path = str(tmp_path / name)
+    df1 = spark.range(0, 60).select(
+        "id", (F.col("id") % 3).alias("part"), (F.col("id") * 2).alias("v")
+    )
+    df2 = spark.range(60, 90).select(
+        "id", (F.col("id") % 3).alias("part"), (F.col("id") * 2).alias("v")
+    )
+    tx_append(spark, path, df1.repartition(4), partition_cols=("part",))
+    tx_append(spark, path, df2.repartition(4), partition_cols=("part",))
+    return path
+
+
+def test_storage_sql_snapshot_view_time_travel(spark, tmp_path):
+    from rag_vertex_ai_vector_search_spark.sources.txlog import read_table
+    from rag_vertex_ai_vector_search_spark.sql_api import storage_sql
+
+    path = _tx_table(spark, tmp_path)
+    storage_sql(spark, f"CREATE SNAPSHOT VIEW t_now FROM '{path}'")
+    storage_sql(
+        spark, f"CREATE SNAPSHOT VIEW t_v1 FROM '{path}' VERSION AS OF 1"
+    )
+    now_sql = sorted(tuple(r) for r in spark.sql(
+        "SELECT id, part, v FROM t_now").collect())
+    now_py = sorted(tuple(r) for r in read_table(spark, path).select(
+        "id", "part", "v").collect())
+    assert now_sql == now_py and len(now_sql) == 90
+    old_sql = sorted(tuple(r) for r in spark.sql(
+        "SELECT id, part, v FROM t_v1").collect())
+    old_py = sorted(tuple(r) for r in read_table(
+        spark, path, version=1).select("id", "part", "v").collect())
+    assert old_sql == old_py and len(old_sql) == 60
+
+
+def test_storage_sql_describe_history(spark, tmp_path):
+    from rag_vertex_ai_vector_search_spark.sources.txlog import (
+        TxLog, tx_append,
+    )
+    from rag_vertex_ai_vector_search_spark.sql_api import storage_sql
+
+    path = _tx_table(spark, tmp_path)
+    tx_append(
+        spark, path,
+        spark.range(90, 95).select(
+            "id", (F.col("id") % 3).alias("part"),
+            (F.col("id") * 2).alias("v"),
+        ),
+        meta={"txn_app": "app", "txn_batch": 7},
+    )
+    hist = {r.version: r for r in storage_sql(
+        spark, f"DESCRIBE HISTORY '{path}'").collect()}
+    log = TxLog(spark, path)
+    assert sorted(hist) == [v for v, _ in log._version_files()]
+    assert hist[0].action == "init" and hist[0].is_checkpoint
+    assert hist[1].action == "append" and hist[1].n_added > 0
+    assert hist[3].txn_app == "app" and hist[3].txn_batch == "7"
+    assert not hist[1].schema_change
+
+
+def test_storage_sql_history_sees_schema_evolution(spark, tmp_path):
+    from rag_vertex_ai_vector_search_spark.sources.txlog import tx_append
+    from rag_vertex_ai_vector_search_spark.sql_api import storage_sql
+
+    path = str(tmp_path / "t")
+    tx_append(spark, path, spark.range(0, 10).select(
+        "id", (F.col("id") * 2).alias("v")))
+    tx_append(
+        spark, path,
+        spark.range(10, 15).select(
+            "id", (F.col("id") * 2).alias("v"), F.lit("en").alias("lang")
+        ),
+        merge_schema=True,
+    )
+    hist = {r.version: r for r in storage_sql(
+        spark, f"DESCRIBE HISTORY '{path}'").collect()}
+    assert hist[2].schema_change and not hist[1].schema_change
+
+
+def _data_file_count(path):
+    import os
+
+    n = 0
+    for r, _d, fs_ in os.walk(path):
+        if "_txlog" in r or ".tx-stage" in r:
+            continue
+        n += sum(1 for f in fs_ if not f.startswith(("_", ".")))
+    return n
+
+
+def test_storage_sql_vacuum_matches_python_twin(spark, tmp_path):
+    from rag_vertex_ai_vector_search_spark.sources.txlog import (
+        TxLog, read_table, tx_compact,
+    )
+    from rag_vertex_ai_vector_search_spark.sql_api import storage_sql
+
+    path = _tx_table(spark, tmp_path)
+    tx_compact(spark, path, target_file_bytes=1 << 30)
+    phys_before = _data_file_count(path)
+    live = len(TxLog(spark, path).live_files())
+    rep = storage_sql(
+        spark,
+        f"VACUUM '{path}' RETAIN 1 VERSIONS MIN AGE 0 SECONDS PRUNE LOG",
+    ).collect()[0]
+    assert rep.deleted_files == phys_before - live
+    assert rep.pruned_commits >= 0
+    assert read_table(spark, path).count() == 90  # rows intact
+
+
+def test_storage_sql_optimize_scoped_and_full(spark, tmp_path):
+    from rag_vertex_ai_vector_search_spark.sources.txlog import (
+        read_table, tx_append,
+    )
+    from rag_vertex_ai_vector_search_spark.sql_api import storage_sql
+
+    path = str(tmp_path / "t")
+    for i in range(4):  # fragment one partition with tiny appends
+        tx_append(
+            spark, path,
+            spark.range(i * 10, i * 10 + 10).select(
+                "id", F.lit("en").alias("lang")
+            ).coalesce(1),
+            partition_cols=("lang",),
+        )
+    before = sorted(tuple(r) for r in read_table(spark, path).collect())
+    rep = storage_sql(spark, f"OPTIMIZE '{path}'").collect()[0]
+    assert rep.partitions_fragmented == 1
+    assert rep.files_after < rep.files_before
+    after = sorted(tuple(r) for r in read_table(spark, path).collect())
+    assert after == before
+    full = storage_sql(spark, f"OPTIMIZE '{path}' FULL").collect()[0]
+    assert full.files_after == 1
+    assert sorted(
+        tuple(r) for r in read_table(spark, path).collect()
+    ) == before
+
+
+def test_storage_sql_rejects_unknown_statement(spark):
+    from rag_vertex_ai_vector_search_spark.sql_api import storage_sql
+
+    with pytest.raises(ValueError, match="storage statement"):
+        storage_sql(spark, "DROP TABLE everything")
