@@ -225,22 +225,38 @@ class _LocalTxFs:
         """Yield ``(full_path, size, mtime)`` for every file under
         ``root``. ``prune_hidden`` skips underscore/dot DIRS except
         hive partition dirs (``name=value``); file-name filtering is
-        the caller's concern."""
-        for r, dnames, names in os.walk(root):
-            if prune_hidden:
-                dnames[:] = [
-                    d for d in dnames
-                    if ("=" in d) or not (
-                        d.startswith("_") or d.startswith(".")
-                    )
-                ]
-            for n in names:
-                full = os.path.join(r, n)
+        the caller's concern.
+
+        scandir-based (r17, VERDICT r16 #6): DirEntry.stat() batches
+        per directory and skips the re-resolve that os.walk +
+        os.stat(join(...)) paid per file -- the 10^6-file vacuum walk
+        is directory-listing bound, the same shape the Hadoop adapter
+        gets from listStatus."""
+        try:
+            it = os.scandir(root)
+        except (FileNotFoundError, NotADirectoryError):
+            return
+        with it:
+            for entry in it:
+                name = entry.name
                 try:
-                    st = os.stat(full)
-                except FileNotFoundError:
+                    is_dir = entry.is_dir(follow_symlinks=False)
+                except OSError:
                     continue
-                yield full, st.st_size, st.st_mtime
+                if is_dir:
+                    if prune_hidden and ("=" not in name) and (
+                        name.startswith("_") or name.startswith(".")
+                    ):
+                        continue
+                    yield from self.walk_files(
+                        entry.path, prune_hidden=prune_hidden
+                    )
+                else:
+                    try:
+                        st = entry.stat()
+                    except FileNotFoundError:
+                        continue
+                    yield entry.path, st.st_size, st.st_mtime
 
     def publish_if_absent(
         self, log_dir: str, final: str, payload: bytes
