@@ -1591,6 +1591,77 @@ WHERE {_SQL_TOKENS} <= 80
 """
 
 
+def q_ingest_atomic_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic dual-sink ingest roundtrip (r17, VERDICT r16 #2): two
+    transactional ingests into one parent-scope commit log -- ingest A
+    (even doc_ids) then a FULL overwrite ingest B, each publishing the
+    datapoints AND metadata sides in ONE manifest commit
+    (operators/ingest.py::write_ingest) -- then read BOTH sides by
+    snapshot (read_ingest_table) at the final version and join them on
+    data_point_id. The oracle predicts the joined content (the ingest
+    mirrors) plus the protocol's closed-form version number (v0 init +
+    two single-commit ingests = 2): a torn ingest (one side missing or
+    from a different commit), a split/double commit, or a listing read
+    that double-counts A's replaced files all flip the hash. The
+    reference writes the two sides as independent RPCs
+    (setup_vector_search.py:147-153 + firestore_ops.py:60-88); the
+    kill-injection matrix is tests/test_ingest_atomic.py."""
+    import tempfile
+
+    from rag_vertex_ai_vector_search_spark.operators.ingest import (
+        read_ingest_table,
+        write_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="eng_atomic_ingest_") + "/t"
+    write_ingest(
+        ingest_documents(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            max_tokens=80, extra_restrict_cols=("lang",),
+        ),
+        out,
+    )
+    v = write_ingest(
+        ingest_documents(
+            docs, max_tokens=80, extra_restrict_cols=("lang",)
+        ),
+        out,
+    )
+    md = read_ingest_table(spark, out, "metadata", version=v).select(
+        "data_point_id",
+        "doc_id",
+        F.col("token_count").cast("long").alias("token_count"),
+        F.col("content_length").cast("long").alias("content_length"),
+        "lang",
+    )
+    vec = F.col("feature_vector").cast("array<double>")
+    dp = read_ingest_table(spark, out, "datapoints", version=v).select(
+        "data_point_id",
+        F.size("feature_vector").cast("long").alias("dim"),
+        F.round(
+            F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x), 6
+        ).alias("norm_sq"),
+    )
+    return md.join(dp, "data_point_id").withColumn(
+        "final_version", F.lit(int(v)).cast("long")
+    )
+
+
+_SQL_INGEST_ATOMIC = f"""
+SELECT sha256(CAST(doc_id AS VARCHAR)) AS data_point_id,
+       doc_id,
+       CAST({_SQL_TOKENS} AS BIGINT) AS token_count,
+       CAST(length(text) AS BIGINT) AS content_length,
+       lang,
+       CAST(64 AS BIGINT) AS dim,
+       CAST(1.0 AS DOUBLE) AS norm_sq,
+       CAST(2 AS BIGINT) AS final_version
+FROM documents
+WHERE {_SQL_TOKENS} <= 80
+"""
+
+
 # --------------------------------------------------------------------------
 # Dedup suite (LLM-pipeline extensions; BASELINE.json north star)
 # --------------------------------------------------------------------------
@@ -10553,6 +10624,9 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming_tx_merge_maintained; keep-latest machinery stays
         # declared-gated through that row + incremental_reembed)
         "merge_upsert": q_merge_upsert,
+        # r17-new: the atomic dual-sink ingest roundtrip (both sides
+        # published by one commit; closed-form final version)
+        "ingest_atomic_roundtrip": q_ingest_atomic_roundtrip,
         "pagerank_citations": q_pagerank_citations,
         "pagerank_weighted": q_pagerank_weighted,
         "hits_citations": q_hits_citations,
@@ -10702,6 +10776,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "dataset_domain_cap": _SQL_DOMAIN_CAP,
         "txlog_scoped_compaction": _SQL_TXLOG_SCOPED,
         "merge_upsert": _SQL_MERGE_UPSERT,
+        "ingest_atomic_roundtrip": _SQL_INGEST_ATOMIC,
         "pagerank_citations": _sql_pagerank(6),
         "pagerank_weighted": _sql_pagerank_weighted(6),
         "hits_citations": _sql_hits(6),
