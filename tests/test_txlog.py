@@ -166,14 +166,15 @@ def test_crash_matrix_reader_never_corrupted(spark, tmp_path, monkeypatch):
     log = TxLog(spark, path)
 
     # (a) crash after the scratch write, before any move-in
-    real_walk = os.walk
+    # (r17: the local walk is scandir-based, so the kill hooks scandir)
+    real_scandir = os.scandir
 
-    def boom_walk(top, *a, **k):
+    def boom_scandir(top, *a, **k):
         if tx._STAGE_PREFIX in str(top):
             raise RuntimeError("killed before move-in")
-        return real_walk(top, *a, **k)
+        return real_scandir(top, *a, **k)
 
-    monkeypatch.setattr(tx.os, "walk", boom_walk)
+    monkeypatch.setattr(tx.os, "scandir", boom_scandir)
     with pytest.raises(RuntimeError, match="before move-in"):
         tx_append(spark, path, _range_df(spark, 100, 120))
     monkeypatch.undo()
