@@ -10183,6 +10183,116 @@ GROUP BY lang, source
 """
 
 
+def q_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data feed over the tx log (r17 -- the Delta CDF analog,
+    sources/changes.py): the corpus lands as two APPENDS, a keyed
+    MERGE upserts every doc_id % 5 == 0 row (text + '!') and inserts
+    planted new keys (doc_id + 10^7), and a COMPACTION rewrites the
+    layout; ``read_table_changes`` then reads versions 2..head back as
+    row changes. The oracle predicts the whole feed closed-form from
+    doc_id: v2's appended rows feed as inserts, the merge's multiset
+    diff cancels every row the full-table re-bucket carried through
+    unchanged and classifies the survivors (update_preimage/
+    update_postimage on keys present on both sides, insert on new
+    keys), and the compaction emits NOTHING (data-preserving by
+    contract). A diff that misses the cancellation (bucket-rewrite
+    noise), misclassifies a planted key, leaks the physical _bucket
+    column, or counts the compaction flips the hash; final_version
+    pins the protocol (v0 init + 2 appends + merge + compact = 4).
+    The reference mutates a live STREAM_UPDATE index
+    (index_manager.py:53) with no way to observe the change stream;
+    this row gates the storage-level completion of that loop."""
+    import shutil
+    import tempfile
+
+    from rag_vertex_ai_vector_search_spark.sources.changes import (
+        read_table_changes,
+    )
+    from rag_vertex_ai_vector_search_spark.sources.txlog import (
+        TxLog,
+        tx_append,
+        tx_compact,
+        tx_merge,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    work = tempfile.mkdtemp(prefix="txlog_cdc_")
+    try:
+        path = f"{work}/t"
+        tx_append(
+            spark, path, docs.filter(F.col("doc_id") % 3 != 0).repartition(8)
+        )
+        tx_append(
+            spark, path, docs.filter(F.col("doc_id") % 3 == 0).repartition(8)
+        )
+        planted = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "text",
+            F.concat(F.lit("planted-"), F.col("doc_id").cast("string")),
+        ).withColumn("doc_id", F.col("doc_id") + F.lit(10000000))
+        updates = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "text", F.concat(F.col("text"), F.lit("!"))
+        ).unionByName(planted)
+        tx_merge(spark, path, updates, key="doc_id", n_buckets=16)
+        tx_compact(spark, path, target_file_bytes=1 << 30)
+        log = TxLog(spark, path)
+        out = (
+            read_table_changes(spark, path, 1)
+            .groupBy(
+                F.col("_change_type").alias("change_type"),
+                F.col("_commit_version").alias("commit_version"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("doc_id").cast("long").alias("sum_doc_id"),
+                F.sum(F.length("text")).cast("long").alias("sum_text_len"),
+            )
+            .withColumn(
+                "final_version",
+                F.lit(int(log.current_version())).cast("long"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_SQL_TXLOG_CHANGE_FEED = """
+WITH upd AS (
+  SELECT doc_id, length(text) AS lt FROM documents WHERE doc_id % 5 = 0
+),
+planted AS (
+  SELECT doc_id + 10000000 AS doc_id,
+         length('planted-' || CAST(doc_id AS VARCHAR)) AS lt
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT 'insert' AS change_type, CAST(2 AS BIGINT) AS commit_version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+       CAST(4 AS BIGINT) AS final_version
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT 'insert', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(lt) AS BIGINT),
+       CAST(4 AS BIGINT)
+FROM planted
+UNION ALL
+SELECT 'update_preimage', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT), CAST(sum(lt) AS BIGINT),
+       CAST(4 AS BIGINT)
+FROM upd
+UNION ALL
+SELECT 'update_postimage', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT),
+       CAST(sum(lt) + count(*) AS BIGINT),
+       CAST(4 AS BIGINT)
+FROM upd
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 declared queries (the driver gates the first 50 dict
     entries, VERDICT r2 #1). Ordering: the 9 entries that never got a
@@ -10625,8 +10735,11 @@ def queries_archive() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # declared-gated through that row + incremental_reembed)
         "merge_upsert": q_merge_upsert,
         # r17-new: the atomic dual-sink ingest roundtrip (both sides
-        # published by one commit; closed-form final version)
+        # published by one commit; closed-form final version), and the
+        # change-data feed over the tx log (Delta CDF analog -- the
+        # merge diff's cancellation + classification closed-form)
         "ingest_atomic_roundtrip": q_ingest_atomic_roundtrip,
+        "txlog_change_feed": q_txlog_change_feed,
         "pagerank_citations": q_pagerank_citations,
         "pagerank_weighted": q_pagerank_weighted,
         "hits_citations": q_hits_citations,
@@ -10777,6 +10890,7 @@ def oracle_sql_archive() -> dict[str, str]:
         "txlog_scoped_compaction": _SQL_TXLOG_SCOPED,
         "merge_upsert": _SQL_MERGE_UPSERT,
         "ingest_atomic_roundtrip": _SQL_INGEST_ATOMIC,
+        "txlog_change_feed": _SQL_TXLOG_CHANGE_FEED,
         "pagerank_citations": _sql_pagerank(6),
         "pagerank_weighted": _sql_pagerank_weighted(6),
         "hits_citations": _sql_hits(6),

@@ -752,6 +752,11 @@ BENCH_QUERIES = [
     # compaction -> snapshot read) -- prices the manifest-commit
     # overhead against the table-scale work it coordinates.
     ("txlog_compaction_roundtrip", entrymod.q_txlog_compaction_roundtrip),
+    # r17: the change-data feed (Delta CDF analog) -- appends + keyed
+    # merge + compaction, then read_table_changes diffs the merge's
+    # touched files multiset-wise and classifies survivors; prices the
+    # incremental-consumer pull path end-to-end.
+    ("txlog_change_feed", entrymod.q_txlog_change_feed),
     # r14: dedup-aware embedding -- per-row vs per-distinct-content on
     # a 75%-duplicate corpus (bit-equal outputs; wall ~ties under the
     # free hash embedder, the entry prices the extra shuffle that buys

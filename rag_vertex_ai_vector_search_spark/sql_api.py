@@ -673,6 +673,8 @@ def _register_doremi_view(spark: SparkSession) -> None:
 #   DESCRIBE HISTORY '<path>'                       -> commit table
 #   CREATE SNAPSHOT VIEW v FROM '<path>'
 #       [VERSION AS OF n]                           -> time travel view
+#   CREATE CHANGES VIEW v FROM '<path>'
+#       SINCE VERSION n [END VERSION m]             -> change-data feed
 #   VACUUM '<path>' [RETAIN n VERSIONS]
 #       [MIN AGE s SECONDS] [PRUNE LOG]             -> GC report row
 #   OPTIMIZE '<path>' [FULL]                        -> compaction report
@@ -693,6 +695,14 @@ _STORAGE_STATEMENTS = (
         _re.compile(
             r"(?is)^\s*CREATE\s+SNAPSHOT\s+VIEW\s+([A-Za-z_]\w*)\s+"
             r"FROM\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*$"
+        ),
+    ),
+    (
+        "changes_view",
+        _re.compile(
+            r"(?is)^\s*CREATE\s+CHANGES\s+VIEW\s+([A-Za-z_]\w*)\s+"
+            r"FROM\s+'([^']+)'\s+SINCE\s+VERSION\s+(-?\d+)"
+            r"(?:\s+END\s+VERSION\s+(\d+))?\s*$"
         ),
     ),
     (
@@ -795,6 +805,16 @@ def storage_sql(spark: SparkSession, statement: str):
             )
             df.createOrReplaceTempView(name)
             return df
+        if kind == "changes_view":
+            from .sources.changes import read_table_changes
+
+            name, path, since, end = m.groups()
+            df = read_table_changes(
+                spark, path, int(since),
+                int(end) if end is not None else None,
+            )
+            df.createOrReplaceTempView(name)
+            return df
         if kind == "vacuum":
             path, retain, age, prune = m.groups()
             report = tx_vacuum(
@@ -817,6 +837,8 @@ def storage_sql(spark: SparkSession, statement: str):
         "  DESCRIBE HISTORY '<path>'\n"
         "  CREATE SNAPSHOT VIEW <name> FROM '<path>' "
         "[VERSION AS OF <n>]\n"
+        "  CREATE CHANGES VIEW <name> FROM '<path>' "
+        "SINCE VERSION <n> [END VERSION <m>]\n"
         "  VACUUM '<path>' [RETAIN <n> VERSIONS] "
         "[MIN AGE <s> SECONDS] [PRUNE LOG]\n"
         "  OPTIMIZE '<path>' [FULL]\n"

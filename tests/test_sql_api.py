@@ -879,6 +879,35 @@ def test_storage_sql_history_sees_schema_evolution(spark, tmp_path):
     assert hist[2].schema_change and not hist[1].schema_change
 
 
+def test_storage_sql_changes_view_matches_python_twin(spark, tmp_path):
+    from rag_vertex_ai_vector_search_spark.sources.changes import (
+        read_table_changes,
+    )
+    from rag_vertex_ai_vector_search_spark.sources.txlog import tx_merge
+    from rag_vertex_ai_vector_search_spark.sql_api import storage_sql
+
+    path = _tx_table(spark, tmp_path)
+    tx_merge(
+        spark, path,
+        spark.range(85, 95).select(
+            "id", (F.col("id") % 3).alias("part"),
+            (F.col("id") * 5).alias("v"),
+        ),
+        key="id", n_buckets=4,
+    )
+    storage_sql(
+        spark, f"CREATE CHANGES VIEW t_cdc FROM '{path}' SINCE VERSION 1"
+    )
+    got = sorted(tuple(r) for r in spark.sql(
+        "SELECT id, part, v, _change_type, _commit_version FROM t_cdc"
+    ).collect())
+    want = sorted(tuple(r) for r in read_table_changes(
+        spark, path, 1
+    ).select("id", "part", "v", "_change_type", "_commit_version")
+        .collect())
+    assert got == want and len(got) > 0
+
+
 def _data_file_count(path):
     import os
 
