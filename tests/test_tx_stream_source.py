@@ -157,6 +157,73 @@ def test_schema_evolution_null_backfills_old_files(spark, tmp_path):
     assert by_id[0]["lang"] is None and by_id[5]["lang"] == "en"
 
 
+@pytest.mark.full
+def test_source_to_tx_sink_end_to_end_exactly_once(spark, tmp_path):
+    """The composability capstone: a txtable STREAM feeding a tx-table
+    SINK through foreachBatch with (txn_app, txn_batch) replay meta --
+    source offsets are upstream commit versions, sink epochs are
+    guarded by the txn index, so the chain is exactly-once end to end:
+    a re-run with the same checkpoint moves only the upstream delta,
+    and a replayed epoch lands zero extra rows."""
+    from rag_vertex_ai_vector_search_spark.sources.txlog import (
+        TxIdempotentReplay,
+        TxLog,
+    )
+
+    up = str(tmp_path / "up")
+    down = str(tmp_path / "down")
+    ck = str(tmp_path / "ck")
+    tx_append(spark, up, _df(spark, 0, 6))
+    tx_append(spark, up, _df(spark, 6, 10))
+
+    def _run():
+        register_tx_stream_source(spark)
+
+        def _sink(batch_df, epoch_id):
+            out = batch_df.filter(F.col("id") % 2 == 0).withColumn(
+                "v2", F.col("v") * 10
+            )
+            if out.isEmpty():
+                return None
+            try:
+                tx_append(
+                    spark, down, out,
+                    meta={"txn_app": ck, "txn_batch": int(epoch_id)},
+                )
+            except TxIdempotentReplay:
+                pass
+            return None
+
+        q = (
+            spark.readStream.format("txtable")
+            .load(up)
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run()
+    got1 = sorted(
+        r["id"] for r in read_table(spark, down).collect()
+    )
+    assert got1 == [0, 2, 4, 6, 8]
+    # upstream delta + re-run on the same checkpoint: only ids 10..13
+    # flow; nothing from versions 1-2 re-lands
+    tx_append(spark, up, _df(spark, 10, 14))
+    _run()
+    got2 = sorted(
+        (r["id"], r["v2"]) for r in read_table(spark, down).collect()
+    )
+    assert got2 == [(i, i * 20) for i in (0, 2, 4, 6, 8, 10, 12)]
+    # and a third run with NO upstream change is a no-op commit-wise
+    v_before = TxLog(spark, down).current_version()
+    _run()
+    assert TxLog(spark, down).current_version() == v_before
+    assert read_table(spark, down).count() == 7
+
+
 def test_batch_format_round_trips_snapshot(spark, tmp_path):
     path = str(tmp_path / "t")
     df = spark.range(0, 20).select(
