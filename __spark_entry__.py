@@ -21,6 +21,7 @@ from rag_vertex_ai_vector_search_spark.functions.text import (
     alpha_ratio,
     doc_fingerprint,
     language_id,
+    let_col,
     quality_score,
     token_count,
 )
@@ -2263,17 +2264,23 @@ def q_dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    ws = F.split(F.col("text"), " ")
+    # let_col-bound (r17): an inlined split expression re-evaluates per
+    # line inside the lambda -- quadratic per document.
     lined = docs.select(
         "doc_id",
         F.array_join(
-            F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.floor((F.size(ws) - F.lit(1)) / F.lit(8)).cast("int"),
-                ),
-                lambda i: F.array_join(
-                    F.slice(ws, i * F.lit(8) + F.lit(1), F.lit(8)), " "
+            let_col(
+                F.split(F.col("text"), " "),
+                lambda ws: F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor(
+                            (F.size(ws) - F.lit(1)) / F.lit(8)
+                        ).cast("int"),
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(ws, i * F.lit(8) + F.lit(1), F.lit(8)), " "
+                    ),
                 ),
             ),
             "\n",
@@ -2517,20 +2524,26 @@ def q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    ws = F.split(F.col("text"), " ")
+    # let_col-bound (r17): see q_dedup_boilerplate_lines.
     sentenced = docs.select(
         "doc_id",
         F.array_join(
-            F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.floor((F.size(ws) - F.lit(1)) / F.lit(7)).cast("int"),
-                ),
-                lambda i: F.concat(
-                    F.array_join(
-                        F.slice(ws, i * F.lit(7) + F.lit(1), F.lit(7)), " "
+            let_col(
+                F.split(F.col("text"), " "),
+                lambda ws: F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor(
+                            (F.size(ws) - F.lit(1)) / F.lit(7)
+                        ).cast("int"),
                     ),
-                    F.lit("."),
+                    lambda i: F.concat(
+                        F.array_join(
+                            F.slice(ws, i * F.lit(7) + F.lit(1), F.lit(7)),
+                            " ",
+                        ),
+                        F.lit("."),
+                    ),
                 ),
             ),
             " ",
@@ -3904,19 +3917,23 @@ def q_streaming_lm_models_maintained(
     # dedup_boilerplate_lines query's segmentation, fixture text has no
     # newlines); the SAME transformation runs on the stream.
     def lined_of(df):
-        ws = F.split(F.col("text"), " ")
+        # let_col-bound (r17): see q_dedup_boilerplate_lines.
         return df.select(
             "doc_id",
             F.array_join(
-                F.transform(
-                    F.sequence(
-                        F.lit(0),
-                        F.floor(
-                            (F.size(ws) - F.lit(1)) / F.lit(8)
-                        ).cast("int"),
-                    ),
-                    lambda i: F.array_join(
-                        F.slice(ws, i * F.lit(8) + F.lit(1), F.lit(8)), " "
+                let_col(
+                    F.split(F.col("text"), " "),
+                    lambda ws: F.transform(
+                        F.sequence(
+                            F.lit(0),
+                            F.floor(
+                                (F.size(ws) - F.lit(1)) / F.lit(8)
+                            ).cast("int"),
+                        ),
+                        lambda i: F.array_join(
+                            F.slice(ws, i * F.lit(8) + F.lit(1), F.lit(8)),
+                            " ",
+                        ),
                     ),
                 ),
                 "\n",

@@ -22,6 +22,26 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def let_col(expr: Column, body) -> Column:
+    """Bind ``expr`` to a lambda variable and evaluate ``body(var)``.
+
+    Catalyst performs NO common-subexpression elimination inside
+    higher-order-function lambda bodies: a lambda that references a
+    derived expression (e.g. ``split(normalized_text(text), ' ')``)
+    re-evaluates the WHOLE subtree once per array element, turning a
+    linear scan quadratic (measured r17: the bigram-counts pass was
+    5.9 s inlined vs 0.45 s bound at sf0.1 -- 13x). Wrapping the
+    expression as the one-element array argument of an outer
+    ``transform`` binds it to a lambda VARIABLE, which IS evaluated
+    once and shared by every inner-lambda evaluation.
+
+    Semantics are identical (a NULL expr flows through as a NULL
+    binding), and the values are bit-equal -- only the evaluation
+    count changes, so SQL oracle mirrors are unaffected.
+    """
+    return F.element_at(F.transform(F.array(expr), body), 1)
+
+
 # A BPE-ish token: a letter run, a digit run, or one non-alnum symbol.
 TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
@@ -200,17 +220,33 @@ def base_hash_fn(name: str):
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct n-word shingles of the normalized text."""
-    words = F.split(normalized_text(_c(col)), " ")
-    k = F.size(words) - F.lit(n - 1)
-    return F.when(k <= 0, F.array(F.concat_ws(" ", words))).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    """Distinct n-word shingles of the normalized text.
+
+    The word array is let_col-bound: referencing the split expression
+    inside the window lambda re-evaluated normalize+split per shingle
+    (quadratic per document; 3.6 s -> 0.6 s at sf0.1 for the shingle
+    count pass). The shingle windows themselves are built by a
+    zip_with chain over shifted slices -- every slice is a HOF
+    ARGUMENT (evaluated once) and no inner lambda captures the outer
+    binding, which matters twice: it avoids a second per-element
+    re-evaluation, and a captured-binding lambda nested under a
+    Python UDF argument breaks ExtractPythonUDFs (the UDF is left
+    inline in the projection and fails as unevaluable -- hit by
+    minhash signatures over planted corpora, r17)."""
+    def body(words):
+        k = F.size(words) - F.lit(n - 1)
+        sh = F.slice(words, 1, k)
+        for j in range(1, n):
+            sh = F.zip_with(
+                sh,
+                F.slice(words, 1 + j, k),
+                lambda a, b: F.concat(a, F.lit(" "), b),
             )
+        return F.when(k <= 0, F.array(F.concat_ws(" ", words))).otherwise(
+            F.array_distinct(sh)
         )
-    )
+
+    return let_col(F.split(normalized_text(_c(col)), " "), body)
 
 
 def gram_hashes(col: Column | str, k: int = 5, base_hash: str = "sha60") -> Column:
@@ -220,12 +256,17 @@ def gram_hashes(col: Column | str, k: int = 5, base_hash: str = "sha60") -> Colu
     pass base_hash="xxhash64" for the cheaper non-oracle variant.
     """
     hash_fn = base_hash_fn(base_hash)
-    text = normalized_text(_c(col))
-    n_grams = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: hash_fn(F.substring(text, i, k)),
-    )
+
+    def body(text):
+        n_grams = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: hash_fn(F.substring(text, i, k)),
+        )
+
+    # let_col-bound: an inlined text expression re-normalizes per gram
+    # (quadratic per document).
+    return let_col(normalized_text(_c(col)), body)
 
 
 def winnow_from_hashes(hashes: Column | str, w: int = 4) -> Column:
@@ -262,17 +303,20 @@ def winnowing_fingerprints(col: Column | str, k: int = 5, w: int = 4) -> Column:
 
 
 def char_ngrams(col: Column | str, n: int = 5) -> Column:
-    """Distinct character n-grams of the normalized text."""
-    text = normalized_text(_c(col))
-    k = F.length(text) - F.lit(n - 1)
-    return F.when(k <= 0, F.array(text)).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.substring(text, i, n),
+    """Distinct character n-grams of the normalized text (let_col-bound
+    -- see word_shingles)."""
+    def body(text):
+        k = F.length(text) - F.lit(n - 1)
+        return F.when(k <= 0, F.array(text)).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), k),
+                    lambda i: F.substring(text, i, n),
+                )
             )
         )
-    )
+
+    return let_col(normalized_text(_c(col)), body)
 
 
 # ---------------------------------------------------------------------------
@@ -305,15 +349,19 @@ def dup_bigram_fraction(col: Column | str) -> Column:
     """Fraction of word-bigram occurrences that are repeats. Catches the
     'looping n-gram' failure mode single-word stats miss. 0.0 when the
     text has fewer than two words."""
-    words = _words(col)
-    n = F.size(words)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
-    )
-    nb = F.size(bigrams).cast("double")
-    db = F.size(F.array_distinct(bigrams)).cast("double")
-    return F.when(n < 2, F.lit(0.0)).otherwise((nb - db) / nb)
+    def body(words):
+        n = F.size(words)
+        bigrams = F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        )
+        nb = F.size(bigrams).cast("double")
+        db = F.size(F.array_distinct(bigrams)).cast("double")
+        return F.when(n < 2, F.lit(0.0)).otherwise((nb - db) / nb)
+
+    # let_col-bound (see word_shingles): the inlined word array made
+    # this quadratic per document.
+    return let_col(_words(col), body)
 
 
 def top_word_fraction(col: Column | str) -> Column:
@@ -325,15 +373,22 @@ def top_word_fraction(col: Column | str) -> Column:
     shape this engine feeds embedders) keep that cheap; for long-tail
     huge documents use an explode + groupBy word-count instead (same
     shape as the BM25 tf stage)."""
-    words = _words(col)
-    n = F.size(words).cast("double")
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(words),
-            lambda w: F.size(F.filter(words, lambda x: x == w)),
-        )
-    ).cast("double")
-    return F.when(F.length(F.trim(_c(col))) == 0, F.lit(0.0)).otherwise(top / n)
+    def body(words):
+        n = F.size(words).cast("double")
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(words),
+                lambda w: F.size(F.filter(words, lambda x: x == w)),
+            )
+        ).cast("double")
+        return top / n
+
+    # let_col-bound: the inner filter referenced the word-array
+    # EXPRESSION per distinct word, re-normalizing the text each time
+    # on top of the documented O(distinct * words) scan.
+    return F.when(F.length(F.trim(_c(col))) == 0, F.lit(0.0)).otherwise(
+        let_col(_words(col), body)
+    )
 
 
 def mean_word_length(col: Column | str) -> Column:
@@ -424,11 +479,14 @@ def gopher_quality_flags(
     ).cast("double")
     alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast("double")
     alpha_frac = F.when(n > 0, alpha / nd).otherwise(F.lit(0.0))
-    stop_hits = F.size(
-        F.filter(
-            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
-            lambda s: F.array_contains(words, s),
-        )
+    stop_hits = let_col(
+        words,
+        lambda ws: F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+                lambda s: F.array_contains(ws, s),
+            )
+        ),
     )
     bullet_frac = bullet / n_lines
     ellipsis_frac = ellipsis / n_lines

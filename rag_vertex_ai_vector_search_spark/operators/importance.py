@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import base_hash_fn, normalized_text
+from ..functions.text import base_hash_fn, let_col, normalized_text
 from ..sources.tables import fan_out
 
 LOG_SCALE = 1_000_000  # micronats (see lm_quality.SURPRISAL_SCALE)
@@ -50,16 +50,20 @@ def _gram_buckets(
     normalized text, hashed into ``n_buckets`` buckets. ``id_col=None``
     drops the id (model building needs only the buckets)."""
     hash_fn = base_hash_fn(base_hash)
-    ws = F.split(normalized_text(F.col(text_col)), " ")
-    grams = F.concat(
-        ws,
-        F.when(
-            F.size(ws) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(ws) - 1),
-                lambda i: F.array_join(F.slice(ws, i, 2), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>")),
+    # let_col-bound (functions/text.py): an inlined word-array
+    # expression is re-evaluated per bigram inside the lambda.
+    grams = let_col(
+        F.split(normalized_text(F.col(text_col)), " "),
+        lambda ws: F.concat(
+            ws,
+            F.when(
+                F.size(ws) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.array_join(F.slice(ws, i, 2), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
     )
     cols = ([F.col(id_col)] if id_col else []) + [
         F.explode(grams).alias("_gram")

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import normalized_text
+from ..functions.text import let_col, normalized_text
 from ..functions.vector import constant_partition_key
 
 
@@ -172,7 +172,14 @@ def _merge_fold(toks_col, left, right, merged_tok: str | None = None):
 
 
 def _pair_counts(vocab: DataFrame) -> DataFrame:
-    """(pair, cnt) over the current symbolized vocabulary."""
+    """(pair, cnt) over the current symbolized vocabulary.
+
+    Deliberately NOT let_col-bound (r17): the input is the
+    vocabulary table (short symbol arrays), so the in-lambda split
+    re-evaluation is O(word_len^2) on tiny strings -- measured noise
+    -- while the extra binding layer costs real driver-side analysis
+    time on the round loop's accumulated fold lineage (8-round
+    bpe_train_merges: ~0.5 s slower with the binding)."""
     arr = F.split(F.col("toks"), " ")
     pairs = vocab.select(
         F.explode(
@@ -740,14 +747,11 @@ def _wp_merged(left: str, right: str) -> str:
     return left + (right[2:] if right.startswith("##") else right)
 
 
-def _train_wordpiece_driver(vocab_rows, n_merges: int) -> list:
-    """Exact greedy WordPiece on a collected (toks, n) vocabulary --
-    the in-memory phase of the production trainer (the BPE
-    driver-path shape). Same likelihood score and (score DESC, pair
-    ASC) tie-break as the Spark round loop; the pair order compares
-    the joined 'left\x01right' string exactly like the Spark path's
-    ORDER BY pair. Proven output-identical to the Spark loop in
-    tests/test_tokenizer.py."""
+def _train_wordpiece_driver_recount(vocab_rows, n_merges: int) -> list:
+    """Reference implementation: full pair+symbol recount per merge
+    (O(n_merges x total symbols)). Kept as the equality anchor for the
+    incremental heap trainer below (tests/test_tokenizer.py proves
+    heap == recount), exactly the _train_bpe_driver_recount pattern."""
     from collections import Counter
 
     words = [(toks.split(" "), int(n)) for toks, n in vocab_rows]
@@ -794,6 +798,121 @@ def _train_wordpiece_driver(vocab_rows, n_merges: int) -> list:
             out = _scan_merge(syms, left, right, merged)
             if len(out) != len(syms):
                 words[wi] = (out, n)
+    return merges
+
+
+def _train_wordpiece_driver(vocab_rows, n_merges: int) -> list:
+    """Exact greedy WordPiece on a collected (toks, n) vocabulary --
+    the in-memory phase of the production trainer (the BPE
+    driver-path shape). Same likelihood score and (score DESC, pair
+    ASC) tie-break as the Spark round loop; the pair order compares
+    the joined 'left\x01right' string exactly like the Spark path's
+    ORDER BY pair. Proven output-identical to the Spark loop in
+    tests/test_tokenizer.py.
+
+    Incremental since r17 (the _train_bpe_driver lazy-heap scheme,
+    extended to a RATIO score): per merge only the words containing
+    the chosen pair are rewritten. A WordPiece score
+    cnt(pair) / (cnt(left_sym) * cnt(right_sym)) changes when the
+    pair's count changes OR when either denominator symbol's count
+    changes -- and a rewrite only ever changes the counts of the three
+    symbols (left, right, merged), so the repush set per merge is the
+    delta'd pairs plus every live pair touching one of those three
+    symbols (tracked in pairs_by_sym). Every score change pushes a
+    fresh heap entry and a popped entry is used only when it matches
+    the CURRENT score computed by the identical float expression
+    float(c) / (float(nl) * float(nr)), so each pop is the true
+    (score DESC, pair ASC) argmax. Output is test-pinned equal to
+    _train_wordpiece_driver_recount AND the per-round Spark loop."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    words = [(toks.split(" "), int(n)) for toks, n in vocab_rows]
+    counts: Counter = Counter()  # pair -> occurrences
+    sym_counts: Counter = Counter()  # symbol -> occurrences
+    where: defaultdict = defaultdict(set)  # pair -> word indices
+    pairs_by_sym: defaultdict = defaultdict(set)  # symbol -> live pairs
+    for wi, (syms, n) in enumerate(words):
+        for sym in syms:
+            sym_counts[sym] += n
+        for pair in zip(syms, syms[1:]):
+            counts[pair] += n
+            where[pair].add(wi)
+            pairs_by_sym[pair[0]].add(pair)
+            pairs_by_sym[pair[1]].add(pair)
+
+    def _score(pair) -> float:
+        # float() each operand BEFORE multiplying: replicates the
+        # engine expression double(cnt) / (double(nl) * double(nr))
+        # bit-exactly (same-association rule; see the recount anchor).
+        return float(counts[pair]) / (
+            float(sym_counts[pair[0]]) * float(sym_counts[pair[1]])
+        )
+
+    heap = [
+        (-_score(pair), pair[0] + _PAIR_SEP + pair[1], pair)
+        for pair in counts
+    ]
+    heapq.heapify(heap)
+
+    merges = []
+    while len(merges) < n_merges:
+        while heap:
+            negs, _joined, pair = heapq.heappop(heap)
+            if counts.get(pair, 0) > 0 and _score(pair) == -negs:
+                break
+        else:
+            raise ValueError(
+                f"WordPiece pairs exhausted after {len(merges)} merges "
+                f"(requested {n_merges}): every word is one symbol"
+            )
+        left, right = pair
+        cnt = counts[pair]
+        merged = _wp_merged(left, right)
+        merges.append(
+            (len(merges) + 1, left, right, merged, cnt,
+             sym_counts[left], sym_counts[right])
+        )
+
+        repush = set()
+        for wi in sorted(where[pair]):
+            syms, n = words[wi]
+            out = _scan_merge(syms, left, right, merged)
+            if len(out) == len(syms):
+                continue
+            words[wi] = (out, n)
+            for sym in syms:
+                sym_counts[sym] -= n
+            for sym in out:
+                sym_counts[sym] += n
+            old_pairs = Counter(zip(syms, syms[1:]))
+            new_pairs = Counter(zip(out, out[1:]))
+            for p in old_pairs.keys() | new_pairs.keys():
+                delta = new_pairs[p] - old_pairs[p]
+                if delta:
+                    counts[p] += delta * n
+                    repush.add(p)
+                    if counts[p] <= 0:
+                        del counts[p]
+                        pairs_by_sym[p[0]].discard(p)
+                        pairs_by_sym[p[1]].discard(p)
+                    else:
+                        pairs_by_sym[p[0]].add(p)
+                        pairs_by_sym[p[1]].add(p)
+                if p in new_pairs:
+                    where[p].add(wi)
+                else:
+                    where[p].discard(wi)
+        # Denominator changes: every live pair touching a symbol whose
+        # count moved (only left/right/merged can move) must be
+        # rescored, even when its own pair count is unchanged.
+        for sym in (left, right, merged):
+            repush.update(pairs_by_sym[sym])
+        for p in repush:
+            if counts.get(p, 0) > 0:
+                heapq.heappush(
+                    heap, (-_score(p), p[0] + _PAIR_SEP + p[1], p)
+                )
     return merges
 
 

@@ -343,6 +343,43 @@ def test_bpe_heap_trainer_equals_recount_reference():
         assert run(_train_bpe_driver) == run(_train_bpe_driver_recount)
 
 
+def test_wordpiece_heap_trainer_equals_recount_reference():
+    """The r17 incremental heap driver trainer (ratio score: pair and
+    denominator-symbol count changes both repush) must reproduce the
+    full-recount reference EXACTLY -- including tie-breaks and the
+    exhaustion error -- on adversarial small-alphabet corpora where
+    scores tie constantly and merged tokens collide with existing
+    symbols."""
+    import random
+
+    from rag_vertex_ai_vector_search_spark.operators.tokenizer import (
+        _train_wordpiece_driver,
+        _train_wordpiece_driver_recount,
+    )
+
+    for seed, alpha, n_merges in [(1, "ab", 60), (2, "abc", 150)]:
+        rng = random.Random(seed)
+        rows = []
+        for _ in range(500):
+            chars = [
+                rng.choice(alpha) for _ in range(rng.randint(2, 12))
+            ]
+            toks = " ".join(
+                [chars[0]] + ["##" + c for c in chars[1:]]
+            )
+            rows.append((toks, rng.randint(1, 9)))
+
+        def run(fn):
+            try:
+                return fn(list(rows), n_merges)
+            except ValueError as e:
+                return ("exhausted", str(e))
+
+        assert run(_train_wordpiece_driver) == run(
+            _train_wordpiece_driver_recount
+        )
+
+
 @pytest.mark.full
 def test_wordpiece_driver_path_equals_spark_loop(spark, sf_smoke):
     """train_wordpiece(driver_threshold) collects the vocabulary once
