@@ -5928,13 +5928,15 @@ def q_incremental_reembed_pipeline(
         if new_cent.shape[0] <= centroids.shape[0]:
             raise RuntimeError("recluster did not grow the centroid matrix")
 
-        final = spark.read.parquet(index_path)
         # the reclustered layout is MANY small (bucket, leaf) dirs --
-        # checkpoint the 2-column key projection once so the three
-        # assertions below don't re-list it per job
-        final_keys = final.select(
-            "data_point_id", "cluster_id"
+        # checkpoint the needed projection ONCE (r17: the status join
+        # below used to re-read the whole dir tree a second time; one
+        # bounded checkpoint feeds the assertions AND the join)
+        final = spark.read.parquet(index_path).select(
+            "data_point_id", "cluster_id", "numeric_restricts",
+            "feature_vector",
         ).localCheckpoint(eager=True)
+        final_keys = final.select("data_point_id", "cluster_id")
         n_final, n_distinct = final_keys.agg(
             F.count(F.lit(1)), F.count_distinct("data_point_id")
         ).collect()[0]

@@ -334,6 +334,13 @@ def merge_into_table(
     )
     base_touched = base.filter(F.col("_bucket").isin(touched))
     merged = merge_by_key(base_touched, bucketed, key=key)
+    # NOT rebalanced by _bucket before the write (r17, measured): the
+    # bucket-only layout caps dirs at n_buckets, the natural write
+    # parallelism bounds files per dir at the task count, and the
+    # scoped-compaction maintenance pass owns file-count debt; an extra
+    # exchange here costs more per merge than the files save (the
+    # (bucket, leaf) IVF writers in streaming/ivf_stream.py DO
+    # rebalance -- hundreds of dirs per epoch there).
     merged.localCheckpoint(eager=True).write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("_bucket").parquet(path)

@@ -115,9 +115,17 @@ def stream_merge_into_ivf_index(
         except AnalysisException as e:
             if not _is_path_not_found(e):
                 raise
-            updates.write.mode("errorifexists").partitionBy(
-                "_bucket", "cluster_id"
-            ).parquet(index_path)
+            # repartition by the partition cols before every
+            # partitionBy write (r17, guide §6): an N-task epoch
+            # writing into bucket x leaf dirs otherwise leaves up to N
+            # one-row files per dir, and every later epoch/read pays
+            # the listing.
+            updates.repartition(
+                spark.sparkContext.defaultParallelism,
+                "_bucket", "cluster_id",
+            ).write.mode(
+                "errorifexists"
+            ).partitionBy("_bucket", "cluster_id").parquet(index_path)
             return
 
         touched = sorted(
@@ -125,7 +133,12 @@ def stream_merge_into_ivf_index(
         )
         base_touched = base.filter(F.col("_bucket").isin(touched))
         merged = _sticky_merge(base_touched, updates)
-        merged.localCheckpoint(eager=True).write.mode("overwrite").option(
+        merged.repartition(
+            spark.sparkContext.defaultParallelism,
+            "_bucket", "cluster_id",
+        ).localCheckpoint(
+            eager=True
+        ).write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("_bucket", "cluster_id").parquet(index_path)
 
@@ -183,7 +196,11 @@ def _tx_merge_sticky_batch(
     parts = ("_bucket", "cluster_id")
     if not live:
         new = _stage_and_move_in(
-            spark, index_path, updates, partition_cols=parts
+            spark, index_path,
+            updates.repartition(
+                spark.sparkContext.defaultParallelism, *parts
+            ),
+            partition_cols=parts,
         )
         try:
             return log.append_files(new, action="merge-init", meta=meta)
@@ -211,7 +228,9 @@ def _tx_merge_sticky_batch(
     new = _stage_and_move_in(
         spark,
         index_path,
-        merged.localCheckpoint(eager=True),
+        merged.repartition(
+            spark.sparkContext.defaultParallelism, *parts
+        ).localCheckpoint(eager=True),
         partition_cols=parts,
     )
     try:
@@ -485,7 +504,6 @@ def recluster_ivf_index(
         sub_map[leaf] = (np.asarray(ids, dtype=np.int64), sub)
     if extra:
         new_cent = np.vstack([new_cent, np.asarray(extra)])
-
     def _reassign(vecs: pd.Series, cids: pd.Series) -> pd.Series:
         vmat = np.asarray(list(vecs), dtype=np.float64)
         cid_arr = cids.to_numpy()
@@ -503,7 +521,6 @@ def recluster_ivf_index(
         return pd.Series(out)
 
     reassign_udf = F.pandas_udf(_reassign, T.IntegerType())
-
     parts = (
         ["_bucket", "cluster_id"]
         if "_bucket" in index.columns
@@ -515,10 +532,16 @@ def recluster_ivf_index(
     reassigned = rows_df.withColumn(
         "cluster_id", reassign_udf(F.col(vec_col), F.col("cluster_id"))
     ).localCheckpoint(eager=True)
+    # One file per (bucket, leaf) dir instead of one per task per dir
+    # (r17, guide §6): a split grows the leaf count ~n_rows/target, so
+    # an unrebalanced write fans N tasks x hundreds of dirs into
+    # thousands of one-row files -- the read-back, drift scans and
+    # every later maintenance pass pay that listing. The repartition
+    # shuffles only the flagged leaves' rows (bounded by the sample
+    # budget's leaf set), after the UDF has run.
     new_pairs = {
         tuple(r) for r in reassigned.select(*parts).distinct().collect()
     }
-
     def _subdir(pair) -> str:
         return "/".join(f"{c}={v}" for c, v in zip(parts, pair))
 
@@ -539,7 +562,11 @@ def recluster_ivf_index(
             if rel.rsplit("/", 1)[0] in touched_dirs
         ]
         new_files = _stage_and_move_in(
-            spark, index_path, reassigned, partition_cols=tuple(parts)
+            spark, index_path,
+            reassigned.repartition(
+                spark.sparkContext.defaultParallelism, *parts
+            ),
+            partition_cols=tuple(parts),
         )
         try:
             txlog.replace_files(inputs, new_files, action="recluster")
@@ -578,8 +605,9 @@ def recluster_ivf_index(
                 "witness_old_files": witness_old,
             },
         )
-
-    reassigned.write.mode("overwrite").option(
+    reassigned.repartition(
+        spark.sparkContext.defaultParallelism, *parts
+    ).write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy(*parts).parquet(index_path)
 
