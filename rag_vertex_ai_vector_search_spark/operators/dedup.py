@@ -73,6 +73,40 @@ def duplicate_clusters(
     return dedup_exact(df, id_col, text_col).filter(F.col("n_dups") >= 2)
 
 
+def minhash_with_sig(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_words: int = 3,
+    num_hashes: int = 64,
+    base_hash: str = "sha60",
+) -> DataFrame:
+    """(id, _hashes, _sig) -- the shared signature stage of
+    minhash_candidate_pairs AND minhash_banded_signatures. Consumers
+    that need both (the streaming near-dup batch body matches against
+    prior state AND self-pairs within the batch) compute this ONCE,
+    checkpoint it, and pass it to both via their ``with_sig`` seam --
+    the signature UDF and the shingle pass are the per-batch CPU cost,
+    and they used to run twice per epoch (r17)."""
+    sig_udf = minhash_signature_udf(num_hashes)
+    hash_fn = base_hash_fn(base_hash)
+    # A single parquet file arrives as one input partition; fan the
+    # CPU-heavy signature UDF out to all cores before computing it.
+    return fan_out(df).select(
+        F.col(id_col),
+        # base hash JVM-side: Arrow ships int64 arrays, not shingle
+        # strings; Jaccard over distinct hashes == Jaccard over
+        # shingles up to 60/64-bit collisions.
+        F.array_distinct(
+            F.transform(
+                word_shingles(text_col, shingle_words),
+                lambda s: hash_fn(s),
+            )
+        ).alias("_hashes"),
+    ).withColumn("_sig", sig_udf("_hashes"))
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -85,6 +119,7 @@ def minhash_candidate_pairs(
     verify: bool = True,
     max_bucket_df: int | None = 64,
     base_hash: str = "sha60",
+    with_sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -114,25 +149,16 @@ def minhash_candidate_pairs(
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
-    sig_udf = minhash_signature_udf(num_hashes)
 
-    # A single parquet file arrives as one input partition; fan the
-    # CPU-heavy signature UDF out to all cores before computing it.
-    df = fan_out(df)
-
-    hash_fn = base_hash_fn(base_hash)
-    with_sig = df.select(
-        F.col(id_col).alias("_id"),
-        # base hash JVM-side: Arrow ships int64 arrays, not shingle
-        # strings; Jaccard over distinct hashes == Jaccard over
-        # shingles up to 60/64-bit collisions.
-        F.array_distinct(
-            F.transform(
-                word_shingles(text_col, shingle_words),
-                lambda s: hash_fn(s),
-            )
-        ).alias("_hashes"),
-    ).withColumn("_sig", sig_udf("_hashes"))
+    if with_sig is None:
+        with_sig = minhash_with_sig(
+            df, id_col, text_col,
+            shingle_words=shingle_words, num_hashes=num_hashes,
+            base_hash=base_hash,
+        )
+    with_sig = with_sig.select(
+        F.col(id_col).alias("_id"), "_hashes", "_sig"
+    )
 
     def _band_key(b: int):
         # The slice itself as a CSV string: exact (no hash collisions)
@@ -805,6 +831,7 @@ def minhash_banded_signatures(
     num_hashes: int = 64,
     bands: int = 16,
     base_hash: str = "xxhash64",
+    with_sig: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band_id, band_hash, sig) per document x band -- the
     standalone banding stage of minhash_candidate_pairs, for consumers
@@ -814,20 +841,22 @@ def minhash_banded_signatures(
     equality, engine-portable); ``sig`` rides along so a matched pair
     can be verified by MinHash component agreement without re-reading
     either document's text.
+
+    ``with_sig`` accepts a precomputed ``minhash_with_sig`` frame so a
+    consumer that also builds candidate pairs runs the signature UDF
+    once (r17; the streaming batch body ran it twice per epoch).
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
-    sig_udf = minhash_signature_udf(num_hashes)
-    hash_fn = base_hash_fn(base_hash)
-    with_sig = fan_out(df).select(
-        F.col(id_col),
-        F.array_distinct(
-            F.transform(
-                word_shingles(text_col, shingle_words),
-                lambda s: hash_fn(s),
-            )
-        ).alias("_hashes"),
-    ).withColumn("sig", sig_udf("_hashes")).drop("_hashes")
+    if with_sig is None:
+        with_sig = minhash_with_sig(
+            df, id_col, text_col,
+            shingle_words=shingle_words, num_hashes=num_hashes,
+            base_hash=base_hash,
+        )
+    with_sig = with_sig.select(
+        F.col(id_col), F.col("_sig").alias("sig")
+    )
 
     def _key(b: int):
         return F.array_join(

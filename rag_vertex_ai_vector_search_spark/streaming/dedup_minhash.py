@@ -68,14 +68,24 @@ def apply_minhash_dedup_batch(
     from ..operators.dedup import (
         minhash_banded_signatures,
         minhash_candidate_pairs,
+        minhash_with_sig,
     )
 
     spark = batch_df.sparkSession
+    # the shingle pass + signature UDF are the batch's CPU cost: run
+    # them ONCE and feed both the banding (state match + state append)
+    # and the within-batch candidate pairs through the with_sig seam
+    # (r17 -- they used to run twice per epoch)
+    ws = minhash_with_sig(
+        batch_df, id_col, text_col,
+        shingle_words=shingle_words, num_hashes=num_hashes,
+        base_hash=base_hash,
+    ).localCheckpoint(eager=True)
     banded = minhash_banded_signatures(
         batch_df, id_col, text_col,
         shingle_words=shingle_words, num_hashes=num_hashes, bands=bands,
-        base_hash=base_hash,
-    ).localCheckpoint(eager=True)  # computed once, reused three times
+        base_hash=base_hash, with_sig=ws,
+    )
 
     # -- matches against PRIOR state (never the replayed epoch itself)
     try:
@@ -99,7 +109,7 @@ def apply_minhash_dedup_batch(
     pairs = minhash_candidate_pairs(
         batch_df, id_col, text_col,
         shingle_words=shingle_words, num_hashes=num_hashes, bands=bands,
-        jaccard_threshold=est_threshold, base_hash=base_hash,
+        jaccard_threshold=est_threshold, base_hash=base_hash, with_sig=ws,
     )
     losers = (
         dedup_keep_one(pairs)
