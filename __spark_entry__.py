@@ -5900,10 +5900,14 @@ def q_incremental_reembed_pipeline(
         n_merged = merged_keys.count()
         index = spark.read.parquet(index_path)
         index_keys = index.select("data_point_id")
-        n_index = index_keys.count()
+        # one agg job for count + distinct-count (r17; they were two
+        # separate scans of the bucket x leaf layout)
+        n_index, n_index_distinct = index_keys.agg(
+            F.count(F.lit(1)), F.count_distinct("data_point_id")
+        ).collect()[0]
         if (
             n_index != n_merged
-            or index_keys.distinct().count() != n_index
+            or n_index_distinct != n_index
             or index_keys.exceptAll(merged_keys).count() != 0
         ):
             raise RuntimeError(
