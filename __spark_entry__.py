@@ -5886,8 +5886,17 @@ def q_incremental_reembed_pipeline(
         stream = spark.readStream.schema("doc_id long, text string").parquet(
             src
         )
+        # txlog=True (r18, VERDICT r17 #1): the epoch merges and the
+        # recluster rewrite commit through the tx manifest -- one
+        # commit publish per write instead of the legacy
+        # dynamic-partition-overwrite's driver-side sequential per-dir
+        # rename pass (~1300 dirs at the forced 64-row leaf cap,
+        # ~4.6 s of the r17 capstone wall). Index reads below go
+        # through read_table_any (replaced files stay on disk until
+        # vacuum, so a listing read would double-count).
         q = stream_merge_into_ivf_index(
-            stream, index_path, centroids, checkpoint_dir=ckpt, n_buckets=8
+            stream, index_path, centroids, checkpoint_dir=ckpt,
+            n_buckets=8, txlog=True,
         )
         try:
             q.processAllAvailable()
@@ -5896,17 +5905,26 @@ def q_incremental_reembed_pipeline(
         finally:
             q.stop()
 
+        from rag_vertex_ai_vector_search_spark.sources.txlog import (
+            read_table_any,
+        )
+
         merged_keys = spark.read.parquet(table).select("data_point_id")
         n_merged = merged_keys.count()
-        index = spark.read.parquet(index_path)
+        index = read_table_any(spark, index_path)
         index_keys = index.select("data_point_id")
         # one agg job for count + distinct-count (r17; they were two
-        # separate scans of the bucket x leaf layout)
-        n_index, n_index_distinct = index_keys.agg(
-            F.count(F.lit(1)), F.count_distinct("data_point_id")
+        # separate scans of the bucket x leaf layout). count_distinct
+        # ignores NULLs, so the fused guard also requires zero NULL ids
+        # (r18, ADVICE r17: defensive -- ids are sha2-derived today)
+        n_index, n_index_nn, n_index_distinct = index_keys.agg(
+            F.count(F.lit(1)),
+            F.count("data_point_id"),
+            F.count_distinct("data_point_id"),
         ).collect()[0]
         if (
             n_index != n_merged
+            or n_index_nn != n_index
             or n_index_distinct != n_index
             or index_keys.exceptAll(merged_keys).count() != 0
         ):
@@ -5936,15 +5954,17 @@ def q_incremental_reembed_pipeline(
         # checkpoint the needed projection ONCE (r17: the status join
         # below used to re-read the whole dir tree a second time; one
         # bounded checkpoint feeds the assertions AND the join)
-        final = spark.read.parquet(index_path).select(
+        final = read_table_any(spark, index_path).select(
             "data_point_id", "cluster_id", "numeric_restricts",
             "feature_vector",
         ).localCheckpoint(eager=True)
         final_keys = final.select("data_point_id", "cluster_id")
-        n_final, n_distinct = final_keys.agg(
-            F.count(F.lit(1)), F.count_distinct("data_point_id")
+        n_final, n_final_nn, n_distinct = final_keys.agg(
+            F.count(F.lit(1)),
+            F.count("data_point_id"),
+            F.count_distinct("data_point_id"),
         ).collect()[0]
-        if n_final != n_merged or n_distinct != n_final:
+        if n_final != n_merged or n_final_nn != n_final or n_distinct != n_final:
             raise RuntimeError(
                 "recluster changed the row multiset or duplicated ids"
             )

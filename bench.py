@@ -1008,31 +1008,37 @@ BENCH_QUERIES = [
 ]
 
 
+def warmup(spark, sf_dir: str) -> None:
+    """Warm the JVM + parquet footers + page cache + Python UDF workers
+    once so timings measure the queries, not process spin-up or cold
+    IO: full-column touch of the three hot tables. Shared with
+    scripts/bench_one.py (r18, ADVICE r17) so the isolation tool's
+    'numbers are comparable' premise cannot silently drift."""
+    load_table(spark, sf_dir, "lineitem").count()
+    load_table(spark, sf_dir, "documents").select(
+        F.sum(F.length("text"))
+    ).collect()
+    load_table(spark, sf_dir, "embeddings").select(
+        F.sum(F.size("embedding"))
+    ).collect()
+    warm = spark.range(64).toDF("x")
+    warm.mapInPandas(lambda it: it, "x long").write.mode(
+        "overwrite"
+    ).format("noop").save()
+    # One tiny dedup-shaped pass (200 docs) so whole-stage-codegen
+    # JIT for the regex/shingle/window expressions compiles during
+    # warmup, not inside the first timed text query.
+    minhash_candidate_pairs(
+        load_table(spark, sf_dir, "documents").limit(200),
+        shingle_words=3, num_hashes=64, bands=16,
+        jaccard_threshold=0.5, base_hash="xxhash64",
+    ).write.mode("overwrite").format("noop").save()
+
+
 def main() -> None:
     spark = get_spark("bench")
-    # Warm the JVM + parquet footers + page cache + Python UDF workers
-    # once so timings measure the queries, not process spin-up or cold
-    # IO: full-column touch of the three hot tables.
     try:
-        load_table(spark, SF_DIR, "lineitem").count()
-        load_table(spark, SF_DIR, "documents").select(
-            F.sum(F.length("text"))
-        ).collect()
-        load_table(spark, SF_DIR, "embeddings").select(
-            F.sum(F.size("embedding"))
-        ).collect()
-        warm = spark.range(64).toDF("x")
-        warm.mapInPandas(lambda it: it, "x long").write.mode(
-            "overwrite"
-        ).format("noop").save()
-        # One tiny dedup-shaped pass (200 docs) so whole-stage-codegen
-        # JIT for the regex/shingle/window expressions compiles during
-        # warmup, not inside the first timed text query.
-        minhash_candidate_pairs(
-            load_table(spark, SF_DIR, "documents").limit(200),
-            shingle_words=3, num_hashes=64, bands=16,
-            jaccard_threshold=0.5, base_hash="xxhash64",
-        ).write.mode("overwrite").format("noop").save()
+        warmup(spark, SF_DIR)
     except Exception as exc:  # noqa: BLE001 -- timings degrade, runs go on
         print(f"# warmup FAILED: {exc}", file=sys.stderr)
 

@@ -368,26 +368,39 @@ def top_word_fraction(col: Column | str) -> Column:
     """Occurrence share of the most frequent word. ~0.01 for natural
     prose; >0.2 flags degenerate repetition.
 
-    Cost is O(distinct * words) per document (a filter scan per distinct
-    word). Bounded-vocabulary short documents (chunked corpora -- the
-    shape this engine feeds embedders) keep that cheap; for long-tail
-    huge documents use an explode + groupBy word-count instead (same
-    shape as the BM25 tf stage)."""
-    def body(words):
-        n = F.size(words).cast("double")
-        top = F.array_max(
-            F.transform(
-                F.array_distinct(words),
-                lambda w: F.size(F.filter(words, lambda x: x == w)),
-            )
+    The most frequent word's count equals the longest equal-run in the
+    SORTED word array, so this is one array_sort plus a linear
+    struct-accumulator fold -- O(n log n) per document instead of the
+    r17 O(distinct * words) filter-scan-per-distinct-word, with no
+    shuffle and no length-threshold branch (r18, VERDICT r17 #3; the
+    100k-word long-doc microbench is in OPTIMIZATION_r18.md). The top
+    count is an exact integer either way, so the division -- and the
+    DuckDB mirror, which keeps its own list_filter form -- stays
+    bit-identical."""
+    def body(ws):
+        hit = lambda acc, w: F.when(  # noqa: E731
+            w == acc.getField("prev"), acc.getField("run") + 1
+        ).otherwise(F.lit(1))
+        top = F.aggregate(
+            ws,
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, w: F.struct(
+                w.alias("prev"),
+                hit(acc, w).alias("run"),
+                F.greatest(acc.getField("best"), hit(acc, w)).alias("best"),
+            ),
+            lambda acc: acc.getField("best"),
         ).cast("double")
-        return top / n
+        return top / F.size(ws).cast("double")
 
-    # let_col-bound: the inner filter referenced the word-array
-    # EXPRESSION per distinct word, re-normalizing the text each time
-    # on top of the documented O(distinct * words) scan.
+    # let_col binds the sorted array once; the fold's per-element work
+    # is O(1) (two string equalities on lambda variables).
     return F.when(F.length(F.trim(_c(col))) == 0, F.lit(0.0)).otherwise(
-        let_col(_words(col), body)
+        let_col(F.array_sort(_words(col)), body)
     )
 
 

@@ -27,7 +27,7 @@ cluster" is a connected-components or min-id group-by away.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -107,6 +107,26 @@ def minhash_with_sig(
     ).withColumn("_sig", sig_udf("_hashes"))
 
 
+def _guard_sig_width(sig: Column, num_hashes: int) -> Column:
+    """Loud consistency guard on the ``with_sig`` seam (r18, ADVICE
+    r17): a supplied frame built with a different ``num_hashes`` would
+    otherwise fail SILENTLY -- ``F.slice`` past the signature length
+    returns empty arrays, so every upper band collides on the empty
+    key (wrong candidates plus a quadratic hot-bucket self-join). One
+    integer compare per row; internal builds skip it."""
+    return F.when(F.size(sig) == num_hashes, sig).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "with_sig frame was built with num_hashes="
+                ),
+                F.size(sig).cast("string"),
+                F.lit(f", consumer expects {num_hashes}"),
+            )
+        )
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -150,6 +170,7 @@ def minhash_candidate_pairs(
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
 
+    supplied = with_sig is not None
     if with_sig is None:
         with_sig = minhash_with_sig(
             df, id_col, text_col,
@@ -157,7 +178,11 @@ def minhash_candidate_pairs(
             base_hash=base_hash,
         )
     with_sig = with_sig.select(
-        F.col(id_col).alias("_id"), "_hashes", "_sig"
+        F.col(id_col).alias("_id"),
+        "_hashes",
+        _guard_sig_width(F.col("_sig"), num_hashes).alias("_sig")
+        if supplied
+        else F.col("_sig"),
     )
 
     def _band_key(b: int):
@@ -848,6 +873,7 @@ def minhash_banded_signatures(
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
+    supplied = with_sig is not None
     if with_sig is None:
         with_sig = minhash_with_sig(
             df, id_col, text_col,
@@ -855,7 +881,12 @@ def minhash_banded_signatures(
             base_hash=base_hash,
         )
     with_sig = with_sig.select(
-        F.col(id_col), F.col("_sig").alias("sig")
+        F.col(id_col),
+        (
+            _guard_sig_width(F.col("_sig"), num_hashes)
+            if supplied
+            else F.col("_sig")
+        ).alias("sig"),
     )
 
     def _key(b: int):

@@ -22,12 +22,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import bench  # noqa: E402
-from pyspark.sql import functions as F  # noqa: E402
 from rag_vertex_ai_vector_search_spark.session import get_spark  # noqa: E402
-from rag_vertex_ai_vector_search_spark.sources import load_table  # noqa: E402
-from rag_vertex_ai_vector_search_spark.operators.dedup import (  # noqa: E402
-    minhash_candidate_pairs,
-)
 
 
 def main() -> None:
@@ -45,23 +40,9 @@ def main() -> None:
 
     spark = get_spark("bench_one")
     sf_dir = bench.SF_DIR
-    # The same warmup bench.py runs, so numbers are comparable.
-    load_table(spark, sf_dir, "lineitem").count()
-    load_table(spark, sf_dir, "documents").select(
-        F.sum(F.length("text"))
-    ).collect()
-    load_table(spark, sf_dir, "embeddings").select(
-        F.sum(F.size("embedding"))
-    ).collect()
-    warm = spark.range(64).toDF("x")
-    warm.mapInPandas(lambda it: it, "x long").write.mode("overwrite").format(
-        "noop"
-    ).save()
-    minhash_candidate_pairs(
-        load_table(spark, sf_dir, "documents").limit(200),
-        shingle_words=3, num_hashes=64, bands=16,
-        jaccard_threshold=0.5, base_hash="xxhash64",
-    ).write.mode("overwrite").format("noop").save()
+    # The EXACT warmup bench.py runs (shared function since r18, ADVICE
+    # r17), so numbers are comparable by construction.
+    bench.warmup(spark, sf_dir)
 
     out: dict[str, object] = {}
     for name in args.entries:

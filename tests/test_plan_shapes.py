@@ -415,3 +415,26 @@ def test_audio_spectral_gate_single_exchange(spark, sf_smoke):
 
     plan = _plan(m.q_audio_spectral_closed_form(spark, sf_smoke))
     assert plan.count("Exchange") == 1, plan
+
+
+def test_let_col_binding_survives_in_plan(spark, sf_smoke):
+    """let_col's entire benefit rests on Catalyst NOT simplifying
+    element_at(transform(array(e), f), 1) back to the inline form
+    (r17 Finding 1: no CSE inside HOF lambda bodies -- the binding is
+    what keeps the n-gram builders linear per document). A future
+    Spark upgrade could silently re-inline it and restore the
+    quadratic evaluation; this guard fails loudly instead (r18,
+    ADVICE r17). The formatted plan renders the construct as a
+    transform over a one-element array literal fed to element_at."""
+    import re
+
+    import __spark_entry__ as m
+
+    plan = m.q_text_repetition(spark, sf_smoke)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    # the optimized plan must still carry the binding: element_at over
+    # a transform of a single-element array(...) with a lambdafunction
+    assert re.search(
+        r"element_at\(transform\(array\(", plan
+    ), plan
+    assert "lambdafunction" in plan, plan
