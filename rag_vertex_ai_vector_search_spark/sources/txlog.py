@@ -164,6 +164,41 @@ def _strip_file_scheme(path: str) -> str:
 # the remote branch is proven in-sandbox, see tests/test_txlog_hadoop.py).
 
 
+def _pyarrow_walk_local(local_root: str, *, prune_hidden: bool):
+    """Recursive listing of a LOCAL directory through pyarrow's C++
+    FileSelector -- one Python call for the whole tree (r18, VERDICT
+    r17 #6). The Python-side per-entry loops are what make big walks
+    slow (scandir: ~16 s at 10^6 files; the Hadoop adapter's py4j
+    field accesses: ~0.9 ms/file), and thread pools only add GIL
+    contention locally (measured 5x SLOWER pooled). Yields
+    ``(plain_local_path, size, mtime_epoch_seconds)`` with the same
+    hidden-DIR rule as the serial walks (underscore/dot dir components
+    pruned unless hive ``name=value``; file-NAME filtering stays the
+    caller's concern). Returns None when pyarrow is unavailable so
+    callers fall back to their serial walk (the checkpoint-sidecar
+    precedent)."""
+    try:
+        from pyarrow import fs as pafs
+    except Exception:  # noqa: BLE001 -- pyarrow-less: caller falls back
+        return None
+    sel = pafs.FileSelector(
+        local_root, recursive=True, allow_not_found=True
+    )
+    out: list[tuple] = []
+    root_len = len(local_root.rstrip("/")) + 1
+    for info in pafs.LocalFileSystem().get_file_info(sel):
+        if info.type != pafs.FileType.File:
+            continue
+        rel_dir_parts = info.path[root_len:].split("/")[:-1]
+        if prune_hidden and any(
+            ("=" not in c) and (c.startswith("_") or c.startswith("."))
+            for c in rel_dir_parts
+        ):
+            continue
+        out.append((info.path, info.size, info.mtime_ns / 1e9))
+    return out
+
+
 class _LocalTxFs:
     """Direct-POSIX adapter for scheme-less local paths."""
 
@@ -221,6 +256,41 @@ class _LocalTxFs:
     def delete_dir(self, p: str) -> None:
         shutil.rmtree(p, ignore_errors=True)
 
+    # local listings are CPU-bound (see walk_files_parallel): serial
+    parallel_listing = False
+
+    def scan_dir(self, p: str, *, prune_hidden: bool = True):
+        """ONE directory level: ``(files, subdirs)`` where files are
+        ``(full_path, size, mtime)`` tuples -- the unit of work the
+        parallel walker fans out over (r18). Same hidden-dir rule as
+        ``walk_files``."""
+        files: list[tuple] = []
+        dirs: list[str] = []
+        try:
+            it = os.scandir(p)
+        except (FileNotFoundError, NotADirectoryError):
+            return files, dirs
+        with it:
+            for entry in it:
+                name = entry.name
+                try:
+                    is_dir = entry.is_dir(follow_symlinks=False)
+                except OSError:
+                    continue
+                if is_dir:
+                    if prune_hidden and ("=" not in name) and (
+                        name.startswith("_") or name.startswith(".")
+                    ):
+                        continue
+                    dirs.append(entry.path)
+                else:
+                    try:
+                        st = entry.stat()
+                    except FileNotFoundError:
+                        continue
+                    files.append((entry.path, st.st_size, st.st_mtime))
+        return files, dirs
+
     def walk_files(self, root: str, *, prune_hidden: bool = True):
         """Yield ``(full_path, size, mtime)`` for every file under
         ``root``. ``prune_hidden`` skips underscore/dot DIRS except
@@ -231,7 +301,16 @@ class _LocalTxFs:
         per directory and skips the re-resolve that os.walk +
         os.stat(join(...)) paid per file -- the 10^6-file vacuum walk
         is directory-listing bound, the same shape the Hadoop adapter
-        gets from listStatus."""
+        gets from listStatus. r18: big walks route through pyarrow's
+        C++ recursive FileSelector when available (one Python call for
+        the whole tree; 13.6 s -> see OPTIMIZATION_r18.md at 10^6
+        files); the scandir loop is the pyarrow-less fallback and the
+        semantics anchor (file-set equality pinned in
+        tests/test_txlog.py)."""
+        fast = _pyarrow_walk_local(root, prune_hidden=prune_hidden)
+        if fast is not None:
+            yield from fast
+            return
         try:
             it = os.scandir(root)
         except (FileNotFoundError, NotADirectoryError):
@@ -419,7 +498,54 @@ class _HadoopTxFs:
     def delete_dir(self, p: str) -> None:
         self._fs.delete(self._Path(p), True)
 
+    # each directory is a py4j round trip (an RTT on true remote
+    # schemes): latency-bound, so the pooled walk pays there. file: is
+    # NOT latency-bound -- its listStatus cost is Python-side py4j
+    # protocol work (GIL-bound, measured 0.54x pooled), and it gets
+    # the pyarrow fast path below instead.
+    @property
+    def parallel_listing(self) -> bool:
+        return self.scheme != "file"
+
+    def scan_dir(self, p: str, *, prune_hidden: bool = True):
+        """ONE listStatus call: ``(files, subdirs)`` -- the unit of
+        work the parallel walker fans out over (r18). py4j dispatches
+        concurrent calls over per-thread connections, so a thread pool
+        overlaps the per-directory RTTs that dominate remote schemes."""
+        files: list[tuple] = []
+        dirs: list[str] = []
+        try:
+            sts = self._fs.listStatus(self._Path(p))
+        except Exception as e:  # noqa: BLE001
+            if self._is_fnf(e):
+                return files, dirs
+            raise
+        for st in sts:
+            name = st.getPath().getName()
+            full = st.getPath().toString()
+            if st.isDirectory():
+                if prune_hidden and ("=" not in name) and (
+                    name.startswith("_") or name.startswith(".")
+                ):
+                    continue
+                dirs.append(full)
+            else:
+                files.append(
+                    (full, int(st.getLen()), st.getModificationTime() / 1000.0)
+                )
+        return files, dirs
+
     def walk_files(self, root: str, *, prune_hidden: bool = True):
+        if self.scheme == "file":
+            # the py4j per-entry field accesses (~0.9 ms/file measured)
+            # dwarf a local listing; do the whole tree in one pyarrow
+            # C++ call and re-prefix the scheme (r18)
+            local = root[len("file:"):]
+            fast = _pyarrow_walk_local(local, prune_hidden=prune_hidden)
+            if fast is not None:
+                for p, size, mtime in fast:
+                    yield f"file:{p}", size, mtime
+                return
         try:
             sts = self._fs.listStatus(self._Path(root))
         except Exception as e:  # noqa: BLE001
@@ -880,14 +1006,18 @@ class TxLog:
         resolves through the same atomic publish (one v0 wins)."""
         files: list[dict] = []
         if adopt_listing and self.fs.isdir(self.table):
-            for full, size, _mtime in self.fs.walk_files(
-                self.table, prune_hidden=True
+            # thread-pooled (r18): adopting a large existing layout is
+            # the same directory-listing-bound walk as the vacuum; the
+            # manifest is a SET of paths, so listing order is free
+            for full, size, _mtime in walk_files_parallel(
+                self.fs, self.table, prune_hidden=True
             ):
                 name = posixpath.basename(full)
                 if name.startswith("_") or name.startswith("."):
                     continue
                 rel = self.fs.relpath(full, self.table)
                 files.append({"path": rel, "size": size})
+            files.sort(key=lambda f: f["path"])
         # table_id: a per-creation uuid in v0 (r17) -- the cache guards
         # key off v0's stat fingerprint; the uuid is the debuggable
         # identity a human (or a future LogStore) can read back
@@ -1175,6 +1305,68 @@ class TxLog:
             if idx is not None:
                 return int(idx)
         return None
+
+
+# ---- parallel directory walk ------------------------------------------------
+
+
+def walk_files_parallel(
+    fs, root: str, *, prune_hidden: bool = True, max_workers: int = 16
+):
+    """Every ``(full_path, size, mtime)`` under ``root``, listing one
+    directory per thread-pool task (r18, VERDICT r17 #6) -- but ONLY
+    for adapters whose listing is latency-bound (``fs.parallel_listing``
+    True: the Hadoop adapter, where each directory is a py4j round
+    trip and, on remote schemes, a real RTT the pool overlaps).
+
+    The POSIX adapter stays SERIAL by measurement: a local scandir
+    walk of a warm dentry cache is GIL/CPU-bound Python (the per-entry
+    loop), and 16 threads made the 10^6-file vacuum walk 5x SLOWER
+    (81.7 s pooled vs ~16 s serial, this round's microbench) -- the
+    pool adds contention where there is no latency to overlap.
+
+    Listing order is NOT preserved; every caller here treats the walk
+    as a set. Returns a list (the walk must complete anyway before
+    vacuum can diff against the keep-set)."""
+    if not getattr(fs, "parallel_listing", False):
+        return list(fs.walk_files(root, prune_hidden=prune_hidden))
+    import queue as _queue
+    from concurrent.futures import ThreadPoolExecutor
+
+    files: list[tuple] = []
+    errors: list[BaseException] = []
+    pending = _queue.Queue()
+    pending.put(root)
+    outstanding = [1]  # dirs queued but not yet fully processed
+    done = _queue.Queue()
+
+    def _one(d: str) -> None:
+        try:
+            fl, dirs = fs.scan_dir(d, prune_hidden=prune_hidden)
+            done.put((fl, dirs))
+        except BaseException as e:  # noqa: BLE001 -- re-raised below
+            done.put(e)
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        while outstanding[0] > 0:
+            while True:
+                try:
+                    pool.submit(_one, pending.get_nowait())
+                except _queue.Empty:
+                    break
+            got = done.get()
+            outstanding[0] -= 1
+            if isinstance(got, BaseException):
+                errors.append(got)
+                continue
+            fl, dirs = got
+            files.extend(fl)
+            for d in dirs:
+                outstanding[0] += 1
+                pending.put(d)
+    if errors:
+        raise errors[0]
+    return files
 
 
 # ---- data-file staging ------------------------------------------------------
@@ -1838,7 +2030,15 @@ def tx_vacuum(
             continue
     cutoff = time.time() - min_age_seconds
     deleted = reclaimed = dirs = 0
-    for full, size, mtime in fs.walk_files(log.table, prune_hidden=True):
+    # thread-pooled walk AND deletes (r18, VERDICT r17 #6): at 10^6
+    # files the vacuum is listing-bound (one scandir/listStatus per
+    # directory; an RTT each on remote schemes) and then unlink-bound
+    # (most files are dead under a small retention window) -- both are
+    # independent per-file/-dir ops, so overlap them
+    doomed: list[tuple[str, int]] = []
+    for full, size, mtime in walk_files_parallel(
+        fs, log.table, prune_hidden=True
+    ):
         name = posixpath.basename(full)
         if name.startswith("_") or name.startswith("."):
             continue
@@ -1847,9 +2047,20 @@ def tx_vacuum(
             continue
         if mtime > cutoff:
             continue
-        fs.unlink(full)
-        deleted += 1
-        reclaimed += size
+        doomed.append((full, size))
+    if doomed:
+        if getattr(fs, "parallel_listing", False):
+            # remote deletes are RTT-bound: overlap them (local
+            # unlinks stay serial -- same GIL economics as the walk)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                list(pool.map(lambda fp: fs.unlink(fp[0]), doomed))
+        else:
+            for full, _size in doomed:
+                fs.unlink(full)
+        deleted = len(doomed)
+        reclaimed = sum(s for _f, s in doomed)
     for name in fs.listdir(log.table):
         if not name.startswith(_STAGE_PREFIX):
             continue

@@ -92,19 +92,15 @@ def apply_minhash_dedup_batch(
         state = spark.read.parquet(state_path).filter(
             F.col("_epoch") != int(epoch_id)
         )
-        # Prefilter the STATE side with a broadcast semi-join on the
-        # epoch's distinct band keys (r18, VERDICT r17 #5, guide §3.2):
-        # the state table grows with everything kept so far while one
-        # trigger's key set is bounded by batch_size x bands, so
-        # without the prune every trigger shuffles the full state into
-        # a sort-merge join. The semi-join is exact (no false drops --
-        # only rows that cannot equi-match are cut), so the emitted
-        # sets are bit-equal; the surviving state slice is small enough
-        # that AQE broadcasts the main join too.
-        epoch_keys = banded.select("band_id", "band_hash").distinct()
-        state = state.join(
-            F.broadcast(epoch_keys), ["band_id", "band_hash"], "left_semi"
-        )
+        # NO state-side prefilter (r18, VERDICT r17 #5 -- evaluated and
+        # REJECTED with plan evidence, plans/r18/streaming_dedup_
+        # minhash_state_join_*.txt): the match join below already
+        # executes as BroadcastHashJoin with the (checkpointed, known-
+        # size) epoch side broadcast, so the state table is SCANNED
+        # once per trigger and never shuffled. A broadcast-semi/bloom
+        # prefilter on the epoch's band keys adds an exchange plus a
+        # second hash probe per state row in front of the exact same
+        # scan -- strictly more work per trigger, zero shuffle saved.
         dup_of_prior = (
             banded.alias("b")
             .join(state.alias("s"), ["band_id", "band_hash"])

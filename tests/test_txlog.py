@@ -166,15 +166,17 @@ def test_crash_matrix_reader_never_corrupted(spark, tmp_path, monkeypatch):
     log = TxLog(spark, path)
 
     # (a) crash after the scratch write, before any move-in
-    # (r17: the local walk is scandir-based, so the kill hooks scandir)
-    real_scandir = os.scandir
+    # (r18: the kill hooks the adapter's walk seam -- the first thing
+    # _stage_and_move_in does after the scratch write, whichever
+    # listing implementation is active)
+    real_walk = tx._LocalTxFs.walk_files
 
-    def boom_scandir(top, *a, **k):
-        if tx._STAGE_PREFIX in str(top):
+    def boom_walk(self, root, **k):
+        if tx._STAGE_PREFIX in str(root):
             raise RuntimeError("killed before move-in")
-        return real_scandir(top, *a, **k)
+        return real_walk(self, root, **k)
 
-    monkeypatch.setattr(tx.os, "scandir", boom_scandir)
+    monkeypatch.setattr(tx._LocalTxFs, "walk_files", boom_walk)
     with pytest.raises(RuntimeError, match="before move-in"):
         tx_append(spark, path, _range_df(spark, 100, 120))
     monkeypatch.undo()
@@ -790,3 +792,103 @@ def test_parquet_checkpoints_roundtrip_fallback_and_vacuum(
     assert read_table(spark, path).count() == 210
     for v in (20, 21):  # retained versions keep resolving
         assert len(log.live_files(v)) == v
+
+
+def test_parallel_walk_matches_serial_walk(tmp_path):
+    """walk_files_parallel (r18, the vacuum/adopt listing path) must
+    see EXACTLY the serial walk's file set under both hidden-dir
+    rules -- hive dirs kept, underscore/dot dirs pruned -- and return
+    [] for a missing root."""
+    base = str(tmp_path / "t")
+    want = []
+    for b in range(3):
+        for c in range(5):
+            d = f"{base}/_bucket={b}/cluster_id={c}"
+            os.makedirs(d)
+            for i in range(2):
+                p = f"{d}/f{i}.parquet"
+                with open(p, "wb") as fh:
+                    fh.write(b"x" * (i + 1))
+                want.append(p)
+    os.makedirs(f"{base}/_txlog")
+    with open(f"{base}/_txlog/v0.json", "w") as fh:
+        fh.write("{}")
+    os.makedirs(f"{base}/.tx-stage-x")
+    with open(f"{base}/.tx-stage-x/s.parquet", "wb") as fh:
+        fh.write(b"y")
+    fs = tx._LocalTxFs()
+    # force the POOLED path (the local adapter dispatches to the serial
+    # walk by default -- measured GIL-bound; see walk_files_parallel)
+    fs.parallel_listing = True
+    serial = sorted(
+        (p, s) for p, s, _m in fs.walk_files(base, prune_hidden=True)
+    )
+    par = sorted(
+        (p, s)
+        for p, s, _m in tx.walk_files_parallel(fs, base, prune_hidden=True)
+    )
+    assert serial == par
+    assert [p for p, _s in par] == sorted(want)
+    s2 = sorted(p for p, *_ in fs.walk_files(base, prune_hidden=False))
+    p2 = sorted(
+        p for p, *_ in tx.walk_files_parallel(fs, base, prune_hidden=False)
+    )
+    assert s2 == p2 and len(p2) == len(want) + 2
+    assert tx.walk_files_parallel(fs, base + "/nope") == []
+
+
+def test_parallel_walk_propagates_errors(tmp_path, monkeypatch):
+    """A scan failure inside a pool worker must surface, never return
+    a silently truncated listing (a vacuum diffing against a partial
+    walk would treat unlisted live files as... nothing -- but an
+    ADOPT would commit a partial manifest)."""
+    base = str(tmp_path / "t")
+    os.makedirs(f"{base}/sub")
+    with open(f"{base}/sub/f.parquet", "wb") as fh:
+        fh.write(b"x")
+    fs = tx._LocalTxFs()
+    fs.parallel_listing = True
+    orig = fs.scan_dir
+
+    def boom(p, *, prune_hidden=True):
+        if p.endswith("/sub"):
+            raise OSError("simulated listing failure")
+        return orig(p, prune_hidden=prune_hidden)
+
+    monkeypatch.setattr(fs, "scan_dir", boom)
+    with pytest.raises(OSError, match="simulated"):
+        tx.walk_files_parallel(fs, base)
+
+
+def test_pyarrow_walk_matches_scandir_walk(tmp_path, monkeypatch):
+    """The pyarrow C++ fast path (r18) must see EXACTLY the scandir
+    fallback's file set under both hidden-dir rules -- the fallback is
+    the semantics anchor."""
+    base = str(tmp_path / "t")
+    want = []
+    for b in range(3):
+        d = f"{base}/_bucket={b}/cluster_id=7"
+        os.makedirs(d)
+        for i in range(4):
+            p = f"{d}/f{i}.parquet"
+            with open(p, "wb") as fh:
+                fh.write(b"x" * (i + 1))
+            want.append(p)
+    os.makedirs(f"{base}/_txlog")
+    with open(f"{base}/_txlog/v0.json", "w") as fh:
+        fh.write("{}")
+    os.makedirs(f"{base}/.tx-stage-q")
+    with open(f"{base}/.tx-stage-q/s.parquet", "wb") as fh:
+        fh.write(b"z")
+    fs = tx._LocalTxFs()
+    fast = sorted((p, s) for p, s, _m in fs.walk_files(base))
+    monkeypatch.setattr(tx, "_pyarrow_walk_local", lambda *a, **k: None)
+    slow = sorted((p, s) for p, s, _m in fs.walk_files(base))
+    monkeypatch.undo()
+    assert fast == slow
+    assert [p for p, _s in fast] == sorted(want)
+    f2 = sorted(p for p, *_ in fs.walk_files(base, prune_hidden=False))
+    monkeypatch.setattr(tx, "_pyarrow_walk_local", lambda *a, **k: None)
+    s2 = sorted(p for p, *_ in fs.walk_files(base, prune_hidden=False))
+    assert f2 == s2 and len(f2) == len(want) + 2
+    assert list(fs.walk_files(base + "/nope")) == []
