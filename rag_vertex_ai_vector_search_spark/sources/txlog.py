@@ -1465,6 +1465,22 @@ def read_table(
     schema = log.schema_at(v)
     if schema is not None:
         reader = reader.schema(schema)
+    # An explicit list past spark.sql.sources.parallelPartitionDiscovery
+    # .threshold (32) makes InMemoryFileIndex launch a one-task-per-path
+    # LISTING JOB at analysis time. For a LOCAL adapter that job is pure
+    # overhead (a driver-side getFileStatus is ~50 us/file; the 1306-
+    # file capstone tree spent ~1 s of scheduling on it) -- scope the
+    # threshold above the list size so the driver lists inline. Remote
+    # adapters (parallel_listing) keep the cluster job: there each stat
+    # is a real RTT and the job genuinely overlaps them. (r18, guide §6)
+    if len(files) > 32 and not getattr(log.fs, "parallel_listing", False):
+        key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+        old = spark.conf.get(key)
+        spark.conf.set(key, str(len(files)))
+        try:
+            return reader.parquet(*files)
+        finally:
+            spark.conf.set(key, old)
     return reader.parquet(*files)
 
 
