@@ -186,7 +186,13 @@ def _pyarrow_walk_local(local_root: str, *, prune_hidden: bool):
     )
     out: list[tuple] = []
     root_len = len(local_root.rstrip("/")) + 1
-    for info in pafs.LocalFileSystem().get_file_info(sel):
+    try:
+        infos = pafs.LocalFileSystem().get_file_info(sel)
+    except NotADirectoryError:
+        # the serial walks tolerate a file-at-root (yield nothing);
+        # match them
+        return out
+    for info in infos:
         if info.type != pafs.FileType.File:
             continue
         rel_dir_parts = info.path[root_len:].split("/")[:-1]
