@@ -976,7 +976,17 @@ def train_wordpiece(
     merges = []
     for k in range(n_merges):
         pairs = _pair_counts(vocab)
-        syms = _symbol_counts(vocab)
+        # Collect the symbol counts into a true LocalRelation (pandas
+        # createDataFrame, the r12 serving lesson) instead of handing
+        # the agg to two broadcast exchanges: the sl/sr broadcast
+        # builds were separate jobs that each re-ran _symbol_counts
+        # over the vocab lineage (no plan reuse across broadcasts) --
+        # 3 lineage evaluations per round. The symbol table is BOUNDED
+        # by |alphabet| + n_merges (merges add one symbol each), so
+        # the per-round collect is driver-safe at any corpus size.
+        # Paired A/B (8 merges, sf0.1): 4.60 -> 4.27 s, merge lists
+        # identical (r18).
+        syms = spark.createDataFrame(_symbol_counts(vocab).toPandas())
         sl = syms.select(
             F.col("sym").alias("_l"), F.col("cnt").alias("n_left")
         )
